@@ -1,0 +1,282 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Tables => T, dsl, OracleDsl => O}
+import graft.functions.WeightedAvg
+
+/** Scalar-function surface (SURVEY.md §2.b scalar fns + UDx rows):
+  * string / datetime / math / JSON / array-map galleries, UDF + UDAF
+  * demos, and a correlated-aggregate pattern. All built-ins — codegen'd,
+  * no Scala closures in the hot path except the two deliberate UDx demos.
+  */
+object ScalarQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** String functions over part. Patterns are kept in the common
+    * Java-regex/RE2 subset so Spark and DuckDB agree.
+    */
+  val q21ScalarString: Q = (s, dir) => {
+    import s.implicits._
+    T.part(s, dir)
+      .select($"p_partkey",
+        upper($"p_name").as("name_upper"),
+        lower($"p_brand").as("brand_lower"),
+        substring($"p_name", 1, 8).as("name_prefix"),
+        concat_ws("-", $"p_brand", $"p_type").as("brand_type"),
+        split($"p_name", " ").getItem(0).as("first_word"),
+        regexp_replace(concat($"p_name", lit(".json")), "\\.json$", "")
+          .as("trimmed"),
+        length($"p_name").as("name_len"),
+        replace($"p_type", lit(" "), lit("_")).as("type_snake"))
+      .orderBy($"p_partkey")
+  }
+
+  val q21Sql: String =
+    """SELECT p_partkey,
+      |  UPPER(p_name) AS name_upper,
+      |  LOWER(p_brand) AS brand_lower,
+      |  SUBSTRING(p_name, 1, 8) AS name_prefix,
+      |  CONCAT_WS('-', p_brand, p_type) AS brand_type,
+      |  STRING_SPLIT(p_name, ' ')[1] AS first_word,
+      |  REGEXP_REPLACE(p_name || '.json', '\.json$', '') AS trimmed,
+      |  LENGTH(p_name) AS name_len,
+      |  REPLACE(p_type, ' ', '_') AS type_snake
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Datetime functions over orders. dayofweek uses Spark numbering
+    * (1=Sunday); the oracle shifts DuckDB's dow (0=Sunday) to match.
+    */
+  val q22ScalarDatetime: Q = (s, dir) => {
+    import s.implicits._
+    T.orders(s, dir)
+      .select($"o_orderkey",
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mo"),
+        dayofmonth($"o_orderdate").as("dom"),
+        dayofweek($"o_orderdate").as("dow"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast(DateType))
+          .as("days_since_95"),
+        (to_date($"o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+        unix_timestamp($"o_orderdate").as("epoch_s"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+      |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+      |  CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INT) AS dow,
+      |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+      |  CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Math functions. round() runs in the decimal domain (double rounding
+    * at a tie-prone scale differs between engines — see dsl notes);
+    * sqrt is IEEE-correctly-rounded so doubles match bit-for-bit.
+    */
+  val q23ScalarMath: Q = (s, dir) => {
+    import s.implicits._
+    T.lineitem(s, dir)
+      .filter($"l_orderkey" % 100 === 0)
+      .select($"l_orderkey", $"l_linenumber",
+        abs($"l_quantity" - lit(25.0)).as("abs_dev"),
+        round($"l_extendedprice".cast(DecimalType(18, 2)), 1)
+          .cast(DoubleType).as("price_round1"),
+        ceil($"l_quantity").as("qty_ceil"),
+        floor($"l_quantity").as("qty_floor"),
+        sqrt($"l_quantity").as("qty_sqrt"),
+        ($"l_orderkey" % 7).as("key_mod7"),
+        (-$"l_discount").as("neg_disc"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q23Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  ABS(l_quantity - 25.0) AS abs_dev,
+      |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_round1,
+      |  CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+      |  CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+      |  SQRT(l_quantity) AS qty_sqrt,
+      |  l_orderkey % 7 AS key_mod7,
+      |  -l_discount AS neg_disc
+      |FROM lineitem
+      |WHERE l_orderkey % 100 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** JSON field extraction (reference R14 semantics — lazy parse of a
+    * kept-verbatim blob): get_json_object over events.props.
+    */
+  val q24JsonExtract: Q = (s, dir) => {
+    import s.implicits._
+    T.events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast(LongType))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val q24Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Array ops over embeddings: size, element access, order-independent
+    * max, and an exact-decimal squared-norm via posexplode + re-group —
+    * the shuffle-free pattern (explode stays partition-local; the
+    * re-group keys on the original row id so AQE coalesces it).
+    */
+  val q25ArrayOps: Q = (s, dir) => {
+    import s.implicits._
+    T.embeddings(s, dir)
+      .select($"vec_id", $"label",
+        size($"embedding").as("dim"),
+        element_at($"embedding", 1).as("first_el"),
+        array_max($"embedding").as("max_el"),
+        explode($"embedding").as("x"))
+      .groupBy($"vec_id", $"label", $"dim", $"first_el", $"max_el")
+      .agg(sum(($"x".cast(DoubleType) * $"x".cast(DoubleType))
+        .cast(DecimalType(20, 12))).cast(DoubleType).as("norm2"))
+      .orderBy($"vec_id")
+  }
+
+  val q25Sql: String =
+    """SELECT vec_id, label,
+      |  CAST(LEN(embedding) AS INT) AS dim,
+      |  embedding[1] AS first_el,
+      |  LIST_MAX(embedding) AS max_el,
+      |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) AS norm2
+      |FROM (SELECT vec_id, label, embedding, UNNEST(embedding) AS x FROM embeddings)
+      |GROUP BY vec_id, label, embedding
+      |ORDER BY vec_id""".stripMargin
+
+  /** Map construction + explode: pivot two columns into key/value rows. */
+  val q26MapExplode: Q = (s, dir) => {
+    import s.implicits._
+    T.orders(s, dir)
+      .select(explode(map(
+        lit("status"), $"o_orderstatus",
+        lit("priority"), $"o_orderpriority")).as(Seq("key", "value")))
+      .groupBy($"key", $"value")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"key", $"value")
+  }
+
+  val q26Sql: String =
+    """SELECT key, value, COUNT(*) AS n
+      |FROM (SELECT 'status' AS key, o_orderstatus AS value FROM orders
+      |      UNION ALL
+      |      SELECT 'priority', o_orderpriority FROM orders)
+      |GROUP BY key, value
+      |ORDER BY key, value""".stripMargin
+
+  /** Custom typed UDAF ([[WeightedAvg]]): quantity-weighted avg price per
+    * return flag, oracle-matched by its decimal-quantized SQL equivalent.
+    */
+  val q27Udaf: Q = (s, dir) => {
+    import s.implicits._
+    val wavg = udaf(WeightedAvg)
+    T.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        wavg($"l_extendedprice", $"l_quantity").as("weighted_avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q27Sql: String =
+    s"""SELECT l_returnflag,
+       |  ${O.dsumExpr("l_extendedprice * l_quantity")}
+       |    / ${O.dsum("l_quantity")} AS weighted_avg_price,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  /** Scalar UDF demo — deliberately trivial (mod 97) to document the
+    * surface; real code should prefer the codegen'd builtin (`pmod`),
+    * which this oracle also exercises.
+    */
+  val q28ScalarUdf: Q = (s, dir) => {
+    import s.implicits._
+    val mod97 = udf((k: Long) => k % 97)
+    T.orders(s, dir)
+      .select($"o_orderkey",
+        mod97($"o_orderkey").as("udf_mod97"),
+        pmod($"o_orderkey", lit(97L)).as("builtin_mod97"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q28Sql: String =
+    """SELECT o_orderkey,
+      |  o_orderkey % 97 AS udf_mod97,
+      |  o_orderkey % 97 AS builtin_mod97
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Correlated-aggregate pattern: orders above their customer's average
+    * price. Planned as agg + self-equi-join (no per-row subquery); the
+    * exact-decimal avg makes the > comparison engine-identical.
+    */
+  val q30AboveCustomerAvg: Q = (s, dir) => {
+    import s.implicits._
+    val avgByCust = T.orders(s, dir)
+      .groupBy($"o_custkey".as("ck"))
+      .agg(dsl.davg($"o_totalprice").as("avg_price"))
+    T.orders(s, dir)
+      .join(avgByCust, $"o_custkey" === $"ck")
+      .filter($"o_totalprice" > $"avg_price")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"avg_price")
+      .orderBy($"o_orderkey")
+  }
+
+  val q30Sql: String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+       |FROM orders
+       |JOIN (SELECT o_custkey AS ck, ${O.davg("o_totalprice")} AS avg_price
+       |      FROM orders GROUP BY o_custkey) a
+       |  ON o_custkey = ck
+       |WHERE o_totalprice > avg_price
+       |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q21_scalar_string" -> q21ScalarString,
+    "q22_scalar_datetime" -> q22ScalarDatetime,
+    "q23_scalar_math" -> q23ScalarMath,
+    "q24_json_extract" -> q24JsonExtract,
+    "q25_array_ops" -> q25ArrayOps,
+    "q26_map_explode" -> q26MapExplode,
+    "q27_udaf_weighted_avg" -> q27Udaf,
+    "q28_scalar_udf" -> q28ScalarUdf,
+    "q30_above_customer_avg" -> q30AboveCustomerAvg,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_scalar_string" -> q21Sql,
+    "q22_scalar_datetime" -> q22Sql,
+    "q23_scalar_math" -> q23Sql,
+    "q24_json_extract" -> q24Sql,
+    "q25_array_ops" -> q25Sql,
+    "q26_map_explode" -> q26Sql,
+    "q27_udaf_weighted_avg" -> q27Sql,
+    "q28_scalar_udf" -> q28Sql,
+    "q30_above_customer_avg" -> q30Sql,
+  )
+}

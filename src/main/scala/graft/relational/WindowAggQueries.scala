@@ -1,0 +1,283 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Tables => T, dsl, OracleDsl => O}
+
+/** Multi-dimensional aggregation (rollup/cube/grouping sets), distinct
+  * counts, window functions (ranking / analytic / frames), top-k, and set
+  * operations — SURVEY.md §2.b aggregation/window/sort/set rows.
+  *
+  * Determinism rules applied throughout: window ORDER BY always ends in a
+  * unique key (ties would otherwise make row_number/ntile/lag
+  * nondeterministic), and windowed sums run in the exact decimal domain
+  * (frame-by-frame double re-aggregation differs between engines).
+  */
+object WindowAggQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** ROLLUP: hierarchical subtotals. Map-side partial agg still applies;
+    * at scale a rollup is one shuffle, not |levels| passes.
+    */
+  val q11AggRollup: Q = (s, dir) => {
+    import s.implicits._
+    T.orders(s, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsl.dsum($"o_totalprice").as("sum_total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q11Sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${O.dsum("o_totalprice")} AS sum_total
+       |FROM orders
+       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** CUBE over lineitem flags. */
+  val q12AggCube: Q = (s, dir) => {
+    import s.implicits._
+    T.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsl.dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val q12Sql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${O.dsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** GROUPING SETS via SQL (the DataFrame API has no direct spelling);
+    * subtotal NULLs disambiguated with coalesce since the keys are
+    * non-null in the data.
+    */
+  val q13GroupingSets: Q = (s, dir) => {
+    T.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS priority,
+         |  COUNT(*) AS n, ${O.dsum("o_totalprice")} AS sum_total
+         |FROM orders_gs
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, priority""".stripMargin)
+  }
+
+  val q13Sql: String =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  COUNT(*) AS n, ${O.dsum("o_totalprice")} AS sum_total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY status, priority""".stripMargin
+
+  /** Exact COUNT(DISTINCT): expands to a two-stage aggregate in Spark —
+    * at 100 TB prefer approx_count_distinct (q74) unless exactness is
+    * contractual.
+    */
+  val q14CountDistinct: Q = (s, dir) => {
+    import s.implicits._
+    T.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        countDistinct($"o_custkey").as("n_custs"),
+        countDistinct($"o_orderstatus").as("n_status"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q14Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_custs,
+      |  COUNT(DISTINCT o_orderstatus) AS n_status,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Ranking windows. rank/dense_rank run on the tie-prone key (their
+    * semantics absorb ties); row_number/ntile get a unique tiebreaker.
+    */
+  val q15WindowRanking: Q = (s, dir) => {
+    import s.implicits._
+    val byPrice = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc)
+    val unique = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    T.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        rank().over(byPrice).as("rnk"),
+        dense_rank().over(byPrice).as("drnk"),
+        row_number().over(unique).as("rn"),
+        ntile(4).over(unique).as("quartile"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q15Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+      |  DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+      |  NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Analytic windows over the event stream: lag/lead/first/last per
+    * user. Oracle casts ts to µs so both engines order identically; the
+    * event_id tiebreaker removes any same-µs ambiguity.
+    */
+  val q16WindowAnalytic: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T.events(s, dir)
+      .select($"event_id", $"user_id", $"value",
+        lag($"value", 1).over(w).as("prev_value"),
+        lead($"value", 1).over(w).as("next_value"),
+        first($"value").over(wAll).as("first_value"),
+        last($"value").over(wAll).as("last_value"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q16Sql: String =
+    """SELECT event_id, user_id, value,
+      |  LAG(value, 1) OVER w AS prev_value,
+      |  LEAD(value, 1) OVER w AS next_value,
+      |  FIRST_VALUE(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_value,
+      |  LAST_VALUE(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Window frames: running sum (unbounded preceding), 3-row moving
+    * average, and a numeric RANGE frame (orders within the last 30 days,
+    * keyed on day number). All sums in the exact decimal domain.
+    */
+  val q17WindowFrames: Q = (s, dir) => {
+    import s.implicits._
+    val base = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov3 = base.rowsBetween(-2, Window.currentRow)
+    val days = Window.partitionBy($"o_custkey").orderBy($"day_no")
+      .rangeBetween(-30, Window.currentRow)
+    T.orders(s, dir)
+      .withColumn("day_no",
+        datediff(to_date($"o_orderdate"), lit("1990-01-01").cast(DateType)))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        sum($"o_totalprice".cast(DecimalType(18, 2))).over(running)
+          .cast(DoubleType).as("running_total"),
+        (sum($"o_totalprice".cast(DecimalType(18, 2))).over(mov3)
+          .cast(DoubleType) / count(lit(1)).over(mov3)).as("mov_avg3"),
+        count(lit(1)).over(days).as("n_last_30d"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q17Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg3,
+      |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+      |                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_last_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Top-k per group: row_number ≤ k — the scalable idiom (one shuffle on
+    * the group key; no global sort).
+    */
+  val q18TopkPerGroup: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    T.orders(s, dir)
+      .join(T.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .orderBy($"c_mktsegment", $"rn")
+  }
+
+  val q18Sql: String =
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    * per-partition heaps + single merge, no full sort at scale.
+    */
+  val q19GlobalTopk: Q = (s, dir) => {
+    import s.implicits._
+    T.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  val q19Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
+  /** UNION / INTERSECT / EXCEPT in one tagged result. */
+  val q20SetOps: Q = (s, dir) => {
+    import s.implicits._
+    val rich = T.customer(s, dir).filter($"c_acctbal" > 5000.0)
+      .select($"c_custkey".as("key"))
+    val big = T.orders(s, dir).filter($"o_totalprice" > 200000.0)
+      .select($"o_custkey".as("key"))
+    rich.union(big).distinct().withColumn("op", lit("union"))
+      .unionByName(rich.intersect(big).withColumn("op", lit("intersect")))
+      .unionByName(rich.except(big).withColumn("op", lit("except")))
+      .select($"op", $"key")
+      .orderBy($"op", $"key")
+  }
+
+  val q20Sql: String =
+    """WITH rich AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000.0),
+      |     big AS (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000.0)
+      |SELECT 'union' AS op, key FROM (SELECT key FROM rich UNION SELECT key FROM big)
+      |UNION ALL
+      |SELECT 'intersect', key FROM (SELECT key FROM rich INTERSECT SELECT key FROM big)
+      |UNION ALL
+      |SELECT 'except', key FROM (SELECT key FROM rich EXCEPT SELECT key FROM big)
+      |ORDER BY op, key""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q11_agg_rollup" -> q11AggRollup,
+    "q12_agg_cube" -> q12AggCube,
+    "q13_grouping_sets" -> q13GroupingSets,
+    "q14_count_distinct" -> q14CountDistinct,
+    "q15_window_ranking" -> q15WindowRanking,
+    "q16_window_analytic" -> q16WindowAnalytic,
+    "q17_window_frames" -> q17WindowFrames,
+    "q18_topk_per_group" -> q18TopkPerGroup,
+    "q19_global_topk" -> q19GlobalTopk,
+    "q20_set_ops" -> q20SetOps,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q11_agg_rollup" -> q11Sql,
+    "q12_agg_cube" -> q12Sql,
+    "q13_grouping_sets" -> q13Sql,
+    "q14_count_distinct" -> q14Sql,
+    "q15_window_ranking" -> q15Sql,
+    "q16_window_analytic" -> q16Sql,
+    "q17_window_frames" -> q17Sql,
+    "q18_topk_per_group" -> q18Sql,
+    "q19_global_topk" -> q19Sql,
+    "q20_set_ops" -> q20Sql,
+  )
+}
