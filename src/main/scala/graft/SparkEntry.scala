@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.relational.{RelationalQueries, ScalarQueries, WindowAggQueries}
+import graft.streaming.StreamShapeQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,11 +18,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ WindowAggQueries.queries ++
-      ScalarQueries.queries
+      ScalarQueries.queries ++ StreamShapeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ WindowAggQueries.oracleSql ++
-      ScalarQueries.oracleSql
+      ScalarQueries.oracleSql ++ StreamShapeQueries.oracleSql
 }
