@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
+import graft.llm.{DedupQueries, TextAnalysis, VectorSearch}
 import graft.relational.{RelationalQueries, ScalarQueries, WindowAggQueries}
 import graft.streaming.StreamShapeQueries
 
@@ -18,11 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ WindowAggQueries.queries ++
-      ScalarQueries.queries ++ StreamShapeQueries.queries
+      ScalarQueries.queries ++ StreamShapeQueries.queries ++
+      DedupQueries.queries ++ TextAnalysis.queries ++ VectorSearch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ WindowAggQueries.oracleSql ++
-      ScalarQueries.oracleSql ++ StreamShapeQueries.oracleSql
+      ScalarQueries.oracleSql ++ StreamShapeQueries.oracleSql ++
+      DedupQueries.oracleSql ++ TextAnalysis.oracleSql ++
+      VectorSearch.oracleSql
 }

@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Fused float32 dot product as a native Catalyst expression with
+  * whole-stage codegen (SURVEY.md §2.b "custom Expression" path): the
+  * hot loop of brute-force cosine similarity over `Array[Float]`
+  * embedding columns.
+  *
+  * Why not `zip_with` + `aggregate`: those build an intermediate array
+  * per row and evaluate a lambda per element through HigherOrderFunction
+  * plumbing; this expression compiles to a tight primitive loop inside
+  * the generated code, keeping the 4M-pair × 64-dim similarity join in
+  * one WholeStageCodegen span. Accumulation is sequential left-to-right
+  * in double — deterministic, and bit-identical to the oracle's
+  * index-ordered SUM.
+  */
+case class DotProductF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == ArrayType(FloatType, containsNull = false) ||
+        left.dataType == ArrayType(FloatType, containsNull = true)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"expected array<float>, got ${left.dataType}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Quantized dot product: each float is mapped to floor(x·2^20) — an
+  * EXACT IEEE operation (power-of-two scaling never rounds) — and the
+  * products accumulate in int64. The result is bit-identical in any
+  * engine regardless of summation order, which plain double accumulation
+  * is not (the oracle's SUM associates differently at the ulp level).
+  * Quantization error ~1e-5 on unit-scale cosine — the documented
+  * contract for oracle-checked similarity scores. Max safe dim·|x|²:
+  * 64·(32·2^20)² ≪ 2^63.
+  */
+case class DotProductQ20(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(x.getFloat(i).toDouble * 1048576.0).toLong *
+        math.floor(y.getFloat(i).toDouble * 1048576.0).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) java.lang.Math.floor((double) $a.getFloat($i) * 1048576.0)
+         |        * (long) java.lang.Math.floor((double) $b.getFloat($i) * 1048576.0);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductQ20 =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Dot product of two float-array columns, as double. */
+  def dot_f32(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductF32(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** L2 norm of a float-array column. */
+  def norm_f32(a: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(dot_f32(a, a))
+  }
+
+  /** Quantized (2^20) dot product as int64 — engine-order-independent. */
+  def dot_q20(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductQ20(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Quantized L2 norm (double of the exact int64 self-dot). */
+  def norm_q20(a: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(dot_q20(a, a).cast(DoubleType))
+  }
+
+  /** Cosine similarity given precomputed norms (preferred: compute each
+    * side's norm once, not per pair).
+    */
+  def cosine(dot: Column, normA: Column, normB: Column): Column =
+    dot / (normA * normB)
+}

@@ -1,0 +1,178 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** Deduplication family over `documents` (SURVEY.md §2.b north-star):
+  * exact, MinHash-LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale shapes:
+  *   - exact dedup groups on a 256-bit content hash, never on the text
+  *     itself — the shuffle carries 32-byte keys, not documents;
+  *   - MinHash/SimHash are one explode + one groupBy per doc (linear),
+  *     banding turns candidate generation into an equi-join on
+  *     (band, band_hash) — the standard sub-quadratic near-dup pipeline;
+  *   - the exact-Jaccard verifier joins through an inverted shingle
+  *     index, so only pairs sharing ≥1 shingle are ever materialized
+  *     (worst case bounded by posting-list skew — a stop-shingle cutoff
+  *     would cap that at 100 TB; documented, not needed at test SF).
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Distinct word-3-grams per document. */
+  private def triShingles(df: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    df.select($"doc_id", tokens($"text").as("ws"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("tg"))
+      .distinct()
+  }
+
+  /** Exact dedup: group by content hash, keep the earliest doc_id as the
+    * canonical representative.
+    */
+  val q40DedupExact: Q = (s, dir) => {
+    import s.implicits._
+    T.documents(s, dir)
+      .groupBy(sha2($"text", 256).as("content_hash"))
+      .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_doc_id")
+  }
+
+  val q40Sql: String =
+    """SELECT sha256(text) AS content_hash,
+      |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY sha256(text)
+      |ORDER BY keep_doc_id""".stripMargin
+
+  /** MinHash signatures + LSH bands: 32 permutations (xxhash64 seeded by
+    * index) over distinct 3-gram shingles, banded 8×4. Emitted per
+    * (doc, band) — the join key of the candidate-pair stage. No oracle
+    * (xxhash64 is engine-internal); properties in DedupSpec.
+    */
+  val MinHashPerms = 32
+  val MinHashBands = 8
+
+  val q41MinhashLsh: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val rowsPerBand = MinHashPerms / MinHashBands
+    val sigCols = (0 until MinHashPerms).map(j =>
+      min(xxhash64(lit(j), col("tg"))).as(s"h$j"))
+    val sigs = triShingles(T.documents(s, dir))
+      .groupBy($"doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val banded = (0 until MinHashBands).map { band =>
+      val slice = (band * rowsPerBand until (band + 1) * rowsPerBand)
+        .map(j => col(s"h$j"))
+      sigs.select($"doc_id", lit(band).as("band"),
+        xxhash64(slice: _*).as("band_hash"))
+    }.reduce(_ unionByName _)
+    banded.orderBy($"doc_id", $"band")
+  }
+
+  /** Candidate near-dup pairs from MinHash bands (library form used by
+    * DedupSpec): docs agreeing on ≥1 full band.
+    */
+  def minhashCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val rowsPerBand = MinHashPerms / MinHashBands
+    val sigCols = (0 until MinHashPerms).map(j =>
+      min(xxhash64(lit(j), col("tg"))).as(s"h$j"))
+    val sigs = triShingles(docs).groupBy($"doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val banded = (0 until MinHashBands).map { band =>
+      val slice = (band * rowsPerBand until (band + 1) * rowsPerBand)
+        .map(j => col(s"h$j"))
+      sigs.select($"doc_id", lit(band).as("band"),
+        xxhash64(slice: _*).as("band_hash"))
+    }.reduce(_ unionByName _)
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash per document: token-hash bit votes weighted by
+    * term frequency. One explode + one agg; no oracle (xxhash64).
+    */
+  val q42Simhash: Q = (s, dir) => {
+    import s.implicits._
+    val tok = T.documents(s, dir)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+      .withColumn("h", xxhash64($"w"))
+    val bitVotes = (0 until 64).map(b =>
+      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val voted = tok.groupBy($"doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val simhash = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    voted.select($"doc_id", simhash.as("simhash")).orderBy($"doc_id")
+  }
+
+  /** Hamming distance between two simhash columns (library fn). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard similarity via an inverted shingle index —
+    * the verification stage behind MinHash candidates, and itself
+    * oracle-checkable: intersection counts are exact integers, so the
+    * final double division is engine-identical.
+    */
+  val q43NgramJaccard: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val tri = triShingles(T.documents(s, dir))
+    val sizes = tri.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = tri.as("a").join(tri.as("b"),
+        $"a.tg" === $"b.tg" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select($"doc_id".as("doc1"), $"n".as("n1")), "doc1")
+      .join(sizes.select($"doc_id".as("doc2"), $"n".as("n2")), "doc2")
+      .withColumn("jaccard", $"inter" / ($"n1" + $"n2" - $"inter"))
+      .filter($"jaccard" >= 0.2)
+      .select($"doc1", $"doc2", $"inter", $"jaccard")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  val q43Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (SELECT DISTINCT doc_id,
+      |          UNNEST(list_transform(range(1, len(ws) - 1),
+      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+      |        FROM w),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      |          FROM tri a JOIN tri b ON a.tg = b.tg AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc1, doc2, inter,
+      |  inter / (n1.n + n2.n - inter) AS jaccard
+      |FROM pairs JOIN sizes n1 ON pairs.doc1 = n1.doc_id
+      |           JOIN sizes n2 ON pairs.doc2 = n2.doc_id
+      |WHERE inter / (n1.n + n2.n - inter) >= 0.2
+      |ORDER BY doc1, doc2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q40_dedup_exact" -> q40DedupExact,
+    "q41_minhash_lsh" -> q41MinhashLsh,
+    "q42_simhash" -> q42Simhash,
+    "q43_ngram_jaccard" -> q43NgramJaccard,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_dedup_exact" -> q40Sql,
+    "q43_ngram_jaccard" -> q43Sql,
+  )
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.b): image/audio/video as
+  * opaque `binary` columns with typed metadata, processed batch-wise per
+  * partition.
+  *
+  * The actual codec call is STUBBED (`decodeStub`) — no image/audio
+  * libraries exist in this environment — but everything Spark-side is
+  * real and tested: the schema contract, the mapPartitions batch shape
+  * (decoder state initialized once per partition, exactly how a JNI
+  * codec or an Arrow-batched Python UDF would be driven), and the
+  * metadata/feature projection. Swapping `decodeStub` for a real decoder
+  * changes no plan shape.
+  *
+  * Scale notes: blobs stay columnar in parquet (binary), decode is
+  * narrow (no shuffle), and feature extraction emits fixed-width vectors
+  * — the downstream similarity ops ([[VectorSearch]]) take over from
+  * there.
+  */
+object Multimodal {
+
+  case class MediaRecord(media_id: Long, mime: String, bytes: Array[Byte])
+  case class DecodedMedia(media_id: Long, mime: String, n_bytes: Int,
+      width: Int, height: Int, features: Array[Float])
+
+  /** Deterministic fake decode: dimensions and features derived from the
+    * payload hash. Replace with a real codec at the `???`-equivalent
+    * seam; the signature (bytes → dims + feature vector) is the real
+    * contract.
+    */
+  private[llm] def decodeStub(mime: String, bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val h = java.util.Arrays.hashCode(bytes)
+    val width = 16 + math.abs(h % 1024)
+    val height = 16 + math.abs((h / 1024) % 1024)
+    val features = Array.tabulate(8)(i =>
+      ((h >>> (i * 4)) & 0xF).toFloat / 15.0f)
+    (width, height, features)
+  }
+
+  /** Decode a media dataset batch-wise. mapPartitions (not map) so a
+    * real decoder's expensive init happens once per partition.
+    */
+  def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map { m =>
+        val (w, h, feats) = decodeStub(m.mime, m.bytes)
+        DecodedMedia(m.media_id, m.mime, m.bytes.length, w, h, feats)
+      }
+    }
+  }
+
+  /** Build a media table from the documents fixture (text bytes standing
+    * in for encoded payloads), preserving the binary column end-to-end.
+    */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id".as("media_id"), lit("text/plain").as("mime"),
+        encode($"text", "UTF-8").as("bytes"))
+      .as[MediaRecord]
+  }
+
+  /** Full stub pipeline: ingest → decode → feature table. */
+  def pipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decode(mediaFromDocuments(spark, sfDir))
+      .select($"media_id", $"mime", $"n_bytes", $"width", $"height",
+        $"features")
+      .orderBy($"media_id")
+  }
+}
+
+/** Rolling (polynomial) hash fingerprint — engine-internal variant used
+  * for shift-tolerant chunk fingerprinting; spec-tested for determinism
+  * and shift behavior.
+  */
+object Fingerprints {
+  private val B = 1000003L
+  private val M = (1L << 61) - 1
+
+  def rollingFingerprint(tokens: Seq[String]): Long =
+    tokens.foldLeft(0L)((acc, t) =>
+      (acc * B + (t.hashCode.toLong & 0xFFFFFFFFL)) % M)
+
+  /** Column form over a tokenized array, via aggregate() — stays in
+    * Catalyst (no UDF).
+    */
+  def rollingFingerprintCol(ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(ws, lit(0L), (acc, t) =>
+      pmod(acc * lit(B) + pmod(xxhash64(t), lit(1L << 32)), lit(M)))
+}

@@ -1,0 +1,171 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** Text analysis over `documents` (SURVEY.md §2.b north-star): language
+  * ID, quality scoring, token counting, fingerprinting, and the binary
+  * (multimodal) column plumbing. All pure column expressions — linear
+  * scans, no shuffle except the final aggregations, fully codegen'd.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Stopword-hit heuristic language ID. Rule-based and deterministic
+    * so the oracle can replicate it exactly: count hits from small
+    * per-language marker sets, argmax with a fixed precedence order.
+    * (The fixture's text is synthetic word soup — the point is the
+    * operator shape: N regexp_count scans + a CASE ladder, one pass.)
+    */
+  val q46LangId: Q = (s, dir) => {
+    import s.implicits._
+    val en = regexp_count($"text", lit("\\b(the|a|of|and|to)\\b"))
+    val data = regexp_count($"text", lit("\\b(table|row|column|key|value)\\b"))
+    val query = regexp_count($"text", lit("\\b(join|filter|sort|merge|scan)\\b"))
+    T.documents(s, dir)
+      .select($"doc_id", $"lang",
+        en.as("en_hits"), data.as("data_hits"), query.as("query_hits"),
+        when(en >= data && en >= query, "en")
+          .otherwise(when(data >= query, "data-domain")
+            .otherwise("query-domain")).as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  val q46Sql: String =
+    """SELECT doc_id, lang,
+      |  len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS en_hits,
+      |  len(regexp_extract_all(text, '\b(table|row|column|key|value)\b')) AS data_hits,
+      |  len(regexp_extract_all(text, '\b(join|filter|sort|merge|scan)\b')) AS query_hits,
+      |  CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) >= len(regexp_extract_all(text, '\b(table|row|column|key|value)\b'))
+      |        AND len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) >= len(regexp_extract_all(text, '\b(join|filter|sort|merge|scan)\b'))
+      |       THEN 'en'
+      |       WHEN len(regexp_extract_all(text, '\b(table|row|column|key|value)\b')) >= len(regexp_extract_all(text, '\b(join|filter|sort|merge|scan)\b'))
+      |       THEN 'data-domain' ELSE 'query-domain' END AS pred_lang
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length stats, type-token ratio, stopword ratio,
+    * and a composite score. Integer-derived doubles → engine-identical.
+    */
+  val q47QualityScore: Q = (s, dir) => {
+    import s.implicits._
+    val ws = split($"text", " ")
+    val nWords = size(ws).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    val stopHits = regexp_count($"text", lit("\\b(the|a|of|and|to)\\b"))
+      .cast("long")
+    T.documents(s, dir)
+      .select($"doc_id", $"n_chars",
+        nWords.as("n_words"),
+        nDistinct.as("n_distinct_words"),
+        (nDistinct / nWords.cast("double")).as("ttr"),
+        (stopHits / nWords.cast("double")).as("stop_ratio"),
+        (($"n_chars" - (nWords - 1)) / nWords.cast("double"))
+          .as("avg_word_len"))
+      .withColumn("quality",
+        $"ttr" * lit(0.5) + (lit(1.0) - $"stop_ratio") * lit(0.3)
+          + when($"n_words".between(20, 200), 0.2).otherwise(0.0))
+      .orderBy($"doc_id")
+  }
+
+  val q47Sql: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
+      |  len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+      |  len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+      |  (n_chars - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+      |  len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+      |    + (1.0 - len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+      |    + CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 200 THEN 0.2 ELSE 0.0 END AS quality
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single other chars), plus chars-per-
+    * token — the compression-ratio proxy used in corpus curation.
+    */
+  val q48TokenCount: Q = (s, dir) => {
+    import s.implicits._
+    val bpe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    val nWs = size(split($"text", " ")).cast("long")
+    val nBpe = regexp_count($"text", lit(bpe)).cast("long")
+    T.documents(s, dir)
+      .select($"doc_id", nWs.as("ws_tokens"), nBpe.as("bpe_tokens"),
+        ($"n_chars" / nBpe.cast("double")).as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  val q48Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+      |  n_chars / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE) AS chars_per_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Content fingerprint: md5 over the sorted distinct vocabulary —
+    * order-canonical, so formatting/word-order variants collide (the
+    * "bag of words" fingerprint). A rolling-hash variant lives in
+    * [[Fingerprints.rollingFingerprint]] (engine-internal, spec-tested).
+    */
+  val q49Fingerprint: Q = (s, dir) => {
+    import s.implicits._
+    T.documents(s, dir)
+      .select($"doc_id",
+        md5(array_join(array_sort(array_distinct(split($"text", " "))), " "))
+          .as("vocab_fingerprint"),
+        md5($"text").as("content_fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val q49Sql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_fingerprint,
+      |  md5(text) AS content_fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Multimodal binary-column plumbing: text treated as an opaque blob
+    * with typed metadata — byte length, content hash, magic-bytes
+    * prefix. The decode/feature stage for real image/audio payloads is
+    * [[Multimodal]] (deterministic stub, spec-tested); this query is the
+    * oracle-checkable blob-handling surface.
+    */
+  val q50BinaryColumns: Q = (s, dir) => {
+    import s.implicits._
+    T.documents(s, dir)
+      .select($"doc_id",
+        octet_length($"text").as("n_bytes"),
+        md5($"text").as("content_md5"),
+        lower(hex(encode(substring($"text", 1, 4), "UTF-8"))).as("magic_hex"))
+      .orderBy($"doc_id")
+  }
+
+  val q50Sql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  lower(hex(encode(substring(text, 1, 4)))) AS magic_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q46_lang_id" -> q46LangId,
+    "q47_quality_score" -> q47QualityScore,
+    "q48_token_count" -> q48TokenCount,
+    "q49_fingerprint" -> q49Fingerprint,
+    "q50_binary_columns" -> q50BinaryColumns,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q46_lang_id" -> q46Sql,
+    "q47_quality_score" -> q47Sql,
+    "q48_token_count" -> q48Sql,
+    "q49_fingerprint" -> q49Sql,
+    "q50_binary_columns" -> q50Sql,
+  )
+}

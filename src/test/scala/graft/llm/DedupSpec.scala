@@ -1,0 +1,77 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property tests for the engine-internal dedup signatures (no DuckDB
+  * oracle: xxhash64 is engine-specific): planted near-duplicates must be
+  * caught, clearly-distinct docs must not collide, and signatures must
+  * be deterministic across runs.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1 ≈ doc 2 (one word changed out of 30), doc 3 unrelated
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "phi chi psi omega one two three four five six"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "phi chi psi omega one two three four five SEVEN"),
+    (3L, "completely different words about cooking pasta with tomato " +
+      "sauce and basil leaves in a big red pot on the stove tonight " +
+      "while singing loud songs from old radio shows forever")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH catches planted near-dups, not distinct docs") {
+    val cands = DedupQueries.minhashCandidates(spark, docs)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)), "near-dup pair (1,2) missed")
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)),
+      "distinct docs flagged as candidates")
+  }
+
+  test("simhash: near-dups within small hamming distance, distinct far") {
+    val sims = (1 to 2).map { _ =>
+      DedupQueries.q42Simhash(spark, "/root/testdata/sf0.001")
+        .limit(5).as[(Long, Long)].collect().toSeq
+    }
+    assert(sims(0) == sims(1), "simhash not deterministic across runs")
+
+    val planted = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .withColumn("h", xxhash64($"w"))
+    // reuse the query logic on the planted frame via temp swap
+    val byDoc = {
+      val bitVotes = (0 until 64).map(b =>
+        sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$b"))
+      val voted = planted.groupBy($"doc_id")
+        .agg(bitVotes.head, bitVotes.tail: _*)
+      val sim = (0 until 64).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
+      voted.select($"doc_id", sim.as("s")).as[(Long, Long)]
+        .collect().toMap
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(byDoc(1L), byDoc(2L)) <= 12,
+      s"near-dups too far: ${ham(byDoc(1L), byDoc(2L))}")
+    assert(ham(byDoc(1L), byDoc(3L)) > 12,
+      s"distinct docs too close: ${ham(byDoc(1L), byDoc(3L))}")
+  }
+
+  test("exact jaccard verifies the minhash candidate") {
+    val tri = docs.select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("tg")).distinct()
+    val sizes = tri.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter12 = tri.as("a").join(tri.as("b"),
+        $"a.tg" === $"b.tg" && $"a.doc_id" === 1 && $"b.doc_id" === 2)
+      .count()
+    val n = sizes.as[(Long, Long)].collect().toMap
+    val jac = inter12.toDouble / (n(1L) + n(2L) - inter12)
+    assert(jac > 0.8, s"planted pair jaccard $jac should be high")
+  }
+}
