@@ -3,6 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.llm.{DedupQueries, TextAnalysis, VectorSearch}
 import graft.relational.{RelationalQueries, ScalarQueries, WindowAggQueries}
+import graft.sources.CsvScan
 import graft.streaming.StreamShapeQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ WindowAggQueries.queries ++
       ScalarQueries.queries ++ StreamShapeQueries.queries ++
-      DedupQueries.queries ++ TextAnalysis.queries ++ VectorSearch.queries
+      DedupQueries.queries ++ TextAnalysis.queries ++ VectorSearch.queries ++
+      CsvScan.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +30,5 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ WindowAggQueries.oracleSql ++
       ScalarQueries.oracleSql ++ StreamShapeQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextAnalysis.oracleSql ++
-      VectorSearch.oracleSql
+      VectorSearch.oracleSql ++ CsvScan.oracleSql
 }

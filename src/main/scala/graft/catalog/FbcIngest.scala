@@ -61,29 +61,46 @@ object FbcIngest {
     df.withColumn("package",
       packageKey(col("schema"), col("package"), col("name")))
 
-  /** Validate then write one immutable snapshot under
+  private val BadMetaMsg = "meta record lacks schema/name"
+
+  /** Validate-and-write one immutable snapshot under
     * `root/snapshots/<ts>/` partitioned by (package, schema), and
     * atomically publish it as active. Returns the snapshot id.
+    *
+    * Validation is fused into the write pass with an inline raise_error
+    * — ONE scan of the source, not a count() action followed by a second
+    * full read (at 100 TB the extra pass is real money). A bad record
+    * aborts the job before publish, surfaced as IllegalArgumentException.
     */
   def writeSnapshot(spark: SparkSession, meta: DataFrame, root: String,
       snapshotId: Option[String] = None, sourceWatermark: Long = 0L): String = {
     import spark.implicits._
-    val bad = meta.filter(col("schema").isNull || col("name").isNull)
-    val badCount = bad.count()
-    require(badCount == 0,
-      s"refusing to load snapshot: $badCount meta records lack schema/name")
     val id = snapshotId.getOrElse(tsFmt.format(Instant.now()))
     val snapDir = s"$root/snapshots/$id"
-    withPackageKey(meta)
-      .select($"package", $"schema", $"name", $"blob")
-      .repartition(col("package"), col("schema"))
-      .sortWithinPartitions("package", "schema", "name")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("package", "schema")
-      .parquet(snapDir)
+    val checkedSchema = when(col("schema").isNull || col("name").isNull,
+        raise_error(concat(lit(s"$BadMetaMsg: "), coalesce($"blob", lit("")))))
+      .otherwise(col("schema")).as("schema")
+    try {
+      withPackageKey(meta)
+        .select($"package", checkedSchema, $"name", $"blob")
+        .repartition(col("package"), col("schema"))
+        .sortWithinPartitions("package", "schema", "name")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("package", "schema")
+        .parquet(snapDir)
+    } catch {
+      case e: Throwable if causeChain(e).exists(
+          m => m != null && m.contains(BadMetaMsg)) =>
+        throw new IllegalArgumentException(
+          s"refusing to load snapshot: $BadMetaMsg", e)
+    }
     publishActive(root, id, sourceWatermark)
     id
   }
+
+  private def causeChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(_.getMessage).toSeq
 
   /** Atomic publish: write ACTIVE.tmp then rename over ACTIVE.
     * Idempotent — a leftover tmp from a crashed publish is overwritten,

@@ -54,19 +54,22 @@ object WindowAggQueries {
        |GROUP BY CUBE (l_returnflag, l_linestatus)
        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
-  /** GROUPING SETS via SQL (the DataFrame API has no direct spelling);
+  /** GROUPING SETS via the Dataset.groupingSets API (no session-global
+    * temp view — a library function must not mutate shared session state);
     * subtotal NULLs disambiguated with coalesce since the keys are
     * non-null in the data.
     */
   val q13GroupingSets: Q = (s, dir) => {
-    T.orders(s, dir).createOrReplaceTempView("orders_gs")
-    s.sql(
-      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-         |  COALESCE(o_orderpriority, 'ALL') AS priority,
-         |  COUNT(*) AS n, ${O.dsum("o_totalprice")} AS sum_total
-         |FROM orders_gs
-         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-         |ORDER BY status, priority""".stripMargin)
+    import s.implicits._
+    T.orders(s, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq.empty),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsl.dsum($"o_totalprice").as("sum_total"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"sum_total")
+      .orderBy($"status", $"priority")
   }
 
   val q13Sql: String =
@@ -97,6 +100,34 @@ object WindowAggQueries {
       |  COUNT(DISTINCT o_custkey) AS n_custs,
       |  COUNT(DISTINCT o_orderstatus) AS n_status,
       |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Approximate COUNT(DISTINCT) via HyperLogLog++ (rsd 2%) — the
+    * 100 TB-scale path: one pass, fixed-size sketch per group, no
+    * two-stage distinct expansion. The sketch value itself is
+    * engine-internal, so the oracle check anchors on the EXACT distinct
+    * count: the query emits `approx_ok` = (|approx − exact| ≤ 5%·exact),
+    * which the oracle asserts as literal TRUE — a tolerance check the
+    * hash-compare gate can enforce exactly.
+    */
+  val q74ApproxDistinct: Q = (s, dir) => {
+    import s.implicits._
+    T.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        countDistinct($"o_custkey").as("n_exact"),
+        approx_count_distinct($"o_custkey", 0.02).as("approx"))
+      .select($"o_orderpriority", $"n_exact",
+        (abs($"approx" - $"n_exact") <= $"n_exact" * 0.05).as("approx_ok"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q74Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_exact,
+      |  TRUE AS approx_ok
       |FROM orders
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
@@ -231,28 +262,41 @@ object WindowAggQueries {
       |ORDER BY o_totalprice DESC, o_orderkey ASC
       |LIMIT 100""".stripMargin
 
-  /** UNION / INTERSECT / EXCEPT in one tagged result. */
+  /** UNION / INTERSECT / EXCEPT plus the multiset `_all` variants in one
+    * tagged result. The `_all` branches run on genuinely duplicated
+    * inputs (order custkeys) so min-multiplicity (INTERSECT ALL) and
+    * multiset difference (EXCEPT ALL) are actually exercised.
+    */
   val q20SetOps: Q = (s, dir) => {
     import s.implicits._
     val rich = T.customer(s, dir).filter($"c_acctbal" > 5000.0)
       .select($"c_custkey".as("key"))
     val big = T.orders(s, dir).filter($"o_totalprice" > 200000.0)
       .select($"o_custkey".as("key"))
+    val mid = T.orders(s, dir).filter($"o_totalprice" > 150000.0)
+      .select($"o_custkey".as("key"))
     rich.union(big).distinct().withColumn("op", lit("union"))
       .unionByName(rich.intersect(big).withColumn("op", lit("intersect")))
       .unionByName(rich.except(big).withColumn("op", lit("except")))
+      .unionByName(mid.intersectAll(big).withColumn("op", lit("intersect_all")))
+      .unionByName(mid.exceptAll(big).withColumn("op", lit("except_all")))
       .select($"op", $"key")
       .orderBy($"op", $"key")
   }
 
   val q20Sql: String =
     """WITH rich AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000.0),
-      |     big AS (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000.0)
+      |     big AS (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000.0),
+      |     mid AS (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000.0)
       |SELECT 'union' AS op, key FROM (SELECT key FROM rich UNION SELECT key FROM big)
       |UNION ALL
       |SELECT 'intersect', key FROM (SELECT key FROM rich INTERSECT SELECT key FROM big)
       |UNION ALL
       |SELECT 'except', key FROM (SELECT key FROM rich EXCEPT SELECT key FROM big)
+      |UNION ALL
+      |SELECT 'intersect_all', key FROM (SELECT key FROM mid INTERSECT ALL SELECT key FROM big)
+      |UNION ALL
+      |SELECT 'except_all', key FROM (SELECT key FROM mid EXCEPT ALL SELECT key FROM big)
       |ORDER BY op, key""".stripMargin
 
   val queries: Map[String, Q] = Map(
@@ -260,6 +304,7 @@ object WindowAggQueries {
     "q12_agg_cube" -> q12AggCube,
     "q13_grouping_sets" -> q13GroupingSets,
     "q14_count_distinct" -> q14CountDistinct,
+    "q74_approx_distinct" -> q74ApproxDistinct,
     "q15_window_ranking" -> q15WindowRanking,
     "q16_window_analytic" -> q16WindowAnalytic,
     "q17_window_frames" -> q17WindowFrames,
@@ -273,6 +318,7 @@ object WindowAggQueries {
     "q12_agg_cube" -> q12Sql,
     "q13_grouping_sets" -> q13Sql,
     "q14_count_distinct" -> q14Sql,
+    "q74_approx_distinct" -> q74Sql,
     "q15_window_ranking" -> q15Sql,
     "q16_window_analytic" -> q16Sql,
     "q17_window_frames" -> q17Sql,
