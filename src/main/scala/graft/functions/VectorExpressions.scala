@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Fused float32 dot product as a native Catalyst expression with
   * whole-stage codegen (SURVEY.md §2.b "custom Expression" path): the
@@ -121,6 +121,99 @@ case class DotProductQ20(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection LSH bucket id as ONE compact expression: the
+  * vector is projected onto `numPlanes` seeded ±1 hyperplanes and the
+  * sign bits form the bucket (bucket space 2^numPlanes).
+  *
+  * Why an expression and not a composed column tree: the naive spelling
+  * (numPlanes × dim `element_at` terms) is a ~P·D-node expression tree —
+  * at 12×64 that is the 1.7 MiB broadcast-task-binary / codegen-blowup
+  * case. This compiles to a single method call over the unsafe array
+  * data with a tight primitive loop.
+  *
+  * Plane components are ±1 derived from a splitmix64-style hash of
+  * (seed, plane·dim+i): deterministic on every executor with zero state
+  * shipped, identical across runs — the property the recall and
+  * determinism specs pin down.
+  */
+case class SrpBucket(child: Expression, numPlanes: Int, seed: Int)
+    extends UnaryExpression {
+
+  require(numPlanes > 0 && numPlanes <= 62, "numPlanes must be in [1,62]")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == ArrayType(FloatType, containsNull = false) ||
+        child.dataType == ArrayType(FloatType, containsNull = true)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"expected array<float>, got ${child.dataType}")
+    }
+  }
+
+  // per-JVM plane cache, rebuilt lazily after deserialization (tiny:
+  // numPlanes·dim doubles)
+  @transient private var planeDim: Int = -1
+  @transient private var planes: Array[Double] = _
+
+  private def mix(x: Long): Long = {
+    var z = x + seed.toLong * 0x9E3779B97F4A7C15L + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def planesFor(dim: Int): Array[Double] = {
+    if (planeDim != dim) {
+      val arr = new Array[Double](numPlanes * dim)
+      var p = 0
+      while (p < numPlanes) {
+        var i = 0
+        while (i < dim) {
+          arr(p * dim + i) = if (mix(p.toLong * dim + i) < 0) -1.0 else 1.0
+          i += 1
+        }
+        p += 1
+      }
+      planes = arr
+      planeDim = dim
+    }
+    planes
+  }
+
+  /** Hot loop shared by eval and codegen (one virtual call per row). */
+  def bucketOf(a: ArrayData): Long = {
+    val dim = a.numElements()
+    val pl = planesFor(dim)
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var acc = 0.0
+      val off = p * dim
+      var i = 0
+      while (i < dim) {
+        acc += a.getFloat(i).toDouble * pl(off + i)
+        i += 1
+      }
+      if (acc >= 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override def nullSafeEval(v: Any): Any = bucketOf(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srpBucket", this, classOf[SrpBucket].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.bucketOf($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Dot product of two float-array columns, as double. */
   def dot_f32(a: Column, b: Column): Column =
@@ -149,4 +242,9 @@ object VectorFunctions {
     */
   def cosine(dot: Column, normA: Column, normB: Column): Column =
     dot / (normA * normB)
+
+  /** Sign-random-projection LSH bucket of a float-array column. */
+  def srp_bucket(v: Column, numPlanes: Int, seed: Int): Column =
+    ColumnBridge.column(SrpBucket(
+      ColumnBridge.expression(v), numPlanes, seed))
 }

@@ -15,9 +15,12 @@ import graft.core.{Tables => T}
   *     banding turns candidate generation into an equi-join on
   *     (band, band_hash) — the standard sub-quadratic near-dup pipeline;
   *   - the exact-Jaccard verifier joins through an inverted shingle
-  *     index, so only pairs sharing ≥1 shingle are ever materialized
-  *     (worst case bounded by posting-list skew — a stop-shingle cutoff
-  *     would cap that at 100 TB; documented, not needed at test SF).
+  *     index, so only pairs sharing ≥1 shingle are ever materialized,
+  *     and shingles whose document frequency exceeds
+  *     [[DedupQueries.StopShingleDfCap]] are dropped from the shingle
+  *     universe first (both sizes and intersections) — without that cap
+  *     one hot shingle produces a quadratic posting-list self-join at
+  *     corpus scale.
   */
 object DedupQueries {
 
@@ -124,17 +127,28 @@ object DedupQueries {
   /** Hamming distance between two simhash columns (library fn). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Exact n-gram Jaccard similarity via an inverted shingle index —
-    * the verification stage behind MinHash candidates, and itself
-    * oracle-checkable: intersection counts are exact integers, so the
-    * final double division is engine-identical.
+  /** Stop-shingle document-frequency cap: shingles appearing in more
+    * than this many documents are removed from the shingle universe
+    * (sizes AND intersections) before the inverted-index self-join. A
+    * shingle with df=d contributes d² join pairs — skewed shingles
+    * ("the quick") otherwise turn the index quadratic at corpus scale.
+    * Jaccard is then defined over the capped universe, identically in
+    * both engines.
     */
-  val q43NgramJaccard: Q = (s, dir) => {
+  val StopShingleDfCap = 100
+
+  /** Exact n-gram Jaccard pairs over the df-capped shingle universe —
+    * library form: the verification stage behind MinHash candidates.
+    */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
+      dfCap: Int)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    implicit val sp: SparkSession = s
-    val tri = triShingles(T.documents(s, dir))
-    val sizes = tri.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = tri.as("a").join(tri.as("b"),
+    val tri = triShingles(docs)
+    val kept = tri.groupBy($"tg").agg(count(lit(1)).as("df"))
+      .filter($"df" <= dfCap).select($"tg")
+    val triKept = tri.join(kept, "tg")
+    val sizes = triKept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = triKept.as("a").join(triKept.as("b"),
         $"a.tg" === $"b.tg" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
       .agg(count(lit(1)).as("inter"))
@@ -142,17 +156,29 @@ object DedupQueries {
       .join(sizes.select($"doc_id".as("doc1"), $"n".as("n1")), "doc1")
       .join(sizes.select($"doc_id".as("doc2"), $"n".as("n2")), "doc2")
       .withColumn("jaccard", $"inter" / ($"n1" + $"n2" - $"inter"))
-      .filter($"jaccard" >= 0.2)
+      .filter($"jaccard" >= minJaccard)
       .select($"doc1", $"doc2", $"inter", $"jaccard")
       .orderBy($"doc1", $"doc2")
   }
 
+  /** Exact n-gram Jaccard similarity via an inverted shingle index —
+    * oracle-checkable: intersection counts are exact integers, so the
+    * final double division is engine-identical.
+    */
+  val q43NgramJaccard: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    ngramJaccardPairs(T.documents(s, dir), 0.2, StopShingleDfCap)
+  }
+
   val q43Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |tri AS (SELECT DISTINCT doc_id,
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tri0 AS (SELECT DISTINCT doc_id,
       |          UNNEST(list_transform(range(1, len(ws) - 1),
       |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
       |        FROM w),
+      |kept AS (SELECT tg FROM tri0 GROUP BY tg
+      |         HAVING COUNT(*) <= $StopShingleDfCap),
+      |tri AS (SELECT tri0.doc_id, tri0.tg FROM tri0 JOIN kept USING (tg)),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
       |          FROM tri a JOIN tri b ON a.tg = b.tg AND a.doc_id < b.doc_id

@@ -27,23 +27,35 @@ object VectorSearch {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Exact top-3 cosine neighbors for every vector, on the quantized
-    * (2^20) dot — engine-order-independent int64 accumulation (see
-    * [[graft.functions.DotProductQ20]]), so scores AND rankings are
+  /** Size of the bounded query set for the exact path: the vectors with
+    * `vec_id < QuerySetSize` are the "queries", the full table is the
+    * corpus. Exact brute force is only sane when ONE side is bounded —
+    * broadcast that side, stream the corpus.
+    */
+  val QuerySetSize = 100
+
+  /** Exact top-3 cosine neighbors for a bounded query set, on the
+    * quantized (2^20) dot — engine-order-independent int64 accumulation
+    * (see [[graft.functions.DotProductQ20]]), so scores AND rankings are
     * reproducible anywhere. Norms are computed once per side (not per
-    * pair); the pair join broadcasts the deduplicated (id, vec, norm)
-    * projection.
+    * pair).
+    *
+    * Scale shape: the broadcast side is O(|queries|) — NOT the corpus —
+    * so the plan is one scan of the corpus with a BroadcastNestedLoopJoin
+    * against a constant-size query set: |Q|·N pairs streamed through one
+    * codegen stage, |Q|·N rows shuffled for the per-query top-k. All-pairs
+    * self-search at scale belongs to [[q45LshAnn]], never this path.
     */
   val q44CosineTopk: Q = (s, dir) => {
     import s.implicits._
     val e = T.embeddings(s, dir)
       .select($"vec_id", $"embedding", norm_q20($"embedding").as("norm"))
-    val a = e.select($"vec_id".as("qid"), $"embedding".as("ea"),
-      $"norm".as("na"))
-    val b = e.select($"vec_id".as("nid"), $"embedding".as("eb"),
+    val qset = e.filter($"vec_id" < QuerySetSize)
+      .select($"vec_id".as("qid"), $"embedding".as("ea"), $"norm".as("na"))
+    val corpus = e.select($"vec_id".as("nid"), $"embedding".as("eb"),
       $"norm".as("nb"))
     val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid".asc)
-    a.join(broadcast(b), $"qid" =!= $"nid")
+    corpus.join(broadcast(qset), $"qid" =!= $"nid")
       .withColumn("cos_sim",
         cosine(dot_q20($"ea", $"eb").cast("double"), $"na", $"nb"))
       .withColumn("rank", row_number().over(w))
@@ -53,7 +65,7 @@ object VectorSearch {
   }
 
   val q44Sql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
@@ -66,6 +78,7 @@ object VectorSearch {
       |    CAST(SUM(a.qv[i] * b.qv[i]) AS DOUBLE) AS dot
       |  FROM q a JOIN q b ON a.vec_id <> b.vec_id,
       |       range(1, 65) t(i)
+      |  WHERE a.vec_id < $QuerySetSize
       |  GROUP BY 1, 2),
       |cos AS (
       |  SELECT qid, nid, dot / (na.nrm * nb.nrm) AS cos_sim
@@ -78,48 +91,63 @@ object VectorSearch {
       |SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
-  /** Number of hyperplanes per LSH signature (bucket space = 2^planes). */
-  val LshPlanes = 8
+  /** LSH ANN tuning: `LshTables` independent hash tables (OR-amplified
+    * recall — a pair is a candidate if it collides in ANY table) of
+    * `LshPlanesPerTable` hyperplanes each (AND-amplified precision —
+    * 2^12 = 4096 buckets per table keeps in-bucket joins small), with a
+    * deterministic per-(table, bucket) candidate cap so one dense bucket
+    * can never go quadratic. Scale knobs: planes grow with log₂(N/target
+    * bucket size); tables grow with desired recall; the cap bounds the
+    * worst bucket regardless.
+    */
+  val LshTables = 4
+  val LshPlanesPerTable = 12
+  val BucketCandidateCap = 64
   private val LshSeed = 42
 
-  /** Deterministic ±1 hyperplane components, seeded — identical on every
-    * executor without any broadcast of state.
-    */
-  private[llm] def planeMatrix(dim: Int): Array[Array[Double]] = {
-    val rnd = new java.util.Random(LshSeed)
-    Array.fill(LshPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
-
-  /** Sign-random-projection bucket per vector + top-1 neighbor within
-    * the bucket. The bucket assignment is a literal-array dot product —
-    * pure Catalyst expressions, no UDF, no driver loop.
+  /** Sign-random-projection ANN: bucket per (table, vector) via the
+    * codegen [[graft.functions.SrpBucket]] expression (a single compact
+    * expression — the composed element_at spelling was a 512-node tree
+    * that blew up codegen and task-binary size), equi-join on
+    * (table, bucket), per-bucket cap, candidate dedup across tables,
+    * top-1 by quantized cosine.
+    *
+    * Shape at scale: signatures are linear (one projection pass +
+    * posexplode to T rows per vector); candidates come from an equi-join
+    * on (table, bucket) — never all pairs; the row_number cap bounds any
+    * skewed bucket at C members ⇒ ≤ C² pairs per bucket.
     */
   val q45LshAnn: Q = (s, dir) => {
     import s.implicits._
-    val dim = 64
-    val planes = planeMatrix(dim)
-    // bucket = Σ_p (sign(v·plane_p) << p), built from expressions
-    val bucketCol = (0 until LshPlanes).map { p =>
-      val proj = (0 until dim).map(i =>
-        element_at($"embedding", i + 1).cast("double") * lit(planes(p)(i)))
-        .reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-    val bucketed = T.embeddings(s, dir)
-      .select($"vec_id", $"embedding",
-        norm_f32($"embedding").as("norm"), bucketCol.as("bucket"))
-    val a = bucketed.select($"bucket", $"vec_id".as("qid"),
+    val bucketCols = (0 until LshTables).map(t =>
+      srp_bucket($"embedding", LshPlanesPerTable, LshSeed + t))
+    val tabled = T.embeddings(s, dir)
+      .select($"vec_id", $"embedding", norm_q20($"embedding").as("norm"),
+        posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+    // deterministic per-bucket cap: keep the C members with the smallest
+    // (hash, id) — unbiased w.r.t. insertion order, stable across runs
+    val wCap = Window.partitionBy($"tbl", $"bucket")
+      .orderBy(xxhash64($"vec_id"), $"vec_id")
+    val capped = tabled
+      .withColumn("slot", row_number().over(wCap))
+      .filter($"slot" <= BucketCandidateCap)
+      .select($"tbl", $"bucket", $"vec_id", $"embedding", $"norm")
+    val a = capped.select($"tbl", $"bucket", $"vec_id".as("qid"),
       $"embedding".as("ea"), $"norm".as("na"))
-    val b = bucketed.select($"bucket", $"vec_id".as("nid"),
+    val b = capped.select($"tbl", $"bucket", $"vec_id".as("nid"),
       $"embedding".as("eb"), $"norm".as("nb"))
-    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid".asc)
-    a.join(b, Seq("bucket"))
+    // same pair can collide in several tables → dedup via group-by; the
+    // quantized cosine is identical across tables so max == the value
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .filter($"qid" =!= $"nid")
-      .withColumn("cos_sim", cosine(dot_f32($"ea", $"eb"), $"na", $"nb"))
+      .groupBy($"qid", $"nid")
+      .agg(max(cosine(dot_q20($"ea", $"eb").cast("double"), $"na", $"nb"))
+        .as("cos_sim"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid".asc)
+    cand
       .withColumn("rank", row_number().over(w))
       .filter($"rank" === 1)
-      .select($"qid", $"bucket", $"nid", $"cos_sim")
+      .select($"qid", $"nid", $"cos_sim")
       .orderBy($"qid")
   }
 

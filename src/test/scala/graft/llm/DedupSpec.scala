@@ -61,6 +61,24 @@ class DedupSpec extends SparkSpec {
       s"distinct docs too close: ${ham(byDoc(1L), byDoc(3L))}")
   }
 
+  test("stop-shingle df cap bounds hot-shingle pair explosion") {
+    implicit val s = spark
+    // 20 docs sharing ONE hot shingle ("the quick brown"), otherwise
+    // pairwise-distinct: the uncapped inverted index materializes all
+    // C(20,2)=190 pairs from that single posting list.
+    val hot = (1 to 20).map { i =>
+      (i.toLong, s"the quick brown u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")
+    }.toDF("doc_id", "text")
+    val uncapped = DedupQueries
+      .ngramJaccardPairs(hot, minJaccard = 0.0, dfCap = 1000).count()
+    assert(uncapped == 190L, s"expected full 190-pair explosion, got $uncapped")
+    // df cap below the hot shingle's frequency drops it from the
+    // universe: no shared shingles remain, zero pairs materialize.
+    val capped = DedupQueries
+      .ngramJaccardPairs(hot, minJaccard = 0.0, dfCap = 5).count()
+    assert(capped == 0L, s"hot shingle not dropped: $capped pairs")
+  }
+
   test("exact jaccard verifies the minhash candidate") {
     val tri = docs.select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", explode(expr(

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.SparkSpec
+import graft.functions.VectorFunctions._
 import org.apache.spark.sql.functions._
 
 class VectorSearchSpec extends SparkSpec {
@@ -8,43 +9,60 @@ class VectorSearchSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("lsh bucketing is deterministic and total") {
+  test("lsh ann is deterministic and emits at most one row per query") {
     val a = VectorSearch.q45LshAnn(spark, dir)
-      .select("qid", "bucket").as[(Long, Long)].collect().toSeq
+      .select("qid", "nid").as[(Long, Long)].collect().toSeq
     val b = VectorSearch.q45LshAnn(spark, dir)
-      .select("qid", "bucket").as[(Long, Long)].collect().toSeq
-    assert(a == b, "bucket assignment not deterministic")
-    assert(a.forall { case (_, bk) => bk >= 0 && bk < 256 })
+      .select("qid", "nid").as[(Long, Long)].collect().toSeq
+    assert(a == b, "ANN result not deterministic across runs")
+    assert(a.nonEmpty)
+    assert(a.map(_._1).distinct.size == a.size, "duplicate qid rows")
   }
 
-  test("identical vectors land in the same bucket (recall floor)") {
+  test("srp buckets: deterministic, in range, dup vectors collide") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet").limit(5)
     val dup = e.withColumn("vec_id", $"vec_id" + 100000L)
     val both = e.unionByName(dup)
-    both.createOrReplaceTempView("planted_emb")
-    // run the same bucketing expression over the planted frame
-    val planes = VectorSearch.planeMatrix(64)
-    val bucketCol = (0 until VectorSearch.LshPlanes).map { p =>
-      val proj = (0 until 64).map(i =>
-        element_at($"embedding", i + 1).cast("double") * lit(planes(p)(i)))
-        .reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val buckets = both.select($"vec_id", bucketCol.as("bucket"))
-      .as[(Long, Long)].collect().toMap
-    (0 until 5).foreach { _ => }
-    buckets.keys.filter(_ < 100000L).foreach { id =>
-      assert(buckets(id) == buckets(id + 100000L),
-        s"duplicate of $id hashed to a different bucket")
+    (0 until VectorSearch.LshTables).foreach { t =>
+      val buckets = both.select($"vec_id",
+          srp_bucket($"embedding", VectorSearch.LshPlanesPerTable, 42 + t)
+            .as("bucket"))
+        .as[(Long, Long)].collect().toMap
+      assert(buckets.values.forall(bk =>
+        bk >= 0 && bk < (1L << VectorSearch.LshPlanesPerTable)))
+      buckets.keys.filter(_ < 100000L).foreach { id =>
+        assert(buckets(id) == buckets(id + 100000L),
+          s"duplicate of $id hashed to a different bucket in table $t")
+      }
     }
   }
 
-  test("brute-force topk: self-similarity excluded, ranks contiguous") {
+  test("lsh ann finds planted exact duplicates (recall floor)") {
+    // plant exact duplicates of 5 corpus vectors under fresh ids: each
+    // dup collides with its original in EVERY table, so the ANN top-1
+    // for the dup must be its original (cos_sim ≈ 1) unless a crowded
+    // bucket capped one out — with 500 vecs over 4096 buckets it never is.
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dup = e.filter($"vec_id" < 5).withColumn("vec_id", $"vec_id" + 100000L)
+    val planted = e.unionByName(dup)
+    val tmp = java.nio.file.Files.createTempDirectory("ann-recall")
+    planted.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val top1 = VectorSearch.q45LshAnn(spark, tmp.toString)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { id =>
+      assert(top1.get(id + 100000L).contains(id),
+        s"planted dup ${id + 100000L} did not retrieve its original")
+    }
+  }
+
+  test("brute-force topk: bounded query set, ranks contiguous") {
     val rows = VectorSearch.q44CosineTopk(spark, dir)
       .select("qid", "rank", "nid", "cos_sim")
       .as[(Long, Int, Long, Double)].collect()
     assert(rows.nonEmpty)
     assert(rows.forall { case (q, _, n, _) => q != n })
+    // only the bounded query set emits rows — the corpus side streams
+    assert(rows.forall(_._1 < VectorSearch.QuerySetSize))
     val byQ = rows.groupBy(_._1)
     assert(byQ.values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3)))
     // scores non-increasing within a query
