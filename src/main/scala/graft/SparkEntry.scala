@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.llm.{DedupQueries, TextAnalysis, VectorSearch}
+import graft.catalog.CatalogOracle
+import graft.llm.{DedupQueries, TextAnalysis, TextPipeline, VectorSearch}
 import graft.relational.{RelationalQueries, ScalarQueries, WindowAggQueries}
 import graft.sources.CsvScan
 import graft.streaming.StreamShapeQueries
@@ -22,7 +23,7 @@ object SparkEntry {
     RelationalQueries.queries ++ WindowAggQueries.queries ++
       ScalarQueries.queries ++ StreamShapeQueries.queries ++
       DedupQueries.queries ++ TextAnalysis.queries ++ VectorSearch.queries ++
-      CsvScan.queries
+      TextPipeline.queries ++ CsvScan.queries ++ CatalogOracle.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ WindowAggQueries.oracleSql ++
       ScalarQueries.oracleSql ++ StreamShapeQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextAnalysis.oracleSql ++
-      VectorSearch.oracleSql ++ CsvScan.oracleSql
+      VectorSearch.oracleSql ++ TextPipeline.oracleSql ++
+      CsvScan.oracleSql ++ CatalogOracle.oracleSql
 }

@@ -1,0 +1,91 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Oracle-checkable bindings of the catalog query surface (R10–R14) —
+  * [[CatalogQueries]] run over a parquet snapshot materialized from the
+  * checked-in FBC fixture through the REAL ingest path
+  * ([[FbcIngest.writeSnapshot]]: 3-way package key, Hive partitioning),
+  * at a fixed snapshot id so the static DuckDB oracle SQL can address
+  * the same files with `read_parquet(..., hive_partitioning=1)`.
+  *
+  * This closes the gap where the reference's own API surface (list
+  * packages/schemas/objects, point lookup, icon decode) was only
+  * spec-tested: each route is now also hash-compared against DuckDB.
+  */
+object CatalogOracle {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed paths so the static oracle SQL can address them. */
+  val FixtureSource = "/root/repo/src/test/resources/fbc/all.jsonl"
+  val FixtureRoot = "/root/repo/target/fixtures/fbc"
+  val SnapshotId = "oracle"
+  private val snapDir = s"$FixtureRoot/snapshots/$SnapshotId"
+  private val parquetGlob = s"$snapDir/*/*/*.parquet"
+
+  /** Ingest the fixture (idempotent overwrite, 10 records) and read the
+    * snapshot back — partition columns (package, schema) reconstructed
+    * from the Hive layout, exactly as DuckDB's hive_partitioning does.
+    */
+  private def fixtureMeta(s: SparkSession): DataFrame = synchronized {
+    FbcIngest.writeSnapshot(s, FbcIngest.readMetaStream(s, FixtureSource),
+      FixtureRoot, snapshotId = Some(SnapshotId))
+    s.read.parquet(snapDir)
+  }
+
+  /** R10 — list packages. */
+  val q70CatalogPackages: Q = (s, _) => CatalogQueries.listPackages(fixtureMeta(s))
+
+  val q70Sql: String =
+    s"""SELECT DISTINCT package
+       |FROM read_parquet('$parquetGlob', hive_partitioning=1)
+       |ORDER BY package""".stripMargin
+
+  /** R11 — list schemas of one package. */
+  val q71CatalogSchemas: Q = (s, _) =>
+    CatalogQueries.listSchemas(fixtureMeta(s), "pkg-a")
+
+  val q71Sql: String =
+    s"""SELECT DISTINCT "schema"
+       |FROM read_parquet('$parquetGlob', hive_partitioning=1)
+       |WHERE package = 'pkg-a'
+       |ORDER BY "schema"""".stripMargin
+
+  /** R12 — list objects of (package, schema) incl. the `.json` strip. */
+  val q72CatalogObjects: Q = (s, _) =>
+    CatalogQueries.listObjects(fixtureMeta(s), "pkg-b", "olm.bundle")
+
+  val q72Sql: String =
+    s"""SELECT regexp_replace(name, '\\.json$$', '') AS name
+       |FROM read_parquet('$parquetGlob', hive_partitioning=1)
+       |WHERE package = 'pkg-b' AND "schema" = 'olm.bundle'
+       |ORDER BY name""".stripMargin
+
+  /** R14 — icon point lookup: typed JSON decode of the verbatim blob +
+    * base64 → binary (the reference's main.go:295-318 route).
+    */
+  val q73CatalogIcon: Q = (s, _) =>
+    CatalogQueries.getIcon(fixtureMeta(s), "pkg-a")
+
+  val q73Sql: String =
+    s"""SELECT json_extract_string(blob, '$$.icon.mediatype') AS mediatype,
+       |  from_base64(json_extract_string(blob, '$$.icon.base64data')) AS data
+       |FROM read_parquet('$parquetGlob', hive_partitioning=1)
+       |WHERE package = 'pkg-a' AND "schema" = 'olm.package' AND name = 'pkg-a'
+       |  AND json_extract_string(blob, '$$.icon.base64data') IS NOT NULL""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q70_catalog_packages" -> q70CatalogPackages,
+    "q71_catalog_schemas" -> q71CatalogSchemas,
+    "q72_catalog_objects" -> q72CatalogObjects,
+    "q73_catalog_icon" -> q73CatalogIcon,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q70_catalog_packages" -> q70Sql,
+    "q71_catalog_schemas" -> q71Sql,
+    "q72_catalog_objects" -> q72Sql,
+    "q73_catalog_icon" -> q73Sql,
+  )
+}
