@@ -87,6 +87,28 @@ class FbcCatalogSpec extends SparkSpec {
     assert(Files.exists(Paths.get(root, "snapshots", newId)))
   }
 
+  test("incremental ingest reads only files added since the checkpoint") {
+    val src = Files.createTempDirectory("fbc-inc-src")
+    val incRoot = Files.createTempDirectory("fbc-inc-root").toString
+    Files.copy(Paths.get(fixture), src.resolve("all.jsonl"))
+    FbcIngest.refreshIncremental(spark, src.toString, incRoot)
+    assert(FbcIngest.incrementalMeta(spark, incRoot).count() == 10)
+    // append ONE new file: only its rows land (checkpointed file
+    // tracking — the original file is NOT re-ingested, so no duplicates)
+    Files.write(src.resolve("delta.jsonl"),
+      ("{\"schema\":\"olm.bundle\",\"package\":\"pkg-a\",\"name\":\"pkg-a.v2.0.0\"}\n"
+        + "{\"schema\":\"olm.bundle\",\"package\":\"pkg-c\",\"name\":\"pkg-c.v1.0.0\"}\n")
+        .getBytes(StandardCharsets.UTF_8))
+    FbcIngest.refreshIncremental(spark, src.toString, incRoot)
+    val meta2 = FbcIngest.incrementalMeta(spark, incRoot)
+    assert(meta2.count() == 12, "delta file not ingested exactly once")
+    assert(meta2.filter(meta2("package") === "pkg-c").count() == 1)
+    // unchanged source: refresh is a no-op
+    FbcIngest.refreshIncremental(spark, src.toString, incRoot)
+    assert(FbcIngest.incrementalMeta(spark, incRoot).count() == 12,
+      "no-op refresh re-ingested files")
+  }
+
   test("malformed meta records fail the load (no silent swallow)") {
     val badSrc = Files.createTempDirectory("fbc-bad").resolve("bad.jsonl")
     Files.write(badSrc,

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSpec
+
+/** Streaming execution tests: batch/stream equivalence against the
+  * oracle-checked batch twins (q60/q63), watermark late-data drop, and
+  * cross-batch state in transformWithState. All via MemoryStream +
+  * memory sink with processAllAvailable barriers.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ckpt(): String =
+    Files.createTempDirectory("stream-ckpt").toString
+
+  private def drain(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+  }
+
+  private def eventsOf(d: String): Seq[Event] =
+    graft.core.Tables.events(spark, d)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .as[Event].collect().toSeq.sortBy(_.event_id)
+
+  test("watermarked tumbling window stream equals the q60 batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsOf(dir)
+    val maxTs = rows.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    stream.addData(rows)
+    val q = EventStreams.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("t_q60")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    q.processAllAvailable()
+    // sentinel a day ahead pushes the watermark past every real window,
+    // so append mode finalizes and emits them all
+    stream.addData(Event(-1L, -1L, "sentinel",
+      new Timestamp(maxTs + 24L * 3600 * 1000), 0.0))
+    drain(q)
+    val streamed = spark.table("t_q60")
+      .filter($"event_type" =!= "sentinel")
+      .select("window_start", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batch = StreamShapeQueries.q60TumblingWindow(spark, dir)
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch mismatch: ${streamed.size} vs ${batch.size} windows")
+  }
+
+  test("rows later than the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+    def at(min: Long) = new Timestamp(t0.getTime + min * 60000)
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, 1, "click", at(5), 1.0),
+      Event(2, 1, "click", at(10), 2.0))
+    val q = EventStreams.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("t_late")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    q.processAllAvailable()
+    // advance the watermark far past the first window → it finalizes
+    stream.addData(Event(3, 1, "click", at(8 * 60), 4.0))
+    q.processAllAvailable()
+    val afterFinalize = spark.table("t_late")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(afterFinalize.contains((at(0), "click", 2L, 3.0)),
+      s"first window not finalized: $afterFinalize")
+    // a row 8h behind the watermark: must be dropped, not re-emitted
+    stream.addData(Event(4, 1, "click", at(7), 100.0))
+    // second sentinel far ahead flushes everything that is still live
+    stream.addData(Event(5, 1, "click", at(16 * 60), 8.0))
+    drain(q)
+    val fin = spark.table("t_late")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(fin.contains((at(0), "click", 2L, 3.0)),
+      "finalized window changed after late row")
+    assert(!fin.exists(r => r._1 == at(0) && r._3 != 2L),
+      s"late row re-opened a finalized window: $fin")
+  }
+
+  test("dropDuplicatesWithinWatermark equals the q63 keep-first twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+    def at(min: Long) = new Timestamp(t0.getTime + min * 60000)
+    // duplicates of (user, event_type) arriving in event_id order — the
+    // regime where streaming keep-first == batch keep-smallest-event_id
+    val input = Seq(
+      Event(1, 1, "click", at(0), 1.0),
+      Event(2, 1, "click", at(2), 2.0), // dup, within watermark
+      Event(3, 2, "click", at(3), 3.0),
+      Event(4, 1, "view", at(4), 4.0),
+      Event(5, 2, "click", at(5), 5.0), // dup
+      Event(6, 1, "click", at(6), 6.0)) // dup
+    val stream = MemoryStream[Event]
+    stream.addData(input)
+    val q = EventStreams.dedupWithinWatermark(stream.toDF())
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    drain(q)
+    val streamed = spark.table("t_dedup")
+      .select("event_id").as[Long].collect().toSet
+    // batch twin on the same input: smallest event_id per key
+    val batch = input.groupBy(e => (e.user_id, e.event_type))
+      .values.map(_.minBy(_.event_id).event_id).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
+  test("transformWithState keeps per-user counts across micro-batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+      def at(min: Long) = new Timestamp(t0.getTime + min * 60000)
+      val stream = MemoryStream[Event]
+      val q = EventStreams.runningCounts(stream.toDS())
+        .writeStream.format("memory").queryName("t_count")
+        .outputMode("update").option("checkpointLocation", ckpt()).start()
+      stream.addData(
+        Event(1, 1, "click", at(0), 1.0),
+        Event(2, 1, "view", at(1), 1.0),
+        Event(3, 2, "click", at(2), 1.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("t_count")
+        .as[UserCount].collect().map(u => u.user_id -> u.n_events).toMap
+      assert(afterB1 == Map(1L -> 2L, 2L -> 1L), s"batch1 counts: $afterB1")
+      stream.addData(Event(4, 1, "click", at(3), 1.0))
+      drain(q)
+      // update-mode memory sink appends each batch's updates; the last
+      // row per user is the current state
+      val latest = spark.table("t_count").as[UserCount].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.map(_.n_events).max }
+      assert(latest == Map(1L -> 3L, 2L -> 1L),
+        s"state not kept across batches: $latest")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
