@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.catalog.CatalogOracle
 import graft.llm.{DedupQueries, TextAnalysis, TextPipeline, VectorSearch}
 import graft.relational.{RelationalQueries, ScalarQueries, WindowAggQueries}
-import graft.sources.CsvScan
+import graft.sources.{CsvScan, K8sObjects}
 import graft.streaming.StreamShapeQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +23,8 @@ object SparkEntry {
     RelationalQueries.queries ++ WindowAggQueries.queries ++
       ScalarQueries.queries ++ StreamShapeQueries.queries ++
       DedupQueries.queries ++ TextAnalysis.queries ++ VectorSearch.queries ++
-      TextPipeline.queries ++ CsvScan.queries ++ CatalogOracle.queries
+      TextPipeline.queries ++ CsvScan.queries ++ CatalogOracle.queries ++
+      K8sObjects.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,5 @@ object SparkEntry {
       ScalarQueries.oracleSql ++ StreamShapeQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextAnalysis.oracleSql ++
       VectorSearch.oracleSql ++ TextPipeline.oracleSql ++
-      CsvScan.oracleSql ++ CatalogOracle.oracleSql
+      CsvScan.oracleSql ++ CatalogOracle.oracleSql ++ K8sObjects.oracleSql
 }

@@ -82,8 +82,16 @@ object DedupQueries {
     banded.orderBy($"doc_id", $"band")
   }
 
-  /** Candidate near-dup pairs from MinHash bands (library form used by
-    * DedupSpec): docs agreeing on ≥1 full band.
+  /** Skew cap for LSH bands: at most this many docs participate per
+    * (band, band_hash) bucket — a degenerate band (e.g. a boilerplate
+    * header shared by millions of docs) would otherwise produce a
+    * quadratic in-bucket self-join. Same bounding idea as the q43
+    * stop-shingle cap and the q45 bucket cap.
+    */
+  val BandBucketCap = 256
+
+  /** Candidate near-dup pairs from MinHash bands: docs agreeing on ≥1
+    * full band, with a deterministic per-bucket skew cap.
     */
   def minhashCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -99,11 +107,74 @@ object DedupQueries {
       sigs.select($"doc_id", lit(band).as("band"),
         xxhash64(slice: _*).as("band_hash"))
     }.reduce(_ unionByName _)
-    banded.as("a").join(banded.as("b"),
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band", $"band_hash")
+      .orderBy(xxhash64($"doc_id"), $"doc_id")
+    val capped = banded
+      .withColumn("slot", row_number().over(wCap))
+      .filter($"slot" <= BandBucketCap)
+      .select($"doc_id", $"band", $"band_hash")
+    capped.as("a").join(capped.as("b"),
         $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
       .distinct()
+  }
+
+  /** End-to-end near-duplicate detection: MinHash-LSH candidate
+    * generation (sub-quadratic, band-capped) followed by the exact
+    * n-gram Jaccard VERIFY stage computed only on candidate pairs —
+    * never on all pairs. This is the full pipeline a corpus-dedup run
+    * chains at scale: O(N) signatures + equi-join candidates + exact
+    * similarity on the (tiny) candidate set.
+    */
+  def nearDuplicates(spark: SparkSession, docs: DataFrame,
+      minJaccard: Double): DataFrame = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val cands = minhashCandidates(spark, docs)
+    val tri = triShingles(docs)
+    val sizes = tri.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // shingle intersections computed ONLY over candidate docs: semi-join
+    // the inverted index down to docs that appear in any candidate pair,
+    // run the (now small) shingle equi-join, keep candidate pairs
+    val candDocs = cands.select($"doc1".as("doc_id"))
+      .union(cands.select($"doc2".as("doc_id"))).distinct()
+    val triCand = tri.join(candDocs, Seq("doc_id"), "left_semi")
+    val inter = triCand.as("a").join(triCand.as("b"),
+        $"a.tg" === $"b.tg" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cands, Seq("doc1", "doc2"), "left_semi")
+    inter
+      .join(sizes.select($"doc_id".as("doc1"), $"n".as("n1")), "doc1")
+      .join(sizes.select($"doc_id".as("doc2"), $"n".as("n2")), "doc2")
+      .withColumn("jaccard", $"inter" / ($"n1" + $"n2" - $"inter"))
+      .filter($"jaccard" >= minJaccard)
+      .select($"doc1", $"doc2", $"jaccard")
+  }
+
+  /** Banded SimHash candidate pairing: the 64-bit simhash splits into 4
+    * disjoint 16-bit bands; by pigeonhole, any pair within hamming
+    * distance 3 agrees exactly on ≥1 band, so an equi-join on
+    * (band, band_value) finds all such pairs sub-quadratically — the
+    * same banding trick as MinHash-LSH, specialized to hamming space.
+    * Verification (exact hamming ≤ maxHamming) runs only on candidates.
+    */
+  def simhashCandidates(spark: SparkSession, simhashes: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val bands = (0 until 4).map { b =>
+      simhashes.select($"doc_id", $"simhash", lit(b).as("band"),
+        shiftright($"simhash", b * 16).bitwiseAND(0xFFFFL).as("band_value"))
+    }.reduce(_ unionByName _)
+    bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.band_value" === $"b.band_value" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
+        hamming($"a.simhash", $"b.simhash").as("hamming_dist"))
+      .distinct()
+      .filter($"hamming_dist" <= maxHamming)
   }
 
   /** 64-bit SimHash per document: token-hash bit votes weighted by

@@ -79,6 +79,28 @@ class DedupSpec extends SparkSpec {
     assert(capped == 0L, s"hot shingle not dropped: $capped pairs")
   }
 
+  test("near-duplicate pipeline: LSH candidates verified by exact jaccard") {
+    val nd = DedupQueries.nearDuplicates(spark, docs, minJaccard = 0.5)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(nd == Set((1L, 2L)),
+      s"expected exactly the planted near-dup pair, got $nd")
+  }
+
+  test("simhash banding finds hamming-close pairs, rejects far ones") {
+    val base = 0x0123456789ABCDEFL
+    val sims = Seq(
+      (1L, base),
+      (2L, base ^ 1L), // hamming 1 → candidate via 3 untouched bands
+      (3L, base ^ ((1L << 1) | (1L << 21) | (1L << 41) | (1L << 61))),
+      // ^ one flip in EVERY band → no band collides with doc 1 (hamming
+      //   4) or doc 2 (hamming 5: bits 0,1,21,41,61)
+      (4L, 0x7777777777777777L)) // far from everything
+      .toDF("doc_id", "simhash")
+    val cands = DedupQueries.simhashCandidates(spark, sims, maxHamming = 3)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(cands == Set((1L, 2L)), s"banded candidates wrong: $cands")
+  }
+
   test("exact jaccard verifies the minhash candidate") {
     val tri = docs.select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", explode(expr(
