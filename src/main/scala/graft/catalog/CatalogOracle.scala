@@ -24,13 +24,21 @@ object CatalogOracle {
   private val snapDir = s"$FixtureRoot/snapshots/$SnapshotId"
   private val parquetGlob = s"$snapDir/*/*/*.parquet"
 
-  /** Ingest the fixture (idempotent overwrite, 10 records) and read the
-    * snapshot back — partition columns (package, schema) reconstructed
-    * from the Hive layout, exactly as DuckDB's hive_partitioning does.
+  @volatile private var built = false
+
+  /** Ingest the fixture (once per JVM — it is static; idempotent
+    * overwrite, 10 records) and read the snapshot back — partition
+    * columns (package, schema) reconstructed from the Hive layout,
+    * exactly as DuckDB's hive_partitioning does.
     */
-  private def fixtureMeta(s: SparkSession): DataFrame = synchronized {
-    FbcIngest.writeSnapshot(s, FbcIngest.readMetaStream(s, FixtureSource),
-      FixtureRoot, snapshotId = Some(SnapshotId))
+  private def fixtureMeta(s: SparkSession): DataFrame = {
+    if (!built) synchronized {
+      if (!built) {
+        FbcIngest.writeSnapshot(s, FbcIngest.readMetaStream(s, FixtureSource),
+          FixtureRoot, snapshotId = Some(SnapshotId))
+        built = true
+      }
+    }
     s.read.parquet(snapDir)
   }
 

@@ -215,9 +215,12 @@ object DedupQueries {
       dfCap: Int)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
     val tri = triShingles(docs)
-    val kept = tri.groupBy($"tg").agg(count(lit(1)).as("df"))
-      .filter($"df" <= dfCap).select($"tg")
-    val triKept = tri.join(kept, "tg")
+    // stop-set is the TINY side (only shingles with df > cap — by Zipf a
+    // handful even at corpus scale), so broadcast it into an anti-join
+    // rather than inner-joining the huge kept set
+    val hot = tri.groupBy($"tg").agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap).select($"tg")
+    val triKept = tri.join(broadcast(hot), Seq("tg"), "left_anti")
     val sizes = triKept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = triKept.as("a").join(triKept.as("b"),
         $"a.tg" === $"b.tg" && $"a.doc_id" < $"b.doc_id")
