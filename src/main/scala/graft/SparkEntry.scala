@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.catalog.CatalogOracle
 import graft.llm.{DedupQueries, TextAnalysis, TextPipeline, VectorSearch}
-import graft.relational.{RelationalQueries, ScalarQueries, WindowAggQueries}
+import graft.relational.{BucketedQueries, RelationalQueries, ScalarQueries, WindowAggQueries}
 import graft.sources.{CsvScan, K8sObjects}
 import graft.streaming.StreamShapeQueries
 
@@ -24,7 +24,7 @@ object SparkEntry {
       ScalarQueries.queries ++ StreamShapeQueries.queries ++
       DedupQueries.queries ++ TextAnalysis.queries ++ VectorSearch.queries ++
       TextPipeline.queries ++ CsvScan.queries ++ CatalogOracle.queries ++
-      K8sObjects.queries
+      K8sObjects.queries ++ BucketedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,6 @@ object SparkEntry {
       ScalarQueries.oracleSql ++ StreamShapeQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextAnalysis.oracleSql ++
       VectorSearch.oracleSql ++ TextPipeline.oracleSql ++
-      CsvScan.oracleSql ++ CatalogOracle.oracleSql ++ K8sObjects.oracleSql
+      CsvScan.oracleSql ++ CatalogOracle.oracleSql ++ K8sObjects.oracleSql ++
+      BucketedQueries.oracleSql
 }

@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed batch-wise per
   * partition.
   *
-  * The actual codec call is STUBBED (`decodeStub`) — no image/audio
-  * libraries exist in this environment — but everything Spark-side is
-  * real and tested: the schema contract, the mapPartitions batch shape
-  * (decoder state initialized once per partition, exactly how a JNI
-  * codec or an Arrow-batched Python UDF would be driven), and the
-  * metadata/feature projection. Swapping `decodeStub` for a real decoder
-  * changes no plan shape.
+  * One REAL codec ships: binary PPM (P6) images decode with a pure-JVM
+  * parser ([[decodePpm]] — header parse, raw RGB plane walk, per-channel
+  * mean features). Every other mime falls back to `decodeStub` (no
+  * image/audio libraries exist in this environment), behind the same
+  * seam: the schema contract, the mapPartitions batch shape (decoder
+  * state initialized once per partition, exactly how a JNI codec or an
+  * Arrow-batched Python UDF would be driven), and the metadata/feature
+  * projection are identical for both, so swapping the stub for more
+  * codecs changes no plan shape.
   *
   * Scale notes: blobs stay columnar in parquet (binary), decode is
   * narrow (no shuffle), and feature extraction emits fixed-width vectors
@@ -22,14 +24,56 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  val PpmMime = "image/x-portable-pixmap"
+
   case class MediaRecord(media_id: Long, mime: String, bytes: Array[Byte])
   case class DecodedMedia(media_id: Long, mime: String, n_bytes: Int,
       width: Int, height: Int, features: Array[Float])
 
-  /** Deterministic fake decode: dimensions and features derived from the
-    * payload hash. Replace with a real codec at the `???`-equivalent
-    * seam; the signature (bytes → dims + feature vector) is the real
-    * contract.
+  /** Real decoder for binary PPM (P6): `P6 <w> <h> <maxval>` header in
+    * ASCII with whitespace/comment separators, then w·h packed RGB
+    * triplets. Features = per-channel means scaled to [0,1] — the
+    * hand-computable contract MultimodalSpec pins down.
+    */
+  private[llm] def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    var pos = 0
+    def skipSpace(): Unit = {
+      var done = false
+      while (!done && pos < bytes.length) {
+        val c = bytes(pos).toChar
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else done = true
+      }
+    }
+    def token(): String = {
+      skipSpace()
+      val start = pos
+      while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+      new String(bytes, start, pos - start, "US-ASCII")
+    }
+    require(token() == "P6", "not a binary PPM payload")
+    val width = token().toInt
+    val height = token().toInt
+    val maxval = token().toInt
+    require(maxval > 0 && maxval < 256, s"unsupported maxval $maxval")
+    pos += 1 // single whitespace after maxval, then raster
+    val n = width * height
+    require(bytes.length - pos >= n * 3, "truncated PPM raster")
+    val sums = new Array[Long](3)
+    var i = 0
+    while (i < n * 3) {
+      sums(i % 3) += bytes(pos + i) & 0xFF
+      i += 1
+    }
+    val features = Array.tabulate(3)(c =>
+      (sums(c).toDouble / n / maxval).toFloat)
+    (width, height, features)
+  }
+
+  /** Deterministic fake decode for mimes without a shipped codec:
+    * dimensions and features derived from the payload hash. The
+    * signature (bytes → dims + feature vector) is the real contract.
     */
   private[llm] def decodeStub(mime: String, bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val h = java.util.Arrays.hashCode(bytes)
@@ -40,6 +84,12 @@ object Multimodal {
     (width, height, features)
   }
 
+  private def decodeOne(mime: String, bytes: Array[Byte]): (Int, Int, Array[Float]) =
+    mime match {
+      case PpmMime => decodePpm(bytes)
+      case _ => decodeStub(mime, bytes)
+    }
+
   /** Decode a media dataset batch-wise. mapPartitions (not map) so a
     * real decoder's expensive init happens once per partition.
     */
@@ -48,7 +98,7 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition decoder init would go here
       it.map { m =>
-        val (w, h, feats) = decodeStub(m.mime, m.bytes)
+        val (w, h, feats) = decodeOne(m.mime, m.bytes)
         DecodedMedia(m.media_id, m.mime, m.bytes.length, w, h, feats)
       }
     }

@@ -1,0 +1,116 @@
+package graft.relational
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T, dsl, OracleDsl => O}
+import graft.operators.SaltedJoin
+
+/** The two explicit shuffle-management recipes from SURVEY.md §4 /
+  * §2.b join rows, as oracle-checked queries:
+  *
+  *   - q79: **bucketed co-located join** — both fact tables written
+  *     `bucketBy(16, orderkey).sortBy(orderkey)`, so the sort-merge join
+  *     needs NO exchange and NO per-task sort on either side (the
+  *     BucketedJoinSpec pins the plan: zero hashpartitioning exchanges).
+  *     This is the q05 comment made real: at 100 TB, bucketing the two
+  *     biggest tables on their join key once at write time removes the
+  *     dominant shuffle from every subsequent join.
+  *   - q80: **salted skew join** ([[SaltedJoin]]) — results identical to
+  *     the plain join, verified against the unsalted SQL.
+  */
+object BucketedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val Buckets = 16
+
+  private val built = scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+      finally w.close()
+    }
+
+  /** Write orders+lineitem for `dir` as bucketed+sorted managed tables
+    * (once per JVM per scale dir). Bucketed layout only exists through
+    * the catalog — `saveAsTable`, not `save` — which is exactly how a
+    * production warehouse would register them.
+    */
+  def ensureBucketed(s: SparkSession, dir: String): (String, String) =
+    built.getOrElseUpdate(dir, {
+      val sfx = Paths.get(dir).getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      val (o, l) = (s"orders_bkt_$sfx", s"lineitem_bkt_$sfx")
+      val warehouse = java.net.URI.create(
+        s.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq(o, l).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        deleteRec(Paths.get(warehouse, t)) // leftovers from prior JVMs
+      }
+      T.orders(s, dir).write.format("parquet")
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(o)
+      T.lineitem(s, dir).write.format("parquet")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(l)
+      (o, l)
+    })
+
+  /** Shuffle-free sort-merge join over the bucketed twins of q05's
+    * fact-fact edge. The `merge` hint keeps the demo honest at test SF
+    * (orders would otherwise be broadcast-small).
+    */
+  val q79BucketedJoin: Q = (s, dir) => {
+    val (o, l) = ensureBucketed(s, dir)
+    val orders = s.table(o)
+    val li = s.table(l)
+    li.join(orders.hint("merge"), li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(orders("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsl.dsum(li("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q79Sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_lines,
+       |  ${O.dsum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
+  /** Salted join producing byte-identical results to the plain join —
+    * the skew-mitigation recipe, oracle-verified.
+    */
+  val q80SaltedJoin: Q = (s, dir) => {
+    import s.implicits._
+    val joined = SaltedJoin.inner(
+      T.lineitem(s, dir), T.orders(s, dir), "l_orderkey", "o_orderkey",
+      saltCols = Seq($"l_orderkey", $"l_linenumber"), factor = 8)
+    joined.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        dsl.dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q80Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+       |  ${O.dsum("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q79_bucketed_join" -> q79BucketedJoin,
+    "q80_salted_join" -> q80SaltedJoin,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q79_bucketed_join" -> q79Sql,
+    "q80_salted_join" -> q80Sql,
+  )
+}
