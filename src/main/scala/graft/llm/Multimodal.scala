@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed batch-wise per
   * partition.
   *
-  * One REAL codec ships: binary PPM (P6) images decode with a pure-JVM
-  * parser ([[decodePpm]] — header parse, raw RGB plane walk, per-channel
-  * mean features). Every other mime falls back to `decodeStub` (no
-  * image/audio libraries exist in this environment), behind the same
-  * seam: the schema contract, the mapPartitions batch shape (decoder
+  * Two REAL codecs ship, both pure-JVM: binary PPM (P6) images
+  * ([[decodePpm]] — header parse, raw RGB plane walk, per-channel mean
+  * features) and RIFF/WAVE 16-bit PCM audio ([[decodeWav]] — chunk
+  * walk, duration + RMS features). Every other mime falls back to
+  * `decodeStub` (no image/audio libraries exist in this environment),
+  * behind the same seam: the schema contract, the mapPartitions batch shape (decoder
   * state initialized once per partition, exactly how a JNI codec or an
   * Arrow-batched Python UDF would be driven), and the metadata/feature
   * projection are identical for both, so swapping the stub for more
@@ -71,6 +72,57 @@ object Multimodal {
     (width, height, features)
   }
 
+  val WavMime = "audio/x-wav"
+
+  /** Real decoder for RIFF/WAVE with 16-bit PCM: walks the chunk list
+    * (fmt → channels/sample-rate, data → samples) with little-endian
+    * reads. Output mapping into the shared media schema: width =
+    * sample rate, height = channel count, features = [duration_sec,
+    * rms] with rms over [-1,1]-normalized samples.
+    */
+  private[llm] def decodeWav(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 44, "truncated WAV payload")
+    require(buf.getInt(0) == 0x46464952, "not a RIFF payload") // "RIFF"
+    require(buf.getInt(8) == 0x45564157, "not a WAVE payload") // "WAVE"
+    var pos = 12
+    var channels = 0
+    var sampleRate = 0
+    var bitsPerSample = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= bytes.length && (dataOff < 0 || channels == 0)) {
+      val id = buf.getInt(pos)
+      val size = buf.getInt(pos + 4)
+      if (id == 0x20746D66) { // "fmt "
+        require(buf.getShort(pos + 8) == 1, "only PCM WAV supported")
+        channels = buf.getShort(pos + 10)
+        sampleRate = buf.getInt(pos + 12)
+        bitsPerSample = buf.getShort(pos + 22)
+      } else if (id == 0x61746164) { // "data"
+        dataOff = pos + 8
+        dataLen = size
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(channels > 0 && sampleRate > 0, "missing fmt chunk")
+    require(dataOff >= 0 && dataOff + dataLen <= bytes.length,
+      "missing or truncated data chunk")
+    require(bitsPerSample == 16, s"only 16-bit PCM supported, got $bitsPerSample")
+    val n = dataLen / 2
+    var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      val s = buf.getShort(dataOff + i * 2) / 32768.0
+      sumSq += s * s
+      i += 1
+    }
+    val durationSec = n.toDouble / channels / sampleRate
+    val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+    (sampleRate, channels, Array(durationSec.toFloat, rms.toFloat))
+  }
+
   /** Deterministic fake decode for mimes without a shipped codec:
     * dimensions and features derived from the payload hash. The
     * signature (bytes → dims + feature vector) is the real contract.
@@ -87,6 +139,7 @@ object Multimodal {
   private def decodeOne(mime: String, bytes: Array[Byte]): (Int, Int, Array[Float]) =
     mime match {
       case PpmMime => decodePpm(bytes)
+      case WavMime => decodeWav(bytes)
       case _ => decodeStub(mime, bytes)
     }
 

@@ -151,13 +151,81 @@ object VectorSearch {
       .orderBy($"qid")
   }
 
+  /** IVF (inverted-file) ANN tuning: `IvfCells` coarse cells; corpus
+    * vectors index into their top-1 cell, queries probe their top-
+    * `IvfProbes` cells — the recall/cost knob (probe more cells, miss
+    * fewer neighbors that fell across a cell boundary).
+    */
+  val IvfCells = 16
+  val IvfProbes = 2
+
+  /** IVF ANN: deterministic coarse quantizer + inverted file — the
+    * second sub-quadratic similarity path next to [[q45LshAnn]], with
+    * a data-dependent partition (cells adapt to the corpus) instead of
+    * LSH's data-independent hyperplanes.
+    *
+    * The quantizer here is the first `IvfCells` vectors by id (a
+    * bounded driver collect of 16×64 floats — deterministic, and the
+    * exact shape a sampled k-means fit would produce at scale; the fit
+    * is swappable without touching the plan). Cell assignment is an
+    * argmax over `IvfCells` codegen dot products normalized by centroid
+    * norm; the index is an equi-join on cell id. Work per query:
+    * |probes|·(N/cells) candidates, never all pairs.
+    */
+  val q81IvfAnn: Q = (s, dir) => {
+    import s.implicits._
+    val e = T.embeddings(s, dir)
+      .select($"vec_id", $"embedding", norm_q20($"embedding").as("norm"))
+    // bounded, deterministic centroid pick (id order, not data order)
+    val centroids = e.orderBy($"vec_id").limit(IvfCells)
+      .select($"embedding").as[Array[Float]].collect()
+    def centroidSims(v: org.apache.spark.sql.Column) = array(
+      centroids.map { c =>
+        val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+        dot_f32(v, typedlit(c)) / lit(cn)
+      }: _*)
+    // corpus: top-1 cell (argmax; array_position takes the FIRST max —
+    // deterministic on ties)
+    val corpus = e
+      .withColumn("sims", centroidSims($"embedding"))
+      .withColumn("cell", array_position($"sims", array_max($"sims")))
+      .select($"cell", $"vec_id".as("nid"), $"embedding".as("eb"),
+        $"norm".as("nb"))
+    // queries: probe top-IvfProbes cells (sort (sim, -idx) pairs desc,
+    // slice, keep idx) — ties broken by cell index for determinism
+    val probed = e
+      .withColumn("sims", centroidSims($"embedding"))
+      .withColumn("cell", explode(expr(
+        s"""slice(
+           |  transform(
+           |    array_sort(
+           |      zip_with(sims, sequence(1, size(sims)), (s, i) -> struct(s AS sim, i AS idx)),
+           |      (a, b) -> CASE WHEN a.sim > b.sim THEN -1 WHEN a.sim < b.sim THEN 1
+           |                     WHEN a.idx < b.idx THEN -1 ELSE 1 END),
+           |    p -> p.idx),
+           |  1, $IvfProbes)""".stripMargin)))
+      .select($"cell".cast("long"), $"vec_id".as("qid"),
+        $"embedding".as("ea"), $"norm".as("na"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid".asc)
+    probed.join(corpus, "cell")
+      .filter($"qid" =!= $"nid")
+      .groupBy($"qid", $"nid")
+      .agg(max(cosine(dot_q20($"ea", $"eb").cast("double"), $"na", $"nb"))
+        .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" === 1)
+      .select($"qid", $"nid", $"cos_sim")
+      .orderBy($"qid")
+  }
+
   val queries: Map[String, Q] = Map(
     "q44_cosine_topk" -> q44CosineTopk,
     "q45_lsh_ann" -> q45LshAnn,
+    "q81_ivf_ann" -> q81IvfAnn,
   )
 
-  /** q45 has no oracle: the bucket assignment is engine-internal (seeded
-    * planes); correctness is property-tested in VectorSearchSpec
+  /** q45/q81 have no oracle: bucket/cell assignments are
+    * engine-internal; correctness is property-tested in VectorSearchSpec
     * (determinism, planted-duplicate recall) instead.
     */
   val oracleSql: Map[String, String] = Map(

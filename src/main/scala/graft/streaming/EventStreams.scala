@@ -47,6 +47,20 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked session windows per user — the streaming twin of
+    * [[StreamShapeQueries.q62SessionWindow]]. Session state merges
+    * across micro-batches until the watermark passes a session's
+    * gap-extended end, then the session finalizes and emits once
+    * (append mode).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("last_ts"))
+
   /** Streaming dedup keeping the first arrival per (user, event_type) —
     * the streaming twin of [[StreamShapeQueries.q63DedupKeepEarliest]]
     * (identical when arrival order follows event_id). The watermark

@@ -48,6 +48,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV (PCM16) decode: rate, channels, duration, rms") {
+    import spark.implicits._
+    // 1 channel, 8000 Hz, 4 samples at half amplitude → rms 0.5
+    val buf = java.nio.ByteBuffer.allocate(52)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(44)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(8)
+      .putShort(16384).putShort(16384).putShort(-16384).putShort(-16384)
+    val wav = buf.array()
+    val out = Multimodal.decode(
+      Seq(Multimodal.MediaRecord(9L, Multimodal.WavMime, wav)).toDS())
+      .collect()(0)
+    assert(out.width == 8000 && out.height == 1)
+    assert(out.features.length == 2)
+    assert(math.abs(out.features(0) - 0.0005f) < 1e-7, "duration wrong")
+    assert(math.abs(out.features(1) - 0.5f) < 1e-6, "rms wrong")
+    intercept[Exception] {
+      Multimodal.decode(Seq(Multimodal.MediaRecord(10L, Multimodal.WavMime,
+        "nope".getBytes)).toDS()).collect()
+    }
+  }
+
   test("rolling fingerprint: deterministic, shift-sensitive") {
     val fp1 = Fingerprints.rollingFingerprint(Seq("a", "b", "c"))
     val fp2 = Fingerprints.rollingFingerprint(Seq("a", "b", "c"))

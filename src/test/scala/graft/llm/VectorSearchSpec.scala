@@ -55,6 +55,29 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("ivf ann: deterministic, one row per query, finds planted dups") {
+    val a = VectorSearch.q81IvfAnn(spark, dir)
+      .select("qid", "nid").as[(Long, Long)].collect().toSeq
+    val b = VectorSearch.q81IvfAnn(spark, dir)
+      .select("qid", "nid").as[(Long, Long)].collect().toSeq
+    assert(a == b, "IVF ANN not deterministic across runs")
+    assert(a.nonEmpty)
+    assert(a.map(_._1).distinct.size == a.size, "duplicate qid rows")
+    // planted exact duplicates: same embedding → same top-1 cell, and
+    // the probe set always contains the top-1 cell → dup is retrieved
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dup = e.filter($"vec_id" < 5).withColumn("vec_id", $"vec_id" + 100000L)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-recall")
+    e.unionByName(dup).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val top1 = VectorSearch.q81IvfAnn(spark, tmp.toString)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { id =>
+      assert(top1.get(id + 100000L).contains(id),
+        s"planted dup ${id + 100000L} did not retrieve its original")
+    }
+  }
+
   test("brute-force topk: bounded query set, ranks contiguous") {
     val rows = VectorSearch.q44CosineTopk(spark, dir)
       .select("qid", "rank", "nid", "cos_sim")

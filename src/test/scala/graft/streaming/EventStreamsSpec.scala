@@ -57,6 +57,28 @@ class EventStreamsSpec extends SparkSpec {
       s"stream/batch mismatch: ${streamed.size} vs ${batch.size} windows")
   }
 
+  test("watermarked session windows equal the q62 batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsOf(dir)
+    val maxTs = rows.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    stream.addData(rows)
+    val q = EventStreams.sessionCounts(stream.toDF())
+      .writeStream.format("memory").queryName("t_q62")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    q.processAllAvailable()
+    stream.addData(Event(-1L, -1L, "sentinel",
+      new Timestamp(maxTs + 24L * 3600 * 1000), 0.0))
+    drain(q)
+    val streamed = spark.table("t_q62")
+      .filter($"user_id" =!= -1L)
+      .as[(Long, Timestamp, Long, Timestamp)].collect().toSet
+    val batch = StreamShapeQueries.q62SessionWindow(spark, dir)
+      .as[(Long, Timestamp, Long, Timestamp)].collect().toSet
+    assert(streamed == batch,
+      s"session stream/batch mismatch: ${streamed.size} vs ${batch.size}")
+  }
+
   test("rows later than the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
