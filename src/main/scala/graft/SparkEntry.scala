@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.catalog.CatalogOracle
 import graft.llm.{DedupQueries, TextAnalysis, TextPipeline, VectorSearch}
-import graft.relational.{BucketedQueries, RelationalQueries, ScalarQueries, WindowAggQueries}
+import graft.relational.{AnalyticalQueries, BucketedQueries, RelationalQueries, ScalarQueries, WindowAggQueries}
 import graft.sources.{CsvScan, K8sObjects}
 import graft.streaming.StreamShapeQueries
 
@@ -24,7 +24,8 @@ object SparkEntry {
       ScalarQueries.queries ++ StreamShapeQueries.queries ++
       DedupQueries.queries ++ TextAnalysis.queries ++ VectorSearch.queries ++
       TextPipeline.queries ++ CsvScan.queries ++ CatalogOracle.queries ++
-      K8sObjects.queries ++ BucketedQueries.queries
+      K8sObjects.queries ++ BucketedQueries.queries ++
+      AnalyticalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,5 @@ object SparkEntry {
       DedupQueries.oracleSql ++ TextAnalysis.oracleSql ++
       VectorSearch.oracleSql ++ TextPipeline.oracleSql ++
       CsvScan.oracleSql ++ CatalogOracle.oracleSql ++ K8sObjects.oracleSql ++
-      BucketedQueries.oracleSql
+      BucketedQueries.oracleSql ++ AnalyticalQueries.oracleSql
 }

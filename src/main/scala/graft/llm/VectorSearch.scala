@@ -158,6 +158,7 @@ object VectorSearch {
     */
   val IvfCells = 16
   val IvfProbes = 2
+  val IvfCellCap = 256
 
   /** IVF ANN: deterministic coarse quantizer + inverted file — the
     * second sub-quadratic similarity path next to [[q45LshAnn]], with
@@ -186,9 +187,16 @@ object VectorSearch {
       }: _*)
     // corpus: top-1 cell (argmax; array_position takes the FIRST max —
     // deterministic on ties)
+    // per-cell skew cap (same guard as q45's buckets / q43's shingles):
+    // a degenerate quantizer cell can never push the in-cell join
+    // beyond cap² pairs
+    val wCap = Window.partitionBy($"cell")
+      .orderBy(xxhash64($"vec_id"), $"vec_id")
     val corpus = e
       .withColumn("sims", centroidSims($"embedding"))
       .withColumn("cell", array_position($"sims", array_max($"sims")))
+      .withColumn("slot", row_number().over(wCap))
+      .filter($"slot" <= IvfCellCap)
       .select($"cell", $"vec_id".as("nid"), $"embedding".as("eb"),
         $"norm".as("nb"))
     // queries: probe top-IvfProbes cells (sort (sim, -idx) pairs desc,

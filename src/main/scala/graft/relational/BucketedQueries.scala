@@ -90,7 +90,7 @@ object BucketedQueries {
     import s.implicits._
     val joined = SaltedJoin.inner(
       T.lineitem(s, dir), T.orders(s, dir), "l_orderkey", "o_orderkey",
-      saltCols = Seq($"l_orderkey", $"l_linenumber"), factor = 8)
+      saltCols = Seq($"l_orderkey", $"l_linenumber"), factor = 4)
     joined.groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_lines"),
         dsl.dsum($"l_quantity").as("sum_qty"))
