@@ -47,6 +47,19 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked sliding-window aggregate — the streaming twin of
+    * [[StreamShapeQueries.q61SlidingWindow]]: every event lands in
+    * width/slide windows; each window finalizes once its end passes the
+    * watermark.
+    */
+  def slidingCounts(events: DataFrame, watermarkDelay: String = "10 minutes",
+      width: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"), dsl.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("sum_value"))
+
   /** Watermarked session windows per user — the streaming twin of
     * [[StreamShapeQueries.q62SessionWindow]]. Session state merges
     * across micro-batches until the watermark passes a session's

@@ -57,6 +57,29 @@ class EventStreamsSpec extends SparkSpec {
       s"stream/batch mismatch: ${streamed.size} vs ${batch.size} windows")
   }
 
+  test("watermarked sliding windows equal the q61 batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsOf(dir)
+    val maxTs = rows.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    stream.addData(rows)
+    val q = EventStreams.slidingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("t_q61")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    q.processAllAvailable()
+    stream.addData(Event(-1L, -1L, "sentinel",
+      new Timestamp(maxTs + 24L * 3600 * 1000), 0.0))
+    drain(q)
+    // drop the 2 windows containing only the sentinel
+    val batchMax = StreamShapeQueries.q61SlidingWindow(spark, dir)
+      .as[(Timestamp, Long, Double)].collect().toSet
+    val streamed = spark.table("t_q61")
+      .as[(Timestamp, Long, Double)].collect().toSet
+      .filter(_._1.getTime <= maxTs)
+    assert(streamed == batchMax,
+      s"sliding stream/batch mismatch: ${streamed.size} vs ${batchMax.size}")
+  }
+
   test("watermarked session windows equal the q62 batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val rows = eventsOf(dir)
