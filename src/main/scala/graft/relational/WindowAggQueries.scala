@@ -132,6 +132,34 @@ object WindowAggQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Approximate percentiles via the Greenwald-Khanna sketch — the
+    * other 100 TB sketch aggregate next to HLL (q74): one pass, bounded
+    * memory, mergeable across partitions. Oracle pattern as q74: the
+    * sketch value is engine-internal (and merge-order-sensitive in its
+    * low bits), so the query emits `p50_ok` = approx-p50 lies within
+    * the EXACT p45..p55 value band (rank error at accuracy 10k is ≤
+    * N/10k rows ≪ the 5%-rank band), which the oracle asserts TRUE.
+    */
+  val q84ApproxPercentile: Q = (s, dir) => {
+    import s.implicits._
+    T.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.45)").as("p45"),
+        expr("percentile(o_totalprice, 0.55)").as("p55"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+        count(lit(1)).as("n_orders"))
+      .select($"o_orderpriority", $"n_orders",
+        ($"ap50" >= $"p45" && $"ap50" <= $"p55").as("p50_ok"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q84Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders, TRUE AS p50_ok
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Ranking windows. rank/dense_rank run on the tie-prone key (their
     * semantics absorb ties); row_number/ntile get a unique tiebreaker.
     */
@@ -305,6 +333,7 @@ object WindowAggQueries {
     "q13_grouping_sets" -> q13GroupingSets,
     "q14_count_distinct" -> q14CountDistinct,
     "q74_approx_distinct" -> q74ApproxDistinct,
+    "q84_approx_percentile" -> q84ApproxPercentile,
     "q15_window_ranking" -> q15WindowRanking,
     "q16_window_analytic" -> q16WindowAnalytic,
     "q17_window_frames" -> q17WindowFrames,
@@ -319,6 +348,7 @@ object WindowAggQueries {
     "q13_grouping_sets" -> q13Sql,
     "q14_count_distinct" -> q14Sql,
     "q74_approx_distinct" -> q74Sql,
+    "q84_approx_percentile" -> q84Sql,
     "q15_window_ranking" -> q15Sql,
     "q16_window_analytic" -> q16Sql,
     "q17_window_frames" -> q17Sql,
