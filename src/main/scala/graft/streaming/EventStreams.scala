@@ -85,6 +85,34 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * signups from the preceding `horizon` — attribution, the canonical
+    * two-stream shape. BOTH sides carry watermarks and the time
+    * condition is two-sided, so Spark derives state-cleanup bounds for
+    * each side (without them, stream-stream join state grows forever —
+    * THE failure mode at 100 TB/day). Inner join rows emit as soon as
+    * both inputs arrive; state for rows older than watermark + horizon
+    * is evicted.
+    */
+  def purchaseAttribution(purchases: DataFrame, signups: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      horizon: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    val s = signups
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user_id"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", watermarkDelay)
+    p.join(s, expr(
+      s"""user_id = s_user_id
+         |AND purchase_ts >= signup_ts
+         |AND purchase_ts <= signup_ts + interval $horizon""".stripMargin))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("signup_id"), col("signup_ts"))
+  }
+
   /** Stateful per-key processor: cumulative event count per user,
     * emitted on every update. ValueState keeps exactly one long per
     * user; no TTL (a production pipeline would set one to bound state

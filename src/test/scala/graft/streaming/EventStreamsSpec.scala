@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.SparkSpec
@@ -159,6 +160,38 @@ class EventStreamsSpec extends SparkSpec {
     val batch = input.groupBy(e => (e.user_id, e.event_type))
       .values.map(_.minBy(_.event_id).event_id).toSet
     assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsOf(dir)
+    val purchases = rows.filter(_.event_type == "purchase")
+    val signups = rows.filter(_.event_type == "signup")
+    val pStream = MemoryStream[Event]
+    val sStream = MemoryStream[Event]
+    pStream.addData(purchases)
+    sStream.addData(signups)
+    val q = EventStreams.purchaseAttribution(pStream.toDF(), sStream.toDF())
+      .writeStream.format("memory").queryName("t_ssj")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    drain(q)
+    val streamed = spark.table("t_ssj")
+      .select("purchase_id", "signup_id")
+      .as[(Long, Long)].collect().toSet
+    // batch twin: same interval join on static frames
+    val pB = spark.createDataset(purchases).toDF()
+    val sB = spark.createDataset(signups).toDF()
+    val batch = pB.select($"event_id".as("purchase_id"), $"user_id",
+        $"ts".as("purchase_ts"))
+      .join(sB.select($"event_id".as("signup_id"),
+          $"user_id".as("s_user_id"), $"ts".as("signup_ts")),
+        expr("""user_id = s_user_id AND purchase_ts >= signup_ts
+               |AND purchase_ts <= signup_ts + interval 1 hour""".stripMargin))
+      .select("purchase_id", "signup_id")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-stream join mismatch: ${streamed.size} vs ${batch.size} rows")
+    assert(batch.nonEmpty, "fixture produced no attributed purchases")
   }
 
   test("transformWithState keeps per-user counts across micro-batches") {
