@@ -139,6 +139,9 @@ object WindowAggQueries {
     * low bits), so the query emits `p50_ok` = approx-p50 lies within
     * the EXACT p45..p55 value band (rank error at accuracy 10k is ≤
     * N/10k rows ≪ the 5%-rank band), which the oracle asserts TRUE.
+    * The exact percentiles exist ONLY as the gate's anchor — the
+    * production aggregate at scale is the sketch alone (exact
+    * percentile needs a per-group sort).
     */
   val q84ApproxPercentile: Q = (s, dir) => {
     import s.implicits._
