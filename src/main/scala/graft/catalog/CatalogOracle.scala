@@ -71,14 +71,21 @@ object CatalogOracle {
        |ORDER BY name""".stripMargin
 
   /** R14 — icon point lookup: typed JSON decode of the verbatim blob +
-    * base64 → binary (the reference's main.go:295-318 route).
+    * base64 → binary (the reference's main.go:295-318 route). The
+    * oracle-facing projection re-encodes the icon BYTES as normalized
+    * base64: the checker's pandas sort cannot hash raw bytearrays
+    * (ADVICE r2), and round-tripping through decode proves the binary
+    * path on both engines rather than just echoing the source string.
     */
-  val q73CatalogIcon: Q = (s, _) =>
+  val q73CatalogIcon: Q = (s, _) => {
+    import org.apache.spark.sql.functions.{base64, col}
     CatalogQueries.getIcon(fixtureMeta(s), "pkg-a")
+      .select(col("mediatype"), base64(col("data")).as("data_b64"))
+  }
 
   val q73Sql: String =
     s"""SELECT json_extract_string(blob, '$$.icon.mediatype') AS mediatype,
-       |  from_base64(json_extract_string(blob, '$$.icon.base64data')) AS data
+       |  to_base64(from_base64(json_extract_string(blob, '$$.icon.base64data'))) AS data_b64
        |FROM read_parquet('$parquetGlob', hive_partitioning=1)
        |WHERE package = 'pkg-a' AND "schema" = 'olm.package' AND name = 'pkg-a'
        |  AND json_extract_string(blob, '$$.icon.base64data') IS NOT NULL""".stripMargin

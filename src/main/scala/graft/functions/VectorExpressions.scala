@@ -154,9 +154,13 @@ case class SrpBucket(child: Expression, numPlanes: Int, seed: Int)
   }
 
   // per-JVM plane cache, rebuilt lazily after deserialization (tiny:
-  // numPlanes·dim doubles)
-  @transient private var planeDim: Int = -1
-  @transient private var planes: Array[Double] = _
+  // numPlanes·dim doubles). Published as ONE immutable (dim, planes)
+  // pair so a concurrent interpreted eval (shared plan, driver-side
+  // eval) can never observe the dim of one build with the planes of
+  // another — final-field semantics make the pair safe to read without
+  // synchronization even under a racy publish (worst case: two threads
+  // build identical arrays).
+  @transient private var planeCache: (Int, Array[Double]) = _
 
   private def mix(x: Long): Long = {
     var z = x + seed.toLong * 0x9E3779B97F4A7C15L + 0x9E3779B97F4A7C15L
@@ -166,21 +170,20 @@ case class SrpBucket(child: Expression, numPlanes: Int, seed: Int)
   }
 
   private def planesFor(dim: Int): Array[Double] = {
-    if (planeDim != dim) {
-      val arr = new Array[Double](numPlanes * dim)
-      var p = 0
-      while (p < numPlanes) {
-        var i = 0
-        while (i < dim) {
-          arr(p * dim + i) = if (mix(p.toLong * dim + i) < 0) -1.0 else 1.0
-          i += 1
-        }
-        p += 1
+    val cached = planeCache
+    if (cached != null && cached._1 == dim) return cached._2
+    val arr = new Array[Double](numPlanes * dim)
+    var p = 0
+    while (p < numPlanes) {
+      var i = 0
+      while (i < dim) {
+        arr(p * dim + i) = if (mix(p.toLong * dim + i) < 0) -1.0 else 1.0
+        i += 1
       }
-      planes = arr
-      planeDim = dim
+      p += 1
     }
-    planes
+    planeCache = (dim, arr)
+    arr
   }
 
   /** Hot loop shared by eval and codegen (one virtual call per row). */

@@ -59,8 +59,12 @@ object Multimodal {
     val maxval = token().toInt
     require(maxval > 0 && maxval < 256, s"unsupported maxval $maxval")
     pos += 1 // single whitespace after maxval, then raster
-    val n = width * height
-    require(bytes.length - pos >= n * 3, "truncated PPM raster")
+    // long arithmetic: a malicious header like 100000x100000 must fail
+    // the bounds check, not overflow int and "pass"
+    require(width > 0 && height > 0, s"bad PPM dims ${width}x$height")
+    val nL = width.toLong * height
+    require(nL * 3 <= bytes.length.toLong - pos, "truncated PPM raster")
+    val n = nL.toInt
     val sums = new Array[Long](3)
     var i = 0
     while (i < n * 3) {
@@ -95,7 +99,12 @@ object Multimodal {
     while (pos + 8 <= bytes.length && (dataOff < 0 || channels == 0)) {
       val id = buf.getInt(pos)
       val size = buf.getInt(pos + 4)
+      // a corrupt negative/oversized chunk size must fail loudly, not
+      // stall or walk backwards inside an executor task
+      require(size >= 0 && pos + 8 + size.toLong <= bytes.length,
+        s"corrupt WAV chunk size $size at offset $pos")
       if (id == 0x20746D66) { // "fmt "
+        require(size >= 16, s"short fmt chunk ($size bytes)")
         require(buf.getShort(pos + 8) == 1, "only PCM WAV supported")
         channels = buf.getShort(pos + 10)
         sampleRate = buf.getInt(pos + 12)
