@@ -56,31 +56,45 @@ object DedupQueries {
       |GROUP BY sha256(text)
       |ORDER BY keep_doc_id""".stripMargin
 
-  /** MinHash signatures + LSH bands: 32 permutations (xxhash64 seeded by
-    * index) over distinct 3-gram shingles, banded 8×4. Emitted per
-    * (doc, band) — the join key of the candidate-pair stage. No oracle
-    * (xxhash64 is engine-internal); properties in DedupSpec.
+  /** MinHash-LSH banding: 32 permutations (xxhash64 seeded by index)
+    * over distinct 3-gram shingles, banded 16×2. The 16-band/2-row
+    * split is chosen so the END-TO-END pipeline ([[nearDuplicates]]) is
+    * effectively lossless at its 0.7 threshold: a pair with true
+    * Jaccard j collides in ≥1 band with probability 1−(1−j²)¹⁶, i.e.
+    * miss ≤ (1−0.49)¹⁶ ≈ 2·10⁻⁵ at j=0.7 and ≈ 3·10⁻¹² at j=0.9 —
+    * which is what lets q41 face the exact all-pairs DuckDB oracle
+    * rather than a weaker rows-only check.
     */
   val MinHashPerms = 32
-  val MinHashBands = 8
+  val MinHashBands = 16
 
-  val q41MinhashLsh: Q = (s, dir) => {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val rowsPerBand = MinHashPerms / MinHashBands
-    val sigCols = (0 until MinHashPerms).map(j =>
-      min(xxhash64(lit(j), col("tg"))).as(s"h$j"))
-    val sigs = triShingles(T.documents(s, dir))
-      .groupBy($"doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
-    val banded = (0 until MinHashBands).map { band =>
-      val slice = (band * rowsPerBand until (band + 1) * rowsPerBand)
-        .map(j => col(s"h$j"))
-      sigs.select($"doc_id", lit(band).as("band"),
-        xxhash64(slice: _*).as("band_hash"))
-    }.reduce(_ unionByName _)
-    banded.orderBy($"doc_id", $"band")
-  }
+  /** q41 — the full near-duplicate pipeline, oracle-checked: MinHash
+    * signatures → LSH band candidates (sub-quadratic) → exact Jaccard
+    * verify on candidates only → pairs with j ≥ 0.7. The oracle computes
+    * the same answer the expensive way (exact all-pairs over the shingle
+    * index), so the gate proves the cheap pipeline loses nothing.
+    */
+  val NearDupThreshold = 0.7
+
+  val q41MinhashLsh: Q = (s, dir) =>
+    nearDuplicates(s, T.documents(s, dir), NearDupThreshold)
+
+  val q41Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (SELECT DISTINCT doc_id,
+      |          UNNEST(list_transform(range(1, len(ws) - 1),
+      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+      |        FROM w),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      |          FROM tri a JOIN tri b ON a.tg = b.tg AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc1, doc2, inter,
+      |  inter / (n1.n + n2.n - inter) AS jaccard
+      |FROM pairs JOIN sizes n1 ON pairs.doc1 = n1.doc_id
+      |           JOIN sizes n2 ON pairs.doc2 = n2.doc_id
+      |WHERE inter / (n1.n + n2.n - inter) >= $NearDupThreshold
+      |ORDER BY doc1, doc2""".stripMargin
 
   /** Skew cap for LSH bands: at most this many docs participate per
     * (band, band_hash) bucket — a degenerate band (e.g. a boilerplate
@@ -101,12 +115,16 @@ object DedupQueries {
       min(xxhash64(lit(j), col("tg"))).as(s"h$j"))
     val sigs = triShingles(docs).groupBy($"doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
-    val banded = (0 until MinHashBands).map { band =>
+    // ONE posexplode pass emits all 16 (band, band_hash) rows per doc —
+    // not a 16-way union that re-evaluates the signature aggregation
+    // per band
+    val bandCols = (0 until MinHashBands).map { band =>
       val slice = (band * rowsPerBand until (band + 1) * rowsPerBand)
         .map(j => col(s"h$j"))
-      sigs.select($"doc_id", lit(band).as("band"),
-        xxhash64(slice: _*).as("band_hash"))
-    }.reduce(_ unionByName _)
+      xxhash64(slice: _*)
+    }
+    val banded = sigs.select($"doc_id",
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy($"band", $"band_hash")
       .orderBy(xxhash64($"doc_id"), $"doc_id")
@@ -133,25 +151,29 @@ object DedupQueries {
     import spark.implicits._
     implicit val sp: SparkSession = spark
     val cands = minhashCandidates(spark, docs)
-    val tri = triShingles(docs)
-    val sizes = tri.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // shingle intersections computed ONLY over candidate docs: semi-join
-    // the inverted index down to docs that appear in any candidate pair,
-    // run the (now small) shingle equi-join, keep candidate pairs
+    // exact verify over the UNCAPPED shingle universe (candidates are
+    // already a tiny set, so no df cap is needed — and the answer then
+    // matches the exact all-pairs oracle definition). Each candidate
+    // doc's shingle set rides along as one sorted hash array (~n·8
+    // bytes); the intersection is a linear array_intersect per pair —
+    // no shingle-level join, no per-pair shuffle.
     val candDocs = cands.select($"doc1".as("doc_id"))
       .union(cands.select($"doc2".as("doc_id"))).distinct()
-    val triCand = tri.join(candDocs, Seq("doc_id"), "left_semi")
-    val inter = triCand.as("a").join(triCand.as("b"),
-        $"a.tg" === $"b.tg" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cands, Seq("doc1", "doc2"), "left_semi")
-    inter
-      .join(sizes.select($"doc_id".as("doc1"), $"n".as("n1")), "doc1")
-      .join(sizes.select($"doc_id".as("doc2"), $"n".as("n2")), "doc2")
+    val sets = triShingles(docs)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select($"doc_id", xxhash64($"tg").as("tgh"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"tgh")).as("hs"), count(lit(1)).as("n"))
+    cands
+      .join(sets.select($"doc_id".as("doc1"), $"hs".as("hs1"), $"n".as("n1")),
+        "doc1")
+      .join(sets.select($"doc_id".as("doc2"), $"hs".as("hs2"), $"n".as("n2")),
+        "doc2")
+      .withColumn("inter", size(array_intersect($"hs1", $"hs2")).cast("long"))
       .withColumn("jaccard", $"inter" / ($"n1" + $"n2" - $"inter"))
       .filter($"jaccard" >= minJaccard)
-      .select($"doc1", $"doc2", $"jaccard")
+      .select($"doc1", $"doc2", $"inter", $"jaccard")
+      .orderBy($"doc1", $"doc2")
   }
 
   /** Banded SimHash candidate pairing: the 64-bit simhash splits into 4
@@ -292,6 +314,7 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
+    "q41_minhash_lsh" -> q41Sql,
     "q43_ngram_jaccard" -> q43Sql,
   )
 }

@@ -117,11 +117,18 @@ object VectorSearch {
     * on (table, bucket) — never all pairs; the row_number cap bounds any
     * skewed bucket at C members ⇒ ≤ C² pairs per bucket.
     */
-  val q45LshAnn: Q = (s, dir) => {
+  val q45LshAnn: Q = (s, dir) => lshAnn(T.embeddings(s, dir))
+
+  /** Library form over any (vec_id, embedding) frame — the query surface
+    * ([[q45LshAnn]]) binds it to the embeddings table; the recall gate
+    * ([[q85LshRecall]]) runs it over a planted-twin union.
+    */
+  def lshAnn(e0: DataFrame): DataFrame = {
+    val s = e0.sparkSession
     import s.implicits._
     val bucketCols = (0 until LshTables).map(t =>
       srp_bucket($"embedding", LshPlanesPerTable, LshSeed + t))
-    val tabled = T.embeddings(s, dir)
+    val tabled = e0
       .select($"vec_id", $"embedding", norm_q20($"embedding").as("norm"),
         posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
     // deterministic per-bucket cap: keep the C members with the smallest
@@ -157,7 +164,7 @@ object VectorSearch {
     * fewer neighbors that fell across a cell boundary).
     */
   val IvfCells = 16
-  val IvfProbes = 2
+  val IvfProbes = 3
   val IvfCellCap = 256
 
   /** IVF ANN: deterministic coarse quantizer + inverted file — the
@@ -173,9 +180,13 @@ object VectorSearch {
     * norm; the index is an equi-join on cell id. Work per query:
     * |probes|·(N/cells) candidates, never all pairs.
     */
-  val q81IvfAnn: Q = (s, dir) => {
+  val q81IvfAnn: Q = (s, dir) => ivfAnn(T.embeddings(s, dir), IvfProbes)
+
+  /** Library form over any (vec_id, embedding) frame (see [[lshAnn]]). */
+  def ivfAnn(e0: DataFrame, probes: Int): DataFrame = {
+    val s = e0.sparkSession
     import s.implicits._
-    val e = T.embeddings(s, dir)
+    val e = e0
       .select($"vec_id", $"embedding", norm_q20($"embedding").as("norm"))
     // bounded, deterministic centroid pick (id order, not data order)
     val centroids = e.orderBy($"vec_id").limit(IvfCells)
@@ -211,7 +222,7 @@ object VectorSearch {
            |      (a, b) -> CASE WHEN a.sim > b.sim THEN -1 WHEN a.sim < b.sim THEN 1
            |                     WHEN a.idx < b.idx THEN -1 ELSE 1 END),
            |    p -> p.idx),
-           |  1, $IvfProbes)""".stripMargin)))
+           |  1, $probes)""".stripMargin)))
       .select($"cell".cast("long"), $"vec_id".as("qid"),
         $"embedding".as("ea"), $"norm".as("na"))
     val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid".asc)
@@ -226,17 +237,106 @@ object VectorSearch {
       .orderBy($"qid")
   }
 
+  /** Recall gates for the two ANN paths — the oracle-facing quality
+    * contract for approximate search (same convention as q74's sketch
+    * tolerance): each gate emits one (n_queries, ok) row with ok
+    * literally TRUE, so the DuckDB side pins the query-set size from
+    * the same table and asserts TRUE — a failed recall floor breaks the
+    * hash match.
+    *
+    * The two gates assert DIFFERENT contracts, matching what each index
+    * is for:
+    *   - SRP-LSH ([[q85LshRecall]]) is a near-duplicate detector: sign
+    *     agreement across 12 planes needs angular similarity → 1, so the
+    *     gate PLANTS a perturbed twin of each query vector (deterministic
+    *     hash noise, ~0.999 cosine) into the corpus and requires the ANN
+    *     top-1 to score at least the twin's cosine − tolerance for ≥ 95%
+    *     of queries. Generic moderate-cosine top-1 is IVF's job, not
+    *     LSH's — on this corpus the best generic neighbor is ~0.4-0.6
+    *     cosine, angles SRP bands cannot and should not bucket together.
+    *   - IVF ([[q86IvfRecall]]) partitions the space data-dependently
+    *     and IS a generic top-1 index: its gate compares against the
+    *     EXACT brute-force top-1 (the q44 path the oracle already
+    *     hash-verifies) within 0.1 cosine for ≥ 80% of queries.
+    */
+  val LshRecallTolerance = 0.05
+  val LshRecallFloor = 0.95
+  val IvfRecallTolerance = 0.1
+  val IvfRecallFloor = 0.8
+  val PlantedIdOffset = 1000000L
+
+  /** Perturbed twins of the first [[QuerySetSize]] vectors: deterministic
+    * per-component hash noise (±0.5% of unit scale), cosine to the
+    * original ≈ 0.999.
+    */
+  private def plantedTwins(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.filter($"vec_id" < QuerySetSize)
+      .select(($"vec_id" + PlantedIdOffset).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+                | x + 0.005 * (pmod(xxhash64(vec_id, i), 1000L) / 1000.0 - 0.5))"""
+          .stripMargin).cast("array<float>").as("embedding"))
+  }
+
+  private def okRow(joined: DataFrame, floor: Double): DataFrame = {
+    val s = joined.sparkSession
+    import s.implicits._
+    joined.agg(count(lit(1)).as("n_queries"),
+      (sum(when($"hit", 1).otherwise(0)) >= ceil(lit(floor) * count(lit(1))))
+        .as("ok"))
+  }
+
+  val q85LshRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = T.embeddings(s, dir).select($"vec_id", $"embedding")
+    val twins = plantedTwins(e)
+    // twin-pair cosine: the quality bar each ANN answer must reach
+    val bar = twins.select(($"vec_id" - PlantedIdOffset).as("vec_id"),
+        $"embedding".as("twin"))
+      .join(e, "vec_id")
+      .select(($"vec_id" + PlantedIdOffset).as("qid"),
+        cosine(dot_q20($"twin", $"embedding").cast("double"),
+          norm_q20($"twin"), norm_q20($"embedding")).as("twin_cos"))
+    val ann = lshAnn(e.unionByName(twins))
+      .filter($"qid" >= PlantedIdOffset)
+      .select($"qid", $"cos_sim".as("ann_cos"))
+    okRow(bar.join(ann, Seq("qid"), "left")
+        .withColumn("hit", $"ann_cos" >= $"twin_cos" - LshRecallTolerance),
+      LshRecallFloor)
+  }
+
+  val q86IvfRecall: Q = (s, dir) => {
+    import s.implicits._
+    val exact = q44CosineTopk(s, dir).filter($"rank" === 1)
+      .select($"qid", $"cos_sim".as("exact_cos"))
+    val ann = q81IvfAnn(s, dir).filter($"qid" < QuerySetSize)
+      .select($"qid", $"cos_sim".as("ann_cos"))
+    okRow(exact.join(ann, Seq("qid"), "left")
+        .withColumn("hit", $"ann_cos" >= $"exact_cos" - IvfRecallTolerance),
+      IvfRecallFloor)
+  }
+
+  private val recallSql =
+    s"""SELECT COUNT(*) AS n_queries, TRUE AS ok
+       |FROM embeddings WHERE vec_id < $QuerySetSize""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q44_cosine_topk" -> q44CosineTopk,
     "q45_lsh_ann" -> q45LshAnn,
     "q81_ivf_ann" -> q81IvfAnn,
+    "q85_lsh_recall" -> q85LshRecall,
+    "q86_ivf_recall" -> q86IvfRecall,
   )
 
-  /** q45/q81 have no oracle: bucket/cell assignments are
-    * engine-internal; correctness is property-tested in VectorSearchSpec
-    * (determinism, planted-duplicate recall) instead.
+  /** q45/q81 emit engine-internal bucket/cell picks (no SQL analogue),
+    * but their QUALITY is oracle-gated through q85/q86; determinism and
+    * planted-duplicate recall are additionally property-tested in
+    * VectorSearchSpec.
     */
   val oracleSql: Map[String, String] = Map(
     "q44_cosine_topk" -> q44Sql,
+    "q85_lsh_recall" -> recallSql,
+    "q86_ivf_recall" -> recallSql,
   )
 }
