@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.catalog.CatalogOracle
 import graft.llm.{DedupQueries, TextAnalysis, TextPipeline, VectorSearch}
-import graft.relational.{AnalyticalQueries, BucketedQueries, RelationalQueries, ScalarQueries, WindowAggQueries}
+import graft.relational.{AnalyticalQueries, BucketedQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, WindowAggQueries}
 import graft.sources.{CsvScan, K8sObjects}
 import graft.streaming.StreamShapeQueries
 
@@ -25,7 +25,7 @@ object SparkEntry {
       DedupQueries.queries ++ TextAnalysis.queries ++ VectorSearch.queries ++
       TextPipeline.queries ++ CsvScan.queries ++ CatalogOracle.queries ++
       K8sObjects.queries ++ BucketedQueries.queries ++
-      AnalyticalQueries.queries
+      AnalyticalQueries.queries ++ ReshapeStatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,6 @@ object SparkEntry {
       DedupQueries.oracleSql ++ TextAnalysis.oracleSql ++
       VectorSearch.oracleSql ++ TextPipeline.oracleSql ++
       CsvScan.oracleSql ++ CatalogOracle.oracleSql ++ K8sObjects.oracleSql ++
-      BucketedQueries.oracleSql ++ AnalyticalQueries.oracleSql
+      BucketedQueries.oracleSql ++ AnalyticalQueries.oracleSql ++
+      ReshapeStatsQueries.oracleSql
 }

@@ -90,11 +90,55 @@ object CatalogOracle {
        |WHERE package = 'pkg-a' AND "schema" = 'olm.package' AND name = 'pkg-a'
        |  AND json_extract_string(blob, '$$.icon.base64data') IS NOT NULL""".stripMargin
 
+  /** q91 — snapshot publish + retention GC (R8/R9) as an oracle row,
+    * closing the "spec-only" gap on the lifecycle surface: three
+    * snapshots are written through the REAL publish path into a scratch
+    * root, retention GC keeps the newest two, and the query emits the
+    * MEASURED post-GC state (remaining snapshot ids + active flag). The
+    * oracle pins the golden layout as literals: 0001 collected, 0002
+    * kept, 0003 kept-and-active.
+    */
+  val GcRoot = "/root/repo/target/fixtures/gc"
+
+  val q91SnapshotGc: Q = (s, _) => {
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val rootP = Paths.get(GcRoot)
+    if (Files.exists(rootP)) {
+      val walk = Files.walk(rootP)
+      try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+    val meta = FbcIngest.readMetaStream(s, FixtureSource)
+    Seq("0001", "0002", "0003").foreach(id =>
+      FbcIngest.writeSnapshot(s, meta, GcRoot, snapshotId = Some(id)))
+    FbcIngest.gcSnapshots(GcRoot, keep = 2)
+    val active = FbcIngest.activeSnapshot(GcRoot).map(_._1)
+    val remaining = {
+      val l = Files.list(rootP.resolve("snapshots"))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      } finally l.close()
+    }
+    remaining.map(id => (id, active.contains(id)))
+      .toDF("snapshot_id", "is_active")
+      .orderBy($"snapshot_id")
+  }
+
+  val q91Sql: String =
+    """SELECT * FROM (VALUES ('0002', FALSE), ('0003', TRUE))
+      |  t(snapshot_id, is_active)
+      |ORDER BY snapshot_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q70_catalog_packages" -> q70CatalogPackages,
     "q71_catalog_schemas" -> q71CatalogSchemas,
     "q72_catalog_objects" -> q72CatalogObjects,
     "q73_catalog_icon" -> q73CatalogIcon,
+    "q91_snapshot_gc" -> q91SnapshotGc,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -102,5 +146,6 @@ object CatalogOracle {
     "q71_catalog_schemas" -> q71Sql,
     "q72_catalog_objects" -> q72Sql,
     "q73_catalog_icon" -> q73Sql,
+    "q91_snapshot_gc" -> q91Sql,
   )
 }

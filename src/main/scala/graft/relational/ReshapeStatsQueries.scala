@@ -1,0 +1,190 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T, dsl, OracleDsl => O}
+
+/** Reshaping (pivot / unpivot) and statistical-moment operators —
+  * SURVEY.md §2.b agg/window extensions, round 3.
+  *
+  * Cross-engine determinism strategy for the moments: double summation
+  * is order-dependent, so nothing here hash-compares a streamed double
+  * aggregate. Instead both engines compute the CLOSED FORMS from exact
+  * integer sums (Σx, Σx², Σxy … in int64 — associative, order-free),
+  * finishing with the same fixed sequence of IEEE double ops (one
+  * subtraction, one division, sqrt where needed) — bit-identical on both
+  * sides. Spark ADDITIONALLY asserts its native streaming aggregates
+  * (`var_samp`, `corr`, `percentile`) agree with the closed form within
+  * 1e-9 relative, emitted as an oracle-checked `ok` boolean (the q74
+  * tolerance convention), so the builtin surface is exercised too.
+  */
+object ReshapeStatsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q87 — pivot: order counts per priority, one column per order
+    * status. The value list is explicit (F/O/P) so the output schema is
+    * static — at scale an implicit pivot means a driver-side distinct
+    * scan before planning. Empty combinations coalesce to 0 to match
+    * SQL's `COUNT(*) FILTER` semantics (Spark pivot yields null there).
+    */
+  val q87Pivot: Q = (s, dir) => {
+    import s.implicits._
+    T.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("F"),
+        coalesce($"O", lit(0L)).as("O"),
+        coalesce($"P", lit(0L)).as("P"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q87Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q88 — unpivot (melt): a wide per-priority aggregate reshaped to
+    * long (priority, metric, value) rows via the native `unpivot`
+    * operator (no explode-of-struct hand-rolling).
+    */
+  val q88Unpivot: Q = (s, dir) => {
+    import s.implicits._
+    T.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        dsl.dsum($"o_totalprice").as("total_price"),
+        max($"o_totalprice").as("max_price"))
+      .unpivot(Array($"o_orderpriority"),
+        Array($"n_orders", $"total_price", $"max_price"),
+        "metric", "value")
+      .orderBy($"o_orderpriority", $"metric")
+  }
+
+  val q88Sql: String =
+    s"""WITH agg AS (
+       |  SELECT o_orderpriority,
+       |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+       |    ${O.dsum("o_totalprice")} AS total_price,
+       |    MAX(o_totalprice) AS max_price
+       |  FROM orders GROUP BY o_orderpriority)
+       |SELECT o_orderpriority, metric, value FROM (
+       |  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM agg
+       |  UNION ALL
+       |  SELECT o_orderpriority, 'total_price', total_price FROM agg
+       |  UNION ALL
+       |  SELECT o_orderpriority, 'max_price', max_price FROM agg)
+       |ORDER BY o_orderpriority, metric""".stripMargin
+
+  /** q89 — variance / correlation per return flag, closed-form over
+    * exact integer sums (see object scaladoc); `ok` asserts the native
+    * streaming `var_samp`/`corr` agree within 1e-9 relative.
+    *
+    * x = l_quantity (integer-valued 1..50), y = l_linenumber. The int64
+    * cross-sums are exact up to ~10⁹ rows per group; past that the same
+    * shape runs on DECIMAL sums.
+    */
+  val q89StatsMoments: Q = (s, dir) => {
+    import s.implicits._
+    val x = $"l_quantity".cast("long")
+    val y = $"l_linenumber".cast("long")
+    val g = T.lineitem(s, dir).groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(x * x).as("sxx"),
+      sum(y).as("sy"), sum(y * y).as("syy"),
+      sum(x * y).as("sxy"),
+      var_samp(x).as("v_native"), corr(x, y).as("c_native"))
+    val varCf = ($"n" * $"sxx" - $"sx" * $"sx").cast("double") /
+      ($"n" * ($"n" - 1)).cast("double")
+    val corrCf = ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+      (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+        sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double")))
+    def close(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      abs(a - b) <= lit(1e-9) * (lit(1.0) + abs(b))
+    g.select($"l_returnflag",
+        varCf.as("var_qty"), corrCf.as("corr_qty_line"),
+        (close($"v_native", varCf) && close($"c_native", corrCf)).as("ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q89Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(x*x) AS sxx,
+      |    SUM(y) AS sy, SUM(y*y) AS syy,
+      |    SUM(x*y) AS sxy
+      |  FROM (SELECT l_returnflag,
+      |          CAST(l_quantity AS BIGINT) AS x,
+      |          CAST(l_linenumber AS BIGINT) AS y
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS var_qty,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) /
+      |    (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) * SQRT(CAST(n*syy - sy*sy AS DOUBLE)))
+      |    AS corr_qty_line,
+      |  TRUE AS ok
+      |FROM s
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q90 — exact per-group median via rank arithmetic (the portable
+    * spelling: average of the values at positions ⌊(n+1)/2⌋ and
+    * ⌊n/2⌋+1), which both engines evaluate as the same 1-or-2-element
+    * average of raw doubles; `ok` asserts Spark's native exact
+    * `percentile(…, 0.5)` lands on the same value within 1e-9.
+    */
+  val q90MedianRank: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+    val ranked = T.orders(s, dir)
+      .select($"o_orderpriority", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"o_orderpriority")))
+    val viaRank = ranked
+      .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("n div 2 + 1"))
+      .groupBy($"o_orderpriority")
+      .agg(avg($"o_totalprice").as("median_price"))
+    val viaNative = T.orders(s, dir).groupBy($"o_orderpriority")
+      .agg(percentile($"o_totalprice", lit(0.5)).as("p50"))
+    viaRank.join(viaNative, "o_orderpriority")
+      .select($"o_orderpriority", $"median_price",
+        (abs($"median_price" - $"p50") <= lit(1e-9) * (lit(1.0) + abs($"p50")))
+          .as("ok"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q90Sql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority, AVG(o_totalprice) AS median_price, TRUE AS ok
+      |FROM ranked
+      |WHERE rn = (n+1)//2 OR rn = n//2 + 1
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q87_pivot" -> q87Pivot,
+    "q88_unpivot" -> q88Unpivot,
+    "q89_stats_moments" -> q89StatsMoments,
+    "q90_median_rank" -> q90MedianRank,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q87_pivot" -> q87Sql,
+    "q88_unpivot" -> q88Sql,
+    "q89_stats_moments" -> q89Sql,
+    "q90_median_rank" -> q90Sql,
+  )
+}
