@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.core.dsl
 
@@ -14,6 +14,17 @@ case class Event(event_id: Long, user_id: Long, event_type: String,
 
 /** Per-user running count emitted by [[EventStreams.runningCounts]]. */
 case class UserCount(user_id: Long, n_events: Long)
+
+/** One tagged input row of the streaming as-of join (side 1 = left /
+  * probe, side 0 = right / reference).
+  */
+case class AsOfRow(user_id: Long, side: Int, id: Long,
+    ts: java.sql.Timestamp, value: Double)
+
+/** One matched output row of [[EventStreams.streamingAsOf]]. */
+case class AsOfMatched(event_id: Long, user_id: Long,
+    event_ts: java.sql.Timestamp, matched_id: Long,
+    matched_ts: java.sql.Timestamp, matched_value: Double)
 
 /** Structured Streaming execution of the event-time operators whose
   * batch twins live in [[StreamShapeQueries]] (q60/q63 are the
@@ -141,5 +152,96 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningCount, TimeMode.None(),
         OutputMode.Update(), Encoders.product[UserCount])
+  }
+
+  /** Streaming as-of join — the incremental twin of
+    * [[graft.operators.AsOfJoin.backward]]: for each left (probe) row,
+    * the latest right (reference) row of the same key with right.ts ≤
+    * left.ts, computed event-time-correctly over out-of-order streams.
+    *
+    * Mechanics: both sides are buffered in per-key ListState; an
+    * event-time timer fires when the watermark passes a buffered left
+    * row, at which point that row's match is FINAL — any still-missing
+    * right row with smaller ts would be later than the watermark and is
+    * dropped at ingest — so the pair emits exactly once (append mode).
+    * State cleanup mirrors the correctness argument: flushed lefts are
+    * evicted, and of the rights at-or-before the watermark only the
+    * LATEST is retained (it is the only one a future left can still
+    * match; future lefts all have ts > watermark).
+    *
+    * Scale: state per key = pending lefts within watermark delay + at
+    * most one settled right + pending rights — the same bound the
+    * stream-stream interval join ([[purchaseAttribution]]) gets from
+    * its two-sided time condition, here derived for the asymmetric
+    * as-of semantics Spark has no native operator for.
+    */
+  class StreamingAsOfProcessor
+      extends StatefulProcessor[Long, AsOfRow, AsOfMatched] {
+    @transient private var lefts: ListState[AsOfRow] = _
+    @transient private var rights: ListState[AsOfRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lefts = getHandle.getListState[AsOfRow]("lefts",
+        Encoders.product[AsOfRow], TTLConfig.NONE)
+      rights = getHandle.getListState[AsOfRow]("rights",
+        Encoders.product[AsOfRow], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[AsOfRow],
+        timerValues: TimerValues): Iterator[AsOfMatched] = {
+      var maxLeftTs = Long.MinValue
+      rows.foreach { r =>
+        if (r.side == 1) { lefts.appendValue(r); maxLeftTs = math.max(maxLeftTs, r.ts.getTime) }
+        else rights.appendValue(r)
+      }
+      // fire once the watermark passes the newest buffered left; earlier
+      // lefts flush in the same expiry (ts ≤ wm check there)
+      if (maxLeftTs != Long.MinValue) getHandle.registerTimer(maxLeftTs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[AsOfMatched] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val allLefts = lefts.get().toSeq
+      val allRights = rights.get().toSeq
+      val (ready, pendingL) = allLefts.partition(_.ts.getTime <= wm)
+      val out = ready.sortBy(l => (l.ts.getTime, l.id)).flatMap { l =>
+        val m = allRights.filter(_.ts.getTime <= l.ts.getTime)
+        if (m.isEmpty) None // inner as-of: no reference row yet → drop
+        else {
+          val best = m.maxBy(r => (r.ts.getTime, r.id))
+          Some(AsOfMatched(l.id, key, l.ts, best.id, best.ts, best.value))
+        }
+      }
+      // rights: keep everything still ahead of the watermark, plus the
+      // single latest settled one (the only candidate future lefts need)
+      val (settled, pendingR) = allRights.partition(_.ts.getTime <= wm)
+      val keepR = pendingR ++
+        (if (settled.nonEmpty) Seq(settled.maxBy(r => (r.ts.getTime, r.id)))
+         else Nil)
+      if (pendingL.isEmpty) lefts.clear() else lefts.put(pendingL.toArray)
+      if (keepR.isEmpty) rights.clear() else rights.put(keepR.toArray)
+      out.iterator
+    }
+  }
+
+  /** Tag, union, watermark, and run the streaming as-of join. Left rows
+    * are probes (side 1), right rows are the reference series (side 0);
+    * both must carry (event_id, user_id, ts, value).
+    */
+  def streamingAsOf(left: DataFrame, right: DataFrame,
+      watermarkDelay: String = "10 minutes"): Dataset[AsOfMatched] = {
+    val s = left.sparkSession
+    import s.implicits._
+    val tagged = left.select(col("user_id"), lit(1).as("side"),
+        col("event_id").as("id"), col("ts"), col("value"))
+      .unionByName(right.select(col("user_id"), lit(0).as("side"),
+        col("event_id").as("id"), col("ts"), col("value")))
+      .withWatermark("ts", watermarkDelay)
+      .as[AsOfRow]
+    tagged.groupByKey(_.user_id)
+      .transformWithState(new StreamingAsOfProcessor, TimeMode.EventTime(),
+        OutputMode.Append(), Encoders.product[AsOfMatched])
   }
 }

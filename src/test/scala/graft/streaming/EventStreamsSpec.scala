@@ -194,6 +194,87 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture produced no attributed purchases")
   }
 
+  test("streaming as-of join equals the batch as-of join") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val rows = eventsOf(dir)
+      // unique (user, ts) on the reference side — the as-of tie contract
+      val purchases = rows.filter(_.event_type == "purchase")
+      val signups = rows.filter(_.event_type == "signup")
+        .groupBy(e => (e.user_id, e.ts)).values.map(_.maxBy(_.event_id)).toSeq
+      val maxTs = rows.map(_.ts.getTime).max
+      val pS = MemoryStream[Event]
+      val sS = MemoryStream[Event]
+      pS.addData(purchases)
+      sS.addData(signups)
+      val q = EventStreams.streamingAsOf(pS.toDF(), sS.toDF())
+        .writeStream.format("memory").queryName("t_asof")
+        .outputMode("append").option("checkpointLocation", ckpt()).start()
+      q.processAllAvailable()
+      // sentinels on BOTH streams: the query watermark is the min across
+      // sources, so each must advance past every real row
+      val sentinel = Event(-1L, -1L, "sentinel",
+        new Timestamp(maxTs + 24L * 3600 * 1000), 0.0)
+      pS.addData(sentinel)
+      sS.addData(sentinel)
+      drain(q)
+      val streamed = spark.table("t_asof")
+        .filter($"user_id" =!= -1L)
+        .select("event_id", "matched_id", "matched_value")
+        .as[(Long, Long, Double)].collect().toSet
+      val pB = spark.createDataset(purchases).toDF()
+        .select("event_id", "user_id", "ts", "value")
+      val sB = spark.createDataset(signups).toDF()
+        .select($"user_id", $"ts".as("r_ts"), $"event_id".as("matched_id"),
+          $"value".as("matched_value"))
+      val batch = graft.operators.AsOfJoin
+        .backward(pB, sB, Seq("user_id"), "ts", "r_ts")
+        .select("event_id", "matched_id", "matched_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch.nonEmpty, "fixture produced no as-of matches")
+      assert(streamed == batch,
+        s"streaming as-of mismatch: ${streamed.size} vs ${batch.size} rows")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming as-of matches rights that arrive in a later batch") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+      def at(min: Long) = new Timestamp(t0.getTime + min * 60000)
+      val pS = MemoryStream[Event]
+      val sS = MemoryStream[Event]
+      // batch 1: a probe at t=10 and a reference at t=2
+      pS.addData(Event(101, 1, "purchase", at(10), 1.0))
+      sS.addData(Event(201, 1, "signup", at(2), 20.0))
+      val q = EventStreams.streamingAsOf(pS.toDF(), sS.toDF())
+        .writeStream.format("memory").queryName("t_asof_ooo")
+        .outputMode("append").option("checkpointLocation", ckpt()).start()
+      q.processAllAvailable()
+      // batch 2, out of order: a NEWER reference (t=8) that the pending
+      // probe must prefer, and an older probe (t=3) matching the first
+      pS.addData(Event(102, 1, "purchase", at(3), 1.0))
+      sS.addData(Event(202, 1, "signup", at(8), 30.0))
+      q.processAllAvailable()
+      pS.addData(Event(-1, -1, "sentinel", at(24 * 60), 0.0))
+      sS.addData(Event(-2, -1, "sentinel", at(24 * 60), 0.0))
+      drain(q)
+      val got = spark.table("t_asof_ooo").filter($"user_id" =!= -1L)
+        .select("event_id", "matched_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((101L, 202L), (102L, 201L)),
+        s"out-of-order as-of wrong: $got")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState keeps per-user counts across micro-batches") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
