@@ -51,15 +51,20 @@ object TextPipeline {
     * tf (count in doc), df (docs containing term), and the rational
     * BM25-style weight tf·(N − df + ½)/(df + ½). `nDocs` is the corpus
     * size N, passed as a literal (compute it once upstream).
+    *
+    * df is a window count over the tf frame — tf already holds exactly
+    * one row per (doc, term), so `count(*) OVER (PARTITION BY term)` IS
+    * the document frequency. That derives tf and df from ONE evaluation
+    * of the token pipeline with no tf⋈df join (the join spelling scans
+    * and shuffles the exploded corpus twice, plus a distinct aggregate).
     */
   def tfidf(docs: DataFrame, nDocs: Long, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tokens = removeStopwords(tokenize(docs, idCol, textCol))
     val tf = tokens.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tokens.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"))
-    tf.join(df, "term")
+    val wDf = Window.partitionBy(col("term"))
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .withColumn("weight",
         col("tf").cast("double")
           * ((lit(nDocs).cast("double") - col("df") + 0.5)
@@ -102,6 +107,114 @@ object TextPipeline {
       |WHERE rnk <= 5
       |ORDER BY doc_id, rnk""".stripMargin
 
-  val queries: Map[String, Q] = Map("q76_tfidf" -> q76Tfidf)
-  val oracleSql: Map[String, String] = Map("q76_tfidf" -> q76Sql)
+  /** Chunking contract: windows of [[ChunkSize]] tokens every
+    * [[ChunkStride]] tokens; the final window may be shorter but the
+    * tail is always covered (start sequence runs to n − size + stride).
+    */
+  val ChunkSize = 32
+  val ChunkStride = 16
+
+  /** Split a document into overlapping token-window chunks — the
+    * context-window preparation step of a training-data pipeline
+    * (tokenize → chunk → dedup/score per chunk). Pure column
+    * expressions: one narrow projection + one generator, no shuffle
+    * until a downstream op asks for one.
+    */
+  def chunk(docs: DataFrame, width: Int = ChunkSize,
+      stride: Int = ChunkStride, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("ws"))
+      .select(col(idCol), col("ws"),
+        posexplode(sequence(lit(1),
+          greatest(lit(1), size(col("ws")) - lit(width) + lit(stride)),
+          lit(stride))).as(Seq("chunk_id", "start")))
+      .withColumn("chunk", slice(col("ws"), col("start"), lit(width)))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", col("chunk")).as("chunk_text"),
+        size(col("chunk")).as("n_chunk_tokens"))
+
+  /** q92 — chunking over the documents corpus. */
+  val q92Chunking: Q = (s, dir) => {
+    import s.implicits._
+    chunk(T.documents(s, dir)).orderBy($"doc_id", $"chunk_id")
+  }
+
+  val q92Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |starts AS (
+       |  SELECT doc_id, ws,
+       |    UNNEST(generate_series(1,
+       |      greatest(1, len(ws) - $ChunkSize + $ChunkStride), $ChunkStride))
+       |      AS start
+       |  FROM w)
+       |SELECT doc_id,
+       |  (start - 1) // $ChunkStride AS chunk_id,
+       |  array_to_string(ws[start : start + ${ChunkSize - 1}], ' ') AS chunk_text,
+       |  len(ws[start : start + ${ChunkSize - 1}]) AS n_chunk_tokens
+       |FROM starts
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val NumRe = "[0-9]+"
+
+  /** Redact PII-shaped spans (emails, digit runs) from a text column,
+    * reporting per-row redaction counts — the scrubbing stage a
+    * training-data pipeline runs before publishing a corpus. Pure
+    * narrow regexp projections (codegen'd, no UDF).
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("scrubbed",
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"))
+      .withColumn("n_numbers", regexp_count(col("scrubbed"), lit(NumRe)))
+      .withColumn("scrubbed",
+        regexp_replace(col("scrubbed"), NumRe, "<NUM>"))
+
+  /** q93 — PII scrub over documents salted with synthetic contact lines
+    * (the corpus itself is clean, so the fixture plants exactly one
+    * email and one number per doc, plus whatever digit runs the text
+    * already has — the oracle applies the identical construction).
+    */
+  val q93PiiScrub: Q = (s, dir) => {
+    import s.implicits._
+    val salted = T.documents(s, dir)
+      .withColumn("text", concat($"text",
+        lit(" contact user"), $"doc_id", lit("@example.com id "), $"n_chars"))
+    scrubPii(salted)
+      .select($"doc_id", $"n_emails", $"n_numbers",
+        substring($"scrubbed", -40, 40).as("tail40"))
+      .orderBy($"doc_id")
+  }
+
+  val q93Sql: String =
+    s"""WITH salted AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com id ' || n_chars
+       |      AS text
+       |  FROM documents),
+       |scrub1 AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |    regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS s1
+       |  FROM salted)
+       |SELECT doc_id, n_emails,
+       |  len(regexp_extract_all(s1, '$NumRe')) AS n_numbers,
+       |  CASE WHEN len(s2) <= 40 THEN s2 ELSE substring(s2, len(s2) - 39, 40) END
+       |    AS tail40
+       |FROM (SELECT *, regexp_replace(s1, '$NumRe', '<NUM>', 'g') AS s2
+       |      FROM scrub1)
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q76_tfidf" -> q76Tfidf,
+    "q92_chunking" -> q92Chunking,
+    "q93_pii_scrub" -> q93PiiScrub,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q76_tfidf" -> q76Sql,
+    "q92_chunking" -> q92Sql,
+    "q93_pii_scrub" -> q93Sql,
+  )
 }
