@@ -1,0 +1,71 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the text-pipeline ops added in round 3: chunking
+  * coverage/overlap semantics, PII scrub exactness, and the window-df
+  * rewrite of tfidf (must equal the countDistinct spelling).
+  */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk covers every token; windows overlap by width - stride") {
+    val words = (1 to 75).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextPipeline.chunk(docs, width = 32, stride = 16)
+      .orderBy($"chunk_id")
+      .select($"chunk_id", $"chunk_text", $"n_chunk_tokens")
+      .as[(Int, String, Int)].collect()
+    // starts at 1, 17, 33, 49: n - width + stride = 75 - 32 + 16 = 59 ⇒ 4 windows
+    assert(chunks.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(chunks(0)._2.startsWith("w1 ") && chunks(0)._3 == 32)
+    assert(chunks(1)._2.startsWith("w17 ") && chunks(1)._3 == 32)
+    // final chunk is the shorter tail (49..75 = 27 tokens) ending at w75
+    assert(chunks(3)._3 == 27 && chunks(3)._2.endsWith(" w75"))
+    // every token appears in at least one chunk
+    val covered = chunks.flatMap(_._2.split(" ")).toSet
+    assert(covered == words.toSet, "chunking dropped tokens")
+  }
+
+  test("chunk of a short doc is one full-copy window") {
+    val docs = Seq((1L, "only five little words here")).toDF("doc_id", "text")
+    val chunks = TextPipeline.chunk(docs, width = 32, stride = 16)
+      .select($"chunk_id", $"chunk_text", $"n_chunk_tokens")
+      .as[(Int, String, Int)].collect()
+    assert(chunks.toSeq == Seq((0, "only five little words here", 5)))
+  }
+
+  test("scrubPii redacts emails before digit runs and counts matches") {
+    val docs = Seq(
+      (1L, "mail bob42@host7.com then call 555 1234"),
+      (2L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val out = TextPipeline.scrubPii(docs)
+      .select($"doc_id", $"scrubbed", $"n_emails", $"n_numbers")
+      .orderBy($"doc_id")
+      .as[(Long, String, Int, Int)].collect()
+    // the email is consumed whole (its digits never count as numbers)
+    assert(out(0) == ((1L, "mail <EMAIL> then call <NUM> <NUM>", 1, 2)),
+      s"got ${out(0)}")
+    assert(out(1) == ((2L, "clean text with no pii at all", 0, 0)))
+  }
+
+  test("window-df tfidf equals the countDistinct spelling") {
+    val docs = Seq(
+      (1L, "x y x z"),
+      (2L, "y z z"),
+      (3L, "x q")).toDF("doc_id", "text")
+    val got = TextPipeline.tfidf(docs, nDocs = 3)
+      .select($"doc_id", $"term", $"tf", $"df")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val tokens = TextPipeline.removeStopwords(TextPipeline.tokenize(docs))
+    val tf = tokens.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfExp = tokens.groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"))
+    val expected = tf.join(dfExp, "term")
+      .select($"doc_id", $"term", $"tf", $"df")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.contains((1L, "x", 2L, 2L)), s"spot row wrong: $got")
+  }
+}
