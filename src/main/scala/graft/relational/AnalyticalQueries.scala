@@ -94,13 +94,70 @@ object AnalyticalQueries {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name ASC""".stripMargin
 
+  /** q94 — sequential conversion funnel over the events stream:
+    * furthest stage reached per user along signup → first view within
+    * [[FunnelHorizon]] of signup → first purchase within the horizon of
+    * that view, rolled up to users per stage. The staged-min spelling
+    * (three keyed aggregates chained by joins) is portable SQL; every
+    * join key is user_id, so at scale the three aggregations share one
+    * hash-partitioning and the per-stage frames are tiny (one row per
+    * qualifying user).
+    */
+  val FunnelHorizon = "1 hour"
+
+  val q94Funnel: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir).select($"user_id", $"event_type", $"ts")
+    val ts0 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t_s"))
+    val tv = ev.filter($"event_type" === "view")
+      .join(ts0, "user_id")
+      .filter($"ts" >= $"t_s" && $"ts" <= $"t_s" + expr(s"interval $FunnelHorizon"))
+      .groupBy($"user_id").agg(min($"ts").as("t_v"))
+    val tp = ev.filter($"event_type" === "purchase")
+      .join(tv, "user_id")
+      .filter($"ts" >= $"t_v" && $"ts" <= $"t_v" + expr(s"interval $FunnelHorizon"))
+      .groupBy($"user_id").agg(min($"ts").as("t_p"))
+    ts0.join(tv, Seq("user_id"), "left").join(tp, Seq("user_id"), "left")
+      .withColumn("stage",
+        when($"t_p".isNotNull, 3).when($"t_v".isNotNull, 2).otherwise(1))
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+      .orderBy($"stage")
+  }
+
+  val q94Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_s
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |v AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_v
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) >= s.t_s
+      |    AND CAST(e.ts AS TIMESTAMP) <= s.t_s + INTERVAL '1 hour'
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_p
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= v.t_v
+      |    AND CAST(e.ts AS TIMESTAMP) <= v.t_v + INTERVAL '1 hour'
+      |  GROUP BY e.user_id)
+      |SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+      |            WHEN v.user_id IS NOT NULL THEN 2 ELSE 1 END AS stage,
+      |  COUNT(*) AS n_users
+      |FROM s LEFT JOIN v ON s.user_id = v.user_id
+      |       LEFT JOIN p ON s.user_id = p.user_id
+      |GROUP BY 1
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_shipping_priority" -> q82ShippingPriority,
     "q83_local_supplier_volume" -> q83LocalSupplierVolume,
+    "q94_funnel" -> q94Funnel,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q82_shipping_priority" -> q82Sql,
     "q83_local_supplier_volume" -> q83Sql,
+    "q94_funnel" -> q94Sql,
   )
 }
