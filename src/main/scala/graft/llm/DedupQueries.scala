@@ -200,21 +200,19 @@ object DedupQueries {
   }
 
   /** 64-bit SimHash per document: token-hash bit votes weighted by
-    * term frequency. One explode + one agg; no oracle (xxhash64).
+    * term frequency, computed by the codegen
+    * [[graft.functions.SimHash64]] expression — a narrow single-pass
+    * projection (the original explode + 64-conditional-sums aggregate
+    * spelling shuffled one row per token occurrence through a 64-column
+    * hash agg; bit-identical results, zero shuffles now). No oracle
+    * (xxhash64 is engine-internal).
     */
   val q42Simhash: Q = (s, dir) => {
     import s.implicits._
-    val tok = T.documents(s, dir)
-      .select($"doc_id", explode(tokens($"text")).as("w"))
-      .withColumn("h", xxhash64($"w"))
-    val bitVotes = (0 until 64).map(b =>
-      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$b"))
-    val voted = tok.groupBy($"doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val simhash = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    voted.select($"doc_id", simhash.as("simhash")).orderBy($"doc_id")
+    T.documents(s, dir)
+      .select($"doc_id",
+        graft.functions.TextFunctions.simhash64(tokens($"text")).as("simhash"))
+      .orderBy($"doc_id")
   }
 
   /** Hamming distance between two simhash columns (library fn). */

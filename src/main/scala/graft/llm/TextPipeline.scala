@@ -207,14 +207,57 @@ object TextPipeline {
        |      FROM scrub1)
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/valid/test assignment by content-independent
+    * id hash — the split every training-data pipeline needs to be (a)
+    * stable across runs and engines, (b) uniform, (c) derivable per-row
+    * with no shuffle. The bucket is the first 16 bits of md5(id) mod
+    * 100 — md5 is engine-independent (unlike xxhash64), which is what
+    * makes the assignment itself oracle-checkable, not just its sizes.
+    */
+  def trainSplit(docs: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 4),
+      16, 10).cast("long") % 100).as("bucket")
+    docs.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
+
+  /** q95 — split sizes + id range per split over documents. */
+  val q95TrainSplit: Q = (s, dir) => {
+    import s.implicits._
+    trainSplit(T.documents(s, dir))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"split")
+  }
+
+  val q95Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+      |      % 100 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM b
+      |GROUP BY 1
+      |ORDER BY split""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q76_tfidf" -> q76Tfidf,
     "q92_chunking" -> q92Chunking,
     "q93_pii_scrub" -> q93PiiScrub,
+    "q95_train_split" -> q95TrainSplit,
   )
   val oracleSql: Map[String, String] = Map(
     "q76_tfidf" -> q76Sql,
     "q92_chunking" -> q92Sql,
     "q93_pii_scrub" -> q93Sql,
+    "q95_train_split" -> q95Sql,
   )
 }

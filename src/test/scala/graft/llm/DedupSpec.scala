@@ -61,6 +61,25 @@ class DedupSpec extends SparkSpec {
       s"distinct docs too close: ${ham(byDoc(1L), byDoc(3L))}")
   }
 
+  test("SimHash64 expression is bit-identical to the vote-aggregate spelling") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaExpr = DedupQueries.q42Simhash(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect().toMap
+    val tok = corpus
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .withColumn("h", xxhash64($"w"))
+    val bitVotes = (0 until 64).map(b =>
+      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val voted = tok.groupBy($"doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sim = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val viaAgg = voted.select($"doc_id", sim.as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaAgg, "codegen SimHash64 diverged from the agg spelling")
+  }
+
   test("stop-shingle df cap bounds hot-shingle pair explosion") {
     implicit val s = spark
     // 20 docs sharing ONE hot shingle ("the quick brown"), otherwise
