@@ -163,6 +163,44 @@ object WindowAggQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q96 — heavy hitters via a Count-Min sketch (the third sketch next
+    * to HLL q74 and the percentile sketch q84): the CMS is built
+    * distributed (per-partition sketches merge by counter addition, so
+    * the result is order-independent and deterministic for a fixed
+    * seed), then the exact top-10 supplier keys are probed against it.
+    * The CMS guarantee — estimate ∈ [exact, exact + ε·N] with
+    * probability 1−δ per key — is emitted as the oracle-checked `ok`
+    * boolean (q74 convention; ε=0.001, δ=0.01, so the slack at sf0.1 is
+    * ~600 on 600k rows and failure odds are negligible across 10 keys).
+    * At 100 TB the sketch is the point: top-k candidates without a full
+    * exact groupBy is how heavy-hitter monitoring stays one pass.
+    */
+  val q96HeavyHitters: Q = (s, dir) => {
+    import s.implicits._
+    val li = T.lineitem(s, dir)
+    val cms = li.stat.countMinSketch($"l_suppkey", eps = 0.001,
+      confidence = 0.99, seed = 42)
+    val total = cms.totalCount()
+    val exactTop = li.groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"l_suppkey".asc)
+      .limit(10)
+      .as[(Long, Long)].collect()
+    val rows = exactTop.map { case (k, n) =>
+      val est = cms.estimateCount(k)
+      (k, n, est >= n && est <= n + (0.001 * total).toLong + 1)
+    }.toSeq
+    rows.toDF("l_suppkey", "n_exact", "ok")
+      .orderBy($"l_suppkey")
+  }
+
+  val q96Sql: String =
+    """SELECT l_suppkey, COUNT(*) AS n_exact, TRUE AS ok
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |ORDER BY n_exact DESC, l_suppkey ASC
+      |LIMIT 10""".stripMargin
+
   /** Ranking windows. rank/dense_rank run on the tie-prone key (their
     * semantics absorb ties); row_number/ntile get a unique tiebreaker.
     */
@@ -337,6 +375,7 @@ object WindowAggQueries {
     "q14_count_distinct" -> q14CountDistinct,
     "q74_approx_distinct" -> q74ApproxDistinct,
     "q84_approx_percentile" -> q84ApproxPercentile,
+    "q96_heavy_hitters" -> q96HeavyHitters,
     "q15_window_ranking" -> q15WindowRanking,
     "q16_window_analytic" -> q16WindowAnalytic,
     "q17_window_frames" -> q17WindowFrames,
@@ -352,6 +391,7 @@ object WindowAggQueries {
     "q14_count_distinct" -> q14Sql,
     "q74_approx_distinct" -> q74Sql,
     "q84_approx_percentile" -> q84Sql,
+    "q96_heavy_hitters" -> q96Sql,
     "q15_window_ranking" -> q15Sql,
     "q16_window_analytic" -> q16Sql,
     "q17_window_frames" -> q17Sql,
