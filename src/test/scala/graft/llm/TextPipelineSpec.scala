@@ -50,6 +50,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(out(1) == ((2L, "clean text with no pii at all", 0, 0)))
   }
 
+  test("trainSplit is deterministic and near-uniform over 10k ids") {
+    val ids = spark.range(10000).toDF("doc_id")
+    val sizes = TextPipeline.trainSplit(ids)
+      .groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(sizes.values.sum == 10000)
+    // md5-bucket uniformity: 80/10/10 within a generous ±2.5% of total
+    assert(math.abs(sizes("train") - 8000) < 250, s"train: ${sizes("train")}")
+    assert(math.abs(sizes("valid") - 1000) < 250, s"valid: ${sizes("valid")}")
+    assert(math.abs(sizes("test") - 1000) < 250, s"test: ${sizes("test")}")
+    // stability: the assignment is a pure function of the id
+    val again = TextPipeline.trainSplit(ids).groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(again == sizes)
+  }
+
   test("window-df tfidf equals the countDistinct spelling") {
     val docs = Seq(
       (1L, "x y x z"),
