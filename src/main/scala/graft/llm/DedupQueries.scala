@@ -150,7 +150,12 @@ object DedupQueries {
       minJaccard: Double): DataFrame = {
     import spark.implicits._
     implicit val sp: SparkSession = spark
-    val cands = minhashCandidates(spark, docs)
+    // the candidate frame is referenced three times below (both doc-id
+    // projections + the final join); an eager localCheckpoint runs the
+    // whole signature/banding pipeline ONCE and hands the tiny pair set
+    // to each consumer — without it Catalyst re-expands ~8 exchanges
+    // per reference (32-exchange plan, 3× the candidate work)
+    val cands = minhashCandidates(spark, docs).localCheckpoint()
     // exact verify over the UNCAPPED shingle universe (candidates are
     // already a tiny set, so no df cap is needed — and the answer then
     // matches the exact all-pairs oracle definition). Each candidate

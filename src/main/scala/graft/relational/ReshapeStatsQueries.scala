@@ -140,6 +140,13 @@ object ReshapeStatsQueries {
     * ⌊n/2⌋+1), which both engines evaluate as the same 1-or-2-element
     * average of raw doubles; `ok` asserts Spark's native exact
     * `percentile(…, 0.5)` lands on the same value within 1e-9.
+    *
+    * Scale note: the rank window partitions on a 5-value key, so at
+    * 100 TB each partition is a single-task sort — the rank spelling
+    * exists as the cross-engine ORACLE ANCHOR only. The production
+    * path at scale is the `percentile`/`approx_percentile` aggregate
+    * (hash agg, no global per-group sort), which this query pins
+    * against the anchor via the ok flag.
     */
   val q90MedianRank: Q = (s, dir) => {
     import s.implicits._
