@@ -31,12 +31,11 @@ object Multimodal {
   case class DecodedMedia(media_id: Long, mime: String, n_bytes: Int,
       width: Int, height: Int, features: Array[Float])
 
-  /** Real decoder for binary PPM (P6): `P6 <w> <h> <maxval>` header in
-    * ASCII with whitespace/comment separators, then w·h packed RGB
-    * triplets. Features = per-channel means scaled to [0,1] — the
-    * hand-computable contract MultimodalSpec pins down.
-    */
-  private[llm] def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+  /** Parsed P6 header: dims, maxval, and the raster byte offset. */
+  private[llm] case class PpmHeader(width: Int, height: Int, maxval: Int,
+      rasterOff: Int)
+
+  private[llm] def parsePpmHeader(bytes: Array[Byte]): PpmHeader = {
     var pos = 0
     def skipSpace(): Unit = {
       var done = false
@@ -62,29 +61,66 @@ object Multimodal {
     // long arithmetic: a malicious header like 100000x100000 must fail
     // the bounds check, not overflow int and "pass"
     require(width > 0 && height > 0, s"bad PPM dims ${width}x$height")
-    val nL = width.toLong * height
-    require(nL * 3 <= bytes.length.toLong - pos, "truncated PPM raster")
-    val n = nL.toInt
+    require(width.toLong * height * 3 <= bytes.length.toLong - pos,
+      "truncated PPM raster")
+    PpmHeader(width, height, maxval, pos)
+  }
+
+  /** Real decoder for binary PPM (P6): `P6 <w> <h> <maxval>` header in
+    * ASCII with whitespace/comment separators, then w·h packed RGB
+    * triplets. Features = per-channel means scaled to [0,1] — the
+    * hand-computable contract MultimodalSpec pins down.
+    */
+  private[llm] def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val h = parsePpmHeader(bytes)
+    val n = h.width * h.height
     val sums = new Array[Long](3)
     var i = 0
     while (i < n * 3) {
-      sums(i % 3) += bytes(pos + i) & 0xFF
+      sums(i % 3) += bytes(h.rasterOff + i) & 0xFF
       i += 1
     }
     val features = Array.tabulate(3)(c =>
-      (sums(c).toDouble / n / maxval).toFloat)
-    (width, height, features)
+      (sums(c).toDouble / n / h.maxval).toFloat)
+    (h.width, h.height, features)
+  }
+
+  /** Nearest-neighbor resize of a P6 raster to (tw × th): source pixel
+    * (⌊tx·w/tw⌋, ⌊ty·h/th⌋) per target pixel, emitted as row-major RGB
+    * floats in [0,1] — the thumbnail/patch-embedding prep step of an
+    * image pipeline, as real pixel math behind the same seam as decode.
+    */
+  private[llm] def resizePpm(bytes: Array[Byte], tw: Int, th: Int): Array[Float] = {
+    require(tw > 0 && th > 0, s"bad target dims ${tw}x$th")
+    val h = parsePpmHeader(bytes)
+    val out = new Array[Float](tw * th * 3)
+    var ty = 0
+    while (ty < th) {
+      val sy = ty.toLong * h.height / th
+      var tx = 0
+      while (tx < tw) {
+        val sx = tx.toLong * h.width / tw
+        val src = h.rasterOff + ((sy * h.width + sx) * 3).toInt
+        val dst = (ty * tw + tx) * 3
+        var c = 0
+        while (c < 3) {
+          out(dst + c) = ((bytes(src + c) & 0xFF).toFloat / h.maxval)
+          c += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    out
   }
 
   val WavMime = "audio/x-wav"
 
-  /** Real decoder for RIFF/WAVE with 16-bit PCM: walks the chunk list
-    * (fmt → channels/sample-rate, data → samples) with little-endian
-    * reads. Output mapping into the shared media schema: width =
-    * sample rate, height = channel count, features = [duration_sec,
-    * rms] with rms over [-1,1]-normalized samples.
-    */
-  private[llm] def decodeWav(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+  /** Parsed RIFF/WAVE header: PCM format fields + data chunk bounds. */
+  private[llm] case class WavHeader(channels: Int, sampleRate: Int,
+      dataOff: Int, dataLen: Int)
+
+  private[llm] def parseWavHeader(bytes: Array[Byte]): WavHeader = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 44, "truncated WAV payload")
@@ -119,17 +155,62 @@ object Multimodal {
     require(dataOff >= 0 && dataOff + dataLen <= bytes.length,
       "missing or truncated data chunk")
     require(bitsPerSample == 16, s"only 16-bit PCM supported, got $bitsPerSample")
-    val n = dataLen / 2
+    WavHeader(channels, sampleRate, dataOff, dataLen)
+  }
+
+  /** Real decoder for RIFF/WAVE with 16-bit PCM: walks the chunk list
+    * (fmt → channels/sample-rate, data → samples) with little-endian
+    * reads. Output mapping into the shared media schema: width =
+    * sample rate, height = channel count, features = [duration_sec,
+    * rms] with rms over [-1,1]-normalized samples.
+    */
+  private[llm] def decodeWav(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val h = parseWavHeader(bytes)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = h.dataLen / 2
     var sumSq = 0.0
     var i = 0
     while (i < n) {
-      val s = buf.getShort(dataOff + i * 2) / 32768.0
+      val s = buf.getShort(h.dataOff + i * 2) / 32768.0
       sumSq += s * s
       i += 1
     }
-    val durationSec = n.toDouble / channels / sampleRate
+    val durationSec = n.toDouble / h.channels / h.sampleRate
     val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
-    (sampleRate, channels, Array(durationSec.toFloat, rms.toFloat))
+    (h.sampleRate, h.channels, Array(durationSec.toFloat, rms.toFloat))
+  }
+
+  /** Frame-sampled RMS over a 16-bit PCM WAV: samples split into frames
+    * of `frameSamples`, RMS per frame over [-1,1]-normalized values
+    * (short final frame included), at most `maxFrames` frames — the
+    * fixed-budget temporal summarization an audio/video pipeline runs
+    * per clip (the video analog samples frames the same way).
+    */
+  private[llm] def frameRmsWav(bytes: Array[Byte], frameSamples: Int,
+      maxFrames: Int = 64): Array[Float] = {
+    require(frameSamples > 0, s"bad frame size $frameSamples")
+    val h = parseWavHeader(bytes)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = h.dataLen / 2
+    val nFrames = math.min(maxFrames, (n + frameSamples - 1) / frameSamples)
+    val out = new Array[Float](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val start = f * frameSamples
+      val end = math.min(n, start + frameSamples)
+      var sumSq = 0.0
+      var i = start
+      while (i < end) {
+        val s = buf.getShort(h.dataOff + i * 2) / 32768.0
+        sumSq += s * s
+        i += 1
+      }
+      out(f) = math.sqrt(sumSq / (end - start)).toFloat
+      f += 1
+    }
+    out
   }
 
   /** Deterministic fake decode for mimes without a shipped codec:
@@ -164,6 +245,33 @@ object Multimodal {
         DecodedMedia(m.media_id, m.mime, m.bytes.length, w, h, feats)
       }
     }
+  }
+
+  case class MediaThumb(media_id: Long, thumb_w: Int, thumb_h: Int,
+      pixels: Array[Float])
+  case class MediaFrameRms(media_id: Long, frame_rms: Array[Float])
+
+  /** Resize every PPM payload to a (tw × th) thumbnail — row-major RGB
+    * floats, the patch tensor an image-embedding stage consumes. Same
+    * mapPartitions seam as [[decode]]; non-PPM rows are filtered (a
+    * production pipeline routes per-mime upstream).
+    */
+  def resizeThumbnails(media: Dataset[MediaRecord], tw: Int,
+      th: Int): Dataset[MediaThumb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.filter(_.mime == PpmMime)
+      .map(m => MediaThumb(m.media_id, tw, th, resizePpm(m.bytes, tw, th))))
+  }
+
+  /** Frame-sample every WAV payload into per-frame RMS energies (≤
+    * maxFrames) — the fixed-budget temporal summary of a clip.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameSamples: Int,
+      maxFrames: Int = 64): Dataset[MediaFrameRms] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.filter(_.mime == WavMime)
+      .map(m => MediaFrameRms(m.media_id,
+        frameRmsWav(m.bytes, frameSamples, maxFrames))))
   }
 
   /** Build a media table from the documents fixture (text bytes standing

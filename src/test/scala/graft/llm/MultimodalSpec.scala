@@ -74,6 +74,54 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PPM resize: nearest-neighbor picks the expected source pixels") {
+    import spark.implicits._
+    val header = "P6\n2 2\n255\n".getBytes("US-ASCII")
+    val raster = Array(
+      255, 0, 0,   0, 255, 0,
+      0, 0, 255,   255, 255, 255).map(_.toByte)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.PpmMime, header ++ raster)).toDS()
+    // downsample 2x2 -> 1x1: nearest neighbor is pixel (0,0) = pure red
+    val one = Multimodal.resizeThumbnails(media, 1, 1).collect()(0)
+    assert(one.pixels.toSeq == Seq(1.0f, 0.0f, 0.0f), s"${one.pixels.toSeq}")
+    // upsample 2x2 -> 4x4: each source pixel becomes a 2x2 block; check
+    // the four block corners
+    val up = Multimodal.resizeThumbnails(media, 4, 4).collect()(0)
+    def px(x: Int, y: Int) = up.pixels.slice((y * 4 + x) * 3, (y * 4 + x) * 3 + 3).toSeq
+    assert(px(0, 0) == Seq(1.0f, 0.0f, 0.0f))  // red block
+    assert(px(3, 0) == Seq(0.0f, 1.0f, 0.0f))  // green block
+    assert(px(0, 3) == Seq(0.0f, 0.0f, 1.0f))  // blue block
+    assert(px(3, 3) == Seq(1.0f, 1.0f, 1.0f))  // white block
+  }
+
+  test("WAV frame-sampling: per-frame rms with short final frame") {
+    import spark.implicits._
+    // 6 samples: two at half amplitude, two at zero, two at half
+    val buf = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(48)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(12)
+      .putShort(16384).putShort(-16384)
+      .putShort(0).putShort(0)
+      .putShort(16384).putShort(16384)
+    val media = Seq(
+      Multimodal.MediaRecord(2L, Multimodal.WavMime, buf.array())).toDS()
+    val frames = Multimodal.sampleFrames(media, frameSamples = 2)
+      .collect()(0).frame_rms.toSeq
+    assert(frames.length == 3)
+    assert(math.abs(frames(0) - 0.5f) < 1e-6 && frames(1) == 0.0f
+      && math.abs(frames(2) - 0.5f) < 1e-6, s"$frames")
+    // frame budget cap: 4-sample frames -> 2 frames; cap at 1 keeps 1
+    val capped = Multimodal.sampleFrames(media, frameSamples = 4, maxFrames = 1)
+      .collect()(0).frame_rms
+    assert(capped.length == 1)
+  }
+
   test("rolling fingerprint: deterministic, shift-sensitive") {
     val fp1 = Fingerprints.rollingFingerprint(Seq("a", "b", "c"))
     val fp2 = Fingerprints.rollingFingerprint(Seq("a", "b", "c"))
