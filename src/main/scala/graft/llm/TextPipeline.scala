@@ -248,16 +248,75 @@ object TextPipeline {
       |GROUP BY 1
       |ORDER BY split""".stripMargin
 
+  /** q97 — the end-to-end corpus-prep pipeline, composed from the ops
+    * above exactly as a training-data run chains them:
+    *
+    *   scrub PII → keep the train split → exact-dedup (keep the
+    *   smallest doc_id per content hash) → chunk into context windows
+    *
+    * emitted as one row per surviving chunk. The oracle replays the
+    * identical chain in SQL, so the gate checks the COMPOSITION — op
+    * boundaries, ordering, and dedup-before-chunk semantics — not just
+    * each stage in isolation. Every stage is narrow except the dedup
+    * groupBy (one shuffle on a 32-byte hash).
+    */
+  val q97CorpusPrep: Q = (s, dir) => {
+    import s.implicits._
+    val scrubbed = scrubPii(T.documents(s, dir))
+      .select($"doc_id", $"scrubbed".as("text"))
+    val train = trainSplit(scrubbed).filter($"split" === "train")
+      .select($"doc_id", $"text")
+    val deduped = train
+      .withColumn("content_hash", sha2($"text", 256))
+      .withColumn("keep", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"content_hash")))
+      .filter($"doc_id" === $"keep")
+      .select($"doc_id", $"text")
+    chunk(deduped)
+      .select($"doc_id", $"chunk_id", $"n_chunk_tokens")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val q97Sql: String =
+    s"""WITH scrubbed AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |                   '$NumRe', '<NUM>', 'g') AS text
+       |  FROM documents),
+       |train AS (
+       |  SELECT doc_id, text FROM scrubbed
+       |  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+       |        % 100 < 80),
+       |deduped AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+       |    FROM train) WHERE doc_id = keep),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM deduped),
+       |starts AS (
+       |  SELECT doc_id, ws,
+       |    UNNEST(generate_series(1,
+       |      greatest(1, len(ws) - $ChunkSize + $ChunkStride), $ChunkStride))
+       |      AS start
+       |  FROM w)
+       |SELECT doc_id,
+       |  (start - 1) // $ChunkStride AS chunk_id,
+       |  len(ws[start : start + ${ChunkSize - 1}]) AS n_chunk_tokens
+       |FROM starts
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q76_tfidf" -> q76Tfidf,
     "q92_chunking" -> q92Chunking,
     "q93_pii_scrub" -> q93PiiScrub,
     "q95_train_split" -> q95TrainSplit,
+    "q97_corpus_prep" -> q97CorpusPrep,
   )
   val oracleSql: Map[String, String] = Map(
     "q76_tfidf" -> q76Sql,
     "q92_chunking" -> q92Sql,
     "q93_pii_scrub" -> q93Sql,
     "q95_train_split" -> q95Sql,
+    "q97_corpus_prep" -> q97Sql,
   )
 }
