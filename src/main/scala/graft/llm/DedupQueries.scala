@@ -28,15 +28,21 @@ object DedupQueries {
 
   private def tokens(c: Column): Column = split(c, " ")
 
-  /** Distinct word-3-grams per document. */
-  private def triShingles(df: DataFrame)(implicit s: SparkSession): DataFrame = {
+  /** Word-3-grams per document WITH duplicates — a narrow explode, no
+    * shuffle. Consumers that need the distinct set either dedupe inside
+    * their aggregation (collect_set, min) or go through [[triShingles]].
+    */
+  private def triShinglesRaw(df: DataFrame)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
     df.select($"doc_id", tokens($"text").as("ws"))
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
         .as("tg"))
-      .distinct()
   }
+
+  /** Distinct word-3-grams per document (one dedup shuffle). */
+  private def triShingles(df: DataFrame)(implicit s: SparkSession): DataFrame =
+    triShinglesRaw(df).distinct()
 
   /** Exact dedup: group by content hash, keep the earliest doc_id as the
     * canonical representative.
@@ -113,7 +119,10 @@ object DedupQueries {
     val rowsPerBand = MinHashPerms / MinHashBands
     val sigCols = (0 until MinHashPerms).map(j =>
       min(xxhash64(lit(j), col("tg"))).as(s"h$j"))
-    val sigs = triShingles(docs).groupBy($"doc_id")
+    // raw (duplicate-carrying) shingles: min over a multiset equals min
+    // over its set, so the signature needs NO distinct pre-shuffle —
+    // the explode stays narrow and the only exchange is the groupBy
+    val sigs = triShinglesRaw(docs).groupBy($"doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
     // ONE posexplode pass emits all 16 (band, band_hash) rows per doc —
     // not a 16-way union that re-evaluates the signature aggregation
@@ -164,11 +173,14 @@ object DedupQueries {
     // no shingle-level join, no per-pair shuffle.
     val candDocs = cands.select($"doc1".as("doc_id"))
       .union(cands.select($"doc2".as("doc_id"))).distinct()
-    val sets = triShingles(docs)
+    // collect_set dedupes per-doc shingle repeats inside the aggregation,
+    // so the raw explode needs no distinct pre-shuffle here either
+    val sets = triShinglesRaw(docs)
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select($"doc_id", xxhash64($"tg").as("tgh"))
       .groupBy($"doc_id")
-      .agg(sort_array(collect_list($"tgh")).as("hs"), count(lit(1)).as("n"))
+      .agg(sort_array(collect_set($"tgh")).as("hs"))
+      .select($"doc_id", $"hs", size($"hs").cast("long").as("n"))
     cands
       .join(sets.select($"doc_id".as("doc1"), $"hs".as("hs1"), $"n".as("n1")),
         "doc1")
