@@ -201,6 +201,31 @@ object WindowAggQueries {
       |ORDER BY n_exact DESC, l_suppkey ASC
       |LIMIT 10""".stripMargin
 
+  /** q98 — relative-position windows: percent_rank ((rank−1)/(n−1)) and
+    * cume_dist (peers-inclusive fraction) per customer. Both are exact
+    * small-integer ratios, so the doubles are bit-identical across
+    * engines; ties resolve by the functions' own semantics (no
+    * tiebreaker needed).
+    */
+  val q98WindowPct: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice")
+    T.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q98Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)
+      |    AS pct_rank,
+      |  CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)
+      |    AS cume
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Ranking windows. rank/dense_rank run on the tie-prone key (their
     * semantics absorb ties); row_number/ntile get a unique tiebreaker.
     */
@@ -376,6 +401,7 @@ object WindowAggQueries {
     "q74_approx_distinct" -> q74ApproxDistinct,
     "q84_approx_percentile" -> q84ApproxPercentile,
     "q96_heavy_hitters" -> q96HeavyHitters,
+    "q98_window_pct" -> q98WindowPct,
     "q15_window_ranking" -> q15WindowRanking,
     "q16_window_analytic" -> q16WindowAnalytic,
     "q17_window_frames" -> q17WindowFrames,
@@ -392,6 +418,7 @@ object WindowAggQueries {
     "q74_approx_distinct" -> q74Sql,
     "q84_approx_percentile" -> q84Sql,
     "q96_heavy_hitters" -> q96Sql,
+    "q98_window_pct" -> q98Sql,
     "q15_window_ranking" -> q15Sql,
     "q16_window_analytic" -> q16Sql,
     "q17_window_frames" -> q17Sql,
