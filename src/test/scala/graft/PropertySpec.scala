@@ -71,6 +71,31 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("chunking covers every token and respects the start-stride law") {
+    val docGen = for {
+      n <- Gen.choose(1, 120)
+      ws <- Gen.listOfN(n, word)
+    } yield ws
+    check("chunk-coverage", Prop.forAll(docGen,
+        Gen.choose(2, 20), Gen.choose(1, 10)) { (ws, width, stride0) =>
+      val stride = math.min(stride0, width) // overlapping or exact tiling
+      val docs = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.llm.TextPipeline.chunk(docs, width, stride)
+        .orderBy($"chunk_id")
+        .select($"chunk_id", $"chunk_text", $"n_chunk_tokens")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+      val n = ws.length
+      val starts = 1 to math.max(1, n - width + stride) by stride
+      chunks.length == starts.length &&
+        chunks.zip(starts).forall { case ((_, text, nct), start) =>
+          val expect = ws.slice(start - 1, start - 1 + width)
+          text == expect.mkString(" ") && nct == expect.length
+        } &&
+        // union of chunks covers the whole doc
+        chunks.flatMap(_._2.split(" ")).toSet == ws.toSet
+    })
+  }
+
   test("global top-k equals the k-prefix of the full sort") {
     val rowsGen = for {
       n <- Gen.choose(1, 50)
