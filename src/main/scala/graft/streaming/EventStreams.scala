@@ -21,10 +21,13 @@ case class UserCount(user_id: Long, n_events: Long)
 case class AsOfRow(user_id: Long, side: Int, id: Long,
     ts: java.sql.Timestamp, value: Double)
 
-/** One matched output row of [[EventStreams.streamingAsOf]]. */
+/** One output row of [[EventStreams.streamingAsOf]] — matched_* are
+  * None for an unmatched probe under left-outer semantics
+  * (keepUnmatched), mirroring the batch AsOfJoin's null payload.
+  */
 case class AsOfMatched(event_id: Long, user_id: Long,
-    event_ts: java.sql.Timestamp, matched_id: Long,
-    matched_ts: java.sql.Timestamp, matched_value: Double)
+    event_ts: java.sql.Timestamp, matched_id: Option[Long],
+    matched_ts: Option[java.sql.Timestamp], matched_value: Option[Double])
 
 /** Structured Streaming execution of the event-time operators whose
   * batch twins live in [[StreamShapeQueries]] (q60/q63 are the
@@ -175,7 +178,7 @@ object EventStreams {
     * its two-sided time condition, here derived for the asymmetric
     * as-of semantics Spark has no native operator for.
     */
-  class StreamingAsOfProcessor
+  class StreamingAsOfProcessor(keepUnmatched: Boolean)
       extends StatefulProcessor[Long, AsOfRow, AsOfMatched] {
     @transient private var lefts: ListState[AsOfRow] = _
     @transient private var rights: ListState[AsOfRow] = _
@@ -208,10 +211,17 @@ object EventStreams {
       val (ready, pendingL) = allLefts.partition(_.ts.getTime <= wm)
       val out = ready.sortBy(l => (l.ts.getTime, l.id)).flatMap { l =>
         val m = allRights.filter(_.ts.getTime <= l.ts.getTime)
-        if (m.isEmpty) None // inner as-of: no reference row yet → drop
-        else {
+        if (m.isEmpty) {
+          // no reference row exists at-or-before this probe (final — an
+          // earlier right would now be beyond the watermark): drop under
+          // inner semantics, emit a null match under left-outer
+          if (keepUnmatched)
+            Some(AsOfMatched(l.id, key, l.ts, None, None, None))
+          else None
+        } else {
           val best = m.maxBy(r => (r.ts.getTime, r.id))
-          Some(AsOfMatched(l.id, key, l.ts, best.id, best.ts, best.value))
+          Some(AsOfMatched(l.id, key, l.ts,
+            Some(best.id), Some(best.ts), Some(best.value)))
         }
       }
       // rights: keep everything still ahead of the watermark, plus the
@@ -231,7 +241,8 @@ object EventStreams {
     * both must carry (event_id, user_id, ts, value).
     */
   def streamingAsOf(left: DataFrame, right: DataFrame,
-      watermarkDelay: String = "10 minutes"): Dataset[AsOfMatched] = {
+      watermarkDelay: String = "10 minutes",
+      keepUnmatched: Boolean = false): Dataset[AsOfMatched] = {
     val s = left.sparkSession
     import s.implicits._
     val tagged = left.select(col("user_id"), lit(1).as("side"),
@@ -241,7 +252,8 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .as[AsOfRow]
     tagged.groupByKey(_.user_id)
-      .transformWithState(new StreamingAsOfProcessor, TimeMode.EventTime(),
-        OutputMode.Append(), Encoders.product[AsOfMatched])
+      .transformWithState(new StreamingAsOfProcessor(keepUnmatched),
+        TimeMode.EventTime(), OutputMode.Append(),
+        Encoders.product[AsOfMatched])
   }
 }

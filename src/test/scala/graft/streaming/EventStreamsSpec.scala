@@ -275,6 +275,40 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("left-outer streaming as-of emits unmatched probes with null match") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+      def at(min: Long) = new Timestamp(t0.getTime + min * 60000)
+      val pS = MemoryStream[Event]
+      val sS = MemoryStream[Event]
+      // user 1: probe after a reference → matched; user 2: probe with NO
+      // reference at-or-before it → unmatched (the user-2 reference
+      // exists but only later than the probe)
+      pS.addData(Event(101, 1, "purchase", at(10), 1.0),
+        Event(102, 2, "purchase", at(10), 1.0))
+      sS.addData(Event(201, 1, "signup", at(2), 20.0),
+        Event(202, 2, "signup", at(30), 30.0))
+      val q = EventStreams
+        .streamingAsOf(pS.toDF(), sS.toDF(), keepUnmatched = true)
+        .writeStream.format("memory").queryName("t_asof_outer")
+        .outputMode("append").option("checkpointLocation", ckpt()).start()
+      q.processAllAvailable()
+      pS.addData(Event(-1, -1, "sentinel", at(24 * 60), 0.0))
+      sS.addData(Event(-2, -1, "sentinel", at(24 * 60), 0.0))
+      drain(q)
+      val got = spark.table("t_asof_outer").filter($"user_id" =!= -1L)
+        .select("event_id", "matched_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(got == Set((101L, Some(201L)), (102L, None)),
+        s"outer as-of wrong: $got")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState keeps per-user counts across micro-batches") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
