@@ -182,6 +182,49 @@ object VectorSearch {
     */
   val q81IvfAnn: Q = (s, dir) => ivfAnn(T.embeddings(s, dir), IvfProbes)
 
+  /** Top-1 centroid cell per vector, literal-expression form: one
+    * `array(dot_f32(v, lit(c₀))…)` column + argmax. Compact and fast
+    * while the centroid count is small — but the expression tree grows
+    * linearly with cells, so past ~64 the codegen/task-binary cost
+    * takes over and [[centroidCellsJoin]] is the right form.
+    * Cells are 1-based; ties take the smallest cell id.
+    */
+  def centroidCells(e: DataFrame, centroids: Seq[Array[Float]]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val sims = array(centroids.map { c =>
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+      dot_f32($"embedding", typedlit(c)) / lit(cn)
+    }: _*)
+    e.withColumn("sims", sims)
+      .withColumn("cell", array_position($"sims", array_max($"sims")))
+      .select($"vec_id", $"cell")
+  }
+
+  /** Top-1 centroid cell per vector, broadcast-join form — the scale
+    * path for large codebooks: centroids live in a broadcast DataFrame
+    * (a k-means codebook of 4096×64 floats is ~1 MB), assignment is a
+    * broadcast nested-loop against the tiny side plus one per-vector
+    * max-aggregate, so the plan size is CONSTANT in the cell count.
+    * Same similarity arithmetic and tie rule as [[centroidCells]] —
+    * the two forms are interchangeable (pinned by spec).
+    */
+  def centroidCellsJoin(e: DataFrame, centroids: Seq[Array[Float]]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cents = centroids.zipWithIndex.map { case (c, i) =>
+      (i + 1L, c, math.sqrt(c.map(x => x.toDouble * x).sum))
+    }.toDF("cell", "cvec", "cnorm")
+    e.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", dot_f32($"embedding", $"cvec") / $"cnorm")
+      .groupBy($"vec_id")
+      // max over (sim, -cell): max sim, ties to the SMALLEST cell id —
+      // the same rule as array_position's first-max
+      .agg(max(struct($"sim", (-$"cell").as("negCell"))).as("best"))
+      .select($"vec_id", (-$"best.negCell").as("cell"))
+  }
+
   /** Library form over any (vec_id, embedding) frame (see [[lshAnn]]). */
   def ivfAnn(e0: DataFrame, probes: Int): DataFrame = {
     val s = e0.sparkSession

@@ -94,4 +94,17 @@ class VectorSearchSpec extends SparkSpec {
       s.zip(s.tail).forall { case (x, y) => x >= y }
     })
   }
+
+  test("broadcast-join centroid assignment equals the literal-expression form") {
+    val e = graft.core.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val centroids = e.orderBy($"vec_id").limit(16)
+      .select($"embedding").as[Array[Float]].collect().toSeq
+    val viaExpr = VectorSearch.centroidCells(e, centroids)
+      .as[(Long, Long)].collect().toMap
+    val viaJoin = VectorSearch.centroidCellsJoin(e, centroids)
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr.nonEmpty && viaExpr == viaJoin,
+      s"forms diverge on ${viaExpr.toSet.diff(viaJoin.toSet).take(5)}")
+  }
 }
