@@ -236,6 +236,108 @@ object EventStreams {
     }
   }
 
+  /** Final funnel verdict for one user: the furthest stage reached
+    * (1 = signed up, 2 = viewed within the horizon, 3 = purchased
+    * within the horizon of that view).
+    */
+  case class FunnelStage(user_id: Long, stage: Int)
+
+  /** Streaming twin of the batch conversion funnel
+    * ([[graft.relational.AnalyticalQueries.q94Funnel]]): per-user stage
+    * resolution over an out-of-order event stream, emitting each user's
+    * FINAL stage exactly once (append mode) as soon as the watermark
+    * proves it cannot change.
+    *
+    * Finalization logic (h = horizon):
+    *   - t_s = min signup ts is final once wm ≥ t_s (no earlier signup
+    *     can still arrive);
+    *   - the stage-2 window [t_s, t_s+h] is decided once its best
+    *     candidate view is ≤ wm (nothing earlier can arrive) or the
+    *     window closed (wm > t_s+h, nothing can still enter it);
+    *   - stage 3 resolves the same way from t_v.
+    * State per user: buffered events, evicted wholesale at the single
+    * final emission — bounded by the horizon within the watermark delay.
+    */
+  class FunnelProcessor(horizonMs: Long)
+      extends StatefulProcessor[Long, AsOfRow, FunnelStage] {
+    @transient private var buf: ListState[AsOfRow] = _
+    @transient private var done: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[AsOfRow]("buf",
+        Encoders.product[AsOfRow], TTLConfig.NONE)
+      done = getHandle.getValueState[Boolean]("done",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[AsOfRow],
+        timerValues: TimerValues): Iterator[FunnelStage] = {
+      if (done.exists() && done.get()) return Iterator.empty
+      var maxTs = Long.MinValue
+      rows.foreach { r => buf.appendValue(r); maxTs = math.max(maxTs, r.ts.getTime) }
+      if (maxTs != Long.MinValue) getHandle.registerTimer(maxTs)
+      Iterator.empty
+    }
+
+    /** Earliest candidate in [from, from+h], and whether that pick is
+      * final under watermark wm (found one at-or-before wm, or the
+      * window can no longer gain members).
+      */
+    private def resolve(cands: Seq[Long], from: Long,
+        wm: Long): (Option[Long], Boolean) = {
+      val in = cands.filter(t => t >= from && t <= from + horizonMs)
+      val best = if (in.isEmpty) None else Some(in.min)
+      val decided = best.exists(_ <= wm) || wm > from + horizonMs
+      (best, decided)
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelStage] = {
+      if (done.exists() && done.get()) return Iterator.empty
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val events = buf.get().toSeq
+      val signups = events.filter(_.side == 0).map(_.ts.getTime)
+      if (signups.isEmpty || signups.min > wm) return Iterator.empty
+      val tS = signups.min // final: wm ≥ tS
+      val views = events.filter(_.side == 1).map(_.ts.getTime)
+      val purchases = events.filter(_.side == 2).map(_.ts.getTime)
+      val (tV, vDecided) = resolve(views, tS, wm)
+      if (!vDecided) return Iterator.empty
+      val stage = tV match {
+        case None => 1
+        case Some(v) =>
+          val (tP, pDecided) = resolve(purchases, v, wm)
+          if (!pDecided) return Iterator.empty
+          if (tP.isDefined) 3 else 2
+      }
+      done.update(true)
+      buf.clear()
+      Iterator.single(FunnelStage(key, stage))
+    }
+  }
+
+  /** Run the streaming funnel over an events frame carrying
+    * (event_id, user_id, event_type, ts, value). Sides: 0 = signup,
+    * 1 = view, 2 = purchase; other event types are filtered out before
+    * the stateful operator (smaller state, fewer timer wakeups).
+    */
+  def streamingFunnel(events: DataFrame, horizonMs: Long = 3600000L,
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelStage] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val tagged = events
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id"),
+        when(col("event_type") === "signup", 0)
+          .when(col("event_type") === "view", 1).otherwise(2).as("side"),
+        col("event_id").as("id"), col("ts"), col("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[AsOfRow]
+    tagged.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(horizonMs), TimeMode.EventTime(),
+        OutputMode.Append(), Encoders.product[FunnelStage])
+  }
+
   /** Tag, union, watermark, and run the streaming as-of join. Left rows
     * are probes (side 1), right rows are the reference series (side 0);
     * both must carry (event_id, user_id, ts, value).

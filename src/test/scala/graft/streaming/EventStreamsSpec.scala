@@ -309,6 +309,67 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel equals the batch q94 stage counts") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val rows = eventsOf(dir)
+      val maxTs = rows.map(_.ts.getTime).max
+      val stream = MemoryStream[Event]
+      stream.addData(rows)
+      val q = EventStreams.streamingFunnel(stream.toDF())
+        .writeStream.format("memory").queryName("t_funnel")
+        .outputMode("append").option("checkpointLocation", ckpt()).start()
+      q.processAllAvailable()
+      // signup-typed sentinel so it survives the event-type filter and
+      // advances the watermark past every real row
+      stream.addData(Event(-1L, -1L, "signup",
+        new Timestamp(maxTs + 24L * 3600 * 1000), 0.0))
+      drain(q)
+      val streamed = spark.table("t_funnel").filter($"user_id" =!= -1L)
+        .groupBy($"stage").count()
+        .as[(Int, Long)].collect().toMap
+      val batch = graft.relational.AnalyticalQueries
+        .q94Funnel(spark, dir)
+        .as[(Int, Long)].collect().toMap
+      assert(batch.nonEmpty && streamed == batch,
+        s"funnel stream $streamed != batch $batch")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming funnel resolves out-of-order and emits exactly once") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+      def at(min: Long) = new Timestamp(t0.getTime + min * 60000)
+      val stream = MemoryStream[Event]
+      // batch 1: the view arrives BEFORE its signup
+      stream.addData(Event(1, 1, "view", at(30), 1.0))
+      val q = EventStreams.streamingFunnel(stream.toDF())
+        .writeStream.format("memory").queryName("t_funnel_ooo")
+        .outputMode("append").option("checkpointLocation", ckpt()).start()
+      q.processAllAvailable()
+      // batch 2: the signup (earlier event time), plus a purchase within
+      // the horizon of the view
+      stream.addData(Event(2, 1, "signup", at(25), 1.0),
+        Event(3, 1, "purchase", at(80), 1.0))
+      q.processAllAvailable()
+      stream.addData(Event(-1, -1, "signup", at(48 * 60), 0.0))
+      drain(q)
+      val got = spark.table("t_funnel_ooo").filter($"user_id" =!= -1L)
+        .as[EventStreams.FunnelStage].collect().toSeq
+      assert(got == Seq(EventStreams.FunnelStage(1L, 3)),
+        s"out-of-order funnel wrong: $got")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState keeps per-user counts across micro-batches") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
