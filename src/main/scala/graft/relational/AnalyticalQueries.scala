@@ -12,13 +12,16 @@ import graft.core.{Tables => T, dsl, OracleDsl => O}
   * picks broadcast vs SMJ per edge at runtime.
   *
   * Scale shapes:
-  *   - q82 (Q3): dim-filtered customer broadcasts into orders, the
-  *     result (still small after the date filter) joins lineitem — ONE
-  *     fact shuffle at most; top-k via TakeOrderedAndProject.
-  *   - q83 (Q5): region→nation→{customer,supplier} is a broadcast chain
-  *     of tiny dims; the only big edge is lineitem⋈orders. The
-  *     same-nation predicate (local supplier) lands as a join filter,
-  *     never a post-join cross check.
+  *   - q82 (Q3): the segment filter shrinks customer ~5×, but customer
+  *     still scales with SF (150k rows/SF), so no hard broadcast hint —
+  *     AQE broadcasts it while it fits and demotes to shuffle at scale;
+  *     top-k via TakeOrderedAndProject.
+  *   - q83 (Q5): only the fixed-cardinality dims (nation=25, region=5)
+  *     carry hard hints. supplier (10k/SF) and customer (150k/SF) scale
+  *     with the data, so their edges are left to AQE: shuffle SMJ at
+  *     100 TB, broadcast while genuinely small. The same-nation
+  *     predicate (local supplier) lands as a join filter, never a
+  *     post-join cross check.
   */
 object AnalyticalQueries {
 
@@ -36,7 +39,7 @@ object AnalyticalQueries {
     val lines = T.lineitem(s, dir).filter($"l_shipdate" > cutoff)
     lines
       .join(ords, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(dsl.dsumExpr($"l_extendedprice" * (lit(1.0) - $"l_discount"))
         .as("revenue"))
@@ -69,8 +72,8 @@ object AnalyticalQueries {
       .select($"n_nationkey", $"n_name")
     T.lineitem(s, dir)
       .join(T.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(T.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(T.customer(s, dir)),
+      .join(T.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+      .join(T.customer(s, dir),
         $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nations), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")

@@ -112,15 +112,19 @@ object RelationalQueries {
        |GROUP BY 1
        |ORDER BY part_key""".stripMargin
 
-  /** Broadcast hash join: `part` is a dimension table (200 rows/SF vs 6M
-    * lineitem rows/SF) — broadcast it so the fact table never shuffles.
-    * At 100 TB the fact scan stays shuffle-free; only the ~|brands| agg
-    * rows move.
+  /** Broadcast hash join: `part` is the small side (200k rows/SF vs 6M
+    * lineitem rows/SF), but it still scales linearly with SF, so the
+    * broadcast decision is left to AQE rather than forced with a hint —
+    * at test scale AQE broadcasts it (the fact table never shuffles);
+    * at 100 TB, where part is multi-GB, AQE demotes the edge to a
+    * shuffle join instead of OOMing the driver. A hard `broadcast()`
+    * hint can never be demoted. Only fixed-cardinality dims
+    * (nation=25, region=5) earn hard hints in this library.
     */
   val q04JoinBroadcast: Q = (s, dir) => {
     import s.implicits._
     T.lineitem(s, dir)
-      .join(broadcast(T.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .join(T.part(s, dir), $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand")
       .agg(
         dsl.dsumExpr($"l_extendedprice" * (lit(1.0) - $"l_discount"))

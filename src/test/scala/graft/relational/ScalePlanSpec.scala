@@ -1,0 +1,94 @@
+package graft.relational
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+
+/** Scale-plan pins for the headline multi-join queries (q04/q82/q83).
+  *
+  * The 100 TB contract: only FIXED-cardinality dimensions (nation=25,
+  * region=5 — they do not grow with scale factor) may carry a hard
+  * `broadcast()` hint. Tables that scale with SF (customer 150k/SF,
+  * supplier 10k/SF, part 200k/SF) must be left to AQE, which broadcasts
+  * them while they actually fit and demotes to a shuffle join when they
+  * do not. A hard hint can never be demoted — at 100 TB it is a
+  * driver/executor OOM.
+  *
+  * This spec simulates the at-scale regime by disabling auto-broadcast
+  * (`autoBroadcastJoinThreshold=-1`, i.e. "no table is small enough"):
+  * in that regime the ONLY BroadcastExchange nodes allowed in the plan
+  * are those whose subtree scans nation/region, and the scaling edges
+  * must plan as sort-merge joins.
+  */
+class ScalePlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val FixedDims = Set("nation.parquet", "region.parquet")
+
+  /** Parquet leaf file names (`<table>.parquet`) scanned under `p`. */
+  private def scannedTables(p: SparkPlan): Set[String] =
+    p.collect { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.map(_.getName).toSet
+    }.flatten.toSet
+
+  private def assertOnlyFixedDimsBroadcast(df: DataFrame, label: String): Unit = {
+    // with autoBroadcastJoinThreshold=-1 (and AQE off so exchanges are
+    // static) the only BroadcastExchanges present are those forced by a
+    // hard hint
+    val plan = df.queryExecution.executedPlan
+    val broadcastScans = plan.collect { case b: BroadcastExchangeExec =>
+      scannedTables(b)
+    }
+    broadcastScans.foreach { tables =>
+      val scaling = tables -- FixedDims
+      assert(scaling.isEmpty,
+        s"$label: hard broadcast hint on sf-scaling table(s) $scaling — " +
+          s"at 100 TB this is an OOM; plan:\n${plan.treeString}")
+    }
+    assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+      s"$label: expected the scaling edges to plan as sort-merge joins " +
+        s"in the no-broadcast regime; plan:\n${plan.treeString}")
+  }
+
+  /** Run `body` in the simulated at-scale regime: nothing qualifies for
+    * auto-broadcast and exchanges are static (AQE off) so the executed
+    * plan is inspectable.
+    */
+  private def atScaleRegime[A](body: => A): A = {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q04/q82/q83 broadcast only fixed-cardinality dims at scale") {
+    atScaleRegime {
+      assertOnlyFixedDimsBroadcast(
+        RelationalQueries.q04JoinBroadcast(spark, dir), "q04")
+      assertOnlyFixedDimsBroadcast(
+        AnalyticalQueries.q82ShippingPriority(spark, dir), "q82")
+      assertOnlyFixedDimsBroadcast(
+        AnalyticalQueries.q83LocalSupplierVolume(spark, dir), "q83")
+    }
+  }
+
+  test("q83 still hard-broadcasts the fixed dims (nation/region)") {
+    atScaleRegime {
+      val plan = AnalyticalQueries.q83LocalSupplierVolume(spark, dir)
+        .queryExecution.executedPlan
+      val broadcasted = plan.collect { case b: BroadcastExchangeExec =>
+        scannedTables(b)
+      }.flatten.toSet
+      assert(broadcasted == FixedDims,
+        s"q83: expected exactly nation+region broadcast, got $broadcasted")
+    }
+  }
+}
