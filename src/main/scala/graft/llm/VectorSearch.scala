@@ -158,29 +158,194 @@ object VectorSearch {
       .orderBy($"qid")
   }
 
-  /** IVF (inverted-file) ANN tuning: `IvfCells` coarse cells; corpus
-    * vectors index into their top-1 cell, queries probe their top-
-    * `IvfProbes` cells — the recall/cost knob (probe more cells, miss
-    * fewer neighbors that fell across a cell boundary).
-    */
-  val IvfCells = 16
-  val IvfProbes = 3
-  val IvfCellCap = 256
-
-  /** IVF ANN: deterministic coarse quantizer + inverted file — the
-    * second sub-quadratic similarity path next to [[q45LshAnn]], with
-    * a data-dependent partition (cells adapt to the corpus) instead of
-    * LSH's data-independent hyperplanes.
+  /** IVF (inverted-file) ANN tuning.
     *
-    * The quantizer here is the first `IvfCells` vectors by id (a
-    * bounded driver collect of 16×64 floats — deterministic, and the
-    * exact shape a sampled k-means fit would produce at scale; the fit
-    * is swappable without touching the plan). Cell assignment is an
-    * argmax over `IvfCells` codegen dot products normalized by centroid
-    * norm; the index is an equi-join on cell id. Work per query:
-    * |probes|·(N/cells) candidates, never all pairs.
+    *   - Cell count grows ~√N (the classical IVF balance point: probe
+    *     work ≈ cells + probes·N/cells is minimized near √N), clamped to
+    *     [[IvfMinCells]]..[[IvfMaxCells]].
+    *   - The codebook is FITTED: spherical k-means (Lloyd's) on a
+    *     deterministic hash-ordered sample of [[IvfSampleSize]] vectors,
+    *     farthest-point init — so cells balance on real data instead of
+    *     mirroring whatever the first k vectors happened to be.
+    *   - EVERY corpus vector is indexed (top-1 cell, no membership cap —
+    *     an index that silently drops vectors is not an index). The skew
+    *     guard lives on the PROBE side instead: a deterministic per-query
+    *     candidate cap ([[IvfProbeCandidateCap]]) bounds the work one
+    *     degenerate cell can cause without ever removing a vector from
+    *     the index.
+    *   - Queries probe their top-`probes` cells; probes scales with the
+    *     cell count ([[ivfProbeCount]]) so the probed corpus fraction
+    *     stays roughly constant as cells grow.
+    */
+  val IvfMinCells = 4
+  val IvfMaxCells = 4096
+  val IvfProbes = 3
+  val IvfSampleSize = 2048
+  val IvfFitIters = 10
+  val IvfExprFormMaxCells = 64
+  val IvfProbeCandidateCap = 4096
+
+  /** √N cells, clamped. */
+  def ivfCellCount(n: Long): Int =
+    math.max(IvfMinCells,
+      math.min(IvfMaxCells, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Probes grow with the cell count so recall holds as cells scale:
+    * probing ~cells/8 of the cells keeps the candidate fraction
+    * (probes/cells · N) near ⅛ of what a flat scan would touch.
+    */
+  def ivfProbeCount(cells: Int): Int =
+    math.max(IvfProbes, math.ceil(cells / 8.0).toInt)
+
+  /** IVF ANN: fitted coarse quantizer + inverted file — the second
+    * sub-quadratic similarity path next to [[q45LshAnn]], with a
+    * data-dependent partition (cells adapt to the corpus) instead of
+    * LSH's data-independent hyperplanes. Work per query:
+    * probes·(N/cells) candidates, never all pairs.
     */
   val q81IvfAnn: Q = (s, dir) => ivfAnn(T.embeddings(s, dir), IvfProbes)
+
+  private def fnorm(v: Array[Float]): Double =
+    math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+
+  private def fdot(a: Array[Float], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Sample-fit spherical k-means codebook — the 100 TB shape: the fit
+    * reads a bounded deterministic sample (smallest xxhash64(vec_id)
+    * first — unbiased w.r.t. storage order, stable across runs and
+    * engines), Lloyd's runs on the driver over sample·cells·dim ≈ a few
+    * hundred MFLOP, and only the finished centroids (cells × dim floats)
+    * ship back into the plan. Assignment maximizes dot(v,c)/|c| — the
+    * same rule [[centroidCells]]/[[centroidCellsJoin]] apply, so the fit
+    * and the index agree on cell boundaries. Deterministic throughout:
+    * farthest-point init from the hash-order sample, ties to the
+    * smallest index, empty cells keep their previous centroid.
+    */
+  def fitCodebook(e0: DataFrame, cells: Int): Seq[Array[Float]] = {
+    val s = e0.sparkSession
+    import s.implicits._
+    val sample: Array[Array[Float]] = e0
+      .orderBy(xxhash64($"vec_id"), $"vec_id")
+      .limit(IvfSampleSize)
+      .select($"embedding").as[Array[Float]].collect()
+    require(sample.nonEmpty, "cannot fit a codebook on an empty frame")
+    val k = math.min(cells, sample.length)
+    val dim = sample(0).length
+    val norms = sample.map(fnorm)
+
+    // farthest-point (k-center) init on cosine: start at sample(0), then
+    // repeatedly seed the point with the LOWEST max-cosine to any seed
+    val seeds = scala.collection.mutable.ArrayBuffer(0)
+    val bestCos = Array.fill(sample.length)(-2.0)
+    def absorb(seed: Int): Unit = {
+      val sc = sample(seed); val sn = norms(seed)
+      var i = 0
+      while (i < sample.length) {
+        val d = if (sn == 0 || norms(i) == 0) -1.0
+          else fdot(sample(i), sc.map(_.toDouble)) / (sn * norms(i))
+        if (d > bestCos(i)) bestCos(i) = d
+        i += 1
+      }
+    }
+    absorb(0)
+    while (seeds.length < k) {
+      var next = -1; var low = 3.0
+      var i = 0
+      while (i < sample.length) {
+        if (bestCos(i) < low) { low = bestCos(i); next = i }
+        i += 1
+      }
+      seeds += next
+      absorb(next)
+    }
+
+    var cents: Array[Array[Double]] =
+      seeds.map(i => sample(i).map(_.toDouble)).toArray
+    var iter = 0
+    while (iter < IvfFitIters) {
+      val cnorms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val sim = if (cnorms(c) == 0) Double.NegativeInfinity
+            else fdot(sample(i), cents(c)) / cnorms(c)
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += sample(i)(d); d += 1 }
+        i += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+      iter += 1
+    }
+    cents.map(_.map(_.toFloat)).toSeq
+  }
+
+  /** Probe-cell ranking, evaluated ONCE per vector: emits one row per
+    * (vector, probed cell) with `crank` = 1..probes ordered by centroid
+    * similarity (ties to the smallest cell id). `crank == 1` is the
+    * vector's index cell — deriving both the corpus index and the probe
+    * set from this single frame is what keeps the centroid similarities
+    * from being computed twice.
+    *
+    * Form switch (same contract, pinned by spec via
+    * [[centroidCells]]/[[centroidCellsJoin]] equivalence): up to
+    * [[IvfExprFormMaxCells]] centroids the similarities are one literal
+    * array expression — narrow, zero shuffles; past that the expression
+    * tree (and task binary) grows with the cell count, so assignment
+    * switches to a broadcast join against a centroid frame + per-vector
+    * rank — constant plan size, one window shuffle.
+    */
+  def ivfRanked(e: DataFrame, centroids: Seq[Array[Float]], probes: Int)
+      : DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    if (centroids.size <= IvfExprFormMaxCells) {
+      val sims = array(centroids.map { c =>
+        val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+        dot_f32($"embedding", typedlit(c)) / lit(cn)
+      }: _*)
+      e.withColumn("sims", sims)
+        .withColumn("probe_cells", expr(
+          s"""slice(
+             |  transform(
+             |    array_sort(
+             |      zip_with(sims, sequence(1, size(sims)), (s, i) -> struct(s AS sim, i AS idx)),
+             |      (a, b) -> CASE WHEN a.sim > b.sim THEN -1 WHEN a.sim < b.sim THEN 1
+             |                     WHEN a.idx < b.idx THEN -1 ELSE 1 END),
+             |    p -> p.idx),
+             |  1, $probes)""".stripMargin))
+        .select($"vec_id", $"embedding", $"norm",
+          posexplode($"probe_cells").as(Seq("pos", "cell")))
+        .select($"vec_id", $"embedding", $"norm",
+          $"cell".cast("long").as("cell"), ($"pos" + 1).as("crank"))
+    } else {
+      val cents = centroids.zipWithIndex.map { case (c, i) =>
+        (i + 1L, c, math.sqrt(c.map(x => x.toDouble * x).sum))
+      }.toDF("cell", "cvec", "cnorm")
+      val wRank = Window.partitionBy($"vec_id")
+        .orderBy($"sim".desc, $"cell".asc)
+      e.crossJoin(broadcast(cents))
+        .withColumn("sim", dot_f32($"embedding", $"cvec") / $"cnorm")
+        .withColumn("crank", row_number().over(wRank))
+        .filter($"crank" <= probes)
+        .select($"vec_id", $"embedding", $"norm", $"cell", $"crank")
+    }
+  }
 
   /** Top-1 centroid cell per vector, literal-expression form: one
     * `array(dot_f32(v, lit(c₀))…)` column + argmax. Compact and fast
@@ -225,55 +390,43 @@ object VectorSearch {
       .select($"vec_id", (-$"best.negCell").as("cell"))
   }
 
-  /** Library form over any (vec_id, embedding) frame (see [[lshAnn]]). */
-  def ivfAnn(e0: DataFrame, probes: Int): DataFrame = {
+  /** Library form over any (vec_id, embedding) frame (see [[lshAnn]]).
+    *
+    * Shape: count → √N cells → sample-fit codebook → ONE probe-ranking
+    * pass ([[ivfRanked]], localCheckpoint'd so the self-join below
+    * cannot re-expand it into a second evaluation — the q41 lesson) →
+    * equi-join probe rows against the crank==1 index rows. Every corpus
+    * vector is in the index; each (query, neighbor) pair arises at most
+    * once (a neighbor lives in exactly one cell), so no dedup agg is
+    * needed. The probe-side candidate cap only engages on a degenerate
+    * cell — with a fitted codebook, probes·N/cells ≪ cap.
+    */
+  def ivfAnn(e0: DataFrame, minProbes: Int = IvfProbes): DataFrame = {
     val s = e0.sparkSession
     import s.implicits._
     val e = e0
       .select($"vec_id", $"embedding", norm_q20($"embedding").as("norm"))
-    // bounded, deterministic centroid pick (id order, not data order)
-    val centroids = e.orderBy($"vec_id").limit(IvfCells)
-      .select($"embedding").as[Array[Float]].collect()
-    def centroidSims(v: org.apache.spark.sql.Column) = array(
-      centroids.map { c =>
-        val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
-        dot_f32(v, typedlit(c)) / lit(cn)
-      }: _*)
-    // corpus: top-1 cell (argmax; array_position takes the FIRST max —
-    // deterministic on ties)
-    // per-cell skew cap (same guard as q45's buckets / q43's shingles):
-    // a degenerate quantizer cell can never push the in-cell join
-    // beyond cap² pairs
-    val wCap = Window.partitionBy($"cell")
-      .orderBy(xxhash64($"vec_id"), $"vec_id")
-    val corpus = e
-      .withColumn("sims", centroidSims($"embedding"))
-      .withColumn("cell", array_position($"sims", array_max($"sims")))
-      .withColumn("slot", row_number().over(wCap))
-      .filter($"slot" <= IvfCellCap)
+    val cells = ivfCellCount(e0.count())
+    val centroids = fitCodebook(e0.select($"vec_id", $"embedding"), cells)
+    val probes = math.max(minProbes, ivfProbeCount(centroids.size))
+    val ranked = ivfRanked(e, centroids, probes).localCheckpoint()
+    val corpus = ranked.filter($"crank" === 1)
       .select($"cell", $"vec_id".as("nid"), $"embedding".as("eb"),
         $"norm".as("nb"))
-    // queries: probe top-IvfProbes cells (sort (sim, -idx) pairs desc,
-    // slice, keep idx) — ties broken by cell index for determinism
-    val probed = e
-      .withColumn("sims", centroidSims($"embedding"))
-      .withColumn("cell", explode(expr(
-        s"""slice(
-           |  transform(
-           |    array_sort(
-           |      zip_with(sims, sequence(1, size(sims)), (s, i) -> struct(s AS sim, i AS idx)),
-           |      (a, b) -> CASE WHEN a.sim > b.sim THEN -1 WHEN a.sim < b.sim THEN 1
-           |                     WHEN a.idx < b.idx THEN -1 ELSE 1 END),
-           |    p -> p.idx),
-           |  1, $probes)""".stripMargin)))
-      .select($"cell".cast("long"), $"vec_id".as("qid"),
-        $"embedding".as("ea"), $"norm".as("na"))
+    val probed = ranked
+      .select($"cell", $"vec_id".as("qid"), $"embedding".as("ea"),
+        $"norm".as("na"))
+    // skew valve: deterministic per-query candidate cap — bounds the
+    // fan-out of one degenerate cell WITHOUT dropping vectors from the
+    // index (the cap is on what a query examines, not on membership)
+    val wCap = Window.partitionBy($"qid").orderBy(xxhash64($"nid"), $"nid")
     val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid".asc)
     probed.join(corpus, "cell")
       .filter($"qid" =!= $"nid")
-      .groupBy($"qid", $"nid")
-      .agg(max(cosine(dot_q20($"ea", $"eb").cast("double"), $"na", $"nb"))
-        .as("cos_sim"))
+      .withColumn("slot", row_number().over(wCap))
+      .filter($"slot" <= IvfProbeCandidateCap)
+      .withColumn("cos_sim",
+        cosine(dot_q20($"ea", $"eb").cast("double"), $"na", $"nb"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" === 1)
       .select($"qid", $"nid", $"cos_sim")

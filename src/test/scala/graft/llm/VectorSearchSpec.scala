@@ -107,4 +107,53 @@ class VectorSearchSpec extends SparkSpec {
     assert(viaExpr.nonEmpty && viaExpr == viaJoin,
       s"forms diverge on ${viaExpr.toSet.diff(viaJoin.toSet).take(5)}")
   }
+
+  test("ivf index covers every corpus vector (no membership cap) at sf0.1") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val n = e.count()
+    val cells = VectorSearch.ivfCellCount(n)
+    val cb = VectorSearch.fitCodebook(e.select($"vec_id", $"embedding"), cells)
+    val ranked = VectorSearch.ivfRanked(
+      e.select($"vec_id", $"embedding", lit(1.0).as("norm")),
+      cb, VectorSearch.ivfProbeCount(cb.size))
+    val idx = ranked.filter($"crank" === 1).select($"vec_id", $"cell")
+    assert(idx.count() == n, "index row count != corpus size")
+    assert(idx.select($"vec_id").distinct().count() == n,
+      "some corpus vector is missing from (or duplicated in) the index")
+    // fitted codebook balances cells: every cell populated, and the
+    // biggest cell stays within a small multiple of the mean
+    val sizes = idx.groupBy($"cell").count()
+      .select($"count").as[Long].collect()
+    assert(sizes.length == cells, s"only ${sizes.length} of $cells cells used")
+    assert(sizes.max <= 4 * (n / cells + 1),
+      s"cell skew: max=${sizes.max} vs mean=${n / cells}")
+  }
+
+  test("codebook fit is deterministic across runs") {
+    val e = graft.core.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val a = VectorSearch.fitCodebook(e, 23)
+    val b = VectorSearch.fitCodebook(e, 23)
+    assert(a.length == 23 && a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+  }
+
+  test("ivfRanked join form (large codebooks) matches the expression form") {
+    // force both forms over the SAME oversized codebook: 70 centroids >
+    // IvfExprFormMaxCells routes ivfRanked to the broadcast-join path;
+    // the expression form is reproduced through centroidCells (crank 1)
+    val e = graft.core.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", lit(1.0).as("norm"))
+    val cb = e.orderBy($"vec_id").limit(70)
+      .select($"embedding").as[Array[Float]].collect().toSeq
+    assert(cb.size > VectorSearch.IvfExprFormMaxCells)
+    val viaJoin = VectorSearch.ivfRanked(e, cb, 1)
+      .filter($"crank" === 1)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val viaExpr = VectorSearch.centroidCells(
+      e.select($"vec_id", $"embedding"), cb)
+      .as[(Long, Long)].collect().toMap
+    assert(viaJoin.nonEmpty && viaJoin == viaExpr,
+      s"forms diverge on ${viaJoin.toSet.diff(viaExpr.toSet).take(5)}")
+  }
 }
