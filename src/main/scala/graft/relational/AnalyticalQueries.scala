@@ -152,15 +152,73 @@ object AnalyticalQueries {
       |GROUP BY 1
       |ORDER BY stage""".stripMargin
 
+  /** q99 — runtime bloom-filter join pruning, the registered form of the
+    * recipe RuntimeFilterSpec pins: a selective dim-side filter (urgent,
+    * high-value orders) becomes a bloom filter probed at the lineitem
+    * scan, so most fact rows die BEFORE the join shuffle — the 100 TB
+    * analogue of the reference's prune-before-read partition walk
+    * (cache.go:107, main.go:226).
+    *
+    * Session-conf scoping: Spark's `InjectRuntimeFilter` only fires
+    * under confs a shared bench/verify session doesn't run with
+    * (shuffle-join regime + zero application-side size threshold at
+    * test scale), so the confs are set HERE, the plan is asserted to
+    * carry the bloom probe (`might_contain`), the result is
+    * materialized under those confs via `localCheckpoint()`, and the
+    * original confs are restored before returning — later queries in
+    * the same session see no change.
+    */
+  val q99BloomPrunedJoin: Q = (s, dir) => {
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // sf-test plans sit far below the 10 GiB default application-side
+      // threshold that gates injection at real scale
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // injection targets probable SHUFFLE joins — the 100 TB regime;
+      // disable auto-broadcast so the test join takes that path
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val urgent = T.orders(s, dir)
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 250000.0)
+      val result = T.lineitem(s, dir)
+        .join(urgent, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          dsl.dsumExpr($"l_quantity").as("qty"))
+        .orderBy($"o_orderpriority")
+      val plan = result.queryExecution.optimizedPlan.toString
+      require(plan.contains("might_contain"),
+        s"bloom runtime filter not injected; optimized plan:\n$plan")
+      result.localCheckpoint()
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val q99Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+       |  ${O.dsumExpr("l_quantity")} AS qty
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_shipping_priority" -> q82ShippingPriority,
     "q83_local_supplier_volume" -> q83LocalSupplierVolume,
     "q94_funnel" -> q94Funnel,
+    "q99_bloom_pruned_join" -> q99BloomPrunedJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q82_shipping_priority" -> q82Sql,
     "q83_local_supplier_volume" -> q83Sql,
     "q94_funnel" -> q94Sql,
+    "q99_bloom_pruned_join" -> q99Sql,
   )
 }

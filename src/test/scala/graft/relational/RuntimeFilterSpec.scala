@@ -57,4 +57,27 @@ class RuntimeFilterSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("registered q99 runs the bloom-pruned plan and restores session confs") {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val before = keys.map(k => spark.conf.getOption(k))
+    val got = AnalyticalQueries.q99BloomPrunedJoin(spark, dir)
+      .as[(String, Long, Double)].collect().toSet
+    assert(keys.map(k => spark.conf.getOption(k)) == before,
+      "q99 leaked session confs")
+    // same answer as the identical aggregate without the bloom confs
+    // (decimal-path sum on both sides so the comparison is exact)
+    val urgent = graft.core.Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 250000.0)
+    val expected = graft.core.Tables.lineitem(spark, dir)
+      .join(urgent, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        graft.core.dsl.dsumExpr($"l_quantity").as("qty"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == expected && got.nonEmpty, s"q99 diverged: $got vs $expected")
+  }
 }
