@@ -248,6 +248,71 @@ object TextPipeline {
       |GROUP BY 1
       |ORDER BY split""".stripMargin
 
+  /** Deterministic weighted / stratified sampling — corpus curation's
+    * third leg next to [[trainSplit]] and dedup: keep each row with a
+    * per-stratum probability (e.g. downsample the dominant language,
+    * keep the long tail whole) while staying (a) exactly reproducible
+    * across runs and engines, (b) shuffle-free (the keep decision is a
+    * narrow per-row projection), (c) composable with [[trainSplit]]
+    * (a distinct hash salt decorrelates the two decisions).
+    *
+    * A row survives iff the first 16 bits of `md5(salt ‖ id)` fall
+    * under `rate · 65536` for its stratum — md5 is engine-independent,
+    * so the ASSIGNMENT itself is oracle-checkable, not just the sizes
+    * (same portability argument as q95's split buckets).
+    */
+  val SampleSalt = "sample|"
+
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      idCol: String = "doc_id"): DataFrame = {
+    val bucket = conv(substring(
+      md5(concat(lit(SampleSalt), col(idCol).cast("string"))), 1, 4),
+      16, 10).cast("long")
+    val rate = coalesce(
+      element_at(typedlit(rates), col(stratumCol)), lit(defaultRate))
+    df.filter(bucket < rate * 65536.0)
+  }
+
+  /** q100 rates: rebalance the corpus toward uniformity across
+    * languages — halve-to-quarter the dominant `en`, keep most of the
+    * tail. Unlisted strata fall back to the default (kept whole) so a
+    * new language appearing upstream is never silently dropped.
+    */
+  val SampleRates: Map[String, Double] =
+    Map("en" -> 0.25, "zh" -> 0.5, "de" -> 0.75, "es" -> 0.75, "fr" -> 0.75)
+
+  /** q100 — per-stratum sizes + an id checksum of the sampled set. The
+    * count row-checks the rates; min/max/sum over the surviving doc_ids
+    * pin the exact membership (a different kept-set with the same size
+    * changes the sum), so the gate checks the assignment, not only the
+    * per-stratum counts.
+    */
+  val q100StratifiedSample: Q = (s, dir) => {
+    import s.implicits._
+    stratifiedSample(T.documents(s, dir), "lang", SampleRates)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"),
+        sum($"doc_id").as("sum_doc"))
+      .orderBy($"lang")
+  }
+
+  val q100Sql: String = {
+    val cases = SampleRates.toSeq.sorted
+      .map { case (k, v) => s"WHEN lang = '$k' THEN $v" }
+      .mkString(" ")
+    s"""SELECT lang, COUNT(*) AS n_sampled,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |  SUM(doc_id) AS sum_doc
+       |FROM documents
+       |WHERE CAST('0x' || substring(
+       |        md5('$SampleSalt' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+       |      < (CASE $cases ELSE 0.0 END) * 65536.0
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   /** q97 — the end-to-end corpus-prep pipeline, composed from the ops
     * above exactly as a training-data run chains them:
     *
@@ -311,6 +376,7 @@ object TextPipeline {
     "q93_pii_scrub" -> q93PiiScrub,
     "q95_train_split" -> q95TrainSplit,
     "q97_corpus_prep" -> q97CorpusPrep,
+    "q100_stratified_sample" -> q100StratifiedSample,
   )
   val oracleSql: Map[String, String] = Map(
     "q76_tfidf" -> q76Sql,
@@ -318,5 +384,6 @@ object TextPipeline {
     "q93_pii_scrub" -> q93Sql,
     "q95_train_split" -> q95Sql,
     "q97_corpus_prep" -> q97Sql,
+    "q100_stratified_sample" -> q100Sql,
   )
 }

@@ -84,4 +84,39 @@ class TextPipelineSpec extends SparkSpec {
     assert(got == expected)
     assert(got.contains((1L, "x", 2L, 2L)), s"spot row wrong: $got")
   }
+
+  test("stratifiedSample: deterministic, rate-accurate, subset-monotone") {
+    val docs = (1L to 4000L).map { i =>
+      (i, if (i % 4 == 0) "minor" else "major")
+    }.toDF("doc_id", "lang")
+    val rates = Map("major" -> 0.25, "minor" -> 1.0)
+    val kept = TextPipeline.stratifiedSample(docs, "lang", rates)
+      .as[(Long, String)].collect().toSet
+    // deterministic: a second evaluation returns the identical set
+    val kept2 = TextPipeline.stratifiedSample(docs, "lang", rates)
+      .as[(Long, String)].collect().toSet
+    assert(kept == kept2)
+    // rate 1.0 keeps a stratum whole
+    assert(kept.count(_._2 == "minor") == 1000)
+    // rate 0.25 keeps close to a quarter (16-bit hash, 3000 trials:
+    // ±5 sigma ≈ ±119)
+    val nMajor = kept.count(_._2 == "major")
+    assert(math.abs(nMajor - 750) < 120, s"major kept $nMajor of 3000")
+    // raising a rate only ADDS rows (threshold semantics): the 0.25
+    // sample of major is a subset of its 0.5 sample
+    val keptHalf = TextPipeline
+      .stratifiedSample(docs, "lang", Map("major" -> 0.5))
+      .as[(Long, String)].collect().toSet
+    assert(kept.filter(_._2 == "major").subsetOf(keptHalf))
+    // unlisted strata fall back to defaultRate (0 ⇒ dropped)
+    assert(TextPipeline.stratifiedSample(docs, "lang", Map("minor" -> 1.0))
+      .filter($"lang" === "major").count() == 0)
+    // decorrelated from trainSplit: the sampled set's train share stays
+    // near 80% (correlated hashes would skew it)
+    val trainInSample = TextPipeline.trainSplit(
+        TextPipeline.stratifiedSample(docs, "lang", rates))
+      .filter($"split" === "train").count().toDouble
+    assert(math.abs(trainInSample / kept.size - 0.8) < 0.04,
+      s"sample/split correlation: train share ${trainInSample / kept.size}")
+  }
 }
