@@ -370,6 +370,60 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("bloom dedup: no false negatives across batches, FP within budget, " +
+      "state rows bounded by shards while exact dedup's grow per key") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+      def at(min: Long) = new Timestamp(t0.getTime + min * 60000)
+      val nKeys = 3000
+      // distinct keys (one user each, same event_type), then the SAME
+      // keys again in a second micro-batch; a single shared ts keeps the
+      // exact twin's watermark from evicting any key mid-test
+      def keyRows(idOff: Long) = (1 to nKeys).map(i =>
+        Event(idOff + i, i.toLong, "click", at(0), 1.0))
+      val numShards = 8
+      val stream = MemoryStream[Event]
+      stream.addData(keyRows(0))
+      val q = EventStreams.bloomDedup(stream.toDS(), numShards = numShards)
+        .writeStream.format("memory").queryName("t_bloom")
+        .outputMode("update").option("checkpointLocation", ckpt()).start()
+      q.processAllAvailable()
+      val afterB1 = spark.table("t_bloom").count()
+      // FP budget: 4 hashes, 2^16 bits/shard, ~375 keys/shard ⇒ per-key
+      // FP ≈ 4e-7; allow a generous 10 drops out of 3000
+      assert(afterB1 >= nKeys - 10 && afterB1 <= nKeys,
+        s"bloom admitted $afterB1 of $nKeys distinct keys")
+      // no false negatives: replaying every key must admit NOTHING new
+      stream.addData(keyRows(100000))
+      q.processAllAvailable()
+      val afterB2 = spark.table("t_bloom").count()
+      assert(afterB2 == afterB1,
+        s"duplicate keys re-admitted: $afterB1 -> $afterB2")
+      // bounded state: one row per SHARD, not per key
+      val bloomStateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(bloomStateRows <= numShards,
+        s"bloom state rows $bloomStateRows > shard count $numShards")
+      drain(q)
+      // exact twin on the same input: state rows grow with distinct keys
+      val exactStream = MemoryStream[Event]
+      exactStream.addData(keyRows(0))
+      val qe = EventStreams.dedupWithinWatermark(exactStream.toDF(),
+          watermarkDelay = "10 hours")
+        .writeStream.format("memory").queryName("t_bloom_exact")
+        .outputMode("append").option("checkpointLocation", ckpt()).start()
+      qe.processAllAvailable()
+      val exactStateRows = qe.lastProgress.stateOperators.head.numRowsTotal
+      drain(qe)
+      assert(exactStateRows >= nKeys,
+        s"exact dedup state rows $exactStateRows < $nKeys distinct keys")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState keeps per-user counts across micro-batches") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
