@@ -1,13 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Each query runs twice — the first run absorbs JVM /
-  * codegen warm-up and is discarded, the second (warm) time is reported.
-  * Failures are NOT swallowed into fast times: a failed query reports its
-  * elapsed time AND appears in the `failed` list, and flips rc-style
-  * `ok` to false in the JSON line.
+/** Benchmark main. Each query runs [[Bench.Warmups]] discarded warm-up
+  * iterations (JVM / codegen / file-listing warm-up) followed by
+  * [[Bench.Reps]] timed runs, and reports the MEDIAN timed run — a
+  * single timed run swings ±50% under box load, the median of three is
+  * the cheapest stable point estimate (mean would re-admit the outlier
+  * a loaded box produces).
+  *
+  * Failures are NOT swallowed into fast times: a query that throws in
+  * any run reports `null` in `queries`, appears in the `failed` list,
+  * is excluded from `total` (which stays a pure sum of medians), and
+  * flips `ok` to false in the JSON line.
   */
 object Bench {
+  val Warmups = 1
+  val Reps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,14 +41,24 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
+    def median(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      var alive = true
+      var i = 0
+      while (alive && i < Warmups) { alive = once(fn)._2; i += 1 }
+      if (!alive) (0.0, false)
+      else {
+        val timed = Seq.fill(Reps)(once(fn))
+        if (timed.exists(!_._2)) (0.0, false)
+        else (timed.map(_._1).sorted.apply(Reps / 2), true)
+      }
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val (t1, ok1) = once(fn)
-        val (t2, ok2) = if (ok1) once(fn) else (t1, false)
-        (name, t2, ok1 && ok2)
+        val (t, ok) = median(fn)
+        (name, t, ok)
     }
-    // a failed query reports null (not its cold elapsed time) and is
-    // excluded from total, so the aggregate stays a pure warm-time sum
     val qs = results.map { case (k, v, ok) =>
       s"\"" + k + "\":" + (if (ok) v.toString else "null")
     }.mkString("{", ",", "}")
