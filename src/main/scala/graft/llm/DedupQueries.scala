@@ -320,16 +320,65 @@ object DedupQueries {
       |WHERE inter / (n1.n + n2.n - inter) >= 0.2
       |ORDER BY doc1, doc2""".stripMargin
 
+  /** q101 — dedup CLUSTERS: near-dup pairs chain transitively (A≈B,
+    * B≈C ⇒ {A,B,C} is one duplicate group even when A,C never paired),
+    * so curation keeps one representative per CONNECTED COMPONENT of
+    * the pair graph, not per pair. This runs the full q41 pipeline and
+    * then [[graft.operators.ConnectedComponents]] (min-label
+    * propagation + path halving, O(log n) rounds); the oracle recomputes
+    * the pairs the exact all-pairs way and resolves components with a
+    * recursive reachability CTE — so the gate checks detection AND
+    * cluster formation end-to-end.
+    */
+  val q101DupClusters: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = nearDuplicates(s, T.documents(s, dir), NearDupThreshold)
+      .select($"doc1", $"doc2")
+    graft.operators.ConnectedComponents(pairs, src = "doc1", dst = "doc2")
+      .select($"id".as("doc_id"), $"comp".as("cluster_rep"),
+        ($"id" === $"comp").as("is_rep"))
+      .orderBy($"doc_id")
+  }
+
+  val q101Sql: String =
+    s"""WITH RECURSIVE
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (SELECT DISTINCT doc_id,
+      |          UNNEST(list_transform(range(1, len(ws) - 1),
+      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+      |        FROM w),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+      |inters AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      |           FROM tri a JOIN tri b ON a.tg = b.tg AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |dup AS (SELECT doc1, doc2
+      |        FROM inters JOIN sizes n1 ON inters.doc1 = n1.doc_id
+      |                    JOIN sizes n2 ON inters.doc2 = n2.doc_id
+      |        WHERE inter / (n1.n + n2.n - inter) >= $NearDupThreshold),
+      |edges AS (SELECT doc1 AS s, doc2 AS d FROM dup
+      |          UNION SELECT doc2, doc1 FROM dup),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT s, s FROM edges
+      |  UNION
+      |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+      |SELECT id AS doc_id, MIN(r) AS cluster_rep,
+      |  (id = MIN(r)) AS is_rep
+      |FROM reach
+      |GROUP BY id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> q40DedupExact,
     "q41_minhash_lsh" -> q41MinhashLsh,
     "q42_simhash" -> q42Simhash,
     "q43_ngram_jaccard" -> q43NgramJaccard,
+    "q101_dup_clusters" -> q101DupClusters,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
     "q41_minhash_lsh" -> q41Sql,
     "q43_ngram_jaccard" -> q43Sql,
+    "q101_dup_clusters" -> q101Sql,
   )
 }
