@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.catalog.CatalogOracle
 import graft.llm.{DedupQueries, TextAnalysis, TextPipeline, VectorSearch}
-import graft.relational.{AnalyticalQueries, BucketedQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, WindowAggQueries}
+import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, WindowAggQueries}
 import graft.sources.{CsvScan, K8sObjects}
 import graft.streaming.StreamShapeQueries
 
@@ -25,7 +25,8 @@ object SparkEntry {
       DedupQueries.queries ++ TextAnalysis.queries ++ VectorSearch.queries ++
       TextPipeline.queries ++ CsvScan.queries ++ CatalogOracle.queries ++
       K8sObjects.queries ++ BucketedQueries.queries ++
-      AnalyticalQueries.queries ++ ReshapeStatsQueries.queries
+      AnalyticalQueries.queries ++ ReshapeStatsQueries.queries ++
+      IncrementalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,5 @@ object SparkEntry {
       VectorSearch.oracleSql ++ TextPipeline.oracleSql ++
       CsvScan.oracleSql ++ CatalogOracle.oracleSql ++ K8sObjects.oracleSql ++
       BucketedQueries.oracleSql ++ AnalyticalQueries.oracleSql ++
-      ReshapeStatsQueries.oracleSql
+      ReshapeStatsQueries.oracleSql ++ IncrementalQueries.oracleSql
 }

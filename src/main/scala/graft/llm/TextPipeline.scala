@@ -313,6 +313,69 @@ object TextPipeline {
        |ORDER BY lang""".stripMargin
   }
 
+  /** Concat-and-cut sequence packing — how training runs batch text:
+    * documents concatenate in a canonical order (doc_id) into one
+    * global token stream, and fixed-size packs are cut every `budget`
+    * tokens, documents spanning cut points as needed. Per document this
+    * emits its global token offset and the first/last pack it lands in.
+    *
+    * Scale shape: the global running sum is NOT a bare
+    * `Window.orderBy` (no partition key ⇒ Spark collapses the whole
+    * table into ONE task — the classic cumsum scale trap). Instead the
+    * classic two-pass distributed prefix sum: range-partition by
+    * doc_id, a per-partition window (parallel), then per-partition
+    * totals (one tiny row per partition) prefix-summed and broadcast
+    * back. The only single-task step handles `numPartitions` rows.
+    */
+  val PackBudget = 1000
+
+  def packDocs(docs: DataFrame, budget: Int = PackBudget,
+      parts: Int = 32): DataFrame = {
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    val local = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_end", sum(col("n_tokens")).over(wIn))
+    val wPid = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid"))
+      .agg(max(col("local_end")).as("ptotal"))
+      .withColumn("poffset", coalesce(sum(col("ptotal")).over(wPid), lit(0L)))
+      .select(col("pid"), col("poffset"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("start_tok", col("poffset") + col("local_end") - col("n_tokens"))
+      .withColumn("pack_first", expr(s"start_tok div $budget"))
+      .withColumn("pack_last", expr(s"(poffset + local_end - 1) div $budget"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        col("pack_first"), col("pack_last"))
+  }
+
+  /** q103 — packing assignment for every document; the oracle computes
+    * the same offsets with a plain single-node running sum, which is
+    * exactly what the distributed two-pass prefix must reproduce.
+    */
+  val q103SequencePacking: Q = (s, dir) => {
+    import s.implicits._
+    packDocs(T.documents(s, dir)).orderBy($"doc_id")
+  }
+
+  val q103Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+       |  FROM t)
+       |SELECT doc_id, n_tokens, cend - n_tokens AS start_tok,
+       |  (cend - n_tokens) // $PackBudget AS pack_first,
+       |  (cend - 1) // $PackBudget AS pack_last
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
   /** q97 — the end-to-end corpus-prep pipeline, composed from the ops
     * above exactly as a training-data run chains them:
     *
@@ -377,6 +440,7 @@ object TextPipeline {
     "q95_train_split" -> q95TrainSplit,
     "q97_corpus_prep" -> q97CorpusPrep,
     "q100_stratified_sample" -> q100StratifiedSample,
+    "q103_sequence_packing" -> q103SequencePacking,
   )
   val oracleSql: Map[String, String] = Map(
     "q76_tfidf" -> q76Sql,
@@ -385,5 +449,6 @@ object TextPipeline {
     "q95_train_split" -> q95Sql,
     "q97_corpus_prep" -> q97Sql,
     "q100_stratified_sample" -> q100Sql,
+    "q103_sequence_packing" -> q103Sql,
   )
 }

@@ -119,4 +119,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(math.abs(trainInSample / kept.size - 0.8) < 0.04,
       s"sample/split correlation: train share ${trainInSample / kept.size}")
   }
+
+  test("packDocs two-pass prefix equals a plain cumsum; packs tile the stream") {
+    // doc lengths chosen so several docs span pack boundaries
+    val docs = (1L to 200L).map { i =>
+      (i, Seq.fill((i % 37 + 3).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val budget = 100
+    val got = TextPipeline.packDocs(docs, budget = budget, parts = 7)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // ground truth: driver-side running sum in doc_id order
+    var cum = 0L
+    val expected = (1L to 200L).map { i =>
+      val n = i % 37 + 3
+      val start = cum
+      cum += n
+      (i, n, start, start / budget, (cum - 1) / budget)
+    }
+    assert(got.toSeq == expected)
+    // invariants: offsets are contiguous (no gaps/overlaps) and a doc
+    // spans extra packs only when it crosses a cut point
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 + a._2 == b._3, s"gap between ${a._1} and ${b._1}")
+    }
+    assert(got.exists(r => r._4 != r._5), "no doc spans a pack boundary")
+  }
 }
