@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.catalog.CatalogOracle
 import graft.llm.{DedupQueries, TextAnalysis, TextPipeline, VectorSearch}
-import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, WindowAggQueries}
+import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, TimeSeriesQueries, WindowAggQueries}
 import graft.sources.{CsvScan, K8sObjects}
 import graft.streaming.StreamShapeQueries
 
@@ -26,7 +26,7 @@ object SparkEntry {
       TextPipeline.queries ++ CsvScan.queries ++ CatalogOracle.queries ++
       K8sObjects.queries ++ BucketedQueries.queries ++
       AnalyticalQueries.queries ++ ReshapeStatsQueries.queries ++
-      IncrementalQueries.queries
+      IncrementalQueries.queries ++ TimeSeriesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +37,6 @@ object SparkEntry {
       VectorSearch.oracleSql ++ TextPipeline.oracleSql ++
       CsvScan.oracleSql ++ CatalogOracle.oracleSql ++ K8sObjects.oracleSql ++
       BucketedQueries.oracleSql ++ AnalyticalQueries.oracleSql ++
-      ReshapeStatsQueries.oracleSql ++ IncrementalQueries.oracleSql
+      ReshapeStatsQueries.oracleSql ++ IncrementalQueries.oracleSql ++
+      TimeSeriesQueries.oracleSql
 }

@@ -60,11 +60,55 @@ object IncrementalQueries {
       |SELECT c_custkey, c_mktsegment, c_acctbal FROM updates
       |ORDER BY c_custkey""".stripMargin
 
+  /** q105 — incremental aggregate maintenance: aggregates computed on
+    * two disjoint event partitions (before/after a cutoff — "yesterday's
+    * rollup" + "today's delta") MERGE into the exact full-recompute
+    * answer. This is the counter-additive design every re-aggregable
+    * metric needs at 100 TB — count and sum merge by addition, avg
+    * re-derives from the merged counters (never avg-of-avgs) — and the
+    * Spark-first upgrade over the reference's refresh, which recomputes
+    * a snapshot wholesale when upstream moves (cache.go:54-66).
+    *
+    * Exactness across the merge: partials keep the DECIMAL sum (exact,
+    * associative) and only the merged total casts to double, so the
+    * two-step result is bit-identical to the oracle's one-step
+    * aggregation — the gate proves merge == full recompute across
+    * engines.
+    */
+  val q105IncrementalAgg: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampType}
+    val cutoff = lit("2024-01-15").cast(TimestampType)
+    val ev = T.events(s, dir).select($"event_type", $"ts", $"value")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(25, 6))).as("sv"))
+    partial(ev.filter($"ts" < cutoff))
+      .unionByName(partial(ev.filter($"ts" >= cutoff)))
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n_events"),
+        sum($"sv").cast(DoubleType).as("sum_value"))
+      .withColumn("avg_value", $"sum_value" / $"n_events")
+      .orderBy($"event_type")
+  }
+
+  val q105Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+      |    AS avg_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q102_upsert" -> q102Upsert,
+    "q105_incremental_agg" -> q105IncrementalAgg,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q102_upsert" -> q102Sql,
+    "q105_incremental_agg" -> q105Sql,
   )
 }

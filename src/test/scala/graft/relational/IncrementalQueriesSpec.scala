@@ -1,6 +1,7 @@
 package graft.relational
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Unit tests for the keyed upsert: replaced, untouched, and inserted
   * keys in one merge (q102's oracle exercises replace/keep on real
@@ -21,5 +22,20 @@ class IncrementalQueriesSpec extends SparkSpec {
       (2L, "b2", 99.0),  // replaced
       (3L, "c", 30.0),   // untouched
       (9L, "new", 1.0))) // inserted
+  }
+
+  test("q105 merged partials equal the single-pass aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val got = IncrementalQueries.q105IncrementalAgg(spark, dir)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val full = graft.core.Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.dsl.dsumExpr($"value").as("sum_value"))
+      .withColumn("avg_value", $"sum_value" / $"n_events")
+      .orderBy($"event_type")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got.nonEmpty && got == full,
+      s"merge != full recompute: $got vs $full")
   }
 }
