@@ -102,13 +102,49 @@ object IncrementalQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q106 — SCD2 history construction: a change stream (each `view`
+    * event treated as a new value for its user) becomes validity
+    * intervals — `valid_from` = the change ts, `valid_to` = the next
+    * change's ts (open/null for the current row), `is_current` on the
+    * last. One `lead()` over a keyed window; at scale this is a single
+    * hash-partition on the key with per-key sorted windows — the
+    * standard warehouse type-2 dimension build, no self-join (the
+    * naive spelling joins the stream to itself on "next change").
+    */
+  val q106Scd2: Q = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    T.events(s, dir).filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select($"user_id", $"ts".as("valid_from"), $"valid_to",
+        $"value", $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"valid_from")
+  }
+
+  val q106Sql: String =
+    """WITH ch AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      |  FROM events WHERE event_type = 'view')
+      |SELECT user_id, ts AS valid_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS valid_to,
+      |  value,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    AS is_current
+      |FROM ch
+      |ORDER BY user_id, valid_from""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q102_upsert" -> q102Upsert,
     "q105_incremental_agg" -> q105IncrementalAgg,
+    "q106_scd2_intervals" -> q106Scd2,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q102_upsert" -> q102Sql,
     "q105_incremental_agg" -> q105Sql,
+    "q106_scd2_intervals" -> q106Sql,
   )
 }

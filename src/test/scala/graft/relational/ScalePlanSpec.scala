@@ -91,4 +91,28 @@ class ScalePlanSpec extends SparkSpec {
         s"q83: expected exactly nation+region broadcast, got $broadcasted")
     }
   }
+
+  test("predicates push into the parquet scan and columns prune") {
+    atScaleRegime {
+    // pushdown: q02's eq/range/IN filters must reach the part scan —
+    // at 100 TB the difference between reading row groups and skipping
+    // them on statistics
+    val scans2 = RelationalQueries.q02FilterPredicates(spark, dir)
+      .queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans2.nonEmpty)
+    val pushed = scans2.map(_.metadata.getOrElse("PushedFilters", "[]"))
+      .mkString(";")
+    assert(pushed.exists(_.isLetter) && !pushed.replace(";", "").equals("[]"),
+      s"q02: no filters pushed to the scan: $pushed")
+    // pruning: q01 aggregates 7 of lineitem's 16 columns; the scan must
+    // not materialize the rest (ReadSchema drives parquet column IO)
+    val scan1 = RelationalQueries.q01PricingSummary(spark, dir)
+      .queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }.head
+    val readCols = scan1.output.map(_.name).toSet
+    assert(readCols.size <= 8 && readCols.contains("l_quantity"),
+      s"q01: scan reads unpruned column set $readCols")
+    }
+  }
 }
