@@ -26,7 +26,8 @@ object SparkEntry {
       TextPipeline.queries ++ CsvScan.queries ++ CatalogOracle.queries ++
       K8sObjects.queries ++ BucketedQueries.queries ++
       AnalyticalQueries.queries ++ ReshapeStatsQueries.queries ++
-      IncrementalQueries.queries ++ TimeSeriesQueries.queries
+      IncrementalQueries.queries ++ TimeSeriesQueries.queries ++
+      graft.relational.QualityAuditQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       CsvScan.oracleSql ++ CatalogOracle.oracleSql ++ K8sObjects.oracleSql ++
       BucketedQueries.oracleSql ++ AnalyticalQueries.oracleSql ++
       ReshapeStatsQueries.oracleSql ++ IncrementalQueries.oracleSql ++
-      TimeSeriesQueries.oracleSql
+      TimeSeriesQueries.oracleSql ++
+      graft.relational.QualityAuditQueries.oracleSql
 }

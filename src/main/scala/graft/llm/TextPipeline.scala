@@ -107,6 +107,95 @@ object TextPipeline {
       |WHERE rnk <= 5
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** BM25 relevance scoring for a fixed query-term set — the retrieval
+    * ranking a quality-filtering or RAG-ish selection stage runs over a
+    * corpus. Same determinism discipline as [[tfidf]]: the IDF is the
+    * log-free rational `(N − df + ½)/(df + ½)`, every arithmetic step
+    * is written in one fixed order mirrored by the oracle, and the
+    * per-document total sums the per-term scores in FIXED column order
+    * (a plain `sum()` over doubles commits to no order and is not
+    * reproducible across engines).
+    *
+    * Scale shape: tokens filter to the query terms BEFORE any shuffle
+    * (the explode stays narrow and only query-term tokens reach the tf
+    * groupBy); df rides the tf frame as a window count (q76's one-pass
+    * trick); dl joins on doc_id; `avgdl` is one scalar.
+    */
+  val Bm25QueryTerms = Seq("data", "join")
+
+  def bm25(docs: DataFrame, terms: Seq[String], nDocs: Long): DataFrame = {
+    val toks = removeStopwords(tokenize(docs))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val sumDl = dl.agg(sum(col("dl"))).head().getLong(0)
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val wDf = Window.partitionBy(col("term"))
+    val scored = tf.withColumn("df", count(lit(1)).over(wDf))
+      .join(dl, "doc_id")
+      .withColumn("score",
+        ((lit(nDocs).cast("double") - col("df") + 0.5)
+          / (col("df").cast("double") + 0.5))
+          * ((col("tf").cast("double") * 2.2)
+            / (col("tf").cast("double")
+              + lit(1.2) * (lit(0.25)
+                + lit(0.75) * (col("dl").cast("double") / avgdl)))))
+    val perTerm = terms.map(t =>
+      coalesce(max(when(col("term") === t, col("score"))), lit(0.0))
+        .as(s"s_$t"))
+    val pivoted = scored.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+    val total = terms.map(t => col(s"s_$t")).reduce(_ + _)
+    dl.select(col("doc_id")).join(pivoted, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        terms.map(t => coalesce(col(s"s_$t"), lit(0.0)).as(s"s_$t")): _*)
+      .withColumn("bm25", total)
+  }
+
+  /** q108 — BM25 scores for [[Bm25QueryTerms]] over every document
+    * (k1 = 1.2, b = 0.75 inlined as the same literals in both engines).
+    */
+  val q108Bm25: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val n = docs.select(countDistinct($"doc_id")).as[Long].head()
+    bm25(docs, Bm25QueryTerms, n).orderBy($"doc_id")
+  }
+
+  val q108Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |filt AS (
+      |  SELECT doc_id, term FROM tok
+      |  WHERE term <> '' AND term NOT IN ('the', 'a', 'of', 'and', 'to')),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM filt GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      |avg AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE)
+      |          AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM filt
+      |       WHERE term IN ('data', 'join') GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT doc_id, term,
+      |    ((CAST((SELECT n FROM n) AS DOUBLE) - df + 0.5)
+      |      / (CAST(df AS DOUBLE) + 0.5))
+      |    * ((CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE)
+      |        + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+      |                                / (SELECT avgdl FROM avg))))) AS score
+      |  FROM (SELECT tf.*, COUNT(*) OVER (PARTITION BY term) AS df FROM tf)
+      |       JOIN dl USING (doc_id)),
+      |piv AS (
+      |  SELECT doc_id,
+      |    COALESCE(MAX(CASE WHEN term = 'data' THEN score END), 0.0) AS s_data,
+      |    COALESCE(MAX(CASE WHEN term = 'join' THEN score END), 0.0) AS s_join
+      |  FROM sc GROUP BY doc_id)
+      |SELECT dl.doc_id,
+      |  COALESCE(s_data, 0.0) AS s_data,
+      |  COALESCE(s_join, 0.0) AS s_join,
+      |  COALESCE(s_data, 0.0) + COALESCE(s_join, 0.0) AS bm25
+      |FROM dl LEFT JOIN piv ON dl.doc_id = piv.doc_id
+      |ORDER BY 1""".stripMargin
+
   /** Chunking contract: windows of [[ChunkSize]] tokens every
     * [[ChunkStride]] tokens; the final window may be shorter but the
     * tail is always covered (start sequence runs to n − size + stride).
@@ -441,6 +530,7 @@ object TextPipeline {
     "q97_corpus_prep" -> q97CorpusPrep,
     "q100_stratified_sample" -> q100StratifiedSample,
     "q103_sequence_packing" -> q103SequencePacking,
+    "q108_bm25" -> q108Bm25,
   )
   val oracleSql: Map[String, String] = Map(
     "q76_tfidf" -> q76Sql,
@@ -450,5 +540,6 @@ object TextPipeline {
     "q97_corpus_prep" -> q97Sql,
     "q100_stratified_sample" -> q100Sql,
     "q103_sequence_packing" -> q103Sql,
+    "q108_bm25" -> q108Sql,
   )
 }
