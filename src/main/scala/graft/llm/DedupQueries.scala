@@ -367,12 +367,77 @@ object DedupQueries {
       |GROUP BY id
       |ORDER BY doc_id""".stripMargin
 
+  /** Block-size guard for fuzzy matching: a blocking key shared by more
+    * than this many DISTINCT values is dropped whole (content-based, so
+    * the oracle mirrors it with a HAVING — same pattern as
+    * [[StopShingleDfCap]]); a key that hot means the key choice is
+    * wrong, not that the join should go quadratic.
+    */
+  val FuzzyBlockCap = 1024
+  val FuzzyMaxEdit = 2
+
+  /** q109 — fuzzy entity matching (edit-distance dedup) over the part
+    * NAME DICTIONARY: near-identical names ("red bolt" / "old bolt")
+    * pair when levenshtein ≤ [[FuzzyMaxEdit]] within a blocking key
+    * (the name's last token).
+    *
+    * The scale design is dictionary-level matching: the distinct-value
+    * vocabulary (64 names here, bounded by the domain — not by row
+    * count) is extracted first, all pairing happens on the dictionary,
+    * and per-name row counts join back at the end — at 100 TB the
+    * quadratic step never touches the fact table. Within a block the
+    * cheap |len| ≤ maxEdit precheck runs before levenshtein, and
+    * blocks hotter than [[FuzzyBlockCap]] are dropped whole. Recall is
+    * scoped to same-block pairs (the standard blocking trade-off,
+    * mirrored exactly in the oracle).
+    */
+  val q109FuzzyMatch: Q = (s, dir) => {
+    import s.implicits._
+    val counts = T.part(s, dir).groupBy($"p_name")
+      .agg(count(lit(1)).as("n_rows"))
+    val dict = counts
+      .select($"p_name", $"n_rows",
+        element_at(split($"p_name", " "), -1).as("blk"),
+        length($"p_name").as("len"))
+    val keptBlocks = dict.groupBy($"blk").agg(count(lit(1)).as("n"))
+      .filter($"n" <= FuzzyBlockCap).select($"blk")
+    val kept = dict.join(broadcast(keptBlocks), "blk")
+    kept.as("a").join(kept.as("b"),
+        $"a.blk" === $"b.blk" && $"a.p_name" < $"b.p_name" &&
+          abs($"a.len" - $"b.len") <= FuzzyMaxEdit)
+      .withColumn("dist", levenshtein($"a.p_name", $"b.p_name"))
+      .filter($"dist" <= FuzzyMaxEdit)
+      .select($"a.p_name".as("name1"), $"b.p_name".as("name2"),
+        $"dist", $"a.n_rows".as("n1"), $"b.n_rows".as("n2"))
+      .orderBy($"name1", $"name2")
+  }
+
+  val q109Sql: String =
+    s"""WITH counts AS (
+      |  SELECT p_name, COUNT(*) AS n_rows FROM part GROUP BY p_name),
+      |dict AS (
+      |  SELECT p_name, n_rows, string_split(p_name, ' ')[-1] AS blk,
+      |    length(p_name) AS len
+      |  FROM counts),
+      |keptb AS (SELECT blk FROM dict GROUP BY blk
+      |          HAVING COUNT(*) <= $FuzzyBlockCap),
+      |kept AS (SELECT dict.* FROM dict JOIN keptb USING (blk))
+      |SELECT a.p_name AS name1, b.p_name AS name2,
+      |  levenshtein(a.p_name, b.p_name) AS dist,
+      |  a.n_rows AS n1, b.n_rows AS n2
+      |FROM kept a JOIN kept b
+      |  ON a.blk = b.blk AND a.p_name < b.p_name
+      |  AND abs(a.len - b.len) <= $FuzzyMaxEdit
+      |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxEdit
+      |ORDER BY name1, name2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> q40DedupExact,
     "q41_minhash_lsh" -> q41MinhashLsh,
     "q42_simhash" -> q42Simhash,
     "q43_ngram_jaccard" -> q43NgramJaccard,
     "q101_dup_clusters" -> q101DupClusters,
+    "q109_fuzzy_match" -> q109FuzzyMatch,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -380,5 +445,6 @@ object DedupQueries {
     "q41_minhash_lsh" -> q41Sql,
     "q43_ngram_jaccard" -> q43Sql,
     "q101_dup_clusters" -> q101Sql,
+    "q109_fuzzy_match" -> q109Sql,
   )
 }
