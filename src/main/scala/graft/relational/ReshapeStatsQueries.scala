@@ -181,11 +181,68 @@ object ReshapeStatsQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q110 — per-group winsorization (outlier clipping at exact p05/p95
+    * order statistics): every value clamps into [lo, hi] where lo/hi
+    * are the values at ranks ⌈0.05·n⌉ / ⌈0.95·n⌉ — the feature-scaling
+    * step that tames heavy tails before training. Rank bounds are
+    * integer arithmetic (`(5n+99) div 100`), the clamp is
+    * `least(greatest(x, lo), hi)` (identical IEEE comparisons in both
+    * engines), and the clamped sum goes through the decimal path, so
+    * the whole thing hash-compares exactly.
+    *
+    * Same scale caveat as q90: the rank window partitions on a 5-value
+    * key and exists as the cross-engine oracle anchor; the production
+    * spelling at scale is `approx_percentile` bounds + the same clamp
+    * (hash agg, no per-group sort).
+    */
+  val q110Winsorize: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+    val ranked = T.orders(s, dir)
+      .select($"o_orderpriority", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"o_orderpriority")))
+    val bounds = ranked
+      .filter($"rn" === expr("(5 * n + 99) div 100") ||
+        $"rn" === expr("(95 * n + 99) div 100"))
+      .groupBy($"o_orderpriority")
+      .agg(min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+    T.orders(s, dir)
+      .select($"o_orderpriority", $"o_totalprice")
+      .join(bounds, "o_orderpriority")
+      .withColumn("clamped",
+        least(greatest($"o_totalprice", $"lo"), $"hi"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), min($"lo").as("lo"),
+        max($"hi").as("hi"), dsl.dsumExpr($"clamped").as("clamped_sum"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q110Sql: String =
+    s"""WITH ranked AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders),
+      |bounds AS (
+      |  SELECT o_orderpriority, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |  FROM ranked
+      |  WHERE rn = (5 * n + 99) // 100 OR rn = (95 * n + 99) // 100
+      |  GROUP BY o_orderpriority)
+      |SELECT o.o_orderpriority, COUNT(*) AS n_rows,
+      |  MIN(lo) AS lo, MAX(hi) AS hi,
+      |  ${O.dsumExpr("LEAST(GREATEST(o_totalprice, lo), hi)")} AS clamped_sum
+      |FROM orders o JOIN bounds b ON o.o_orderpriority = b.o_orderpriority
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q87_pivot" -> q87Pivot,
     "q88_unpivot" -> q88Unpivot,
     "q89_stats_moments" -> q89StatsMoments,
     "q90_median_rank" -> q90MedianRank,
+    "q110_winsorize" -> q110Winsorize,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -193,5 +250,6 @@ object ReshapeStatsQueries {
     "q88_unpivot" -> q88Sql,
     "q89_stats_moments" -> q89Sql,
     "q90_median_rank" -> q90Sql,
+    "q110_winsorize" -> q110Sql,
   )
 }
