@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.catalog.CatalogOracle
 import graft.llm.{DedupQueries, TextAnalysis, TextPipeline, VectorSearch}
 import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, TimeSeriesQueries, WindowAggQueries}
-import graft.sources.{CsvScan, K8sObjects}
+import graft.sources.{CsvScan, K8sObjects, LayoutQueries}
 import graft.streaming.StreamShapeQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -27,7 +27,7 @@ object SparkEntry {
       K8sObjects.queries ++ BucketedQueries.queries ++
       AnalyticalQueries.queries ++ ReshapeStatsQueries.queries ++
       IncrementalQueries.queries ++ TimeSeriesQueries.queries ++
-      graft.relational.QualityAuditQueries.queries
+      graft.relational.QualityAuditQueries.queries ++ LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +40,6 @@ object SparkEntry {
       BucketedQueries.oracleSql ++ AnalyticalQueries.oracleSql ++
       ReshapeStatsQueries.oracleSql ++ IncrementalQueries.oracleSql ++
       TimeSeriesQueries.oracleSql ++
-      graft.relational.QualityAuditQueries.oracleSql
+      graft.relational.QualityAuditQueries.oracleSql ++
+      LayoutQueries.oracleSql
 }
