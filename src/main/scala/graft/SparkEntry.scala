@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.catalog.CatalogOracle
-import graft.llm.{DedupQueries, TextAnalysis, TextPipeline, VectorSearch}
+import graft.llm.{DedupQueries, EmbeddingDedup, TextAnalysis, TextPipeline, VectorSearch}
 import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, TimeSeriesQueries, WindowAggQueries}
 import graft.sources.{CsvScan, K8sObjects, LayoutQueries}
 import graft.streaming.StreamShapeQueries
@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ WindowAggQueries.queries ++
       ScalarQueries.queries ++ StreamShapeQueries.queries ++
-      DedupQueries.queries ++ TextAnalysis.queries ++ VectorSearch.queries ++
+      DedupQueries.queries ++ EmbeddingDedup.queries ++ TextAnalysis.queries ++ VectorSearch.queries ++
       TextPipeline.queries ++ CsvScan.queries ++ CatalogOracle.queries ++
       K8sObjects.queries ++ BucketedQueries.queries ++
       AnalyticalQueries.queries ++ ReshapeStatsQueries.queries ++
@@ -34,7 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ WindowAggQueries.oracleSql ++
       ScalarQueries.oracleSql ++ StreamShapeQueries.oracleSql ++
-      DedupQueries.oracleSql ++ TextAnalysis.oracleSql ++
+      DedupQueries.oracleSql ++ EmbeddingDedup.oracleSql ++ TextAnalysis.oracleSql ++
       VectorSearch.oracleSql ++ TextPipeline.oracleSql ++
       CsvScan.oracleSql ++ CatalogOracle.oracleSql ++ K8sObjects.oracleSql ++
       BucketedQueries.oracleSql ++ AnalyticalQueries.oracleSql ++
