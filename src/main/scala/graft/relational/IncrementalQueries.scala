@@ -136,15 +136,104 @@ object IncrementalQueries {
       |FROM ch
       |ORDER BY user_id, valid_from""".stripMargin
 
+  /** Snapshot diff (change-data-feed): given two versions of a keyed
+    * table, emit one row per CHANGED key — op ∈ insert/update/delete
+    * with the before/after payload — and nothing for unchanged keys, so
+    * the feed size scales with the change set, not the table.
+    *
+    * Shape at scale: ONE full-outer join on the key — both sides
+    * hash-partition on the key and merge; no broadcast (both sides are
+    * full table versions), no window. Presence is tracked by explicit
+    * marker columns (a null payload column must not read as "absent"),
+    * and "changed" is null-safe struct equality over the non-key
+    * columns.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val nonKeys = before.columns.filterNot(keys.contains).toSeq
+    val b = before.select(keys.map(col) ++
+      nonKeys.map(c => col(c).as(s"${c}_before")) :+
+      lit(true).as("_in_before"): _*)
+    val a = after.select(keys.map(col) ++
+      nonKeys.map(c => col(c).as(s"${c}_after")) :+
+      lit(true).as("_in_after"): _*)
+    val befStruct = struct(nonKeys.map(c => col(s"${c}_before")): _*)
+    val aftStruct = struct(nonKeys.map(c => col(s"${c}_after")): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn("op",
+        when(col("_in_before").isNull, "insert")
+          .when(col("_in_after").isNull, "delete")
+          .when(befStruct <=> aftStruct, lit(null))
+          .otherwise("update"))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) ++ Seq(col("op")) ++
+        nonKeys.flatMap(c => Seq(col(s"${c}_before"), col(s"${c}_after"))): _*)
+  }
+
+  /** q114 — the diff between two deterministic versions of `customer`:
+    * keys ≡3 (mod 10) deleted, keys ≡7 updated (+50 balance), keys ≡1
+    * re-inserted under an offset key. The oracle replays the same
+    * full-outer classification in DuckDB, so op assignment, payload
+    * carryover, and the exclusion of unchanged keys are all
+    * hash-checked.
+    */
+  val q114SnapshotDiff: Q = (s, dir) => {
+    import s.implicits._
+    val before = T.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+    val after = before.filter($"c_custkey" % 10 =!= 3)
+      .withColumn("c_acctbal",
+        when($"c_custkey" % 10 === 7, $"c_acctbal" + 50.0)
+          .otherwise($"c_acctbal"))
+      .unionByName(before.filter($"c_custkey" % 10 === 1)
+        .select(($"c_custkey" + 10000000L).as("c_custkey"),
+          $"c_mktsegment", $"c_acctbal"))
+    snapshotDiff(before, after, Seq("c_custkey"))
+      .orderBy($"c_custkey")
+  }
+
+  val q114Sql: String =
+    """WITH before_t AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |after_t AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE WHEN c_custkey % 10 = 7 THEN c_acctbal + 50.0
+      |         ELSE c_acctbal END AS c_acctbal
+      |  FROM customer WHERE c_custkey % 10 <> 3
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+      |  FROM customer WHERE c_custkey % 10 = 1),
+      |j AS (
+      |  SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+      |    b.c_custkey IS NOT NULL AS in_b, a.c_custkey IS NOT NULL AS in_a,
+      |    b.c_mktsegment AS c_mktsegment_before,
+      |    a.c_mktsegment AS c_mktsegment_after,
+      |    b.c_acctbal AS c_acctbal_before, a.c_acctbal AS c_acctbal_after
+      |  FROM before_t b FULL OUTER JOIN after_t a
+      |    ON b.c_custkey = a.c_custkey)
+      |SELECT c_custkey,
+      |  CASE WHEN NOT in_b THEN 'insert'
+      |       WHEN NOT in_a THEN 'delete'
+      |       ELSE 'update' END AS op,
+      |  c_mktsegment_before, c_mktsegment_after,
+      |  c_acctbal_before, c_acctbal_after
+      |FROM j
+      |WHERE (NOT in_b) OR (NOT in_a)
+      |  OR (c_mktsegment_before IS DISTINCT FROM c_mktsegment_after)
+      |  OR (c_acctbal_before IS DISTINCT FROM c_acctbal_after)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q102_upsert" -> q102Upsert,
     "q105_incremental_agg" -> q105IncrementalAgg,
     "q106_scd2_intervals" -> q106Scd2,
+    "q114_snapshot_diff" -> q114SnapshotDiff,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q102_upsert" -> q102Sql,
     "q105_incremental_agg" -> q105Sql,
     "q106_scd2_intervals" -> q106Sql,
+    "q114_snapshot_diff" -> q114Sql,
   )
 }

@@ -80,11 +80,159 @@ object LayoutQueries {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q113 — small-file compaction: the table-maintenance op every
+  // long-running ingest needs. Streaming/incremental writers fragment a
+  // partitioned layout into many tiny files; scan cost then goes by file
+  // COUNT (open/footer/seek per file), not bytes. Compaction rewrites
+  // each partition into ceil(partition_bytes / target) files, sorted
+  // within files for row-group min/max locality — content-identical,
+  // physically consolidated. The reference's moral anchor: one file per
+  // (package, schema) partition IS its layout invariant (cache.go:85-99
+  // writes exactly one JSON per directory).
+  // ---------------------------------------------------------------------
+
+  val FragRoot = "/root/repo/target/fixtures/frag_events"
+  val CompactRoot = "/root/repo/target/fixtures/compact_events"
+  val FragFilesPerDay = 8
+  val CompactTargetBytes = 128L * 1024
+
+  private def listParquet(root: String): Seq[java.nio.file.Path] = {
+    val p = Paths.get(root)
+    if (!Files.exists(p)) Nil
+    else {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      } finally s.close()
+    }
+  }
+
+  /** Run `body` under temporary session confs, restoring the previous
+    * values after (the q99 scoping discipline — a shared session must
+    * not observe the change).
+    */
+  private def withConfs[T](s: SparkSession, confs: (String, String)*)
+      (body: => T): T = {
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** AQE's partition coalescing merges the salt groups of a tiny write
+    * back into one task (exactly the fragmentation-defeating behavior
+    * it exists for) — scope it off when a write's file layout IS the
+    * fixture/contract being built.
+    */
+  private val KeepSaltGroups =
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "false"
+
+  /** Fragmented fixture: the q111 layout re-written with a per-day salt
+    * so every day splinters into ~[[FragFilesPerDay]] files — the state
+    * a micro-batching ingester leaves behind.
+    */
+  private def ensureFragmented(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val marker = Paths.get(FragRoot, ".fixture_key")
+    val key = s"frag:$dir:$FragFilesPerDay"
+    val cached = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == key
+    if (!cached) {
+      withConfs(s, KeepSaltGroups) {
+        T.events(s, dir)
+          .withColumn("event_day", date_format($"ts", "yyyy-MM-dd"))
+          .withColumn("salt", pmod(xxhash64($"event_id"), lit(FragFilesPerDay)))
+          .repartition($"event_day", $"salt")
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("event_day")
+          .parquet(FragRoot)
+      }
+      s.read.parquet(FragRoot).foreach(_ => ()) // fail loudly if unreadable
+      Files.write(marker, key.getBytes("UTF-8"))
+    }
+  }
+
+  /** Compact `src` (a hive-partitioned layout on `partitionCol`) into
+    * `dst`: each partition gets ceil(bytes / targetBytes) output files
+    * (per-partition salt on a stable id), rows sorted within files by
+    * `sortCols` for min/max row-group locality. Returns
+    * (filesBefore, filesAfter). The directory listing is driver-side
+    * table metadata — bounded by partition count, never row count.
+    */
+  def compact(s: SparkSession, src: String, dst: String,
+      partitionCol: String, saltOn: String, sortCols: Seq[String],
+      targetBytes: Long): (Long, Long) = {
+    val before = listParquet(src)
+    val bytesPerPart: Map[String, Long] = before
+      .groupBy(_.getParent.getFileName.toString)
+      .map { case (d, fs) => d -> fs.map(Files.size).sum }
+    val filesFor: Map[String, Int] = bytesPerPart.map { case (d, b) =>
+      d.substring(d.indexOf('=') + 1) ->
+        math.max(1, math.ceil(b.toDouble / targetBytes).toInt)
+    }
+    val nf = typedlit(filesFor)
+    val df = s.read.parquet(src)
+    withConfs(s, KeepSaltGroups) {
+      df.withColumn("_salt",
+          pmod(xxhash64(col(saltOn)),
+            coalesce(nf(col(partitionCol).cast("string")), lit(1))))
+        .repartition(col(partitionCol), col("_salt"))
+        .sortWithinPartitions(col(partitionCol) +: sortCols.map(col): _*)
+        .drop("_salt")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol)
+        .parquet(dst)
+    }
+    (before.size.toLong, listParquet(dst).size.toLong)
+  }
+
+  /** q113 — compaction certified three ways in one row: the query
+    * REQUIRES the file count to drop to the per-partition target
+    * (physical effect), reads its answer off the COMPACTED layout, and
+    * the oracle recomputes the same per-day aggregate from the original
+    * source file (content preservation — any row lost, duplicated, or
+    * moved across a day boundary breaks the hash).
+    */
+  val q113Compaction: Q = (s, dir) => {
+    import s.implicits._
+    ensureFragmented(s, dir)
+    val marker = Paths.get(CompactRoot, ".fixture_key")
+    val key = s"compact:$dir:$CompactTargetBytes"
+    val cached = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == key
+    if (!cached) {
+      val (nb, na) = compact(s, FragRoot, CompactRoot, "event_day",
+        "event_id", Seq("user_id", "ts"), CompactTargetBytes)
+      require(na < nb, s"compaction did not shrink the layout: $nb -> $na")
+      Files.write(marker, key.getBytes("UTF-8"))
+    }
+    s.read.parquet(CompactRoot)
+      .groupBy($"event_day".cast("string").as("event_day"))
+      .agg(count(lit(1)).as("n"), dsl.dsumExpr($"value").as("sum_value"))
+      .withColumn("compacted_ok",
+        lit(listParquet(CompactRoot).size < listParquet(FragRoot).size))
+      .orderBy($"event_day")
+  }
+
+  val q113Sql: String =
+    s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_day,
+       |  COUNT(*) AS n, ${O.dsumExpr("value")} AS sum_value,
+       |  TRUE AS compacted_ok
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY event_day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q111_partition_pruning" -> q111PartitionPruning,
+    "q113_compaction" -> q113Compaction,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q111_partition_pruning" -> q111Sql,
+    "q113_compaction" -> q113Sql,
   )
 }

@@ -24,6 +24,29 @@ class IncrementalQueriesSpec extends SparkSpec {
       (9L, "new", 1.0))) // inserted
   }
 
+  test("snapshotDiff classifies insert/update/delete and skips unchanged," +
+      " null-safely") {
+    val before = Seq(
+      (1L, Option("a"), Option(10.0)),  // unchanged
+      (2L, None: Option[String], None: Option[Double]), // unchanged, nulls
+      (3L, Option("c"), Option(30.0)),  // updated value -> null
+      (4L, None: Option[String], Option(40.0)), // updated null -> value
+      (5L, Option("e"), Option(50.0)))  // deleted
+      .toDF("k", "tag", "v")
+    val after = Seq(
+      (1L, Option("a"), Option(10.0)),
+      (2L, None: Option[String], None: Option[Double]),
+      (3L, Option("c"), None: Option[Double]),
+      (4L, Option("d"), Option(40.0)),
+      (6L, Option("f"), Option(60.0))) // inserted
+      .toDF("k", "tag", "v")
+    val got = IncrementalQueries.snapshotDiff(before, after, Seq("k"))
+      .select($"k", $"op").as[(Long, String)].collect().toMap
+    assert(got == Map(3L -> "update", 4L -> "update",
+      5L -> "delete", 6L -> "insert"),
+      s"wrong classification: $got")
+  }
+
   test("q105 merged partials equal the single-pass aggregation") {
     val dir = "/root/testdata/sf0.001"
     val got = IncrementalQueries.q105IncrementalAgg(spark, dir)
