@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.catalog.CatalogOracle
 import graft.llm.{DedupQueries, EmbeddingDedup, TextAnalysis, TextPipeline, VectorSearch}
 import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, TimeSeriesQueries, WindowAggQueries}
+import graft.operators.IntervalJoin
 import graft.sources.{CsvScan, K8sObjects, LayoutQueries}
 import graft.streaming.StreamShapeQueries
 
@@ -27,7 +28,8 @@ object SparkEntry {
       K8sObjects.queries ++ BucketedQueries.queries ++
       AnalyticalQueries.queries ++ ReshapeStatsQueries.queries ++
       IncrementalQueries.queries ++ TimeSeriesQueries.queries ++
-      graft.relational.QualityAuditQueries.queries ++ LayoutQueries.queries
+      graft.relational.QualityAuditQueries.queries ++ LayoutQueries.queries ++
+      IntervalJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +43,5 @@ object SparkEntry {
       ReshapeStatsQueries.oracleSql ++ IncrementalQueries.oracleSql ++
       TimeSeriesQueries.oracleSql ++
       graft.relational.QualityAuditQueries.oracleSql ++
-      LayoutQueries.oracleSql
+      LayoutQueries.oracleSql ++ IntervalJoin.oracleSql
 }

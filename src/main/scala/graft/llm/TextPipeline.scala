@@ -402,6 +402,55 @@ object TextPipeline {
        |ORDER BY lang""".stripMargin
   }
 
+  /** Per-group exact-k sampling — the fixed-size counterpart of
+    * [[stratifiedSample]]'s fixed-rate: keep exactly `k` rows per group
+    * (all, if the group is smaller), chosen as the k smallest
+    * `md5(salt ‖ id)` — a deterministic reservoir. Same engine-portable
+    * hash order as q95/q100 so the SELECTION is oracle-checked, and a
+    * distinct salt decorrelates it from both.
+    *
+    * Scale shape: one hash-partition on the group key + a per-group
+    * top-k window (rank, not sort-all — Spark pushes a per-partition
+    * top-k under the window when k is a literal). No collect, no global
+    * sort.
+    */
+  val GroupSampleSalt = "ksample|"
+  val GroupSampleK = 20
+
+  def groupSampleK(df: DataFrame, groupCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val hash = conv(substring(
+      md5(concat(lit(GroupSampleSalt), col(idCol).cast("string"))), 1, 4),
+      16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(hash.asc, col(idCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** q116 — the sampled membership itself (doc_id, lang), row-for-row:
+    * any engine drift in the hash order changes the kept set and breaks
+    * the hash match.
+    */
+  val q116GroupSample: Q = (s, dir) => {
+    import s.implicits._
+    groupSampleK(T.documents(s, dir), "lang", GroupSampleK)
+      .select($"lang", $"doc_id")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  val q116Sql: String =
+    s"""WITH ranked AS (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+       |      CAST('0x' || substring(
+       |        md5('$GroupSampleSalt' || CAST(doc_id AS VARCHAR)), 1, 4)
+       |        AS INTEGER) ASC, doc_id ASC) AS rk
+       |  FROM documents)
+       |SELECT lang, doc_id FROM ranked WHERE rk <= $GroupSampleK
+       |ORDER BY lang, doc_id""".stripMargin
+
   /** Concat-and-cut sequence packing — how training runs batch text:
     * documents concatenate in a canonical order (doc_id) into one
     * global token stream, and fixed-size packs are cut every `budget`
@@ -529,6 +578,7 @@ object TextPipeline {
     "q95_train_split" -> q95TrainSplit,
     "q97_corpus_prep" -> q97CorpusPrep,
     "q100_stratified_sample" -> q100StratifiedSample,
+    "q116_group_sample" -> q116GroupSample,
     "q103_sequence_packing" -> q103SequencePacking,
     "q108_bm25" -> q108Bm25,
   )
@@ -539,6 +589,7 @@ object TextPipeline {
     "q95_train_split" -> q95Sql,
     "q97_corpus_prep" -> q97Sql,
     "q100_stratified_sample" -> q100Sql,
+    "q116_group_sample" -> q116Sql,
     "q103_sequence_packing" -> q103Sql,
     "q108_bm25" -> q108Sql,
   )
