@@ -174,6 +174,99 @@ object EventStreams {
       TimeMode.None(), OutputMode.Update(), Encoders.product[Event])
   }
 
+  /** Epoch-rotated variant of [[BloomDedupProcessor]] — the missing
+    * piece for an UNBOUNDED stream: a single filter saturates (bits only
+    * ever get set, so the false-positive rate climbs toward 1 with the
+    * total distinct keys ever seen). Rotation bounds the pressure the
+    * way exact dedup's watermark eviction does: each shard keeps TWO bit
+    * arrays — the current event-time epoch's and the previous one's —
+    * and when the stream's event time enters a new epoch, previous ←
+    * current, current ← empty.
+    *
+    * Contract (the bounded-staleness form of dedup, matching
+    * [[dedupWithinWatermark]]'s semantics under a `epochSec` watermark):
+    *   - a duplicate whose first arrival is in the SAME or the PREVIOUS
+    *     epoch is never re-emitted (membership is checked against both
+    *     filters) — suppression window ∈ [epochSec, 2·epochSec);
+    *   - a duplicate older than two epochs may re-emit, exactly as an
+    *     older-than-watermark key re-emits from exact dedup;
+    *   - false-positive pressure is bounded by the distinct keys of TWO
+    *     epochs, not the stream's lifetime — state stays 2·bits/8 bytes
+    *     per shard forever.
+    * Late rows (event time before the current epoch) are checked against
+    * both filters and admitted into the CURRENT one — never dropped by
+    * the rotation itself.
+    */
+  class EpochBloomDedupProcessor(bits: Int, hashes: Int, epochSec: Long)
+      extends StatefulProcessor[Long, Event, Event] {
+    @transient private var state
+        : ValueState[(Long, Array[Byte], Array[Byte])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Array[Byte], Array[Byte])](
+        "epochBloom", Encoders.product[(Long, Array[Byte], Array[Byte])],
+        TTLConfig.NONE)
+
+    private def test(bytes: Array[Byte], pos: Int): Boolean =
+      (bytes(pos >> 3) & (1 << (pos & 7))) != 0
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Event] = {
+      var (epoch, cur, prev) = if (state.exists()) state.get()
+        else (Long.MinValue, new Array[Byte](bits / 8),
+          new Array[Byte](bits / 8))
+      val out = Vector.newBuilder[Event]
+      rows.foreach { e =>
+        val rowEpoch = java.lang.Math.floorDiv(e.ts.getTime / 1000, epochSec)
+        if (epoch == Long.MinValue) epoch = rowEpoch
+        else if (rowEpoch == epoch + 1) {
+          prev = cur; cur = new Array[Byte](bits / 8); epoch = rowEpoch
+        } else if (rowEpoch > epoch + 1) {
+          prev = new Array[Byte](bits / 8)
+          cur = new Array[Byte](bits / 8); epoch = rowEpoch
+        } // rowEpoch <= epoch: late row — check both, insert into cur
+        val k = s"${e.user_id}|${e.event_type}"
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(k, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(k, 0x85ebca6b) | 1
+        var i = 0
+        var inCur = true
+        var inPrev = true
+        while (i < hashes) {
+          val pos = java.lang.Math.floorMod(h1 + i * h2, bits)
+          if (!test(cur, pos)) inCur = false
+          if (!test(prev, pos)) inPrev = false
+          i += 1
+        }
+        if (!inCur && !inPrev) {
+          var j = 0
+          while (j < hashes) {
+            val pos = java.lang.Math.floorMod(h1 + j * h2, bits)
+            cur(pos >> 3) = (cur(pos >> 3) | (1 << (pos & 7))).toByte
+            j += 1
+          }
+          out += e
+        }
+      }
+      state.update((epoch, cur, prev))
+      out.result().iterator
+    }
+  }
+
+  /** [[bloomDedup]] with per-epoch filter rotation — the form that runs
+    * forever. Suppression window [epochSec, 2·epochSec); state
+    * `numShards · 2 · bits/8` bytes, constant in stream length.
+    */
+  def epochBloomDedup(events: Dataset[Event], numShards: Int = 8,
+      bits: Int = 1 << 16, hashes: Int = 4,
+      epochSec: Long = 3600): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.groupByKey { e =>
+      java.lang.Math.floorMod(scala.util.hashing.MurmurHash3
+        .stringHash(s"${e.user_id}|${e.event_type}"), numShards).toLong
+    }.transformWithState(new EpochBloomDedupProcessor(bits, hashes, epochSec),
+      TimeMode.None(), OutputMode.Update(), Encoders.product[Event])
+  }
+
   /** Stream-stream interval join: each purchase joins the same user's
     * signups from the preceding `horizon` — attribution, the canonical
     * two-stream shape. BOTH sides carry watermarks and the time

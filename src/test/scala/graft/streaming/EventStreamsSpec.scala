@@ -424,6 +424,46 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("epoch bloom dedup: suppresses within current+previous epoch, " +
+      "re-admits after two epochs, state stays bounded") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+      def at(min: Long) = new Timestamp(t0.getTime + min * 60000)
+      val numShards = 8
+      val stream = MemoryStream[Event]
+      val q = EventStreams.epochBloomDedup(stream.toDS(),
+          numShards = numShards, epochSec = 3600)
+        .writeStream.format("memory").queryName("t_epoch_bloom")
+        .outputMode("update").option("checkpointLocation", ckpt()).start()
+      // first arrival in epoch E
+      stream.addData(Event(1, 1, "click", at(10), 1.0))
+      q.processAllAvailable()
+      // same-epoch dup + next-epoch dup: both suppressed (cur + prev)
+      stream.addData(Event(2, 1, "click", at(20), 1.0),
+        Event(3, 1, "click", at(70), 1.0))
+      q.processAllAvailable()
+      // two epochs past the first arrival: outside the suppression
+      // window — re-admitted (the documented staleness bound), plus a
+      // genuinely new key admitted normally
+      stream.addData(Event(4, 1, "click", at(130), 1.0),
+        Event(5, 2, "click", at(130), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("t_epoch_bloom")
+        .select($"event_id").as[Long].collect().toSet
+      assert(got == Set(1L, 4L, 5L),
+        s"epoch bloom emitted $got, want Set(1, 4, 5)")
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= numShards,
+        s"epoch bloom state rows $stateRows > shard count $numShards")
+      drain(q)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState keeps per-user counts across micro-batches") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
