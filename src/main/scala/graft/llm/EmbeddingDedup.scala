@@ -61,15 +61,24 @@ object EmbeddingDedup {
   /** Duplicate-pair finder over any (vec_id, embedding) frame: banded
     * SRP candidates → exact quantized-cosine verify ≥ `threshold`.
     * Emits (id_a, id_b, cos_sim) with id_a < id_b, each pair once.
+    *
+    * Shuffle discipline (the q41 verify-stage design): the banding
+    * explode and the (band, bucket) pair join carry ONLY ids — never
+    * the vectors (64 floats × Bands rows per vector through an exchange
+    * is the naive cost) — and pairs are DEDUPED before verification, so
+    * the exact dot runs once per candidate pair, not once per band
+    * collision. The vectors come back via two equi-joins on the id
+    * (shuffle-scale-safe; AQE broadcasts the small side at test scale).
     */
   def nearDupPairs(e0: DataFrame, threshold: Double): DataFrame = {
     val s = e0.sparkSession
     import s.implicits._
+    val e = e0.select($"vec_id", $"embedding",
+      norm_q20($"embedding").as("norm"))
     val bands = (0 until Bands).map(b =>
       srp_bucket($"embedding", PlanesPerBand, BandSeed + b))
-    val tabled = e0
-      .select($"vec_id", $"embedding", norm_q20($"embedding").as("norm"),
-        posexplode(array(bands: _*)).as(Seq("band", "bucket")))
+    val tabled = e0.select($"vec_id",
+      posexplode(array(bands: _*)).as(Seq("band", "bucket")))
     // deterministic per-bucket cap — smallest (hash, id) first, unbiased
     // w.r.t. storage order; only engages on a degenerate bucket
     val wCap = Window.partitionBy($"band", $"bucket")
@@ -77,19 +86,22 @@ object EmbeddingDedup {
     val capped = tabled
       .withColumn("slot", row_number().over(wCap))
       .filter($"slot" <= BucketCap)
-      .select($"band", $"bucket", $"vec_id", $"embedding", $"norm")
-    val a = capped.select($"band", $"bucket", $"vec_id".as("id_a"),
-      $"embedding".as("ea"), $"norm".as("na"))
-    val b = capped.select($"band", $"bucket", $"vec_id".as("id_b"),
-      $"embedding".as("eb"), $"norm".as("nb"))
-    // a pair can collide in several bands → one row via group-by; the
-    // quantized cosine is band-independent so max == the value
-    a.join(b, Seq("band", "bucket"))
+      .select($"band", $"bucket", $"vec_id")
+    val pairs = capped.select($"band", $"bucket", $"vec_id".as("id_a"))
+      .join(capped.select($"band", $"bucket", $"vec_id".as("id_b")),
+        Seq("band", "bucket"))
       .filter($"id_a" < $"id_b")
-      .groupBy($"id_a", $"id_b")
-      .agg(max(cosine(dot_q20($"ea", $"eb").cast("double"), $"na", $"nb"))
-        .as("cos_sim"))
+      .select($"id_a", $"id_b")
+      .distinct()
+    pairs
+      .join(e.select($"vec_id".as("id_a"), $"embedding".as("ea"),
+        $"norm".as("na")), "id_a")
+      .join(e.select($"vec_id".as("id_b"), $"embedding".as("eb"),
+        $"norm".as("nb")), "id_b")
+      .withColumn("cos_sim",
+        cosine(dot_q20($"ea", $"eb").cast("double"), $"na", $"nb"))
       .filter($"cos_sim" >= threshold)
+      .select($"id_a", $"id_b", $"cos_sim")
   }
 
   /** Candidate pairs with their band-collision counts (no verify) — the

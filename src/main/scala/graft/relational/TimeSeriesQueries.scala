@@ -93,11 +93,106 @@ object TimeSeriesQueries {
       |FROM j
       |ORDER BY user_id, h""".stripMargin
 
+  /** q118 — rolling time-RANGE window: for every event, the count and
+    * exact decimal-path sum of the same user's events in the trailing
+    * hour (inclusive bounds both ends, peers included — the range-frame
+    * contract). The Spark frame ranges over `unix_micros(ts)` — the
+    * same µs quantity DuckDB's `RANGE INTERVAL 1 HOUR PRECEDING` frames
+    * over, so frame membership is identical; the decimal sum keeps the
+    * in-frame accumulation order-independent (dsl rationale).
+    *
+    * Scale shape: one hash-partition on the key, per-key sort, one
+    * forward pass with a sliding frame — same exchange as any keyed
+    * window; no self-join (the naive "events within an hour" spelling
+    * is the q115 range join against itself).
+    */
+  val q118RollingWindow: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    T.events(s, dir).select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum($"value".cast(DecimalType(25, 6))).over(w).cast(DoubleType))
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val q118Sql: String =
+    """SELECT user_id, event_id, ts, value,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_1h
+      |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  /** Gap threshold for [[q120Sessionize]], strictly-greater semantics. */
+  val SessionGapUs = 1800L * 1000000L
+
+  /** q120 — gap-based sessionization, the batch window-prefix-sum form
+    * (the streaming twin is q62's session_window): a new session starts
+    * when the gap to the user's previous event exceeds 30 minutes;
+    * session ids are the running count of starts; per-session stats
+    * aggregate after. Two keyed windows (lag + running sum) over ONE
+    * hash-partition on the user — no self-join, no session_window
+    * dependency, so the same recipe works on any engine-agnostic
+    * DataFrame.
+    */
+  val q120Sessionize: Q = (s, dir) => {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    T.events(s, dir).select($"user_id", $"event_id", $"ts")
+      .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+      .withColumn("new_s",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_s").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"), max($"ts").as("session_end"))
+      .withColumn("duration_us",
+        unix_micros($"session_end") - unix_micros($"session_start"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val q120Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |fl AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN LAG(ts) OVER w IS NULL
+       |           OR date_diff('microsecond', LAG(ts) OVER w, ts)
+       |              > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |ses AS (
+       |  SELECT user_id, ts,
+       |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM fl)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |  date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us
+       |FROM ses
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q104_resample_ffill" -> q104ResampleFfill,
+    "q118_rolling_window" -> q118RollingWindow,
+    "q120_sessionize" -> q120Sessionize,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q104_resample_ffill" -> q104Sql,
+    "q118_rolling_window" -> q118Sql,
+    "q120_sessionize" -> q120Sql,
   )
 }
