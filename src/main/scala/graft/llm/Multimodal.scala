@@ -213,6 +213,65 @@ object Multimodal {
     out
   }
 
+  val GvidMime = "video/x-gvid"
+
+  /** Parsed GVID container: byte ranges of each frame payload.
+    *
+    * GVID is this library's toy video container — a stand-in for a real
+    * demuxer (no video codecs exist in this environment) that still
+    * exercises every real seam: magic check, declared-length chunk walk
+    * with the same hostile-input bounds discipline as the WAV parser,
+    * and per-frame payloads decoded by the REAL image decoder
+    * ([[decodePpm]]). Layout: ASCII "GVID", uint32-LE frame count, then
+    * per frame uint32-LE payload length + a binary PPM (P6) payload.
+    */
+  private[llm] def parseGvid(bytes: Array[Byte]): IndexedSeq[(Int, Int)] = {
+    require(bytes.length >= 8 &&
+      new String(bytes, 0, 4, "US-ASCII") == "GVID", "not a GVID payload")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = buf.getInt(4)
+    require(n >= 0 && n <= (bytes.length - 8) / 4,
+      s"implausible frame count $n")
+    val out = IndexedSeq.newBuilder[(Int, Int)]
+    var pos = 8
+    var i = 0
+    while (i < n) {
+      require(pos + 4 <= bytes.length, s"truncated frame header $i")
+      val len = buf.getInt(pos)
+      // declared sizes are hostile input: negative or past-the-end
+      // lengths must fail loudly, not walk backwards (the WAV rule)
+      require(len >= 0 && pos + 4 + len <= bytes.length,
+        s"frame $i declares $len bytes past the payload end")
+      out += ((pos + 4, len))
+      pos += 4 + len
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Stride-sample a GVID clip: decode every `stride`-th frame (at most
+    * `maxFrames` — the fixed decode budget per clip, however long the
+    * video), returning (total frames, sampled indices, per-sampled-frame
+    * RGB channel means flattened row-major). The temporal twin of
+    * [[frameRmsWav]], with real pixel math per sampled frame.
+    */
+  private[llm] def sampleGvid(bytes: Array[Byte], stride: Int,
+      maxFrames: Int = 16): (Int, Array[Int], Array[Float]) = {
+    require(stride > 0, s"bad stride $stride")
+    val frames = parseGvid(bytes)
+    val idx = frames.indices.by(stride).take(maxFrames).toArray
+    val means = new Array[Float](idx.length * 3)
+    var i = 0
+    while (i < idx.length) {
+      val (off, len) = frames(idx(i))
+      val (_, _, f) = decodePpm(java.util.Arrays.copyOfRange(bytes, off, off + len))
+      System.arraycopy(f, 0, means, i * 3, 3)
+      i += 1
+    }
+    (frames.length, idx, means)
+  }
+
   /** Deterministic fake decode for mimes without a shipped codec:
     * dimensions and features derived from the payload hash. The
     * signature (bytes → dims + feature vector) is the real contract.
@@ -230,6 +289,19 @@ object Multimodal {
     mime match {
       case PpmMime => decodePpm(bytes)
       case WavMime => decodeWav(bytes)
+      case GvidMime =>
+        val frames = parseGvid(bytes)
+        require(frames.nonEmpty, "empty GVID clip")
+        val (off0, len0) = frames(0)
+        val (w, h, _) =
+          decodePpm(java.util.Arrays.copyOfRange(bytes, off0, off0 + len0))
+        val (_, idx, means) = sampleGvid(bytes, stride = 1)
+        val features = Array.tabulate(3) { c =>
+          var acc = 0.0; var i = 0
+          while (i < idx.length) { acc += means(i * 3 + c); i += 1 }
+          (acc / idx.length).toFloat
+        }
+        (w, h, features)
       case _ => decodeStub(mime, bytes)
     }
 
@@ -272,6 +344,25 @@ object Multimodal {
     media.mapPartitions(_.filter(_.mime == WavMime)
       .map(m => MediaFrameRms(m.media_id,
         frameRmsWav(m.bytes, frameSamples, maxFrames))))
+  }
+
+  case class VideoSample(media_id: Long, n_frames: Int,
+      sampled_idx: Array[Int], frame_means: Array[Float])
+
+  /** Stride-sample every GVID payload into per-sampled-frame channel
+    * means — the video leg of the multimodal seam ([[resizeThumbnails]]
+    * is the image leg, [[sampleFrames]] the audio leg). Same
+    * mapPartitions batch shape; the per-frame decode budget
+    * (`maxFrames`) bounds work per clip regardless of clip length.
+    */
+  def sampleVideoFrames(media: Dataset[MediaRecord], stride: Int,
+      maxFrames: Int = 16): Dataset[VideoSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.filter(_.mime == GvidMime)
+      .map { m =>
+        val (n, idx, means) = sampleGvid(m.bytes, stride, maxFrames)
+        VideoSample(m.media_id, n, idx, means)
+      })
   }
 
   /** Build a media table from the documents fixture (text bytes standing

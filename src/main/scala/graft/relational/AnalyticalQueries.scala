@@ -152,6 +152,58 @@ object AnalyticalQueries {
       |GROUP BY 1
       |ORDER BY stage""".stripMargin
 
+  /** q119 — cohort retention matrix, the second event-analytics shape
+    * next to the funnel: users grouped by signup week (cohort), counted
+    * in each subsequent activity week. Weeks are Monday-truncated in
+    * both engines; `week_n` divides a day difference of week-truncated
+    * dates, so it is exact integer arithmetic throughout.
+    *
+    * Scale shape: activity pre-aggregates to DISTINCT (user, week)
+    * BEFORE the cohort join — the join input shrinks from events to
+    * user-weeks, and afterwards rows are unique per (user, week_n), so
+    * the matrix cell is a plain `count`, no count-distinct shuffle. Both
+    * the cohort build and the join hash-partition on user_id — one
+    * shared exchange at cluster scale.
+    */
+  val q119CohortRetention: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir).select($"user_id", $"event_type", $"ts")
+    val cohort = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(to_date(date_trunc("week", min($"ts"))).as("cohort_week"))
+    val act = ev
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("act_week"))
+      .distinct()
+    cohort.join(act, "user_id")
+      .filter($"act_week" >= $"cohort_week")
+      .withColumn("week_n",
+        expr("datediff(act_week, cohort_week) div 7").cast("long"))
+      .groupBy($"cohort_week", $"week_n")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy($"cohort_week", $"week_n")
+  }
+
+  val q119Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |cohort AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+      |act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS act_week
+      |  FROM ev),
+      |j AS (
+      |  SELECT c.cohort_week,
+      |    date_diff('day', c.cohort_week, a.act_week) // 7 AS week_n
+      |  FROM cohort c JOIN act a ON c.user_id = a.user_id
+      |  WHERE a.act_week >= c.cohort_week)
+      |SELECT cohort_week, week_n, COUNT(*) AS n_active
+      |FROM j
+      |GROUP BY cohort_week, week_n
+      |ORDER BY cohort_week, week_n""".stripMargin
+
   /** q99 — runtime bloom-filter join pruning, the registered form of the
     * recipe RuntimeFilterSpec pins: a selective dim-side filter (urgent,
     * high-value orders) becomes a bloom filter probed at the lineitem
@@ -213,6 +265,7 @@ object AnalyticalQueries {
     "q83_local_supplier_volume" -> q83LocalSupplierVolume,
     "q94_funnel" -> q94Funnel,
     "q99_bloom_pruned_join" -> q99BloomPrunedJoin,
+    "q119_cohort_retention" -> q119CohortRetention,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -220,5 +273,6 @@ object AnalyticalQueries {
     "q83_local_supplier_volume" -> q83Sql,
     "q94_funnel" -> q94Sql,
     "q99_bloom_pruned_join" -> q99Sql,
+    "q119_cohort_retention" -> q119Sql,
   )
 }

@@ -122,6 +122,58 @@ class MultimodalSpec extends SparkSpec {
     assert(capped.length == 1)
   }
 
+  test("GVID video: stride sampling decodes the expected frames; " +
+      "hostile lengths fail loudly") {
+    import spark.implicits._
+    // 1x1 frames with distinct solid colors — per-frame means are the
+    // pixel values / 255
+    def frame(r: Int, g: Int, b: Int): Array[Byte] =
+      "P6\n1 1\n255\n".getBytes("US-ASCII") ++
+        Array(r, g, b).map(_.toByte)
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def gvid(frames: Seq[Array[Byte]]): Array[Byte] =
+      "GVID".getBytes("US-ASCII") ++ le32(frames.length) ++
+        frames.flatMap(f => le32(f.length) ++ f)
+    val colors = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255),
+      (255, 255, 255), (0, 0, 0))
+    val clip = gvid(colors.map { case (r, g, b) => frame(r, g, b) })
+    val media = Seq(Multimodal.MediaRecord(1L, Multimodal.GvidMime, clip)).toDS()
+    // stride 2 over 5 frames → indices 0, 2, 4 (red, blue, black)
+    val out = Multimodal.sampleVideoFrames(media, stride = 2).collect()
+    assert(out.length == 1)
+    val v = out(0)
+    assert(v.n_frames == 5)
+    assert(v.sampled_idx.toSeq == Seq(0, 2, 4))
+    assert(v.frame_means.toSeq == Seq(
+      1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 0.0f))
+    // maxFrames caps the decode budget
+    val capped = Multimodal.sampleVideoFrames(media, stride = 1,
+      maxFrames = 2).collect()(0)
+    assert(capped.sampled_idx.toSeq == Seq(0, 1) && capped.n_frames == 5)
+    // decode() routes the mime: first-frame dims + mean over all frames
+    val d = Multimodal.decode(media).collect()(0)
+    assert((d.width, d.height) == (1, 1))
+    assert(d.features.toSeq == Seq(0.4f, 0.4f, 0.4f)) // (255+0+0+255+0)/5/255
+    // a frame declaring a length past the payload end must fail loudly
+    val corrupt = clip.clone()
+    corrupt(8) = 0x7F.toByte; corrupt(9) = 0x7F.toByte // frame-0 len huge
+    intercept[Exception] {
+      Multimodal.sampleVideoFrames(
+        Seq(Multimodal.MediaRecord(2L, Multimodal.GvidMime, corrupt)).toDS(),
+        stride = 1).collect()
+    }
+    // truncated container (frame count > frames present) fails loudly
+    intercept[Exception] {
+      Multimodal.sampleVideoFrames(
+        Seq(Multimodal.MediaRecord(3L, Multimodal.GvidMime,
+          gvid(colors.take(2).map { case (r, g, b) => frame(r, g, b) })
+            .dropRight(5))).toDS(),
+        stride = 1).collect()
+    }
+  }
+
   test("rolling fingerprint: deterministic, shift-sensitive") {
     val fp1 = Fingerprints.rollingFingerprint(Seq("a", "b", "c"))
     val fp2 = Fingerprints.rollingFingerprint(Seq("a", "b", "c"))
