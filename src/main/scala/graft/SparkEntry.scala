@@ -5,7 +5,7 @@ import graft.catalog.CatalogOracle
 import graft.llm.{DedupQueries, EmbeddingDedup, TextAnalysis, TextPipeline, VectorSearch}
 import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, TimeSeriesQueries, WindowAggQueries}
 import graft.operators.IntervalJoin
-import graft.sources.{CsvScan, K8sObjects, LayoutQueries}
+import graft.sources.{CsvScan, K8sObjects, LayoutQueries, OrcSource}
 import graft.streaming.StreamShapeQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -29,7 +29,7 @@ object SparkEntry {
       AnalyticalQueries.queries ++ ReshapeStatsQueries.queries ++
       IncrementalQueries.queries ++ TimeSeriesQueries.queries ++
       graft.relational.QualityAuditQueries.queries ++ LayoutQueries.queries ++
-      IntervalJoin.queries
+      IntervalJoin.queries ++ OrcSource.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +43,6 @@ object SparkEntry {
       ReshapeStatsQueries.oracleSql ++ IncrementalQueries.oracleSql ++
       TimeSeriesQueries.oracleSql ++
       graft.relational.QualityAuditQueries.oracleSql ++
-      LayoutQueries.oracleSql ++ IntervalJoin.oracleSql
+      LayoutQueries.oracleSql ++ IntervalJoin.oracleSql ++
+      OrcSource.oracleSql
 }

@@ -43,6 +43,25 @@ class IntervalJoinSpec extends SparkSpec {
       (20L, 201L)), s"got=$got")
   }
 
+  test("the range join plans as an equi-join, never a nested loop — " +
+      "including in the shuffle regime") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("pid"), $"ts".as("lts"))
+      val v = ev.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("vid"), $"ts".as("rts"))
+      val plan = IntervalJoin
+        .intervalJoin(p, v, "user_id", "lts", "rts", 3600L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join; plan:\n$plan")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"range join degenerated to a nested loop; plan:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("parity holds on the events fixture") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val p = ev.filter($"event_type" === "purchase")
