@@ -102,6 +102,55 @@ object IncrementalQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q122 — re-aggregable DISTINCT counting via HLL sketch merge: the
+    * leg of incremental maintenance that q105's counter-additive merge
+    * cannot cover (distinct is not additive — yesterday's count and
+    * today's share users). The production pattern stores SKETCH BYTES in
+    * the rollup table and unions them at read time; here the same
+    * before/after-cutoff partitions as q105 each build a DataSketches
+    * HLL per group, the partials merge via `hll_union_agg`, and the gate
+    * emits:
+    *   - `n_exact` — the exact distinct count (oracle-recomputed);
+    *   - `merged_ok` / `direct_ok` — the merged-partials estimate AND
+    *     the one-pass estimate each within 5% of exact (the q74
+    *     tolerance-boolean convention; HLL lgk=12 sits far inside).
+    * The two estimates are NOT asserted equal to each other: a sketch
+    * union is deterministic but may differ slightly from the
+    * directly-built sketch (sparse→dense mode transitions), which is
+    * exactly why the gate anchors both to the exact count.
+    */
+  val q122HllMerge: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    val cutoff = lit("2024-01-15").cast(TimestampType)
+    val ev = T.events(s, dir).select($"event_type", $"ts", $"user_id")
+    def sketch(df: DataFrame): DataFrame = df
+      .groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    val merged = sketch(ev.filter($"ts" < cutoff))
+      .unionByName(sketch(ev.filter($"ts" >= cutoff)))
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_merged"))
+    val direct = sketch(ev)
+      .select($"event_type", hll_sketch_estimate($"sk").as("est_direct"))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    exact.join(merged, "event_type").join(direct, "event_type")
+      .select($"event_type", $"n_exact",
+        (abs($"est_merged" - $"n_exact") <= $"n_exact" * 0.05)
+          .as("merged_ok"),
+        (abs($"est_direct" - $"n_exact") <= $"n_exact" * 0.05)
+          .as("direct_ok"))
+      .orderBy($"event_type")
+  }
+
+  val q122Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+      |  TRUE AS merged_ok, TRUE AS direct_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** q106 — SCD2 history construction: a change stream (each `view`
     * event treated as a new value for its user) becomes validity
     * intervals — `valid_from` = the change ts, `valid_to` = the next
@@ -228,6 +277,7 @@ object IncrementalQueries {
     "q105_incremental_agg" -> q105IncrementalAgg,
     "q106_scd2_intervals" -> q106Scd2,
     "q114_snapshot_diff" -> q114SnapshotDiff,
+    "q122_hll_merge" -> q122HllMerge,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -235,5 +285,6 @@ object IncrementalQueries {
     "q105_incremental_agg" -> q105Sql,
     "q106_scd2_intervals" -> q106Sql,
     "q114_snapshot_diff" -> q114Sql,
+    "q122_hll_merge" -> q122Sql,
   )
 }
