@@ -45,20 +45,21 @@ object ConnectedComponents {
       val nbrMin = sym
         .join(labels.select($"id".as("nbr"), $"comp".as("nbr_comp")), "nbr")
         .groupBy($"id").agg(min($"nbr_comp").as("nbr_comp"))
-      val viaNbr = labels.join(nbrMin, Seq("id"), "left")
-        .select($"id",
-          least($"comp", coalesce($"nbr_comp", $"comp")).as("comp"))
+      val viaNbr = labels.select($"id", $"comp".as("old"))
+        .join(nbrMin, Seq("id"), "left")
+        .select($"id", $"old",
+          least($"old", coalesce($"nbr_comp", $"old")).as("comp"))
       // path halving: follow the label pointer one hop (comp(comp) ≤
-      // comp because labels never increase)
+      // comp because labels only decrease); the previous label rides
+      // along so the convergence check below is a filter over the
+      // checkpointed frame, not another join against `labels`
       val next = viaNbr.as("a")
         .join(viaNbr.select($"id".as("c0"), $"comp".as("c2")).as("b"),
           $"a.comp" === $"b.c0")
-        .select($"a.id".as("id"), $"b.c2".as("comp"))
+        .select($"a.id".as("id"), $"a.old".as("old"), $"b.c2".as("comp"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select($"id", $"comp".as("old")), "id")
-        .filter($"comp" =!= $"old").count()
-      labels = next
+      changed = next.filter($"comp" =!= $"old").count()
+      labels = next.select($"id", $"comp")
       iter += 1
     }
     require(changed == 0,
