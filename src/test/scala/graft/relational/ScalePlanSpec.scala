@@ -2,6 +2,7 @@ package graft.relational
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.when
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
@@ -113,6 +114,43 @@ class ScalePlanSpec extends SparkSpec {
     val readCols = scan1.output.map(_.name).toSet
     assert(readCols.size <= 8 && readCols.contains("l_quantity"),
       s"q01: scan reads unpruned column set $readCols")
+    }
+  }
+
+  test("AQE skew join splits a hot partition (the zero-code counterpart " +
+      "of q80's manual salting)") {
+    import spark.implicits._
+    // the skew story's second half: q80 proves the manual salt recipe;
+    // this pins Spark's automatic variant — AQE detecting an oversized
+    // shuffle partition at runtime and splitting it, marked skew=true
+    // in the finalized plan. Thresholds are scoped down so a test-sized
+    // hot key (one key carrying ~75% of all rows) trips the same logic
+    // a multi-GB hot partition trips in production.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = spark.range(0, 200000)
+        .select(when($"id" < 150000, 0L).otherwise($"id" % 1000).as("k"),
+          $"id".as("payload"))
+      val dim = spark.range(0, 1000).select($"id".as("k"),
+        ($"id" * 2).as("dim_v"))
+      val joined = hot.join(dim, "k")
+      // materialize THIS queryExecution (count() would attach a new
+      // one and AQE only finalizes the executed plan)
+      assert(joined.collect().length == 200000,
+        "unexpected join cardinality — fixture drifted")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the hot partition; finalized plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 }
