@@ -517,12 +517,61 @@ object VectorSearch {
     s"""SELECT COUNT(*) AS n_queries, TRUE AS ok
        |FROM embeddings WHERE vec_id < $QuerySetSize""".stripMargin
 
+  /** q123 — int8 vector quantization, the storage leg of the vector
+    * stack: per-vector max-abs scaling to [-127, 127] shrinks an
+    * embedding column 4× (the standard serving-index compression), with
+    * the reconstruction-error bound max|x − q/s| < 1/s carried as an
+    * oracle-checked boolean. Every step is one exact-rounded IEEE op
+    * per element (max-abs compare, one divide for the scale, one
+    * multiply + floor per component), so Spark and DuckDB produce
+    * bit-identical quantized vectors — the gate compares the integer
+    * CHECKSUM of each quantized vector, not just sizes. Narrow
+    * projection via higher-order functions (transform/aggregate), no
+    * UDF, no shuffle.
+    */
+  val q123Int8Quantize: Q = (s, dir) => {
+    import s.implicits._
+    T.embeddings(s, dir)
+      .withColumn("max_abs",
+        array_max(transform($"embedding", x => abs(x.cast("double")))))
+      .withColumn("scale", lit(127.0) / $"max_abs")
+      .withColumn("qv",
+        transform($"embedding",
+          x => floor(x.cast("double") * $"scale").cast("long")))
+      .select($"vec_id",
+        aggregate($"qv", lit(0L), (acc, q) => acc + q).as("q_checksum"),
+        (array_max(transform(arrays_zip($"embedding", $"qv"),
+          p => abs(p("embedding").cast("double") - p("qv") / $"scale")))
+          < lit(1.0) / $"scale").as("err_ok"))
+      .orderBy($"vec_id")
+  }
+
+  val q123Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    127.0 / list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings),
+      |qq AS (
+      |  SELECT vec_id, embedding, scale,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qv
+      |  FROM q)
+      |SELECT vec_id,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+      |  list_max(list_transform(list_zip(embedding, qv),
+      |    p -> abs(CAST(p[1] AS DOUBLE) - p[2] / scale))) < 1.0 / scale
+      |    AS err_ok
+      |FROM qq
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q44_cosine_topk" -> q44CosineTopk,
     "q45_lsh_ann" -> q45LshAnn,
     "q81_ivf_ann" -> q81IvfAnn,
     "q85_lsh_recall" -> q85LshRecall,
     "q86_ivf_recall" -> q86IvfRecall,
+    "q123_int8_quantize" -> q123Int8Quantize,
   )
 
   /** q45/q81 emit engine-internal bucket/cell picks (no SQL analogue),
@@ -534,5 +583,6 @@ object VectorSearch {
     "q44_cosine_topk" -> q44Sql,
     "q85_lsh_recall" -> recallSql,
     "q86_ivf_recall" -> recallSql,
+    "q123_int8_quantize" -> q123Sql,
   )
 }
