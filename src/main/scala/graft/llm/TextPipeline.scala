@@ -451,6 +451,39 @@ object TextPipeline {
        |SELECT lang, doc_id FROM ranked WHERE rk <= $GroupSampleK
        |ORDER BY lang, doc_id""".stripMargin
 
+  /** Text canonicalization — the normalization pass exact dedup (q40)
+    * and fingerprinting assume upstream: lowercase, strip everything
+    * outside [a-z0-9 ], collapse whitespace runs, trim. Two docs that
+    * differ only in case/punctuation/spacing normalize to the same
+    * string and collapse in the hash-dedup step. Narrow codegen
+    * `regexp_replace` projections (the q93 PII discipline — no UDF);
+    * patterns stay in the regex subset Java and RE2/DuckDB agree on.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** q124 — the normalized corpus itself (doc_id, norm_text) plus each
+    * doc's normalized sha for the dedup step — row-for-row, so any
+    * divergence in the normalization chain breaks the hash match.
+    */
+  val q124TextNormalize: Q = (s, dir) => {
+    import s.implicits._
+    T.documents(s, dir)
+      .select($"doc_id", normalizeText($"text").as("norm_text"))
+      .withColumn("norm_sha", sha2($"norm_text", 256))
+      .orderBy($"doc_id")
+  }
+
+  val q124Sql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+      |  sha256(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_sha
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Concat-and-cut sequence packing — how training runs batch text:
     * documents concatenate in a canonical order (doc_id) into one
     * global token stream, and fixed-size packs are cut every `budget`
@@ -579,6 +612,7 @@ object TextPipeline {
     "q97_corpus_prep" -> q97CorpusPrep,
     "q100_stratified_sample" -> q100StratifiedSample,
     "q116_group_sample" -> q116GroupSample,
+    "q124_text_normalize" -> q124TextNormalize,
     "q103_sequence_packing" -> q103SequencePacking,
     "q108_bm25" -> q108Bm25,
   )
@@ -590,6 +624,7 @@ object TextPipeline {
     "q97_corpus_prep" -> q97Sql,
     "q100_stratified_sample" -> q100Sql,
     "q116_group_sample" -> q116Sql,
+    "q124_text_normalize" -> q124Sql,
     "q103_sequence_packing" -> q103Sql,
     "q108_bm25" -> q108Sql,
   )
