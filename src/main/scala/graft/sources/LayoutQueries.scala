@@ -157,35 +157,42 @@ object LayoutQueries {
   }
 
   /** Compact `src` (a hive-partitioned layout on `partitionCol`) into
-    * `dst`: each partition gets ceil(bytes / targetBytes) output files
-    * (per-partition salt on a stable id), rows sorted within files by
-    * `sortCols` for min/max row-group locality. Returns
-    * (filesBefore, filesAfter). The directory listing is driver-side
-    * table metadata — bounded by partition count, never row count.
+    * `dst`: each partition gets EXACTLY ceil(bytes / targetBytes)
+    * output files, rows sorted within files by `sortCols` for min/max
+    * row-group locality. Returns (filesBefore, filesAfter).
+    *
+    * One write job per partition, driven from the driver over the
+    * directory listing — table METADATA, bounded by partition count,
+    * never row count; per-partition maintenance jobs are the standard
+    * compaction shape (each job is itself distributed). The explicit
+    * `repartition(n)` (round-robin, exact task count — a salt-hash
+    * spelling can only approximate the count, salt groups collide into
+    * tasks) pins the file count; AQE honors explicit numPartitions.
     */
   def compact(s: SparkSession, src: String, dst: String,
-      partitionCol: String, saltOn: String, sortCols: Seq[String],
+      partitionCol: String, sortCols: Seq[String],
       targetBytes: Long): (Long, Long) = {
     val before = listParquet(src)
     val bytesPerPart: Map[String, Long] = before
       .groupBy(_.getParent.getFileName.toString)
       .map { case (d, fs) => d -> fs.map(Files.size).sum }
-    val filesFor: Map[String, Int] = bytesPerPart.map { case (d, b) =>
-      d.substring(d.indexOf('=') + 1) ->
-        math.max(1, math.ceil(b.toDouble / targetBytes).toInt)
+    // a stale dst (e.g. from a previous run over different partitions)
+    // must not leak old partitions into the compacted layout
+    val dstP = Paths.get(dst)
+    if (Files.exists(dstP)) {
+      val walk = Files.walk(dstP)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toList.reverse.foreach(Files.delete)
+      } finally walk.close()
     }
-    val nf = typedlit(filesFor)
-    val df = s.read.parquet(src)
-    withConfs(s, KeepSaltGroups) {
-      df.withColumn("_salt",
-          pmod(xxhash64(col(saltOn)),
-            coalesce(nf(col(partitionCol).cast("string")), lit(1))))
-        .repartition(col(partitionCol), col("_salt"))
-        .sortWithinPartitions(col(partitionCol) +: sortCols.map(col): _*)
-        .drop("_salt")
+    bytesPerPart.foreach { case (dirName, bytes) =>
+      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      s.read.parquet(s"$src/$dirName")
+        .repartition(n)
+        .sortWithinPartitions(sortCols.map(col): _*)
         .write.mode(SaveMode.Overwrite)
-        .partitionBy(partitionCol)
-        .parquet(dst)
+        .parquet(s"$dst/$dirName")
     }
     (before.size.toLong, listParquet(dst).size.toLong)
   }
@@ -206,7 +213,7 @@ object LayoutQueries {
       new String(Files.readAllBytes(marker), "UTF-8") == key
     if (!cached) {
       val (nb, na) = compact(s, FragRoot, CompactRoot, "event_day",
-        "event_id", Seq("user_id", "ts"), CompactTargetBytes)
+        Seq("user_id", "ts"), CompactTargetBytes)
       require(na < nb, s"compaction did not shrink the layout: $nb -> $na")
       Files.write(marker, key.getBytes("UTF-8"))
     }
