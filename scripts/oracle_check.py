@@ -25,6 +25,48 @@ def canon(rows):
     return sorted(rows, key=key)
 
 
+INT_TYPES = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+
+
+def type_kind(t):
+    """Collapse a DuckDB type name to the category the driver's parquet
+    hash gate distinguishes: int, float, decimal, bool, or other."""
+    t = str(t).upper()
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"  # serializes to parquet DOUBLE — always a bug
+    if t in INT_TYPES:
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "BOOLEAN":
+        return "bool"
+    return "other"
+
+
+def type_mismatch(sql_con, sql, sp_dir):
+    """The driver writes the DuckDB result to parquet and hash-compares
+    values against Spark's parquet, so a HUGEINT column (serialized as
+    DOUBLE) or any int-vs-float kind split fails there even when Python
+    values compare equal here. Returns an error string or None."""
+    duck = sql_con.sql(sql)
+    d_types = dict(zip(duck.columns, [str(t) for t in duck.types]))
+    hug = [c for c, t in d_types.items() if type_kind(t) == "hugeint"]
+    if hug:
+        return (f"oracle SQL returns HUGEINT column(s) {hug} — DuckDB "
+                "serializes HUGEINT to parquet as DOUBLE; CAST(... AS BIGINT)")
+    sp = sql_con.sql(f"SELECT * FROM read_parquet('{sp_dir}/*.parquet')")
+    s_types = dict(zip(sp.columns, [str(t) for t in sp.types]))
+    for c, dt in d_types.items():
+        if c in s_types and type_kind(dt) != type_kind(s_types[c]):
+            return (f"column '{c}' type kind differs: duck {dt} "
+                    f"({type_kind(dt)}) vs spark {s_types[c]} "
+                    f"({type_kind(s_types[c])}) — driver hash gate will fail")
+    return None
+
+
 def values_equal(a, b):
     if a is None or b is None:
         return a is None and b is None
@@ -79,6 +121,14 @@ def main(sf_dir, out_dir):
         if sorted(duck_cols) != sorted(sp_cols):
             print(f"FAIL {name}: columns differ: duck={sorted(duck_cols)} "
                   f"spark={sorted(sp_cols)}")
+            n_fail += 1
+            continue
+        try:
+            terr = type_mismatch(con, sql, spark_dir)
+        except Exception as e:
+            terr = f"type check error: {e}"
+        if terr:
+            print(f"FAIL {name}: {terr}")
             n_fail += 1
             continue
         d_rows = canon([tuple(r[i] for i in d_ord) for r in duck_rows])

@@ -393,7 +393,7 @@ object TextPipeline {
       .mkString(" ")
     s"""SELECT lang, COUNT(*) AS n_sampled,
        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
-       |  SUM(doc_id) AS sum_doc
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc
        |FROM documents
        |WHERE CAST('0x' || substring(
        |        md5('$SampleSalt' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
@@ -538,8 +538,8 @@ object TextPipeline {
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, n_tokens,
-       |    SUM(n_tokens) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
        |  FROM t)
        |SELECT doc_id, n_tokens, cend - n_tokens AS start_tok,
        |  (cend - n_tokens) // $PackBudget AS pack_first,

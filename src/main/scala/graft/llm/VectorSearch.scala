@@ -173,13 +173,23 @@ object VectorSearch {
     *     candidate cap ([[IvfProbeCandidateCap]]) bounds the work one
     *     degenerate cell can cause without ever removing a vector from
     *     the index.
-    *   - Queries probe their top-`probes` cells; probes scales with the
-    *     cell count ([[ivfProbeCount]]) so the probed corpus fraction
-    *     stays roughly constant as cells grow.
+    *   - Queries probe a SMALL CONSTANT number of cells
+    *     ([[IvfProbes]]) regardless of the cell count — the standard
+    *     IVF operating point. This is what makes per-query work truly
+    *     sublinear: candidates/query ≈ probes·N/cells ≈ probes·√N at
+    *     √N cells, so it FALLS as a fraction of the corpus as N grows.
+    *     (A probes-proportional-to-cells policy — e.g. cells/8 — keeps
+    *     candidates at N/8 forever: a constant-factor scan, not an
+    *     index, and past the candidate cap it silently trades recall.)
+    *     Raising probes buys recall linearly in probe work; the q86
+    *     recall gate pins the floor at the default. The reference's
+    *     analogous contract: one partition read per lookup
+    *     (main.go:226-238) — per-query work bounded by layout, not by
+    *     corpus size.
     */
   val IvfMinCells = 4
   val IvfMaxCells = 4096
-  val IvfProbes = 3
+  val IvfProbes = 8
   val IvfSampleSize = 2048
   val IvfFitIters = 10
   val IvfExprFormMaxCells = 64
@@ -190,12 +200,10 @@ object VectorSearch {
     math.max(IvfMinCells,
       math.min(IvfMaxCells, math.ceil(math.sqrt(n.toDouble)).toInt))
 
-  /** Probes grow with the cell count so recall holds as cells scale:
-    * probing ~cells/8 of the cells keeps the candidate fraction
-    * (probes/cells · N) near ⅛ of what a flat scan would touch.
+  /** Constant probes, clamped to the cell count — NOT a function that
+    * grows with cells (see the tuning scaladoc above for why).
     */
-  def ivfProbeCount(cells: Int): Int =
-    math.max(IvfProbes, math.ceil(cells / 8.0).toInt)
+  def ivfProbeCount(cells: Int): Int = math.min(cells, IvfProbes)
 
   /** IVF ANN: fitted coarse quantizer + inverted file — the second
     * sub-quadratic similarity path next to [[q45LshAnn]], with a
@@ -408,7 +416,7 @@ object VectorSearch {
       .select($"vec_id", $"embedding", norm_q20($"embedding").as("norm"))
     val cells = ivfCellCount(e0.count())
     val centroids = fitCodebook(e0.select($"vec_id", $"embedding"), cells)
-    val probes = math.max(minProbes, ivfProbeCount(centroids.size))
+    val probes = math.min(centroids.size, math.max(1, minProbes))
     val ranked = ivfRanked(e, centroids, probes).localCheckpoint()
     val corpus = ranked.filter($"crank" === 1)
       .select($"cell", $"vec_id".as("nid"), $"embedding".as("eb"),

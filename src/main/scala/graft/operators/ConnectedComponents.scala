@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Free the storage blocks behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only clears cache-manager entries (`.persist`);
+    * checkpoint blocks live under the internal RDD inside the plan's
+    * [[org.apache.spark.sql.execution.LogicalRDD]] leaf.
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Labels `(id, comp)` for every node appearing in `edges`
     * (`src`/`dst` columns); `comp` is the minimum node id reachable —
     * a canonical, deterministic component representative. Nodes with
@@ -39,6 +51,12 @@ object ConnectedComponents {
       .localCheckpoint()
     var labels = sym.select($"id").distinct()
       .withColumn("comp", $"id").localCheckpoint()
+    // the frame whose checkpoint blocks may be dropped once the round
+    // that superseded it has materialized (labels at round r reads the
+    // round-(r-1) checkpoint, so only current + previous may be live —
+    // without this, 50 rounds pin 50 checkpoint generations in executor
+    // storage)
+    var retired: DataFrame = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -59,11 +77,19 @@ object ConnectedComponents {
         .select($"a.id".as("id"), $"a.old".as("old"), $"b.c2".as("comp"))
         .localCheckpoint()
       changed = next.filter($"comp" =!= $"old").count()
+      // `next` is materialized (the count above); the generation before
+      // last can no longer be referenced — release its blocks
+      if (retired ne null) dropCheckpoint(retired)
+      retired = labels
       labels = next.select($"id", $"comp")
       iter += 1
     }
     require(changed == 0,
       s"connected components did not converge in $maxIter rounds")
+    // the final labels are their own checkpoint — the symmetric edge
+    // frame is no longer reachable through them
+    dropCheckpoint(sym)
+    if (retired ne null) dropCheckpoint(retired)
     labels
   }
 }

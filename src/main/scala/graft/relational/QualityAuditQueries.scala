@@ -64,7 +64,8 @@ object QualityAuditQueries {
   }
 
   val q107Sql: String =
-    """SELECT "check", violations, violations = 0 AS passed FROM (
+    """SELECT "check", CAST(violations AS BIGINT) AS violations,
+      |  violations = 0 AS passed FROM (
       |  SELECT 'orders_pk_unique' AS "check",
       |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS violations FROM orders
       |  UNION ALL

@@ -129,6 +129,35 @@ class VectorSearchSpec extends SparkSpec {
       s"cell skew: max=${sizes.max} vs mean=${n / cells}")
   }
 
+  test("ivf per-query candidate count is sublinear at sf0.1: ≤ probes·(2N/cells)") {
+    // The scale contract of constant-probe IVF: candidates/query ≈
+    // probes·N/cells (≈ probes·√N at √N cells), NOT a constant fraction
+    // of the corpus. Asserted pre-cap, so this also proves the
+    // IvfProbeCandidateCap is a degenerate-cell valve that never
+    // engages in the fitted regime.
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val n = e.count()
+    val cells = VectorSearch.ivfCellCount(n)
+    val probes = VectorSearch.ivfProbeCount(cells)
+    assert(probes == VectorSearch.IvfProbes,
+      "probes must be the constant operating point, not cell-derived")
+    val cb = VectorSearch.fitCodebook(e.select($"vec_id", $"embedding"), cells)
+    val ranked = VectorSearch.ivfRanked(
+      e.select($"vec_id", $"embedding", lit(1.0).as("norm")), cb, probes)
+    val corpusSz = ranked.filter($"crank" === 1)
+      .groupBy($"cell").agg(count(lit(1)).as("csz"))
+    val perQuery = ranked.select($"vec_id", $"cell")
+      .join(corpusSz, "cell")
+      .groupBy($"vec_id").agg(sum($"csz").as("cand"))
+      .select(max($"cand")).as[Long].head()
+    val bound = probes.toLong * (2 * n / cells)
+    assert(perQuery <= bound,
+      s"worst query examines $perQuery candidates > bound $bound " +
+        s"(probes=$probes cells=$cells n=$n)")
+    assert(perQuery <= VectorSearch.IvfProbeCandidateCap,
+      s"cap would engage in the non-degenerate regime: $perQuery")
+  }
+
   test("codebook fit is deterministic across runs") {
     val e = graft.core.Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding")

@@ -28,6 +28,21 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("checkpoint storage stays flat across rounds (generations released)") {
+    // a 200-node path needs ~log2(200) ≈ 8 propagation rounds; without
+    // per-round release every round would pin one more checkpoint
+    // generation in executor storage
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (1L until 200L).map(i => (i, i + 1))
+    val got = cc(edges)
+    assert(got.sizeIs == 200 && got.values.forall(_ == 1L))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // at most the final labels generation (+ the one retired just before
+    // convergence) may remain — NOT one per round
+    assert(after - before <= 2,
+      s"checkpoint generations leaked: $before before, $after after")
+  }
+
   test("matches a driver-side union-find on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val n = 500
