@@ -161,21 +161,51 @@ object LayoutQueries {
     * output files, rows sorted within files by `sortCols` for min/max
     * row-group locality. Returns (filesBefore, filesAfter).
     *
-    * One write job per partition, driven from the driver over the
-    * directory listing — table METADATA, bounded by partition count,
-    * never row count; per-partition maintenance jobs are the standard
-    * compaction shape (each job is itself distributed). The explicit
-    * `repartition(n)` (round-robin, exact task count — a salt-hash
-    * spelling can only approximate the count, salt groups collide into
-    * tasks) pins the file count; AQE honors explicit numPartitions.
+    * ONE Spark job for the whole table — not one job per partition: at
+    * 10k day-partitions a serial per-partition loop costs 10k
+    * sequential job round-trips from the driver. Every row is assigned
+    * a global output-file slot (partition offset + a row-hash spread
+    * over that partition's file budget), and one
+    * `repartition(totalSlots, slotVal)` + `partitionBy` write emits
+    * every file concurrently. Exactness of the file count survives the
+    * hash shuffle because the slot VALUES are chosen as a bijection
+    * against the engine's own `hash()` (= the Murmur3 HashPartitioning
+    * uses): slot f gets a value v_f with `pmod(hash(v_f), total) == f`,
+    * so no two slots collide into one task and no task holds two slots.
+    * Driver-side work stays METADATA-bounded: the file listing and one
+    * tiny groupBy over ≤ 64·totalSlots integers for the bijection.
     */
   def compact(s: SparkSession, src: String, dst: String,
       partitionCol: String, sortCols: Seq[String],
       targetBytes: Long): (Long, Long) = {
+    import s.implicits._
     val before = listParquet(src)
-    val bytesPerPart: Map[String, Long] = before
+    if (before.isEmpty) return (0L, 0L)
+    // partition VALUE (the `col=value` suffix, URL-decoded) → exact
+    // output file count from its byte budget
+    val filesPerPart: Seq[(String, Int)] = before
       .groupBy(_.getParent.getFileName.toString)
-      .map { case (d, fs) => d -> fs.map(Files.size).sum }
+      .toSeq.sortBy(_._1)
+      .map { case (d, fs) =>
+        val v = java.net.URLDecoder.decode(
+          d.substring(d.indexOf('=') + 1), "UTF-8")
+        v -> math.max(1,
+          math.ceil(fs.map(Files.size).sum.toDouble / targetBytes).toInt)
+      }
+    val total = filesPerPart.map(_._2).sum
+    val offsets = filesPerPart.scanLeft(0)(_ + _._2)
+    // bijection slot → value under the engine's own hash partitioning
+    val slotVals: Map[Int, Long] = s.range(0, 64L * total)
+      .select(pmod(hash($"id"), lit(total)).as("f"), $"id")
+      .groupBy($"f").agg(min($"id").as("v"))
+      .as[(Int, Long)].collect().toMap
+    require(slotVals.size == total,
+      s"hash-slot bijection incomplete: ${slotVals.size} of $total")
+    val parts = filesPerPart.zip(offsets).map { case ((v, n), off) =>
+      (v, n, off)
+    }.toDF("__pval", "__nfiles", "__off")
+    val slots = slotVals.toSeq.map { case (f, v) => (f, v) }
+      .toDF("__slot", "__slotval")
     // a stale dst (e.g. from a previous run over different partitions)
     // must not leak old partitions into the compacted layout
     val dstP = Paths.get(dst)
@@ -186,14 +216,20 @@ object LayoutQueries {
         walk.iterator().asScala.toList.reverse.foreach(Files.delete)
       } finally walk.close()
     }
-    bytesPerPart.foreach { case (dirName, bytes) =>
-      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      s.read.parquet(s"$src/$dirName")
-        .repartition(n)
-        .sortWithinPartitions(sortCols.map(col): _*)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$dst/$dirName")
-    }
+    val df = s.read.parquet(src)
+    val dataCols = df.columns.filter(_ != partitionCol).toSeq
+    df.join(broadcast(parts), col(partitionCol).cast("string") === $"__pval")
+      .withColumn("__slot", $"__off" +
+        pmod(xxhash64(struct(dataCols.map(col): _*)), $"__nfiles").cast("int"))
+      .join(broadcast(slots), "__slot")
+      .repartition(total, $"__slotval")
+      // sort key leads with the partition column so the dynamic-partition
+      // writer's required ordering is already satisfied — no second sort
+      .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+      .drop("__pval", "__nfiles", "__off", "__slot", "__slotval")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(dst)
     (before.size.toLong, listParquet(dst).size.toLong)
   }
 
@@ -208,7 +244,9 @@ object LayoutQueries {
     import s.implicits._
     ensureFragmented(s, dir)
     val marker = Paths.get(CompactRoot, ".fixture_key")
-    val key = s"compact:$dir:$CompactTargetBytes"
+    // v2: one-job slot-bijection writer (key bump forces a rebuild so
+    // the layout on disk is the new writer's output)
+    val key = s"compact:v2:$dir:$CompactTargetBytes"
     val cached = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == key
     if (!cached) {
