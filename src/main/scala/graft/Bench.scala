@@ -54,7 +54,9 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results =
+      (SparkEntry.queries ++ graft.streaming.StreamBench.benchOnly)
+        .toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val (t, ok) = median(fn)
         (name, t, ok)

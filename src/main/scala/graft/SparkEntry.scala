@@ -5,7 +5,7 @@ import graft.catalog.CatalogOracle
 import graft.llm.{DedupQueries, EmbeddingDedup, TextAnalysis, TextPipeline, VectorSearch}
 import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, TimeSeriesQueries, WindowAggQueries}
 import graft.operators.IntervalJoin
-import graft.sources.{CsvScan, K8sObjects, LayoutQueries, OrcSource}
+import graft.sources.{CsvScan, K8sObjects, LayoutQueries, OrcSource, ZOrderQueries}
 import graft.streaming.StreamShapeQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -29,7 +29,7 @@ object SparkEntry {
       AnalyticalQueries.queries ++ ReshapeStatsQueries.queries ++
       IncrementalQueries.queries ++ TimeSeriesQueries.queries ++
       graft.relational.QualityAuditQueries.queries ++ LayoutQueries.queries ++
-      IntervalJoin.queries ++ OrcSource.queries
+      IntervalJoin.queries ++ OrcSource.queries ++ ZOrderQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +44,5 @@ object SparkEntry {
       TimeSeriesQueries.oracleSql ++
       graft.relational.QualityAuditQueries.oracleSql ++
       LayoutQueries.oracleSql ++ IntervalJoin.oracleSql ++
-      OrcSource.oracleSql
+      OrcSource.oracleSql ++ ZOrderQueries.oracleSql
 }

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** CDC update row for the qs02 bench (top-level: Spark's encoder codegen
+  * cannot instantiate a case class nested inside an object). */
+case class BenchCdcRow(k: Long, v: String, seq: Long)
+
+/** Bench-only harnesses for the streaming operators the driver's
+  * batch-oriented gates never time: Bloom streaming dedup and the CDC
+  * apply loop. Each entry runs a BOUNDED MemoryStream to completion —
+  * deterministic input, a fixed micro-batch count, RocksDB state — and
+  * returns a one-row frame of counts, so [[graft.Bench]]'s
+  * `fn(spark, sfDir).count()` times the whole streaming run. These are
+  * NOT oracle rows (their correctness lives in EventStreamsSpec /
+  * CdcApplySpec); they exist so a state-management regression shows up
+  * as a bench delta instead of passing silently.
+  *
+  * The driver-side `collect` here is the MemoryStream feeding contract
+  * (data must originate on the driver) and is capped at [[BenchRows]]
+  * rows — a harness bound, not an operator property; the operators
+  * themselves read their input as a stream.
+  */
+object StreamBench {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Input cap — enough rows that per-row state work dominates the
+    * fixed per-micro-batch overhead, small enough that the bench's
+    * 1 warm-up + 3 timed reps stay a bounded slice of the round. */
+  val BenchRows = 20000L
+  val BloomBatches = 3
+  val CdcBatches = 3
+  /** CDC keyspace divisor: ~4 versions per key across the run. */
+  val CdcVersions = 4
+
+  private val runId = new AtomicLong()
+
+  /** Scoped confs for a streaming bench run: RocksDB state (the
+    * transformWithState requirement) and a state-partition count
+    * matched to the shard count — state-store instances are created
+    * per shuffle partition per micro-batch, so letting the bench's
+    * local[32] default (32 partitions) stand would time 4× the store
+    * open/commit overhead against 8 shards of actual state.
+    */
+  private def withStreamConfs[A](s: SparkSession)(body: => A): A = {
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      // changelog checkpointing: commit the per-batch delta instead of
+      // a full RocksDB snapshot upload — the production setting for
+      // frequent small batches, and without it the bench times snapshot
+      // I/O instead of the dedup path
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true",
+      "spark.sql.shuffle.partitions" -> "8")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private def boundedEvents(s: SparkSession, dir: String): Seq[Event] = {
+    import s.implicits._
+    T.events(s, dir)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .filter(col("event_id") < BenchRows)
+      .as[Event].collect().toSeq.sortBy(_.event_id)
+  }
+
+  /** qs01 — Bloom streaming dedup over [[BloomBatches]] micro-batches:
+    * every batch boundary forces a state-store round-trip per shard, so
+    * the timing tracks exactly the fixed-size-filter read/modify/write
+    * path a state regression would inflate.
+    */
+  val qs01BloomDedupStream: Q = (s, dir) => {
+    import s.implicits._
+    withStreamConfs(s) {
+      implicit val sqlCtx = s.sqlContext
+      val rows = boundedEvents(s, dir)
+      val stream = MemoryStream[Event]
+      val name = s"bench_bloom_${runId.incrementAndGet()}"
+      val q = EventStreams.bloomDedup(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("bench-bloom-ckpt").toString)
+        .start()
+      rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+      q.stop(); q.awaitTermination()
+      val out = s.table(name).count()
+      s.catalog.dropTempView(name)
+      Seq((rows.size.toLong, out)).toDF("n_in", "n_out")
+    }
+  }
+
+  /** qs02 — CDC apply over [[CdcBatches]] micro-batches: each batch
+    * folds last-writer-wins updates into the published snapshot and
+    * atomically republishes, so the timing covers the whole
+    * upsert → write → pointer-swap loop (the snapshot rewrite is the
+    * dominant term, as in production).
+    */
+  val qs02CdcApplyStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    // keyspace scales with the ACTUAL input so ~CdcVersions versions
+    // collapse per key at every scale factor
+    val keySpace = math.max(1L, rows.size.toLong / CdcVersions)
+    val updates = rows.map { e =>
+      BenchCdcRow(e.event_id % keySpace, e.event_type, e.event_id)
+    }
+    val root = Files.createTempDirectory("bench-cdc-root").toString
+    val ckpt = Files.createTempDirectory("bench-cdc-ckpt").toString
+    val stream = MemoryStream[BenchCdcRow]
+    val q = CdcApply.start(stream.toDF(), root, Seq("k"), "seq", ckpt)
+    updates.grouped(updates.size / CdcBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val finalState = CdcApply.activeState(s, root, stream.toDF().schema)
+    Seq((updates.size.toLong, finalState.count())).toDF("n_in", "n_keys")
+  }
+
+  /** Bench-only entries — timed by [[graft.Bench]], absent from
+    * [[graft.SparkEntry.queries]] so the correctness gate (which has no
+    * streaming-SQL oracle) is unaffected.
+    */
+  val benchOnly: Map[String, Q] = Map(
+    "qs01_bloom_dedup_stream" -> qs01BloomDedupStream,
+    "qs02_cdc_apply_stream" -> qs02CdcApplyStream,
+  )
+}
