@@ -431,6 +431,70 @@ object DedupQueries {
       |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxEdit
       |ORDER BY name1, name2""".stripMargin
 
+  /** Decontamination n-gram width and the benchmark slice. Real
+    * pipelines screen on 8-13-gram overlap; the fixture's ~40-word
+    * vocabulary makes 5 the width where true cross-document overlap
+    * exists without drowning in coincidence.
+    */
+  val DecontamNGram = 5
+  val DecontamBenchmarkIds = 20L
+
+  /** q127 — benchmark decontamination: flag every corpus document
+    * sharing a [[DecontamNGram]]-gram with the held-out benchmark set
+    * (docs 0..19 stand in for an eval suite) — the screen a training
+    * corpus runs so test data never leaks into training data.
+    *
+    * Scale shape: the benchmark side is CONSTANT-size (an eval suite
+    * doesn't grow with the corpus), so its distinct n-gram set is the
+    * one justified broadcast; the corpus side streams — per-doc n-gram
+    * explode, broadcast-semi-join, one keyed count. No corpus-side
+    * pairing, no shuffle wider than doc_id.
+    */
+  val q127Decontaminate: Q = (s, dir) => {
+    import s.implicits._
+    val n = DecontamNGram
+    val grams = when(size($"toks") >= n, expr(
+      s"""transform(sequence(1, size(toks) - ${n - 1}),
+         |  i -> concat_ws(' ', slice(toks, i, $n)))""".stripMargin))
+      .otherwise(typedlit(Seq.empty[String]))
+    val docs = T.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("grams", grams)
+    val bench = docs.filter($"doc_id" < DecontamBenchmarkIds)
+      .select(explode($"grams").as("g")).distinct()
+    val shared = docs.filter($"doc_id" >= DecontamBenchmarkIds)
+      .select($"doc_id", explode($"grams").as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy($"doc_id").agg(countDistinct($"g").as("n_shared"))
+    docs.filter($"doc_id" >= DecontamBenchmarkIds).select($"doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce($"n_shared", lit(0L)))
+      .withColumn("contaminated", $"n_shared" > 0L)
+      .orderBy($"doc_id")
+  }
+
+  val q127Sql: String = {
+    val parts = (0 until DecontamNGram)
+      .map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(
+       |  CASE WHEN len(toks) >= $DecontamNGram THEN list_transform(
+       |    generate_series(1, len(toks) - ${DecontamNGram - 1}),
+       |    i -> $parts) ELSE [] END) AS g FROM t),
+       |b AS (SELECT DISTINCT g FROM g WHERE doc_id < $DecontamBenchmarkIds),
+       |sh AS (SELECT doc_id, COUNT(DISTINCT c.g) AS n
+       |  FROM (SELECT doc_id, g FROM g
+       |        WHERE doc_id >= $DecontamBenchmarkIds) c
+       |  JOIN b USING (g) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(sh.n, 0) AS BIGINT) AS n_shared,
+       |  COALESCE(sh.n, 0) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM documents
+       |      WHERE doc_id >= $DecontamBenchmarkIds) d
+       |LEFT JOIN sh USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> q40DedupExact,
     "q41_minhash_lsh" -> q41MinhashLsh,
@@ -438,6 +502,7 @@ object DedupQueries {
     "q43_ngram_jaccard" -> q43NgramJaccard,
     "q101_dup_clusters" -> q101DupClusters,
     "q109_fuzzy_match" -> q109FuzzyMatch,
+    "q127_decontaminate" -> q127Decontaminate,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -446,5 +511,6 @@ object DedupQueries {
     "q43_ngram_jaccard" -> q43Sql,
     "q101_dup_clusters" -> q101Sql,
     "q109_fuzzy_match" -> q109Sql,
+    "q127_decontaminate" -> q127Sql,
   )
 }

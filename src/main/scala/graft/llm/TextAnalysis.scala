@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
@@ -153,12 +153,90 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q126 — repetition metrics, the Gopher/RefinedWeb-style quality
+    * signals exact dedup can't see (a document can be globally unique
+    * and still be internally degenerate): duplicate word-n-gram
+    * fractions and the most-frequent-token share, plus the `keep`
+    * verdict a curation pass would gate on.
+    *
+    * Scale shape: the n-gram fractions are NARROW (higher-order
+    * functions over the token array — no explode, no shuffle, whole
+    * row pipeline in codegen); only the top-token share needs state
+    * beyond one row, and that is two keyed aggregates on doc_id —
+    * never a corpus-wide structure. Thresholds are constants, so the
+    * whole operator is one pass over documents.
+    */
+  val q126RepetitionMetrics: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("g2", when(size($"toks") >= 2, expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin)).otherwise(typedlit(Seq.empty[String])))
+      .withColumn("g3", when(size($"toks") >= 3, expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+          |              ' ', element_at(toks, i + 2)))"""
+          .stripMargin)).otherwise(typedlit(Seq.empty[String])))
+    def dupFrac(g: Column): Column =
+      when(size(g) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(g)).cast("double")
+          / size(g).cast("double"))
+    docs
+      .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+        dupFrac($"g2").as("frac_dup_2gram"),
+        dupFrac($"g3").as("frac_dup_3gram"),
+        explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"n_tokens", $"frac_dup_2gram",
+        $"frac_dup_3gram", $"tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_tokens", $"frac_dup_2gram", $"frac_dup_3gram")
+      .agg(max($"c").as("top_c"))
+      .withColumn("top_tok_frac", $"top_c" / $"n_tokens".cast("double"))
+      .withColumn("keep",
+        $"frac_dup_2gram" < 0.05 && $"top_tok_frac" < 0.12)
+      .drop("top_c")
+      .orderBy($"doc_id")
+  }
+
+  val q126Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS n_toks,
+      |  CASE WHEN len(toks) >= 2 THEN list_transform(
+      |    generate_series(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END AS g2,
+      |  CASE WHEN len(toks) >= 3 THEN list_transform(
+      |    generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+      |    ELSE [] END AS g3
+      |  FROM t),
+      |m AS (SELECT doc_id, n_toks,
+      |  CASE WHEN len(g2) = 0 THEN 0.0
+      |    ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+      |    END AS frac_dup_2gram,
+      |  CASE WHEN len(g3) = 0 THEN 0.0
+      |    ELSE 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+      |    END AS frac_dup_3gram
+      |  FROM n),
+      |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |top AS (SELECT doc_id, MAX(c) AS top_c FROM c GROUP BY 1)
+      |SELECT m.doc_id, CAST(m.n_toks AS BIGINT) AS n_tokens,
+      |  m.frac_dup_2gram, m.frac_dup_3gram,
+      |  top.top_c / CAST(m.n_toks AS DOUBLE) AS top_tok_frac,
+      |  (m.frac_dup_2gram < 0.05
+      |    AND top.top_c / CAST(m.n_toks AS DOUBLE) < 0.12) AS keep
+      |FROM m JOIN top USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_lang_id" -> q46LangId,
     "q47_quality_score" -> q47QualityScore,
     "q48_token_count" -> q48TokenCount,
     "q49_fingerprint" -> q49Fingerprint,
     "q50_binary_columns" -> q50BinaryColumns,
+    "q126_repetition_metrics" -> q126RepetitionMetrics,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -167,5 +245,6 @@ object TextAnalysis {
     "q48_token_count" -> q48Sql,
     "q49_fingerprint" -> q49Sql,
     "q50_binary_columns" -> q50Sql,
+    "q126_repetition_metrics" -> q126Sql,
   )
 }
