@@ -271,13 +271,110 @@ object LayoutQueries {
        |GROUP BY 1
        |ORDER BY event_day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q128 — parquet bloom-filter point-lookup layout: the third physical
+  // index leg next to min/max (q111/q121/q125). Min/max prunes RANGES;
+  // a point lookup on a high-cardinality column whose values scatter
+  // across files (every file's [min,max] contains every probe) gets
+  // nothing from it — the per-column bloom filter parquet embeds in the
+  // file is what lets the reader skip row groups that provably lack the
+  // key. The reference's point-get (main.go:268, one file open per
+  // lookup) is the layout contract this generalizes.
+  // ---------------------------------------------------------------------
+
+  val BloomRoot = "/root/repo/target/fixtures/bloom_orders"
+  /** The bloom column must be HIGH-cardinality: parquet-mr drops the
+    * bloom filter for a chunk whose pages all stayed dictionary-encoded
+    * (the dictionary already gives exact chunk-level filtering), so a
+    * low-cardinality key like o_custkey gets no bloom no matter the
+    * write option — and needs none. o_orderkey is unique per row: the
+    * dictionary falls back to plain, the bloom materializes, and it is
+    * exactly the point-lookup shape (hash-scattered unique ids, every
+    * file's [min,max] containing every probe) that min/max cannot
+    * prune.
+    */
+  val BloomCol = "o_orderkey"
+  /** Probe key — present at every scale factor (orderkeys start at 0). */
+  val BloomProbeKey = 37L
+  val BloomFiles = 4
+
+  private def ensureBloomLayout(s: SparkSession, dir: String): Unit = {
+    val marker = Paths.get(BloomRoot, ".fixture_key")
+    val key = s"bloom:$dir:$BloomFiles"
+    val cached = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == key
+    if (!cached) {
+      T.orders(s, dir)
+        .repartition(BloomFiles)
+        .write.mode(SaveMode.Overwrite)
+        // per-column bloom filters are a parquet WRITE option — no table
+        // format needed; the reader consults them whenever an equality
+        // predicate is pushed (parquet.filter.bloom.enabled, default on)
+        .option(s"parquet.bloom.filter.enabled#$BloomCol", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$BloomCol", "200000")
+        .parquet(BloomRoot)
+      Files.write(marker, key.getBytes("UTF-8"))
+    }
+  }
+
+  /** True iff every non-empty file embeds a bloom filter for `column`
+    * (footer metadata: the column chunk's bloom-filter offset is set).
+    */
+  def bloomPresent(s: SparkSession, root: String, column: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val conf = s.sessionState.newHadoopConf()
+    val files = Files.walk(Paths.get(root)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toList
+    require(files.nonEmpty, s"no parquet files under $root")
+    files.forall { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks.asScala
+        blocks.isEmpty || blocks.forall(_.getColumns.asScala.exists(c =>
+          c.getPath.toDotString == column && c.getBloomFilterOffset >= 0))
+      } finally r.close()
+    }
+  }
+
+  /** q128 — point lookup off the bloom-indexed layout: content parity
+    * with DuckDB on the ORIGINAL orders (the layout is a pure
+    * repartition), the equality predicate REQUIRED to reach the scan
+    * (what consults the bloom filter), and `bloom_ok` asserting the
+    * filters physically exist in every file's footer.
+    */
+  val q128BloomLookup: Q = (s, dir) => {
+    import s.implicits._
+    ensureBloomLayout(s, dir)
+    val hit = s.read.parquet(BloomRoot)
+      .filter(col(BloomCol) === BloomProbeKey)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"o_orderstatus")
+    val plan = hit.queryExecution.executedPlan.toString
+    require(plan.contains("PushedFilters:") && plan.contains(BloomCol),
+      s"point predicate not pushed to the parquet scan; plan:\n$plan")
+    hit
+      .withColumn("bloom_ok", lit(bloomPresent(s, BloomRoot, BloomCol)))
+      .orderBy($"o_orderkey")
+  }
+
+  val q128Sql: String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+       |  TRUE AS bloom_ok
+       |FROM orders
+       |WHERE $BloomCol = $BloomProbeKey
+       |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q111_partition_pruning" -> q111PartitionPruning,
     "q113_compaction" -> q113Compaction,
+    "q128_bloom_lookup" -> q128BloomLookup,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q111_partition_pruning" -> q111Sql,
     "q113_compaction" -> q113Sql,
+    "q128_bloom_lookup" -> q128Sql,
   )
 }

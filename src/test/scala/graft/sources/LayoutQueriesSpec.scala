@@ -22,6 +22,19 @@ class LayoutQueriesSpec extends SparkSpec {
       .map { case (k, v) => k -> (v.size, v.map(Files.size).sum) }
   }
 
+  test("bloom layout embeds filters; a plain write does not (negative control)") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = Files.createTempDirectory("plain-orders").toString
+    graft.core.Tables.orders(spark, dir).repartition(2)
+      .write.mode("overwrite").parquet(plain)
+    assert(!LayoutQueries.bloomPresent(spark, plain, LayoutQueries.BloomCol),
+      "plain parquet write unexpectedly carries bloom filters")
+    val out = LayoutQueries.q128BloomLookup(spark, dir).collect()
+    assert(out.nonEmpty, "probe key missing from fixture")
+    assert(out.forall(_.getAs[Boolean]("bloom_ok")))
+    assert(out.forall(_.getAs[Long]("o_orderkey") == LayoutQueries.BloomProbeKey))
+  }
+
   test("compact honors the per-partition byte budget and preserves content") {
     val target = 64L * 1024
     val src = Files.createTempDirectory("frag-src").toString
