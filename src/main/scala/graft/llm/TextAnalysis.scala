@@ -230,6 +230,68 @@ object TextAnalysis {
       |FROM m JOIN top USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Rare-token keep threshold: docs whose rare-token share exceeds it
+    * are dropped (CCNet/C4 keep their unigram-LM analogue around the
+    * distribution's upper tail).
+    */
+  val RareFracMax = 0.12
+
+  /** q129 — corpus-statistics filtering, the CCNet/C4 "unigram LM"
+    * quality gate re-expressed in EXACT arithmetic (log-probability
+    * sums are not bit-reproducible cross-engine — see the q89 no-ln
+    * convention): first pass aggregates global token frequencies, the
+    * rare set is the bottom decile of the vocabulary by count, second
+    * pass scores each document by its rare-token share. Same two-pass
+    * train-then-score shape as a real LM filter.
+    *
+    * Scale shape: the vocabulary aggregate shuffles by token (corpus-
+    * size map work, VOCABULARY-size state); ranking the vocabulary uses
+    * one global window over that vocab frame — bounded by the language,
+    * not the corpus — and the rare set (vocab/10) is the justified
+    * broadcast back onto the streaming token explode. Per-doc scoring
+    * is one keyed aggregate.
+    */
+  val q129RareTokenFilter: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = T.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val v = e.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val nv = v.agg(count(lit(1)).as("nv"))
+    val ranked = v.crossJoin(broadcast(nv))
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"c".asc, $"tok".asc)))
+    val rare = ranked
+      .filter($"rk" <= ceil($"nv" / 10.0).cast("long"))
+      .select($"tok", lit(1L).as("is_rare"))
+    e.join(broadcast(rare), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce($"is_rare", lit(0L))).as("n_rare"))
+      .withColumn("rare_frac", $"n_rare" / $"n_tokens".cast("double"))
+      .withColumn("keep", $"rare_frac" < RareFracMax)
+      .orderBy($"doc_id")
+  }
+
+  val q129Sql: String =
+    s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |v AS (SELECT tok, COUNT(*) AS c FROM e GROUP BY tok),
+       |r AS (SELECT tok, c,
+       |  row_number() OVER (ORDER BY c ASC, tok ASC) AS rk,
+       |  (SELECT COUNT(*) FROM v) AS nv FROM v),
+       |rare AS (SELECT tok FROM r
+       |  WHERE rk <= CAST(ceil(nv / 10.0) AS BIGINT)),
+       |d AS (SELECT e.doc_id, COUNT(*) AS n_tokens,
+       |  COUNT(*) FILTER (e.tok IN (SELECT tok FROM rare)) AS n_rare
+       |  FROM e GROUP BY e.doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_rare AS BIGINT) AS n_rare,
+       |  n_rare / CAST(n_tokens AS DOUBLE) AS rare_frac,
+       |  n_rare / CAST(n_tokens AS DOUBLE) < $RareFracMax AS keep
+       |FROM d
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_lang_id" -> q46LangId,
     "q47_quality_score" -> q47QualityScore,
@@ -237,6 +299,7 @@ object TextAnalysis {
     "q49_fingerprint" -> q49Fingerprint,
     "q50_binary_columns" -> q50BinaryColumns,
     "q126_repetition_metrics" -> q126RepetitionMetrics,
+    "q129_rare_token_filter" -> q129RareTokenFilter,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -246,5 +309,6 @@ object TextAnalysis {
     "q49_fingerprint" -> q49Sql,
     "q50_binary_columns" -> q50Sql,
     "q126_repetition_metrics" -> q126Sql,
+    "q129_rare_token_filter" -> q129Sql,
   )
 }

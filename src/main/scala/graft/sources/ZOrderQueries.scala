@@ -207,11 +207,81 @@ object ZOrderQueries {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q130 — total-order (globally sorted) layout: the 1-dimensional
+  // sibling of q125. A global sort is the strongest single-column
+  // layout contract — every file owns a DISJOINT key range, so a range
+  // or point predicate touches exactly the overlapping files and a
+  // merge-reader can stream the table in order without re-sorting.
+  // ---------------------------------------------------------------------
+
+  val SortRoot = "/root/repo/target/fixtures/totalsort_events"
+  val SortCol = "user_id"
+  val SortFiles = 16
+
+  private def ensureSortedLayout(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val marker = Paths.get(SortRoot, ".fixture_key")
+    val key = s"totalsort:$dir:$SortFiles"
+    val cached = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == key
+    if (!cached) {
+      // the classic distributed total order: sampled range bounds give
+      // balanced partitions (the terasort shape — no single-reducer
+      // sort), each partition sorted within, equal keys never split
+      // across partitions
+      T.events(s, dir)
+        .repartitionByRange(SortFiles, col(SortCol), col("ts"))
+        .sortWithinPartitions(col(SortCol), col("ts"))
+        .write.mode(SaveMode.Overwrite).parquet(SortRoot)
+      Files.write(marker, key.getBytes("UTF-8"))
+    }
+  }
+
+  /** True iff the per-file [min,max] footer ranges of `column` are
+    * pairwise disjoint — the physical certificate of a total order
+    * (ties may make neighbors share a boundary key when the tiebreak
+    * column splits a key across files, so adjacent ranges may touch at
+    * one value but never properly overlap).
+    */
+  def rangesDisjoint(s: SparkSession, root: String, column: String): Boolean = {
+    val rs = footerRanges(s, root, column).sortBy(_._1)
+    rs.zip(rs.drop(1)).forall { case ((_, aMax), (bMin, _)) => aMax <= bMin }
+  }
+
+  /** q130 — aggregate off the totally-ordered layout. Contracts:
+    * content parity with DuckDB over the original events (sorting is a
+    * pure permutation), and `ordered_ok` asserting disjoint per-file
+    * key ranges from the parquet footers — the property range pruning
+    * and merge readers consume.
+    */
+  val q130TotalOrder: Q = (s, dir) => {
+    import s.implicits._
+    ensureSortedLayout(s, dir)
+    ensureZLayout(s, dir) // the scattered twin doubles as the negative anchor
+    val ok = rangesDisjoint(s, SortRoot, SortCol) &&
+      !rangesDisjoint(s, ZBaseRoot, SortCol)
+    s.read.parquet(SortRoot)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsl.dsumExpr($"value").as("sum_value"))
+      .withColumn("ordered_ok", lit(ok))
+      .orderBy($"event_type")
+  }
+
+  val q130Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${O.dsumExpr("value")} AS sum_value,
+       |  TRUE AS ordered_ok
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q125_zorder_cluster" -> q125ZOrderCluster,
+    "q130_total_order" -> q130TotalOrder,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q125_zorder_cluster" -> q125Sql,
+    "q130_total_order" -> q130Sql,
   )
 }
