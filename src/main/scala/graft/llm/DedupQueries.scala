@@ -495,6 +495,61 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Prefix length for the incremental-ingest fingerprint: full-text
+    * md5 has zero collisions in the fixture at sf0.01, so the key is a
+    * head-prefix hash (the URL/title-prefix dedup a crawler ingest
+    * actually runs) — collision pressure exists at every scale factor.
+    */
+  val IngestPrefixLen = 40
+
+  /** q131 — incremental corpus ingest, the daily-batch form of q40:
+    * dedup the NEW batch (odd doc_ids) against the HISTORICAL corpus
+    * (even doc_ids) and against itself, classifying every batch doc as
+    * `ingest`, `skip_existing` (fingerprint already in the corpus), or
+    * `skip_batch_dup` (an earlier batch doc owns the fingerprint).
+    *
+    * Scale shape: historical side reduces to its DISTINCT fingerprint
+    * set before any join (corpus rows never replay); the batch joins it
+    * on the 32-byte hash (left join — AQE picks broadcast only if the
+    * historical set is genuinely small) and within-batch ownership is
+    * one keyed window. This is q102's upsert discipline applied to
+    * content identity instead of a key column.
+    */
+  val q131IncrementalIngest: Q = (s, dir) => {
+    import s.implicits._
+    val fp = md5(substring($"text", 1, IngestPrefixLen))
+    val docs = T.documents(s, dir)
+    val existing = docs.filter($"doc_id" % 2 === 0)
+      .select(fp.as("h")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val batch = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", fp.as("h"))
+    val wOwn = org.apache.spark.sql.expressions.Window
+      .partitionBy($"h").orderBy($"doc_id")
+    batch
+      .withColumn("rk", row_number().over(wOwn))
+      .join(existing, Seq("h"), "left")
+      .select($"doc_id", $"h",
+        when($"in_corpus".isNotNull, "skip_existing")
+          .when($"rk" > 1, "skip_batch_dup")
+          .otherwise("ingest").as("action"))
+      .orderBy($"doc_id")
+  }
+
+  val q131Sql: String =
+    s"""WITH b AS (SELECT doc_id, md5(substr(text, 1, $IngestPrefixLen)) AS h
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |ex AS (SELECT DISTINCT md5(substr(text, 1, $IngestPrefixLen)) AS h
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |r AS (SELECT doc_id, h,
+       |  row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk FROM b)
+       |SELECT r.doc_id, r.h,
+       |  CASE WHEN ex.h IS NOT NULL THEN 'skip_existing'
+       |       WHEN rk > 1 THEN 'skip_batch_dup'
+       |       ELSE 'ingest' END AS action
+       |FROM r LEFT JOIN ex USING (h)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> q40DedupExact,
     "q41_minhash_lsh" -> q41MinhashLsh,
@@ -503,6 +558,7 @@ object DedupQueries {
     "q101_dup_clusters" -> q101DupClusters,
     "q109_fuzzy_match" -> q109FuzzyMatch,
     "q127_decontaminate" -> q127Decontaminate,
+    "q131_incremental_ingest" -> q131IncrementalIngest,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -512,5 +568,6 @@ object DedupQueries {
     "q101_dup_clusters" -> q101Sql,
     "q109_fuzzy_match" -> q109Sql,
     "q127_decontaminate" -> q127Sql,
+    "q131_incremental_ingest" -> q131Sql,
   )
 }
