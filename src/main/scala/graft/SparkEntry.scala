@@ -2,10 +2,10 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.catalog.CatalogOracle
-import graft.llm.{DedupQueries, EmbeddingDedup, TextAnalysis, TextPipeline, VectorSearch}
-import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, TimeSeriesQueries, WindowAggQueries}
-import graft.operators.IntervalJoin
-import graft.sources.{CsvScan, K8sObjects, LayoutQueries, OrcSource, ZOrderQueries}
+import graft.llm.{CorpusOps, DedupQueries, EmbeddingDedup, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
+import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, TableStatsQueries, TimeSeriesQueries, WindowAggQueries}
+import graft.operators.{IntervalJoin, PageRank}
+import graft.sources.{CsvScan, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, ZOrderQueries}
 import graft.streaming.StreamShapeQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -29,7 +29,9 @@ object SparkEntry {
       AnalyticalQueries.queries ++ ReshapeStatsQueries.queries ++
       IncrementalQueries.queries ++ TimeSeriesQueries.queries ++
       graft.relational.QualityAuditQueries.queries ++ LayoutQueries.queries ++
-      IntervalJoin.queries ++ OrcSource.queries ++ ZOrderQueries.queries
+      IntervalJoin.queries ++ OrcSource.queries ++ ZOrderQueries.queries ++
+      TableStatsQueries.queries ++ QuarantineIngest.queries ++
+      CorpusOps.queries ++ VectorStats.queries ++ PageRank.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +46,7 @@ object SparkEntry {
       TimeSeriesQueries.oracleSql ++
       graft.relational.QualityAuditQueries.oracleSql ++
       LayoutQueries.oracleSql ++ IntervalJoin.oracleSql ++
-      OrcSource.oracleSql ++ ZOrderQueries.oracleSql
+      OrcSource.oracleSql ++ ZOrderQueries.oracleSql ++
+      TableStatsQueries.oracleSql ++ QuarantineIngest.oracleSql ++
+      CorpusOps.oracleSql ++ VectorStats.oracleSql ++ PageRank.oracleSql
 }

@@ -1,0 +1,111 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** Catalog-grade table statistics + co-occurrence analytics.
+  *
+  * q132 is the ANALYZE-style statistics collection every cost-based
+  * planner (and every data-quality dashboard) runs over a warehouse
+  * table: per-column row count, null count, exact NDV, min and max.
+  * The reference serves per-directory listings whose freshness/shape is
+  * its only "statistic" (cache.go:26-119); a Spark warehouse needs real
+  * column stats to drive join ordering and broadcast decisions.
+  *
+  * q134 is market-basket co-occurrence — the "customers who bought X
+  * also bought Y" pair mining that backs recommendation candidate
+  * generation over order data.
+  *
+  * Scale shapes:
+  *   - q132 issues ONE single-column aggregate per profiled column and
+  *     unions the results. Each leg's parquet scan is pruned to exactly
+  *     one column (`ReadSchema` shows a single field), so profiling N
+  *     columns costs N cheap column-chunk reads that run as independent
+  *     stages — the standard ANALYZE shape — instead of one wide scan
+  *     carrying every column through a multi-distinct Expand, which at
+  *     100 TB multiplies the shuffled row count by the number of
+  *     distinct aggregates.
+  *   - q134 pairs items WITHIN an order key only: the self-join is an
+  *     equi-join on l_orderkey, so each task pairs its own co-located
+  *     order groups (no cross-order blowup), and lines-per-order is
+  *     bounded (≤7 in TPC-H-shaped data), so the pair explosion is a
+  *     constant factor ≤ C(7,2). The heavy shuffle is the pair-count
+  *     groupBy, which partial-aggregates map-side; top-k goes through
+  *     TakeOrderedAndProject, never a global sort.
+  */
+object TableStatsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Columns profiled by q132 — one numeric key, one measure, one
+    * low-cardinality flag, one timestamp.
+    */
+  private val ProfiledCols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+  /** q132 — per-column table statistics: count / nulls / exact NDV /
+    * min / max, min-max stringified so one schema carries every column
+    * type.
+    */
+  val q132TableStats: Q = (s, dir) => {
+    val legs = ProfiledCols.map { c =>
+      T.lineitem(s, dir).select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_s"),
+          max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }
+    legs.reduce(_ unionByName _).orderBy(col("col_name"))
+  }
+
+  val q132Sql: String = ProfiledCols.map { c =>
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+       |  COUNT(*) - COUNT($c) AS n_null,
+       |  COUNT(DISTINCT $c) AS n_distinct,
+       |  CAST(MIN($c) AS VARCHAR) AS min_s,
+       |  CAST(MAX($c) AS VARCHAR) AS max_s
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  /** q134 — part co-occurrence within orders: distinct (order, part)
+    * pairs self-joined per order with p1 < p2, counted across orders,
+    * pairs seen in ≥2 orders, top-100.
+    */
+  val q134Cooccurrence: Q = (s, dir) => {
+    import s.implicits._
+    val op = T.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    op.as("a").join(op.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= 2)
+      .orderBy($"n_orders".desc, $"p1".asc, $"p2".asc)
+      .limit(100)
+  }
+
+  val q134Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+      |FROM op a JOIN op b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY p1, p2
+      |HAVING COUNT(*) >= 2
+      |ORDER BY n_orders DESC, p1 ASC, p2 ASC
+      |LIMIT 100""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q132_table_stats" -> q132TableStats,
+    "q134_cooccurrence" -> q134Cooccurrence,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q132_table_stats" -> q132Sql,
+    "q134_cooccurrence" -> q134Sql,
+  )
+}
