@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.FunctionBridge
+
+/** SQL surface for graft's native Catalyst expressions.
+  *
+  * Two registration paths, both exposing the same four functions so
+  * `spark.sql("SELECT simhash64(tokens) FROM ...")` works wherever the
+  * Column API does:
+  *
+  *   1. `spark.sql.extensions=graft.functions.GraftExtensions` at
+  *      session build — the standard library-extension hook
+  *      (SparkSessionExtensions.injectFunction).
+  *   2. [[GraftFunctions.register]] on a live session — for notebooks /
+  *      shells created before the library was on the classpath.
+  *
+  * The builders construct the SAME expression instances the Column API
+  * uses (TextFunctions / VectorFunctions), so SQL-spelled calls get
+  * identical codegen — no UDF wrapping, full WholeStageCodegen.
+  */
+object GraftFunctions {
+
+  /** Evaluate a foldable argument to a literal Int (e.g. srp_bucket's
+    * plane count and seed must be compile-time constants — the bucket
+    * layout is part of the INDEX definition, not per-row data).
+    */
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case other if other.foldable =>
+      other.eval().asInstanceOf[Number].intValue()
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a constant integer")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  /** (name, info, builder) descriptions for all graft SQL functions. */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        arity("simhash64", args, 1); SimHash64(args.head)
+      }),
+    (FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),
+      (args: Seq[Expression]) => {
+        arity("dot_f32", args, 2); DotProductF32(args(0), args(1))
+      }),
+    (FunctionIdentifier("dot_q20"),
+      new ExpressionInfo(classOf[DotProductQ20].getName, "dot_q20"),
+      (args: Seq[Expression]) => {
+        arity("dot_q20", args, 2); DotProductQ20(args(0), args(1))
+      }),
+    (FunctionIdentifier("srp_bucket"),
+      new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
+      (args: Seq[Expression]) => {
+        arity("srp_bucket", args, 3)
+        SrpBucket(args.head,
+          intArg(args(1), "srp_bucket", 1), intArg(args(2), "srp_bucket", 2))
+      }),
+  )
+
+  /** Register all graft SQL functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, info, builder) =>
+      FunctionBridge.register(spark, id.funcName, info, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}
