@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.catalog.CatalogOracle
-import graft.llm.{CorpusOps, DedupQueries, EmbeddingDedup, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
+import graft.llm.{BpeTrain, CorpusOps, DedupQueries, EmbeddingDedup, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
 import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, TableStatsQueries, TimeSeriesQueries, WindowAggQueries}
 import graft.operators.{IntervalJoin, PageRank}
 import graft.sources.{CsvScan, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, ZOrderQueries}
@@ -31,7 +31,8 @@ object SparkEntry {
       graft.relational.QualityAuditQueries.queries ++ LayoutQueries.queries ++
       IntervalJoin.queries ++ OrcSource.queries ++ ZOrderQueries.queries ++
       TableStatsQueries.queries ++ QuarantineIngest.queries ++
-      CorpusOps.queries ++ VectorStats.queries ++ PageRank.queries
+      CorpusOps.queries ++ VectorStats.queries ++ PageRank.queries ++
+      BpeTrain.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       LayoutQueries.oracleSql ++ IntervalJoin.oracleSql ++
       OrcSource.oracleSql ++ ZOrderQueries.oracleSql ++
       TableStatsQueries.oracleSql ++ QuarantineIngest.oracleSql ++
-      CorpusOps.oracleSql ++ VectorStats.oracleSql ++ PageRank.oracleSql
+      CorpusOps.oracleSql ++ VectorStats.oracleSql ++ PageRank.oracleSql ++
+      BpeTrain.oracleSql
 }
