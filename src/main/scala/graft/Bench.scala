@@ -54,8 +54,16 @@ object Bench {
       }
     }
 
+    // optional local-iteration filter (driver runs with it unset = full)
+    val nameFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+        case Some(pats) =>
+          val ps = pats.split(',').toSeq; n => ps.exists(n.contains)
+        case None => _ => true
+      }
     val results =
       (SparkEntry.queries ++ graft.streaming.StreamBench.benchOnly)
+        .filter(kv => nameFilter(kv._1))
         .toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val (t, ok) = median(fn)
