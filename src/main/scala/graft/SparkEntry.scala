@@ -5,7 +5,7 @@ import graft.catalog.CatalogOracle
 import graft.llm.{BpeTrain, CorpusOps, DedupQueries, EmbeddingDedup, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
 import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, TableStatsQueries, TimeSeriesQueries, WindowAggQueries}
 import graft.operators.{IntervalJoin, PageRank}
-import graft.sources.{CsvScan, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, ZOrderQueries}
+import graft.sources.{CsvScan, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, SchemaEvolution, ZOrderQueries}
 import graft.streaming.StreamShapeQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -32,7 +32,7 @@ object SparkEntry {
       IntervalJoin.queries ++ OrcSource.queries ++ ZOrderQueries.queries ++
       TableStatsQueries.queries ++ QuarantineIngest.queries ++
       CorpusOps.queries ++ VectorStats.queries ++ PageRank.queries ++
-      BpeTrain.queries
+      BpeTrain.queries ++ SchemaEvolution.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +50,5 @@ object SparkEntry {
       OrcSource.oracleSql ++ ZOrderQueries.oracleSql ++
       TableStatsQueries.oracleSql ++ QuarantineIngest.oracleSql ++
       CorpusOps.oracleSql ++ VectorStats.oracleSql ++ PageRank.oracleSql ++
-      BpeTrain.oracleSql
+      BpeTrain.oracleSql ++ SchemaEvolution.oracleSql
 }

@@ -148,15 +148,105 @@ object CorpusOps {
        |GROUP BY sp.doc_id
        |ORDER BY sp.doc_id""".stripMargin
 
+  /** q142 — schedule prefix length. */
+  val InterleaveTake = 50
+
+  /** q142 — deterministic source-interleaved training order: rank docs
+    * within each source by salted md5, then order globally by (rank,
+    * source) — a round-robin stride across sources, so every training
+    * batch prefix sees all sources evenly instead of one source's run.
+    * Emits the first [[InterleaveTake]] schedule rows.
+    *
+    * Scale shape: the within-source rank is a keyed window (one hash
+    * shuffle by source, bounded per-partition state); the global
+    * prefix is TakeOrdered over (rank, source), never a full sort. A
+    * full-schedule materialization would swap the limit for the q130
+    * range-partitioned total-order write.
+    */
+  val q142SourceInterleave: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy(md5(concat($"doc_id".cast("string"), lit(":il"))), $"doc_id")
+    T.documents(s, dir)
+      .select($"doc_id", $"source")
+      .withColumn("rn", row_number().over(w))
+      .orderBy($"rn", $"source", $"doc_id")
+      .limit(InterleaveTake)
+  }
+
+  val q142Sql: String =
+    s"""SELECT doc_id, source,
+       |  ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':il'), doc_id) AS rn
+       |FROM documents
+       |ORDER BY rn, source, doc_id
+       |LIMIT $InterleaveTake""".stripMargin
+
+  /** q143 — top-bigram report size. */
+  val BigramTake = 50
+
+  /** q143 — bigram table with Kneser–Ney continuation statistics: for
+    * the corpus's top bigrams, the raw count, the right word's
+    * continuation count (distinct left contexts — KN's unigram
+    * numerator), and the left word's right-diversity (distinct
+    * continuations — KN's normalizer). All exact integer counts; the
+    * actual smoothed probability is one arithmetic step a consumer
+    * applies.
+    *
+    * Scale shape: one explode produces (w1, w2) pairs; three
+    * partial-aggregated groupBys (pair count, per-w2 distinct-left,
+    * per-w1 distinct-right) all hash-partition on word keys; the two
+    * stat joins are equi-joins against frames bounded by vocabulary
+    * size, and the report is TakeOrdered.
+    */
+  val q143BigramStats: Q = (s, dir) => {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val bg = T.documents(s, dir)
+      .select(explode(
+        zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter($"p.w2".isNotNull)
+      .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+    val counts = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val cont = bg.distinct().groupBy($"w2")
+      .agg(count(lit(1)).as("cont_w2"))
+    val div = bg.distinct().groupBy($"w1")
+      .agg(count(lit(1)).as("div_w1"))
+    counts.join(cont, "w2").join(div, "w1")
+      .select($"w1", $"w2", $"c", $"cont_w2", $"div_w1")
+      .orderBy($"c".desc, $"w1".asc, $"w2".asc)
+      .limit(BigramTake)
+  }
+
+  val q143Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |       FROM d, unnest(range(1, len(toks))) AS t(i)),
+       |counts AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+       |cont AS (SELECT w2, COUNT(*) AS cont_w2
+       |         FROM (SELECT DISTINCT w1, w2 FROM bg) GROUP BY w2),
+       |div AS (SELECT w1, COUNT(*) AS div_w1
+       |        FROM (SELECT DISTINCT w1, w2 FROM bg) GROUP BY w1)
+       |SELECT counts.w1, counts.w2, c, cont_w2, div_w1
+       |FROM counts JOIN cont ON counts.w2 = cont.w2
+       |            JOIN div ON counts.w1 = div.w1
+       |ORDER BY c DESC, counts.w1 ASC, counts.w2 ASC
+       |LIMIT $BigramTake""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q135_phrase_search" -> q135PhraseSearch,
     "q136_token_budget_mix" -> q136TokenBudgetMix,
     "q139_dup_spans" -> q139DupSpans,
+    "q142_source_interleave" -> q142SourceInterleave,
+    "q143_bigram_stats" -> q143BigramStats,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q135_phrase_search" -> q135Sql,
     "q136_token_budget_mix" -> q136Sql,
     "q139_dup_spans" -> q139Sql,
+    "q142_source_interleave" -> q142Sql,
+    "q143_bigram_stats" -> q143Sql,
   )
 }

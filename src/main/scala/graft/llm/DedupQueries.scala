@@ -340,7 +340,11 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
-  val q101Sql: String =
+  /** Shared oracle prefix: exact all-pairs near-dup detection + the
+    * recursive reachability CTE resolving connected components — used
+    * by both q101 (cluster listing) and q141 (cluster-aware split).
+    */
+  private val nearDupReachCte: String =
     s"""WITH RECURSIVE
       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |tri AS (SELECT DISTINCT doc_id,
@@ -360,12 +364,58 @@ object DedupQueries {
       |reach(id, r) AS (
       |  SELECT DISTINCT s, s FROM edges
       |  UNION
-      |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+      |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)""".stripMargin
+
+  val q101Sql: String =
+    s"""$nearDupReachCte
       |SELECT id AS doc_id, MIN(r) AS cluster_rep,
       |  (id = MIN(r)) AS is_rep
       |FROM reach
       |GROUP BY id
       |ORDER BY doc_id""".stripMargin
+
+  /** q141 — LEAKAGE-SAFE train/valid/test split: the q95 md5-bucket
+    * split applied at near-dup-CLUSTER granularity instead of per doc,
+    * so no near-duplicate pair can straddle train and test (the
+    * benchmark-contamination failure mode q127 measures after the
+    * fact, prevented structurally). Every doc inherits its cluster
+    * representative's bucket; singleton docs are their own cluster.
+    *
+    * Scale shape: clusters come from the banded-LSH pipeline + CC (both
+    * already 100 TB-shaped); the split itself is a narrow per-row md5 —
+    * the only added shuffle is the left join of docs to cluster labels,
+    * hash-partitioned on doc_id.
+    */
+  val q141ClusterSplit: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = nearDuplicates(s, T.documents(s, dir), NearDupThreshold)
+      .select($"doc1", $"doc2")
+    val cc = graft.operators.ConnectedComponents(pairs, src = "doc1", dst = "doc2")
+    val reps = T.documents(s, dir).select($"doc_id")
+      .join(cc.select($"id".as("doc_id"), $"comp"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster_rep"))
+    TextPipeline.trainSplit(reps, idCol = "cluster_rep")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster_rep").as("n_clusters"))
+      .orderBy($"split")
+  }
+
+  val q141Sql: String =
+    s"""$nearDupReachCte,
+      |labels AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+      |reps AS (SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS cluster_rep
+      |         FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+      |b AS (SELECT doc_id, cluster_rep,
+      |        CAST('0x' || substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 4)
+      |          AS INTEGER) % 100 AS bucket
+      |      FROM reps)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, COUNT(DISTINCT cluster_rep) AS n_clusters
+      |FROM b
+      |GROUP BY 1
+      |ORDER BY split""".stripMargin
 
   /** Block-size guard for fuzzy matching: a blocking key shared by more
     * than this many DISTINCT values is dropped whole (content-based, so
@@ -556,6 +606,7 @@ object DedupQueries {
     "q42_simhash" -> q42Simhash,
     "q43_ngram_jaccard" -> q43NgramJaccard,
     "q101_dup_clusters" -> q101DupClusters,
+    "q141_cluster_split" -> q141ClusterSplit,
     "q109_fuzzy_match" -> q109FuzzyMatch,
     "q127_decontaminate" -> q127Decontaminate,
     "q131_incremental_ingest" -> q131IncrementalIngest,
@@ -566,6 +617,7 @@ object DedupQueries {
     "q41_minhash_lsh" -> q41Sql,
     "q43_ngram_jaccard" -> q43Sql,
     "q101_dup_clusters" -> q101Sql,
+    "q141_cluster_split" -> q141Sql,
     "q109_fuzzy_match" -> q109Sql,
     "q127_decontaminate" -> q127Sql,
     "q131_incremental_ingest" -> q131Sql,
