@@ -54,10 +54,13 @@ object BpeTrain {
       case _ => ()
     }
 
-  /** Learn [[MergeCount]] merges from a (text) corpus frame; returns
-    * (merge_rank, left_sym, right_sym, pair_count).
+  /** Learn merges AND return the end-state vocabulary: the learned
+    * merge list plus the vocab frame (word, cnt, s) with every word
+    * rewritten through all merges — the trained tokenizer's word →
+    * symbol-sequence table, ready for corpus encoding (q145).
     */
-  def learnMerges(corpus: DataFrame, merges: Int = MergeCount): DataFrame = {
+  def trainState(corpus: DataFrame, merges: Int = MergeCount)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val s = corpus.sparkSession
     import s.implicits._
     var w = corpus
@@ -94,8 +97,18 @@ object BpeTrain {
         .localCheckpoint()
       dropCheckpoint(prev)
     }
-    dropCheckpoint(w)
-    s.createDataFrame(learned.result())
+    (learned.result(), w)
+  }
+
+  /** Learn [[MergeCount]] merges from a (text) corpus frame; returns
+    * (merge_rank, left_sym, right_sym, pair_count).
+    */
+  def learnMerges(corpus: DataFrame, merges: Int = MergeCount): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val (learned, vocab) = trainState(corpus, merges)
+    dropCheckpoint(vocab)
+    s.createDataFrame(learned)
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
       .orderBy($"merge_rank")
   }
@@ -105,8 +118,49 @@ object BpeTrain {
     */
   val q140BpeTrain: Q = (s, dir) => learnMerges(T.documents(s, dir))
 
-  val q140Sql: String = {
-    val iters = (1 to MergeCount).map { i =>
+  /** q145 — BPE ENCODING with the learned tokenizer: every corpus word
+    * is looked up in the trained word → symbol-sequence vocabulary and
+    * per-doc token counts are emitted (pre-BPE character symbols vs
+    * post-merge tokens) — the token-budget accounting step every
+    * training-data pipeline runs after tokenizer training.
+    *
+    * Scale shape: encoding is an equi-join of the exploded corpus
+    * against the vocabulary (broadcastable while |V| is small; hash
+    * join at full vocabulary), plus per-doc partial-aggregated sums —
+    * the expensive training loop is amortized across the whole corpus
+    * encode. Out-of-alphabet words drop out of the inner join in both
+    * engines.
+    */
+  val q145BpeEncode: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val (_, vocab) = trainState(docs)
+    val words = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
+    val out = words.join(vocab, "word")
+      .groupBy($"doc_id")
+      .agg(sum(length($"word")).as("n_chars_sym"),
+        sum(size(split($"s", " ")).cast("long")).as("n_tokens"))
+      .orderBy($"doc_id")
+      .localCheckpoint()
+    dropCheckpoint(vocab)
+    out
+  }
+
+  val q145Sql: String = {
+    s"""${cteBody(MergeCount)}
+       |SELECT d.doc_id,
+       |  CAST(SUM(len(w.word)) AS BIGINT) AS n_chars_sym,
+       |  CAST(SUM(len(string_split(w.s, ' '))) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |      FROM documents) d
+       |JOIN w$MergeCount w ON d.word = w.word
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Oracle CTE chain w0 → (p_i, m_i, w_i) for i = 1..merges. */
+  private def cteBody(merges: Int): String = {
+    val iters = (1 to merges).map { i =>
       val prev = s"w${i - 1}"
       s"""p$i AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
          |    SELECT cnt, sl[i] AS a, sl[i + 1] AS b
@@ -120,20 +174,30 @@ object BpeTrain {
          |         ELSE acc || ' ' || x END) AS s
          |  FROM $prev w CROSS JOIN m$i m)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to MergeCount).map { i =>
-      s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, pc AS pair_count FROM m$i"
-    }.mkString("\nUNION ALL\n")
     s"""WITH w0 AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
        |         array_to_string(string_split(word, ''), ' ') AS s
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
        |  GROUP BY word),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  val q140Sql: String = {
+    val out = (1 to MergeCount).map { i =>
+      s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, pc AS pair_count FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    s"""${cteBody(MergeCount)}
        |$out
        |ORDER BY merge_rank""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map("q140_bpe_train" -> q140BpeTrain)
-  val oracleSql: Map[String, String] = Map("q140_bpe_train" -> q140Sql)
+  val queries: Map[String, Q] = Map(
+    "q140_bpe_train" -> q140BpeTrain,
+    "q145_bpe_encode" -> q145BpeEncode,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q140_bpe_train" -> q140Sql,
+    "q145_bpe_encode" -> q145Sql,
+  )
 }
