@@ -192,7 +192,7 @@ object VectorSearch {
   val IvfProbes = 8
   val IvfSampleSize = 2048
   val IvfFitIters = 10
-  val IvfExprFormMaxCells = 64
+  val IvfExprFormMaxCells = 16
   val IvfProbeCandidateCap = 4096
 
   /** √N cells, clamped. */
@@ -316,7 +316,12 @@ object VectorSearch {
     * array expression — narrow, zero shuffles; past that the expression
     * tree (and task binary) grows with the cell count, so assignment
     * switches to a broadcast join against a centroid frame + per-vector
-    * rank — constant plan size, one window shuffle.
+    * rank — constant plan size, one window shuffle. The threshold is
+    * MEASURED, not aesthetic: at 45 centroids × 64 dims the literal
+    * form compiles ~2,900 float literals into every stage (≥1 MiB task
+    * binaries, codegen re-JIT per stage — bench r5/r6 timed it at
+    * 5-20 s for a 2000-vector corpus), while the join form holds the
+    * plan constant and runs the same corpus in well under a second.
     */
   def ivfRanked(e: DataFrame, centroids: Seq[Array[Float]], probes: Int)
       : DataFrame = {
@@ -426,15 +431,22 @@ object VectorSearch {
         $"norm".as("na"))
     // skew valve: deterministic per-query candidate cap — bounds the
     // fan-out of one degenerate cell WITHOUT dropping vectors from the
-    // index (the cap is on what a query examines, not on membership)
+    // index (the cap is on what a query examines, not on membership).
+    // The dot runs in the SAME stage as the join, before any window:
+    // a candidate row narrows from two embedding payloads (~8·dim
+    // bytes) to (qid, nid, cos_sim) = 24 bytes BEFORE it crosses the
+    // window exchanges — even at dim 1024 the dot (1K flops) is
+    // cheaper than shuffling the arrays through two keyed sorts, which
+    // is where a profile showed this query spending 2/3 of its time.
     val wCap = Window.partitionBy($"qid").orderBy(xxhash64($"nid"), $"nid")
     val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid".asc)
     probed.join(corpus, "cell")
       .filter($"qid" =!= $"nid")
-      .withColumn("slot", row_number().over(wCap))
-      .filter($"slot" <= IvfProbeCandidateCap)
       .withColumn("cos_sim",
         cosine(dot_q20($"ea", $"eb").cast("double"), $"na", $"nb"))
+      .select($"qid", $"nid", $"cos_sim")
+      .withColumn("slot", row_number().over(wCap))
+      .filter($"slot" <= IvfProbeCandidateCap)
       .withColumn("rank", row_number().over(w))
       .filter($"rank" === 1)
       .select($"qid", $"nid", $"cos_sim")
