@@ -69,13 +69,18 @@ object Bench {
         val (t, ok) = median(fn)
         (name, t, ok)
     }
+    // 0.1 ms resolution: full-precision doubles made the JSON line long
+    // enough that the driver's stdout tail truncated its front; 4 decimals
+    // keep every query visible in the captured tail.
+    def r4(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, ok) =>
-      s"\"" + k + "\":" + (if (ok) v.toString else "null")
+      s"\"" + k + "\":" + (if (ok) r4(v) else "null")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"ok":${failed == "[]"},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failed,"ok":${failed == "[]"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
