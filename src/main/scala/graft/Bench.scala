@@ -38,7 +38,16 @@ object Bench {
             System.err.println(s"[bench] query failed: ${e.getMessage}")
             false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val t = (System.nanoTime() - t0) / 1e9
+      // Free this run's localCheckpoint blocks and cached plans before the
+      // next measurement: across ~120 queries × 4 runs the leftover blocks
+      // otherwise fill the block manager and late-alphabet queries pay
+      // eviction churn that isn't theirs (r5: q81/q99 3-6× slower in the
+      // full run than in isolation).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      (t, ok)
     }
 
     def median(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)

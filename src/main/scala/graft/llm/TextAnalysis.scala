@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
@@ -292,6 +293,91 @@ object TextAnalysis {
        |FROM d
        |ORDER BY doc_id""".stripMargin
 
+  /** q146 profile size: trigrams kept per language. */
+  val LangProfileTop = 50
+
+  /** q146 — TRAINED n-gram language classifier (the learned upgrade of
+    * q46's fixed marker sets): per-language char-trigram profiles are
+    * fit from the labeled corpus (top-[[LangProfileTop]] trigrams by
+    * occurrence count, rank-weighted — the Cavnar–Trenkle out-of-place
+    * scheme in its integer form), then every document is scored by the
+    * overlap of its distinct trigram set with each profile and
+    * classified to the argmax. All-integer scoring with fixed
+    * tie-breaks (count desc / trigram asc for profile rank; score desc
+    * / lang asc for argmax) makes train AND apply bit-identical
+    * cross-engine.
+    *
+    * Scale shape: training is one explode + one partial-aggregated
+    * (lang, trigram) count + a window over the PROFILE frame (bounded
+    * by |langs|·|trigram vocab|, not corpus size). The fitted profile
+    * table (|langs|·top rows, constant in corpus size) is the one
+    * justified broadcast (q127's rule) onto the per-doc distinct
+    * trigram explode; scoring is two keyed aggregations on doc_id.
+    * Docs shorter than 3 chars have no trigrams and classify to 'unk'
+    * in both engines.
+    */
+  val q146LangNgramClassify: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val tg = docs.filter(length($"text") >= 3)
+      .select($"doc_id", $"lang",
+        explode(transform(sequence(lit(1), length($"text") - 2),
+          i => $"text".substr(i, lit(3)))).as("tg"))
+    val prof = tg.groupBy($"lang", $"tg").agg(count(lit(1)).as("cnt"))
+    val wRank = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tg".asc)
+    val top = prof
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= LangProfileTop)
+      .select($"lang".as("p_lang"), $"tg",
+        (lit(LangProfileTop + 1) - $"rank").cast("long").as("wt"))
+    val scores = tg.select($"doc_id", $"tg").distinct()
+      .join(broadcast(top), "tg")
+      .groupBy($"doc_id", $"p_lang")
+      .agg(sum($"wt").as("score"))
+    val wBest = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"p_lang".asc)
+    val best = scores.withColumn("rn", row_number().over(wBest))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"p_lang", $"score")
+    docs.select($"doc_id", $"lang")
+      .join(best, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang",
+        coalesce($"p_lang", lit("unk")).as("pred_lang"),
+        coalesce($"score", lit(0L)).as("score"))
+      .orderBy($"doc_id")
+  }
+
+  val q146Sql: String =
+    s"""WITH tg AS (
+       |  SELECT doc_id, lang, substr(text, i, 3) AS tg
+       |  FROM documents, unnest(range(1, len(text) - 1)) AS t(i)
+       |  WHERE len(text) >= 3),
+       |prof AS (SELECT lang, tg, COUNT(*) AS cnt FROM tg GROUP BY lang, tg),
+       |ranked AS (
+       |  SELECT lang AS p_lang, tg,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tg ASC)
+       |      AS rank
+       |  FROM prof),
+       |top AS (
+       |  SELECT p_lang, tg, CAST(${LangProfileTop + 1} - rank AS BIGINT) AS wt
+       |  FROM ranked WHERE rank <= $LangProfileTop),
+       |dt AS (SELECT DISTINCT doc_id, tg FROM tg),
+       |sc AS (
+       |  SELECT doc_id, p_lang, CAST(SUM(wt) AS BIGINT) AS score
+       |  FROM dt JOIN top USING (tg)
+       |  GROUP BY doc_id, p_lang),
+       |best AS (
+       |  SELECT doc_id, p_lang, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, p_lang ASC) AS rn
+       |  FROM sc)
+       |SELECT d.doc_id, d.lang,
+       |  COALESCE(b.p_lang, 'unk') AS pred_lang,
+       |  COALESCE(b.score, 0) AS score
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_lang_id" -> q46LangId,
     "q47_quality_score" -> q47QualityScore,
@@ -300,6 +386,7 @@ object TextAnalysis {
     "q50_binary_columns" -> q50BinaryColumns,
     "q126_repetition_metrics" -> q126RepetitionMetrics,
     "q129_rare_token_filter" -> q129RareTokenFilter,
+    "q146_lang_ngram_classify" -> q146LangNgramClassify,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -310,5 +397,6 @@ object TextAnalysis {
     "q50_binary_columns" -> q50Sql,
     "q126_repetition_metrics" -> q126Sql,
     "q129_rare_token_filter" -> q129Sql,
+    "q146_lang_ngram_classify" -> q146Sql,
   )
 }

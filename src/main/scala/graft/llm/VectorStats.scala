@@ -52,6 +52,63 @@ object VectorStats {
        |GROUP BY label, dim
        |ORDER BY label, dim""".stripMargin
 
-  val queries: Map[String, Q] = Map("q137_group_centroid" -> q137GroupCentroid)
-  val oracleSql: Map[String, String] = Map("q137_group_centroid" -> q137Sql)
+  /** q151 quantization: coarser than q137's 1e6 because COVARIANCE sums
+    * PRODUCTS of components — at scale 1e4 a product is ≤ ~3.6·10⁷ for
+    * |x| < 0.6-ish components, so the int64 partial sum holds to ~10⁹
+    * vectors (3.6·10¹⁶ ≪ 2⁶³); scale 1e6 would overflow past ~10⁴.
+    */
+  val CovQuantScale = 10000.0
+
+  /** q151 — exact upper-triangle covariance numerators over the
+    * embedding matrix: for each dimension pair (i ≤ j), the BIGINT sum
+    * of quantized component products and the vector count — the Gram /
+    * scatter matrix a PCA or whitening step consumes (covariance =
+    * (n·Σqᵢqⱼ − SᵢSⱼ)/n² with the marginals Sᵢ from q137's centroid
+    * numerators; the d×d eigen-solve on the RESULT is a driver-side
+    * O(d³) on a constant-size matrix, never a cluster job).
+    *
+    * Scale shape: the d(d+1)/2 products are built per row by nested
+    * array HOFs (codegen, no join — the posexplode-then-self-join
+    * spelling would shuffle the corpus on vec_id for a product the row
+    * already holds), then ONE explode feeds a partial-aggregated
+    * groupBy on (i, j): shuffled volume is ≤ tasks · d(d+1)/2
+    * partials, corpus-size independent — the q137 shape squared.
+    */
+  val q151EmbeddingCovariance: Q = (s, dir) => {
+    import s.implicits._
+    val q = transform($"embedding",
+      x => floor(x.cast("double") * lit(CovQuantScale)).cast("long"))
+    T.embeddings(s, dir)
+      .select(q.as("q"))
+      .select(explode(flatten(transform(
+        sequence(lit(0), size($"q") - 1),
+        i => transform(
+          sequence(i, size($"q") - 1),
+          j => struct(i.cast("long").as("i"), j.cast("long").as("j"),
+            (element_at($"q", i + 1) * element_at($"q", j + 1)).as("p"))))))
+        .as("e"))
+      .groupBy($"e.i".as("i"), $"e.j".as("j"))
+      .agg(count(lit(1)).as("n_vec"), sum($"e.p").as("sum_pq"))
+      .orderBy($"i", $"j")
+  }
+
+  val q151Sql: String =
+    s"""SELECT a.i - 1 AS i, b.j - 1 AS j, COUNT(*) AS n_vec,
+       |  CAST(SUM(
+       |    CAST(FLOOR(CAST(embedding[a.i] AS DOUBLE) * $CovQuantScale) AS BIGINT)
+       |    * CAST(FLOOR(CAST(embedding[b.j] AS DOUBLE) * $CovQuantScale) AS BIGINT)
+       |  ) AS BIGINT) AS sum_pq
+       |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS a(i),
+       |     unnest(range(a.i, len(embedding) + 1)) AS b(j)
+       |GROUP BY i, j
+       |ORDER BY i, j""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q137_group_centroid" -> q137GroupCentroid,
+    "q151_embedding_covariance" -> q151EmbeddingCovariance,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q137_group_centroid" -> q137Sql,
+    "q151_embedding_covariance" -> q151Sql,
+  )
 }

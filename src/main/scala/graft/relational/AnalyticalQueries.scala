@@ -260,12 +260,116 @@ object AnalyticalQueries {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** q148 — attribution lookback horizon (µs). */
+  val AttributionWindowUs: Long = 7L * 24 * 3600 * 1000000
+
+  /** q148 — LAST-TOUCH marketing attribution (3rd event-analytics shape
+    * next to q94's funnel and q119's retention): every purchase is
+    * credited to the user's most recent prior view/click within a
+    * 7-day lookback; purchases with no eligible touch report as
+    * 'none'. Revenue sums take the exact decimal path (dsl.dsum).
+    *
+    * Scale shape: the touch lookup is ONE keyed window (`last(...,
+    * ignoreNulls)` over rows preceding) — no self-join, no as-of
+    * shuffle; the only exchanges are the user_id window partition and
+    * the tiny per-channel groupBy. Ordering inside the window is
+    * (ts, event_id), deterministic under timestamp ties in both
+    * engines.
+    */
+  val q148LastTouchAttribution: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when($"event_type".isin("view", "click"),
+      struct(unix_micros($"ts").as("t_us"), $"event_type".as("ch")))
+    T.events(s, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("channel",
+        when($"lt".isNotNull &&
+          unix_micros($"ts") - $"lt.t_us" <= AttributionWindowUs, $"lt.ch")
+          .otherwise(lit("none")))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"), dsl.dsum($"value").as("revenue"))
+      .orderBy($"channel")
+  }
+
+  val q148Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    event_type, value
+       |  FROM events),
+       |t AS (
+       |  SELECT event_type, value, ts,
+       |    LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+       |        THEN struct_pack(t_us := epoch_us(ts), ch := event_type)
+       |      END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+       |  FROM ev),
+       |p AS (
+       |  SELECT CASE WHEN lt IS NOT NULL
+       |           AND epoch_us(ts) - lt.t_us <= $AttributionWindowUs
+       |         THEN lt.ch ELSE 'none' END AS channel, value
+       |  FROM t WHERE event_type = 'purchase')
+       |SELECT channel, COUNT(*) AS n_purchases,
+       |  ${O.dsum("value")} AS revenue
+       |FROM p GROUP BY channel ORDER BY channel""".stripMargin
+
+  /** q150 — session gap (µs), q120's constant. */
+  val TransitionGapUs: Long = 30L * 60 * 1000000
+
+  /** q150 — event-transition matrix (Markov pathing): within q120-style
+    * gap sessions, count every (prev_event_type → event_type) step —
+    * the input to next-action prediction and funnel-drop diagnosis.
+    *
+    * Scale shape: sessionization and the transition pairing are the
+    * SAME keyed window (one user_id exchange, two lag projections);
+    * the matrix groupBy partial-aggregates to ≤ |types|² rows.
+    */
+  val q150EventTransitions: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    T.events(s, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+      .withColumn("prev_type", lag($"event_type", 1).over(wOrd))
+      .filter($"prev_ts".isNotNull &&
+        unix_micros($"ts") - unix_micros($"prev_ts") <= TransitionGapUs)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  val q150Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+       |  FROM events),
+       |l AS (
+       |  SELECT event_type,
+       |    LAG(ts) OVER w AS prev_ts,
+       |    LAG(event_type) OVER w AS prev_type,
+       |    ts
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+       |FROM l
+       |WHERE prev_ts IS NOT NULL
+       |  AND date_diff('microsecond', prev_ts, ts) <= $TransitionGapUs
+       |GROUP BY prev_type, next_type
+       |ORDER BY prev_type, next_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_shipping_priority" -> q82ShippingPriority,
     "q83_local_supplier_volume" -> q83LocalSupplierVolume,
     "q94_funnel" -> q94Funnel,
     "q99_bloom_pruned_join" -> q99BloomPrunedJoin,
     "q119_cohort_retention" -> q119CohortRetention,
+    "q148_last_touch_attribution" -> q148LastTouchAttribution,
+    "q150_event_transitions" -> q150EventTransitions,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -274,5 +378,7 @@ object AnalyticalQueries {
     "q94_funnel" -> q94Sql,
     "q99_bloom_pruned_join" -> q99Sql,
     "q119_cohort_retention" -> q119Sql,
+    "q148_last_touch_attribution" -> q148Sql,
+    "q150_event_transitions" -> q150Sql,
   )
 }

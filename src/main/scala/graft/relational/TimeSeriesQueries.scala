@@ -184,15 +184,75 @@ object TimeSeriesQueries {
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** q149 — trailing-window size (rows) and minimum history. */
+  val AnomalyWindowRows = 5
+  val AnomalyMinHistory = 3
+
+  /** q149 — trailing-window z-score anomaly detection in EXACT integer
+    * arithmetic: an event is anomalous when its value deviates from its
+    * own key's trailing-[[AnomalyWindowRows]] history by more than 3
+    * standard deviations. The float z-score `(x−μ)/σ > 3` is
+    * order-sensitive cross-engine, so the test is algebraically
+    * rearranged to integers: with q = floor(100·value), n the history
+    * size, S = Σq, Q = Σq² over the trailing frame,
+    *   (x−μ)² > 9·σ²  ⇔  (n·q − S)² > 9·(n·Q − S²)
+    * — every term an exact BIGINT (q ≤ 5·10⁴ here ⇒ the square ≤
+    * ~6·10¹⁰, far inside int64; the scaladoc'd budget holds to
+    * |value| < 10⁷). The same integerization discipline as q89's
+    * closed-form moments and q118's decimal range sums.
+    *
+    * Scale shape: ONE keyed window (user_id exchange + per-key sort,
+    * bounded [[AnomalyWindowRows]]-row frame state) — no self-join;
+    * output is the anomalous rows only, ∝ anomaly rate.
+    */
+  val q149ZscoreAnomaly: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-AnomalyWindowRows, -1)
+    T.events(s, dir)
+      .select($"user_id", $"event_id", $"ts",
+        floor($"value" * 100).cast("long").as("q"))
+      .withColumn("n_prev", count($"q").over(w))
+      .withColumn("s_prev", sum($"q").over(w))
+      .withColumn("qq_prev", sum($"q" * $"q").over(w))
+      .filter($"n_prev" >= AnomalyMinHistory &&
+        ($"n_prev" * $"q" - $"s_prev") * ($"n_prev" * $"q" - $"s_prev") >
+          lit(9L) * ($"n_prev" * $"qq_prev" - $"s_prev" * $"s_prev"))
+      .select($"user_id", $"event_id", $"q", $"n_prev", $"s_prev", $"qq_prev")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q149Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CAST(FLOOR(100 * value) AS BIGINT) AS q
+       |  FROM events),
+       |m AS (
+       |  SELECT user_id, event_id, q,
+       |    CAST(COUNT(q) OVER w AS BIGINT) AS n_prev,
+       |    CAST(SUM(q) OVER w AS BIGINT) AS s_prev,
+       |    CAST(SUM(q * q) OVER w AS BIGINT) AS qq_prev
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN $AnomalyWindowRows PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, event_id, q, n_prev, s_prev, qq_prev
+       |FROM m
+       |WHERE n_prev >= $AnomalyMinHistory
+       |  AND (n_prev * q - s_prev) * (n_prev * q - s_prev)
+       |      > 9 * (n_prev * qq_prev - s_prev * s_prev)
+       |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q104_resample_ffill" -> q104ResampleFfill,
     "q118_rolling_window" -> q118RollingWindow,
     "q120_sessionize" -> q120Sessionize,
+    "q149_zscore_anomaly" -> q149ZscoreAnomaly,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q104_resample_ffill" -> q104Sql,
     "q118_rolling_window" -> q118Sql,
     "q120_sessionize" -> q120Sql,
+    "q149_zscore_anomaly" -> q149Sql,
   )
 }
