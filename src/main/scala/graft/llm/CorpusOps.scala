@@ -111,18 +111,25 @@ object CorpusOps {
   def dupSpanProfile(docs: DataFrame, k: Int = SpanK): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val toks = split($"text", " ")
     val spans = docs
       .filter(size(toks) >= k)
       .select($"doc_id",
         explode(transform(sequence(lit(1), size(toks) - (k - 1)),
           i => md5(concat_ws(" ", slice(toks, i, lit(k)))))).as("h"))
-    val df = spans.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("span_df"))
-    spans.join(df, "h")
+    // One materialization of the span digests (the groupBy-then-join-back
+    // spelling runs the O(k·len) span construction + md5 pass TWICE):
+    // collapse to distinct (h, doc_id) pairs with per-pair counts, take
+    // the cross-doc frequency as a COUNT over the h window (pairs are
+    // distinct, so the partition count IS the distinct-doc count), then
+    // re-aggregate per doc. Shuffles only the 32-hex digests.
+    spans
+      .groupBy($"h", $"doc_id").agg(count(lit(1)).as("c"))
+      .withColumn("span_df", count(lit(1)).over(Window.partitionBy($"h")))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when($"span_df" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum($"c").as("n_spans"),
+        sum(when($"span_df" >= 2, $"c").otherwise(0L)).as("n_dup"))
       .orderBy($"doc_id")
   }
 
