@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.catalog.CatalogOracle
-import graft.llm.{BpeTrain, CorpusOps, DedupQueries, EmbeddingDedup, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
+import graft.llm.{BpeTrain, CorpusOps, DedupQueries, EmbeddingDedup, ProductQuantization, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
 import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, TableStatsQueries, TimeSeriesQueries, WindowAggQueries}
 import graft.operators.{IntervalJoin, PageRank, TriangleCount}
 import graft.sources.{CsvScan, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, SchemaEvolution, ZOrderQueries}
@@ -32,7 +32,8 @@ object SparkEntry {
       IntervalJoin.queries ++ OrcSource.queries ++ ZOrderQueries.queries ++
       TableStatsQueries.queries ++ QuarantineIngest.queries ++
       CorpusOps.queries ++ VectorStats.queries ++ PageRank.queries ++
-      BpeTrain.queries ++ SchemaEvolution.queries ++ TriangleCount.queries
+      BpeTrain.queries ++ SchemaEvolution.queries ++ TriangleCount.queries ++
+      ProductQuantization.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       OrcSource.oracleSql ++ ZOrderQueries.oracleSql ++
       TableStatsQueries.oracleSql ++ QuarantineIngest.oracleSql ++
       CorpusOps.oracleSql ++ VectorStats.oracleSql ++ PageRank.oracleSql ++
-      BpeTrain.oracleSql ++ SchemaEvolution.oracleSql ++ TriangleCount.oracleSql
+      BpeTrain.oracleSql ++ SchemaEvolution.oracleSql ++
+      TriangleCount.oracleSql ++ ProductQuantization.oracleSql
 }

@@ -485,7 +485,7 @@ object VectorSearch {
     * per-component hash noise (±0.5% of unit scale), cosine to the
     * original ≈ 0.999.
     */
-  private def plantedTwins(e: DataFrame): DataFrame = {
+  def plantedTwins(e: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     e.filter($"vec_id" < QuerySetSize)

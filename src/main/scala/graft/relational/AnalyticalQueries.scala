@@ -362,6 +362,94 @@ object AnalyticalQueries {
        |GROUP BY prev_type, next_type
        |ORDER BY prev_type, next_type""".stripMargin
 
+  /** q152 — consecutive-day activity streaks (the islands-and-gaps SQL
+    * pattern): per user, runs of consecutive active DAYS collapse to
+    * islands via the date-minus-row_number trick (a constant within one
+    * run, distinct across runs), then per-user streak stats — the
+    * engagement/continuity metric behind "N-day streak" features and
+    * activity-gap audits.
+    *
+    * Scale shape: distinct (user, day) first (partial-aggregated — the
+    * raw event volume never reaches the window), then ONE keyed window
+    * and two partial-aggregated groupBys, all on the user_id
+    * partitioning.
+    */
+  val q152ActivityStreaks: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    T.events(s, dir)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+      .withColumn("island", date_sub($"day", row_number().over(w)))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("len"), min($"day").as("start_day"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max($"len").as("max_streak"),
+        min($"start_day").as("first_day"))
+      .orderBy($"user_id")
+  }
+
+  val q152Sql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |i AS (
+      |  SELECT user_id, day,
+      |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+      |               AS INTEGER) AS island
+      |  FROM d),
+      |st AS (
+      |  SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
+      |  FROM i GROUP BY user_id, island)
+      |SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS max_streak,
+      |  MIN(start_day) AS first_day
+      |FROM st
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** q153 — TPC-H Q10 shape (returned-item revenue): customers ranked
+    * by revenue lost to returned lines in one quarter, with nation
+    * context — the 4-table join + decimal-exact revenue + top-k
+    * headliner next to q82 (Q3) and q83 (Q5).
+    *
+    * Scale shape: date + returnflag filters push to the scans; nation
+    * (25 rows) is the only hard broadcast; the customer and order
+    * edges stay AQE-governed (both scale with SF); top-k is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  val q153ReturnedItems: Q = (s, dir) => {
+    import s.implicits._
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1996-04-01").cast(TimestampType)
+    val ords = T.orders(s, dir)
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+    val lines = T.lineitem(s, dir).filter($"l_returnflag" === "R")
+    lines.join(ords, $"l_orderkey" === $"o_orderkey")
+      .join(T.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(T.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(dsl.dsumExpr($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  val q153Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  ${O.dsumExpr("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1996-04-01'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey ASC
+       |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_shipping_priority" -> q82ShippingPriority,
     "q83_local_supplier_volume" -> q83LocalSupplierVolume,
@@ -370,6 +458,8 @@ object AnalyticalQueries {
     "q119_cohort_retention" -> q119CohortRetention,
     "q148_last_touch_attribution" -> q148LastTouchAttribution,
     "q150_event_transitions" -> q150EventTransitions,
+    "q152_activity_streaks" -> q152ActivityStreaks,
+    "q153_returned_items" -> q153ReturnedItems,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -380,5 +470,7 @@ object AnalyticalQueries {
     "q119_cohort_retention" -> q119Sql,
     "q148_last_touch_attribution" -> q148Sql,
     "q150_event_transitions" -> q150Sql,
+    "q152_activity_streaks" -> q152Sql,
+    "q153_returned_items" -> q153Sql,
   )
 }

@@ -99,13 +99,48 @@ object TableStatsQueries {
       |ORDER BY n_orders DESC, p1 ASC, p2 ASC
       |LIMIT 100""".stripMargin
 
+  /** q154 — histogram bin width in quantized cents (50.00 units). */
+  val HistBinQ = 5000L
+
+  /** q154 — equal-width value histogram per event type (the profiling
+    * companion to q132's column stats): per (event_type, bin), row
+    * count and exact decimal value mass. Binning runs on the QUANTIZED
+    * integer (`floor(100·value) div binQ`) so the bin id is the same
+    * BIGINT in both engines — a raw `floor(value/50)` would sit on the
+    * float edge-rounding of each engine's division.
+    *
+    * Scale shape: one narrow projection + one partial-aggregated
+    * groupBy to ≤ |types|·|bins| rows — the map-side combine does all
+    * the work; nothing else shuffles.
+    */
+  val q154ValueHistogram: Q = (s, dir) => {
+    import s.implicits._
+    T.events(s, dir)
+      .select($"event_type", $"value",
+        expr(s"CAST(FLOOR(100 * value) AS BIGINT) div $HistBinQ").as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"), graft.core.dsl.dsum($"value").as("mass"))
+      .orderBy($"event_type", $"bin")
+  }
+
+  val q154Sql: String =
+    s"""SELECT event_type,
+       |  CAST(FLOOR(100 * value) AS BIGINT) // $HistBinQ AS bin,
+       |  COUNT(*) AS n,
+       |  ${graft.core.OracleDsl.dsum("value")} AS mass
+       |FROM events
+       |GROUP BY event_type, bin
+       |ORDER BY event_type, bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q132_table_stats" -> q132TableStats,
     "q134_cooccurrence" -> q134Cooccurrence,
+    "q154_value_histogram" -> q154ValueHistogram,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q132_table_stats" -> q132Sql,
     "q134_cooccurrence" -> q134Sql,
+    "q154_value_histogram" -> q154Sql,
   )
 }
