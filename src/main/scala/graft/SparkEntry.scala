@@ -33,7 +33,7 @@ object SparkEntry {
       TableStatsQueries.queries ++ QuarantineIngest.queries ++
       CorpusOps.queries ++ VectorStats.queries ++ PageRank.queries ++
       BpeTrain.queries ++ SchemaEvolution.queries ++ TriangleCount.queries ++
-      ProductQuantization.queries
+      ProductQuantization.queries ++ graft.plans.TopK.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +52,6 @@ object SparkEntry {
       TableStatsQueries.oracleSql ++ QuarantineIngest.oracleSql ++
       CorpusOps.oracleSql ++ VectorStats.oracleSql ++ PageRank.oracleSql ++
       BpeTrain.oracleSql ++ SchemaEvolution.oracleSql ++
-      TriangleCount.oracleSql ++ ProductQuantization.oracleSql
+      TriangleCount.oracleSql ++ ProductQuantization.oracleSql ++
+      graft.plans.TopK.oracleSql
 }

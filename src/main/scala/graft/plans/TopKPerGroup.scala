@@ -1,0 +1,166 @@
+package graft.plans
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+/** Whole-operator custom plan: bounded-heap per-group top-k.
+  *
+  * The DataFrame spelling of per-group top-k (`row_number().over(Window
+  * .partitionBy(g).orderBy(o)) <= k`, q18) pays a FULL per-partition
+  * sort: WindowExec sorts every group's every row before the rank
+  * filter throws all but k away. At 100 TB that sort is the dominant
+  * cost of a query whose answer is k rows per group. The classic
+  * physical fix is a bounded heap per group — O(n log k) comparisons,
+  * O(groups·k) memory, no sort buffer, no spill pressure — which is not
+  * expressible by composing Spark's built-in operators: exactly the
+  * case for the custom-operator tier (c) of the build contract — a
+  * LogicalPlan node + SparkStrategy + SparkPlan, registered through
+  * `SparkSessionExtensions.injectPlannerStrategy` (new sessions) or
+  * `experimental.extraStrategies` (live sessions).
+  *
+  * Semantics: keeps, per distinct group key, the first k rows of the
+  * group under `sortOrder`. Callers MUST make `sortOrder` a total order
+  * (append a unique tiebreak column) for deterministic output — same
+  * contract as the window spelling's ORDER BY.
+  *
+  * Scale shape: `requiredChildDistribution = ClusteredDistribution
+  * (group)` lets EnsureRequirements insert the ONE hash exchange (or
+  * reuse an existing compatible partitioning — something a manual
+  * repartition+mapPartitions spelling cannot do); the heap pass is one
+  * streaming scan per partition. Degenerate case: group cardinality ~
+  * row count keeps ~n·k rows in the partition's heap map — the same
+  * memory the window's sort buffer would hold, so the operator never
+  * does WORSE than the spelling it replaces.
+  */
+case class TopKPerGroupNode(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+      : TopKPerGroupNode = copy(child = newChild)
+}
+
+/** Plans [[TopKPerGroupNode]] into [[TopKPerGroupExec]]. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(g, so, k, child) =>
+      TopKPerGroupExec(g, so, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** One hash exchange on the group key — inserted by
+    * EnsureRequirements, or elided when the child is already
+    * compatibly partitioned.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    val (gExprs, order, kk) = (groupExprs, sortOrder, k)
+    child.execute().mapPartitions({ iter =>
+      val groupProj = UnsafeProjection.create(gExprs, schema)
+      val ordering = RowOrdering.create(order, schema)
+      // head of each heap = the WORST retained row (reverse ordering)
+      val cmp = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          ordering.compare(b, a)
+      }
+      val heaps = mutable.HashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = groupProj(row)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < kk) heap.add(row.copy())
+            else if (ordering.compare(row, heap.peek()) < 0) {
+              heap.poll(); heap.add(row.copy())
+            }
+          case None =>
+            val heap = new java.util.PriorityQueue[InternalRow](kk + 1, cmp)
+            heap.add(row.copy())
+            heaps.put(key.copy(), heap)
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.asScala)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : TopKPerGroupExec = copy(child = newChild)
+}
+
+/** Public API:
+  * `TopK.perGroup(df, Seq("g"), Seq("v" -> false, "id" -> true), k)` —
+  * sort columns as (name, ascending) pairs, built directly into
+  * resolved catalyst SortOrder (the Column.desc spelling carries a
+  * non-serializable column-node wrapper through the closure).
+  */
+object TopK {
+  def perGroup(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    PlanBridge.addStrategy(spark, TopKStrategy)
+    val child = PlanBridge.analyzed(df)
+    def attr(c: String): Attribute =
+      child.output.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$c' not in ${child.output.map(_.name)}"))
+    val groupExprs: Seq[Expression] = groupCols.map(attr)
+    val order = sortCols.map { case (c, asc) =>
+      SortOrder(attr(c), if (asc) Ascending else Descending)
+    }
+    PlanBridge.ofRows(spark, TopKPerGroupNode(groupExprs, order, k, child))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q156 — the q18 shape on the custom operator: top-3 orders per
+    * customer by (totalprice desc, orderkey asc — the unique tiebreak
+    * the determinism contract requires), via [[TopKPerGroupExec]]'s
+    * bounded heap instead of WindowExec's full per-group sort. The
+    * oracle replays the window spelling — the two spellings MUST agree
+    * row-for-row.
+    */
+  val q156TopkHeap: Q = (s, dir) => {
+    import org.apache.spark.sql.functions.col
+    val df = graft.core.Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    perGroup(df, Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+      .orderBy(col("o_custkey").asc, col("o_totalprice").desc,
+        col("o_orderkey").asc)
+  }
+
+  val q156Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin
+
+  val queries: Map[String, Q] = Map("q156_topk_heap" -> q156TopkHeap)
+  val oracleSql: Map[String, String] = Map("q156_topk_heap" -> q156Sql)
+}

@@ -1,0 +1,27 @@
+package org.apache.spark.sql
+package graftbridge
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Bridge into the `private[sql]` Dataset/plan seams a library needs to
+  * ship a custom logical operator: build a DataFrame from a LogicalPlan
+  * (`Dataset.ofRows` is private[sql] on Spark 4), read a frame's
+  * analyzed plan, and install a planner strategy on a LIVE session
+  * (`spark.sql.extensions` covers only sessions built after the conf is
+  * set; `experimental.extraStrategies` is the sanctioned runtime hook).
+  */
+object PlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzed(df: Dataset[Row]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Idempotently append a planner strategy to the live session. */
+  def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
+}

@@ -1,0 +1,44 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TopKPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+    ("b", 5L, 5.0), ("c", 6L, 1.0), ("c", 7L, 2.0), ("c", 8L, 3.0),
+    ("c", 9L, 4.0)).toDF("g", "id", "v")
+
+  test("keeps first k per group under a total order, ties by id") {
+    val out = TopK.perGroup(fixture, Seq("g"),
+        Seq("v" -> false, "id" -> true), k = 2)
+      .orderBy($"g", $"v".desc, $"id")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 2L, 30.0), ("a", 4L, 30.0),
+      ("b", 5L, 5.0),
+      ("c", 9L, 4.0), ("c", 8L, 3.0)))
+  }
+
+  test("groups smaller than k are kept whole; matches the window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val df = fixture
+    val custom = TopK.perGroup(df, Seq("g"), Seq("v" -> true, "id" -> true), 3)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val window = df.withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"v".asc, $"id".asc)))
+      .filter($"rn" <= 3).select("g", "id")
+      .as[(String, Long)].collect().toSet
+    assert(custom == window)
+  }
+
+  test("plan contains the custom exec node and one exchange on the group key") {
+    val df = fixture
+    val out = TopK.perGroup(df, Seq("g"), Seq("v" -> false, "id" -> true), 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"custom node missing:\n$plan")
+    assert(plan.contains("hashpartitioning(g"), s"group exchange missing:\n$plan")
+  }
+}
