@@ -185,16 +185,14 @@ object ProductQuantization {
         x => x("code")).as("codes"))
   }
 
-  /** ADC top-1: for each query row (qid, embedding), build the
-    * per-subspace distance lookup table against the codebook IN-PLAN
-    * (queries × codebook is |queries|·m·k rows — broadcastable), join
-    * it to the exploded corpus codes, sum the m terms, and keep each
-    * query's minimum-distance vector (ties to the smallest vec_id).
+  /** Per-query ADC lookup table: (qid, sub, code, d2) — the squared L2
+    * distance of each query's subvector to every codebook centroid.
+    * |queries|·m·k rows, corpus-size constant — the justified
+    * broadcast of ADC scoring.
     */
-  def adcTop1(codes: DataFrame, queries: DataFrame,
-      cb: Seq[(Int, Int, Array[Double])], m: Int = SubspaceCount)
-      : DataFrame = {
-    val s = codes.sparkSession
+  def adcLut(queries: DataFrame, cb: Seq[(Int, Int, Array[Double])],
+      m: Int = SubspaceCount): DataFrame = {
+    val s = queries.sparkSession
     import s.implicits._
     val sd = cb.head._3.length
     val qsubs = normalized(queries).select($"qid",
@@ -205,14 +203,44 @@ object ProductQuantization {
     val dist2 = aggregate(
       zip_with($"sv", $"cent", (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, d) => acc + d)
-    val lut = qsubs.join(codebookDf(s, cb), "sub")
+    qsubs.join(codebookDf(s, cb), "sub")
       .select($"qid", $"sub", $"code", dist2.as("d2"))
+  }
+
+  /** Sum the m LUT terms per (qid, vec_id) candidate and keep each
+    * query's minimum-distance vector (ties to the smallest vec_id).
+    * `pairs` carries one row per candidate: (qid, vec_id, codes).
+    */
+  def adcArgmin(pairs: DataFrame, lut: DataFrame, m: Int = SubspaceCount)
+      : DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.select($"qid", $"vec_id", posexplode($"codes").as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"d2").as("adc_d2"), count(lit(1)).as("n_sub"))
+      .filter($"n_sub" === m) // every subspace term present
+      .groupBy($"qid")
+      .agg(min(struct($"adc_d2", $"vec_id")).as("best"))
+      .select($"qid", $"best.vec_id".as("vec_id"), $"best.adc_d2".as("adc_d2"))
+  }
+
+  /** ADC top-1 over the FULL corpus: the exploded corpus codes join the
+    * broadcast LUT on (sub, code) — every (query, vector) pair arises
+    * from the join itself, no candidate frame materialized.
+    */
+  def adcTop1(codes: DataFrame, queries: DataFrame,
+      cb: Seq[(Int, Int, Array[Double])], m: Int = SubspaceCount)
+      : DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    val lut = adcLut(queries, cb, m)
     val corpus = codes.select($"vec_id",
       posexplode($"codes").as(Seq("sub", "code")))
     corpus.join(broadcast(lut), Seq("sub", "code"))
       .groupBy($"qid", $"vec_id")
       .agg(sum($"d2").as("adc_d2"), count(lit(1)).as("n_sub"))
-      .filter($"n_sub" === m) // every subspace term present
+      .filter($"n_sub" === m)
       .groupBy($"qid")
       .agg(min(struct($"adc_d2", $"vec_id")).as("best"))
       .select($"qid", $"best.vec_id".as("vec_id"), $"best.adc_d2".as("adc_d2"))
@@ -246,6 +274,57 @@ object ProductQuantization {
     s"""SELECT COUNT(*) AS n_queries, TRUE AS ok
        |FROM embeddings WHERE vec_id < ${VectorSearch.QuerySetSize}""".stripMargin
 
-  val queries: Map[String, Q] = Map("q155_pq_recall" -> q155PqRecall)
-  val oracleSql: Map[String, String] = Map("q155_pq_recall" -> q155Sql)
+  /** q157 — the IVF-ADC composition (the paper's serving architecture,
+    * and the answer to "ADC still scans the whole corpus"): IVF cells
+    * bound WHICH vectors a query examines (probes·N/cells candidates —
+    * sublinear with fitted √N cells), PQ codes bound WHAT is read per
+    * candidate (m bytes instead of d floats). Pipeline: fit IVF
+    * centroids + assign every corpus vector a cell
+    * ([[VectorSearch.centroidCellsJoin]] — constant plan size), PQ-encode
+    * the corpus, rank each query's probe cells
+    * ([[VectorSearch.ivfRanked]]), equi-join probes to the indexed
+    * corpus ON CELL (the sublinear step), ADC-score only those
+    * candidates via the broadcast LUT, keep the argmin. Recall gate:
+    * planted-twin top-1, same floor as the full-scan PQ gate (q155) —
+    * composing the two indexes must not cost recall on this corpus.
+    */
+  val q157IvfAdcRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = T.embeddings(s, dir).select($"vec_id", $"embedding")
+    // IVF leg: fitted centroids, every vector assigned one cell
+    val cents = VectorSearch.fitCodebook(e, VectorSearch.ivfCellCount(e.count()))
+    val corpusCells = VectorSearch.centroidCellsJoin(e, cents)
+    // PQ leg: subspace codebooks, corpus encoded once
+    val pcb = fitPq(e)
+    val indexed = encode(e, pcb).join(corpusCells, "vec_id")
+      .localCheckpoint() // reused by the probe join; one bounded frame
+    // queries probe their top-ranked cells
+    val twins = VectorSearch.plantedTwins(e)
+    val probes = math.min(cents.size, VectorSearch.IvfProbes)
+    val qcells = VectorSearch.ivfRanked(
+        twins.withColumn("norm", lit(0.0)), cents, probes)
+      .select($"vec_id".as("qid"), $"cell")
+    val lut = adcLut(twins.select($"vec_id".as("qid"), $"embedding"), pcb)
+    val pairs = qcells.join(indexed, "cell")
+      .select($"qid", $"vec_id", $"codes")
+    val top1 = adcArgmin(pairs, lut)
+    val hits = top1.withColumn("hit",
+      $"vec_id" === $"qid" - VectorSearch.PlantedIdOffset)
+    hits.agg(count(lit(1)).as("n_queries"),
+      (sum(when($"hit", 1).otherwise(0)) >=
+        ceil(lit(PqRecallFloor) * count(lit(1)))).as("ok"))
+  }
+
+  val q157Sql: String =
+    s"""SELECT COUNT(*) AS n_queries, TRUE AS ok
+       |FROM embeddings WHERE vec_id < ${VectorSearch.QuerySetSize}""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q155_pq_recall" -> q155PqRecall,
+    "q157_ivf_adc_recall" -> q157IvfAdcRecall,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q155_pq_recall" -> q155Sql,
+    "q157_ivf_adc_recall" -> q157Sql,
+  )
 }

@@ -325,18 +325,36 @@ object TextAnalysis {
   val q146LangNgramClassify: Q = (s, dir) => {
     import s.implicits._
     val docs = T.documents(s, dir)
+    // ONE trigram pass: per-(doc, trigram) occurrence counts serve both
+    // the profile side (sum of counts) and the scoring side (distinct
+    // doc-trigram pairs are exactly these rows) — the explode and its
+    // shuffle run once, not once per consumer.
+    // Trigrams via zip_with over three shifted slices of the char
+    // array. NOT `substr(text, i, 3)` in a transform lambda (UTF-8
+    // offset search re-scans from byte 0 per call — O(len²) per doc,
+    // 2.2 s for the sf0.1 explode alone) and NOT `element_at(chars, i)`
+    // either (an outer-column reference inlines into the lambda, so
+    // the split re-runs per ELEMENT — 60 s). zip_with's array arguments
+    // evaluate once per ROW; the lambda does O(1) work per element.
+    val chars = split($"text", "")
+    val triN = size(chars) - 2
+    val tgArr = zip_with(
+      zip_with(slice(chars, lit(1), triN), slice(chars, lit(2), triN),
+        (a, b) => concat(a, b)),
+      slice(chars, lit(3), triN),
+      (ab, c) => concat(ab, c))
     val tg = docs.filter(length($"text") >= 3)
-      .select($"doc_id", $"lang",
-        explode(transform(sequence(lit(1), length($"text") - 2),
-          i => $"text".substr(i, lit(3)))).as("tg"))
-    val prof = tg.groupBy($"lang", $"tg").agg(count(lit(1)).as("cnt"))
+      .select($"doc_id", $"lang", explode(tgArr).as("tg"))
+      .groupBy($"doc_id", $"lang", $"tg").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // two consumers (profile, scoring); cut once
+    val prof = tg.groupBy($"lang", $"tg").agg(sum($"c").as("cnt"))
     val wRank = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tg".asc)
     val top = prof
       .withColumn("rank", row_number().over(wRank))
       .filter($"rank" <= LangProfileTop)
       .select($"lang".as("p_lang"), $"tg",
         (lit(LangProfileTop + 1) - $"rank").cast("long").as("wt"))
-    val scores = tg.select($"doc_id", $"tg").distinct()
+    val scores = tg.select($"doc_id", $"tg")
       .join(broadcast(top), "tg")
       .groupBy($"doc_id", $"p_lang")
       .agg(sum($"wt").as("score"))
