@@ -417,6 +417,60 @@ object DedupQueries {
       |GROUP BY 1
       |ORDER BY split""".stripMargin
 
+  /** q163 — canonical-document selection (keep-BEST, not keep-first):
+    * within each near-dup cluster, keep the argmax-quality document
+    * (ties to the smallest doc_id) instead of the min-id
+    * representative — the curation policy real pipelines want (the
+    * cleanest copy survives, not the lexicographically first). Clusters
+    * come from the q101 pipeline (banded LSH → exact verify → connected
+    * components); quality is the q47 composite
+    * ([[TextAnalysis.qualityOf]]) — identical IEEE arithmetic in both
+    * engines, so the argmax winner matches exactly.
+    *
+    * Scale shape: adds ONE doc_id-keyed join (cluster labels ⋈
+    * quality) and one partial-aggregated max-struct per cluster on top
+    * of the already-100 TB-shaped q101 pipeline.
+    */
+  val q163KeepBest: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val pairs = nearDuplicates(s, docs, NearDupThreshold)
+      .select($"doc1", $"doc2")
+    val cc = graft.operators.ConnectedComponents(pairs, src = "doc1", dst = "doc2")
+    cc.select($"id".as("doc_id"), $"comp".as("cluster_rep"))
+      .join(TextAnalysis.qualityOf(docs), "doc_id")
+      .groupBy($"cluster_rep")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct($"quality", (-$"doc_id").as("neg"))).as("best"))
+      .select($"cluster_rep", $"n_docs",
+        (-$"best.neg").as("keep_doc"), $"best.quality".as("keep_quality"))
+      .orderBy($"cluster_rep")
+  }
+
+  val q163Sql: String =
+    s"""$nearDupReachCte,
+      |labels AS (SELECT id AS doc_id, MIN(r) AS cluster_rep
+      |           FROM reach GROUP BY id),
+      |q AS (
+      |  SELECT doc_id,
+      |    len(list_distinct(string_split(text, ' ')))
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+      |    + (1.0 - len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b'))
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+      |    + CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 200
+      |           THEN 0.2 ELSE 0.0 END AS quality
+      |  FROM documents),
+      |j AS (SELECT l.cluster_rep, l.doc_id, q.quality
+      |      FROM labels l JOIN q USING (doc_id)),
+      |b AS (SELECT cluster_rep, doc_id, quality,
+      |        ROW_NUMBER() OVER (PARTITION BY cluster_rep
+      |          ORDER BY quality DESC, doc_id ASC) AS rn,
+      |        COUNT(*) OVER (PARTITION BY cluster_rep) AS n_docs
+      |      FROM j)
+      |SELECT cluster_rep, n_docs, doc_id AS keep_doc, quality AS keep_quality
+      |FROM b WHERE rn = 1
+      |ORDER BY cluster_rep""".stripMargin
+
   /** Block-size guard for fuzzy matching: a blocking key shared by more
     * than this many DISTINCT values is dropped whole (content-based, so
     * the oracle mirrors it with a HAVING — same pattern as
@@ -607,6 +661,7 @@ object DedupQueries {
     "q43_ngram_jaccard" -> q43NgramJaccard,
     "q101_dup_clusters" -> q101DupClusters,
     "q141_cluster_split" -> q141ClusterSplit,
+    "q163_keep_best" -> q163KeepBest,
     "q109_fuzzy_match" -> q109FuzzyMatch,
     "q127_decontaminate" -> q127Decontaminate,
     "q131_incremental_ingest" -> q131IncrementalIngest,
@@ -618,6 +673,7 @@ object DedupQueries {
     "q43_ngram_jaccard" -> q43Sql,
     "q101_dup_clusters" -> q101Sql,
     "q141_cluster_split" -> q141Sql,
+    "q163_keep_best" -> q163Sql,
     "q109_fuzzy_match" -> q109Sql,
     "q127_decontaminate" -> q127Sql,
     "q131_incremental_ingest" -> q131Sql,

@@ -48,6 +48,25 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** The q47 composite quality score as a reusable (doc_id, quality)
+    * frame — the canonical scorer downstream curation steps (q163
+    * keep-best) consume. Same arithmetic as [[q47QualityScore]]'s
+    * `quality` column (integer-derived doubles, engine-identical).
+    */
+  def qualityOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ws = split($"text", " ")
+    val nWords = size(ws).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    val stopHits = regexp_count($"text", lit("\\b(the|a|of|and|to)\\b"))
+      .cast("long")
+    docs.select($"doc_id",
+      ((nDistinct / nWords.cast("double")) * lit(0.5)
+        + (lit(1.0) - stopHits / nWords.cast("double")) * lit(0.3)
+        + when(nWords.between(20, 200), 0.2).otherwise(0.0)).as("quality"))
+  }
+
   /** Quality scoring: length stats, type-token ratio, stopword ratio,
     * and a composite score. Integer-derived doubles → engine-identical.
     */

@@ -604,6 +604,61 @@ object TextPipeline {
        |FROM starts
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q158 salt — decorrelated from q95 (split), q100 (sample), q116. */
+  val TempMixSalt = "tmix|"
+
+  /** q158 — TEMPERATURE-flattened source mixing (the multilingual
+    * corpus-balancing recipe): per-source keep-rate derived FROM the
+    * data as `sqrt(min_n / n_src)` — sources shrink by the square root
+    * of their size ratio, so the mixed corpus sits between raw
+    * proportions (α=1) and uniform (α=0). The α=½ exponent is chosen
+    * deliberately: `/` and `sqrt` are exactly-rounded IEEE ops, so both
+    * engines derive bit-identical rates from identical counts — a
+    * float `pow(x, 0.7)` would NOT be cross-engine reproducible. The
+    * keep decision is q100's md5-threshold discipline under a distinct
+    * salt; unlike q100's static rate map, the rates here are a
+    * two-pass data product (stats pass → broadcast → filter pass).
+    *
+    * Scale shape: pass 1 is one partial-aggregated groupBy to |sources|
+    * rows; the rate frame is corpus-size constant and broadcasts onto
+    * the narrow filter projection — no other shuffle.
+    */
+  val q158TemperatureMix: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    val minN = counts.agg(min($"n_src").as("min_n"))
+    val rates = counts.crossJoin(minN)
+      .withColumn("keep_frac",
+        sqrt($"min_n".cast("double") / $"n_src".cast("double")))
+      .withColumn("thresh", floor($"keep_frac" * 65536.0).cast("long"))
+    val bucket = conv(substring(
+      md5(concat(lit(TempMixSalt), $"doc_id".cast("string"))), 1, 4),
+      16, 10).cast("long")
+    docs.join(broadcast(rates), "source")
+      .filter(bucket < $"thresh")
+      .groupBy($"source", $"n_src", $"thresh")
+      .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_doc"))
+      .orderBy($"source")
+  }
+
+  val q158Sql: String =
+    s"""WITH counts AS (
+       |  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+       |rates AS (
+       |  SELECT source, n_src,
+       |    CAST(FLOOR(sqrt(CAST((SELECT MIN(n_src) FROM counts) AS DOUBLE)
+       |      / CAST(n_src AS DOUBLE)) * 65536.0) AS BIGINT) AS thresh
+       |  FROM counts)
+       |SELECT d.source, r.n_src, r.thresh, COUNT(*) AS n_kept,
+       |  CAST(SUM(d.doc_id) AS BIGINT) AS sum_doc
+       |FROM documents d JOIN rates r ON d.source = r.source
+       |WHERE CAST('0x' || substring(
+       |        md5('$TempMixSalt' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+       |      AS INTEGER) < r.thresh
+       |GROUP BY d.source, r.n_src, r.thresh
+       |ORDER BY d.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q76_tfidf" -> q76Tfidf,
     "q92_chunking" -> q92Chunking,
@@ -615,6 +670,7 @@ object TextPipeline {
     "q124_text_normalize" -> q124TextNormalize,
     "q103_sequence_packing" -> q103SequencePacking,
     "q108_bm25" -> q108Bm25,
+    "q158_temperature_mix" -> q158TemperatureMix,
   )
   val oracleSql: Map[String, String] = Map(
     "q76_tfidf" -> q76Sql,
@@ -627,5 +683,6 @@ object TextPipeline {
     "q124_text_normalize" -> q124Sql,
     "q103_sequence_packing" -> q103Sql,
     "q108_bm25" -> q108Sql,
+    "q158_temperature_mix" -> q158Sql,
   )
 }

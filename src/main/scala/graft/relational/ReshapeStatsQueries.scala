@@ -169,6 +169,46 @@ object ReshapeStatsQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** q162 — full decile summary per group (q90's median generalized to
+    * the 9 inner deciles): value at rank ⌈k·n/10⌉ for k = 1..9 — one
+    * exact order-statistic profile per event type, the distribution
+    * fingerprint a drift monitor or feature-scaling step consumes. All
+    * rank arithmetic is integer (`(k·n + 9) div 10`); values at a rank
+    * are tie-invariant, so the frame hash-compares exactly.
+    *
+    * Scale shape: ONE keyed window (rank + count over event_type) and a
+    * 9-value literal explode joined on the rank — no per-decile
+    * re-scan; the same q90 caveat applies (the production spelling is
+    * approx_percentile; this is the exact cross-engine anchor).
+    */
+  val q162DecileSummary: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val ranked = T.events(s, dir)
+      .select($"event_type", $"event_id", $"value")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+    ranked
+      .select($"event_type", $"value", $"rn", $"n",
+        explode(sequence(lit(1), lit(9))).as("decile"))
+      .filter($"rn" === expr("(decile * n + 9) div 10"))
+      .select($"event_type", $"decile", $"value".as("decile_value"))
+      .orderBy($"event_type", $"decile")
+  }
+
+  val q162Sql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, decile, value AS decile_value
+      |FROM ranked, unnest(range(1, 10)) AS t(decile)
+      |WHERE rn = (decile * n + 9) // 10
+      |ORDER BY event_type, decile""".stripMargin
+
   val q90Sql: String =
     """WITH ranked AS (
       |  SELECT o_orderpriority, o_totalprice,
@@ -243,6 +283,7 @@ object ReshapeStatsQueries {
     "q89_stats_moments" -> q89StatsMoments,
     "q90_median_rank" -> q90MedianRank,
     "q110_winsorize" -> q110Winsorize,
+    "q162_decile_summary" -> q162DecileSummary,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -251,5 +292,6 @@ object ReshapeStatsQueries {
     "q89_stats_moments" -> q89Sql,
     "q90_median_rank" -> q90Sql,
     "q110_winsorize" -> q110Sql,
+    "q162_decile_summary" -> q162Sql,
   )
 }

@@ -135,6 +135,46 @@ object StreamBench {
     Seq((updates.size.toLong, finalState.count())).toDF("n_in", "n_keys")
   }
 
+  /** qs03 — streaming Count-Min sketch over [[BloomBatches]]
+    * micro-batches: per shard, the fixed-size counter fold in
+    * ValueState — the counter-additive companion to qs01's membership
+    * state. The final merge + a point estimate run after the stream
+    * stops, so the timing is dominated by the per-batch
+    * read/fold/write path.
+    */
+  val qs03CmsStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val stream = MemoryStream[Event]
+    val name = s"bench_cms_${runId.incrementAndGet()}"
+    val q = CmsStream.cmsSketches(stream.toDS())
+      .toDF("shard", "sketch")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-cms-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    // latest sketch per shard: update mode emits one row per (shard,
+    // batch); CMS counters only grow, so per shard the cumulative
+    // (= latest) sketch is the one with the max total. shards·batches
+    // rows — driver-side pick is bounded.
+    val all = s.table(name).select($"shard", $"sketch")
+      .as[(Long, Array[Byte])].collect()
+    val latest = all.groupBy(_._1).map { case (_, rows) =>
+      rows.map(_._2).maxBy(b => CmsStream.merge(Seq(b)).totalCount())
+    }.toSeq
+    s.catalog.dropTempView(name)
+    val merged = CmsStream.merge(latest)
+    Seq((rows.size.toLong, merged.totalCount()))
+      .toDF("n_in", "sketch_total")
+  }
+
   /** Bench-only entries — timed by [[graft.Bench]], absent from
     * [[graft.SparkEntry.queries]] so the correctness gate (which has no
     * streaming-SQL oracle) is unaffected.
@@ -142,5 +182,6 @@ object StreamBench {
   val benchOnly: Map[String, Q] = Map(
     "qs01_bloom_dedup_stream" -> qs01BloomDedupStream,
     "qs02_cdc_apply_stream" -> qs02CdcApplyStream,
+    "qs03_cms_stream" -> qs03CmsStream,
   )
 }
