@@ -61,6 +61,29 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Custom-node optimization: a Filter that references ONLY the group
+  * columns commutes with per-group top-k (each group is kept or
+  * dropped WHOLE, and the top-k of an untouched group is unchanged), so
+  * it pushes below the node — from where Catalyst's built-in rules
+  * carry it all the way into the scan (`PushedFilters`). Without this
+  * rule a custom node is a pushdown BARRIER: `topK(scan).filter(g)`
+  * would read and heap every group and then discard most of them —
+  * the difference between scanning one partition and scanning 100 TB.
+  * Registered with the strategy (injectOptimizerRule /
+  * `experimental.extraOptimizations`).
+  */
+object TopKFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, t: TopKPerGroupNode)
+        if cond.references.subsetOf(
+          AttributeSet(t.groupExprs.flatMap(_.references))) =>
+      t.copy(child = Filter(cond, t.child))
+  }
+}
+
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
@@ -121,6 +144,7 @@ object TopK {
       sortCols: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
     PlanBridge.addStrategy(spark, TopKStrategy)
+    PlanBridge.addOptimization(spark, TopKFilterPushdown)
     val child = PlanBridge.analyzed(df)
     def attr(c: String): Attribute =
       child.output.find(_.name == c).getOrElse(

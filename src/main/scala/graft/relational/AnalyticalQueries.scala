@@ -450,6 +450,48 @@ object AnalyticalQueries {
        |ORDER BY revenue DESC, c_custkey ASC
        |LIMIT 20""".stripMargin
 
+  /** q165 — TPC-H Q18 shape (large-volume orders): orders whose total
+    * line quantity exceeds a threshold, with customer context — the
+    * HAVING-subquery + 3-table join headliner next to q82/q83/q153.
+    *
+    * Scale shape: the qualifying-order set comes from ONE
+    * partial-aggregated groupBy on l_orderkey with the HAVING applied
+    * before any join (the semi-join side is ∝ qualifying orders, not
+    * lineitem); the lineitem re-aggregation joins on the same
+    * l_orderkey partitioning; top-k is TakeOrderedAndProject.
+    */
+  val Q18QtyThreshold = 300L
+
+  val q165LargeVolume: Q = (s, dir) => {
+    import s.implicits._
+    val lines = T.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity".cast("long").as("qty"))
+    val big = lines.groupBy($"l_orderkey")
+      .agg(sum($"qty").as("total_qty"))
+      .filter($"total_qty" > Q18QtyThreshold)
+    big.join(T.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(T.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderdate".asc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  val q165Sql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+       |    AS total_qty
+       |  FROM lineitem
+       |  GROUP BY l_orderkey
+       |  HAVING SUM(CAST(l_quantity AS BIGINT)) > $Q18QtyThreshold)
+       |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       |  total_qty
+       |FROM big
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+       |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_shipping_priority" -> q82ShippingPriority,
     "q83_local_supplier_volume" -> q83LocalSupplierVolume,
@@ -460,6 +502,7 @@ object AnalyticalQueries {
     "q150_event_transitions" -> q150EventTransitions,
     "q152_activity_streaks" -> q152ActivityStreaks,
     "q153_returned_items" -> q153ReturnedItems,
+    "q165_large_volume" -> q165LargeVolume,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -472,5 +515,6 @@ object AnalyticalQueries {
     "q150_event_transitions" -> q150Sql,
     "q152_activity_streaks" -> q152Sql,
     "q153_returned_items" -> q153Sql,
+    "q165_large_volume" -> q165Sql,
   )
 }

@@ -41,4 +41,27 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(plan.contains("TopKPerGroup"), s"custom node missing:\n$plan")
     assert(plan.contains("hashpartitioning(g"), s"group exchange missing:\n$plan")
   }
+
+  test("group-key filters push below the node and into the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("topk_pushdown").toString
+    fixture.write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
+    val topped = TopK.perGroup(base, Seq("g"), Seq("v" -> false, "id" -> true), 2)
+    val filtered = topped.filter($"g" =!= "a")
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the custom rule moved the filter under the node; built-in pushdown
+    // then carried it into the scan
+    assert(plan.contains("PushedFilters: [IsNotNull(g), Not(EqualTo(g,a))]")
+      || plan.contains("Not(EqualTo(g,a))"), s"filter not pushed:\n$plan")
+    // and the result equals filtering BEFORE the top-k (groups drop whole)
+    val direct = TopK.perGroup(base.filter($"g" =!= "a"), Seq("g"),
+      Seq("v" -> false, "id" -> true), 2)
+    assert(filtered.select("g", "id").as[(String, Long)].collect().toSet ==
+      direct.select("g", "id").as[(String, Long)].collect().toSet)
+    // a filter on a NON-group column must NOT move below the node
+    val nonGroup = topped.filter($"v" > 2.0)
+    val ngPlan = nonGroup.queryExecution.optimizedPlan.toString
+    assert(ngPlan.startsWith("Filter") || ngPlan.contains("Filter (v"),
+      s"non-group filter must stay above:\n$ngPlan")
+  }
 }
