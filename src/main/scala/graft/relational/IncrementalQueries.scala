@@ -3,7 +3,7 @@ package graft.relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Tables => T}
+import graft.core.{Tables => T, dsl, OracleDsl => O}
 
 /** Incremental-maintenance operators: keyed upsert (MERGE) — the step
   * that turns a batch engine into an ETL engine, and the batch analogue
@@ -272,7 +272,51 @@ object IncrementalQueries {
       |  OR (c_acctbal_before IS DISTINCT FROM c_acctbal_after)
       |ORDER BY c_custkey""".stripMargin
 
+  /** q166 — incremental JOIN maintenance (the join leg next to q105's
+    * counter-additive aggregate merge): with a materialized A⋈B and
+    * arriving deltas ΔA, ΔB, the new result is exactly
+    *   (A⋈B) ∪ (ΔA⋈B) ∪ (A⋈ΔB) ∪ (ΔA⋈ΔB)
+    * — the delta-join expansion every incremental view engine applies
+    * (and the Spark-first contrast to the reference's wholesale
+    * re-listing, cache.go:54-66). The gate aggregates the incremental
+    * union while the ORACLE aggregates the full join on the complete
+    * tables — a missing or duplicated expansion term breaks the hash.
+    *
+    * Scale shape: every delta term joins a SMALL delta against one big
+    * side — the deltas broadcast (AQE), the materialized base never
+    * re-shuffles or recomputes; only the ΔA⋈ΔB term touches two new
+    * frames. The splits here are modulus-derived stand-ins for batch
+    * boundaries, so both engines derive them identically.
+    */
+  val q166IncrementalJoin: Q = (s, dir) => {
+    import s.implicits._
+    val o = T.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val c = T.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+    val oOld = o.filter($"o_orderkey" % 10 < 8)
+    val oNew = o.filter($"o_orderkey" % 10 >= 8)
+    val cOld = c.filter($"c_custkey" % 10 < 9)
+    val cNew = c.filter($"c_custkey" % 10 >= 9)
+    val key = $"o_custkey" === $"c_custkey"
+    val incremental = oOld.join(cOld, key)       // the materialized view
+      .unionByName(oNew.join(cOld, key))         // ΔA ⋈ B
+      .unionByName(oOld.join(cNew, key))         // A ⋈ ΔB
+      .unionByName(oNew.join(cNew, key))         // ΔA ⋈ ΔB
+    incremental.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        dsl.dsum($"o_totalprice").as("total_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q166Sql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |  ${O.dsum("o_totalprice")} AS total_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q166_incremental_join" -> q166IncrementalJoin,
     "q102_upsert" -> q102Upsert,
     "q105_incremental_agg" -> q105IncrementalAgg,
     "q106_scd2_intervals" -> q106Scd2,
@@ -281,6 +325,7 @@ object IncrementalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q166_incremental_join" -> q166Sql,
     "q102_upsert" -> q102Sql,
     "q105_incremental_agg" -> q105Sql,
     "q106_scd2_intervals" -> q106Sql,

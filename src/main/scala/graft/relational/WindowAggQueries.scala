@@ -393,7 +393,70 @@ object WindowAggQueries {
       |SELECT 'except_all', key FROM (SELECT key FROM mid EXCEPT ALL SELECT key FROM big)
       |ORDER BY op, key""".stripMargin
 
+  /** q167 — distribution-rank window gallery (the legs q15/q98's
+    * ranking rows don't cover): percent_rank, cume_dist, and ntile(4)
+    * per order priority. The window order is made TOTAL with the
+    * orderkey tiebreak, so rank-derived doubles ((rank−1)/(n−1),
+    * rn/n — exact integer divisions) are identical cross-engine and
+    * the quartile boundaries are deterministic.
+    */
+  val q167RankGallery: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    T.orders(s, dir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter($"o_orderkey" % 100 === 0) // bounded output, post-window
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
+  val q167Sql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume,
+      |  NTILE(4) OVER w AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |QUALIFY o_orderkey % 100 = 0
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** q168 — ordered string aggregation (the LISTAGG/STRING_AGG surface):
+    * per priority, the alphabetized distinct status set joined with
+    * ',', plus the first-5 orderkey list in key order. Both engines
+    * sort INSIDE the aggregate expression (array_sort/ORDER BY), so the
+    * concatenated strings are deterministic — a bare collect_list/
+    * string_agg commits to no order and would not hash-compare.
+    */
+  val q168StringAgg: Q = (s, dir) => {
+    import s.implicits._
+    T.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        concat_ws(",", array_sort(collect_set($"o_orderstatus")))
+          .as("statuses"),
+        concat_ws(",",
+          slice(array_sort(collect_list($"o_orderkey")), 1, 5)
+            .cast("array<string>")).as("first_keys"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q168Sql: String =
+    """SELECT o_orderpriority,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+      |    AS statuses,
+      |  array_to_string((list_sort(list(o_orderkey)))[1:5], ',')
+      |    AS first_keys
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q167_rank_gallery" -> q167RankGallery,
+    "q168_string_agg" -> q168StringAgg,
     "q11_agg_rollup" -> q11AggRollup,
     "q12_agg_cube" -> q12AggCube,
     "q13_grouping_sets" -> q13GroupingSets,
@@ -411,6 +474,8 @@ object WindowAggQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q167_rank_gallery" -> q167Sql,
+    "q168_string_agg" -> q168Sql,
     "q11_agg_rollup" -> q11Sql,
     "q12_agg_cube" -> q12Sql,
     "q13_grouping_sets" -> q13Sql,
