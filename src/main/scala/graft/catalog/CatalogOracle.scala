@@ -154,7 +154,71 @@ object CatalogOracle {
       |  t(snapshot_id, is_active)
       |ORDER BY snapshot_id""".stripMargin
 
+  /** q169 — snapshot TIME TRAVEL (AS OF VERSION): three growing
+    * versions publish through the real path (v3 ends up ACTIVE), then
+    * the query reads the HISTORICAL v2 via
+    * [[FbcIngest.snapshotMeta]] and aggregates it. The oracle addresses
+    * v2's partition glob explicitly, so reading the wrong version
+    * (e.g. following ACTIVE) changes row counts and breaks the hash.
+    * Content-addressed build (q91's marker discipline).
+    */
+  val TtRoot = "/root/repo/target/fixtures/tt"
+  private val ttVersions = Seq("v1" -> 4, "v2" -> 7, "v3" -> 10)
+
+  val q169TimeTravel: Q = (s, _) => {
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val rootP = Paths.get(TtRoot)
+    val marker = rootP.resolve(".fixture_key")
+    val key = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(Files.readAllBytes(Paths.get(FixtureSource)))
+      d.map("%02x".format(_)).mkString +
+        s":versions=${ttVersions.map(v => s"${v._1}=${v._2}").mkString(",")}"
+    }
+    val cached = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == key
+    if (!cached) {
+      if (Files.exists(rootP)) {
+        val walk = Files.walk(rootP)
+        try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+        finally walk.close()
+      }
+      val meta = FbcIngest.readMetaStream(s, FixtureSource)
+      // growing prefixes in name order — simulated append-only history
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(org.apache.spark.sql.functions.col("name"))
+      val ranked = meta.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      ttVersions.foreach { case (id, n) =>
+        FbcIngest.writeSnapshot(s,
+          ranked.filter(org.apache.spark.sql.functions.col("rn") <= n)
+            .drop("rn"),
+          TtRoot, snapshotId = Some(id))
+      }
+      Files.write(marker, key.getBytes("UTF-8"))
+    }
+    FbcIngest.snapshotMeta(s, TtRoot, "v2")
+      .groupBy($"package")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_objects"),
+        org.apache.spark.sql.functions.countDistinct($"schema")
+          .as("n_schemas"))
+      .orderBy($"package")
+  }
+
+  val q169Sql: String =
+    s"""SELECT package, COUNT(*) AS n_objects,
+       |  COUNT(DISTINCT "schema") AS n_schemas
+       |FROM read_parquet('$TtRoot/snapshots/v2/*/*/*.parquet',
+       |                  hive_partitioning=1)
+       |GROUP BY package
+       |ORDER BY package""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q169_time_travel" -> q169TimeTravel,
     "q70_catalog_packages" -> q70CatalogPackages,
     "q71_catalog_schemas" -> q71CatalogSchemas,
     "q72_catalog_objects" -> q72CatalogObjects,
@@ -163,6 +227,7 @@ object CatalogOracle {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q169_time_travel" -> q169Sql,
     "q70_catalog_packages" -> q70Sql,
     "q71_catalog_schemas" -> q71Sql,
     "q72_catalog_objects" -> q72Sql,

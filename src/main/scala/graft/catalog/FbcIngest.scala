@@ -133,6 +133,31 @@ object FbcIngest {
     spark.read.parquet(s"$root/snapshots/$id")
   }
 
+  /** Published snapshot ids, oldest-first (ids sort chronologically —
+    * timestamp-format by default, caller-supplied otherwise).
+    */
+  def listSnapshots(root: String): Seq[String] = {
+    val snaps = Paths.get(root, "snapshots")
+    if (!Files.exists(snaps)) return Nil
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(snaps)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+    finally s.close()
+  }
+
+  /** TIME-TRAVEL read: the meta table of one specific published
+    * version, active or not — the AS OF VERSION surface over the
+    * snapshot layout (every version is a self-contained partitioned
+    * dir, so historical reads cost the same partition-pruned scan as
+    * the active one; retention GC bounds how far back this reaches).
+    */
+  def snapshotMeta(spark: SparkSession, root: String, id: String): DataFrame = {
+    val dir = Paths.get(root, "snapshots", id)
+    require(Files.exists(dir), s"no snapshot '$id' under $root " +
+      s"(published: ${listSnapshots(root).mkString(", ")})")
+    spark.read.parquet(dir.toString)
+  }
+
   /** Incremental refresh: re-ingest only if the source's watermark (max
     * file mtime) moved past the active snapshot's — the reference's
     * If-Modified-Since conditional GET (cache.go:54-66). Returns the
