@@ -175,6 +175,33 @@ object StreamBench {
       .toDF("n_in", "sketch_total")
   }
 
+  /** qs04 — streaming z-score anomaly detection over [[BloomBatches]]
+    * micro-batches: per-user fixed-size ring state, the integerized
+    * 3σ test per row — times the read/ring-update/write path.
+    */
+  val qs04AnomalyStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+      .sortBy(e => (e.user_id, e.ts.getTime, e.event_id))
+    val stream = MemoryStream[Event]
+    val name = s"bench_anom_${runId.incrementAndGet()}"
+    val q = AnomalyStream.zScoreAnomalies(stream.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-anom-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val out = s.table(name).count()
+    s.catalog.dropTempView(name)
+    Seq((rows.size.toLong, out)).toDF("n_in", "n_anomalies")
+  }
+
   /** Bench-only entries — timed by [[graft.Bench]], absent from
     * [[graft.SparkEntry.queries]] so the correctness gate (which has no
     * streaming-SQL oracle) is unaffected.
@@ -183,5 +210,6 @@ object StreamBench {
     "qs01_bloom_dedup_stream" -> qs01BloomDedupStream,
     "qs02_cdc_apply_stream" -> qs02CdcApplyStream,
     "qs03_cms_stream" -> qs03CmsStream,
+    "qs04_anomaly_stream" -> qs04AnomalyStream,
   )
 }
