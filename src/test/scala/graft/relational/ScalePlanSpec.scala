@@ -153,4 +153,34 @@ class ScalePlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("round-6 headliners: filters reach the scans (q153/q165), " +
+      "q165's HAVING aggregates before any join") {
+    // q153 (Q10): the quarter filter must hit the orders scan and the
+    // returnflag filter the lineitem scan — at 100 TB these are the
+    // difference between reading one quarter and reading seven years
+    // sparkPlan, not executedPlan: AQE wraps the latter and hides the
+    // scans until finalization
+    val s153 = AnalyticalQueries.q153ReturnedItems(spark, dir)
+      .queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+    val byFile = s153.map(s => s.metadata.getOrElse("Location", "") ->
+      s.metadata.getOrElse("PushedFilters", "[]"))
+    assert(byFile.exists { case (loc, pf) =>
+      loc.contains("orders") && pf.contains("o_orderdate") }, s"q153 orders: $byFile")
+    assert(byFile.exists { case (loc, pf) =>
+      loc.contains("lineitem") && pf.contains("l_returnflag") }, s"q153 lineitem: $byFile")
+    // q165 (Q18): the qualifying-order aggregate must sit BELOW the
+    // first join (plan order: HashAggregate before SortMergeJoin /
+    // BroadcastHashJoin on the lineitem branch) — the HAVING shrinks
+    // the join input, never the join output
+    val p165 = AnalyticalQueries.q165LargeVolume(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val aggIdx = p165.indexOf("Aggregate")
+    val joinIdx = p165.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && p165.indexOf("Filter") >= 0,
+      s"q165 plan shape unexpected:\n$p165")
+    assert(p165.indexOf("Aggregate", joinIdx) > joinIdx,
+      s"q165: no aggregate below the join (HAVING not pushed):\n$p165")
+  }
 }
