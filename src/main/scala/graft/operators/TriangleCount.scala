@@ -62,7 +62,12 @@ object TriangleCount {
       when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
         .otherwise($"u").as("dst"))
     // wedges at the low-rank endpoint: (a -> b, a -> c), emitted as the
-    // ID-ordered open pair (b, c) — each unordered pair once
+    // ID-ordered open pair (b, c) — each unordered pair once. The wedge
+    // frame is consumed twice (census count + closure) and deliberately
+    // NOT checkpointed: wedges are the one frame that can be orders of
+    // magnitude larger than the edge list, so recomputing one self-join
+    // beats materializing it — the opposite call from the (bounded)
+    // edge frame below.
     val w = oriented.as("e1").join(oriented.as("e2"),
         $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
       .select($"e1.dst".as("b"), $"e2.dst".as("c"))
