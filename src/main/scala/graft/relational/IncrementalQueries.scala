@@ -315,7 +315,54 @@ object IncrementalQueries {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** q170 — sketch-based SET-OVERLAP estimation: |viewers ∩ buyers| by
+    * inclusion–exclusion over HLL sketches (|A| + |B| − |A∪B|, the
+    * union sketch being the q122 merge) — how audience-overlap and
+    * join-cardinality questions are answered at 100 TB without a
+    * distinct-join. The estimate is gated against the EXACT overlap
+    * (semi-join + countDistinct, the oracle anchor) at 10% — generous
+    * because inclusion–exclusion compounds three estimates' errors,
+    * while HLL at these cardinalities is in exact sparse mode.
+    */
+  val q170HllOverlap: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir).select($"event_type", $"user_id")
+    def side(t: String): DataFrame = ev.filter($"event_type" === t)
+      .agg(hll_sketch_agg($"user_id").as("sk"),
+        countDistinct($"user_id").as("n_exact"))
+    val v = side("view"); val b = side("purchase")
+    val estUnion = v.select($"sk").unionByName(b.select($"sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_union"))
+    val exactInter = ev.filter($"event_type" === "view")
+      .select($"user_id").distinct()
+      .join(ev.filter($"event_type" === "purchase")
+        .select($"user_id").distinct(), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("n_inter_exact"))
+    v.select(hll_sketch_estimate($"sk").as("est_v"), $"n_exact".as("n_view"))
+      .crossJoin(b.select(hll_sketch_estimate($"sk").as("est_b"),
+        $"n_exact".as("n_buy")))
+      .crossJoin(estUnion)
+      .crossJoin(exactInter)
+      .select($"n_view", $"n_buy", $"n_inter_exact",
+        (abs(($"est_v" + $"est_b" - $"est_union") - $"n_inter_exact")
+          <= lit(0.1) * $"n_inter_exact").as("overlap_ok"))
+  }
+
+  val q170Sql: String =
+    """SELECT
+      |  (SELECT COUNT(DISTINCT user_id) FROM events
+      |   WHERE event_type = 'view') AS n_view,
+      |  (SELECT COUNT(DISTINCT user_id) FROM events
+      |   WHERE event_type = 'purchase') AS n_buy,
+      |  (SELECT COUNT(*) FROM
+      |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+      |     INTERSECT
+      |     SELECT DISTINCT user_id FROM events
+      |     WHERE event_type = 'purchase')) AS n_inter_exact,
+      |  TRUE AS overlap_ok""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q170_hll_overlap" -> q170HllOverlap,
     "q166_incremental_join" -> q166IncrementalJoin,
     "q102_upsert" -> q102Upsert,
     "q105_incremental_agg" -> q105IncrementalAgg,
@@ -325,6 +372,7 @@ object IncrementalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q170_hll_overlap" -> q170Sql,
     "q166_incremental_join" -> q166Sql,
     "q102_upsert" -> q102Sql,
     "q105_incremental_agg" -> q105Sql,

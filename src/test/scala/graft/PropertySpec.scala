@@ -114,4 +114,25 @@ class PropertySpec extends SparkSpec {
       topk == prefix
     })
   }
+
+  test("bounded-heap per-group top-k equals a reference sort-and-take " +
+      "on random data") {
+    val rowsGen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0L, 5L)   // few groups → real per-group contention
+        v <- Gen.choose(-100.0, 100.0)
+      } yield (g, v))
+    } yield rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+    check("heap-topk", Prop.forAll(rowsGen, Gen.choose(1, 6)) { (rows, k) =>
+      val df = rows.toDF("id", "g", "v")
+      val got = graft.plans.TopK
+        .perGroup(df, Seq("g"), Seq("v" -> false, "id" -> true), k)
+        .select("id").as[Long].collect().toSet
+      val want = rows.groupBy(_._2).values.flatMap { grp =>
+        grp.sortBy(r => (-r._3, r._1)).take(k).map(_._1)
+      }.toSet
+      got == want
+    }, minTests = 20)
+  }
 }
