@@ -421,7 +421,53 @@ object TextAnalysis {
        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q172 rolling-hash parameters, sized so the fold NEVER leaves
+    * int64: acc < M = 2³¹−1, B ≈ 2²⁰, token hash < 2²⁸ ⇒ each step ≤
+    * ~2⁵¹ — Spark and DuckDB run the identical exact arithmetic (a
+    * 2⁶¹-modulus spelling would silently wrap in Spark and ERROR in
+    * DuckDB: the overflow semantics differ, so the budget is the
+    * contract). Token hash = 7 hex chars of md5 (28 bits < M), the
+    * engine-portable hash the sampling/split family already uses.
+    */
+  val RollB = 1000003L
+  val RollM = (1L << 31) - 1
+
+  /** q172 — polynomial ROLLING-HASH document fingerprint as an oracle
+    * row (upgrading [[Fingerprints.rollingFingerprint]]'s spec-only
+    * status): fp(doc) = fold over tokens of (acc·B + h(t)) mod M. The
+    * first step from acc=0 yields h(t₁) in both engines, so Spark's
+    * fold-from-zero equals DuckDB's init-from-first-element
+    * list_reduce — pinned by the oracle hash. Order-SENSITIVE by
+    * construction (q49's vocab fingerprint is the order-canonical
+    * sibling): reordered words change the fingerprint.
+    *
+    * Scale shape: one narrow aggregate() HOF per row — no UDF, no
+    * shuffle; the groupBy on the fingerprint (shared-fingerprint
+    * count) partial-aggregates 32-hex-free LONG keys.
+    */
+  val q172RollingFingerprint: Q = (s, dir) => {
+    import s.implicits._
+    val h = (t: Column) =>
+      conv(substring(md5(t), 1, 7), 16, 10).cast("long")
+    T.documents(s, dir)
+      .select($"doc_id",
+        aggregate(split($"text", " "), lit(0L),
+          (acc, t) => pmod(acc * lit(RollB) + h(t), lit(RollM)))
+          .as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val q172Sql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_transform(string_split(text, ' '),
+       |      t -> CAST('0x' || substring(md5(t), 1, 7) AS BIGINT)),
+       |    (acc, x) -> (acc * $RollB + x) % $RollM) AS fingerprint
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q172_rolling_fingerprint" -> q172RollingFingerprint,
     "q46_lang_id" -> q46LangId,
     "q47_quality_score" -> q47QualityScore,
     "q48_token_count" -> q48TokenCount,
@@ -433,6 +479,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q172_rolling_fingerprint" -> q172Sql,
     "q46_lang_id" -> q46Sql,
     "q47_quality_score" -> q47Sql,
     "q48_token_count" -> q48Sql,

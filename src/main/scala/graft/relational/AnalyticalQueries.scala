@@ -492,6 +492,55 @@ object AnalyticalQueries {
        |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
        |LIMIT 100""".stripMargin
 
+  /** q173 — TPC-H Q21 shape (sole-fault supplier): suppliers with a
+    * returned line on multi-supplier orders where NO other supplier's
+    * line was returned — the EXISTS + NOT EXISTS correlated-subquery
+    * double, planned as one left-semi and one left-anti join against
+    * aliased lineitem (the returnflag stands in for the
+    * receipt>commit lateness test; this fixture has no receipt dates).
+    *
+    * Scale shape: both probes are equi-joins on l_orderkey with a
+    * residual supplier-inequality — hash-partitioned on the order key,
+    * no correlated per-row subquery execution; the fact table is
+    * reduced to distinct (order, supplier) pairs BEFORE any probe.
+    */
+  val q173SoleFault: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = T.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+    val all = pairs.select($"l_orderkey", $"l_suppkey").distinct()
+    val ret = pairs.filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val multi = ret.as("a").join(all.as("b"),
+      $"a.l_orderkey" === $"b.l_orderkey" &&
+        $"a.l_suppkey" =!= $"b.l_suppkey", "left_semi")
+    val sole = multi.as("a").join(ret.as("c"),
+      $"a.l_orderkey" === $"c.l_orderkey" &&
+        $"a.l_suppkey" =!= $"c.l_suppkey", "left_anti")
+    sole.groupBy($"l_suppkey".as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_suppkey".asc)
+      .limit(20)
+  }
+
+  val q173Sql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |ret AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      |  WHERE l_returnflag = 'R')
+      |SELECT a.l_suppkey AS s_suppkey, COUNT(*) AS numwait
+      |FROM ret a
+      |WHERE EXISTS (SELECT 1 FROM pairs b
+      |        WHERE b.l_orderkey = a.l_orderkey
+      |          AND b.l_suppkey <> a.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM ret c
+      |        WHERE c.l_orderkey = a.l_orderkey
+      |          AND c.l_suppkey <> a.l_suppkey)
+      |GROUP BY a.l_suppkey
+      |ORDER BY numwait DESC, s_suppkey ASC
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_shipping_priority" -> q82ShippingPriority,
     "q83_local_supplier_volume" -> q83LocalSupplierVolume,
@@ -503,6 +552,7 @@ object AnalyticalQueries {
     "q152_activity_streaks" -> q152ActivityStreaks,
     "q153_returned_items" -> q153ReturnedItems,
     "q165_large_volume" -> q165LargeVolume,
+    "q173_sole_fault" -> q173SoleFault,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -516,5 +566,6 @@ object AnalyticalQueries {
     "q152_activity_streaks" -> q152Sql,
     "q153_returned_items" -> q153Sql,
     "q165_large_volume" -> q165Sql,
+    "q173_sole_fault" -> q173Sql,
   )
 }
