@@ -242,11 +242,112 @@ object TimeSeriesQueries {
        |      > 9 * (n_prev * qq_prev - s_prev * s_prev)
        |ORDER BY user_id, event_id""".stripMargin
 
+  /** q174 — resample with LINEAR INTERPOLATION (the upsampling sibling
+    * of q104's forward fill): per user, an hourly grid where each grid
+    * instant takes v_prev + (v_next − v_prev)·(g − t_prev)/(t_next −
+    * t_prev) between its surrounding observations; grid points outside
+    * [first, last] observation drop (no extrapolation — symmetric in
+    * both engines). The arithmetic is ONE fixed op sequence over a
+    * µs-integer ratio and 2-decimal values, so the interpolated doubles
+    * are bit-identical cross-engine (the q108 fixed-order discipline).
+    *
+    * Scale shape: observations and grid instants UNION into one frame,
+    * ONE keyed window ordered by (t_us, is_obs desc) provides both the
+    * trailing observation (rows ≤ current) and the leading one (rows >
+    * current) — no self-join, no per-grid-point probe; the grid
+    * generates next to the data (q104's rule).
+    */
+  val q174ResampleInterp: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("t_us"), $"value", $"event_id")
+    // one observation per exact instant: max event_id wins (tie rule)
+    val wTie = Window.partitionBy($"user_id", $"t_us")
+      .orderBy($"event_id".desc)
+    val obs = ev.withColumn("rn", row_number().over(wTie))
+      .filter($"rn" === 1)
+      .select($"user_id", $"t_us", $"value", lit(1).as("is_obs"))
+    val HourUs = 3600L * 1000000
+    val grid = ev.groupBy($"user_id")
+      .agg(min($"t_us").as("t0"), max($"t_us").as("t1"))
+      .select($"user_id", explode(sequence(
+        ($"t0".cast("long") / HourUs).cast("long") * HourUs,
+        ($"t1".cast("long") / HourUs).cast("long") * HourUs,
+        lit(HourUs))).as("t_us"))
+      .select($"user_id", $"t_us",
+        lit(null).cast("double").as("value"), lit(0).as("is_obs"))
+    val all = obs.unionByName(grid)
+    val wOrd = Window.partitionBy($"user_id")
+      .orderBy($"t_us".asc, $"is_obs".desc)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = wOrd.rowsBetween(1, Window.unboundedFollowing)
+    all
+      .withColumn("v_prev", last($"value", ignoreNulls = true).over(wPrev))
+      .withColumn("t_prev", last(when($"is_obs" === 1, $"t_us"),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("v_next", first($"value", ignoreNulls = true).over(wNext))
+      .withColumn("t_next", first(when($"is_obs" === 1, $"t_us"),
+        ignoreNulls = true).over(wNext))
+      .filter($"is_obs" === 0 && $"v_prev".isNotNull && $"v_next".isNotNull)
+      .select($"user_id", $"t_us",
+        when($"t_next" === $"t_prev", $"v_prev").otherwise(
+          $"v_prev" + ($"v_next" - $"v_prev") *
+            (($"t_us" - $"t_prev").cast("double")
+              / ($"t_next" - $"t_prev").cast("double"))).as("v_interp"))
+      .orderBy($"user_id", $"t_us")
+  }
+
+  val q174Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+      |    value, event_id
+      |  FROM events),
+      |obs AS (
+      |  SELECT user_id, t_us, value, 1 AS is_obs FROM (
+      |    SELECT user_id, t_us, value,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, t_us
+      |        ORDER BY event_id DESC) AS rn
+      |    FROM ev) WHERE rn = 1),
+      |span AS (
+      |  SELECT user_id,
+      |    (MIN(t_us) // 3600000000) * 3600000000 AS g0,
+      |    (MAX(t_us) // 3600000000) * 3600000000 AS g1
+      |  FROM ev GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, UNNEST(range(g0, g1 + 1, 3600000000)) AS t_us,
+      |    CAST(NULL AS DOUBLE) AS value, 0 AS is_obs
+      |  FROM span),
+      |u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+      |w AS (
+      |  SELECT user_id, t_us, is_obs,
+      |    LAST_VALUE(value IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY t_us ASC, is_obs DESC
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+      |    LAST_VALUE(CASE WHEN is_obs = 1 THEN t_us END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY t_us ASC, is_obs DESC
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_prev,
+      |    FIRST_VALUE(value IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY t_us ASC, is_obs DESC
+      |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v_next,
+      |    FIRST_VALUE(CASE WHEN is_obs = 1 THEN t_us END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY t_us ASC, is_obs DESC
+      |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS t_next
+      |  FROM u)
+      |SELECT user_id, t_us,
+      |  CASE WHEN t_next = t_prev THEN v_prev
+      |       ELSE v_prev + (v_next - v_prev) *
+      |         (CAST(t_us - t_prev AS DOUBLE) / CAST(t_next - t_prev AS DOUBLE))
+      |  END AS v_interp
+      |FROM w
+      |WHERE is_obs = 0 AND v_prev IS NOT NULL AND v_next IS NOT NULL
+      |ORDER BY user_id, t_us""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q104_resample_ffill" -> q104ResampleFfill,
     "q118_rolling_window" -> q118RollingWindow,
     "q120_sessionize" -> q120Sessionize,
     "q149_zscore_anomaly" -> q149ZscoreAnomaly,
+    "q174_resample_interp" -> q174ResampleInterp,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -254,5 +355,6 @@ object TimeSeriesQueries {
     "q118_rolling_window" -> q118Sql,
     "q120_sessionize" -> q120Sql,
     "q149_zscore_anomaly" -> q149Sql,
+    "q174_resample_interp" -> q174Sql,
   )
 }
