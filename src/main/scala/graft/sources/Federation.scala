@@ -51,7 +51,11 @@ object Federation {
     val (orcDir, csvDir) = legDirs(dir)
     val marker = Paths.get(FixtureRoot,
       dir.replaceAll("[^a-zA-Z0-9.]", "_"), ".fixture_key")
-    val key = s"src=$dir:legs=orc,csv:mod3"
+    // key on the source file's identity, not just its path: a
+    // regenerated testdata dir must invalidate the fixture
+    val src = Paths.get(dir, "orders.parquet")
+    val key = s"src=$dir:size=${Files.size(src)}" +
+      s":mtime=${Files.getLastModifiedTime(src).toMillis}:legs=orc,csv:mod3"
     if (Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == key) return
     val root = marker.getParent
