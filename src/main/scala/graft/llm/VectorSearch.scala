@@ -64,6 +64,80 @@ object VectorSearch {
       .orderBy($"qid", $"rank")
   }
 
+  /** q176 — HARD-NEGATIVE mining (contrastive-training data prep): for
+    * each query vector, its most similar neighbor with a DIFFERENT
+    * label — the "looks alike, isn't" pair a contrastive or reranker
+    * trainer feeds as negatives, plus the hardest positive (same
+    * label) for margin context. The label filter lands INSIDE the join
+    * condition, so mismatched pairs never reach the scoring projection.
+    *
+    * Scale shape: q44's bounded-broadcast exact path (the query set is
+    * the broadcast side, the corpus streams); at full-corpus mining the
+    * candidate generation swaps to the IVF/PQ indexes and this exact
+    * scoring runs only on their candidates.
+    */
+  val q176HardNegatives: Q = (s, dir) => {
+    import s.implicits._
+    val e = T.embeddings(s, dir)
+      .select($"vec_id", $"label", $"embedding",
+        norm_q20($"embedding").as("norm"))
+    val qset = e.filter($"vec_id" < QuerySetSize)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        $"embedding".as("ea"), $"norm".as("na"))
+    val corpus = e.select($"vec_id".as("nid"), $"label".as("nlabel"),
+      $"embedding".as("eb"), $"norm".as("nb"))
+    val scored = corpus.join(broadcast(qset), $"qid" =!= $"nid")
+      .withColumn("cos_sim",
+        cosine(dot_q20($"ea", $"eb").cast("double"), $"na", $"nb"))
+    val wNeg = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid".asc)
+    val hardNeg = scored.filter($"nlabel" =!= $"qlabel")
+      .withColumn("rn", row_number().over(wNeg)).filter($"rn" === 1)
+      .select($"qid", $"nid".as("neg_id"), $"cos_sim".as("neg_cos"))
+    val hardPos = scored.filter($"nlabel" === $"qlabel")
+      .withColumn("rn", row_number().over(wNeg)).filter($"rn" === 1)
+      .select($"qid", $"nid".as("pos_id"), $"cos_sim".as("pos_cos"))
+    hardNeg.join(hardPos, Seq("qid"), "left")
+      .select($"qid", $"neg_id", $"neg_cos", $"pos_id", $"pos_cos")
+      .orderBy($"qid")
+  }
+
+  val q176Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, SQRT(CAST(SUM(qv[i] * qv[i]) AS DOUBLE)) AS nrm
+      |  FROM q, range(1, 65) t(i) GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS qid, a.label AS qlabel,
+      |    b.vec_id AS nid, b.label AS nlabel,
+      |    CAST(SUM(a.qv[i] * b.qv[i]) AS DOUBLE) AS dot
+      |  FROM q a JOIN q b ON a.vec_id <> b.vec_id,
+      |       range(1, 65) t(i)
+      |  WHERE a.vec_id < $QuerySetSize
+      |  GROUP BY 1, 2, 3, 4),
+      |cos AS (
+      |  SELECT qid, qlabel, nid, nlabel, dot / (na.nrm * nb.nrm) AS cos_sim
+      |  FROM dots JOIN norms na ON dots.qid = na.vec_id
+      |            JOIN norms nb ON dots.nid = nb.vec_id),
+      |neg AS (
+      |  SELECT qid, nid AS neg_id, cos_sim AS neg_cos FROM (
+      |    SELECT qid, nid, cos_sim,
+      |      ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY cos_sim DESC, nid ASC) AS rn
+      |    FROM cos WHERE nlabel <> qlabel) WHERE rn = 1),
+      |pos AS (
+      |  SELECT qid, nid AS pos_id, cos_sim AS pos_cos FROM (
+      |    SELECT qid, nid, cos_sim,
+      |      ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY cos_sim DESC, nid ASC) AS rn
+      |    FROM cos WHERE nlabel = qlabel) WHERE rn = 1)
+      |SELECT neg.qid, neg_id, neg_cos, pos_id, pos_cos
+      |FROM neg LEFT JOIN pos ON neg.qid = pos.qid
+      |ORDER BY neg.qid""".stripMargin
+
   val q44Sql: String =
     s"""WITH q AS (
       |  SELECT vec_id,
@@ -587,6 +661,7 @@ object VectorSearch {
 
   val queries: Map[String, Q] = Map(
     "q44_cosine_topk" -> q44CosineTopk,
+    "q176_hard_negatives" -> q176HardNegatives,
     "q45_lsh_ann" -> q45LshAnn,
     "q81_ivf_ann" -> q81IvfAnn,
     "q85_lsh_recall" -> q85LshRecall,
@@ -601,6 +676,7 @@ object VectorSearch {
     */
   val oracleSql: Map[String, String] = Map(
     "q44_cosine_topk" -> q44Sql,
+    "q176_hard_negatives" -> q176Sql,
     "q85_lsh_recall" -> recallSql,
     "q86_ivf_recall" -> recallSql,
     "q123_int8_quantize" -> q123Sql,
