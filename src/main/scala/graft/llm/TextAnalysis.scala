@@ -466,8 +466,75 @@ object TextAnalysis {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** q177 — corpus HEALTH REPORT (the reporting composition over the
+    * curation stack): per (source, lang) WITH ROLLUP subtotals — doc
+    * and token volumes, exact-mean quality, and the exact-duplicate
+    * rate (docs whose content hash appears ≥2 times). The mean quality
+    * goes through a decimal cast of the per-row double (a deterministic
+    * function of it) so the subtotal sums are order-free and the
+    * report hash-compares — the dsl discipline applied to a DERIVED
+    * metric rather than a source column.
+    *
+    * Scale shape: one narrow metrics projection, one content-hash
+    * groupBy for the dup flag (32-hex keys), one join back on doc_id,
+    * one ROLLUP aggregate — every exchange partial-aggregated.
+    */
+  val q177CorpusHealth: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    // quality quantized ×1e9 → BIGINT per row (exact-rounded multiply +
+    // floor, identical cross-engine); the mean divides EXACT integer
+    // sums — a DECIMAL(25,18) sum would hash-drift in the final ulp
+    // because decimal→double conversion rounding differs between
+    // engines at scale 18 (int128 path), measured on this very query.
+    val base = docs.select($"doc_id", $"source", $"lang",
+      size(split($"text", " ")).cast("long").as("n_tok"),
+      md5($"text").as("ch"))
+      .join(qualityOf(docs), "doc_id")
+      .withColumn("q9", floor($"quality" * 1e9).cast("long"))
+    val dupDocs = base.groupBy($"ch")
+      .agg(count(lit(1)).as("n_same"))
+    base.join(dupDocs, "ch")
+      .rollup($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        (sum($"q9").cast("double") / (count(lit(1)) * lit(1e9)))
+          .as("mean_quality"),
+        sum(when($"n_same" >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(coalesce($"source", lit("ALL")).as("source"),
+        coalesce($"lang", lit("ALL")).as("lang"),
+        $"n_docs", $"n_tokens", $"mean_quality", $"n_dup_docs")
+      .orderBy($"source", $"lang")
+  }
+
+  val q177Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    md5(text) AS ch,
+      |    len(list_distinct(string_split(text, ' ')))
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+      |    + (1.0 - len(regexp_extract_all(text, '\b(the|a|of|and|to)\b'))
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+      |    + CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 200
+      |           THEN 0.2 ELSE 0.0 END AS quality
+      |  FROM documents),
+      |dups AS (SELECT ch, COUNT(*) AS n_same FROM base GROUP BY ch)
+      |SELECT COALESCE(source, 'ALL') AS source,
+      |  COALESCE(lang, 'ALL') AS lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CAST(FLOOR(quality * 1e9) AS BIGINT)) AS DOUBLE)
+      |    / (COUNT(*) * 1e9) AS mean_quality,
+      |  CAST(SUM(CASE WHEN n_same >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs
+      |FROM base JOIN dups USING (ch)
+      |GROUP BY ROLLUP (source, lang)
+      |ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q172_rolling_fingerprint" -> q172RollingFingerprint,
+    "q177_corpus_health" -> q177CorpusHealth,
     "q46_lang_id" -> q46LangId,
     "q47_quality_score" -> q47QualityScore,
     "q48_token_count" -> q48TokenCount,
@@ -480,6 +547,7 @@ object TextAnalysis {
 
   val oracleSql: Map[String, String] = Map(
     "q172_rolling_fingerprint" -> q172Sql,
+    "q177_corpus_health" -> q177Sql,
     "q46_lang_id" -> q46Sql,
     "q47_quality_score" -> q47Sql,
     "q48_token_count" -> q48Sql,
