@@ -73,6 +73,48 @@ object AsOfJoin {
         payloadCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 
+  /** NEAREST as-of (pandas merge_asof direction='nearest' parity): for
+    * each left row, the temporally closest right row on either side;
+    * ties go BACKWARD (the pandas convention). Composed from
+    * [[backward]] + [[forward]] with the matched right time smuggled
+    * into the payload so the distance is computable — two union+window
+    * passes on the same key partitioning (at scale: the same one
+    * exchange, reused), then a pick by |Δt|.
+    *
+    * @param leftId a UNIQUE left row id (the two directional results
+    *               re-join on it; a non-unique id would cross-pair).
+    */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftId: String, leftTime: String, rightTime: String,
+      keepUnmatched: Boolean = false): DataFrame = {
+    val payloadCols = right.columns.filterNot(c =>
+      keys.contains(c) || c == rightTime).toSeq
+    val rightT = right.withColumn("__rts", col(rightTime))
+    def sideStruct(df: DataFrame, tag: String): DataFrame =
+      df.select(col(leftId),
+        struct((payloadCols :+ "__rts").map(col): _*).as(tag))
+    val b = sideStruct(backward(left, rightT, keys, leftTime, rightTime,
+      keepUnmatched = true), "__b")
+    val f = sideStruct(forward(left, rightT, keys, leftTime, rightTime,
+      keepUnmatched = true), "__f")
+    val lt = unix_micros(col(leftTime))
+    val bD = lt - unix_micros(col("__b.__rts"))
+    val fD = unix_micros(col("__f.__rts")) - lt
+    val pick = when(col("__b.__rts").isNull && col("__f.__rts").isNull,
+        lit(null))
+      .when(col("__f.__rts").isNull, col("__b"))
+      .when(col("__b.__rts").isNull, col("__f"))
+      .when(bD <= fD, col("__b")) // tie -> backward
+      .otherwise(col("__f"))
+    val joined = left.join(b, leftId).join(f, leftId)
+      .withColumn("__pick", pick)
+    val kept = if (keepUnmatched) joined
+      else joined.filter(col("__pick").isNotNull)
+    kept.select(left.columns.map(col) ++
+      payloadCols.map(c => col(s"__pick.$c").as(c)) :+
+      (unix_micros(col("__pick.__rts")) - lt).as("asof_delta_us"): _*)
+  }
+
   /** Forward as-of: earliest right row with rightTime ≥ leftTime. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,

@@ -48,6 +48,65 @@ object StreamShapeQueries {
       |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** q178 — NEAREST as-of (pandas merge_asof direction='nearest'
+    * parity, completing the backward q31 / forward-spec'd family): each
+    * purchase matches its temporally CLOSEST click by the same user on
+    * either side, ties backward; emits the signed µs delta. The oracle
+    * replays both directional window passes and the same pick rule.
+    */
+  val q178AsofNearest: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts".as("click_ts"))
+      .agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"click_ts", $"click_id")
+    graft.operators.AsOfJoin.nearest(purchases, clicks, Seq("user_id"),
+        leftId = "purchase_id", leftTime = "ts", rightTime = "click_ts")
+      .select($"purchase_id", $"user_id", $"click_id", $"asof_delta_us")
+      .orderBy($"purchase_id")
+  }
+
+  val q178Sql: String =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id,
+      |             CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+      |        MAX(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click'
+      |      GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+      |b AS (SELECT purchase_id, click_id AS b_id, click_ts AS b_ts FROM (
+      |  SELECT p.purchase_id, c.click_id, c.click_ts,
+      |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY c.click_ts DESC) AS rn
+      |  FROM p JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts)
+      |  WHERE rn = 1),
+      |f AS (SELECT purchase_id, click_id AS f_id, click_ts AS f_ts FROM (
+      |  SELECT p.purchase_id, c.click_id, c.click_ts,
+      |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY c.click_ts ASC) AS rn
+      |  FROM p JOIN c ON p.user_id = c.user_id AND c.click_ts > p.ts)
+      |  WHERE rn = 1)
+      |SELECT p.purchase_id, p.user_id,
+      |  CASE WHEN f_ts IS NULL THEN b_id
+      |       WHEN b_ts IS NULL THEN f_id
+      |       WHEN date_diff('microsecond', b_ts, p.ts)
+      |            <= date_diff('microsecond', p.ts, f_ts) THEN b_id
+      |       ELSE f_id END AS click_id,
+      |  CASE WHEN f_ts IS NULL THEN date_diff('microsecond', p.ts, b_ts)
+      |       WHEN b_ts IS NULL THEN date_diff('microsecond', p.ts, f_ts)
+      |       WHEN date_diff('microsecond', b_ts, p.ts)
+      |            <= date_diff('microsecond', p.ts, f_ts)
+      |       THEN date_diff('microsecond', p.ts, b_ts)
+      |       ELSE date_diff('microsecond', p.ts, f_ts) END AS asof_delta_us
+      |FROM p
+      |LEFT JOIN b ON p.purchase_id = b.purchase_id
+      |LEFT JOIN f ON p.purchase_id = f.purchase_id
+      |WHERE b_id IS NOT NULL OR f_id IS NOT NULL
+      |ORDER BY p.purchase_id""".stripMargin
+
   /** Tumbling 1-hour window aggregation — `window()` start equals
     * date_trunc for epoch-aligned widths.
     */
@@ -145,6 +204,7 @@ object StreamShapeQueries {
 
   val queries: Map[String, Q] = Map(
     "q31_asof_join" -> q31AsofJoin,
+    "q178_asof_nearest" -> q178AsofNearest,
     "q60_tumbling_window" -> q60TumblingWindow,
     "q61_sliding_window" -> q61SlidingWindow,
     "q62_session_window" -> q62SessionWindow,
@@ -153,6 +213,7 @@ object StreamShapeQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q31_asof_join" -> q31Sql,
+    "q178_asof_nearest" -> q178Sql,
     "q60_tumbling_window" -> q60Sql,
     "q61_sliding_window" -> q61Sql,
     "q62_session_window" -> q62Sql,
