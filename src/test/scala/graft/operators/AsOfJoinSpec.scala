@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.timestamp_seconds
 
 class AsOfJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -41,5 +42,27 @@ class AsOfJoinSpec extends SparkSpec {
       .orderBy("id")
       .select("id", "tag").as[(Long, String)].collect().toSeq
     assert(got == Seq((2L, "r-b"), (3L, "r-a"), (4L, "r-c")))
+  }
+
+  test("nearest as-of picks the closer side, ties backward, signed delta") {
+    // id=1: only backward (t=100 vs r-b at 60) -> r-b, delta -40s worth
+    // id=2: t=50 — backward r-a at 10 (40 away) vs forward r-b at 60
+    //       (10 away) -> r-b, delta +10
+    // id=3: t=10 — r-a at exactly 10 matches BOTH directions at
+    //       distance 0 -> tie goes backward, delta 0
+    // id=4: only forward (r-c at 7 >= 5) -> r-c, delta +2
+    // id=5: unmatched -> dropped (inner)
+    val tsLeft = left.withColumn("t", timestamp_seconds($"t"))
+    val tsRight = right.withColumn("rt", timestamp_seconds($"rt"))
+    val got = AsOfJoin.nearest(tsLeft, tsRight, Seq("key"),
+        leftId = "id", leftTime = "t", rightTime = "rt")
+      .orderBy("id")
+      .select("id", "tag", "asof_delta_us")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "r-b", -40000000L),
+      (2L, "r-b", 10000000L),
+      (3L, "r-a", 0L),
+      (4L, "r-c", 2000000L)))
   }
 }
