@@ -454,9 +454,44 @@ object WindowAggQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q179 — ratio-to-report: each (status, priority) cell's share of
+    * its status subtotal and of the grand total — the percent-of-parent
+    * arithmetic every BI hierarchy renders, spelled as windows OVER the
+    * aggregate (shares from one pass, no subtotal join). The divisions
+    * are long/long → double, deterministic cross-engine.
+    *
+    * Scale shape: the windows run over the AGGREGATED frame (≤
+    * |status|·|priority| rows), so the empty-partition global window is
+    * a 15-row frame, never a data-sized single partition.
+    */
+  val q179RatioToReport: Q = (s, dir) => {
+    import s.implicits._
+    val agg = T.orders(s, dir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    agg
+      .withColumn("share_of_status",
+        $"n" / sum($"n").over(Window.partitionBy($"o_orderstatus")))
+      .withColumn("share_of_total",
+        $"n" / sum($"n").over(Window.partitionBy()))
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
+  val q179Sql: String =
+    """WITH agg AS (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+      |SELECT o_orderstatus, o_orderpriority, n,
+      |  n / CAST(SUM(n) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+      |    AS share_of_status,
+      |  n / CAST(SUM(n) OVER () AS DOUBLE) AS share_of_total
+      |FROM agg
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q167_rank_gallery" -> q167RankGallery,
     "q168_string_agg" -> q168StringAgg,
+    "q179_ratio_to_report" -> q179RatioToReport,
     "q11_agg_rollup" -> q11AggRollup,
     "q12_agg_cube" -> q12AggCube,
     "q13_grouping_sets" -> q13GroupingSets,
@@ -476,6 +511,7 @@ object WindowAggQueries {
   val oracleSql: Map[String, String] = Map(
     "q167_rank_gallery" -> q167Sql,
     "q168_string_agg" -> q168Sql,
+    "q179_ratio_to_report" -> q179Sql,
     "q11_agg_rollup" -> q11Sql,
     "q12_agg_cube" -> q12Sql,
     "q13_grouping_sets" -> q13Sql,
