@@ -90,6 +90,12 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failed,"ok":${failed == "[]"},"sf":"$sfDir"}""")
+    // The full per-query line above is ~5 KB at 155 entries; the driver
+    // captures only a 2000-char stdout TAIL, which truncates that line's
+    // HEAD (r5/r6 both recorded parsed:null). Repeat the headline numbers
+    // in a compact final line (<200 chars, no per-query map) so the last
+    // line — the one the tail is guaranteed to keep whole — always parses.
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n":${results.size},"failed":$failed,"ok":${failed == "[]"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

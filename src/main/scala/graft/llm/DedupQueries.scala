@@ -221,8 +221,9 @@ object DedupQueries {
     * [[graft.functions.SimHash64]] expression — a narrow single-pass
     * projection (the original explode + 64-conditional-sums aggregate
     * spelling shuffled one row per token occurrence through a 64-column
-    * hash agg; bit-identical results, zero shuffles now). No oracle
-    * (xxhash64 is engine-internal).
+    * hash agg; bit-identical results, zero shuffles now). The signature
+    * itself has no SQL analogue (xxhash64 is engine-internal) — the
+    * driver row is [[q42SimhashGate]]'s planted-copy recall gate.
     */
   val q42Simhash: Q = (s, dir) => {
     import s.implicits._
@@ -234,6 +235,48 @@ object DedupQueries {
 
   /** Hamming distance between two simhash columns (library fn). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** How many planted copies the q42 gate seeds and the id offset that
+    * keeps them disjoint from real doc ids (q85's planted-twin
+    * convention, specialized to hamming space).
+    */
+  val SimhashGateSetSize = 100
+  val SimhashPlantedOffset = 1000000L
+
+  /** q42 driver row — the (n, ok) promotion of the SimHash pipeline
+    * (q74/q85/q86 convention; the raw per-doc signature view stays
+    * [[q42Simhash]] for specs and library use). The gate PLANTS an exact
+    * copy of each of the first [[SimhashGateSetSize]] documents under an
+    * offset id and requires the banded pairing ([[simhashCandidates]])
+    * to surface every (original, copy) pair at hamming 0: identical
+    * text ⇒ identical tokens ⇒ identical simhash ⇒ collision in EVERY
+    * band, so a single miss can only mean the expression, the banding,
+    * or the hamming arithmetic broke — exactly the engine-internal
+    * surface no SQL oracle can recompute (xxhash64 bit votes). n is
+    * SQL-derivable (count of seeded docs), ok asserts total recall.
+    */
+  val q42SimhashGate: Q = (s, dir) => {
+    import s.implicits._
+    val base = T.documents(s, dir).filter($"doc_id" < SimhashGateSetSize)
+      .select($"doc_id", $"text")
+    val planted = base.select(($"doc_id" + SimhashPlantedOffset).as("doc_id"),
+      $"text")
+    val sh = base.unionByName(planted)
+      .select($"doc_id",
+        graft.functions.TextFunctions.simhash64(tokens($"text")).as("simhash"))
+    val found = simhashCandidates(s, sh)
+      .filter($"doc2" === $"doc1" + SimhashPlantedOffset &&
+        $"hamming_dist" === 0)
+      .select($"doc1".as("doc_id"))
+    base.select($"doc_id").join(found, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+      .crossJoin(base.agg(count(lit(1)).as("n_docs")))
+      .select($"n_docs", ($"n_found" === $"n_docs").as("ok"))
+  }
+
+  val q42Sql: String =
+    s"""SELECT COUNT(*) AS n_docs, TRUE AS ok
+       |FROM documents WHERE doc_id < $SimhashGateSetSize""".stripMargin
 
   /** Stop-shingle document-frequency cap: shingles appearing in more
     * than this many documents are removed from the shingle universe
@@ -657,7 +700,7 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> q40DedupExact,
     "q41_minhash_lsh" -> q41MinhashLsh,
-    "q42_simhash" -> q42Simhash,
+    "q42_simhash" -> q42SimhashGate,
     "q43_ngram_jaccard" -> q43NgramJaccard,
     "q101_dup_clusters" -> q101DupClusters,
     "q141_cluster_split" -> q141ClusterSplit,
@@ -670,6 +713,7 @@ object DedupQueries {
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
     "q41_minhash_lsh" -> q41Sql,
+    "q42_simhash" -> q42Sql,
     "q43_ngram_jaccard" -> q43Sql,
     "q101_dup_clusters" -> q101Sql,
     "q141_cluster_split" -> q141Sql,

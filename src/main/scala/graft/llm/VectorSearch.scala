@@ -611,6 +611,57 @@ object VectorSearch {
     s"""SELECT COUNT(*) AS n_queries, TRUE AS ok
        |FROM embeddings WHERE vec_id < $QuerySetSize""".stripMargin
 
+  /** Soundness gate wrapping an ANN answer frame into the driver-checked
+    * (n_vectors, ok) convention (q74/q85/q86): every returned (qid, nid,
+    * cos_sim) is joined back to the raw embeddings and the similarity is
+    * RECOMPUTED with the same quantized arithmetic — `ok` requires exact
+    * equality (the quantized cosine is a pure function of the two
+    * vectors, so any drift means a bucket/cell join paired the wrong
+    * payloads), qid ≠ nid, exactly one answer per answered query, and
+    * the coverage contract the index promises: IVF answers EVERY vector
+    * (its own cell is always probed and probed cells at √N sizing hold
+    * ~probes·√N candidates), while LSH answers only vectors that collide
+    * in ≥1 bucket, so its floor is answered ∈ [1, n]. RECALL quality
+    * stays the planted-twin/exact-top-1 contract of q85/q86 — this gate
+    * pins that what IS answered is correct, which no spec-only run
+    * checked under the driver before.
+    */
+  private def annSoundnessGate(e: DataFrame, ann: DataFrame,
+      fullCoverage: Boolean): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val checked = ann
+      .join(e.select($"vec_id".as("qid"), $"embedding".as("qe")), "qid")
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")), "nid")
+      .withColumn("resim",
+        cosine(dot_q20($"qe", $"ne").cast("double"),
+          norm_q20($"qe"), norm_q20($"ne")))
+      .agg(count(lit(1)).as("answered"),
+        countDistinct($"qid").as("distinct_q"),
+        sum(when($"qid" === $"nid" || $"cos_sim" =!= $"resim", 1)
+          .otherwise(0)).as("bad"))
+    e.agg(count(lit(1)).as("n_vectors")).crossJoin(checked)
+      .select($"n_vectors",
+        ($"bad" === 0 && $"answered" === $"distinct_q" && $"answered" > 0 &&
+          (if (fullCoverage) $"answered" === $"n_vectors"
+           else $"answered" <= $"n_vectors")).as("ok"))
+  }
+
+  val q45LshAnnGate: Q = (s, dir) => {
+    import s.implicits._
+    val e = T.embeddings(s, dir).select($"vec_id", $"embedding")
+    annSoundnessGate(e, lshAnn(e), fullCoverage = false)
+  }
+
+  val q81IvfAnnGate: Q = (s, dir) => {
+    import s.implicits._
+    val e = T.embeddings(s, dir).select($"vec_id", $"embedding")
+    annSoundnessGate(e, ivfAnn(e, IvfProbes), fullCoverage = true)
+  }
+
+  private val soundnessSql =
+    "SELECT COUNT(*) AS n_vectors, TRUE AS ok FROM embeddings"
+
   /** q123 — int8 vector quantization, the storage leg of the vector
     * stack: per-vector max-abs scaling to [-127, 127] shrinks an
     * embedding column 4× (the standard serving-index compression), with
@@ -662,21 +713,24 @@ object VectorSearch {
   val queries: Map[String, Q] = Map(
     "q44_cosine_topk" -> q44CosineTopk,
     "q176_hard_negatives" -> q176HardNegatives,
-    "q45_lsh_ann" -> q45LshAnn,
-    "q81_ivf_ann" -> q81IvfAnn,
+    "q45_lsh_ann" -> q45LshAnnGate,
+    "q81_ivf_ann" -> q81IvfAnnGate,
     "q85_lsh_recall" -> q85LshRecall,
     "q86_ivf_recall" -> q86IvfRecall,
     "q123_int8_quantize" -> q123Int8Quantize,
   )
 
-  /** q45/q81 emit engine-internal bucket/cell picks (no SQL analogue),
-    * but their QUALITY is oracle-gated through q85/q86; determinism and
-    * planted-duplicate recall are additionally property-tested in
-    * VectorSearchSpec.
+  /** q45/q81's bucket/cell picks are engine-internal (no SQL analogue),
+    * so their driver rows are the [[annSoundnessGate]] (answers are
+    * recomputed-correct + coverage) and their QUALITY is oracle-gated
+    * through q85/q86; determinism and planted-duplicate recall are
+    * additionally property-tested in VectorSearchSpec.
     */
   val oracleSql: Map[String, String] = Map(
     "q44_cosine_topk" -> q44Sql,
     "q176_hard_negatives" -> q176Sql,
+    "q45_lsh_ann" -> soundnessSql,
+    "q81_ivf_ann" -> soundnessSql,
     "q85_lsh_recall" -> recallSql,
     "q86_ivf_recall" -> recallSql,
     "q123_int8_quantize" -> q123Sql,
