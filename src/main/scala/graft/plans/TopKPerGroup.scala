@@ -37,9 +37,15 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * reuse an existing compatible partitioning — something a manual
   * repartition+mapPartitions spelling cannot do); the heap pass is one
   * streaming scan per partition. Degenerate case: group cardinality ~
-  * row count keeps ~n·k rows in the partition's heap map — the same
-  * memory the window's sort buffer would hold, so the operator never
-  * does WORSE than the spelling it replaces.
+  * row count retains ~n·k rows per partition — and unlike WindowExec,
+  * whose sort buffer is an UnsafeExternalSorter that spills to disk, a
+  * plain heap map would OOM there. So the map is capped at
+  * [[TopK.SpillThresholdKey]] retained rows: past the cap it drains to
+  * a run file SORTED BY KEY BYTES and a final k-way merge recombines
+  * per-key heaps across runs (top-k is decomposable, so splitting a
+  * group across runs is lossless). Memory is O(threshold + runs + k)
+  * regardless of group cardinality; the non-spilling fast path is
+  * byte-for-byte the original single-map scan.
   */
 case class TopKPerGroupNode(
     groupExprs: Seq[Expression],
@@ -61,14 +67,23 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
-/** Custom-node optimization: a Filter that references ONLY the group
-  * columns commutes with per-group top-k (each group is kept or
-  * dropped WHOLE, and the top-k of an untouched group is unchanged), so
-  * it pushes below the node — from where Catalyst's built-in rules
-  * carry it all the way into the scan (`PushedFilters`). Without this
-  * rule a custom node is a pushdown BARRIER: `topK(scan).filter(g)`
-  * would read and heap every group and then discard most of them —
-  * the difference between scanning one partition and scanning 100 TB.
+/** Custom-node optimization: a DETERMINISTIC Filter that references
+  * ONLY the group columns commutes with per-group top-k (each group is
+  * kept or dropped WHOLE, and the top-k of an untouched group is
+  * unchanged), so it pushes below the node — from where Catalyst's
+  * built-in rules carry it all the way into the scan (`PushedFilters`).
+  * Without this rule a custom node is a pushdown BARRIER:
+  * `topK(scan).filter(g)` would read and heap every group and then
+  * discard most of them — the difference between scanning one
+  * partition and scanning 100 TB.
+  *
+  * The `cond.deterministic` guard matches Catalyst's own
+  * PushDownPredicates convention: a non-deterministic predicate (e.g.
+  * `rand() < 0.5`, whose reference set is EMPTY and therefore a subset
+  * of anything) must keep filtering whole post-top-k rows; pushed below
+  * it would instead drop individual rows before heap selection and
+  * change results.
+  *
   * Registered with the strategy (injectOptimizerRule /
   * `experimental.extraOptimizations`).
   */
@@ -78,7 +93,7 @@ object TopKFilterPushdown
   import org.apache.spark.sql.catalyst.plans.logical.Filter
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, t: TopKPerGroupNode)
-        if cond.references.subsetOf(
+        if cond.deterministic && cond.references.subsetOf(
           AttributeSet(t.groupExprs.flatMap(_.references))) =>
       t.copy(child = Filter(cond, t.child))
   }
@@ -102,35 +117,161 @@ case class TopKPerGroupExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val (gExprs, order, kk) = (groupExprs, sortOrder, k)
+    val spillThreshold = conf
+      .getConfString(TopK.SpillThresholdKey, TopK.SpillThresholdDefault)
+      .toLong.max(1L)
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(gExprs, schema)
+      val toUnsafe = UnsafeProjection.create(schema, schema)
       val ordering = RowOrdering.create(order, schema)
       // head of each heap = the WORST retained row (reverse ordering)
-      val cmp = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int =
+      val cmp = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int =
           ordering.compare(b, a)
       }
-      val heaps = mutable.HashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
+      def boundedAdd(heap: java.util.PriorityQueue[UnsafeRow],
+          row: UnsafeRow): Boolean =
+        if (heap.size < kk) { heap.add(row.copy()); true }
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy()); true
+        } else false
+
+      val heaps = mutable.HashMap.empty[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]
+      var retained = 0L
+      val spills = mutable.ArrayBuffer.empty[java.io.File]
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete())))
+
+      // Spill the whole map as ONE RUN, sorted by raw key bytes (any
+      // total order consistent with key equality works — UnsafeRow
+      // equality IS byte equality for a fixed schema, and every key
+      // here comes from the same projection). Per-group top-k is
+      // decomposable — topK(A ∪ B) = topK(topK(A) ∪ topK(B)) — so a
+      // key split across runs (even mid-group) recombines exactly in
+      // the merge's bounded heap.
+      def spillRun(): Unit = {
+        val f = java.io.File.createTempFile("graft-topk-", ".run")
+        spills += f
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f), 1 << 16))
+        try {
+          val entries = heaps.toArray
+          java.util.Arrays.sort(entries,
+            (x: (UnsafeRow, java.util.PriorityQueue[UnsafeRow]),
+             y: (UnsafeRow, java.util.PriorityQueue[UnsafeRow])) =>
+              java.util.Arrays.compareUnsigned(x._1.getBytes, y._1.getBytes))
+          out.writeInt(entries.length)
+          entries.foreach { case (key, heap) =>
+            val kb = key.getBytes
+            out.writeInt(kb.length); out.write(kb)
+            out.writeInt(heap.size)
+            heap.iterator.asScala.foreach { r =>
+              val rb = r.getBytes
+              out.writeInt(rb.length); out.write(rb)
+            }
+          }
+        } finally out.close()
+        heaps.clear()
+        retained = 0L
+      }
+
       iter.foreach { row =>
         val key = groupProj(row)
+        val u = row match {
+          case ur: UnsafeRow => ur
+          case other => toUnsafe(other)
+        }
         heaps.get(key) match {
-          case Some(heap) =>
-            if (heap.size < kk) heap.add(row.copy())
-            else if (ordering.compare(row, heap.peek()) < 0) {
-              heap.poll(); heap.add(row.copy())
-            }
+          case Some(heap) => boundedAdd(heap, u)
           case None =>
-            val heap = new java.util.PriorityQueue[InternalRow](kk + 1, cmp)
-            heap.add(row.copy())
+            val heap = new java.util.PriorityQueue[UnsafeRow](kk + 1, cmp)
+            heap.add(u.copy())
             heaps.put(key.copy(), heap)
+            retained += kk // reserve the group's worst case up front
+            if (retained > spillThreshold) spillRun()
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator.asScala)
+
+      if (spills.isEmpty) heaps.valuesIterator.flatMap(_.iterator.asScala)
+      else {
+        if (heaps.nonEmpty) spillRun()
+        val readers = spills.map(f => new TopKRunReader(f, schema.length))
+        TopKPerGroupExec.mergeRuns(readers.toSeq, cmp, ordering, kk)
+      }
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan)
       : TopKPerGroupExec = copy(child = newChild)
+}
+
+/** Sequential reader over one spilled run: entries sorted by key bytes,
+  * each entry = one group's bounded heap at spill time.
+  */
+private[plans] final class TopKRunReader(
+    file: java.io.File, rowFields: Int) {
+  private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+    new java.io.FileInputStream(file), 1 << 16))
+  private var remaining = in.readInt()
+  var keyBytes: Array[Byte] = _
+  var rows: Array[UnsafeRow] = _
+
+  private def readRow(): UnsafeRow = {
+    val b = new Array[Byte](in.readInt())
+    in.readFully(b)
+    val r = new UnsafeRow(rowFields)
+    r.pointTo(b, b.length)
+    r
+  }
+
+  /** Load the next (key, rows) entry; false (and closed) at run end. */
+  def advance(): Boolean =
+    if (remaining <= 0) { in.close(); false }
+    else {
+      remaining -= 1
+      keyBytes = { val b = new Array[Byte](in.readInt()); in.readFully(b); b }
+      rows = Array.fill(in.readInt())(readRow())
+      true
+    }
+}
+
+private[plans] object TopKPerGroupExec {
+  /** K-way merge of sorted runs: equal keys across runs recombine
+    * through one bounded heap (≤ runs·k candidate rows per group, ≤ k
+    * survivors) — memory is O(runs + k), independent of group count.
+    */
+  def mergeRuns(readers: Seq[TopKRunReader],
+      cmp: java.util.Comparator[UnsafeRow],
+      ordering: java.util.Comparator[InternalRow],
+      k: Int): Iterator[InternalRow] = new Iterator[InternalRow] {
+    private val pq = new java.util.PriorityQueue[TopKRunReader](
+      math.max(1, readers.size),
+      (a: TopKRunReader, b: TopKRunReader) =>
+        java.util.Arrays.compareUnsigned(a.keyBytes, b.keyBytes))
+    readers.foreach(r => if (r.advance()) pq.add(r))
+    private val buf = new java.util.ArrayDeque[InternalRow]()
+
+    private def fill(): Unit =
+      while (buf.isEmpty && !pq.isEmpty) {
+        val first = pq.poll()
+        val same = mutable.ArrayBuffer(first)
+        while (!pq.isEmpty &&
+            java.util.Arrays.equals(pq.peek().keyBytes, first.keyBytes))
+          same += pq.poll()
+        val heap = new java.util.PriorityQueue[UnsafeRow](k + 1, cmp)
+        same.foreach(_.rows.foreach { r =>
+          if (heap.size < k) heap.add(r)
+          else if (ordering.compare(r, heap.peek()) < 0) {
+            heap.poll(); heap.add(r)
+          }
+        })
+        heap.iterator.asScala.foreach(buf.add)
+        same.foreach(r => if (r.advance()) pq.add(r))
+      }
+
+    override def hasNext: Boolean = { fill(); !buf.isEmpty }
+    override def next(): InternalRow = { fill(); buf.poll() }
+  }
 }
 
 /** Public API:
@@ -140,6 +281,15 @@ case class TopKPerGroupExec(
   * non-serializable column-node wrapper through the closure).
   */
 object TopK {
+  /** Max retained rows per partition before the heap map spills a
+    * sorted run (groups are RESERVED at k rows on first sight, so the
+    * cap is on the worst-case retained set, not the observed one). The
+    * default reserves ≤ ~4M rows ≈ a few hundred MB of wide rows —
+    * comfortably inside an executor's working memory at 32 tasks.
+    */
+  val SpillThresholdKey = "spark.graft.topk.spillRowThreshold"
+  val SpillThresholdDefault: String = (4L * 1000 * 1000).toString
+
   def perGroup(df: DataFrame, groupCols: Seq[String],
       sortCols: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession

@@ -33,8 +33,14 @@ object BinaryFiles {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Fixed absolute dir so the fixture is addressable across runs. */
-  val FixtureDir = "/root/repo/target/fixtures/blobs"
+  /** Fixture root, keyed by the sanitized dataset dir (the Federation /
+    * DynamicOverwrite convention): the scan reads every *.bin under the
+    * dir while writeFixture only overwrites the doc_ids present in the
+    * CURRENT dataset — a shared fixed path let stale files from a prior
+    * run against a different SF leak into the result.
+    */
+  def fixtureDir(dir: String): String =
+    "/root/repo/target/fixtures/blobs_" + dir.replaceAll("[^a-zA-Z0-9.]", "_")
 
   /** Documents written as files: doc_id < this bound. */
   val BlobDocBound = 25L
@@ -45,7 +51,7 @@ object BinaryFiles {
       .filter($"doc_id" < BlobDocBound)
       .select($"doc_id", $"text")
       .as[(Long, String)].collect()
-    val root = Paths.get(FixtureDir)
+    val root = Paths.get(fixtureDir(dir))
     Files.createDirectories(root)
     rows.foreach { case (id, text) =>
       val tmp = root.resolve(s"doc_$id.bin.tmp")
@@ -65,7 +71,7 @@ object BinaryFiles {
     writeFixture(s, dir)
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin")
-      .load(FixtureDir)
+      .load(fixtureDir(dir))
       .select(
         regexp_extract(input_file_name(), "doc_(\\d+)\\.bin", 1)
           .cast("long").as("doc_id"),

@@ -64,4 +64,39 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(ngPlan.startsWith("Filter") || ngPlan.contains("Filter (v"),
       s"non-group filter must stay above:\n$ngPlan")
   }
+
+  test("non-deterministic filters stay above the node (empty reference set)") {
+    // rand() references no columns, so the reference-subset check alone
+    // would push it below the heap — filtering rows before selection
+    // instead of whole groups after it. The deterministic guard must
+    // keep it put.
+    val topped = TopK.perGroup(fixture, Seq("g"),
+      Seq("v" -> false, "id" -> true), 2)
+    val filtered = topped.filter(rand(7) < 0.5)
+    val plan = filtered.queryExecution.optimizedPlan
+    val topsUnderFilter = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if !f.condition.deterministic =>
+        f.child.collect { case t: TopKPerGroupNode => t }.size
+    }
+    assert(topsUnderFilter.sum == 1,
+      s"non-deterministic filter must stay above the top-k node:\n$plan")
+  }
+
+  test("spill path (tiny threshold) matches the in-memory path row-for-row") {
+    val n = 500
+    val wide = (1 to n).map(i =>
+      (s"g${i % 97}", i.toLong, (i * 37 % 101).toDouble)).toDF("g", "id", "v")
+    def run(): Set[(String, Long, Double)] =
+      TopK.perGroup(wide, Seq("g"), Seq("v" -> false, "id" -> true), 3)
+        .as[(String, Long, Double)].collect().toSet
+    val inMemory = run()
+    spark.conf.set(TopK.SpillThresholdKey, "7") // force many tiny runs
+    try {
+      val spilled = run()
+      assert(spilled == inMemory,
+        s"spill path diverged: ${spilled.diff(inMemory)} vs ${inMemory.diff(spilled)}")
+      assert(inMemory.size == 97 * 3)
+    } finally spark.conf.unset(TopK.SpillThresholdKey)
+  }
 }
