@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.catalog.CatalogOracle
-import graft.llm.{BpeTrain, CorpusOps, DedupQueries, EmbeddingDedup, ProductQuantization, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
+import graft.llm.{BpeTrain, CorpusOps, DedupQueries, EmbeddingDedup, MultimodalOracle, ProductQuantization, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
 import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, TableStatsQueries, TimeSeriesQueries, WindowAggQueries}
 import graft.operators.{IntervalJoin, PageRank, TriangleCount}
 import graft.sources.{BinaryFiles, CsvScan, DynamicOverwrite, Federation, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, SchemaEvolution, ZOrderQueries}
@@ -33,7 +33,8 @@ object SparkEntry {
       TableStatsQueries.queries ++ QuarantineIngest.queries ++
       CorpusOps.queries ++ VectorStats.queries ++ PageRank.queries ++
       BpeTrain.queries ++ SchemaEvolution.queries ++ TriangleCount.queries ++
-      ProductQuantization.queries ++ graft.plans.TopK.queries ++ BinaryFiles.queries ++ Federation.queries ++ DynamicOverwrite.queries
+      ProductQuantization.queries ++ graft.plans.TopK.queries ++ BinaryFiles.queries ++ Federation.queries ++ DynamicOverwrite.queries ++
+      MultimodalOracle.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
       CorpusOps.oracleSql ++ VectorStats.oracleSql ++ PageRank.oracleSql ++
       BpeTrain.oracleSql ++ SchemaEvolution.oracleSql ++
       TriangleCount.oracleSql ++ ProductQuantization.oracleSql ++
-      graft.plans.TopK.oracleSql ++ BinaryFiles.oracleSql ++ Federation.oracleSql ++ DynamicOverwrite.oracleSql
+      graft.plans.TopK.oracleSql ++ BinaryFiles.oracleSql ++ Federation.oracleSql ++ DynamicOverwrite.oracleSql ++
+      MultimodalOracle.oracleSql
 }

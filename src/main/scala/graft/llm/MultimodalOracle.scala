@@ -1,0 +1,194 @@
+package graft.llm
+
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+import graft.llm.Multimodal.{GvidMime, MediaRecord, PpmMime, WavMime}
+
+/** q180 — the multimodal decode seam as a DRIVER-CHECKED row (the
+  * decoders were spec-only before; the reference serves media bodies
+  * byte-for-byte, main.go:295-318, so decode correctness belongs under
+  * the oracle gate, not only in unit tests).
+  *
+  * Shape: for every `doc_id < BlobDocBound` the fixture writer emits one
+  * synthetic PPM image, WAV clip, and GVID clip whose payload bytes are
+  * pure functions of the id; the query reads them back through the REAL
+  * plumbing — a `binaryFile` scan → mime from extension →
+  * [[Multimodal.decode]]'s mapPartitions batch seam — and joins each
+  * decoded row against ground truth computed INDEPENDENTLY from the
+  * generator's closed form (never by re-calling the decoder on the
+  * bytes, which would be circular). `ok` requires exact equality of
+  * dims and feature vectors (the expectation mirrors the decoder's
+  * float-arithmetic order, so matching is bit-for-bit, the q108/BM25
+  * discipline). The oracle pins the per-mime counts from the documents
+  * table and TRUE (q74 convention) — counts, file IO, header parsing,
+  * raster/chunk walks, and feature math all sit under the driver gate.
+  */
+object MultimodalOracle {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Same id bound as q164's blob fixture. */
+  val MediaDocBound = 25L
+
+  def fixtureDir(dir: String): String =
+    "/root/repo/target/fixtures/media_" + dir.replaceAll("[^a-zA-Z0-9.]", "_")
+
+  // ---- deterministic generators (payload bytes from id alone) ----
+
+  private def ppmDims(id: Long): (Int, Int) =
+    (4 + (id % 5).toInt, 3 + (id % 4).toInt)
+
+  private def ppmByte(id: Long, i: Int): Int = ((id * 31 + i * 7) % 256).toInt
+
+  private[llm] def ppmBytes(id: Long): Array[Byte] = {
+    val (w, h) = ppmDims(id)
+    val header = s"P6\n$w $h\n255\n".getBytes(US_ASCII)
+    header ++ Array.tabulate(w * h * 3)(i => ppmByte(id, i).toByte)
+  }
+
+  /** Expected PPM decode, from the generator's closed form (mirrors
+    * [[Multimodal.decodePpm]]'s accumulation order so floats match
+    * bit-for-bit).
+    */
+  private[llm] def ppmExpected(id: Long): (Int, Int, Array[Float]) = {
+    val (w, h) = ppmDims(id)
+    val n = w * h
+    val sums = new Array[Long](3)
+    var i = 0
+    while (i < n * 3) { sums(i % 3) += ppmByte(id, i); i += 1 }
+    (w, h, Array.tabulate(3)(c => (sums(c).toDouble / n / 255).toFloat))
+  }
+
+  private val WavRate = 8000
+  private def wavSampleCount(id: Long): Int = 64 + (id % 32).toInt
+  private def wavSample(id: Long, j: Int): Short =
+    ((id * 7919 + j.toLong * 104729) % 65536 - 32768).toShort
+
+  private[llm] def wavBytes(id: Long): Array[Byte] = {
+    val n = wavSampleCount(id)
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(US_ASCII)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(US_ASCII))
+      .put("fmt ".getBytes(US_ASCII)).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(WavRate).putInt(WavRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes(US_ASCII)).putInt(dataLen)
+    (0 until n).foreach(j => buf.putShort(wavSample(id, j)))
+    buf.array()
+  }
+
+  /** Expected WAV decode (mirrors [[Multimodal.decodeWav]]: width =
+    * sample rate, height = channels, features = [duration_sec, rms]).
+    */
+  private[llm] def wavExpected(id: Long): (Int, Int, Array[Float]) = {
+    val n = wavSampleCount(id)
+    var sumSq = 0.0
+    var j = 0
+    while (j < n) {
+      val s = wavSample(id, j) / 32768.0
+      sumSq += s * s
+      j += 1
+    }
+    (WavRate, 1,
+      Array((n.toDouble / 1 / WavRate).toFloat, math.sqrt(sumSq / n).toFloat))
+  }
+
+  private def gvidFrameCount(id: Long): Int = 2 + (id % 3).toInt
+  private def gvidFrameId(id: Long, f: Int): Long = id * 16 + f
+
+  private[llm] def gvidBytes(id: Long): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    val frames = (0 until gvidFrameCount(id)).map(f => ppmBytes(gvidFrameId(id, f)))
+    "GVID".getBytes(US_ASCII) ++ le32(frames.length) ++
+      frames.flatMap(p => le32(p.length) ++ p)
+  }
+
+  /** Expected GVID decode (mirrors [[Multimodal.decodeOne]]'s GVID arm:
+    * dims from frame 0, features = per-channel mean of the stride-1
+    * sampled frames' channel means, accumulated float-into-double).
+    */
+  private[llm] def gvidExpected(id: Long): (Int, Int, Array[Float]) = {
+    val nf = gvidFrameCount(id)
+    val sampled = (0 until nf).take(16).map(f => ppmExpected(gvidFrameId(id, f))._3)
+    val (w, h, _) = ppmExpected(gvidFrameId(id, 0))
+    val features = Array.tabulate(3) { c =>
+      var acc = 0.0; var i = 0
+      while (i < sampled.length) { acc += sampled(i)(c); i += 1 }
+      (acc / sampled.length).toFloat
+    }
+    (w, h, features)
+  }
+
+  // ---- fixture writer + query ----
+
+  private def writeFixture(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val ids = T.documents(s, dir).filter($"doc_id" < MediaDocBound)
+      .select($"doc_id").as[Long].collect().sorted
+    val root = Paths.get(fixtureDir(dir))
+    Files.createDirectories(root)
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val tmp = root.resolve(name + ".tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, root.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+    ids.foreach { id =>
+      put(s"img_$id.ppm", ppmBytes(id))
+      put(s"aud_$id.wav", wavBytes(id))
+      put(s"vid_$id.gvid", gvidBytes(id))
+    }
+  }
+
+  // public: Spark codegen instantiates/reads this from generated Java
+  case class ExpectedMedia(media_id: Long, mime: String,
+      e_width: Int, e_height: Int, e_features: Array[Float])
+
+  val q180MultimodalDecode: Q = (s, dir) => {
+    import s.implicits._
+    writeFixture(s, dir)
+    val media = s.read.format("binaryFile").load(fixtureDir(dir))
+      .select(
+        regexp_extract(input_file_name(), "_(\\d+)\\.(ppm|wav|gvid)", 1)
+          .cast("long").as("media_id"),
+        when(input_file_name().endsWith(".ppm"), PpmMime)
+          .when(input_file_name().endsWith(".wav"), WavMime)
+          .otherwise(GvidMime).as("mime"),
+        $"content".as("bytes"))
+      .as[MediaRecord]
+    val decoded = Multimodal.decode(media)
+    val expected = T.documents(s, dir).filter($"doc_id" < MediaDocBound)
+      .select($"doc_id").as[Long]
+      .flatMap { id =>
+        Seq((PpmMime, ppmExpected(id)), (WavMime, wavExpected(id)),
+          (GvidMime, gvidExpected(id))).map { case (m, (w, h, f)) =>
+          ExpectedMedia(id, m, w, h, f)
+        }
+      }
+    decoded.join(expected.toDF(), Seq("media_id", "mime"))
+      .agg(
+        sum(when($"mime" === PpmMime, 1).otherwise(0)).as("n_images"),
+        sum(when($"mime" === WavMime, 1).otherwise(0)).as("n_audio"),
+        sum(when($"mime" === GvidMime, 1).otherwise(0)).as("n_video"),
+        (sum(when($"width" =!= $"e_width" || $"height" =!= $"e_height" ||
+          $"features" =!= $"e_features", 1).otherwise(0)) === 0).as("ok"))
+  }
+
+  val q180Sql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+       |  CAST(COUNT(*) AS BIGINT) AS n_audio,
+       |  CAST(COUNT(*) AS BIGINT) AS n_video,
+       |  TRUE AS ok
+       |FROM documents WHERE doc_id < $MediaDocBound""".stripMargin
+
+  val queries: Map[String, Q] = Map("q180_multimodal_decode" -> q180MultimodalDecode)
+  val oracleSql: Map[String, String] = Map("q180_multimodal_decode" -> q180Sql)
+}

@@ -174,6 +174,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q180 generators: closed-form expectations equal the real decoders, " +
+      "and corruption is detected") {
+    // the oracle gate's core identity: expected values computed from the
+    // generator's closed form must match the DECODER's output on the
+    // generated bytes bit-for-bit (independent paths to the same answer)
+    Seq(0L, 1L, 7L, 13L, 24L).foreach { id =>
+      assert(MultimodalOracle.ppmExpected(id) match {
+        case (w, h, f) =>
+          val (dw, dh, df) = Multimodal.decodePpm(MultimodalOracle.ppmBytes(id))
+          dw == w && dh == h && df.sameElements(f)
+      }, s"ppm mismatch for id=$id")
+      assert(MultimodalOracle.wavExpected(id) match {
+        case (w, h, f) =>
+          val (dw, dh, df) = Multimodal.decodeWav(MultimodalOracle.wavBytes(id))
+          dw == w && dh == h && df.sameElements(f)
+      }, s"wav mismatch for id=$id")
+    }
+    // the gate is not vacuous: one flipped raster byte changes features
+    val bytes = MultimodalOracle.ppmBytes(3L)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x55).toByte
+    val (_, _, corrupted) = Multimodal.decodePpm(bytes)
+    assert(!corrupted.sameElements(MultimodalOracle.ppmExpected(3L)._3))
+  }
+
   test("rolling fingerprint: deterministic, shift-sensitive") {
     val fp1 = Fingerprints.rollingFingerprint(Seq("a", "b", "c"))
     val fp2 = Fingerprints.rollingFingerprint(Seq("a", "b", "c"))
