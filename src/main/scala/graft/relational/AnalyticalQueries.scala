@@ -541,6 +541,98 @@ object AnalyticalQueries {
       |ORDER BY numwait DESC, s_suppkey ASC
       |LIMIT 20""".stripMargin
 
+  /** Register the TPC-H-ish tables as temp views so the two
+    * correlated-subquery shapes below can be stated in SQL — the POINT
+    * of q181/q182 is to run through Catalyst's decorrelation rules
+    * (RewriteCorrelatedScalarSubquery, RewritePredicateSubquery) rather
+    * than a hand-decorrelated DataFrame join like q30/q165/q173.
+    */
+  private def registerViews(s: SparkSession, dir: String): Unit = {
+    T.part(s, dir).createOrReplaceTempView("part")
+    T.supplier(s, dir).createOrReplaceTempView("supplier")
+    T.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    T.nation(s, dir).createOrReplaceTempView("nation")
+    T.region(s, dir).createOrReplaceTempView("region")
+  }
+
+  /** q181 — TPC-H Q2 shape (minimum-cost supplier): for each PROMO part,
+    * the European supplier rows whose line price equals the minimum
+    * European line price for that part — a correlated SCALAR AGGREGATE
+    * subquery over a 4-table join, correlated on the outer part key.
+    * (This fixture has no partsupp table; lineitem stands in as the
+    * part×supplier price relation, exactly the join depth Q2's inner
+    * block has.)
+    *
+    * Scale shape: Catalyst decorrelates the inner MIN into ONE
+    * aggregate over the (filtered) join keyed by l_partkey plus an
+    * equi-join back on (partkey, price) — never a per-outer-row
+    * subquery execution; DecorrelationSpec pins the rewritten plan
+    * (no scalar-subquery expression survives optimization). The region
+    * filter reduces both sides before their join; nation/region are
+    * fixed-cardinality broadcasts.
+    */
+  val q181MinCostSupplier: Q = (s, dir) => {
+    registerViews(s, dir)
+    s.sql(q181Sql)
+  }
+
+  val q181Sql: String =
+    """SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |  l_extendedprice AS min_cost
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_type = 'PROMO'
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
+
+  /** q182 — TPC-H Q20 shape (excess-volume suppliers): suppliers who in
+    * 1996 shipped MORE THAN HALF of the 1996 volume of some 'gear'
+    * part — a nested IN whose inner block carries a correlated scalar
+    * aggregate in its HAVING (the inner SUM correlates on the middle
+    * block's group key). The group/correlation key is the PART-side
+    * p_partkey deliberately: an unqualified lineitem column name inside
+    * the subquery would bind to the inner l2 scope (both engines prefer
+    * the nearest scope), silently turning the correlation into a
+    * tautology — DecorrelationSpec would catch the uncorrelated plan.
+    * The volume compare is integer-exact
+    * (2·sum96 > sumAll on BIGINT-cast quantities), so both engines
+    * agree without float slack.
+    *
+    * Scale shape: the IN becomes a left-semi join on s_suppkey; the
+    * correlated HAVING sum becomes one aggregate over lineitem keyed by
+    * l_partkey joined back on the group key — both reductions happen
+    * BEFORE any row reaches supplier. DecorrelationSpec pins the plan
+    * (a LeftSemi join, zero surviving subquery expressions).
+    */
+  val q182ExcessVolume: Q = (s, dir) => {
+    registerViews(s, dir)
+    s.sql(q182Sql)
+  }
+
+  val q182Sql: String =
+    """SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%gear%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l_suppkey, p_partkey
+      |  HAVING 2 * SUM(CAST(l_quantity AS BIGINT)) > (
+      |    SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      |      AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_shipping_priority" -> q82ShippingPriority,
     "q83_local_supplier_volume" -> q83LocalSupplierVolume,
@@ -553,9 +645,13 @@ object AnalyticalQueries {
     "q153_returned_items" -> q153ReturnedItems,
     "q165_large_volume" -> q165LargeVolume,
     "q173_sole_fault" -> q173SoleFault,
+    "q181_min_cost_supplier" -> q181MinCostSupplier,
+    "q182_excess_volume" -> q182ExcessVolume,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q181_min_cost_supplier" -> q181Sql,
+    "q182_excess_volume" -> q182Sql,
     "q82_shipping_priority" -> q82Sql,
     "q83_local_supplier_volume" -> q83Sql,
     "q94_funnel" -> q94Sql,
