@@ -139,14 +139,74 @@ object TableStatsQueries {
        |GROUP BY event_type, bin
        |ORDER BY event_type, bin""".stripMargin
 
+  /** Catalog tables + ANALYZE for the CBO demo — the loop-closer the
+    * q132 scaladoc promises: statistics a cost-based planner CONSUMES,
+    * not just reports. External parquet tables point at the dataset's
+    * own files (no copy); ANALYZE TABLE … COMPUTE STATISTICS FOR
+    * COLUMNS persists rowCount/size plus per-column NDV/min/max into
+    * the session catalog, which is what `spark.sql.cbo.enabled` +
+    * `joinReorder.enabled` read to re-order joins by estimated size.
+    * Temp views can't carry catalog stats, hence real tables here.
+    */
+  def prepareCboTables(s: SparkSession, dir: String): Unit = {
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // o_orderdate is deliberately NOT analyzed: it reads as
+    // TimestampNTZ and Spark 4.1's FilterEstimation has no case for
+    // that type — a column-stat on it makes optimization throw
+    // (MatchError: TimestampNTZType). Without the stat the date
+    // predicate falls back to default selectivity, which is enough:
+    // the reorder signal comes from row counts + the s_acctbal stat.
+    Seq(
+      "lineitem" -> "l_orderkey, l_suppkey, l_quantity",
+      "orders" -> "o_orderkey",
+      "supplier" -> "s_suppkey, s_acctbal, s_nationkey",
+    ).foreach { case (t, cols) =>
+      s.sql(s"DROP TABLE IF EXISTS cbo_$t")
+      s.sql(s"CREATE TABLE cbo_$t USING parquet LOCATION '$dir/$t.parquet'")
+      s.sql(s"ANALYZE TABLE cbo_$t COMPUTE STATISTICS FOR COLUMNS $cols")
+    }
+  }
+
+  /** The join written in a deliberately BAD order: the 600k-row fact
+    * table joins the 15k-row orders table FIRST as stated, with the
+    * highly selective supplier filter last. With stats + CBO the
+    * reorderer flips it (supplier edge first); CboJoinReorderSpec pins
+    * the flip and that plans differ only in order, never in result.
+    */
+  val CboJoinSql: String =
+    """SELECT s_nationkey,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+      |  COUNT(*) AS n_lines
+      |FROM cbo_lineitem
+      |JOIN cbo_orders ON l_orderkey = o_orderkey
+      |JOIN cbo_supplier ON l_suppkey = s_suppkey
+      |WHERE s_acctbal < 1000
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
+  /** q183 — the CBO-reordered join as a driver row: same answer as the
+    * statistics-blind plan (the oracle replays it over the raw files),
+    * reached through the stats-driven join order.
+    */
+  val q183CboJoinReorder: Q = (s, dir) => {
+    prepareCboTables(s, dir)
+    s.sql(CboJoinSql)
+  }
+
+  val q183Sql: String = CboJoinSql.replace("cbo_", "")
+
   val queries: Map[String, Q] = Map(
     "q132_table_stats" -> q132TableStats,
+    "q183_cbo_join_reorder" -> q183CboJoinReorder,
     "q134_cooccurrence" -> q134Cooccurrence,
     "q154_value_histogram" -> q154ValueHistogram,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q132_table_stats" -> q132Sql,
+    "q183_cbo_join_reorder" -> q183Sql,
     "q134_cooccurrence" -> q134Sql,
     "q154_value_histogram" -> q154Sql,
   )
