@@ -202,6 +202,82 @@ object StreamBench {
     Seq((rows.size.toLong, out)).toDF("n_in", "n_anomalies")
   }
 
+  /** qs05 — streaming as-of join over [[BloomBatches]] micro-batches:
+    * purchases probe the per-user signup series. The heaviest stateful
+    * processor in the library (two buffered sides + event-time timers
+    * per key); this entry times the buffer/match/expire path that the
+    * batch gates never touch. Sentinels on BOTH sides push the final
+    * watermark so every pending probe resolves inside the timed run.
+    */
+  val qs05AsOfStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val purchases = rows.filter(_.event_type == "purchase")
+    val signups = rows.filter(e =>
+      e.event_type == "signup" || e.event_type == "view")
+    val maxTs = rows.map(_.ts.getTime).max
+    val pS = MemoryStream[Event]
+    val sS = MemoryStream[Event]
+    val name = s"bench_asof_${runId.incrementAndGet()}"
+    val q = EventStreams.streamingAsOf(pS.toDF(), sS.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-asof-ckpt").toString)
+      .start()
+    val pChunks = purchases.grouped(purchases.size / BloomBatches + 1).toSeq
+    val sChunks = signups.grouped(signups.size / BloomBatches + 1).toSeq
+    pChunks.zipAll(sChunks, Seq.empty[Event], Seq.empty[Event]).foreach {
+      case (p, sg) =>
+        if (p.nonEmpty) pS.addData(p)
+        if (sg.nonEmpty) sS.addData(sg)
+        q.processAllAvailable()
+    }
+    val sentinel = Event(-1L, -1L, "sentinel",
+      new java.sql.Timestamp(maxTs + 24L * 3600 * 1000), 0.0)
+    pS.addData(sentinel); sS.addData(sentinel)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val out = s.table(name).filter($"user_id" =!= -1L).count()
+    s.catalog.dropTempView(name)
+    Seq((purchases.size.toLong, out)).toDF("n_probes", "n_matched")
+  }
+
+  /** qs06 — streaming conversion funnel over [[BloomBatches]]
+    * micro-batches: per-user staged state with an expiry horizon — the
+    * second-heaviest stateful processor, timing the stage-advance +
+    * timer-expiry path.
+    */
+  val qs06FunnelStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val maxTs = rows.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    val name = s"bench_funnel_${runId.incrementAndGet()}"
+    val q = EventStreams.streamingFunnel(stream.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-funnel-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    // signup-typed sentinel: it must SURVIVE the funnel's event-type
+    // filter (which runs before the watermark operator) to advance the
+    // watermark past every real row
+    stream.addData(Event(-1L, -1L, "signup",
+      new java.sql.Timestamp(maxTs + 24L * 3600 * 1000), 0.0))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val out = s.table(name).filter($"user_id" =!= -1L).count()
+    s.catalog.dropTempView(name)
+    Seq((rows.size.toLong, out)).toDF("n_in", "n_users")
+  }
+
   /** Bench-only entries — timed by [[graft.Bench]], absent from
     * [[graft.SparkEntry.queries]] so the correctness gate (which has no
     * streaming-SQL oracle) is unaffected.
@@ -211,5 +287,7 @@ object StreamBench {
     "qs02_cdc_apply_stream" -> qs02CdcApplyStream,
     "qs03_cms_stream" -> qs03CmsStream,
     "qs04_anomaly_stream" -> qs04AnomalyStream,
+    "qs05_asof_stream" -> qs05AsOfStream,
+    "qs06_funnel_stream" -> qs06FunnelStream,
   )
 }
