@@ -34,7 +34,7 @@ object SparkEntry {
       CorpusOps.queries ++ VectorStats.queries ++ PageRank.queries ++
       BpeTrain.queries ++ SchemaEvolution.queries ++ TriangleCount.queries ++
       ProductQuantization.queries ++ graft.plans.TopK.queries ++ BinaryFiles.queries ++ Federation.queries ++ DynamicOverwrite.queries ++
-      MultimodalOracle.queries
+      MultimodalOracle.queries ++ graft.plans.SortedRuns.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +55,5 @@ object SparkEntry {
       BpeTrain.oracleSql ++ SchemaEvolution.oracleSql ++
       TriangleCount.oracleSql ++ ProductQuantization.oracleSql ++
       graft.plans.TopK.oracleSql ++ BinaryFiles.oracleSql ++ Federation.oracleSql ++ DynamicOverwrite.oracleSql ++
-      MultimodalOracle.oracleSql
+      MultimodalOracle.oracleSql ++ graft.plans.SortedRuns.oracleSql
 }

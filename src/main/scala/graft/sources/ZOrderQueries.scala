@@ -93,11 +93,19 @@ object ZOrderQueries {
     * produce, and what a min-max–pruning scan consults.
     */
   def footerRanges(s: SparkSession, root: String, column: String)
-      : Seq[(Long, Long)] = {
+      : Seq[(Long, Long)] =
+    footerRangesByFile(s, root, column).map { case (_, mn, mx) => (mn, mx) }
+
+  /** Per-file (path, min, max) of `column` from the parquet footers —
+    * the file-level variant [[graft.plans.SortedRuns]] consumes to
+    * order runs and certify disjointness.
+    */
+  def footerRangesByFile(s: SparkSession, root: String, column: String)
+      : Seq[(String, Long, Long)] = {
     import scala.jdk.CollectionConverters._
     val conf = s.sessionState.newHadoopConf()
     val files = Files.walk(Paths.get(root)).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).toList
+      .filter(_.toString.endsWith(".parquet")).toList.sortBy(_.toString)
     files.flatMap { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.toUri), conf)
@@ -120,7 +128,7 @@ object ZOrderQueries {
             }
           }
           require(mn <= mx, s"column $column absent from $f")
-          Some((mn, mx))
+          Some((f.toString, mn, mx))
         }
       } finally r.close()
     }
@@ -219,10 +227,13 @@ object ZOrderQueries {
   val SortCol = "user_id"
   val SortFiles = 16
 
-  private def ensureSortedLayout(s: SparkSession, dir: String): Unit = {
+  private[graft] def ensureSortedLayout(s: SparkSession, dir: String): Unit = {
     import s.implicits._
     val marker = Paths.get(SortRoot, ".fixture_key")
-    val key = s"totalsort:$dir:$SortFiles"
+    // v2: event_id joined the within-file sort as the unique tiebreak —
+    // the total order it completes is what makes q184's positional
+    // checksum deterministic across engines
+    val key = s"totalsort:$dir:$SortFiles:v2"
     val cached = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == key
     if (!cached) {
@@ -232,7 +243,7 @@ object ZOrderQueries {
       // across partitions
       T.events(s, dir)
         .repartitionByRange(SortFiles, col(SortCol), col("ts"))
-        .sortWithinPartitions(col(SortCol), col("ts"))
+        .sortWithinPartitions(col(SortCol), col("ts"), col("event_id"))
         .write.mode(SaveMode.Overwrite).parquet(SortRoot)
       Files.write(marker, key.getBytes("UTF-8"))
     }
