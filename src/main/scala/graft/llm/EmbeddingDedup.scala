@@ -182,11 +182,82 @@ object EmbeddingDedup {
        |WHERE cos_sim >= $NearDupThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Twin-recall floor for the q185 gate: k-means cell BOUNDARIES can
+    * split a close pair into different cells — the approximation
+    * SemDeDup accepts by design (a pair is only compared within its
+    * cluster). Banding (q112) has no such seam, hence its exact oracle
+    * vs this gate's floor.
+    */
+  val SemDedupTwinFloor = 0.9
+
+  /** q185 — SemDeDup-style SEMANTIC dedup (the sixth dedup mode): bound
+    * candidate pairs by a fitted k-means partition instead of LSH bands
+    * — fit a spherical codebook on a deterministic sample (the IVF
+    * machinery, VectorSearch.fitCodebook), assign every vector to its
+    * top-1 cell, compare pairs ONLY within a cell, and drop every
+    * vector that has a strictly-smaller-id cell-mate at cosine ≥ τ
+    * (keep-smallest canonical rule, exactly decided by the quantized
+    * dot).
+    *
+    * Scale shape: assignment is one broadcast pass (codebook ≈ cells ×
+    * dim floats); pairing is an equi-join on the cell id with a
+    * deterministic per-cell member cap as the skew valve (the
+    * q41/q45 discipline), so per-cell work is ≤ cap² and total work
+    * ≈ N · members-per-cell — at 100 TB you pick cells ≈ N/m for a
+    * constant target m, never all pairs. Output is the driver-gated
+    * (n_vectors, ok) row: ok demands the planted structural twins be
+    * dropped at ≥ [[SemDedupTwinFloor]] (each twin has its original —
+    * a smaller id — at cosine ≥ τ; only a cell split may save it) and
+    * exact keep/drop bookkeeping.
+    */
+  val SemDedupCellCap = 256
+
+  val q185SemanticDedup: Q = (s, dir) => {
+    import s.implicits._
+    val corpus = twinCorpus(T.embeddings(s, dir)).localCheckpoint()
+    val n = corpus.count()
+    val cells = graft.llm.VectorSearch.ivfCellCount(n)
+    val codebook = graft.llm.VectorSearch.fitCodebook(corpus, cells)
+    val assigned = graft.llm.VectorSearch.centroidCellsJoin(corpus, codebook)
+      .join(corpus, "vec_id")
+      .select($"cell", $"vec_id", $"embedding", norm_q20($"embedding").as("norm"))
+    // deterministic per-cell cap — the skew valve; inert at test scale
+    val wCap = Window.partitionBy($"cell").orderBy(xxhash64($"vec_id"), $"vec_id")
+    val capped = assigned.withColumn("slot", row_number().over(wCap))
+      .filter($"slot" <= SemDedupCellCap).drop("slot")
+      .localCheckpoint()
+    val a = capped.select($"cell", $"vec_id".as("id_a"), $"embedding".as("ea"),
+      $"norm".as("na"))
+    val b = capped.select($"cell", $"vec_id".as("id_b"), $"embedding".as("eb"),
+      $"norm".as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("cos_sim",
+        cosine(dot_q20($"ea", $"eb").cast("double"), $"na", $"nb"))
+      .filter($"cos_sim" >= NearDupThreshold)
+      .select($"id_b".as("vec_id")).distinct()
+    val st = dropped.agg(count(lit(1)).as("nd"),
+      coalesce(sum(when($"vec_id" >= TwinIdOffset, 1L).otherwise(0L)), lit(0L))
+        .as("td"))
+      .collect()(0)
+    val (nDropped, twinsDropped) = (st.getLong(0), st.getLong(1))
+    val nTwins = n / 2
+    val ok = twinsDropped >= math.ceil(SemDedupTwinFloor * nTwins).toLong &&
+      nDropped >= twinsDropped && nDropped < n
+    Seq((n, ok)).toDF("n_vectors", "ok")
+  }
+
+  val q185Sql: String =
+    """SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_vectors, TRUE AS ok
+      |FROM embeddings""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q112_embedding_near_dup" -> q112EmbeddingNearDup,
+    "q185_semantic_dedup" -> q185SemanticDedup,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q112_embedding_near_dup" -> q112Sql,
+    "q185_semantic_dedup" -> q185Sql,
   )
 }

@@ -58,6 +58,16 @@ class EmbeddingDedupSpec extends SparkSpec {
       s"pairs with <2 band collisions: ${weak.mkString(", ")}")
   }
 
+  test("semantic dedup gate: twins dropped at the floor, deterministic") {
+    val row1 = EmbeddingDedup.q185SemanticDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val row2 = EmbeddingDedup.q185SemanticDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(row1 == row2, "semantic dedup gate is not deterministic")
+    assert(row1.head._2, "twin recall below the SemDeDup floor")
+    assert(row1.head._1 == corpus.count())
+  }
+
   test("twin derivation zeroes exactly the first two coordinates") {
     val orig = T.embeddings(spark, dir)
       .filter($"vec_id" === 0).select($"embedding")
