@@ -80,6 +80,54 @@ object LayoutQueries {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** q186 — DYNAMIC partition pruning (the runtime sibling of q111's
+    * static pruning): the pruning predicate is not known until another
+    * relation is filtered at run time — the fact table's partitions are
+    * pruned by the RESULT of the dim-side filter, which Catalyst wires
+    * as a dynamicpruning subquery reusing the dim's broadcast. At
+    * 100 TB this is the difference between scanning every day and
+    * scanning the handful of days a filtered dimension selects, for
+    * predicates no static planner can see. The plan REQUIRE pins the
+    * `dynamicpruningexpression` inside the scan's PartitionFilters;
+    * the oracle replays the join over the raw files.
+    */
+  val q186DynamicPruning: Q = (s, dir) => {
+    import s.implicits._
+    ensureLayout(s, dir)
+    val fact = s.read.parquet(LayoutRoot)
+    // calendar dim mapped into the events month (the fixtures live in
+    // different eras: events in 2024-01, orders in the 90s) — what
+    // matters for DPP is that the day set is the runtime result of
+    // filtering another relation, invisible to any static planner
+    val dim = T.orders(s, dir)
+      .filter(month($"o_orderdate") === 3 && dayofmonth($"o_orderdate") <= 10)
+      .select(concat(lit("2024-01-"),
+        lpad(dayofmonth($"o_orderdate").cast("string"), 2, "0"))
+        .as("event_day"))
+      .distinct()
+    val joined = fact.join(dim, "event_day")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsl.dsumExpr($"value").as("sum_value"))
+      .orderBy($"event_type")
+    val plan = joined.queryExecution.executedPlan.toString
+    require(plan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in the fact scan; plan:\n$plan")
+    joined
+  }
+
+  val q186Sql: String =
+    s"""WITH dim AS (
+       |  SELECT DISTINCT '2024-01-' ||
+       |    lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0') AS event_day
+       |  FROM orders
+       |  WHERE month(o_orderdate) = 3 AND day(o_orderdate) <= 10)
+       |SELECT event_type, COUNT(*) AS n, ${O.dsumExpr("value")} AS sum_value
+       |FROM read_parquet('$LayoutRoot/*/*.parquet',
+       |                  hive_partitioning=1, hive_types_autocast=0) f
+       |JOIN dim USING (event_day)
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------------
   // q113 — small-file compaction: the table-maintenance op every
   // long-running ingest needs. Streaming/incremental writers fragment a
@@ -370,11 +418,13 @@ object LayoutQueries {
     "q111_partition_pruning" -> q111PartitionPruning,
     "q113_compaction" -> q113Compaction,
     "q128_bloom_lookup" -> q128BloomLookup,
+    "q186_dynamic_pruning" -> q186DynamicPruning,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q111_partition_pruning" -> q111Sql,
     "q113_compaction" -> q113Sql,
     "q128_bloom_lookup" -> q128Sql,
+    "q186_dynamic_pruning" -> q186Sql,
   )
 }
