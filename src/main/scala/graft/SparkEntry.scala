@@ -34,7 +34,8 @@ object SparkEntry {
       CorpusOps.queries ++ VectorStats.queries ++ PageRank.queries ++
       BpeTrain.queries ++ SchemaEvolution.queries ++ TriangleCount.queries ++
       ProductQuantization.queries ++ graft.plans.TopK.queries ++ BinaryFiles.queries ++ Federation.queries ++ DynamicOverwrite.queries ++
-      MultimodalOracle.queries ++ graft.plans.SortedRuns.queries
+      MultimodalOracle.queries ++ graft.plans.SortedRuns.queries ++
+      graft.sources.DeletionVectors.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +56,6 @@ object SparkEntry {
       BpeTrain.oracleSql ++ SchemaEvolution.oracleSql ++
       TriangleCount.oracleSql ++ ProductQuantization.oracleSql ++
       graft.plans.TopK.oracleSql ++ BinaryFiles.oracleSql ++ Federation.oracleSql ++ DynamicOverwrite.oracleSql ++
-      MultimodalOracle.oracleSql ++ graft.plans.SortedRuns.oracleSql
+      MultimodalOracle.oracleSql ++ graft.plans.SortedRuns.oracleSql ++
+      graft.sources.DeletionVectors.oracleSql
 }
