@@ -99,6 +99,27 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** CHAINED stateful operators in ONE streaming query — watermarked
+    * dedup feeding a tumbling-window aggregate, the Spark 3.5+
+    * multi-stateful-pipeline capability (before it, each stateful op
+    * needed its own query + intermediate sink; the single query shares
+    * one watermark timeline and checkpoints both state stores
+    * atomically). The dedup emits exactly the first arrival per
+    * (user, event_type) inside the watermark, and the downstream window
+    * aggregate counts the SURVIVORS — duplicate-resistant traffic
+    * rollups in one pass. Spec pins batch equivalence; qs07 times the
+    * stacked state path.
+    */
+  def dedupedTumblingCounts(events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      width: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
   /** Approximate streaming dedup via Bloom-filter state — the
     * production form of [[dedupWithinWatermark]] at 100 TB/day, where
     * even watermark-bounded exact state (one stored row PER DISTINCT

@@ -278,6 +278,37 @@ object StreamBench {
     Seq((rows.size.toLong, out)).toDF("n_in", "n_users")
   }
 
+  /** qs07 — CHAINED stateful operators (dedup → tumbling agg) in one
+    * query: every micro-batch commits TWO stacked state stores on one
+    * watermark timeline — the multi-stateful-pipeline path whose
+    * overhead is invisible when each operator is benched alone.
+    */
+  val qs07ChainedStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val maxTs = rows.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    val name = s"bench_chain_${runId.incrementAndGet()}"
+    val q = EventStreams.dedupedTumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-chain-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    stream.addData(Event(-1L, -1L, "sentinel",
+      new java.sql.Timestamp(maxTs + 24L * 3600 * 1000), 0.0))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val out = s.table(name).filter($"event_type" =!= "sentinel").count()
+    s.catalog.dropTempView(name)
+    Seq((rows.size.toLong, out)).toDF("n_in", "n_windows")
+  }
+
   /** Bench-only entries — timed by [[graft.Bench]], absent from
     * [[graft.SparkEntry.queries]] so the correctness gate (which has no
     * streaming-SQL oracle) is unaffected.
@@ -289,5 +320,6 @@ object StreamBench {
     "qs04_anomaly_stream" -> qs04AnomalyStream,
     "qs05_asof_stream" -> qs05AsOfStream,
     "qs06_funnel_stream" -> qs06FunnelStream,
+    "qs07_chained_stream" -> qs07ChainedStream,
   )
 }

@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{count, expr, lit, window}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.SparkSpec
@@ -133,6 +133,38 @@ class EventStreamsSpec extends SparkSpec {
       "finalized window changed after late row")
     assert(!fin.exists(r => r._1 == at(0) && r._3 != 2L),
       s"late row re-opened a finalized window: $fin")
+  }
+
+  test("chained stateful ops: dedup feeding a window agg in one query") {
+    implicit val sqlCtx = spark.sqlContext
+    // real fixture rows in event_id (arrival) order — the regime where
+    // streaming keep-first equals batch keep-smallest-event_id
+    val input = eventsOf(dir).sortBy(_.event_id)
+    val maxTs = input.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    stream.addData(input)
+    val q = EventStreams.dedupedTumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("t_chain")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    q.processAllAvailable()
+    stream.addData(Event(-1L, -1L, "sentinel",
+      new Timestamp(maxTs + 24L * 3600 * 1000), 0.0))
+    drain(q)
+    val streamed = spark.table("t_chain")
+      .filter($"event_type" =!= "sentinel")
+      .as[(Timestamp, String, Long)].collect().toSet
+    // batch twin: keep the smallest event_id per (user, type), then
+    // tumbling-count the survivors
+    val kept = input.groupBy(e => (e.user_id, e.event_type))
+      .values.map(_.minBy(_.event_id)).toSeq
+    val batch = spark.createDataset(kept).toDF()
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start", $"event_type", $"n")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture produced no windows — dead test")
+    assert(streamed == batch,
+      s"chained pipeline mismatch: ${streamed.size} vs ${batch.size} windows")
   }
 
   test("dropDuplicatesWithinWatermark equals the q63 keep-first twin") {
