@@ -135,4 +135,32 @@ class PropertySpec extends SparkSpec {
       got == want
     }, minTests = 20)
   }
+
+  test("spilled per-group top-k equals the reference on random data and " +
+      "random thresholds") {
+    val rowsGen = for {
+      n <- Gen.choose(1, 80)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0L, 9L)
+        v <- Gen.choose(-100.0, 100.0)
+      } yield (g, v))
+    } yield rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+    // thresholds small enough that most runs spill several times, so
+    // the key-sorted run files + k-way merge path is what is tested
+    val p = Prop.forAll(rowsGen, Gen.choose(1, 6), Gen.choose(1, 9)) {
+      (rows, k, threshold) =>
+        spark.conf.set(graft.plans.TopK.SpillThresholdKey, threshold.toString)
+        try {
+          val df = rows.toDF("id", "g", "v")
+          val got = graft.plans.TopK
+            .perGroup(df, Seq("g"), Seq("v" -> false, "id" -> true), k)
+            .select("id").as[Long].collect().toSet
+          val want = rows.groupBy(_._2).values.flatMap { grp =>
+            grp.sortBy(r => (-r._3, r._1)).take(k).map(_._1)
+          }.toSet
+          got == want
+        } finally spark.conf.unset(graft.plans.TopK.SpillThresholdKey)
+    }
+    check("heap-topk-spill", p, minTests = 20)
+  }
 }
