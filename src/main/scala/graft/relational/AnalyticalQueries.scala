@@ -553,6 +553,8 @@ object AnalyticalQueries {
     T.lineitem(s, dir).createOrReplaceTempView("lineitem")
     T.nation(s, dir).createOrReplaceTempView("nation")
     T.region(s, dir).createOrReplaceTempView("region")
+    T.customer(s, dir).createOrReplaceTempView("customer")
+    T.orders(s, dir).createOrReplaceTempView("orders")
   }
 
   /** q181 — TPC-H Q2 shape (minimum-cost supplier): for each PROMO part,
@@ -633,6 +635,103 @@ object AnalyticalQueries {
       |      AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q188 — RECURSIVE CTE (Spark 4's WITH RECURSIVE): breadth-bounded
+    * reachability over the gear-family co-purchase subgraph ("which
+    * gear parts are transitively co-purchased with the first one") —
+    * the DECLARATIVE
+    * sibling of the hand-rolled iterative fixpoints (PageRank q138,
+    * connected components q101): the engine drives the loop, each
+    * recursion step is one distributed self-join against the working
+    * set. Spark 4.1 supports only UNION ALL recursion, so the
+    * recursive member carries its own DISTINCT: the working set stays a
+    * node-set per step (bounded by |nodes|·depths) instead of a PATH
+    * multiset, which would explode combinatorially on a dense
+    * co-purchase graph. Output is nodes first-reached per depth from
+    * the smallest part key.
+    *
+    * Scale shape: each step is an equi-join of the frontier against the
+    * edge list (hash-partitioned on the node id) + a distinct — exactly
+    * the per-round plan ConnectedComponents builds by hand; the depth
+    * bound caps the rounds. The edge list is loop-INVARIANT, but a CTE
+    * referenced from inside the recursion is re-inlined into EVERY
+    * step — measured at sf0.1: 7.5 s with the full-graph self-join
+    * recomputed once per round, 5.3 s materialized once
+    * (localCheckpoint + temp view, the PageRank discipline), well under
+    * 1 s on the family subgraph a reachability question actually
+    * targets. The oracle keeps the single-statement form (DuckDB
+    * evaluates its CTE once).
+    */
+  val q188RecursiveReach: Q = (s, dir) => {
+    registerViews(s, dir)
+    s.sql(
+      """WITH gl AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%gear%')
+        |SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |FROM gl a JOIN gl b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"""
+        .stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("copurchase_edges")
+    s.sql(
+      """WITH RECURSIVE reach(node, depth) AS (
+        |  SELECT (SELECT MIN(u) FROM copurchase_edges), 0
+        |  UNION ALL
+        |  SELECT DISTINCT e.v, r.depth + 1
+        |  FROM reach r JOIN copurchase_edges e ON e.u = r.node
+        |  WHERE r.depth < 3),
+        |first_seen AS (
+        |  SELECT node, MIN(depth) AS d FROM reach GROUP BY node)
+        |SELECT d, COUNT(*) AS n_nodes
+        |FROM first_seen
+        |GROUP BY d
+        |ORDER BY d""".stripMargin)
+  }
+
+  val q188Sql: String =
+    """WITH RECURSIVE gl AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%gear%'),
+      |edges AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM gl a JOIN gl b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |reach(node, depth) AS (
+      |  SELECT (SELECT MIN(u) FROM edges), 0
+      |  UNION ALL
+      |  SELECT DISTINCT e.v, r.depth + 1
+      |  FROM reach r JOIN edges e ON e.u = r.node
+      |  WHERE r.depth < 3),
+      |first_seen AS (
+      |  SELECT node, MIN(depth) AS d FROM reach GROUP BY node)
+      |SELECT d, COUNT(*) AS n_nodes
+      |FROM first_seen
+      |GROUP BY d
+      |ORDER BY d""".stripMargin
+
+  /** q189 — LATERAL correlated subquery (per-customer top-2 orders):
+    * the third decorrelation surface next to q181's scalar aggregate
+    * and q182's nested IN — a correlated LIMIT block the optimizer must
+    * turn into a windowed/joined plan instead of re-running the inner
+    * query per customer row. Same answer as the q18 window spelling,
+    * which the spec pins row-for-row.
+    */
+  val q189LateralTopk: Q = (s, dir) => {
+    registerViews(s, dir)
+    s.sql(q189Sql)
+  }
+
+  val q189Sql: String =
+    """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer,
+      |  LATERAL (
+      |    SELECT o_orderkey, o_totalprice FROM orders
+      |    WHERE o_custkey = c_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_shipping_priority" -> q82ShippingPriority,
     "q83_local_supplier_volume" -> q83LocalSupplierVolume,
@@ -647,11 +746,15 @@ object AnalyticalQueries {
     "q173_sole_fault" -> q173SoleFault,
     "q181_min_cost_supplier" -> q181MinCostSupplier,
     "q182_excess_volume" -> q182ExcessVolume,
+    "q188_recursive_reach" -> q188RecursiveReach,
+    "q189_lateral_topk" -> q189LateralTopk,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q181_min_cost_supplier" -> q181Sql,
     "q182_excess_volume" -> q182Sql,
+    "q188_recursive_reach" -> q188Sql,
+    "q189_lateral_topk" -> q189Sql,
     "q82_shipping_priority" -> q82Sql,
     "q83_local_supplier_volume" -> q83Sql,
     "q94_funnel" -> q94Sql,

@@ -27,6 +27,26 @@ class DecorrelationSpec extends SparkSpec {
       "a part surfaced more than one 'minimum' cost")
   }
 
+  test("LATERAL top-2 equals the window spelling row-for-row") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lateral = AnalyticalQueries.q189LateralTopk(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val windowed = graft.core.Tables.orders(spark, dir)
+      .join(graft.core.Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey", "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"o_custkey".as("c_custkey"), $"o_orderkey", $"o_totalprice")
+      .orderBy($"c_custkey", $"o_totalprice".desc, $"o_orderkey")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(lateral.nonEmpty)
+    assert(lateral == windowed, "lateral and window spellings diverged")
+  }
+
   test("Q20 shape: nested IN + correlated HAVING rewrites to semi joins") {
     val df = AnalyticalQueries.q182ExcessVolume(spark, dir)
     val optimized = df.queryExecution.optimizedPlan.toString
