@@ -189,6 +189,135 @@ object MultimodalOracle {
        |  TRUE AS ok
        |FROM documents WHERE doc_id < $MediaDocBound""".stripMargin
 
-  val queries: Map[String, Q] = Map("q180_multimodal_decode" -> q180MultimodalDecode)
-  val oracleSql: Map[String, String] = Map("q180_multimodal_decode" -> q180Sql)
+  // ---- q190: the transform legs (resize / frame-RMS / video sampling)
+  //      under the driver gate, mirroring each transform's arithmetic ----
+
+  val ThumbW = 4
+  val ThumbH = 3
+  val FrameSamples = 32
+  val VideoStride = 2
+
+  /** Expected thumbnail, mirroring [[Multimodal.resizePpm]]'s
+    * nearest-neighbor source-pixel rule and float division.
+    */
+  private[llm] def thumbExpected(id: Long): Array[Float] = {
+    val (w, h) = ppmDims(id)
+    val out = new Array[Float](ThumbW * ThumbH * 3)
+    var ty = 0
+    while (ty < ThumbH) {
+      val sy = ty.toLong * h / ThumbH
+      var tx = 0
+      while (tx < ThumbW) {
+        val sx = tx.toLong * w / ThumbW
+        var c = 0
+        while (c < 3) {
+          out((ty * ThumbW + tx) * 3 + c) =
+            ppmByte(id, ((sy * w + sx) * 3).toInt + c).toFloat / 255
+          c += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Expected per-frame RMS, mirroring [[Multimodal.frameRmsWav]]. */
+  private[llm] def frameRmsExpected(id: Long): Array[Float] = {
+    val n = wavSampleCount(id)
+    val nFrames = math.min(64, (n + FrameSamples - 1) / FrameSamples)
+    Array.tabulate(nFrames) { f =>
+      val start = f * FrameSamples
+      val end = math.min(n, start + FrameSamples)
+      var sumSq = 0.0
+      var j = start
+      while (j < end) {
+        val v = wavSample(id, j) / 32768.0
+        sumSq += v * v
+        j += 1
+      }
+      math.sqrt(sumSq / (end - start)).toFloat
+    }
+  }
+
+  /** Expected stride-sampled video frames, mirroring
+    * [[Multimodal.sampleGvid]] (indices by stride, capped at 16, channel
+    * means of each sampled frame's real PPM decode).
+    */
+  private[llm] def videoExpected(id: Long): (Int, Array[Int], Array[Float]) = {
+    val nf = gvidFrameCount(id)
+    val idx = (0 until nf).by(VideoStride).take(16).toArray
+    val means = new Array[Float](idx.length * 3)
+    idx.zipWithIndex.foreach { case (f, i) =>
+      System.arraycopy(ppmExpected(gvidFrameId(id, f))._3, 0, means, i * 3, 3)
+    }
+    (nf, idx, means)
+  }
+
+  case class ExpectedThumb(media_id: Long, e_pixels: Array[Float])
+  case class ExpectedRms(media_id: Long, e_rms: Array[Float])
+  case class ExpectedVideo(media_id: Long, e_n: Int, e_idx: Array[Int],
+      e_means: Array[Float])
+
+  /** q190 — the multimodal TRANSFORM legs as one driver row: thumbnails
+    * ([[Multimodal.resizeThumbnails]]), audio frame-RMS
+    * ([[Multimodal.sampleFrames]]) and video stride-sampling
+    * ([[Multimodal.sampleVideoFrames]]) over the same fixture as q180,
+    * each joined against its closed-form expectation (same
+    * independence discipline: expectations mirror the transform's
+    * float arithmetic, never re-call it). ok is bit-for-bit array
+    * equality across all three legs.
+    */
+  val q190MultimodalTransforms: Q = (s, dir) => {
+    import s.implicits._
+    writeFixture(s, dir)
+    val media = s.read.format("binaryFile").load(fixtureDir(dir))
+      .select(
+        regexp_extract(input_file_name(), "_(\\d+)\\.(ppm|wav|gvid)", 1)
+          .cast("long").as("media_id"),
+        when(input_file_name().endsWith(".ppm"), PpmMime)
+          .when(input_file_name().endsWith(".wav"), WavMime)
+          .otherwise(GvidMime).as("mime"),
+        $"content".as("bytes"))
+      .as[MediaRecord]
+    val ids = T.documents(s, dir).filter($"doc_id" < MediaDocBound)
+      .select($"doc_id").as[Long]
+    val thumbs = Multimodal.resizeThumbnails(media, ThumbW, ThumbH).toDF()
+      .join(ids.map(id => ExpectedThumb(id, thumbExpected(id))).toDF(),
+        "media_id")
+      .agg(count(lit(1)).as("n_thumbs"),
+        coalesce(sum(when($"pixels" =!= $"e_pixels", 1)), lit(0)).as("bad_t"))
+    val rms = Multimodal.sampleFrames(media, FrameSamples).toDF()
+      .join(ids.map(id => ExpectedRms(id, frameRmsExpected(id))).toDF(),
+        "media_id")
+      .agg(count(lit(1)).as("n_audio"),
+        coalesce(sum(when($"frame_rms" =!= $"e_rms", 1)), lit(0)).as("bad_a"))
+    val vids = Multimodal.sampleVideoFrames(media, VideoStride).toDF()
+      .join(ids.map { id =>
+          val (n, ix, m) = videoExpected(id); ExpectedVideo(id, n, ix, m)
+        }.toDF(), "media_id")
+      .agg(count(lit(1)).as("n_video"),
+        coalesce(sum(when($"n_frames" =!= $"e_n" ||
+          $"sampled_idx" =!= $"e_idx" || $"frame_means" =!= $"e_means", 1)),
+          lit(0)).as("bad_v"))
+    thumbs.crossJoin(rms).crossJoin(vids)
+      .select($"n_thumbs", $"n_audio", $"n_video",
+        ($"bad_t" + $"bad_a" + $"bad_v" === 0).as("ok"))
+  }
+
+  val q190Sql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_thumbs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_audio,
+       |  CAST(COUNT(*) AS BIGINT) AS n_video,
+       |  TRUE AS ok
+       |FROM documents WHERE doc_id < $MediaDocBound""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q180_multimodal_decode" -> q180MultimodalDecode,
+    "q190_multimodal_transforms" -> q190MultimodalTransforms,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q180_multimodal_decode" -> q180Sql,
+    "q190_multimodal_transforms" -> q190Sql,
+  )
 }
