@@ -93,9 +93,14 @@ object Bench {
     // The full per-query line above is ~5 KB at 155 entries; the driver
     // captures only a 2000-char stdout TAIL, which truncates that line's
     // HEAD (r5/r6 both recorded parsed:null). Repeat the headline numbers
-    // in a compact final line (<200 chars, no per-query map) so the last
-    // line — the one the tail is guaranteed to keep whole — always parses.
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n":${results.size},"failed":$failed,"ok":${failed == "[]"},"sf":"$sfDir"}""")
+    // in a compact final line so the last line — the one the tail is
+    // guaranteed to keep whole — always parses. The failed list is CAPPED
+    // (count + first 3 names): an unbounded list would blow past the tail
+    // in exactly the many-failures regime this line exists to report.
+    val failedNames = results.collect { case (k, _, false) => k }
+    val failedCompact = failedNames.take(3).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n":${results.size},"n_failed":${failedNames.size},"failed":$failedCompact,"ok":${failedNames.isEmpty},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

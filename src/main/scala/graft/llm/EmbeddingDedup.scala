@@ -242,8 +242,10 @@ object EmbeddingDedup {
       .collect()(0)
     val (nDropped, twinsDropped) = (st.getLong(0), st.getLong(1))
     val nTwins = n / 2
+    // (nDropped ≥ twinsDropped is structural — twins are a subset of
+    // dropped — so the checkable bookkeeping is the strict upper bound)
     val ok = twinsDropped >= math.ceil(SemDedupTwinFloor * nTwins).toLong &&
-      nDropped >= twinsDropped && nDropped < n
+      nDropped < n
     Seq((n, ok)).toDF("n_vectors", "ok")
   }
 

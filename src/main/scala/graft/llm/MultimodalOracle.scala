@@ -3,7 +3,7 @@ package graft.llm
 import java.nio.charset.StandardCharsets.US_ASCII
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
@@ -152,10 +152,14 @@ object MultimodalOracle {
   case class ExpectedMedia(media_id: Long, mime: String,
       e_width: Int, e_height: Int, e_features: Array[Float])
 
-  val q180MultimodalDecode: Q = (s, dir) => {
+  /** The fixture scan both q180 and q190 consume: binaryFile rows keyed
+    * by the id/mime encoded in the file name (one definition — the two
+    * gates must agree on the keying or their joins silently drop rows).
+    */
+  private def mediaScan(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     writeFixture(s, dir)
-    val media = s.read.format("binaryFile").load(fixtureDir(dir))
+    s.read.format("binaryFile").load(fixtureDir(dir))
       .select(
         regexp_extract(input_file_name(), "_(\\d+)\\.(ppm|wav|gvid)", 1)
           .cast("long").as("media_id"),
@@ -164,7 +168,11 @@ object MultimodalOracle {
           .otherwise(GvidMime).as("mime"),
         $"content".as("bytes"))
       .as[MediaRecord]
-    val decoded = Multimodal.decode(media)
+  }
+
+  val q180MultimodalDecode: Q = (s, dir) => {
+    import s.implicits._
+    val decoded = Multimodal.decode(mediaScan(s, dir))
     val expected = T.documents(s, dir).filter($"doc_id" < MediaDocBound)
       .select($"doc_id").as[Long]
       .flatMap { id =>
@@ -270,16 +278,7 @@ object MultimodalOracle {
     */
   val q190MultimodalTransforms: Q = (s, dir) => {
     import s.implicits._
-    writeFixture(s, dir)
-    val media = s.read.format("binaryFile").load(fixtureDir(dir))
-      .select(
-        regexp_extract(input_file_name(), "_(\\d+)\\.(ppm|wav|gvid)", 1)
-          .cast("long").as("media_id"),
-        when(input_file_name().endsWith(".ppm"), PpmMime)
-          .when(input_file_name().endsWith(".wav"), WavMime)
-          .otherwise(GvidMime).as("mime"),
-        $"content".as("bytes"))
-      .as[MediaRecord]
+    val media = mediaScan(s, dir)
     val ids = T.documents(s, dir).filter($"doc_id" < MediaDocBound)
       .select($"doc_id").as[Long]
     val thumbs = Multimodal.resizeThumbnails(media, ThumbW, ThumbH).toDF()

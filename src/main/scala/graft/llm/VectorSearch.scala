@@ -621,7 +621,9 @@ object VectorSearch {
     * the coverage contract the index promises: IVF answers EVERY vector
     * (its own cell is always probed and probed cells at √N sizing hold
     * ~probes·√N candidates), while LSH answers only vectors that collide
-    * in ≥1 bucket, so its floor is answered ∈ [1, n]. RECALL quality
+    * in ≥1 bucket, so its only checkable floor is answered > 0 (an
+    * upper bound is already implied by the one-answer-per-qid check —
+    * qids come from the corpus). RECALL quality
     * stays the planted-twin/exact-top-1 contract of q85/q86 — this gate
     * pins that what IS answered is correct, which no spec-only run
     * checked under the driver before.
@@ -643,8 +645,8 @@ object VectorSearch {
     e.agg(count(lit(1)).as("n_vectors")).crossJoin(checked)
       .select($"n_vectors",
         ($"bad" === 0 && $"answered" === $"distinct_q" && $"answered" > 0 &&
-          (if (fullCoverage) $"answered" === $"n_vectors"
-           else $"answered" <= $"n_vectors")).as("ok"))
+          (if (fullCoverage) $"answered" === $"n_vectors" else lit(true)))
+          .as("ok"))
   }
 
   val q45LshAnnGate: Q = (s, dir) => {

@@ -99,23 +99,34 @@ object SortedRuns {
       s"global orderBy over sorted runs must not shuffle; plan:\n$plan")
     require(!plan.contains("Sort ["),
       s"global orderBy over sorted runs must not re-sort; plan:\n$plan")
+    // mod-prime arithmetic keeps the checksum scale-stable: the raw
+    // Σ rn·event_id grows ~n³ and would wrap a Long (silently on the
+    // Spark fold, loudly on DuckDB's BIGINT cast) somewhere around
+    // sf 1; every mod-P term and partial sum stays < P² < 2^63 on both
+    // engines, and incremental (acc + t) % P equals the total mod P
+    // for non-negative terms.
+    val P = ChecksumPrime
     val checksum = ordered.select($"event_id").as[Long].rdd
       .zipWithIndex()
-      .map { case (id, i) => (i + 1L) * id }
-      .fold(0L)(_ + _)
+      .map { case (id, i) => (((i + 1L) % P) * (id % P)) % P }
+      .fold(0L)((a, b) => (a + b) % P)
     val n = ordered.count()
     Seq((n, checksum)).toDF("n_rows", "ord_checksum")
   }
 
+  val ChecksumPrime = 2000000011L
+
   val q184Sql: String =
-    """WITH o AS (
-      |  SELECT event_id,
-      |    ROW_NUMBER() OVER (ORDER BY user_id, CAST(ts AS TIMESTAMP),
-      |      event_id) AS rn
-      |  FROM events)
-      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-      |  CAST(SUM(rn * event_id) AS BIGINT) AS ord_checksum
-      |FROM o""".stripMargin
+    s"""WITH o AS (
+       |  SELECT event_id,
+       |    ROW_NUMBER() OVER (ORDER BY user_id, CAST(ts AS TIMESTAMP),
+       |      event_id) AS rn
+       |  FROM events)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(((rn % $ChecksumPrime) * (event_id % $ChecksumPrime))
+       |           % $ChecksumPrime) % $ChecksumPrime AS BIGINT)
+       |    AS ord_checksum
+       |FROM o""".stripMargin
 
   val queries: Map[String, Q] = Map("q184_sorted_runs" -> q184SortedRuns)
   val oracleSql: Map[String, String] = Map("q184_sorted_runs" -> q184Sql)

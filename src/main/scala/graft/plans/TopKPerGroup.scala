@@ -196,6 +196,12 @@ case class TopKPerGroupExec(
       else {
         if (heaps.nonEmpty) spillRun()
         val readers = spills.map(f => new TopKRunReader(f, schema.length))
+        // a partially-consumed merge (LIMIT upstream, task failure)
+        // would otherwise leak the open streams — and on Linux the
+        // already-unlinked spill bytes stay allocated while an fd is
+        // open, so the completion listener closes readers too
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => readers.foreach(_.close())))
         TopKPerGroupExec.mergeRuns(readers.toSeq, cmp, ordering, kk)
       }
     }, preservesPartitioning = true)
@@ -213,8 +219,14 @@ private[plans] final class TopKRunReader(
   private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
     new java.io.FileInputStream(file), 1 << 16))
   private var remaining = in.readInt()
+  private var closed = false
   var keyBytes: Array[Byte] = _
   var rows: Array[UnsafeRow] = _
+
+  /** Idempotent close — run-end and the task-completion listener both
+    * call it.
+    */
+  def close(): Unit = if (!closed) { closed = true; in.close() }
 
   private def readRow(): UnsafeRow = {
     val b = new Array[Byte](in.readInt())
@@ -226,7 +238,7 @@ private[plans] final class TopKRunReader(
 
   /** Load the next (key, rows) entry; false (and closed) at run end. */
   def advance(): Boolean =
-    if (remaining <= 0) { in.close(); false }
+    if (remaining <= 0) { close(); false }
     else {
       remaining -= 1
       keyBytes = { val b = new Array[Byte](in.readInt()); in.readFully(b); b }

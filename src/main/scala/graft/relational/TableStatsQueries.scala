@@ -148,9 +148,16 @@ object TableStatsQueries {
     * `joinReorder.enabled` read to re-order joins by estimated size.
     * Temp views can't carry catalog stats, hence real tables here.
     */
+  /** Dataset dirs whose cbo_ tables + stats are already in this
+    * session's catalog — the in-catalog analogue of the marker-file
+    * fixture caches (ensureLayout etc.): bench reps must time the JOIN,
+    * not 3 DDLs + 3 ANALYZE table scans per run.
+    */
+  private val cboPrepared =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def prepareCboTables(s: SparkSession, dir: String): Unit = {
-    s.conf.set("spark.sql.cbo.enabled", "true")
-    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    if (cboPrepared.contains(dir)) return
     // o_orderdate is deliberately NOT analyzed: it reads as
     // TimestampNTZ and Spark 4.1's FilterEstimation has no case for
     // that type — a column-stat on it makes optimization throw
@@ -165,6 +172,23 @@ object TableStatsQueries {
       s.sql(s"DROP TABLE IF EXISTS cbo_$t")
       s.sql(s"CREATE TABLE cbo_$t USING parquet LOCATION '$dir/$t.parquet'")
       s.sql(s"ANALYZE TABLE cbo_$t COMPUTE STATISTICS FOR COLUMNS $cols")
+    }
+    cboPrepared.add(dir)
+  }
+
+  /** Run `body` with CBO + join reorder ON, restoring the prior conf
+    * values after (the StreamBench.withStreamConfs discipline — q183
+    * must not leave CBO enabled for every later query in the session).
+    * The caller must FREEZE any plan it builds (materialize
+    * queryExecution.executedPlan) before this returns.
+    */
+  def withCbo[A](s: SparkSession)(body: => A): A = {
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    keys.foreach(s.conf.set(_, "true"))
+    try body finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
     }
   }
 
@@ -188,11 +212,18 @@ object TableStatsQueries {
 
   /** q183 — the CBO-reordered join as a driver row: same answer as the
     * statistics-blind plan (the oracle replays it over the raw files),
-    * reached through the stats-driven join order.
+    * reached through the stats-driven join order. The plan is
+    * MATERIALIZED inside the scoped-conf window (QueryExecution caches
+    * its phases), so the frozen CBO plan executes later while the
+    * session's conf is already restored.
     */
   val q183CboJoinReorder: Q = (s, dir) => {
     prepareCboTables(s, dir)
-    s.sql(CboJoinSql)
+    withCbo(s) {
+      val df = s.sql(CboJoinSql)
+      df.queryExecution.executedPlan // freeze the stats-driven plan
+      df
+    }
   }
 
   val q183Sql: String = CboJoinSql.replace("cbo_", "")

@@ -113,8 +113,7 @@ object EventStreams {
   def dedupedTumblingCounts(events: DataFrame,
       watermarkDelay: String = "10 minutes",
       width: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    dedupWithinWatermark(events, watermarkDelay) // the q63 leg, composed
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"),

@@ -26,23 +26,23 @@ class CboJoinReorderSpec extends SparkSpec {
   }
 
   test("ANALYZE'd stats + CBO flip the join order; the answer is unchanged") {
-    TableStatsQueries.prepareCboTables(spark, dir) // also enables CBO
-    val withCbo = spark.sql(TableStatsQueries.CboJoinSql)
-    val cboBottom = bottomJoinTables(withCbo.queryExecution.optimizedPlan)
-    val cboRows = withCbo.collect().map(_.toSeq).toSeq
+    TableStatsQueries.prepareCboTables(spark, dir)
+    val (cboBottom, cboRows) = TableStatsQueries.withCbo(spark) {
+      val df = spark.sql(TableStatsQueries.CboJoinSql)
+      (bottomJoinTables(df.queryExecution.optimizedPlan),
+        df.collect().map(_.toSeq).toSeq)
+    }
+    // withCbo restored the session's prior conf, so this is the
+    // statistics-blind default path
+    val blind = spark.sql(TableStatsQueries.CboJoinSql)
+    val blindBottom = bottomJoinTables(blind.queryExecution.optimizedPlan)
+    val blindRows = blind.collect().map(_.toSeq).toSeq
 
-    spark.conf.set("spark.sql.cbo.enabled", "false")
-    try {
-      val blind = spark.sql(TableStatsQueries.CboJoinSql)
-      val blindBottom = bottomJoinTables(blind.queryExecution.optimizedPlan)
-      val blindRows = blind.collect().map(_.toSeq).toSeq
-
-      assert(blindBottom == Set("lineitem", "orders"),
-        s"without CBO the written order should hold: $blindBottom")
-      assert(cboBottom == Set("lineitem", "supplier"),
-        s"with stats the selective supplier edge should join first: $cboBottom")
-      assert(cboRows == blindRows, "reorder changed the answer")
-      assert(cboRows.nonEmpty)
-    } finally spark.conf.set("spark.sql.cbo.enabled", "true")
+    assert(blindBottom == Set("lineitem", "orders"),
+      s"without CBO the written order should hold: $blindBottom")
+    assert(cboBottom == Set("lineitem", "supplier"),
+      s"with stats the selective supplier edge should join first: $cboBottom")
+    assert(cboRows == blindRows, "reorder changed the answer")
+    assert(cboRows.nonEmpty)
   }
 }

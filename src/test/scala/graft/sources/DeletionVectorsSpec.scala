@@ -17,9 +17,9 @@ class DeletionVectorsSpec extends SparkSpec {
   test("anti-join drops exactly the tombstoned rows") {
     // run the query once so the fixture exists
     DeletionVectors.q187MergeOnRead(spark, dir).collect()
-    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val base = spark.read.parquet(s"/root/repo/target/fixtures/mor_base_$key")
-    val dels = spark.read.parquet(s"/root/repo/target/fixtures/mor_deletes_$key")
+    val (baseRoot, delRoot) = DeletionVectors.roots(dir)
+    val base = spark.read.parquet(baseRoot)
+    val dels = spark.read.parquet(delRoot)
     val live = base
       .select($"_metadata.file_path".as("fp"), $"_metadata.row_index".as("ri"),
         $"event_id")
