@@ -56,6 +56,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         arity("dot_q20", args, 2); DotProductQ20(args(0), args(1))
       }),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        arity("jaro_winkler", args, 2); JaroWinkler(args(0), args(1))
+      }),
     (FunctionIdentifier("srp_bucket"),
       new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
       (args: Seq[Expression]) => {

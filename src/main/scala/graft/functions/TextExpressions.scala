@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -74,8 +74,120 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Jaro-Winkler similarity as a codegen'd binary expression — a scalar
+  * string-similarity function Spark has no builtin for (`levenshtein`
+  * is the only edit metric in functions._), while DuckDB ships it
+  * natively — which makes this the rare CUSTOM expression whose output
+  * doubles can be hash-compared bit-for-bit against an independent
+  * engine (q197).
+  *
+  * Semantics mirror DuckDB's vendored RapidFuzz implementation exactly,
+  * including floating-point operation ORDER (so results are
+  * bit-identical, not merely close): match window
+  * `max(len)/2 - 1`; transpositions halved by integer division;
+  * `sim = ((m/l1 + m/l2) + (m-t)/m) / 3` accumulated left-to-right;
+  * Winkler boost `sim += prefix * 0.1 * (1 - sim)` only when
+  * `sim > 0.7`, common prefix capped at 4; zero matches or an empty
+  * side → 0.0 (DuckDB returns 0.0 for `('','')`, not the textbook 1.0
+  * — pinned in JaroWinklerSpec). Operates on UTF-8 BYTES, matching
+  * DuckDB's byte-wise loop — identical for ASCII; multi-byte
+  * codepoints compare per byte in both engines.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"expected (string, string), got " +
+          s"(${left.dataType}, ${right.dataType})")
+  }
+
+  /** Hot loop shared by eval and codegen. O(len1·len2) worst case like
+    * every Jaro implementation; the per-row flag arrays are the only
+    * allocation. */
+  def jaroWinklerOf(l: org.apache.spark.unsafe.types.UTF8String,
+                    r: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val a = l.getBytes
+    val b = r.getBytes
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aFlags = new Array[Boolean](la)
+    val bFlags = new Array[Boolean](lb)
+    var matches = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bFlags(j) && a(i) == b(j)) {
+          aFlags(i) = true; bFlags(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: walk both flagged subsequences in order
+    var transpositions = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (aFlags(i)) {
+        while (!bFlags(j)) j += 1
+        if (a(i) != b(j)) transpositions += 1
+        j += 1
+      }
+      i += 1
+    }
+    val t = transpositions / 2
+    val m = matches.toDouble
+    // accumulate in RapidFuzz's order for bit-identity with DuckDB
+    var sim = 0.0
+    sim += m / la.toDouble
+    sim += m / lb.toDouble
+    sim += (m - t.toDouble) / m
+    sim = sim / 3.0
+    if (sim > 0.7) {
+      var prefix = 0
+      val maxPrefix = math.min(math.min(la, lb), 4)
+      while (prefix < maxPrefix && a(prefix) == b(prefix)) prefix += 1
+      sim += prefix.toDouble * 0.1 * (1.0 - sim)
+    }
+    sim
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    jaroWinklerOf(l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaroWinkler", this, classOf[JaroWinkler].getName)
+    nullSafeCodeGen(ctx, ev,
+      (l, r) => s"${ev.value} = $ref.jaroWinklerOf($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextFunctions {
   /** SimHash64 of a tokenized (array<string>) column. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Jaro-Winkler similarity of two string columns (DuckDB-bit-exact). */
+  def jaroWinkler(l: Column, r: Column): Column =
+    ColumnBridge.column(
+      JaroWinkler(ColumnBridge.expression(l), ColumnBridge.expression(r)))
 }

@@ -578,6 +578,41 @@ object DedupQueries {
       |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxEdit
       |ORDER BY name1, name2""".stripMargin
 
+  /** q197 — Jaro-Winkler fuzzy pairing through the custom codegen
+    * expression ([[graft.functions.JaroWinkler]]): brand-blocked part
+    * pairs whose names score ≥ 0.93. The POINT of the row is the
+    * expression itself — its semantics mirror DuckDB's vendored
+    * RapidFuzz float-op-for-float-op, so the oracle hash compare
+    * checks the raw DOUBLE similarity bit-for-bit across engines on
+    * every surviving pair (no quantization crutch), something no
+    * builtin-only query can claim. q109 is the levenshtein cousin with
+    * dictionary-level matching; here the join stays row-level so the
+    * expression runs inside whole-stage codegen on the joined stream.
+    *
+    * Scale shape: p_brand blocks the self-join (bounded pairs per
+    * block); at corpus scale the q109 dictionary discipline applies
+    * unchanged — score the distinct-name dictionary, join counts back.
+    */
+  val q197JaroPairs: Q = (s, dir) => {
+    import s.implicits._
+    val p = T.part(s, dir).select($"p_partkey", $"p_brand", $"p_name")
+    p.as("a").join(p.as("b"),
+        $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey")
+      .withColumn("jw",
+        graft.functions.TextFunctions.jaroWinkler($"a.p_name", $"b.p_name"))
+      .filter($"jw" >= 0.93)
+      .select($"a.p_partkey".as("p1"), $"b.p_partkey".as("p2"), $"jw")
+      .orderBy($"p1", $"p2")
+  }
+
+  val q197Sql: String =
+    """SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+      |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.93
+      |ORDER BY p1, p2""".stripMargin
+
   /** Decontamination n-gram width and the benchmark slice. Real
     * pipelines screen on 8-13-gram overlap; the fixture's ~40-word
     * vocabulary makes 5 the width where true cross-document overlap
@@ -708,6 +743,7 @@ object DedupQueries {
     "q109_fuzzy_match" -> q109FuzzyMatch,
     "q127_decontaminate" -> q127Decontaminate,
     "q131_incremental_ingest" -> q131IncrementalIngest,
+    "q197_jaro_pairs" -> q197JaroPairs,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -721,5 +757,6 @@ object DedupQueries {
     "q109_fuzzy_match" -> q109Sql,
     "q127_decontaminate" -> q127Sql,
     "q131_incremental_ingest" -> q131Sql,
+    "q197_jaro_pairs" -> q197Sql,
   )
 }
