@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.catalog.CatalogOracle
 import graft.llm.{BpeTrain, CorpusOps, DedupQueries, EmbeddingDedup, MultimodalOracle, ProductQuantization, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
 import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, ReshapeStatsQueries, ScalarQueries, TableStatsQueries, TimeSeriesQueries, TpchShapeQueries, WindowAggQueries}
-import graft.operators.{IntervalJoin, PageRank, TriangleCount}
+import graft.operators.{IntervalJoin, PageRank, Skyline, TriangleCount}
 import graft.sources.{BinaryFiles, CsvScan, DynamicOverwrite, Federation, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, SchemaEvolution, ZOrderQueries}
 import graft.streaming.StreamShapeQueries
 
@@ -35,7 +35,8 @@ object SparkEntry {
       BpeTrain.queries ++ SchemaEvolution.queries ++ TriangleCount.queries ++
       ProductQuantization.queries ++ graft.plans.TopK.queries ++ BinaryFiles.queries ++ Federation.queries ++ DynamicOverwrite.queries ++
       MultimodalOracle.queries ++ graft.plans.SortedRuns.queries ++
-      graft.sources.DeletionVectors.queries ++ TpchShapeQueries.queries
+      graft.sources.DeletionVectors.queries ++ TpchShapeQueries.queries ++
+      Skyline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +58,6 @@ object SparkEntry {
       TriangleCount.oracleSql ++ ProductQuantization.oracleSql ++
       graft.plans.TopK.oracleSql ++ BinaryFiles.oracleSql ++ Federation.oracleSql ++ DynamicOverwrite.oracleSql ++
       MultimodalOracle.oracleSql ++ graft.plans.SortedRuns.oracleSql ++
-      graft.sources.DeletionVectors.oracleSql ++ TpchShapeQueries.oracleSql
+      graft.sources.DeletionVectors.oracleSql ++ TpchShapeQueries.oracleSql ++
+      Skyline.oracleSql
 }
