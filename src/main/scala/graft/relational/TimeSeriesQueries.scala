@@ -342,7 +342,71 @@ object TimeSeriesQueries {
       |WHERE is_obs = 0 AND v_prev IS NOT NULL AND v_next IS NOT NULL
       |ORDER BY user_id, t_us""".stripMargin
 
+  /** EWMA truncation depth: weights below 2^-40 are under double ulp
+    * for this value range, so the 40-term window IS the full-precision
+    * answer of the adjust-form EWMA (pandas `adjust=True`) at α = ½.
+    */
+  val EwmaDepth = 40
+
+  /** q199 — bit-exact exponentially weighted moving average (α = ½)
+    * per user over the event stream. The float trap with EWMA is that
+    * the recursion y_t = αx_t + (1-α)y_{t-1} compounds rounding
+    * differently per engine; α = ½ dissolves it: every weight is a
+    * power of two, so `cents · 2^k` is EXACT integer arithmetic.
+    * Numerator and denominator are BIGINT sums of shifted cents
+    * (order-free, overflow-safe: max cents 49k · 2^40 ≈ 5e16), and the
+    * single final division is correctly rounded identically in both
+    * engines. Truncation at [[EwmaDepth]] lags is part of the operator
+    * contract, mirrored in the oracle frame.
+    *
+    * Scale shape: one shuffle on user_id for the row-number window,
+    * then a self-equi-join on user_id with a ±39-row rn band — the
+    * intermediate is a bounded 40× of the input (not quadratic), and
+    * the whole pipeline shares the user_id partitioning. The streaming
+    * twin is the recursion in a stateful processor; this is the batch
+    * replay form.
+    */
+  val q199EwmaExact: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val r = T.events(s, dir)
+      .select($"user_id", $"event_id", $"ts",
+        ($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+    r.as("a").join(r.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"b.rn" >= $"a.rn" - (EwmaDepth - 1) && $"b.rn" <= $"a.rn")
+      .groupBy($"a.user_id".as("user_id"), $"a.event_id".as("event_id"))
+      .agg(
+        sum(expr(s"shiftleft(b.cents, ${EwmaDepth - 1} - (a.rn - b.rn))"))
+          .as("num"),
+        sum(expr(
+          s"shiftleft(CAST(1 AS BIGINT), ${EwmaDepth - 1} - (a.rn - b.rn))"))
+          .as("den"))
+      .select($"user_id", $"event_id",
+        ($"num".cast("double") / $"den".cast("double") / 100.0).as("ewma"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q199Sql: String =
+    s"""WITH r AS (
+       |  SELECT user_id, event_id,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+       |  FROM events)
+       |SELECT a.user_id, a.event_id,
+       |  CAST(SUM(b.cents << (${EwmaDepth - 1} - (a.rn - b.rn))) AS DOUBLE)
+       |    / CAST(SUM(CAST(1 AS BIGINT) << (${EwmaDepth - 1} - (a.rn - b.rn)))
+       |        AS DOUBLE) / 100.0 AS ewma
+       |FROM r a JOIN r b ON a.user_id = b.user_id
+       |  AND b.rn BETWEEN a.rn - ${EwmaDepth - 1} AND a.rn
+       |GROUP BY a.user_id, a.event_id
+       |ORDER BY a.user_id, a.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q199_ewma_exact" -> q199EwmaExact,
     "q104_resample_ffill" -> q104ResampleFfill,
     "q118_rolling_window" -> q118RollingWindow,
     "q120_sessionize" -> q120Sessionize,
@@ -351,6 +415,7 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q199_ewma_exact" -> q199Sql,
     "q104_resample_ffill" -> q104Sql,
     "q118_rolling_window" -> q118Sql,
     "q120_sessionize" -> q120Sql,

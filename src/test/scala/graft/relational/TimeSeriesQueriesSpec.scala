@@ -32,4 +32,35 @@ class TimeSeriesQueriesSpec extends SparkSpec {
       (1L, at("12:00"), 9.0, true),
       (2L, at("03:00"), 6.0, true)))  // ts tie → higher event_id
   }
+
+  test("q199 window EWMA equals the α=½ adjust-form recursion per user") {
+    import org.apache.spark.sql.functions._
+    val got = TimeSeriesQueries.q199EwmaExact(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // reference: per-user ordered replay of the textbook adjust=True
+    // EWMA (numerator/denominator recursions), truncation-free — the
+    // 40-lag window must agree within the sub-ulp truncation error.
+    val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .cast("double").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getDouble(3)))
+    assert(events.nonEmpty && got.nonEmpty)
+    events.groupBy(_._1).foreach { case (_, rows) =>
+      var num = 0.0
+      var den = 0.0
+      rows.sortBy(r => (r._3.getTime, r._2)).foreach {
+        case (user, event, _, v) =>
+          num = num / 2 + v
+          den = den / 2 + 1
+          val want = num / den
+          val gotV = got((user, event))
+          assert(math.abs(gotV - want) <= 1e-9 * math.max(1.0, want),
+            s"user $user event $event: got $gotV want $want")
+      }
+    }
+  }
 }
