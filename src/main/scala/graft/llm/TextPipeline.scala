@@ -659,7 +659,66 @@ object TextPipeline {
        |GROUP BY d.source, r.n_src, r.thresh
        |ORDER BY d.source""".stripMargin
 
+  /** q200 weight classes — POWERS OF TWO only, because u^(1/w) is then
+    * a chain of 1–3 `sqrt` calls, each correctly rounded by IEEE-754 in
+    * both engines on identical input: the A-ES priority key is
+    * bit-identical cross-engine with no pow() (whose libm results are
+    * NOT guaranteed identical). All four chain depths are exercised.
+    */
+  val WeightedSampleW: Map[String, Int] =
+    Map("en" -> 1, "zh" -> 2, "de" -> 4, "es" -> 4, "fr" -> 8)
+  val WeightedSampleK = 100
+  val WeightedSampleSalt = "wsample|"
+
+  /** q200 — weighted reservoir sampling (Efraimidis–Spirakis A-ES):
+    * each doc draws priority u^(1/w) from a deterministic md5-uniform
+    * u ∈ (0,1) (13 hex chars → 52-bit integer k, u = (k+0.5)/2^52 —
+    * every step exact in doubles), and the sample is the global top-k
+    * by priority — a weighted sample WITHOUT replacement where
+    * heavier docs win proportionally more often, the standard
+    * one-pass corpus subsampling primitive.
+    *
+    * Scale shape: priorities are a map-only projection; global top-k
+    * is TakeOrderedAndProject (per-partition heaps + driver merge of
+    * k-sized lists, no global sort); nothing shuffles the corpus. The
+    * oracle replays the identical arithmetic in DuckDB and must agree
+    * on the exact member set AND every priority double.
+    */
+  val q200WeightedSample: Q = (s, dir) => {
+    import s.implicits._
+    val k = conv(substring(md5(concat(lit(WeightedSampleSalt),
+      $"doc_id".cast("string"))), 1, 13), 16, 10).cast("long")
+    val u = (k.cast("double") + 0.5) / 4503599627370496.0
+    val w = coalesce(element_at(typedlit(WeightedSampleW), $"lang"), lit(1))
+    val priority = when(w === 1, u).when(w === 2, sqrt(u))
+      .when(w === 4, sqrt(sqrt(u))).otherwise(sqrt(sqrt(sqrt(u))))
+    T.documents(s, dir)
+      .select($"doc_id", $"lang", w.as("w"), priority.as("priority"))
+      .orderBy($"priority".desc, $"doc_id")
+      .limit(WeightedSampleK)
+  }
+
+  val q200Sql: String = {
+    val wCase = WeightedSampleW.toSeq.sorted
+      .map { case (l, wv) => s"WHEN lang = '$l' THEN $wv" }.mkString(" ")
+    s"""WITH p AS (
+       |  SELECT doc_id, lang,
+       |    CASE $wCase ELSE 1 END AS w,
+       |    (CAST(CAST('0x' || substring(
+       |       md5('$WeightedSampleSalt' || CAST(doc_id AS VARCHAR)), 1, 13)
+       |       AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+       |  FROM documents)
+       |SELECT doc_id, lang, w,
+       |  CASE WHEN w = 1 THEN u WHEN w = 2 THEN sqrt(u)
+       |       WHEN w = 4 THEN sqrt(sqrt(u))
+       |       ELSE sqrt(sqrt(sqrt(u))) END AS priority
+       |FROM p
+       |ORDER BY priority DESC, doc_id
+       |LIMIT $WeightedSampleK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q200_weighted_sample" -> q200WeightedSample,
     "q76_tfidf" -> q76Tfidf,
     "q92_chunking" -> q92Chunking,
     "q93_pii_scrub" -> q93PiiScrub,
@@ -673,6 +732,7 @@ object TextPipeline {
     "q158_temperature_mix" -> q158TemperatureMix,
   )
   val oracleSql: Map[String, String] = Map(
+    "q200_weighted_sample" -> q200Sql,
     "q76_tfidf" -> q76Sql,
     "q92_chunking" -> q92Sql,
     "q93_pii_scrub" -> q93Sql,

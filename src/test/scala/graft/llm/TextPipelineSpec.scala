@@ -145,4 +145,26 @@ class TextPipelineSpec extends SparkSpec {
     }
     assert(got.exists(r => r._4 != r._5), "no doc spans a pack boundary")
   }
+
+  test("q200 weighted sample: heavier weight classes are overrepresented") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val sample = TextPipeline.q200WeightedSample(spark, dir)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val corpus = graft.core.Tables.documents(spark, dir)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val k = sample.values.sum.toDouble
+    val n = corpus.values.sum.toDouble
+    // en (w=1, majority of corpus) must be UNDERrepresented; fr (w=8)
+    // must be OVERrepresented — the point of weighted sampling.
+    val enLift = (sample.getOrElse("en", 0L) / k) / (corpus("en") / n)
+    val frLift = (sample.getOrElse("fr", 0L) / k) / (corpus("fr") / n)
+    assert(enLift < 1.0, s"en lift $enLift should be < 1")
+    assert(frLift > 1.0, s"fr lift $frLift should be > 1")
+    // priorities are valid A-ES keys: within (0, 1], unique
+    val pr = TextPipeline.q200WeightedSample(spark, dir)
+      .select($"priority").as[Double].collect()
+    assert(pr.forall(p => p > 0.0 && p <= 1.0))
+    assert(pr.distinct.length == pr.length)
+  }
 }
