@@ -241,7 +241,62 @@ object CorpusOps {
        |ORDER BY c DESC, counts.w1 ASC, counts.w2 ASC
        |LIMIT $BigramTake""".stripMargin
 
+  /** q202 quantization scale for the per-bigram conditional MLE ratio.
+    * Integer division keeps the score exact cross-engine: both sides
+    * are positive BIGINTs, so Spark's `div` (truncate toward zero) and
+    * DuckDB's `//` (floor) agree — the q154 negative-domain trap does
+    * not apply.
+    */
+  val LmScoreScale = 1000000L
+
+  /** q202 — bigram language-model document scoring: for every document,
+    * the sum of quantized conditional MLE probabilities
+    * Σ ⌊10⁶·c(w₁w₂)/c(w₁·)⌋ over its bigram occurrences — the
+    * "how predictable is this text under the corpus's own bigram
+    * statistics" quality signal (the integer-exact stand-in for log-
+    * likelihood, whose float log/exp would never hash-match across
+    * engines). High scores = repetitive/templated text; low scores =
+    * high-entropy or rare-context text — the filter axis LM-quality
+    * pipelines rank on.
+    *
+    * Scale shape: one explode into (doc_id, w₁, w₂); two counts (pair
+    * and context) both vocabulary-bounded — joined back by word keys,
+    * broadcast-able while the vocabulary fits and AQE-demoted when it
+    * does not; the final per-doc sum shuffles on doc_id once. No
+    * corpus-side pairing anywhere.
+    */
+  val q202LmScore: Q = (s, dir) => {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val bg = T.documents(s, dir)
+      .select($"doc_id", explode(
+        zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter($"p.w2".isNotNull)
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val cBi = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_bi"))
+    val cCtx = bg.groupBy($"w1").agg(count(lit(1)).as("c_ctx"))
+    bg.join(cBi, Seq("w1", "w2")).join(cCtx, Seq("w1"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(s"($LmScoreScale * c_bi) div c_ctx")).as("score_q"))
+      .orderBy($"doc_id")
+  }
+
+  val q202Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |       FROM d, unnest(range(1, len(toks))) AS t(i)),
+       |cb AS (SELECT w1, w2, COUNT(*) AS c_bi FROM bg GROUP BY w1, w2),
+       |cc AS (SELECT w1, COUNT(*) AS c_ctx FROM bg GROUP BY w1)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(($LmScoreScale * c_bi) // c_ctx) AS BIGINT) AS score_q
+       |FROM bg JOIN cb USING (w1, w2) JOIN cc USING (w1)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q202_lm_score" -> q202LmScore,
     "q135_phrase_search" -> q135PhraseSearch,
     "q136_token_budget_mix" -> q136TokenBudgetMix,
     "q139_dup_spans" -> q139DupSpans,
@@ -255,5 +310,6 @@ object CorpusOps {
     "q139_dup_spans" -> q139Sql,
     "q142_source_interleave" -> q142Sql,
     "q143_bigram_stats" -> q143Sql,
+    "q202_lm_score" -> q202Sql,
   )
 }

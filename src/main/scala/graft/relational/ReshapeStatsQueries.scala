@@ -277,7 +277,55 @@ object ReshapeStatsQueries {
       |GROUP BY o.o_orderpriority
       |ORDER BY o.o_orderpriority""".stripMargin
 
+  /** q201 — approximate percentiles under a VERIFIED rank-error bound.
+    * `percentile_approx` (Greenwald–Khanna) promises rank error
+    * ≤ n/accuracy; DuckDB has no GK twin, so sketch values can never
+    * hash-match — instead the gate recomputes, in the same query, the
+    * EXACT rank of each approximate quantile (one conditional count
+    * against the group) and asserts the promise. This is the q74
+    * `(n, ok)` convention: the driver-checked row is (group, n, ok) and
+    * the oracle contributes the trivially-true frame — but `ok` is
+    * computed from the sketch's actual ranks, so a GK regression flips
+    * the row red.
+    *
+    * Scale shape: the sketch is one partial-aggregated pass (GK
+    * summaries merge); the rank check joins the 3-rows-per-group
+    * quantile frame back as a broadcast and counts conditionally — one
+    * more scan, no sort. The q90/q162 exact-rank spellings are the
+    * full-precision cousins; this is what you run at 100 TB where an
+    * exact global sort per group is not worth the answer.
+    */
+  val ApproxPctAccuracy = 1000
+
+  val q201ApproxPctGate: Q = (s, dir) => {
+    import s.implicits._
+    val li = T.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+    val sketch = li.groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_extendedprice",
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(ApproxPctAccuracy))
+        .as("vs"), count(lit(1)).as("n"))
+    val bound = $"n" / ApproxPctAccuracy + lit(1.0)
+    li.join(broadcast(sketch), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(first($"n").as("n"),
+        sum(when($"l_extendedprice" <= $"vs" (0), 1L).otherwise(0L)).as("r50"),
+        sum(when($"l_extendedprice" <= $"vs" (1), 1L).otherwise(0L)).as("r90"),
+        sum(when($"l_extendedprice" <= $"vs" (2), 1L).otherwise(0L)).as("r99"))
+      .select($"l_returnflag", $"n",
+        (abs($"r50" - $"n" * 0.5) <= bound &&
+          abs($"r90" - $"n" * 0.9) <= bound &&
+          abs($"r99" - $"n" * 0.99) <= bound).as("ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q201Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n, TRUE AS ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q201_approx_pct_gate" -> q201ApproxPctGate,
     "q87_pivot" -> q87Pivot,
     "q88_unpivot" -> q88Unpivot,
     "q89_stats_moments" -> q89StatsMoments,
@@ -287,6 +335,7 @@ object ReshapeStatsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q201_approx_pct_gate" -> q201Sql,
     "q87_pivot" -> q87Sql,
     "q88_unpivot" -> q88Sql,
     "q89_stats_moments" -> q89Sql,
