@@ -1,0 +1,350 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T, dsl, OracleDsl => O}
+
+/** The final eight TPC-H planner shapes (Q4/Q6/Q7/Q8/Q9/Q11/Q12/Q14),
+  * completing the full 22-query suite across the repo (Q1=q01, Q2=q181,
+  * Q3=q82, Q5=q83, Q10=q153, Q13=q191, Q15=q192, Q16=q193, Q17=q194,
+  * Q18=q165, Q19=q195, Q20=q182, Q21=q173, Q22=q196). Each remaining
+  * query exercises a planner surface the others don't: a correlated
+  * EXISTS with a non-equi conjunct (q204), a pure scan-side aggregate
+  * with every predicate pushed (q205), a dual-nation self-join of the
+  * dimension table under a disjunctive pair filter (q206), the deepest
+  * join tree in the suite — 8 tables (q207), a profit expression mixing
+  * columns of three tables inside one aggregate (q208), HAVING gated by
+  * an uncorrelated scalar aggregate subquery (q209), conditional
+  * aggregation over an IN-list (q210), and the promo-share CASE ratio
+  * (q211).
+  *
+  * The fixture has no partsupp table and no commitdate/receiptdate/
+  * shipmode columns, so Q4/Q9/Q11/Q12 are re-anchored on existing
+  * columns (reference semantics: the star core of main.go's routes) —
+  * the planner feature under test is preserved; the constants are not
+  * TPC-H official.
+  *
+  * Float determinism: every money aggregate goes through the
+  * scale-6-decimal exact-sum path ([[dsl.dsumExpr]]/[[O.dsumExpr]]);
+  * ratio-shaped outputs (Q8 market share, Q14 promo share) emit exact
+  * numerator and denominator instead of the division, whose decimal
+  * intermediate types differ across engines. Q12's conditional counts
+  * cast SUM(int) to BIGINT (the DuckDB HUGEINT guard).
+  *
+  * Scale shapes: every subquery decorrelates (EXISTS → semi join,
+  * scalar → 1-row broadcast); the Q7/Q8 nation/region dimensions are
+  * broadcast; no per-row subquery execution and nothing collects to
+  * the driver.
+  */
+object TpchCompletionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def registerViews(s: SparkSession, dir: String): Unit = {
+    T.part(s, dir).createOrReplaceTempView("part")
+    T.supplier(s, dir).createOrReplaceTempView("supplier")
+    T.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    T.customer(s, dir).createOrReplaceTempView("customer")
+    T.orders(s, dir).createOrReplaceTempView("orders")
+    T.nation(s, dir).createOrReplaceTempView("nation")
+    T.region(s, dir).createOrReplaceTempView("region")
+  }
+
+  /** q204 — TPC-H Q4 shape (order priority checking): orders in a year
+    * window with at least one line shipped >60 days after the order —
+    * a correlated EXISTS whose condition mixes an equi key with a
+    * NON-EQUI comparison against an outer column (l_shipdate >
+    * o_orderdate + 60d). Catalyst decorrelates this to a left-semi
+    * join with the date comparison in the join condition — no per-row
+    * subquery (re-anchored: the fixture has no commitdate/receiptdate).
+    *
+    * Scale shape: the semi join shuffles on the natural order key with
+    * lineitem pre-projected to (l_orderkey, l_shipdate); semi-join
+    * short-circuits on first match, so the probe side never expands.
+    */
+  val q204PriorityCheck: Q = (s, dir) => {
+    registerViews(s, dir)
+    s.sql(q204Sql)
+  }
+
+  val q204Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q205 — TPC-H Q6 shape (forecasting revenue change): the suite's
+    * only pure single-table aggregate — every predicate (date range,
+    * discount band, quantity cap) is scan-eligible, so the whole query
+    * is one pushed-filter parquet scan plus a partial+final aggregate
+    * with no shuffle beyond the 1-row exchange. TpchCompletionSpec pins
+    * all three predicates in PushedFilters.
+    */
+  val q205ForecastRevenue: Q = (s, dir) => {
+    import s.implicits._
+    T.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        $"l_discount".between(0.03, 0.07) && $"l_quantity" < 24.0)
+      .agg(dsl.dsumExpr($"l_extendedprice" * $"l_discount").as("revenue"))
+  }
+
+  val q205Sql: String =
+    s"""SELECT ${O.dsumExpr("l_extendedprice * l_discount")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.03 AND 0.07
+       |  AND l_quantity < 24.0""".stripMargin
+
+  /** q206 — TPC-H Q7 shape (volume shipping): bilateral trade between
+    * two nations — the nation dimension joins TWICE (supplier side and
+    * customer side) under a disjunctive pair filter, the one query
+    * where the same table appears under two aliases with cross-alias
+    * predicates. Year extraction feeds the group key.
+    *
+    * Scale shape: both nation sides are 25-row broadcasts; after the
+    * pair filter the fact stream is ~(2/625) of lineitem, and the
+    * final aggregate groups on a handful of (nation, nation, year)
+    * keys — partial aggregation collapses it map-side.
+    */
+  val q206VolumeShipping: Q = (s, dir) => {
+    registerViews(s, dir)
+    s.sql(q206Sql)
+  }
+
+  val q206Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${O.dsumExpr("volume")} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       |    l_extendedprice * (1.0 - l_discount) AS volume
+       |  FROM supplier
+       |  JOIN lineitem ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |) AS shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** q207 — TPC-H Q8 shape (national market share): the deepest join
+    * tree in the suite — part, lineitem, supplier, orders, customer,
+    * nation (twice), region: 8 relations. The market-share ratio is
+    * emitted as exact numerator and denominator (CASE-gated decimal
+    * sum over the supplier nation vs the total), not the division —
+    * decimal division intermediate types differ across engines while
+    * both sums are exact.
+    *
+    * Scale shape: part (filtered by type) is the only mid-size build
+    * side; nation/region are 25/5-row broadcasts; the join order
+    * filters early (region gates the customer nations before the fact
+    * join) and the final group key is just the order year.
+    */
+  val q207MarketShare: Q = (s, dir) => {
+    registerViews(s, dir)
+    s.sql(q207Sql)
+  }
+
+  val q207Sql: String =
+    s"""SELECT o_year,
+       |  ${O.dsumExpr("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")} AS nation_volume,
+       |  ${O.dsumExpr("volume")} AS total_volume
+       |FROM (
+       |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       |    l_extendedprice * (1.0 - l_discount) AS volume,
+       |    n2.n_name AS supp_nation
+       |  FROM part
+       |  JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+       |) AS all_nations
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+
+  /** q208 — TPC-H Q9 shape (product type profit): the profit expression
+    * mixes columns of THREE tables inside one aggregate — revenue from
+    * lineitem minus a cost proxy from part scaled by lineitem quantity
+    * (re-anchored: no partsupp table, so cost = 0.1·p_retailprice·qty).
+    * Grouped by supplier nation and order year; part filtered by an
+    * infix LIKE.
+    *
+    * The true per-row amount has ≤4 decimal digits (2-dec price × 2-dec
+    * discount; 2-dec retail × integral qty × 0.1), so the scale-6 cast
+    * recovers it exactly in both engines. Spark side is the DataFrame
+    * API — the same plan surface, spelled Spark-first.
+    *
+    * Scale shape: part (LIKE-filtered) and nation broadcast; the only
+    * big shuffles are the lineitem–orders key exchanges; the aggregate
+    * key (nation, year) is tiny so partial aggregation collapses it.
+    */
+  val q208ProductProfit: Q = (s, dir) => {
+    import s.implicits._
+    val amount = ($"l_extendedprice" * (lit(1.0) - $"l_discount")) -
+      (lit(0.1) * $"p_retailprice" * $"l_quantity")
+    T.part(s, dir).filter($"p_name".like("%red%"))
+      .join(T.lineitem(s, dir), $"p_partkey" === $"l_partkey")
+      .join(T.supplier(s, dir), $"s_suppkey" === $"l_suppkey")
+      .join(T.orders(s, dir), $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(T.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"),
+        year($"o_orderdate").cast("long").as("o_year"),
+        amount.as("amount"))
+      .groupBy($"nation", $"o_year")
+      .agg(dsl.dsumExpr($"amount").as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  val q208Sql: String =
+    s"""SELECT nation, o_year, ${O.dsumExpr("amount")} AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation,
+       |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       |    l_extendedprice * (1.0 - l_discount)
+       |      - 0.1 * p_retailprice * l_quantity AS amount
+       |  FROM part
+       |  JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE p_name LIKE '%red%'
+       |) AS profit
+       |GROUP BY nation, o_year
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q209 — TPC-H Q11 shape (important stock): per-part value with a
+    * HAVING clause gated by an UNCORRELATED scalar aggregate subquery
+    * over the same fact table (share > 1/1500 of total) — the one
+    * query where the threshold is computed from a second full-table
+    * aggregate rather than a constant (re-anchored: value =
+    * lineitem net revenue per part, no partsupp).
+    *
+    * Exactness: the HAVING compares decimal×integer against the exact
+    * decimal total — no doubles anywhere in the predicate; the output
+    * column converts to double only after the comparison.
+    *
+    * Scale shape: the scalar subquery is a separate 1-row aggregate
+    * broadcast into the HAVING filter; both aggregates are single
+    * shuffles on l_partkey / global — Spark shares the scan via the
+    * exchange reuse rule where stats allow.
+    */
+  val q209ImportantParts: Q = (s, dir) => {
+    registerViews(s, dir)
+    s.sql(q209Sql)
+  }
+
+  val q209Sql: String =
+    s"""SELECT l_partkey AS ps_partkey,
+       |  ${O.dsumExpr("l_extendedprice * (1.0 - l_discount)")} AS part_value
+       |FROM lineitem
+       |GROUP BY l_partkey
+       |HAVING SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) * 1500 >
+       |  (SELECT SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6)))
+       |   FROM lineitem)
+       |ORDER BY part_value DESC, ps_partkey""".stripMargin
+
+  /** q210 — TPC-H Q12 shape (shipping mode priority): conditional
+    * aggregation — two SUM(CASE WHEN priority IN (...)) counters over
+    * one orders–lineitem join, the canonical "pivot a predicate into
+    * columns" surface (re-anchored on l_returnflag: the fixture has no
+    * l_shipmode). Counts cast to BIGINT (DuckDB SUM(int) → HUGEINT
+    * guard). Spark side is the DataFrame API.
+    *
+    * Scale shape: one key shuffle (order key), group key cardinality 3;
+    * the IN-list predicate evaluates inside the aggregate — no second
+    * pass, no pivot shuffle.
+    */
+  val q210PriorityCounts: Q = (s, dir) => {
+    import s.implicits._
+    val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    T.orders(s, dir)
+      .join(T.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when(high, 1).otherwise(0)).cast("long").as("high_line_count"),
+        sum(when(!high, 1).otherwise(0)).cast("long").as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q210Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q211 — TPC-H Q14 shape (promotion effect): the promo-share ratio,
+    * emitted as exact CASE-gated numerator and total denominator (the
+    * Q8 discipline — the division's decimal intermediates differ
+    * across engines; the two sums are exact). One month of lineitem
+    * joined to part, single-row output. Spark side is the DataFrame
+    * API with the part side broadcast — at 100 TB the month filter cuts
+    * lineitem ~60× while part is date-invariant, so the filtered fact
+    * stream streams past a hashed part build.
+    */
+  val q211PromoShare: Q = (s, dir) => {
+    import s.implicits._
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    T.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1997-03-01 00:00:00")) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+      .join(broadcast(T.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .agg(
+        dsl.dsumExpr(when($"p_type" === "PROMO", rev).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        dsl.dsumExpr(rev).as("total_revenue"))
+  }
+
+  val q211Sql: String =
+    s"""SELECT
+       |  ${O.dsumExpr("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+       |  ${O.dsumExpr("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q204_priority_check" -> q204PriorityCheck,
+    "q205_forecast_revenue" -> q205ForecastRevenue,
+    "q206_volume_shipping" -> q206VolumeShipping,
+    "q207_market_share" -> q207MarketShare,
+    "q208_product_profit" -> q208ProductProfit,
+    "q209_important_parts" -> q209ImportantParts,
+    "q210_priority_counts" -> q210PriorityCounts,
+    "q211_promo_share" -> q211PromoShare,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q204_priority_check" -> q204Sql,
+    "q205_forecast_revenue" -> q205Sql,
+    "q206_volume_shipping" -> q206Sql,
+    "q207_market_share" -> q207Sql,
+    "q208_product_profit" -> q208Sql,
+    "q209_important_parts" -> q209Sql,
+    "q210_priority_counts" -> q210Sql,
+    "q211_promo_share" -> q211Sql,
+  )
+}
