@@ -298,7 +298,25 @@ object EventStreams {
     */
   def purchaseAttribution(purchases: DataFrame, signups: DataFrame,
       watermarkDelay: String = "10 minutes",
-      horizon: String = "1 hour"): DataFrame = {
+      horizon: String = "1 hour"): DataFrame =
+    attributionJoin(purchases, signups, watermarkDelay, horizon, "inner")
+
+  /** Stream-stream LEFT OUTER interval join: every purchase emits —
+    * attributed ones as soon as both inputs arrive (the inner rows),
+    * UNattributed ones with null signup columns only once the
+    * watermark proves no matching signup can still arrive (outer-row
+    * emission is watermark-gated; until then the purchase sits in join
+    * state). This is the shape for "conversion + orphan" feeds where
+    * downstream needs one row per purchase either way; the same
+    * two-sided time bounds keep state eviction finite on both sides.
+    */
+  def unattributedPurchases(purchases: DataFrame, signups: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      horizon: String = "1 hour"): DataFrame =
+    attributionJoin(purchases, signups, watermarkDelay, horizon, "left_outer")
+
+  private def attributionJoin(purchases: DataFrame, signups: DataFrame,
+      watermarkDelay: String, horizon: String, joinType: String): DataFrame = {
     val p = purchases
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"))
@@ -310,7 +328,8 @@ object EventStreams {
     p.join(s, expr(
       s"""user_id = s_user_id
          |AND purchase_ts >= signup_ts
-         |AND purchase_ts <= signup_ts + interval $horizon""".stripMargin))
+         |AND purchase_ts <= signup_ts + interval $horizon""".stripMargin),
+        joinType)
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("signup_id"), col("signup_ts"))
   }

@@ -226,6 +226,57 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture produced no attributed purchases")
   }
 
+  test("left-outer stream-stream join emits null rows only after watermark passage") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsOf(dir)
+    val purchases = rows.filter(_.event_type == "purchase")
+    val signups = rows.filter(_.event_type == "signup")
+    val maxTs = rows.map(_.ts.getTime).max
+    val pStream = MemoryStream[Event]
+    val sStream = MemoryStream[Event]
+    pStream.addData(purchases)
+    sStream.addData(signups)
+    val q = EventStreams.unattributedPurchases(pStream.toDF(), sStream.toDF())
+      .writeStream.format("memory").queryName("t_ssj_outer")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    q.processAllAvailable()
+    // the no-data micro-batch after processAllAvailable advances the
+    // watermark to maxTs - delay, so OLD unmatched purchases legally
+    // outer-emit already — but purchases the watermark has not passed
+    // must still be waiting in join state with no null row
+    val wmPre = new Timestamp(maxTs - 10L * 60 * 1000)
+    val early = spark.table("t_ssj_outer")
+      .filter($"signup_id".isNull && $"purchase_ts" >= wmPre).count()
+    assert(early == 0,
+      s"outer rows emitted for purchases ahead of the watermark: $early")
+    // sentinels on BOTH streams push the watermark past every real row
+    val sentinel = Event(-1L, -1L, "sentinel",
+      new Timestamp(maxTs + 24L * 3600 * 1000), 0.0)
+    pStream.addData(sentinel)
+    sStream.addData(sentinel)
+    drain(q)
+    val streamed = spark.table("t_ssj_outer")
+      .filter($"user_id" =!= -1L)
+      .select("purchase_id", "signup_id")
+      .as[(Long, Option[Long])].collect().toSet
+    // batch twin: the same left-outer interval join on static frames
+    val pB = spark.createDataset(purchases).toDF()
+    val sB = spark.createDataset(signups).toDF()
+    val batch = pB.select($"event_id".as("purchase_id"), $"user_id",
+        $"ts".as("purchase_ts"))
+      .join(sB.select($"event_id".as("signup_id"),
+          $"user_id".as("s_user_id"), $"ts".as("signup_ts")),
+        expr("""user_id = s_user_id AND purchase_ts >= signup_ts
+               |AND purchase_ts <= signup_ts + interval 1 hour""".stripMargin),
+        "left_outer")
+      .select("purchase_id", "signup_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(streamed == batch,
+      s"left-outer stream-stream mismatch: ${streamed.size} vs ${batch.size} rows")
+    assert(batch.exists(_._2.isEmpty), "fixture produced no unattributed purchases")
+    assert(batch.exists(_._2.nonEmpty), "fixture produced no attributed purchases")
+  }
+
   test("streaming as-of join equals the batch as-of join") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
