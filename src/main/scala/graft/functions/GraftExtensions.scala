@@ -68,6 +68,12 @@ object GraftFunctions {
         SrpBucket(args.head,
           intArg(args(1), "srp_bucket", 1), intArg(args(2), "srp_bucket", 2))
       }),
+    (FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
+      (args: Seq[Expression]) => {
+        arity("mg_topk", args, 2)
+        MisraGriesTopK(args.head, intArg(args(1), "mg_topk", 1))
+      }),
   )
 
   /** Register all graft SQL functions on a live session. */

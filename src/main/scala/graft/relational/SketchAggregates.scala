@@ -1,0 +1,85 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+import graft.functions.GraftFunctions
+
+/** Gate for the native Misra–Gries grouped heavy-hitters aggregate
+  * ([[graft.functions.MisraGriesTopK]], SQL `mg_topk`).
+  */
+object SketchAggregates {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Summary capacity for the q215 gate: small enough that per-group
+    * summaries stay trivially broadcastable, large enough that the
+    * N/(k+1) slack is a meaningful fraction of real counts at sf0.01+.
+    */
+  val MgK = 16
+
+  /** q215 — mg_topk contract gate, the q74 (n, ok) convention: per
+    * l_returnflag group over lineitem, `ok` verifies IN THE QUERY both
+    * MG guarantees against exact recomputation — every emitted key's
+    * estimate within [exact − N/(k+1), exact], and every truly heavy
+    * key (exact > N/(k+1)) present in the summary. The raw summary is
+    * never hashed: which sub-threshold keys survive legitimately
+    * varies with partitioning/merge order; the bounds do not.
+    *
+    * Scale shape: the sketch aggregation is ObjectHashAggregate with
+    * full partial aggregation — each partition ships k counters per
+    * group, not its value distribution; the exact-count check is one
+    * extra aggregate over the same scan and exists only to gate.
+    */
+  val q215MgTopkGate: Q = (s, dir) => {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val k = MgK
+    val li = T.lineitem(s, dir).select($"l_returnflag", $"l_suppkey")
+    val mg = li.groupBy($"l_returnflag")
+      .agg(expr(s"mg_topk(l_suppkey, $k)").as("summary"),
+        count(lit(1)).as("n"))
+    val est = mg.select($"l_returnflag", $"n", explode($"summary").as("e"))
+      .select($"l_returnflag", $"n",
+        $"e.key".as("l_suppkey"), $"e.est".as("est"))
+    val exact = li.groupBy($"l_returnflag", $"l_suppkey")
+      .agg(count(lit(1)).as("exact"))
+    val slack = $"n".cast("double") / (k + 1)
+    val bounds = est
+      .join(exact, Seq("l_returnflag", "l_suppkey"), "left")
+      .select($"l_returnflag",
+        (coalesce($"exact", lit(0L)) >= $"est" &&
+          (coalesce($"exact", lit(0L)) - $"est").cast("double") <= slack)
+          .as("in_bound"))
+      .groupBy($"l_returnflag").agg(min($"in_bound").as("bounds_ok"))
+    val heavyPresent = exact
+      .join(mg.select($"l_returnflag", $"n"), "l_returnflag")
+      .filter($"exact".cast("double") > slack)
+      .join(est.select($"l_returnflag", $"l_suppkey", lit(true).as("present")),
+        Seq("l_returnflag", "l_suppkey"), "left")
+      .groupBy($"l_returnflag")
+      .agg(min(coalesce($"present", lit(false))).as("heavy_ok"))
+    mg.select($"l_returnflag", $"n")
+      .join(bounds, Seq("l_returnflag"), "left")
+      .join(heavyPresent, Seq("l_returnflag"), "left")
+      .select($"l_returnflag", $"n",
+        (coalesce($"bounds_ok", lit(true)) &&
+          coalesce($"heavy_ok", lit(true))).as("ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q215Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n, TRUE AS ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q215_mg_topk_gate" -> q215MgTopkGate,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q215_mg_topk_gate" -> q215Sql,
+  )
+}

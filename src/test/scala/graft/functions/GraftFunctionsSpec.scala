@@ -67,7 +67,7 @@ class GraftFunctionsSpec extends SparkSpec {
 
   test("extensions class exposes the same function set") {
     val names = GraftFunctions.descriptions.map(_._1.funcName).toSet
-    assert(names == Set("simhash64", "dot_f32", "dot_q20", "srp_bucket", "jaro_winkler"))
+    assert(names == Set("simhash64", "dot_f32", "dot_q20", "srp_bucket", "jaro_winkler", "mg_topk"))
     // the extensions entry point is constructible via the reflective
     // path spark.sql.extensions uses
     val ctor = Class.forName("graft.functions.GraftExtensions")
