@@ -30,16 +30,6 @@ object Contamination {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct (doc_id, 3-gram) pairs, q41's shingle spelling. */
-  private def shingles(docs: DataFrame)(implicit s: SparkSession): DataFrame = {
-    import s.implicits._
-    docs.select($"doc_id", split($"text", " ").as("ws"))
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-        .as("tg"))
-      .distinct()
-  }
-
   /** q212 — per-document contamination report: every train-slice doc
     * sharing at least one 3-gram with the eval slice, with the number
     * of distinct contaminated shingles and of distinct eval docs hit.
@@ -48,7 +38,8 @@ object Contamination {
   val q212Contamination: Q = (s, dir) => {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val grams = shingles(T.documents(s, dir))
+    // the q41 shingle helper — one spelling of the 3-gram HOF repo-wide
+    val grams = DedupQueries.triShingles(T.documents(s, dir))
     val eval = grams.filter($"doc_id" % 97 === 0)
       .select($"tg", $"doc_id".as("eval_doc"))
     val train = grams.filter($"doc_id" % 97 =!= 0)

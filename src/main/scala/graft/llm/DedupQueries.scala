@@ -31,17 +31,26 @@ object DedupQueries {
   /** Word-3-grams per document WITH duplicates — a narrow explode, no
     * shuffle. Consumers that need the distinct set either dedupe inside
     * their aggregation (collect_set, min) or go through [[triShingles]].
+    *
+    * The size guard matters: for docs under 3 words,
+    * `sequence(0, size - 3)` would run DESCENDING (Spark's sequence
+    * semantics), emitting degenerate shingles via concat_ws null-
+    * skipping, while the DuckDB oracle's `range(1, len - 1)` is empty —
+    * a cross-engine divergence latent until a fixture ships short docs.
     */
-  private def triShinglesRaw(df: DataFrame)(implicit s: SparkSession): DataFrame = {
+  private[llm] def triShinglesRaw(df: DataFrame)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
     df.select($"doc_id", tokens($"text").as("ws"))
       .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        """IF(size(ws) >= 3,
+          |  transform(sequence(0, size(ws) - 3),
+          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])),
+          |  array())""".stripMargin))
         .as("tg"))
   }
 
   /** Distinct word-3-grams per document (one dedup shuffle). */
-  private def triShingles(df: DataFrame)(implicit s: SparkSession): DataFrame =
+  private[llm] def triShingles(df: DataFrame)(implicit s: SparkSession): DataFrame =
     triShinglesRaw(df).distinct()
 
   /** Exact dedup: group by content hash, keep the earliest doc_id as the

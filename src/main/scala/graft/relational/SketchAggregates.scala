@@ -27,6 +27,15 @@ object SketchAggregates {
     * never hashed: which sub-threshold keys survive legitimately
     * varies with partitioning/merge order; the bounds do not.
     *
+    * The key folds every 10th supplier into one hot key (suppkey%10=0
+    * → 0), planting a key with ~N/10 > N/(k+1) mass in every group AT
+    * EVERY SCALE — without it the uniform supplier distribution leaves
+    * the heavy-key clause vacuous (no key crosses the threshold) and
+    * the bound clause satisfied by any undercount, so a broken
+    * merge/update could still emit ok=true; with the hot key, an MG
+    * regression that loses more than N/(k+1) of its mass or evicts it
+    * flips the row red.
+    *
     * Scale shape: the sketch aggregation is ObjectHashAggregate with
     * full partial aggregation — each partition ships k counters per
     * group, not its value distribution; the exact-count check is one
@@ -36,7 +45,9 @@ object SketchAggregates {
     GraftFunctions.register(s)
     import s.implicits._
     val k = MgK
-    val li = T.lineitem(s, dir).select($"l_returnflag", $"l_suppkey")
+    val li = T.lineitem(s, dir).select($"l_returnflag",
+      when($"l_suppkey" % 10 === 0, lit(0L)).otherwise($"l_suppkey")
+        .as("l_suppkey"))
     val mg = li.groupBy($"l_returnflag")
       .agg(expr(s"mg_topk(l_suppkey, $k)").as("summary"),
         count(lit(1)).as("n"))

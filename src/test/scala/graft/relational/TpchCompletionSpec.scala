@@ -51,6 +51,14 @@ class TpchCompletionSpec extends SparkSpec {
     assert(df.collect().nonEmpty)
   }
 
+  test("Q7 shape: the bilateral pair is non-empty in both directions at smoke scale") {
+    val rows = TpchCompletionQueries.q206VolumeShipping(spark, dir).collect()
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("NATION_3", "NATION_8")) &&
+      pairs.contains(("NATION_8", "NATION_3")),
+      s"expected both trade directions at sf0.001, got $pairs")
+  }
+
   test("Q12/Q14 results agree between the DataFrame spelling and the SQL oracle text") {
     graft.core.Tables.orders(spark, dir).createOrReplaceTempView("orders")
     graft.core.Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
