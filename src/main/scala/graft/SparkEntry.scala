@@ -2,8 +2,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.catalog.CatalogOracle
-import graft.llm.{BpeTrain, Contamination, CorpusOps, DedupQueries, EmbeddingDedup, MultimodalOracle, PiiRedaction, ProductQuantization, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
-import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, RelationalQueries, NullSemantics, ReshapeStatsQueries, ScalarQueries, SketchAggregates, TableStatsQueries, TimeSeriesQueries, TpchCompletionQueries, TpchShapeQueries, WindowAggQueries}
+import graft.llm.{BpeTrain, Contamination, CorpusOps, DedupQueries, EmbeddingDedup, ImportanceWeights, Matryoshka, MultimodalOracle, PiiRedaction, ProductQuantization, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
+import graft.relational.{AnalyticalQueries, BucketedQueries, IncrementalQueries, PrivacyAudit, RelationalQueries, NullSemantics, ReshapeStatsQueries, ScalarQueries, SketchAggregates, TableStatsQueries, TimeSeriesQueries, TpchCompletionQueries, TpchShapeQueries, WindowAggQueries}
 import graft.operators.{IntervalJoin, PageRank, Skyline, TriangleCount}
 import graft.sources.{BinaryFiles, CsvScan, DynamicOverwrite, Federation, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, SchemaEvolution, XmlSource, ZOrderQueries}
 import graft.streaming.StreamShapeQueries
@@ -36,7 +36,8 @@ object SparkEntry {
       ProductQuantization.queries ++ graft.plans.TopK.queries ++ BinaryFiles.queries ++ Federation.queries ++ DynamicOverwrite.queries ++
       MultimodalOracle.queries ++ graft.plans.SortedRuns.queries ++
       graft.sources.DeletionVectors.queries ++ TpchShapeQueries.queries ++
-      Skyline.queries ++ XmlSource.queries ++ TpchCompletionQueries.queries ++ Contamination.queries ++ PiiRedaction.queries ++ NullSemantics.queries ++ SketchAggregates.queries
+      Skyline.queries ++ XmlSource.queries ++ TpchCompletionQueries.queries ++ Contamination.queries ++ PiiRedaction.queries ++ NullSemantics.queries ++ SketchAggregates.queries ++
+      ImportanceWeights.queries ++ PrivacyAudit.queries ++ Matryoshka.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.plans.TopK.oracleSql ++ BinaryFiles.oracleSql ++ Federation.oracleSql ++ DynamicOverwrite.oracleSql ++
       MultimodalOracle.oracleSql ++ graft.plans.SortedRuns.oracleSql ++
       graft.sources.DeletionVectors.oracleSql ++ TpchShapeQueries.oracleSql ++
-      Skyline.oracleSql ++ XmlSource.oracleSql ++ TpchCompletionQueries.oracleSql ++ Contamination.oracleSql ++ PiiRedaction.oracleSql ++ NullSemantics.oracleSql ++ SketchAggregates.oracleSql
+      Skyline.oracleSql ++ XmlSource.oracleSql ++ TpchCompletionQueries.oracleSql ++ Contamination.oracleSql ++ PiiRedaction.oracleSql ++ NullSemantics.oracleSql ++ SketchAggregates.oracleSql ++
+      ImportanceWeights.oracleSql ++ PrivacyAudit.oracleSql ++ Matryoshka.oracleSql
 }
