@@ -74,6 +74,14 @@ object GraftFunctions {
         arity("mg_topk", args, 2)
         MisraGriesTopK(args.head, intArg(args(1), "mg_topk", 1))
       }),
+    (FunctionIdentifier("kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantiles].getName, "kll_quantiles"),
+      (args: Seq[Expression]) => {
+        arity("kll_quantiles", args, 3)
+        KllQuantiles(args.head,
+          intArg(args(1), "kll_quantiles", 1),
+          intArg(args(2), "kll_quantiles", 2))
+      }),
   )
 
   /** Register all graft SQL functions on a live session. */

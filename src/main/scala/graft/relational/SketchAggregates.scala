@@ -86,11 +86,62 @@ object SketchAggregates {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Sketch size and rank-error tolerance for the q220 gate. k=200 over
+    * sf0.1's 100k events gives ~9 compaction levels; the deterministic
+    * worst case for the uniform-capacity scheme is levels·n/2k ≈ 2.2%
+    * of n, so the 5% gate holds with margin while staying meaningful
+    * (a broken merge or weight-losing compaction lands tens of percent
+    * off).
+    */
+  val KllK = 200
+  val KllNq = 10
+  val KllEps = 0.05
+
+  /** q220 — kll_quantiles contract gate, the q74 (n, ok) convention:
+    * sketch `events.value` with the native KLL-family aggregate
+    * ([[graft.functions.KllQuantiles]], SQL `kll_quantiles`), then FOR
+    * EACH of the nq+1 returned decile estimates recompute the exact
+    * rank (count of values ≤ estimate) over the same scan and require
+    * |rank − j·n/nq| ≤ [[KllEps]]·n. The raw sketch is never hashed —
+    * retained elements legitimately vary with partitioning/merge order;
+    * the rank bound does not.
+    *
+    * Scale shape: the sketch side is ObjectHashAggregate with full
+    * partial aggregation — every partition ships one O(k·log(n/k))
+    * state, never values (local[32] forces ~32 real merges). The exact
+    * ranks exist only to gate: one broadcast of nq+1 estimate rows
+    * against a second scan.
+    */
+  val q220KllGate: Q = (s, dir) => {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val ev = T.events(s, dir).select($"value")
+    val sk = ev.agg(
+      expr(s"kll_quantiles(value, $KllK, $KllNq)").as("qs"),
+      count(lit(1)).as("n"))
+    val est = sk.select($"n", posexplode($"qs"))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "est")
+    val ranks = ev.crossJoin(broadcast(est))
+      .groupBy($"j", $"est", $"n")
+      .agg(sum(when($"value" <= $"est", 1L).otherwise(0L)).as("r"))
+    ranks
+      .select($"n",
+        (abs($"r" - $"n" * $"j" / lit(KllNq.toDouble)) <= lit(KllEps) * $"n")
+          .as("in_bound"))
+      .groupBy($"n").agg(min($"in_bound").as("ok"))
+      .select($"n", $"ok")
+  }
+
+  val q220Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n, TRUE AS ok FROM events""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q215_mg_topk_gate" -> q215MgTopkGate,
+    "q220_kll_gate" -> q220KllGate,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q215_mg_topk_gate" -> q215Sql,
+    "q220_kll_gate" -> q220Sql,
   )
 }
