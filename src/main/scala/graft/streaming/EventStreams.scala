@@ -315,6 +315,21 @@ object EventStreams {
       horizon: String = "1 hour"): DataFrame =
     attributionJoin(purchases, signups, watermarkDelay, horizon, "left_outer")
 
+  /** Stream-STATIC enrichment join: every streaming event picks up its
+    * key's dimension attributes from a batch table — the classic
+    * "enrich the firehose with the profile store" shape. Stateless by
+    * construction (the static side is re-resolved per micro-batch, so a
+    * dim TABLE that changes between batches is picked up on file-source
+    * refresh), no watermark needed, and `broadcast` pins the plan every
+    * micro-batch wants at scale: ship the dimension to the stream's
+    * executors, never shuffle the stream. Left join keeps events whose
+    * key has no dimension row — dropping them silently is the classic
+    * enrichment bug.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   private def attributionJoin(purchases: DataFrame, signups: DataFrame,
       watermarkDelay: String, horizon: String, joinType: String): DataFrame = {
     val p = purchases

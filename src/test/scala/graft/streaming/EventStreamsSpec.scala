@@ -578,4 +578,32 @@ class EventStreamsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("stream-static enrichment equals the batch join and keeps dimensionless events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsOf(dir)
+    // dimension rows exist only for even user ids — odd ones must
+    // survive the left join with a null segment, not disappear
+    val dim = graft.core.Tables.events(spark, dir)
+      .select($"user_id").distinct().filter($"user_id" % 2 === 0)
+      .withColumn("segment", expr("concat('seg', user_id % 3)"))
+    val stream = MemoryStream[Event]
+    stream.addData(rows)
+    val q = EventStreams.enrichWithDim(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("t_enrich")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    drain(q)
+    val streamed = spark.table("t_enrich")
+      .select("event_id", "user_id", "segment")
+      .as[(Long, Long, Option[String])].collect().toSet
+    val batch = EventStreams.enrichWithDim(
+        graft.core.Tables.events(spark, dir)
+          .select("event_id", "user_id", "event_type", "ts", "value"), dim)
+      .select("event_id", "user_id", "segment")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(streamed == batch, s"stream/batch enrichment mismatch: " +
+      s"${streamed.size} vs ${batch.size} rows")
+    assert(streamed.exists(_._3.isEmpty), "expected dimensionless events")
+    assert(streamed.exists(_._3.nonEmpty), "expected enriched events")
+  }
 }
