@@ -5,7 +5,7 @@ import graft.catalog.CatalogOracle
 import graft.llm.{BpeTrain, Contamination, CorpusOps, DedupQueries, EmbeddingDedup, ImportanceWeights, Matryoshka, MultimodalOracle, PerceptualHash, PiiRedaction, ProductQuantization, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
 import graft.relational.{AnalyticalQueries, BitemporalQueries, BucketedQueries, IncrementalQueries, PrivacyAudit, RelationalQueries, NullSemantics, ReshapeStatsQueries, ScalarQueries, SketchAggregates, TableStatsQueries, TimeSeriesQueries, TpchCompletionQueries, TpchShapeQueries, WindowAggQueries}
 import graft.operators.{IntervalJoin, PageRank, Skyline, TriangleCount}
-import graft.sources.{BinaryFiles, CsvScan, DynamicOverwrite, Federation, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, SchemaEvolution, XmlSource, ZOrderQueries}
+import graft.sources.{BinaryFiles, CsvScan, DynamicOverwrite, Federation, HilbertLayout, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, SchemaEvolution, XmlSource, ZOrderQueries}
 import graft.streaming.StreamShapeQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -38,7 +38,7 @@ object SparkEntry {
       graft.sources.DeletionVectors.queries ++ TpchShapeQueries.queries ++
       Skyline.queries ++ XmlSource.queries ++ TpchCompletionQueries.queries ++ Contamination.queries ++ PiiRedaction.queries ++ NullSemantics.queries ++ SketchAggregates.queries ++
       ImportanceWeights.queries ++ PrivacyAudit.queries ++ Matryoshka.queries ++
-      PerceptualHash.queries ++ BitemporalQueries.queries
+      PerceptualHash.queries ++ BitemporalQueries.queries ++ HilbertLayout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +63,5 @@ object SparkEntry {
       graft.sources.DeletionVectors.oracleSql ++ TpchShapeQueries.oracleSql ++
       Skyline.oracleSql ++ XmlSource.oracleSql ++ TpchCompletionQueries.oracleSql ++ Contamination.oracleSql ++ PiiRedaction.oracleSql ++ NullSemantics.oracleSql ++ SketchAggregates.oracleSql ++
       ImportanceWeights.oracleSql ++ PrivacyAudit.oracleSql ++ Matryoshka.oracleSql ++
-      PerceptualHash.oracleSql ++ BitemporalQueries.oracleSql
+      PerceptualHash.oracleSql ++ BitemporalQueries.oracleSql ++ HilbertLayout.oracleSql
 }

@@ -74,6 +74,11 @@ object GraftFunctions {
         arity("mg_topk", args, 2)
         MisraGriesTopK(args.head, intArg(args(1), "mg_topk", 1))
       }),
+    (FunctionIdentifier("hilbert_xy2d"),
+      new ExpressionInfo(classOf[HilbertXY2D].getName, "hilbert_xy2d"),
+      (args: Seq[Expression]) => {
+        arity("hilbert_xy2d", args, 2); HilbertXY2D(args(0), args(1))
+      }),
     (FunctionIdentifier("kll_quantiles"),
       new ExpressionInfo(classOf[KllQuantiles].getName, "kll_quantiles"),
       (args: Seq[Expression]) => {

@@ -154,7 +154,7 @@ object ZOrderQueries {
   val ZProbeLo = 5L
   val ZProbeHi = 10L
 
-  private def ensureZLayout(s: SparkSession, dir: String): Unit = {
+  private[sources] def ensureZLayout(s: SparkSession, dir: String): Unit = {
     val marker = Paths.get(ZRoot, ".fixture_key")
     val key = s"zorder:$dir:$ZFiles"
     val cached = Files.exists(marker) &&
