@@ -74,6 +74,11 @@ object GraftFunctions {
         arity("mg_topk", args, 2)
         MisraGriesTopK(args.head, intArg(args(1), "mg_topk", 1))
       }),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (args: Seq[Expression]) => {
+        arity("cms_estimate", args, 2); CmsEstimate(args(0), args(1))
+      }),
     (FunctionIdentifier("hilbert_xy2d"),
       new ExpressionInfo(classOf[HilbertXY2D].getName, "hilbert_xy2d"),
       (args: Seq[Expression]) => {

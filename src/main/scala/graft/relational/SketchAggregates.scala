@@ -135,13 +135,66 @@ object SketchAggregates {
   val q220Sql: String =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n, TRUE AS ok FROM events""".stripMargin
 
+  /** q223 CMS shape: eps·N additive overcount budget at `CmsConf`
+    * per-key confidence; the undercount clause has NO tolerance (CMS
+    * never undercounts — a violated lower bound means a broken merge,
+    * not bad luck), while the overcount clause is probabilistic per
+    * key (P ≈ 1−conf each), so the gate allows a 5% violating-key
+    * fraction rather than requiring all keys in budget.
+    */
+  val CmsEps = 0.001
+  val CmsConf = 0.99
+  val CmsSeed = 42
+  val CmsBadKeyFrac = 0.05
+
+  /** q223 — cms_estimate probe gate, the q74 (n, ok) convention: build
+    * one Count-Min sketch over `events.user_id` with Spark's own SQL
+    * aggregate (`count_min_sketch` — the BUILD side Spark ships), then
+    * probe EVERY distinct key through the native
+    * [[graft.functions.CmsEstimate]] scalar (`cms_estimate` — the
+    * PROBE side Spark lacks: before this, reading an estimate meant
+    * `CountMinSketch.readFrom` on the driver, which is how q96 still
+    * does it). `ok` = no key under exact count ∧ ≤5% of keys over
+    * exact + eps·N.
+    *
+    * Scale shape: the sketch is one partial-aggregated pass (counter
+    * arrays merge by addition); the probe side joins the 1-row sketch
+    * frame as a broadcast against the per-key exact counts — the
+    * estimate evaluation is distributed codegen, zero driver probing,
+    * and the per-(thread, blob) sketch cache amortizes deserialization
+    * across a partition's probes.
+    */
+  val q223CmsProbeGate: Q = (s, dir) => {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val ev = T.events(s, dir).select($"user_id")
+    val sk = ev.agg(
+      expr(s"count_min_sketch(user_id, ${CmsEps}d, ${CmsConf}d, $CmsSeed)")
+        .as("cms"),
+      count(lit(1)).as("n"))
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact"))
+    exact.crossJoin(broadcast(sk))
+      .withColumn("est", expr("cms_estimate(cms, user_id)"))
+      .agg(count(lit(1)).as("n_keys"),
+        ((sum(when($"est" < $"exact", 1).otherwise(0)) === 0) &&
+          (sum(when($"est" > $"exact" + ceil(lit(CmsEps) * $"n"), 1)
+            .otherwise(0)) <= ceil(lit(CmsBadKeyFrac) * count(lit(1)))))
+          .as("ok"))
+  }
+
+  val q223Sql: String =
+    """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys, TRUE AS ok
+      |FROM events""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q215_mg_topk_gate" -> q215MgTopkGate,
     "q220_kll_gate" -> q220KllGate,
+    "q223_cms_probe_gate" -> q223CmsProbeGate,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q215_mg_topk_gate" -> q215Sql,
     "q220_kll_gate" -> q220Sql,
+    "q223_cms_probe_gate" -> q223Sql,
   )
 }
