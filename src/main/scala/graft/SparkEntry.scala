@@ -38,7 +38,8 @@ object SparkEntry {
       graft.sources.DeletionVectors.queries ++ TpchShapeQueries.queries ++
       Skyline.queries ++ XmlSource.queries ++ TpchCompletionQueries.queries ++ Contamination.queries ++ PiiRedaction.queries ++ NullSemantics.queries ++ SketchAggregates.queries ++
       ImportanceWeights.queries ++ PrivacyAudit.queries ++ Matryoshka.queries ++
-      PerceptualHash.queries ++ BitemporalQueries.queries ++ HilbertLayout.queries
+      PerceptualHash.queries ++ BitemporalQueries.queries ++ HilbertLayout.queries ++
+      graft.plans.AsOfMergeJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.sources.DeletionVectors.oracleSql ++ TpchShapeQueries.oracleSql ++
       Skyline.oracleSql ++ XmlSource.oracleSql ++ TpchCompletionQueries.oracleSql ++ Contamination.oracleSql ++ PiiRedaction.oracleSql ++ NullSemantics.oracleSql ++ SketchAggregates.oracleSql ++
       ImportanceWeights.oracleSql ++ PrivacyAudit.oracleSql ++ Matryoshka.oracleSql ++
-      PerceptualHash.oracleSql ++ BitemporalQueries.oracleSql ++ HilbertLayout.oracleSql
+      PerceptualHash.oracleSql ++ BitemporalQueries.oracleSql ++ HilbertLayout.oracleSql ++
+      graft.plans.AsOfMergeJoin.oracleSql
 }
