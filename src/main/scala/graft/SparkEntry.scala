@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.catalog.CatalogOracle
 import graft.llm.{BpeTrain, Contamination, CorpusOps, DedupQueries, EmbeddingDedup, ImportanceWeights, Matryoshka, MultimodalOracle, PerceptualHash, PiiRedaction, ProductQuantization, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
-import graft.relational.{AnalyticalQueries, BitemporalQueries, BucketedQueries, IncrementalQueries, PrivacyAudit, RelationalQueries, NullSemantics, ReshapeStatsQueries, ScalarQueries, SketchAggregates, TableStatsQueries, TimeSeriesQueries, TpchCompletionQueries, TpchShapeQueries, WindowAggQueries}
+import graft.relational.{AnalyticalQueries, BitemporalQueries, BucketedQueries, IncrementalQueries, JourneyQueries, PrivacyAudit, RelationalQueries, NullSemantics, ReshapeStatsQueries, ScalarQueries, SketchAggregates, TableStatsQueries, TimeSeriesQueries, TpchCompletionQueries, TpchShapeQueries, WindowAggQueries}
 import graft.operators.{IntervalJoin, PageRank, Skyline, TriangleCount}
 import graft.sources.{BinaryFiles, CsvScan, DynamicOverwrite, Federation, HilbertLayout, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, SchemaEvolution, XmlSource, ZOrderQueries}
 import graft.streaming.StreamShapeQueries
@@ -39,7 +39,7 @@ object SparkEntry {
       Skyline.queries ++ XmlSource.queries ++ TpchCompletionQueries.queries ++ Contamination.queries ++ PiiRedaction.queries ++ NullSemantics.queries ++ SketchAggregates.queries ++
       ImportanceWeights.queries ++ PrivacyAudit.queries ++ Matryoshka.queries ++
       PerceptualHash.queries ++ BitemporalQueries.queries ++ HilbertLayout.queries ++
-      graft.plans.AsOfMergeJoin.queries
+      graft.plans.AsOfMergeJoin.queries ++ JourneyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -65,5 +65,5 @@ object SparkEntry {
       Skyline.oracleSql ++ XmlSource.oracleSql ++ TpchCompletionQueries.oracleSql ++ Contamination.oracleSql ++ PiiRedaction.oracleSql ++ NullSemantics.oracleSql ++ SketchAggregates.oracleSql ++
       ImportanceWeights.oracleSql ++ PrivacyAudit.oracleSql ++ Matryoshka.oracleSql ++
       PerceptualHash.oracleSql ++ BitemporalQueries.oracleSql ++ HilbertLayout.oracleSql ++
-      graft.plans.AsOfMergeJoin.oracleSql
+      graft.plans.AsOfMergeJoin.oracleSql ++ JourneyQueries.oracleSql
 }

@@ -1,0 +1,174 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** User-journey analytics: multi-touch credit allocation (q225) and
+  * session path mining (q226) — the two shapes completing the
+  * event-analytics family (funnel q94, retention q119, sessionize
+  * q120, last-touch q148, transitions q150, streaks q152).
+  */
+object JourneyQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Lookback for touch eligibility — q148's 7-day window. */
+  val LookbackUs: Long = 7L * 24 * 3600 * 1000000
+
+  /** Credit pool per purchase, in micro-credits. Integer division
+    * splits it exactly; the REMAINDER goes to the earliest touch — the
+    * money-split discipline that keeps every engine's per-channel sums
+    * identical BIGINTs (a double 1/n split would sum in different
+    * orders across engines and never hash-match).
+    */
+  val CreditPool = 1000000L
+
+  /** q225 — LINEAR multi-touch attribution: every view/click inside
+    * the purchase's 7-day lookback shares the purchase's credit pool
+    * equally (vs q148 giving the LAST touch everything — the two ends
+    * of the attribution-model spectrum). Credit is allocated in exact
+    * integer micro-credits: each touch gets pool div n, the earliest
+    * touch also takes the remainder.
+    *
+    * Scale shape: touches join purchases by an EQUI key (user_id) —
+    * one hash-join shuffle — and the range predicate filters inside
+    * the join; per-purchase windows then run on the purchase id. No
+    * cross join anywhere; per-user touch×purchase fan-out is bounded
+    * by activity density, the same bound q115's interval join carries.
+    */
+  val q225MultiTouch: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("t_us"),
+        $"event_type")
+    val touches = ev.filter($"event_type".isin("view", "click"))
+      .select($"user_id", $"event_id".as("touch_id"),
+        $"t_us".as("touch_us"), $"event_type".as("channel"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"t_us".as("purchase_us"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter($"touch_us" < $"purchase_us" &&
+        $"touch_us" >= $"purchase_us" - LookbackUs)
+    val wAll = Window.partitionBy($"purchase_id")
+    val wRank = Window.partitionBy($"purchase_id")
+      .orderBy($"touch_us", $"touch_id")
+    joined
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("credit",
+        expr(s"$CreditPool div n") +
+          when($"rk" === 1, expr(s"$CreditPool % n")).otherwise(lit(0L)))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_touches"), sum($"credit").as("total_credit"))
+      .orderBy($"channel")
+  }
+
+  val q225Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+       |         event_type
+       |  FROM events),
+       |t AS (SELECT user_id, event_id AS touch_id, t_us AS touch_us,
+       |             event_type AS channel
+       |      FROM ev WHERE event_type IN ('view', 'click')),
+       |p AS (SELECT user_id, event_id AS purchase_id, t_us AS purchase_us
+       |      FROM ev WHERE event_type = 'purchase'),
+       |j AS (SELECT p.purchase_id, t.channel, t.touch_us, t.touch_id
+       |      FROM p JOIN t ON p.user_id = t.user_id
+       |        AND t.touch_us < p.purchase_us
+       |        AND t.touch_us >= p.purchase_us - $LookbackUs),
+       |c AS (SELECT channel,
+       |        COUNT(*) OVER (PARTITION BY purchase_id) AS n,
+       |        ROW_NUMBER() OVER (PARTITION BY purchase_id
+       |          ORDER BY touch_us, touch_id) AS rk
+       |      FROM j)
+       |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       |  CAST(SUM($CreditPool // n +
+       |    CASE WHEN rk = 1 THEN $CreditPool % n ELSE 0 END) AS BIGINT)
+       |    AS total_credit
+       |FROM c GROUP BY channel ORDER BY channel""".stripMargin
+
+  /** Session gap (µs): 30 minutes, the classic web-analytics cut. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Paths reported. */
+  val PathTake = 20
+
+  /** q226 — session path mining: gap-sessionize each user's event
+    * stream (30-min inactivity cut, q120's discipline), express each
+    * session as its ordered event-type path string, and report the
+    * [[PathTake]] most frequent paths with session counts — the
+    * "what do journeys through the product look like" rollup over
+    * q150's single-step transition matrix.
+    *
+    * Scale shape: sessionization is two windows on one user_id
+    * partitioning (lag + running sum); the path string is one ordered
+    * aggregation per session (sort_array over in-session structs —
+    * session length bounds the array, the gap cut bounds session
+    * length); the path census is a count on path strings whose
+    * cardinality is vocabulary-like. One user shuffle, one session
+    * shuffle, one path shuffle.
+    */
+  val q226SessionPaths: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("t_us"),
+        $"event_type")
+    val wSeq = Window.partitionBy($"user_id").orderBy($"t_us", $"event_id")
+    val sessions = ev
+      .withColumn("prev_us", lag($"t_us", 1).over(wSeq))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || $"t_us" - $"prev_us" > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum($"new_sess").over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy($"user_id", $"sess")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct($"t_us", $"event_id", $"event_type"))),
+          e => e.getField("event_type")), ">").as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(PathTake)
+  }
+
+  val q226Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+       |         event_type
+       |  FROM events),
+       |seq AS (
+       |  SELECT *, LAG(t_us) OVER (PARTITION BY user_id
+       |    ORDER BY t_us, event_id) AS prev_us
+       |  FROM ev),
+       |sess AS (
+       |  SELECT *, SUM(CASE WHEN prev_us IS NULL
+       |      OR t_us - prev_us > $SessionGapUs THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY t_us, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM seq),
+       |paths AS (
+       |  SELECT user_id, sess,
+       |    STRING_AGG(event_type, '>' ORDER BY t_us, event_id) AS path
+       |  FROM sess GROUP BY user_id, sess)
+       |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+       |FROM paths GROUP BY path
+       |ORDER BY n_sessions DESC, path
+       |LIMIT $PathTake""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q225_multi_touch" -> q225MultiTouch,
+    "q226_session_paths" -> q226SessionPaths,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q225_multi_touch" -> q225Sql,
+    "q226_session_paths" -> q226Sql,
+  )
+}
