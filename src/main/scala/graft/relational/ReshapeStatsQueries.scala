@@ -324,7 +324,71 @@ object ReshapeStatsQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** MAD multiplier: 5·MAD flags ~4% of events.value rows at every SF
+    * (measured 37/1000, 430/10000, 4448/100000) — non-degenerate
+    * output without flagging the bulk.
+    */
+  val MadK = 5.0
+
+  /** q227 — robust anomaly detection via MEDIAN ABSOLUTE DEVIATION:
+    * flag rows with |value − median| > [[MadK]]·MAD per event_type —
+    * the robust twin of q149's z-score screen (mean/σ move with the
+    * outliers they are supposed to catch; median/MAD have 50%
+    * breakdown, the reason data-quality monitors prefer them on
+    * heavy-tailed pipeline metrics).
+    *
+    * Determinism: both medians are lower order statistics selected by
+    * integer rank arithmetic (q90's discipline — the value AT a rank
+    * is tie-invariant), and the test |v − med| > k·mad is a chain of
+    * individually correctly-rounded IEEE double ops on identical
+    * inputs — no accumulation anywhere, so the row set hash-matches
+    * exactly.
+    *
+    * Scale shape: two keyed windows (rank + count) and two tiny
+    * median-per-group joins back — same q90/q162 shape; the production
+    * variant swaps the exact rank windows for kll_quantiles (q220)
+    * when groups stop fitting a window partition.
+    */
+  val q227MadAnomaly: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir).select($"event_id", $"event_type", $"value")
+    val wN = Window.partitionBy($"event_type")
+    val medOf: (DataFrame, String, String) => DataFrame = (df, c, out) => {
+      val w = Window.partitionBy($"event_type").orderBy(col(c), $"event_id")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wN))
+        .filter($"rn" === expr("(n + 1) div 2"))
+        .select($"event_type", col(c).as(out))
+    }
+    val dev = ev.join(medOf(ev, "value", "med"), "event_type")
+      .withColumn("adev", abs($"value" - $"med"))
+    dev.join(medOf(dev, "adev", "mad"), "event_type")
+      .filter($"adev" > lit(MadK) * $"mad")
+      .select($"event_id", $"event_type", $"value", $"med", $"mad")
+      .orderBy($"event_id")
+  }
+
+  val q227Sql: String =
+    s"""WITH ev AS (SELECT event_id, event_type, value FROM events),
+       |r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+       |         ORDER BY value, event_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY event_type) AS n FROM ev),
+       |med AS (SELECT event_type, value AS med FROM r1
+       |        WHERE rn = (n + 1) // 2),
+       |dev AS (SELECT ev.*, med, ABS(value - med) AS adev
+       |        FROM ev JOIN med USING (event_type)),
+       |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+       |         ORDER BY adev, event_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY event_type) AS n FROM dev),
+       |mad AS (SELECT event_type, adev AS mad FROM r2
+       |        WHERE rn = (n + 1) // 2)
+       |SELECT event_id, dev.event_type AS event_type, value, med, mad
+       |FROM dev JOIN mad USING (event_type)
+       |WHERE adev > $MadK * mad
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q227_mad_anomaly" -> q227MadAnomaly,
     "q201_approx_pct_gate" -> q201ApproxPctGate,
     "q87_pivot" -> q87Pivot,
     "q88_unpivot" -> q88Unpivot,
@@ -335,6 +399,7 @@ object ReshapeStatsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q227_mad_anomaly" -> q227Sql,
     "q201_approx_pct_gate" -> q201Sql,
     "q87_pivot" -> q87Sql,
     "q88_unpivot" -> q88Sql,

@@ -313,6 +313,44 @@ object StreamBench {
     * [[graft.SparkEntry.queries]] so the correctness gate (which has no
     * streaming-SQL oracle) is unaffected.
     */
+  /** qs08 — streaming KLL quantiles over [[BloomBatches]] micro-batches:
+    * per shard, the O(k·log n) distribution-state fold in ValueState —
+    * completing the sketch-state trio (qs01 membership, qs03
+    * frequency). The final merge + decile read run after the stream
+    * stops; the timing is the per-batch read/fold/write path.
+    */
+  val qs08KllStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val stream = MemoryStream[Event]
+    val name = s"bench_kll_${runId.incrementAndGet()}"
+    val q = KllStream.kllSketches(stream.toDS())
+      .toDF("shard", "sketch")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-kll-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    // latest sketch per shard = the one with the largest folded count
+    // (n only grows); shards·batches rows — driver-side pick is bounded
+    val all = s.table(name).select($"shard", $"sketch")
+      .as[(Long, Array[Byte])].collect()
+    val latest = all.groupBy(_._1).map { case (_, rs) =>
+      rs.map(_._2).maxBy(b => graft.functions.KllState.deserialize(b).n)
+    }.toSeq
+    s.catalog.dropTempView(name)
+    val merged = KllStream.merge(latest)
+    val deciles = merged.quantiles(10)
+    Seq((rows.size.toLong, merged.n, deciles(5)))
+      .toDF("n_in", "sketch_n", "p50")
+  }
+
   val benchOnly: Map[String, Q] = Map(
     "qs01_bloom_dedup_stream" -> qs01BloomDedupStream,
     "qs02_cdc_apply_stream" -> qs02CdcApplyStream,
@@ -321,5 +359,6 @@ object StreamBench {
     "qs05_asof_stream" -> qs05AsOfStream,
     "qs06_funnel_stream" -> qs06FunnelStream,
     "qs07_chained_stream" -> qs07ChainedStream,
+    "qs08_kll_stream" -> qs08KllStream,
   )
 }
