@@ -2,9 +2,9 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.catalog.CatalogOracle
-import graft.llm.{BpeTrain, Contamination, CorpusOps, DedupQueries, EmbeddingDedup, ImportanceWeights, Matryoshka, MultimodalOracle, PerceptualHash, PiiRedaction, ProductQuantization, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
-import graft.relational.{AnalyticalQueries, BitemporalQueries, BucketedQueries, IncrementalQueries, JourneyQueries, PrivacyAudit, RelationalQueries, NullSemantics, ReshapeStatsQueries, ScalarQueries, SketchAggregates, TableStatsQueries, TimeSeriesQueries, TpchCompletionQueries, TpchShapeQueries, WindowAggQueries}
-import graft.operators.{IntervalJoin, PageRank, Skyline, TriangleCount}
+import graft.llm.{BinaryQuantization, BpeTrain, Contamination, CorpusOps, DedupQueries, EmbeddingDedup, ImportanceWeights, Matryoshka, MultimodalOracle, PerceptualHash, PiiRedaction, ProductQuantization, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
+import graft.relational.{AnalyticalQueries, BitemporalQueries, BucketedQueries, IncrementalQueries, JourneyQueries, PrivacyAudit, RelationalQueries, NullSemantics, ReshapeStatsQueries, ScalarQueries, SketchAggregates, StatInference, TableStatsQueries, TimeSeriesQueries, TpchCompletionQueries, TpchShapeQueries, WindowAggQueries}
+import graft.operators.{IntervalJoin, PageRank, ShortestPaths, Skyline, TriangleCount}
 import graft.sources.{BinaryFiles, CsvScan, DynamicOverwrite, Federation, HilbertLayout, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, SchemaEvolution, XmlSource, ZOrderQueries}
 import graft.streaming.StreamShapeQueries
 
@@ -39,7 +39,9 @@ object SparkEntry {
       Skyline.queries ++ XmlSource.queries ++ TpchCompletionQueries.queries ++ Contamination.queries ++ PiiRedaction.queries ++ NullSemantics.queries ++ SketchAggregates.queries ++
       ImportanceWeights.queries ++ PrivacyAudit.queries ++ Matryoshka.queries ++
       PerceptualHash.queries ++ BitemporalQueries.queries ++ HilbertLayout.queries ++
-      graft.plans.AsOfMergeJoin.queries ++ JourneyQueries.queries
+      graft.plans.AsOfMergeJoin.queries ++ JourneyQueries.queries ++
+      StatInference.queries ++ ShortestPaths.queries ++
+      BinaryQuantization.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -65,5 +67,7 @@ object SparkEntry {
       Skyline.oracleSql ++ XmlSource.oracleSql ++ TpchCompletionQueries.oracleSql ++ Contamination.oracleSql ++ PiiRedaction.oracleSql ++ NullSemantics.oracleSql ++ SketchAggregates.oracleSql ++
       ImportanceWeights.oracleSql ++ PrivacyAudit.oracleSql ++ Matryoshka.oracleSql ++
       PerceptualHash.oracleSql ++ BitemporalQueries.oracleSql ++ HilbertLayout.oracleSql ++
-      graft.plans.AsOfMergeJoin.oracleSql ++ JourneyQueries.oracleSql
+      graft.plans.AsOfMergeJoin.oracleSql ++ JourneyQueries.oracleSql ++
+      StatInference.oracleSql ++ ShortestPaths.oracleSql ++
+      BinaryQuantization.oracleSql
 }

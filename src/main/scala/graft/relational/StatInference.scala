@@ -1,0 +1,215 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** Statistical-inference operators — grouped OLS regression, Welch's
+  * two-sample t statistic (the A/B-experiment readout), and the
+  * chi-square independence test — SURVEY.md §2.b stats extensions.
+  *
+  * These close the "is this difference real?" loop that every
+  * data-pipeline team runs after computing the descriptive stats the
+  * repo already has (q89 moments, q154/q162 histograms, q227 MAD):
+  * a regression readout per segment, an experiment significance
+  * readout per metric, and an association test between two
+  * categorical labelings (e.g. does `lang` depend on `source` — the
+  * question a corpus-balance audit asks before reweighting).
+  *
+  * Cross-engine determinism: the ReshapeStatsQueries discipline. Every
+  * aggregate both engines stream is an EXACT integer sum (quantized
+  * BIGINT — associative, order-free), and the statistic is finished
+  * with the same fixed sequence of IEEE-754 double ops spelled
+  * identically in both engines (subtract, multiply, divide, sqrt —
+  * each correctly rounded, so identical inputs give bit-identical
+  * outputs). Nothing hash-compared is a streamed double aggregate.
+  *
+  * Reference anchor: none — the reference ranks and lists
+  * (main.go:143-238) but never infers; these are north-star [N] rows.
+  */
+object StatInference {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q228 — grouped OLS: per return-flag least-squares line of
+    * extendedprice on quantity, from the closed form
+    *   slope = (Σxy − Σx·Σy/n) / (Σx² − (Σx)²/n)
+    * over cent-exact integer sums (x = quantity, y = floor(price) —
+    * both integral in the fixture, so FLOOR loses nothing).
+    *
+    * Scale shape: one partial-aggregated groupBy over lineitem — the
+    * same single-pass sufficient-statistics plan `regr_slope` itself
+    * uses, but with order-free integer accumulators instead of the
+    * order-sensitive double ones (which can't hash-compare across
+    * engines). 3 output rows; no shuffle beyond the one hash agg.
+    */
+  val q228GroupedOls: Q = (s, dir) => {
+    import s.implicits._
+    T.lineitem(s, dir)
+      .select($"l_returnflag",
+        expr("CAST(FLOOR(l_quantity) AS BIGINT)").as("qx"),
+        expr("CAST(FLOOR(l_extendedprice) AS BIGINT)").as("qy"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"qx").as("sx"), sum($"qy").as("sy"),
+        sum($"qx" * $"qx").as("sxx"), sum($"qx" * $"qy").as("sxy"),
+        sum($"qy" * $"qy").as("syy"))
+      .withColumn("slope",
+        expr("(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"))
+      .withColumn("intercept",
+        expr("CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - slope * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"))
+      .withColumn("r2",
+        expr("""(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               | * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               | / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               |    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))""".stripMargin))
+      .select($"l_returnflag", $"n", $"slope", $"intercept", $"r2")
+      .orderBy($"l_returnflag")
+  }
+
+  val q228Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(qx) AS sx, SUM(qy) AS sy,
+      |    SUM(qx * qx) AS sxx, SUM(qx * qy) AS sxy, SUM(qy * qy) AS syy
+      |  FROM (SELECT l_returnflag,
+      |          CAST(FLOOR(l_quantity) AS BIGINT) AS qx,
+      |          CAST(FLOOR(l_extendedprice) AS BIGINT) AS qy
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS slope,
+      |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |   * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |   / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS r2
+      |FROM s
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q229 — Welch's two-sample t per event type: variant assignment is
+    * the deterministic `user_id % 2` split (the q95 hash-split idea at
+    * its simplest), the metric is the cent-quantized event value, and
+    *   t = (m̄_a − m̄_b) / sqrt(s²_a/n_a + s²_b/n_b)
+    * with sample variances from the exact-integer closed form. This is
+    * the experiment-analysis readout: one row per metric, the sign and
+    * magnitude of t says whether the variants differ beyond noise.
+    *
+    * Scale shape: ONE conditional-aggregation pass (FILTER/when inside
+    * the agg — no self-join of the two variants, no second scan). At
+    * 100 TB the plan is a single partial+final hash agg keyed by the
+    * handful of metric names.
+    */
+  val q229WelchTtest: Q = (s, dir) => {
+    import s.implicits._
+    val va = $"user_id" % 2 === 0
+    T.events(s, dir)
+      .select($"event_type", $"user_id",
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("qv"))
+      .groupBy($"event_type")
+      .agg(
+        sum(when(va, 1L).otherwise(0L)).as("n_a"),
+        sum(when(va, $"qv").otherwise(0L)).as("s1a"),
+        sum(when(va, $"qv" * $"qv").otherwise(0L)).as("s2a"),
+        sum(when(!va, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!va, $"qv").otherwise(0L)).as("s1b"),
+        sum(when(!va, $"qv" * $"qv").otherwise(0L)).as("s2b"))
+      .select($"event_type", $"n_a", $"n_b",
+        expr("CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE)")
+          .as("mean_diff_q"),
+        expr("""(CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               | / SQRT(((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+               |       + ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))""".stripMargin)
+          .cast("double").as("t_stat"))
+      .orderBy($"event_type")
+  }
+
+  val q229Sql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+      |    COALESCE(SUM(qv)      FILTER (WHERE user_id % 2 = 0), 0) AS s1a,
+      |    COALESCE(SUM(qv * qv) FILTER (WHERE user_id % 2 = 0), 0) AS s2a,
+      |    COUNT(*) FILTER (WHERE user_id % 2 <> 0) AS n_b,
+      |    COALESCE(SUM(qv)      FILTER (WHERE user_id % 2 <> 0), 0) AS s1b,
+      |    COALESCE(SUM(qv * qv) FILTER (WHERE user_id % 2 <> 0), 0) AS s2b
+      |  FROM (SELECT event_type, user_id,
+      |          CAST(FLOOR(100 * value) AS BIGINT) AS qv FROM events)
+      |  GROUP BY event_type)
+      |SELECT event_type, n_a, n_b,
+      |  CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_diff_q,
+      |  (CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |   / SQRT(((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+      |         + ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)) AS t_stat
+      |FROM s
+      |ORDER BY event_type""".stripMargin
+
+  /** q230 — chi-square independence of `lang` × `source` over the
+    * documents corpus: does where a document comes from predict its
+    * language — the balance question a corpus audit asks before mixing
+    * (q136/q158 reweight; this row justifies WHETHER to).
+    *
+    * The full expected grid (row marginals × column marginals,
+    * zero-observed cells included — a test that skips empty cells
+    * understates the statistic) is built by crossing the two marginal
+    * frames: both are tiny aggregates (|langs| and |sources| rows), so
+    * the cross is a broadcast of constants, never a data-sized product.
+    * Per-cell terms (o−e)²/e are computed in doubles, then
+    * micro-quantized to BIGINT before the final sum — the one
+    * order-sensitive reduction becomes order-free, so the whole
+    * statistic hash-compares exactly.
+    */
+  val q230Chi2Independence: Q = (s, dir) => {
+    import s.implicits._
+    val d = T.documents(s, dir)
+    val obs = d.groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+    val rowt = d.groupBy($"lang").agg(count(lit(1)).as("rt"))
+    val colt = d.groupBy($"source").agg(count(lit(1)).as("ct"))
+    val tot = d.agg(count(lit(1)).cast("double").as("n")) // 1-row frame
+    rowt.crossJoin(colt)
+      .join(obs, Seq("lang", "source"), "left")
+      .crossJoin(tot)
+      .select($"lang", $"source", $"rt", $"ct", $"n",
+        coalesce($"o", lit(0L)).as("o"))
+      .select(
+        expr("CAST(FLOOR(1000000.0 * ((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n) * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n) / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n))) AS BIGINT)")
+          .as("term_q"))
+      .agg(count(lit(1)).as("n_cells"), sum($"term_q").as("chi2_q"))
+      .crossJoin(
+        rowt.agg(count(lit(1)).as("nl"))
+          .crossJoin(colt.agg(count(lit(1)).as("ns")))
+          .select((($"nl" - 1) * ($"ns" - 1)).as("df")))
+      .select($"n_cells", $"df", $"chi2_q")
+  }
+
+  val q230Sql: String =
+    """WITH obs AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+      |rowt AS (SELECT lang, COUNT(*) AS rt FROM documents GROUP BY lang),
+      |colt AS (SELECT source, COUNT(*) AS ct FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |grid AS (
+      |  SELECT rowt.lang, colt.source, rt, ct, COALESCE(o, 0) AS o
+      |  FROM rowt CROSS JOIN colt
+      |  LEFT JOIN obs ON obs.lang = rowt.lang AND obs.source = colt.source),
+      |terms AS (
+      |  SELECT CAST(FLOOR(1000000.0 * ((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n) * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n) / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n))) AS BIGINT) AS term_q
+      |  FROM grid, tot)
+      |SELECT
+      |  (SELECT COUNT(*) FROM grid) AS n_cells,
+      |  (SELECT ((SELECT COUNT(*) FROM rowt) - 1) * ((SELECT COUNT(*) FROM colt) - 1)) AS df,
+      |  CAST(SUM(term_q) AS BIGINT) AS chi2_q
+      |FROM terms""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q228_grouped_ols" -> q228GroupedOls,
+    "q229_welch_ttest" -> q229WelchTtest,
+    "q230_chi2_independence" -> q230Chi2Independence,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q228_grouped_ols" -> q228Sql,
+    "q229_welch_ttest" -> q229Sql,
+    "q230_chi2_independence" -> q230Sql,
+  )
+}
