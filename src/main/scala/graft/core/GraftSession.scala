@@ -41,16 +41,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and floor-divide to
-    * microseconds — the same truncation DuckDB applies casting
-    * TIMESTAMP_NS → TIMESTAMP, so oracle SQL uses CAST(ts AS TIMESTAMP).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations (which Spark's vectorized reader rejects — read nanos as
+    * long and floor-divide to micros, the same truncation DuckDB applies
+    * casting TIMESTAMP_NS → TIMESTAMP) and as plain TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) in others (Spark reads TIMESTAMP_NTZ — cast
+    * to session-TZ TimestampType, identical instant under the UTC session
+    * this library pins). Normalizing here keeps every consumer and every
+    * oracle SQL (`CAST(ts AS TIMESTAMP)`) agnostic to the generation.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
-    raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
