@@ -741,6 +741,76 @@ object DedupQueries {
        |FROM r LEFT JOIN ex USING (h)
        |ORDER BY doc_id""".stripMargin
 
+  /** q233 — prefix-filtering EXACT set-similarity self-join (the
+    * SSJoin/PPJoin family: Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08): the DETERMINISTIC candidate generator next to the
+    * probabilistic ones (MinHash q41, SimHash q42, SRP q112).
+    *
+    * Prefix-filtering lemma: order every document's shingle set by one
+    * global canonical order (ascending document frequency, rarest
+    * first, ties by hash). If J(x,y) ≥ τ then |x∩y| ≥ ⌈τ·max(|x|,|y|)⌉,
+    * and two sorted sets whose first `|·| − ⌈τ·|·|⌉ + 1` elements are
+    * disjoint cannot reach that overlap — so candidates = the
+    * prefix×prefix equi-join, with ZERO false negatives by theorem
+    * rather than by band-count tuning. Exact-Jaccard verification on
+    * candidates only, as in q41.
+    *
+    * Scale shape: df ranking is one count aggregate joined back on the
+    * 8-byte shingle hash; per-doc sort is array-local (doc-length
+    * bounded); the candidate join keys on prefix tokens, which are
+    * df-ASCENDING — the rarest tokens of each doc — so bucket sizes
+    * are naturally small (a df-D token appears in at most D prefixes);
+    * the τ·|x| ≤ |y| ≤ |x|/τ length filter prunes inside the join. No
+    * per-bucket cap is admissible (it would break the exactness
+    * guarantee that distinguishes this row from q41); the degenerate
+    * corpus-of-identical-docs case is handled upstream by exact dedup
+    * (q40), the standard PPJoin deployment order.
+    *
+    * τ = 0.7 (num/den = 7/10 in exact integer arithmetic:
+    * ⌈7n/10⌉ = (7n+9) div 10) — the q41 threshold, so the oracle is
+    * the same exact all-pairs SQL and the gate proves the prefix
+    * filter loses nothing.
+    */
+  def prefixFilterPairs(docs: DataFrame, num: Int, den: Int)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    val tri = triShingles(docs).select($"doc_id", xxhash64($"tg").as("tgh"))
+    val dfTab = tri.groupBy($"tgh").agg(count(lit(1)).as("df"))
+    val perDoc = tri.join(dfTab, "tgh")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"tgh"))).as("toks"))
+      .withColumn("n", size($"toks"))
+    val prefix = perDoc.select($"doc_id", $"n",
+      explode(expr(s"slice(toks, 1, n - (($num * n + ${den - 1}) div $den) + 1)"))
+        .as("t"))
+      .select($"doc_id", $"n", $"t.tgh".as("tgh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        $"a.tgh" === $"b.tgh" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" * den >= $"b.n" * num && $"b.n" * den >= $"a.n" * num)
+      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
+        $"a.n".as("n1"), $"b.n".as("n2"))
+      .distinct()
+    val arrays = perDoc.select($"doc_id",
+      expr("transform(toks, x -> x.tgh)").as("th"))
+    cand
+      .join(arrays.select($"doc_id".as("doc1"), $"th".as("th1")), "doc1")
+      .join(arrays.select($"doc_id".as("doc2"), $"th".as("th2")), "doc2")
+      .withColumn("inter", size(array_intersect($"th1", $"th2")))
+      .withColumn("jaccard", $"inter" / ($"n1" + $"n2" - $"inter"))
+      .filter($"jaccard" >= lit(num.toDouble / den))
+      .select($"doc1", $"doc2", $"inter", $"jaccard")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  val q233PrefixJoin: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    prefixFilterPairs(T.documents(s, dir), 7, 10)
+  }
+
+  /** Same exact all-pairs oracle as q41 — the prefix filter must
+    * recover every pair the quadratic recompute finds. */
+  val q233Sql: String = q41Sql
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> q40DedupExact,
     "q41_minhash_lsh" -> q41MinhashLsh,
@@ -753,6 +823,7 @@ object DedupQueries {
     "q127_decontaminate" -> q127Decontaminate,
     "q131_incremental_ingest" -> q131IncrementalIngest,
     "q197_jaro_pairs" -> q197JaroPairs,
+    "q233_prefix_join" -> q233PrefixJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -767,5 +838,6 @@ object DedupQueries {
     "q127_decontaminate" -> q127Sql,
     "q131_incremental_ingest" -> q131Sql,
     "q197_jaro_pairs" -> q197Sql,
+    "q233_prefix_join" -> q233Sql,
   )
 }

@@ -133,4 +133,37 @@ class DedupSpec extends SparkSpec {
     val jac = inter12.toDouble / (n(1L) + n(2L) - inter12)
     assert(jac > 0.8, s"planted pair jaccard $jac should be high")
   }
+
+  test("prefix-filter join is lossless vs the exact all-pairs recompute") {
+    implicit val sp = spark
+    // Varied-length corpus: planted near-dup pair (1,2), a planted
+    // SHORTER echo (4 ≈ 5, different length regime), and unrelated docs.
+    val corpus = (docs.as[(Long, String)].collect().toSeq ++ Seq(
+      (4L, "red orange yellow green blue indigo violet pink brown black " +
+        "white gray silver gold bronze copper iron steel tin lead"),
+      (5L, "red orange yellow green blue indigo violet pink brown black " +
+        "white gray silver gold bronze copper iron steel tin ZINC"),
+      (6L, "six entirely unrelated tokens forming nothing alike at all " +
+        "in this sentence about quiet mountain lakes under winter stars")))
+      .toDF("doc_id", "text")
+    val viaPrefix = DedupQueries.prefixFilterPairs(corpus, 7, 10)
+      .select($"doc1", $"doc2", $"inter").as[(Long, Long, Long)]
+      .collect().toSet
+    // exact all-pairs over the same shingle universe (no df cap)
+    val viaExact = DedupQueries.ngramJaccardPairs(corpus, 0.7, Int.MaxValue)
+      .select($"doc1", $"doc2", $"inter").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(viaExact.map(p => (p._1, p._2)).contains((1L, 2L)),
+      "fixture broken: planted pair not a true near-dup")
+    assert(viaPrefix == viaExact,
+      s"prefix filter diverged: prefix=$viaPrefix exact=$viaExact")
+  }
+
+  test("prefix length formula: whole set at n=1, ~0.3n+1 at larger n") {
+    // p = n - ceil(0.7 n) + 1 via integer arithmetic (7n+9) div 10
+    def p(n: Int) = n - (7 * n + 9) / 10 + 1
+    assert(p(1) == 1 && p(2) == 1 && p(10) == 4 && p(100) == 31)
+    // never longer than the set, always at least 1
+    (1 to 200).foreach(n => assert(p(n) >= 1 && p(n) <= n))
+  }
 }
