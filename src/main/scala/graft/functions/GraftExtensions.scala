@@ -46,6 +46,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         arity("simhash64", args, 1); SimHash64(args.head)
       }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        arity("nfc_normalize", args, 1); NfcNormalize(args.head)
+      }),
     (FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),
       (args: Seq[Expression]) => {

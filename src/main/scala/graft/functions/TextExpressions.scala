@@ -181,10 +181,67 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode NFC normalization as a codegen'd unary expression — the
+  * canonicalization pass exact dedup and fingerprinting silently assume
+  * (q124 normalizes case/whitespace; THIS normalizes codepoints): the
+  * same visible text can arrive precomposed (U+00E9 'é') or decomposed
+  * (U+0065 U+0301 'e'+combining acute) from different crawlers/OCR
+  * pipelines, and every byte-keyed operator downstream — sha2 dedup
+  * (q40), shingle hashing (q41), content-addressed ingest (q131) —
+  * treats them as distinct documents. Spark has no normalization
+  * builtin; DuckDB ships `nfc_normalize`, which makes the output
+  * directly hash-comparable cross-engine (q197's rationale).
+  *
+  * Semantics: `java.text.Normalizer.normalize(s, NFC)` — the Unicode
+  * canonical-composition algorithm, stable across JVM versions for
+  * assigned codepoints (both engines implement UAX #15 over the same
+  * Unicode data). The `isNormalized` fast path skips allocation for
+  * already-NFC text, which is ~all of a real corpus — the expression is
+  * a no-op-speed guard, not a per-row rewrite.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"expected string, got $other")
+    }
+  }
+
+  def nfcOf(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    nfcOf(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNorm", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.nfcOf($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** SimHash64 of a tokenized (array<string>) column. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Unicode NFC normalization of a string column. */
+  def nfcNormalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
 
   /** Jaro-Winkler similarity of two string columns (DuckDB-bit-exact). */
   def jaroWinkler(l: Column, r: Column): Column =

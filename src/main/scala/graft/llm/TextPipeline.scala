@@ -484,6 +484,45 @@ object TextPipeline {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q235 — Unicode NFC codepoint normalization, q124's codepoint-level
+    * sibling: the same visible text can arrive precomposed (U+00E9 'é')
+    * or decomposed (U+0065 U+0301), and byte-keyed dedup (q40/q131)
+    * treats them as different documents. Runs the native
+    * [[graft.functions.NfcNormalize]] codegen expression (Spark has no
+    * builtin; DuckDB's `nfc_normalize` is the independent oracle — the
+    * output STRINGS hash-compare byte-for-byte).
+    *
+    * Decomposed sequences are planted on the `doc_id % 11` slice (the
+    * q42/q213 planted-fixture convention, built identically in both
+    * engines from SQL literals), so the gate proves composition happens
+    * on planted rows AND ASCII text passes through untouched. Map-only,
+    * zero shuffles before the order-by; the `isNormalized` fast path
+    * makes the already-normalized majority allocation-free.
+    */
+  val q235NfcNormalize: Q = (s, dir) => {
+    import s.implicits._
+    val raw = when($"doc_id" % 11 === 0,
+      concat($"text", lit(" café naïve"))).otherwise($"text")
+    T.documents(s, dir)
+      .select($"doc_id", raw.as("raw"))
+      .select($"doc_id",
+        graft.functions.TextFunctions.nfcNormalize($"raw").as("nfc_text"),
+        (graft.functions.TextFunctions.nfcNormalize($"raw") =!= $"raw")
+          .as("changed"))
+      .orderBy($"doc_id")
+  }
+
+  val q235Sql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' café naïve'
+      |         ELSE text END AS raw
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+      |  nfc_normalize(raw) != raw AS changed
+      |FROM raw
+      |ORDER BY doc_id""".stripMargin
+
   /** Concat-and-cut sequence packing — how training runs batch text:
     * documents concatenate in a canonical order (doc_id) into one
     * global token stream, and fixed-size packs are cut every `budget`
@@ -727,6 +766,7 @@ object TextPipeline {
     "q100_stratified_sample" -> q100StratifiedSample,
     "q116_group_sample" -> q116GroupSample,
     "q124_text_normalize" -> q124TextNormalize,
+    "q235_nfc_normalize" -> q235NfcNormalize,
     "q103_sequence_packing" -> q103SequencePacking,
     "q108_bm25" -> q108Bm25,
     "q158_temperature_mix" -> q158TemperatureMix,
@@ -741,6 +781,7 @@ object TextPipeline {
     "q100_stratified_sample" -> q100Sql,
     "q116_group_sample" -> q116Sql,
     "q124_text_normalize" -> q124Sql,
+    "q235_nfc_normalize" -> q235Sql,
     "q103_sequence_packing" -> q103Sql,
     "q108_bm25" -> q108Sql,
     "q158_temperature_mix" -> q158Sql,
