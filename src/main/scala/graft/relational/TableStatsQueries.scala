@@ -99,6 +99,69 @@ object TableStatsQueries {
       |ORDER BY n_orders DESC, p1 ASC, p2 ASC
       |LIMIT 100""".stripMargin
 
+  /** q236 — item-item cosine similarity neighbor lists: the SCORING
+    * stage of item-based collaborative filtering over q134's candidate
+    * generation (Sarwar et al. WWW'01). Each item is the binary vector
+    * of orders containing it; for co-purchased pairs,
+    * `cos(i,j) = co / √(nᵢ·nⱼ)` — exactly two correctly-rounded IEEE
+    * ops (one sqrt of an exact int64 product, one divide) over exact
+    * integer counts, so the similarity DOUBLES hash-compare
+    * cross-engine (the q89/q228 closed-form discipline). Top-3
+    * neighbors per item, ties to the smaller part key.
+    *
+    * Scale shape: candidate pairs form only within co-located order
+    * groups (q134's equi-join — never an all-pairs item join); degree
+    * and similarity attach via two item-keyed joins (AQE-governed);
+    * the neighbor cut is one row_number window over the PAIR frame,
+    * which is already ≪ corpus size. The ≥2-order support floor is the
+    * recsys noise gate, and it also bounds the undirected expansion.
+    */
+  val q236ItemSimilarity: Q = (s, dir) => {
+    import s.implicits._
+    val op = T.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val deg = op.groupBy($"l_partkey".as("p")).agg(count(lit(1)).as("n"))
+    val co = op.as("a").join(op.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2)
+    val und = co.select($"p1".as("item"), $"p2".as("nb"), $"c")
+      .unionByName(co.select($"p2".as("item"), $"p1".as("nb"), $"c"))
+    val scored = und
+      .join(deg.select($"p".as("item"), $"n".as("n1")), "item")
+      .join(deg.select($"p".as("nb"), $"n".as("n2")), "nb")
+      .withColumn("sim",
+        $"c".cast("double") / sqrt(($"n1" * $"n2").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"item").orderBy($"sim".desc, $"nb".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"item", $"nb", $"c".as("co"), $"sim", $"rk")
+      .orderBy($"item", $"rk")
+  }
+
+  val q236Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |deg AS (SELECT l_partkey AS p, COUNT(*) AS n FROM op GROUP BY 1),
+      |co AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS c
+      |       FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      |                          AND a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |und AS (SELECT p1 AS item, p2 AS nb, c FROM co
+      |        UNION ALL SELECT p2, p1, c FROM co),
+      |scored AS (
+      |  SELECT item, nb, c,
+      |    CAST(c AS DOUBLE) / sqrt(CAST(d1.n * d2.n AS DOUBLE)) AS sim
+      |  FROM und JOIN deg d1 ON und.item = d1.p
+      |           JOIN deg d2 ON und.nb = d2.p)
+      |SELECT item, nb, c AS co, sim, rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY item
+      |            ORDER BY sim DESC, nb ASC) AS rk
+      |  FROM scored) t
+      |WHERE rk <= 3
+      |ORDER BY item, rk""".stripMargin
+
   /** q154 — histogram bin width in quantized cents (50.00 units). */
   val HistBinQ = 5000L
 
@@ -233,6 +296,7 @@ object TableStatsQueries {
     "q183_cbo_join_reorder" -> q183CboJoinReorder,
     "q134_cooccurrence" -> q134Cooccurrence,
     "q154_value_histogram" -> q154ValueHistogram,
+    "q236_item_similarity" -> q236ItemSimilarity,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -240,5 +304,6 @@ object TableStatsQueries {
     "q183_cbo_join_reorder" -> q183Sql,
     "q134_cooccurrence" -> q134Sql,
     "q154_value_histogram" -> q154Sql,
+    "q236_item_similarity" -> q236Sql,
   )
 }
