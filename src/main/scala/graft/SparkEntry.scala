@@ -5,7 +5,7 @@ import graft.catalog.CatalogOracle
 import graft.llm.{BinaryQuantization, BpeTrain, Contamination, CorpusOps, DedupQueries, EmbeddingDedup, ImportanceWeights, KMeans, Matryoshka, MultimodalOracle, PerceptualHash, PiiRedaction, ProductQuantization, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
 import graft.relational.{AnalyticalQueries, BitemporalQueries, BucketedQueries, IncrementalQueries, JourneyQueries, PrivacyAudit, RelationalQueries, NullSemantics, ReshapeStatsQueries, ScalarQueries, SketchAggregates, StatInference, TableStatsQueries, TimeSeriesQueries, TpchCompletionQueries, TpchShapeQueries, WindowAggQueries}
 import graft.operators.{IntervalJoin, PageRank, ShortestPaths, Skyline, TriangleCount}
-import graft.sources.{BinaryFiles, CsvScan, DynamicOverwrite, Federation, HilbertLayout, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, SchemaEvolution, XmlSource, ZOrderQueries}
+import graft.sources.{BinaryFiles, CsvScan, DynamicOverwrite, FbcSource, Federation, HilbertLayout, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, SchemaEvolution, XmlSource, ZOrderQueries}
 import graft.streaming.StreamShapeQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -41,7 +41,7 @@ object SparkEntry {
       PerceptualHash.queries ++ BitemporalQueries.queries ++ HilbertLayout.queries ++
       graft.plans.AsOfMergeJoin.queries ++ JourneyQueries.queries ++
       StatInference.queries ++ ShortestPaths.queries ++
-      BinaryQuantization.queries ++ KMeans.queries
+      BinaryQuantization.queries ++ KMeans.queries ++ FbcSource.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -69,5 +69,5 @@ object SparkEntry {
       PerceptualHash.oracleSql ++ BitemporalQueries.oracleSql ++ HilbertLayout.oracleSql ++
       graft.plans.AsOfMergeJoin.oracleSql ++ JourneyQueries.oracleSql ++
       StatInference.oracleSql ++ ShortestPaths.oracleSql ++
-      BinaryQuantization.oracleSql ++ KMeans.oracleSql
+      BinaryQuantization.oracleSql ++ KMeans.oracleSql ++ FbcSource.oracleSql
 }

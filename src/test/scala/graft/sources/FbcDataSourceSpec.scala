@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The FBC file-per-row DSv2 connector: content parity with the ingest
+  * parser, directory-level filter pushdown, and the open-zero-files
+  * column-pruning contract (listings must stay metadata-only, the
+  * reference's fs.ReadDir behavior).
+  */
+class FbcDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full read matches the parsed fixture stream verbatim") {
+    val viaConnector = FbcSource.read(spark)
+      .select($"package", $"schema", $"name", $"blob")
+      .as[(String, String, String, String)].collect().toSet
+    val viaParser = graft.catalog.FbcIngest.withPackageKey(
+        graft.catalog.FbcIngest.readMetaStream(
+          spark, graft.catalog.CatalogOracle.FixtureSource))
+      .select($"package", $"schema", $"name", $"blob")
+      .as[(String, String, String, String)].collect().toSet
+    assert(viaParser.nonEmpty)
+    assert(viaConnector == viaParser,
+      "connector content diverged from the meta parser")
+  }
+
+  test("equality filters prune to one directory at planning time") {
+    val one = FbcSource.read(spark)
+      .filter($"package" === "pkg-a" && $"schema" === "olm.bundle")
+      .select($"name").collect().map(_.getString(0)).toSet
+    val expected = graft.catalog.FbcIngest.withPackageKey(
+        graft.catalog.FbcIngest.readMetaStream(
+          spark, graft.catalog.CatalogOracle.FixtureSource))
+      .filter($"package" === "pkg-a" && $"schema" === "olm.bundle")
+      .select($"name").as[String].collect().toSet
+    assert(one == expected && one.nonEmpty)
+    // pushdown is visible in the scan description
+    val scanDesc = FbcSource.read(spark)
+      .filter($"package" === "pkg-a" && $"schema" === "olm.bundle")
+      .queryExecution.executedPlan.toString
+    assert(scanDesc.contains("pkg-a"),
+      s"pushed filter missing from scan: $scanDesc")
+  }
+
+  test("projections without blob open zero files; point lookup opens one") {
+    FbcSource.read(spark).count() // ensure fixture tree exists
+    val before = FbcDataSource.filesOpened.get()
+    val names = FbcSource.read(spark)
+      .filter($"package" === "pkg-a")
+      .select($"package", $"schema", $"name").collect()
+    assert(names.nonEmpty)
+    assert(FbcDataSource.filesOpened.get() == before,
+      "listing projection must not open file bodies")
+    val blob = FbcSource.read(spark)
+      .filter($"package" === "pkg-a" && $"schema" === "olm.package"
+        && $"name" === "pkg-a")
+      .select($"blob").as[String].collect()
+    assert(blob.length == 1 && blob.head.contains("olm.package"))
+    assert(FbcDataSource.filesOpened.get() == before + 1,
+      "point lookup must open exactly its one file")
+  }
+
+  test("non-equality predicates stay with Spark and still evaluate") {
+    val got = FbcSource.read(spark)
+      .filter($"name".startsWith("pkg"))
+      .select($"name").as[String].collect().toSet
+    val expected = graft.catalog.FbcIngest.withPackageKey(
+        graft.catalog.FbcIngest.readMetaStream(
+          spark, graft.catalog.CatalogOracle.FixtureSource))
+      .filter($"name".startsWith("pkg"))
+      .select($"name").as[String].collect().toSet
+    assert(got == expected)
+  }
+}
