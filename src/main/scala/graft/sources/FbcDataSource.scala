@@ -98,20 +98,120 @@ object FbcDataSource {
   }
 }
 
-class FbcTable(root: String) extends Table with SupportsRead {
+class FbcTable(root: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"fbc:$root"
   override def schema(): StructType = FbcDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FbcScanBuilder(root)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new FbcWriteBuilder(root, info.schema())
 }
 
+/** Distributed write path: each task writes its rows as files directly
+  * into the tree — the executor-side form of
+  * [[FbcDataSource.writeFileTree]]. Every file lands via tmp +
+  * ATOMIC_MOVE (the FbcIngest publish discipline), so speculative or
+  * retried tasks are idempotent: the same (package, schema, name) cell
+  * re-renames to identical content, never a torn file. Commit is a
+  * no-op by construction (file-per-row layouts have no manifest — the
+  * tree IS the table, exactly the reference's model); a production
+  * variant layering atomic SNAPSHOT semantics on top goes through
+  * FbcIngest.writeSnapshot's versioned-dir + ACTIVE-pointer publish.
+  */
+class FbcWriteBuilder(root: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new FbcWrite(root, schema)
+}
+
+class FbcWrite(root: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val idx = Seq("package", "schema", "name", "blob").map { c =>
+      val i = schema.fieldNames.indexOf(c)
+      require(i >= 0, s"fbc write requires column $c (got ${schema.fieldNames.mkString(",")})")
+      i
+    }
+    FbcWriterFactory(root, idx(0), idx(1), idx(2), idx(3))
+  }
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = ()
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = ()
+}
+
+case class FbcWriterFactory(root: String, iPkg: Int, iSch: Int, iName: Int,
+    iBlob: Int) extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new FbcDataWriter(root, iPkg, iSch, iName, iBlob, partitionId, taskId)
+}
+
+class FbcDataWriter(root: String, iPkg: Int, iSch: Int, iName: Int,
+    iBlob: Int, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private var written = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val dir = Paths.get(root, row.getUTF8String(iPkg).toString,
+      row.getUTF8String(iSch).toString)
+    Files.createDirectories(dir)
+    val target = dir.resolve(row.getUTF8String(iName).toString + ".json")
+    val tmp = dir.resolve(s".${target.getFileName}.$partitionId.$taskId.tmp")
+    Files.write(tmp, row.getUTF8String(iBlob).getBytes)
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    written += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+    FbcCommitMessage(written)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
+case class FbcCommitMessage(rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
 class FbcScanBuilder(root: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = FbcDataSource.Schema
+  private var countStar = false
+
+  /** COUNT(*) with no grouping is answerable from the pruned directory
+    * walk alone — the reference's listing endpoints ARE this query
+    * (ReadDir + len, main.go:143-155). Complete pushdown: Spark gets
+    * the single pre-aggregated row and plans no aggregate on top.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (supportCompletePushDown(agg)) { countStar = true; true } else false
+  }
 
   /** Accept equality on the path-derived columns (fully applied by
     * directory/file-name pruning — no residual re-evaluation needed);
@@ -133,8 +233,42 @@ class FbcScanBuilder(root: String) extends ScanBuilder
   }
 
   override def build(): Scan =
-    new FbcScan(root, pushed, required)
+    if (countStar) new FbcCountScan(root, pushed)
+    else new FbcScan(root, pushed, required)
 }
+
+/** Metadata-only COUNT(*): the pruned walk's file count as one row —
+  * zero file bodies touched at any stage.
+  */
+class FbcCountScan(root: String, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FbcCountScan(root=$root, pushed=${pushed.mkString(",")})"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = new FbcScan(root, pushed, FbcDataSource.Schema)
+      .planInputPartitions()
+      .map(_.asInstanceOf[FbcInputPartition].files.length.toLong).sum
+    Array(FbcCountPartition(n))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val r = !emitted; emitted = true; r }
+        override def get(): InternalRow =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](p.asInstanceOf[FbcCountPartition].n))
+        override def close(): Unit = ()
+      }
+    }
+}
+
+case class FbcCountPartition(n: Long) extends InputPartition
 
 class FbcScan(root: String, pushed: Array[Filter], required: StructType)
     extends Scan with Batch {

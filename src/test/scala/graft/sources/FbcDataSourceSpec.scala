@@ -61,6 +61,53 @@ class FbcDataSourceSpec extends SparkSpec {
       "point lookup must open exactly its one file")
   }
 
+  test("distributed write path round-trips through the connector") {
+    val root = "/root/repo/target/fixtures/fbcfs-written"
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    val meta = graft.catalog.FbcIngest.withPackageKey(
+        graft.catalog.FbcIngest.readMetaStream(
+          spark, graft.catalog.CatalogOracle.FixtureSource))
+      .select($"package", $"schema", $"name", $"blob")
+      .repartition(3) // force multiple write tasks
+    meta.write.format(classOf[FbcDataSource].getName)
+      .mode("append").save(root)
+    val back = spark.read.format(classOf[FbcDataSource].getName).load(root)
+      .as[(String, String, String, String)].collect().toSet
+    val expected = meta.as[(String, String, String, String)].collect().toSet
+    assert(back == expected, "write->read round trip diverged")
+    // idempotent rewrite (task-retry semantics): same content, same tree
+    meta.write.format(classOf[FbcDataSource].getName)
+      .mode("append").save(root)
+    val again = spark.read.format(classOf[FbcDataSource].getName).load(root)
+      .as[(String, String, String, String)].collect().toSet
+    assert(again == expected)
+  }
+
+  test("COUNT(*) pushes down completely: answered from metadata alone") {
+    FbcSource.read(spark).count() // ensure fixture tree exists
+    val before = FbcDataSource.filesOpened.get()
+    val n = FbcSource.read(spark).count()
+    val nFiltered = FbcSource.read(spark)
+      .filter($"package" === "pkg-a").count()
+    assert(FbcDataSource.filesOpened.get() == before,
+      "count(*) must not open file bodies")
+    val expected = graft.catalog.FbcIngest.withPackageKey(
+        graft.catalog.FbcIngest.readMetaStream(
+          spark, graft.catalog.CatalogOracle.FixtureSource))
+    assert(n == expected.count())
+    assert(nFiltered == expected.filter($"package" === "pkg-a").count())
+    // complete pushdown: the physical plan carries the count scan, no
+    // hash-aggregate over per-row data
+    val plan = FbcSource.read(spark).groupBy().count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FbcCountScan"), s"count scan missing: $plan")
+  }
+
   test("non-equality predicates stay with Spark and still evaluate") {
     val got = FbcSource.read(spark)
       .filter($"name".startsWith("pkg"))
