@@ -168,14 +168,16 @@ object TableStatsQueries {
   /** q154 — equal-width value histogram per event type (the profiling
     * companion to q132's column stats): per (event_type, bin), row
     * count and exact decimal value mass. Binning runs on the QUANTIZED
-    * integer (`floor(100·value)` then integer FLOOR division by binQ)
-    * so the bin id is the same BIGINT in both engines — a raw
-    * `floor(value/50)` would sit on the float edge-rounding of each
-    * engine's division, and Spark's bare `div` truncates toward zero
-    * while DuckDB's `//` floors, which disagree on negative values; the
-    * explicit negative-remainder adjustment makes the Spark side floor
-    * for the whole BIGINT domain, not just the non-negative one this
-    * fixture happens to hold.
+    * integer (`floor(100·value)` then integer division by binQ) so the
+    * bin id is the same BIGINT in both engines — a raw `floor(value/50)`
+    * would sit on the float edge-rounding of each engine's division.
+    * Both engines' integer division TRUNCATES toward zero (Spark `div`
+    * and DuckDB `//` alike — verified empirically: `-7 // 2 = -3` in
+    * DuckDB), so the bare `div` agrees across the whole BIGINT domain
+    * including negatives; negative values share bin 0's width with the
+    * positive side (the truncation-binning convention, documented
+    * rather than adjusted away, since adjusting only ONE side is the
+    * actual cross-engine hazard).
     *
     * Scale shape: one narrow projection + one partial-aggregated
     * groupBy to ≤ |types|·|bins| rows — the map-side combine does all
@@ -186,8 +188,7 @@ object TableStatsQueries {
     T.events(s, dir)
       .withColumn("q", expr("CAST(FLOOR(100 * value) AS BIGINT)"))
       .select($"event_type", $"value",
-        expr(s"(q div $HistBinQ) - (CASE WHEN q < 0 AND q % $HistBinQ != 0 THEN 1 ELSE 0 END)")
-          .as("bin"))
+        expr(s"q div $HistBinQ").as("bin"))
       .groupBy($"event_type", $"bin")
       .agg(count(lit(1)).as("n"), graft.core.dsl.dsum($"value").as("mass"))
       .orderBy($"event_type", $"bin")
