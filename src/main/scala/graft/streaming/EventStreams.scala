@@ -315,6 +315,22 @@ object EventStreams {
       horizon: String = "1 hour"): DataFrame =
     attributionJoin(purchases, signups, watermarkDelay, horizon, "left_outer")
 
+  /** Stream-stream FULL OUTER interval join — the attribution LEDGER:
+    * one row per purchase AND per signup either way. Inner rows emit on
+    * arrival; unattributed purchases emit with null signup columns and
+    * unconverted signups (the churn side a left join never surfaces)
+    * emit with null purchase columns, each only once the watermark
+    * proves its window closed. Both outer directions are
+    * watermark-gated against the same two-sided time bounds, so state
+    * on both sides stays finite — the complete streaming join matrix
+    * next to inner ([[purchaseAttribution]]) and left-outer
+    * ([[unattributedPurchases]]).
+    */
+  def attributionLedger(purchases: DataFrame, signups: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      horizon: String = "1 hour"): DataFrame =
+    attributionJoin(purchases, signups, watermarkDelay, horizon, "full_outer")
+
   /** Stream-STATIC enrichment join: every streaming event picks up its
     * key's dimension attributes from a batch table — the classic
     * "enrich the firehose with the profile store" shape. Stateless by
@@ -345,8 +361,11 @@ object EventStreams {
          |AND purchase_ts >= signup_ts
          |AND purchase_ts <= signup_ts + interval $horizon""".stripMargin),
         joinType)
-      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
-        col("signup_id"), col("signup_ts"))
+      // coalesce keys so full-outer's unmatched-right rows still carry
+      // their user (identical to bare user_id for inner/left shapes)
+      .select(col("purchase_id"),
+        coalesce(col("user_id"), col("s_user_id")).as("user_id"),
+        col("purchase_ts"), col("signup_id"), col("signup_ts"))
   }
 
   /** Stateful per-key processor: cumulative event count per user,

@@ -277,6 +277,56 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exists(_._2.nonEmpty), "fixture produced no attributed purchases")
   }
 
+  test("full-outer stream-stream join surfaces both orphan sides, watermark-gated") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsOf(dir)
+    val purchases = rows.filter(_.event_type == "purchase")
+    val signups = rows.filter(_.event_type == "signup")
+    val maxTs = rows.map(_.ts.getTime).max
+    val pStream = MemoryStream[Event]
+    val sStream = MemoryStream[Event]
+    pStream.addData(purchases)
+    sStream.addData(signups)
+    val q = EventStreams.attributionLedger(pStream.toDF(), sStream.toDF())
+      .writeStream.format("memory").queryName("t_ssj_full")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    q.processAllAvailable()
+    // neither side may outer-emit for rows the watermark has not passed
+    val wmPre = new Timestamp(maxTs - 10L * 60 * 1000)
+    val earlyP = spark.table("t_ssj_full")
+      .filter($"signup_id".isNull && $"purchase_ts" >= wmPre).count()
+    val earlyS = spark.table("t_ssj_full")
+      .filter($"purchase_id".isNull && $"signup_ts" >= wmPre).count()
+    assert(earlyP == 0 && earlyS == 0,
+      s"premature outer rows: purchases=$earlyP signups=$earlyS")
+    val sentinel = Event(-1L, -1L, "sentinel",
+      new Timestamp(maxTs + 24L * 3600 * 1000), 0.0)
+    pStream.addData(sentinel)
+    sStream.addData(sentinel)
+    drain(q)
+    val streamed = spark.table("t_ssj_full")
+      .filter($"user_id" =!= -1L)
+      .select("purchase_id", "signup_id")
+      .as[(Option[Long], Option[Long])].collect().toSet
+    val pB = spark.createDataset(purchases).toDF()
+    val sB = spark.createDataset(signups).toDF()
+    val batch = pB.select($"event_id".as("purchase_id"), $"user_id",
+        $"ts".as("purchase_ts"))
+      .join(sB.select($"event_id".as("signup_id"),
+          $"user_id".as("s_user_id"), $"ts".as("signup_ts")),
+        expr("""user_id = s_user_id AND purchase_ts >= signup_ts
+               |AND purchase_ts <= signup_ts + interval 1 hour""".stripMargin),
+        "full_outer")
+      .select("purchase_id", "signup_id")
+      .as[(Option[Long], Option[Long])].collect().toSet
+    assert(streamed == batch,
+      s"full-outer stream-stream mismatch: ${streamed.size} vs ${batch.size}")
+    assert(batch.exists(_._1.isEmpty), "fixture produced no unconverted signups")
+    assert(batch.exists(_._2.isEmpty), "fixture produced no unattributed purchases")
+    assert(batch.exists(p => p._1.nonEmpty && p._2.nonEmpty),
+      "fixture produced no attributed pairs")
+  }
+
   test("streaming as-of join equals the batch as-of join") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
