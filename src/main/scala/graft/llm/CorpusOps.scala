@@ -295,7 +295,78 @@ object CorpusOps {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** q238 segment width (tokens) and cross-doc removal threshold. */
+  val SegK = 8
+  val SegHotDocs = 2
+
+  /** q238 — exact-substring dedup with document RECONSTRUCTION (the
+    * RefinedWeb/Falcon curation stage q139 only PROFILES): documents
+    * split into disjoint [[SegK]]-token segments, segments appearing in
+    * ≥ [[SegHotDocs]] distinct docs removed EVERYWHERE, surviving
+    * segments re-joined in order into the cleaned text. Boilerplate
+    * (headers, license blocks, navigation chrome) disappears from every
+    * copy while each document keeps its unique remainder — the
+    * mid-ground between dropping whole near-dup docs (q101) and
+    * keeping raw text.
+    *
+    * Scale shape: segmentation is one narrow explode (disjoint windows
+    * — n/k rows, not n·k like sliding shingles); cross-doc frequency
+    * shuffles the constant-width md5 digest (q139's key narrowing),
+    * the hot set is Zipf-small and anti-joins back; reconstruction is
+    * one groupBy(doc_id) with an in-aggregate sort bounded by doc
+    * length. Output text is compared row-for-row, so segmentation,
+    * frequency, removal, and order-preserving reassembly all sit under
+    * one hash.
+    */
+  val q238SegmentDedup: Q = (s, dir) => {
+    import s.implicits._
+    val segs = T.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, (size(ws) - 1) div $SegK),
+           |  i -> concat_ws(' ', slice(ws, i * $SegK + 1, $SegK)))"""
+          .stripMargin)).as(Seq("idx", "seg")))
+      .withColumn("h", md5($"seg"))
+    val hot = segs.select($"doc_id", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= SegHotDocs).select($"h")
+    val kept = segs.join(hot, Seq("h"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(idx, seg))), x -> x.seg)"),
+          " ").as("clean_text"))
+    segs.groupBy($"doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_segs",
+        ($"n_segs" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  val q238Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |segs AS (
+       |  SELECT doc_id, i AS idx,
+       |    array_to_string(ws[(i * $SegK + 1):(i * $SegK + $SegK)], ' ') AS seg
+       |  FROM d, unnest(range(0, (len(ws) - 1) // $SegK + 1)) AS t(i)),
+       |hot AS (
+       |  SELECT seg FROM (
+       |    SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg) q
+       |  WHERE nd >= $SegHotDocs),
+       |kept AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(seg, ' ' ORDER BY idx) AS clean_text
+       |  FROM segs WHERE seg NOT IN (SELECT seg FROM hot)
+       |  GROUP BY doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
+       |SELECT tot.doc_id, tot.n_segs,
+       |  tot.n_segs - COALESCE(kept.n_kept, 0) AS n_removed,
+       |  COALESCE(kept.clean_text, '') AS clean_text
+       |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q238_segment_dedup" -> q238SegmentDedup,
     "q202_lm_score" -> q202LmScore,
     "q135_phrase_search" -> q135PhraseSearch,
     "q136_token_budget_mix" -> q136TokenBudgetMix,
@@ -305,6 +376,7 @@ object CorpusOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q238_segment_dedup" -> q238Sql,
     "q135_phrase_search" -> q135Sql,
     "q136_token_budget_mix" -> q136Sql,
     "q139_dup_spans" -> q139Sql,
