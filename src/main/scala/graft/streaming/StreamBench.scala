@@ -351,6 +351,49 @@ object StreamBench {
       .toDF("n_in", "sketch_n", "p50")
   }
 
+  /** qs09 — full-outer stream-stream interval join over
+    * [[BloomBatches]] micro-batches: times the two-sided join-state
+    * buffer plus BOTH watermark-gated outer-emission paths (the state
+    * machinery qs05's as-of processor does by hand, exercised here
+    * through Spark's native stream-stream join). Sentinels on both
+    * sides close every window inside the timed run.
+    */
+  val qs09FullOuterJoinStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val purchases = rows.filter(_.event_type == "purchase")
+    val signups = rows.filter(_.event_type == "signup")
+    val maxTs = rows.map(_.ts.getTime).max
+    val pS = MemoryStream[Event]
+    val sS = MemoryStream[Event]
+    val name = s"bench_fullouter_${runId.incrementAndGet()}"
+    val q = EventStreams.attributionLedger(pS.toDF(), sS.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-fullouter-ckpt").toString)
+      .start()
+    val pChunks = purchases.grouped(purchases.size / BloomBatches + 1).toSeq
+    val sChunks = signups.grouped(signups.size / BloomBatches + 1).toSeq
+    pChunks.zipAll(sChunks, Seq.empty[Event], Seq.empty[Event]).foreach {
+      case (p, sg) =>
+        if (p.nonEmpty) pS.addData(p)
+        if (sg.nonEmpty) sS.addData(sg)
+        q.processAllAvailable()
+    }
+    val sentinel = Event(-1L, -1L, "sentinel",
+      new java.sql.Timestamp(maxTs + 24L * 3600 * 1000), 0.0)
+    pS.addData(sentinel); sS.addData(sentinel)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val out = s.table(name).filter($"user_id" =!= -1L)
+    val matched = out.filter($"purchase_id".isNotNull && $"signup_id".isNotNull).count()
+    val orphans = out.filter($"purchase_id".isNull || $"signup_id".isNull).count()
+    s.catalog.dropTempView(name)
+    Seq((matched, orphans)).toDF("n_matched", "n_orphans")
+  }
+
   val benchOnly: Map[String, Q] = Map(
     "qs01_bloom_dedup_stream" -> qs01BloomDedupStream,
     "qs02_cdc_apply_stream" -> qs02CdcApplyStream,
@@ -360,5 +403,6 @@ object StreamBench {
     "qs06_funnel_stream" -> qs06FunnelStream,
     "qs07_chained_stream" -> qs07ChainedStream,
     "qs08_kll_stream" -> qs08KllStream,
+    "qs09_fullouter_join_stream" -> qs09FullOuterJoinStream,
   )
 }
