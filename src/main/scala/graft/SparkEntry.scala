@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.catalog.CatalogOracle
 import graft.llm.{BinaryQuantization, BpeTrain, Contamination, CorpusOps, DedupQueries, EmbeddingDedup, ImportanceWeights, KMeans, Matryoshka, MultimodalOracle, PerceptualHash, PiiRedaction, ProductQuantization, TextAnalysis, TextPipeline, VectorSearch, VectorStats}
 import graft.relational.{AnalyticalQueries, BitemporalQueries, BucketedQueries, IncrementalQueries, JourneyQueries, PrivacyAudit, RelationalQueries, NullSemantics, ReshapeStatsQueries, ScalarQueries, SketchAggregates, StatInference, TableStatsQueries, TimeSeriesQueries, TpchCompletionQueries, TpchShapeQueries, WindowAggQueries}
-import graft.operators.{IntervalJoin, PageRank, ShortestPaths, Skyline, TriangleCount}
+import graft.operators.{IntervalJoin, LabelPropagation, PageRank, ShortestPaths, Skyline, TriangleCount}
 import graft.sources.{BinaryFiles, CsvScan, DynamicOverwrite, FbcSource, Federation, HilbertLayout, K8sObjects, LayoutQueries, OrcSource, QuarantineIngest, SchemaEvolution, XmlSource, ZOrderQueries}
 import graft.streaming.StreamShapeQueries
 
@@ -41,7 +41,8 @@ object SparkEntry {
       PerceptualHash.queries ++ BitemporalQueries.queries ++ HilbertLayout.queries ++
       graft.plans.AsOfMergeJoin.queries ++ JourneyQueries.queries ++
       StatInference.queries ++ ShortestPaths.queries ++
-      BinaryQuantization.queries ++ KMeans.queries ++ FbcSource.queries
+      BinaryQuantization.queries ++ KMeans.queries ++ FbcSource.queries ++
+      LabelPropagation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -69,5 +70,6 @@ object SparkEntry {
       PerceptualHash.oracleSql ++ BitemporalQueries.oracleSql ++ HilbertLayout.oracleSql ++
       graft.plans.AsOfMergeJoin.oracleSql ++ JourneyQueries.oracleSql ++
       StatInference.oracleSql ++ ShortestPaths.oracleSql ++
-      BinaryQuantization.oracleSql ++ KMeans.oracleSql ++ FbcSource.oracleSql
+      BinaryQuantization.oracleSql ++ KMeans.oracleSql ++ FbcSource.oracleSql ++
+      LabelPropagation.oracleSql
 }
