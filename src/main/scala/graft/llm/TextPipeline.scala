@@ -523,6 +523,87 @@ object TextPipeline {
       |FROM raw
       |ORDER BY doc_id""".stripMargin
 
+  /** q240 span-corruption parameters: a position starts a mask span
+    * when its 16-bit doc/position hash falls under ~5% of 2^16; spans
+    * cover 3 tokens, so ~14% of tokens mask (T5's 15% neighborhood). */
+  val SpanCorruptT = 3277
+  val SpanLen = 3
+
+  /** q240 — deterministic SPAN CORRUPTION (the T5/BERT denoising data
+    * prep): contiguous token spans are masked, consecutive masked runs
+    * collapse to one sentinel in the corrupted text, and the masked
+    * tokens (with run-start markers) become the target sequence. Span
+    * starts come from the md5(doc_id|position) bucket — the q95/q100
+    * salted-hash convention — so the corruption is (a) stable across
+    * runs/engines, (b) uniform, (c) derivable per-row with NO shuffle
+    * and no RNG state: the property that makes augmented corpora
+    * reproducible AND the row oracle-checkable at all (an rng-based
+    * masking can never hash-match).
+    *
+    * Scale shape: entirely narrow — three HOF passes over each row's
+    * token array (start flags, mask coverage, emission) inside one
+    * codegen projection; output ∝ corpus. No shuffle before the
+    * order-by.
+    */
+  val q240SpanCorrupt: Q = (s, dir) => {
+    import s.implicits._
+    val h = s"CAST(CONV(SUBSTRING(md5(CONCAT(doc_id, '|', j)), 1, 4), 16, 10) AS INT)"
+    T.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      // st[j] — does a mask span START at 1-based position j?
+      .withColumn("st", expr(
+        s"transform(sequence(1, size(ws)), j -> $h < $SpanCorruptT)"))
+      // masked[i] — any span start within the trailing SpanLen window
+      .withColumn("masked", expr(
+        s"""transform(sequence(1, size(ws)), i ->
+           |  element_at(st, i)
+           |  OR (i > 1 AND element_at(st, i - 1))
+           |  OR (i > 2 AND element_at(st, i - 2)))""".stripMargin))
+      .select($"doc_id",
+        expr("""array_join(filter(transform(sequence(1, size(ws)), i ->
+            |  CASE WHEN NOT element_at(masked, i) THEN element_at(ws, i)
+            |       WHEN i = 1 OR NOT element_at(masked, i - 1) THEN '<X>'
+            |       ELSE '' END), x -> x != ''), ' ')""".stripMargin)
+          .as("corrupted"),
+        expr("""array_join(filter(transform(sequence(1, size(ws)), i ->
+            |  CASE WHEN NOT element_at(masked, i) THEN ''
+            |       WHEN i = 1 OR NOT element_at(masked, i - 1)
+            |         THEN concat('<X> ', element_at(ws, i))
+            |       ELSE element_at(ws, i) END), x -> x != ''), ' ')""".stripMargin)
+          .as("targets"),
+        expr("size(filter(masked, x -> x))").as("n_masked"),
+        expr("size(ws)").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val q240Sql: String = {
+    val h = s"CAST('0x' || substring(md5(doc_id || '|' || j), 1, 4) AS INTEGER)"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |s1 AS (
+       |  SELECT doc_id, ws,
+       |    list_transform(range(1, len(ws) + 1),
+       |      j -> $h < $SpanCorruptT) AS st
+       |  FROM d),
+       |s2 AS (
+       |  SELECT doc_id, ws,
+       |    list_transform(range(1, len(ws) + 1), i ->
+       |      st[i] OR (i > 1 AND st[i - 1]) OR (i > 2 AND st[i - 2])) AS masked
+       |  FROM s1)
+       |SELECT doc_id,
+       |  COALESCE(array_to_string(list_filter(list_transform(range(1, len(ws) + 1), i ->
+       |    CASE WHEN NOT masked[i] THEN ws[i]
+       |         WHEN i = 1 OR NOT masked[i - 1] THEN '<X>'
+       |         ELSE '' END), x -> x != ''), ' '), '') AS corrupted,
+       |  COALESCE(array_to_string(list_filter(list_transform(range(1, len(ws) + 1), i ->
+       |    CASE WHEN NOT masked[i] THEN ''
+       |         WHEN i = 1 OR NOT masked[i - 1] THEN '<X> ' || ws[i]
+       |         ELSE ws[i] END), x -> x != ''), ' '), '') AS targets,
+       |  len(list_filter(masked, x -> x)) AS n_masked,
+       |  len(ws) AS n_tokens
+       |FROM s2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Concat-and-cut sequence packing — how training runs batch text:
     * documents concatenate in a canonical order (doc_id) into one
     * global token stream, and fixed-size packs are cut every `budget`
@@ -767,6 +848,7 @@ object TextPipeline {
     "q116_group_sample" -> q116GroupSample,
     "q124_text_normalize" -> q124TextNormalize,
     "q235_nfc_normalize" -> q235NfcNormalize,
+    "q240_span_corrupt" -> q240SpanCorrupt,
     "q103_sequence_packing" -> q103SequencePacking,
     "q108_bm25" -> q108Bm25,
     "q158_temperature_mix" -> q158TemperatureMix,
@@ -782,6 +864,7 @@ object TextPipeline {
     "q116_group_sample" -> q116Sql,
     "q124_text_normalize" -> q124Sql,
     "q235_nfc_normalize" -> q235Sql,
+    "q240_span_corrupt" -> q240Sql,
     "q103_sequence_packing" -> q103Sql,
     "q108_bm25" -> q108Sql,
     "q158_temperature_mix" -> q158Sql,
