@@ -1,30 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Plan-audit tool: prints the formatted physical plan of one or more
-  * registered queries. Usage:
-  *   runMain graft.Explain <sfDir> <queryName> [<queryName> ...]
+/** Dev tool: print the formatted physical plan of named queries.
+  * Usage: runMain graft.Explain <sfDir> <name-substring>[,<substring>...]
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+    val sfDir = args(0)
+    val pats = args(1).split(',').toSeq
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { name =>
-      SparkEntry.queries.get(name) match {
-        case Some(fn) =>
-          println(s"========== $name ==========")
-          fn(spark, sfDir).explain("formatted")
-        case None => System.err.println(s"unknown query: $name")
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries
+      .filter(kv => pats.exists(kv._1.contains)).toSeq.sortBy(_._1)
+      .foreach { case (name, fn) =>
+        println(s"==== $name ====")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
       }
-    }
     spark.stop()
   }
 }

@@ -327,6 +327,7 @@ object CorpusOps {
            |  i -> concat_ws(' ', slice(ws, i * $SegK + 1, $SegK)))"""
           .stripMargin)).as(Seq("idx", "seg")))
       .withColumn("h", md5($"seg"))
+      .localCheckpoint() // feeds hot-set, kept, and totals — segment once
     val hot = segs.select($"doc_id", $"h").distinct()
       .groupBy($"h").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" >= SegHotDocs).select($"h")

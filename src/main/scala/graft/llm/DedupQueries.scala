@@ -774,12 +774,19 @@ object DedupQueries {
   def prefixFilterPairs(docs: DataFrame, num: Int, den: Int)(
       implicit s: SparkSession): DataFrame = {
     import s.implicits._
+    // perDoc feeds both prefix sides and both verify sides —
+    // materialize it once (doc-sized compact arrays). tri is NOT
+    // checkpointed deliberately: it is the exploded corpus-sized
+    // frame, the narrow re-explode is cheaper than pinning the
+    // library's largest intermediate (measured 2.8 s vs 2.1 s at
+    // sf0.1), and at 100 TB materializing it would dominate memory.
     val tri = triShingles(docs).select($"doc_id", xxhash64($"tg").as("tgh"))
     val dfTab = tri.groupBy($"tgh").agg(count(lit(1)).as("df"))
     val perDoc = tri.join(dfTab, "tgh")
       .groupBy($"doc_id")
       .agg(sort_array(collect_list(struct($"df", $"tgh"))).as("toks"))
       .withColumn("n", size($"toks"))
+      .localCheckpoint()
     val prefix = perDoc.select($"doc_id", $"n",
       explode(expr(s"slice(toks, 1, n - (($num * n + ${den - 1}) div $den) + 1)"))
         .as("t"))

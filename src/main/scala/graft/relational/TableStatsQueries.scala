@@ -118,14 +118,20 @@ object TableStatsQueries {
     */
   val q236ItemSimilarity: Q = (s, dir) => {
     import s.implicits._
+    // materialized once: it feeds the degree agg AND both self-join
+    // sides — without the checkpoint Spark recomputes the distinct
+    // (scan + shuffle) four times (measured in the formatted plan)
     val op = T.lineitem(s, dir)
       .select($"l_orderkey", $"l_partkey").distinct()
+      .localCheckpoint()
     val deg = op.groupBy($"l_partkey".as("p")).agg(count(lit(1)).as("n"))
+    // materialized: the undirected expansion reads it twice
     val co = op.as("a").join(op.as("b"),
         $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
       .groupBy($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
       .agg(count(lit(1)).as("c"))
       .filter($"c" >= 2)
+      .localCheckpoint()
     val und = co.select($"p1".as("item"), $"p2".as("nb"), $"c")
       .unionByName(co.select($"p2".as("item"), $"p1".as("nb"), $"c"))
     val scored = und
