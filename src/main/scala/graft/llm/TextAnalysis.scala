@@ -532,7 +532,56 @@ object TextAnalysis {
       |GROUP BY ROLLUP (source, lang)
       |ORDER BY source, lang""".stripMargin
 
+  /** q241 context-length candidates (tokens). */
+  val TruncLengths = Seq(32, 64, 128)
+
+  /** q241 — context-length truncation loss report: for each source and
+    * each candidate context length L, how many documents exceed L
+    * tokens and what fraction of the corpus's tokens a hard truncation
+    * at L would discard — the report that picks a training context
+    * length (too short burns data, too long burns compute; q103's
+    * packing consumes the chosen L). Loss is emitted as exact integer
+    * numerator/denominator (the q208/q211 ratio convention — a double
+    * division here would be fine, but the integers compare exactly and
+    * compose downstream).
+    *
+    * Scale shape: ONE narrow projection computes the per-doc token
+    * count, the L-grid explodes a 3-element literal array (×|L|, not
+    * ×tokens), and one partial-aggregated groupBy lands on
+    * |sources|·|L| rows.
+    */
+  val q241TruncationLoss: Q = (s, dir) => {
+    import s.implicits._
+    T.documents(s, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("n_tok"))
+      .select($"source", $"n_tok",
+        explode(lit(TruncLengths.toArray)).as("ctx_len"))
+      .groupBy($"source", $"ctx_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_tok" > $"ctx_len", 1L).otherwise(0L)).as("docs_over"),
+        sum(when($"n_tok" > $"ctx_len", $"n_tok" - $"ctx_len")
+          .otherwise(0L)).as("tokens_lost"),
+        sum($"n_tok").as("tokens_total"))
+      .orderBy($"source", $"ctx_len")
+  }
+
+  val q241Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |g AS (SELECT d.*, l.ctx_len
+       |      FROM d CROSS JOIN (
+       |        SELECT UNNEST(${TruncLengths.mkString("[", ", ", "]")}) AS ctx_len) l)
+       |SELECT source, ctx_len, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_tok > ctx_len THEN 1 ELSE 0 END) AS BIGINT) AS docs_over,
+       |  CAST(SUM(CASE WHEN n_tok > ctx_len THEN n_tok - ctx_len ELSE 0 END) AS BIGINT) AS tokens_lost,
+       |  CAST(SUM(n_tok) AS BIGINT) AS tokens_total
+       |FROM g
+       |GROUP BY source, ctx_len
+       |ORDER BY source, ctx_len""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q241_truncation_loss" -> q241TruncationLoss,
     "q172_rolling_fingerprint" -> q172RollingFingerprint,
     "q177_corpus_health" -> q177CorpusHealth,
     "q46_lang_id" -> q46LangId,
@@ -546,6 +595,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q241_truncation_loss" -> q241Sql,
     "q172_rolling_fingerprint" -> q172Sql,
     "q177_corpus_health" -> q177Sql,
     "q46_lang_id" -> q46Sql,
