@@ -122,7 +122,11 @@ object DedupQueries {
   /** Candidate near-dup pairs from MinHash bands: docs agreeing on ≥1
     * full band, with a deterministic per-bucket skew cap.
     */
-  def minhashCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** Band-capped (doc_id, band, band_hash) LSH index rows — the
+    * materializable INDEX side shared by the self-join (q41) and the
+    * incremental batch probe (q243).
+    */
+  def bandedCapped(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     implicit val sp: SparkSession = spark
     val rowsPerBand = MinHashPerms / MinHashBands
@@ -146,10 +150,15 @@ object DedupQueries {
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy($"band", $"band_hash")
       .orderBy(xxhash64($"doc_id"), $"doc_id")
-    val capped = banded
+    banded
       .withColumn("slot", row_number().over(wCap))
       .filter($"slot" <= BandBucketCap)
       .select($"doc_id", $"band", $"band_hash")
+  }
+
+  def minhashCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val capped = bandedCapped(spark, docs)
     capped.as("a").join(capped.as("b"),
         $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
           $"a.doc_id" < $"b.doc_id")
@@ -818,7 +827,93 @@ object DedupQueries {
     * recover every pair the quadratic recompute finds. */
   val q233Sql: String = q41Sql
 
+  /** q243 — incremental near-dup PROBE: each new-batch document asks
+    * "is this a near-duplicate of anything already in the corpus?" —
+    * the serving-side form of q41's self-join and the near-dup
+    * companion to q131's exact-fingerprint ingest classifier (q131
+    * catches byte-identical re-submissions; this catches the reworded
+    * ones). Corpus = even doc_ids, batch = odd (the q131 split).
+    *
+    * Scale shape: the corpus's band-capped LSH rows are the
+    * MATERIALIZED INDEX (computed once per corpus version, reused
+    * across batches — [[bandedCapped]]); a batch probes it with one
+    * equi-join on (band, band_hash), so per-batch cost goes by batch
+    * size, never corpus size. Exact-Jaccard verification runs only on
+    * candidate pairs; the best match per batch doc is one window over
+    * the candidate frame. Same 16×2 banding as q41, so the probe is
+    * effectively lossless at τ=0.7 against the exact batch×corpus
+    * all-pairs oracle (miss ≈ 2·10⁻⁵).
+    */
+  val q243IncrementalNearDup: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val docs = T.documents(s, dir)
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val index = bandedCapped(s, corpus)   // the persisted corpus index
+    val probes = bandedCapped(s, batch)
+    val cands = index.as("c").join(probes.as("b"),
+        $"c.band" === $"b.band" && $"c.band_hash" === $"b.band_hash")
+      .select($"c.doc_id".as("cid"), $"b.doc_id".as("bid"))
+      .distinct()
+      .localCheckpoint()
+    val candDocs = cands.select($"cid".as("doc_id"))
+      .union(cands.select($"bid".as("doc_id"))).distinct()
+    val sets = triShinglesRaw(docs)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select($"doc_id", xxhash64($"tg").as("tgh"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_set($"tgh")).as("hs"))
+      .select($"doc_id", $"hs", size($"hs").cast("long").as("n"))
+    val scored = cands
+      .join(sets.select($"doc_id".as("cid"), $"hs".as("hs1"), $"n".as("n1")), "cid")
+      .join(sets.select($"doc_id".as("bid"), $"hs".as("hs2"), $"n".as("n2")), "bid")
+      .withColumn("inter", size(array_intersect($"hs1", $"hs2")).cast("long"))
+      .withColumn("jaccard", $"inter" / ($"n1" + $"n2" - $"inter"))
+      .filter($"jaccard" >= NearDupThreshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bid").orderBy($"jaccard".desc, $"cid".asc)
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"bid", $"cid", $"jaccard")
+    batch.select($"doc_id")
+      .join(best.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"cid".isNull, "novel").otherwise("near_dup").as("verdict"),
+        $"cid".as("match_id"), $"jaccard")
+      .orderBy($"doc_id")
+  }
+
+  val q243Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tri AS (SELECT DISTINCT doc_id,
+       |          UNNEST(list_transform(range(1, len(ws) - 1),
+       |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+       |        FROM w),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS cid, b.doc_id AS bid, COUNT(*) AS inter
+       |          FROM tri a JOIN tri b ON a.tg = b.tg
+       |          WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+       |          GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT bid, cid, inter / (n1.n + n2.n - inter) AS jaccard
+       |  FROM pairs JOIN sizes n1 ON pairs.cid = n1.doc_id
+       |             JOIN sizes n2 ON pairs.bid = n2.doc_id
+       |  WHERE inter / (n1.n + n2.n - inter) >= $NearDupThreshold),
+       |best AS (
+       |  SELECT bid, cid, jaccard,
+       |    row_number() OVER (PARTITION BY bid
+       |      ORDER BY jaccard DESC, cid ASC) AS rn
+       |  FROM scored)
+       |SELECT d.doc_id,
+       |  CASE WHEN b.cid IS NULL THEN 'novel' ELSE 'near_dup' END AS verdict,
+       |  b.cid AS match_id, b.jaccard
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.bid
+       |WHERE d.doc_id % 2 = 1
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q243_incremental_near_dup" -> q243IncrementalNearDup,
     "q40_dedup_exact" -> q40DedupExact,
     "q41_minhash_lsh" -> q41MinhashLsh,
     "q42_simhash" -> q42SimhashGate,
@@ -834,6 +929,7 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q243_incremental_near_dup" -> q243Sql,
     "q40_dedup_exact" -> q40Sql,
     "q41_minhash_lsh" -> q41Sql,
     "q42_simhash" -> q42Sql,
