@@ -188,30 +188,55 @@ case class FbcCommitMessage(rows: Long)
 
 class FbcScanBuilder(root: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = FbcDataSource.Schema
   private var countStar = false
 
-  /** COUNT(*) with no grouping is answerable from the pruned directory
-    * walk alone — the reference's listing endpoints ARE this query
-    * (ReadDir + len, main.go:143-155). Complete pushdown: Spark gets
-    * the single pre-aggregated row and plans no aggregate on top.
+  private var groupCols: Seq[String] = Nil
+  private var limit: Option[Int] = None
+
+  /** COUNT(*) — plain or grouped by the DIRECTORY columns — is
+    * answerable from the pruned walk alone: the reference's listing
+    * endpoints ARE these queries (ReadDir + len, main.go:143-155).
+    * Complete pushdown: Spark gets the pre-aggregated rows and plans
+    * no aggregate on top.
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
+      : Boolean = {
+    val groupable = agg.groupByExpressions().forall {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+        f.fieldNames().length == 1 &&
+          (f.fieldNames()(0) == "package" || f.fieldNames()(0) == "schema")
+      case _ => false
+    }
+    groupable && agg.aggregateExpressions().length == 1 &&
       agg.aggregateExpressions()(0)
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  }
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    if (supportCompletePushDown(agg)) { countStar = true; true } else false
+    if (supportCompletePushDown(agg)) {
+      countStar = true
+      groupCols = agg.groupByExpressions().toSeq.map {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+          f.fieldNames()(0)
+      }
+      true
+    } else false
   }
+
+  /** LIMIT pushes into planning: one row per file means truncating the
+    * pruned file walk to `n` IS the limit — a `LIMIT 5` listing stats
+    * 5 files' names instead of the whole tree.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = false
 
   /** Accept equality on the path-derived columns (fully applied by
     * directory/file-name pruning — no residual re-evaluation needed);
@@ -233,51 +258,65 @@ class FbcScanBuilder(root: String) extends ScanBuilder
   }
 
   override def build(): Scan =
-    if (countStar) new FbcCountScan(root, pushed)
-    else new FbcScan(root, pushed, required)
+    if (countStar) new FbcCountScan(root, pushed, groupCols)
+    else new FbcScan(root, pushed, required, limit)
 }
 
-/** Metadata-only COUNT(*): the pruned walk's file count as one row —
-  * zero file bodies touched at any stage.
+/** Metadata-only COUNT(*), plain or grouped by directory columns: the
+  * pruned walk's file counts as pre-aggregated rows — zero file bodies
+  * touched at any stage.
   */
-class FbcCountScan(root: String, pushed: Array[Filter])
-    extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType,
-      nullable = false)))
+class FbcCountScan(root: String, pushed: Array[Filter],
+    groupCols: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    groupCols.map(c => StructField(c, StringType, nullable = false)) :+
+      StructField("count", org.apache.spark.sql.types.LongType,
+        nullable = false))
   override def toBatch: Batch = this
   override def description(): String =
-    s"FbcCountScan(root=$root, pushed=${pushed.mkString(",")})"
+    s"FbcCountScan(root=$root, groupBy=${groupCols.mkString(",")}, " +
+      s"pushed=${pushed.mkString(",")})"
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = new FbcScan(root, pushed, FbcDataSource.Schema)
-      .planInputPartitions()
-      .map(_.asInstanceOf[FbcInputPartition].files.length.toLong).sum
-    Array(FbcCountPartition(n))
+    val parts = new FbcScan(root, pushed, FbcDataSource.Schema, None)
+      .planInputPartitions().map(_.asInstanceOf[FbcInputPartition])
+    val rows = parts
+      .groupBy(p => groupCols.map {
+        case "package" => p.pkg
+        case "schema" => p.sch
+      })
+      .map { case (key, ps) =>
+        FbcCountRow(key, ps.map(_.files.length.toLong).sum)
+      }.toArray
+    Array(FbcCountPartition(rows))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition)
           : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
-        private var emitted = false
-        override def next(): Boolean = { val r = !emitted; emitted = true; r }
+        private val rows = p.asInstanceOf[FbcCountPartition].rows
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
         override def get(): InternalRow =
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](p.asInstanceOf[FbcCountPartition].n))
+            (rows(i).key.map(v => UTF8String.fromString(v): Any) :+
+              (rows(i).n: Any)).toArray)
         override def close(): Unit = ()
       }
     }
 }
 
-case class FbcCountPartition(n: Long) extends InputPartition
+case class FbcCountRow(key: Seq[String], n: Long)
+case class FbcCountPartition(rows: Array[FbcCountRow]) extends InputPartition
 
-class FbcScan(root: String, pushed: Array[Filter], required: StructType)
-    extends Scan with Batch {
+class FbcScan(root: String, pushed: Array[Filter], required: StructType,
+    limit: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"FbcScan(root=$root, pushed=${pushed.mkString(",")}, " +
-      s"columns=${required.fieldNames.mkString(",")})"
+      s"columns=${required.fieldNames.mkString(",")}" +
+      limit.map(n => s", limit=$n").getOrElse("") + ")"
 
   private def eqOn(col: String): Option[String] =
     pushed.collectFirst { case EqualTo(`col`, v: String) => v }
@@ -308,7 +347,24 @@ class FbcScan(root: String, pushed: Array[Filter], required: StructType)
       FbcInputPartition(pkgDir.getFileName.toString,
         schDir.getFileName.toString, files)
     }
-    parts.filter(_.files.nonEmpty).toArray[InputPartition]
+    val nonEmpty = parts.filter(_.files.nonEmpty)
+    // pushed LIMIT: one file = one row, so truncating the walk to the
+    // first n files (in the deterministic pkg/schema/name walk order)
+    // IS the limit
+    val limited = limit match {
+      case None => nonEmpty
+      case Some(n) =>
+        var remaining = n
+        nonEmpty.flatMap { p =>
+          if (remaining <= 0) None
+          else {
+            val take = math.min(remaining, p.files.length)
+            remaining -= take
+            Some(p.copy(files = p.files.take(take)))
+          }
+        }
+    }
+    limited.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

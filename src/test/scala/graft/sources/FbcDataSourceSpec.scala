@@ -108,6 +108,35 @@ class FbcDataSourceSpec extends SparkSpec {
     assert(plan.contains("FbcCountScan"), s"count scan missing: $plan")
   }
 
+  test("grouped COUNT by directory columns pushes down completely") {
+    FbcSource.read(spark).count() // ensure fixture tree exists
+    val before = FbcDataSource.filesOpened.get()
+    val grouped = FbcSource.read(spark)
+      .groupBy($"package", $"schema").count()
+      .as[(String, String, Long)].collect().toSet
+    assert(FbcDataSource.filesOpened.get() == before,
+      "grouped count must not open file bodies")
+    val expected = graft.catalog.FbcIngest.withPackageKey(
+        graft.catalog.FbcIngest.readMetaStream(
+          spark, graft.catalog.CatalogOracle.FixtureSource))
+      .groupBy($"package", $"schema").count()
+      .as[(String, String, Long)].collect().toSet
+    assert(grouped == expected, s"grouped counts diverged: $grouped")
+    val plan = FbcSource.read(spark).groupBy($"package").count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FbcCountScan"), s"grouped count scan missing: $plan")
+  }
+
+  test("LIMIT pushes into planning: only n files are read") {
+    FbcSource.read(spark).count() // ensure fixture tree exists
+    val before = FbcDataSource.filesOpened.get()
+    val rows = FbcSource.read(spark)
+      .select($"package", $"schema", $"name", $"blob").limit(3).collect()
+    assert(rows.length == 3)
+    assert(FbcDataSource.filesOpened.get() == before + 3,
+      s"limit 3 opened ${FbcDataSource.filesOpened.get() - before} files")
+  }
+
   test("non-equality predicates stay with Spark and still evaluate") {
     val got = FbcSource.read(spark)
       .filter($"name".startsWith("pkg"))
