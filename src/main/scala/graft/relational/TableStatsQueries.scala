@@ -168,6 +168,50 @@ object TableStatsQueries {
       |WHERE rk <= 3
       |ORDER BY item, rk""".stripMargin
 
+  /** q244 — frequent 3-itemsets: the next lattice level above q134's
+    * pairs (the Apriori step that matters in practice — triples are
+    * where "bought together" becomes a bundle, and where naive
+    * enumeration starts to hurt). Combinations are generated IN-GROUP
+    * by a nested HOF over each order's sorted part array — C(n,3) per
+    * order with n ≤ lines-per-order (bounded ≤7 in TPC-H-shaped data,
+    * so ≤35 triples per order), never a three-way shuffle join; one
+    * partial-aggregated groupBy counts triples, support ≥ 2, top-50.
+    *
+    * The oracle spells the same answer as the quadratic-free-hand
+    * three-way self-join — fine at oracle scale, exactly what the
+    * in-group generation avoids at 100 TB.
+    */
+  val q244Triples: Q = (s, dir) => {
+    import s.implicits._
+    T.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .select(explode(expr(
+        """flatten(flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), (y, j) ->
+          |    transform(slice(ps, i + j + 3, size(ps)), z ->
+          |      struct(x AS p1, y AS p2, z AS p3))))))""".stripMargin))
+        .as("t"))
+      .groupBy($"t.p1".as("p1"), $"t.p2".as("p2"), $"t.p3".as("p3"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= 2)
+      .orderBy($"n_orders".desc, $"p1".asc, $"p2".asc, $"p3".asc)
+      .limit(50)
+  }
+
+  val q244Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+      |  COUNT(*) AS n_orders
+      |FROM op a
+      |JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |JOIN op c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+      |GROUP BY p1, p2, p3
+      |HAVING COUNT(*) >= 2
+      |ORDER BY n_orders DESC, p1 ASC, p2 ASC, p3 ASC
+      |LIMIT 50""".stripMargin
+
   /** q154 — histogram bin width in quantized cents (50.00 units). */
   val HistBinQ = 5000L
 
@@ -304,6 +348,7 @@ object TableStatsQueries {
     "q134_cooccurrence" -> q134Cooccurrence,
     "q154_value_histogram" -> q154ValueHistogram,
     "q236_item_similarity" -> q236ItemSimilarity,
+    "q244_triple_itemsets" -> q244Triples,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -312,5 +357,6 @@ object TableStatsQueries {
     "q134_cooccurrence" -> q134Sql,
     "q154_value_histogram" -> q154Sql,
     "q236_item_similarity" -> q236Sql,
+    "q244_triple_itemsets" -> q244Sql,
   )
 }
