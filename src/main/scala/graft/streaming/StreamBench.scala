@@ -202,6 +202,33 @@ object StreamBench {
     Seq((rows.size.toLong, out)).toDF("n_in", "n_anomalies")
   }
 
+  /** qs10 — streaming per-group top-k over [[BloomBatches]]
+    * micro-batches: O(k) merge per key per batch (the stateful twin of
+    * the TopKPerGroup custom plan) — times the summary-merge state
+    * path.
+    */
+  val qs10TopKStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir).sortBy(_.event_id)
+    val stream = MemoryStream[Event]
+    val name = s"bench_topk_${runId.incrementAndGet()}"
+    val q = TopKStream.topKPerUser(stream.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-topk-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val out = s.table(name).count()
+    s.catalog.dropTempView(name)
+    Seq((rows.size.toLong, out)).toDF("n_in", "n_emitted")
+  }
+
   /** qs05 — streaming as-of join over [[BloomBatches]] micro-batches:
     * purchases probe the per-user signup series. The heaviest stateful
     * processor in the library (two buffered sides + event-time timers
@@ -404,5 +431,6 @@ object StreamBench {
     "qs07_chained_stream" -> qs07ChainedStream,
     "qs08_kll_stream" -> qs08KllStream,
     "qs09_fullouter_join_stream" -> qs09FullOuterJoinStream,
+    "qs10_topk_stream" -> qs10TopKStream,
   )
 }
