@@ -212,6 +212,99 @@ object TableStatsQueries {
       |ORDER BY n_orders DESC, p1 ASC, p2 ASC, p3 ASC
       |LIMIT 50""".stripMargin
 
+  /** q245 — Benford first-digit audit over o_totalprice: the classic
+    * fabricated-data / unit-mixing screen (naturally-occurring
+    * multi-scale amounts follow log10(1 + 1/d); uniform or hand-typed
+    * ones don't). Emits per digit the observed count and the
+    * Benford-expected count in MICRO-quantized BIGINT (q230's
+    * chi-square discipline: ⌊10⁶·N·log10(1+1/d)⌋ — the nine log10
+    * literals are compile-time constants inlined identically into both
+    * engines' SQL, so no runtime float log is ever compared), plus the
+    * per-digit (o−e)² / e contribution micro-quantized the same way.
+    *
+    * Scale shape: first digit = one narrow projection — the amount is
+    * cent-quantized to BIGINT first, so the string form is INTEGER
+    * formatting (identical in both engines; a raw double→string cast
+    * is engine-formatting territory) and its first character is the
+    * first significant digit for the positive domain; one partial-agg
+    * groupBy to ≤ 9 rows.
+    */
+  val q245BenfordAudit: Q = (s, dir) => {
+    import s.implicits._
+    val n = T.orders(s, dir).count() // one bounded scalar: the row count
+    val digitExpr =
+      "CAST(substring(CAST(CAST(FLOOR(100 * o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)"
+    val benford = (1 to 9).map(d =>
+      (d, math.floor(1e6 * n * math.log10(1.0 + 1.0 / d)).toLong))
+    val expected = benford.toDF("digit", "expected_micro")
+    T.orders(s, dir)
+      .select(expr(digitExpr).as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("observed"))
+      .join(expected, "digit")
+      .withColumn("chi_micro",
+        expr("CAST(FLOOR(1e12 * observed * observed / expected_micro) AS BIGINT)" +
+          " - 2000000 * observed + expected_micro"))
+      .orderBy($"digit")
+  }
+
+  val q245Sql: String = {
+    // the same nine compile-time constants, inlined as literals
+    val lits = (1 to 9).map(d =>
+      s"(${d}, CAST(FLOOR(1e6 * (SELECT COUNT(*) FROM orders) * ${math.log10(1.0 + 1.0 / d)}) AS BIGINT))")
+      .mkString(", ")
+    s"""WITH expected(digit, expected_micro) AS (VALUES $lits),
+       |obs AS (
+       |  SELECT CAST(substring(CAST(CAST(FLOOR(100 * o_totalprice) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    COUNT(*) AS observed
+       |  FROM orders GROUP BY 1)
+       |SELECT obs.digit, observed, expected_micro,
+       |  CAST(FLOOR(1e12 * observed * observed / expected_micro) AS BIGINT)
+       |    - 2000000 * observed + expected_micro AS chi_micro
+       |FROM obs JOIN expected ON obs.digit = expected.digit
+       |ORDER BY obs.digit""".stripMargin
+  }
+
+  /** q246 — per-column value-CONCENTRATION profile: Herfindahl
+    * numerator Σnᵢ² over each profiled column's value counts, emitted
+    * with N and NDV as exact integers (Gini impurity = 1 − Σnᵢ²/N²,
+    * normalized Herfindahl = Σnᵢ²/N² — both one consumer-side division
+    * away, the q208/q211 exact num/den convention). The profiling
+    * metric q132's NDV can't see: a column with NDV=1000 where one
+    * value holds 99% of rows is a skew-join hazard and a
+    * quality-drift signal; entropy would say the same thing but p·log p
+    * never hash-matches cross-engine, while Σnᵢ² is a BIGINT.
+    *
+    * Scale shape: one partial-aggregated count per column + one
+    * Σn² re-aggregate over the (already ≤NDV-sized) count frame,
+    * unioned across the profiled columns — q132's one-leg-per-column
+    * shape. Int64 budget: Σnᵢ² ≤ N², so past ~3·10⁹ rows a constant
+    * column overflows — at that scale the count frame's counts are
+    * pre-scaled (divide by 2ᵏ) or summed as DECIMAL; scaladoc'd rather
+    * than silently wrong.
+    */
+  val q246ConcentrationProfile: Q = (s, dir) => {
+    val legs = ProfiledCols.map { c =>
+      T.lineitem(s, dir).select(col(c))
+        .groupBy(col(c)).agg(count(lit(1)).as("n_i"))
+        .agg(
+          sum(col("n_i")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("n_i") * col("n_i")).as("sum_sq"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"),
+          col("sum_sq"))
+    }
+    legs.reduce(_ unionByName _).orderBy(col("col_name"))
+  }
+
+  val q246Sql: String = ProfiledCols.map { c =>
+    s"""SELECT '$c' AS col_name,
+       |  CAST(SUM(n_i) AS BIGINT) AS n_rows,
+       |  COUNT(*) AS n_distinct,
+       |  CAST(SUM(n_i * n_i) AS BIGINT) AS sum_sq
+       |FROM (SELECT COUNT(*) AS n_i FROM lineitem GROUP BY $c) t""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   /** q154 — histogram bin width in quantized cents (50.00 units). */
   val HistBinQ = 5000L
 
@@ -349,6 +442,8 @@ object TableStatsQueries {
     "q154_value_histogram" -> q154ValueHistogram,
     "q236_item_similarity" -> q236ItemSimilarity,
     "q244_triple_itemsets" -> q244Triples,
+    "q245_benford_audit" -> q245BenfordAudit,
+    "q246_concentration_profile" -> q246ConcentrationProfile,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -358,5 +453,7 @@ object TableStatsQueries {
     "q154_value_histogram" -> q154Sql,
     "q236_item_similarity" -> q236Sql,
     "q244_triple_itemsets" -> q244Sql,
+    "q245_benford_audit" -> q245Sql,
+    "q246_concentration_profile" -> q246Sql,
   )
 }
