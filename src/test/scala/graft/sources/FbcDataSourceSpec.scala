@@ -137,6 +137,22 @@ class FbcDataSourceSpec extends SparkSpec {
       s"limit 3 opened ${FbcDataSource.filesOpened.get() - before} files")
   }
 
+  test("count with a residual filter does NOT push down and stays correct") {
+    // negative control: startsWith is rejected by pushFilters, so the
+    // aggregate must not collapse to the metadata count (which would
+    // ignore the residual filter and overcount)
+    val df = FbcSource.read(spark).filter($"name".startsWith("pkg"))
+    val n = df.count()
+    val expected = graft.catalog.FbcIngest.withPackageKey(
+        graft.catalog.FbcIngest.readMetaStream(
+          spark, graft.catalog.CatalogOracle.FixtureSource))
+      .filter($"name".startsWith("pkg")).count()
+    assert(n == expected, s"residual-filter count wrong: $n vs $expected")
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(!plan.contains("FbcCountScan"),
+      s"aggregate pushed down past a residual filter: $plan")
+  }
+
   test("non-equality predicates stay with Spark and still evaluate") {
     val got = FbcSource.read(spark)
       .filter($"name".startsWith("pkg"))
