@@ -103,7 +103,8 @@ class FbcTable(root: String) extends Table with SupportsRead
   override def name(): String = s"fbc:$root"
   override def schema(): StructType = FbcDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FbcScanBuilder(root)
   override def newWriteBuilder(
@@ -369,6 +370,76 @@ class FbcScan(root: String, pushed: Array[Filter], required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FbcReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FbcMicroBatchStream(root, pushed, required)
+}
+
+/** Streaming READ of the cache tree — the reference's
+  * If-Modified-Since refresh loop (cache.go:49-69) as a DSv2
+  * MicroBatchStream: the offset is a modification-time WATERMARK, each
+  * micro-batch processes exactly the files whose mtime moved past the
+  * previous one. The connector thereby covers batch read, batch write,
+  * and incremental tailing of a live reference deployment.
+  *
+  * Semantics contract: a file is included when `start < mtime ≤ end`,
+  * with `latestOffset` reading the tree's current max mtime — files
+  * REWRITTEN later re-emit (update semantics, matching the reference's
+  * cache refresh, which re-serves changed content under the same
+  * name). Files landing with an mtime ≤ an already-committed watermark
+  * (an out-of-order writer) are missed by construction — the same
+  * contract as If-Modified-Since itself; writers must move mtimes
+  * forward (the connector's own write path does).
+  */
+class FbcMicroBatchStream(root: String, pushed: Array[Filter],
+    required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def walk(): Seq[(String, String, String, Long)] = {
+    val parts = new FbcScan(root, pushed, FbcDataSource.Schema, None)
+      .planInputPartitions().map(_.asInstanceOf[FbcInputPartition])
+    parts.toSeq.flatMap { p =>
+      p.files.toSeq.map { f =>
+        (p.pkg, p.sch, f, Files.getLastModifiedTime(Paths.get(f)).toMillis)
+      }
+    }
+  }
+
+  override def latestOffset(): Offset = {
+    val files = walk()
+    FbcOffset(if (files.isEmpty) 0L else files.map(_._4).max)
+  }
+
+  override def initialOffset(): Offset = FbcOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    FbcOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[FbcOffset].maxMtime
+    val hi = end.asInstanceOf[FbcOffset].maxMtime
+    walk()
+      .filter { case (_, _, _, m) => m > lo && m <= hi }
+      .groupBy(f => (f._1, f._2))
+      .map { case ((pkg, sch), fs) =>
+        FbcInputPartition(pkg, sch, fs.map(_._3).sorted.toArray)
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FbcReaderFactory(required.fieldNames)
+}
+
+case class FbcOffset(maxMtime: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = maxMtime.toString
 }
 
 case class FbcInputPartition(pkg: String, sch: String,

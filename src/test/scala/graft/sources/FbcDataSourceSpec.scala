@@ -153,6 +153,53 @@ class FbcDataSourceSpec extends SparkSpec {
       s"aggregate pushed down past a residual filter: $plan")
   }
 
+  test("micro-batch stream tails new files without reprocessing old ones") {
+    import java.nio.file.{Files, Paths}
+    val root = "/root/repo/target/fixtures/fbcfs-stream"
+    val outDir = Files.createTempDirectory("fbc-stream-out").toString
+    val ckpt = Files.createTempDirectory("fbc-stream-ckpt").toString
+    val meta = graft.catalog.FbcIngest.withPackageKey(
+      graft.catalog.FbcIngest.readMetaStream(
+        spark, graft.catalog.CatalogOracle.FixtureSource))
+    FbcDataSource.writeFileTree(meta, root)
+    val t0 = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    Files.walk(Paths.get(root)).filter(_.toString.endsWith(".json"))
+      .forEach(p => Files.setLastModifiedTime(p, t0))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format(classOf[FbcDataSource].getName)
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val n0 = meta.count()
+    assert(spark.read.parquet(outDir).count() == n0,
+      "first run must ingest every existing file")
+    // two new records land later (mtime moves forward)
+    val d = Paths.get(root, "pkg-new", "olm.bundle")
+    Files.createDirectories(d)
+    val t1 = java.nio.file.attribute.FileTime.fromMillis(1700000060000L)
+    Seq("n1", "n2").foreach { n =>
+      val f = d.resolve(s"$n.json")
+      Files.write(f, s"""{"schema":"olm.bundle","package":"pkg-new","name":"$n"}""".getBytes)
+      Files.setLastModifiedTime(f, t1)
+    }
+    runOnce()
+    val after = spark.read.parquet(outDir)
+    assert(after.count() == n0 + 2,
+      s"second run must add exactly the two new files, got ${after.count()}")
+    import org.apache.spark.sql.functions.col
+    val counts = after.groupBy(col("name")).count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("n1") == 1L && counts("n2") == 1L,
+      "new files must appear exactly once")
+    assert(counts.values.forall(_ == 1L),
+      s"no file may be reprocessed across restarts: $counts")
+  }
+
   test("non-equality predicates stay with Spark and still evaluate") {
     val got = FbcSource.read(spark)
       .filter($"name".startsWith("pkg"))
