@@ -580,7 +580,106 @@ object TextAnalysis {
        |GROUP BY source, ctx_len
        |ORDER BY source, ctx_len""".stripMargin
 
+  /** q247 — multi-signal curation RANKING (the FineWeb-style blend):
+    * three independent quality axes — the q47 composite score,
+    * bigram repetition (n_bigrams − n_distinct_bigrams, q126's
+    * degeneracy axis as one integer), and corpus-hapax count (tokens
+    * appearing exactly once corpus-wide — q129's rarity axis) — are
+    * each converted to an exact RANK (ties to the smaller doc_id) and
+    * summed; the keep verdict takes the better half by composite rank.
+    * Rank-normalizing sidesteps the classic blending trap: raw signals
+    * live on incomparable scales and any weighted float sum is a
+    * magic-number soup, while ranks are integers with one obvious
+    * semantics — and they hash-compare exactly.
+    *
+    * Scale note: the exact global ranks here are corpus-wide window
+    * sorts — correct at oracle scale, and the production spelling
+    * replaces them with approx-quantile thresholds per signal (the
+    * q90/q162 exact-vs-approx convention, scaladoc'd rather than
+    * silently unscalable); the hapax signal is one token-keyed count
+    * (vocabulary-bounded state, q129's shape).
+    */
+  val q247CurationRank: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val ws = split($"text", " ")
+    val base = docs.select($"doc_id", ws.as("ws"))
+      .select($"doc_id",
+        (size($"ws") - lit(1)).cast("long").as("n_bigrams"),
+        // size guard: sequence(0, -1) runs DESCENDING for a 1-token doc
+        // (the triShinglesRaw trap) and ANSI array indexing would throw
+        expr("""CAST(size(array_distinct(IF(size(ws) >= 2,
+          |  transform(sequence(0, size(ws) - 2),
+          |    i -> concat(ws[i], ' ', ws[i+1])),
+          |  array()))) AS LONG)""".stripMargin)
+          .as("n_distinct_bigrams"))
+      .withColumn("repetition",
+        greatest($"n_bigrams", lit(0L)) - $"n_distinct_bigrams")
+    val tokens = docs.select($"doc_id", explode(ws).as("w"))
+    val hapax = tokens.groupBy($"w").agg(count(lit(1)).as("n"))
+      .filter($"n" === 1).select($"w")
+    val hapaxPerDoc = tokens.join(hapax, Seq("w"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hapax"))
+    val q = qualityOf(docs)
+    val joined = q
+      .join(base.select($"doc_id", $"repetition"), "doc_id")
+      .join(hapaxPerDoc, Seq("doc_id"), "left")
+      .withColumn("n_hapax", coalesce($"n_hapax", lit(0L)))
+    import org.apache.spark.sql.expressions.Window
+    val rQ = Window.orderBy($"quality".desc, $"doc_id".asc)
+    val rRep = Window.orderBy($"repetition".asc, $"doc_id".asc)
+    val rRare = Window.orderBy($"n_hapax".asc, $"doc_id".asc)
+    val ranked = joined
+      .withColumn("r_quality", row_number().over(rQ).cast("long"))
+      .withColumn("r_repetition", row_number().over(rRep).cast("long"))
+      .withColumn("r_rarity", row_number().over(rRare).cast("long"))
+      .withColumn("composite", $"r_quality" + $"r_repetition" + $"r_rarity")
+    val n = docs.count()
+    val rC = Window.orderBy($"composite".asc, $"doc_id".asc)
+    ranked
+      .withColumn("keep", row_number().over(rC) <= lit(n / 2))
+      .select($"doc_id", $"r_quality", $"r_repetition", $"r_rarity",
+        $"composite", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  val q247Sql: String =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |rep AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) - 1 AS BIGINT)
+      |      - CAST(len(list_distinct(list_transform(range(1, len(ws)),
+      |          i -> ws[i] || ' ' || ws[i+1]))) AS BIGINT) AS repetition
+      |  FROM d),
+      |tok AS (SELECT doc_id, UNNEST(ws) AS w FROM d),
+      |hapax AS (SELECT w FROM tok GROUP BY w HAVING COUNT(*) = 1),
+      |hpd AS (SELECT doc_id, COUNT(*) AS n_hapax
+      |        FROM tok JOIN hapax USING (w) GROUP BY doc_id),
+      |q AS (
+      |  SELECT doc_id,
+      |    len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) * 0.5
+      |      + (1.0 - len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / CAST(len(ws) AS DOUBLE)) * 0.3
+      |      + CASE WHEN len(ws) BETWEEN 20 AND 200 THEN 0.2 ELSE 0.0 END AS quality
+      |  FROM d),
+      |j AS (
+      |  SELECT q.doc_id, quality, repetition, COALESCE(hpd.n_hapax, 0) AS n_hapax
+      |  FROM q JOIN rep ON q.doc_id = rep.doc_id
+      |  LEFT JOIN hpd ON q.doc_id = hpd.doc_id),
+      |r AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS r_quality,
+      |    CAST(row_number() OVER (ORDER BY repetition ASC, doc_id ASC) AS BIGINT) AS r_repetition,
+      |    CAST(row_number() OVER (ORDER BY n_hapax ASC, doc_id ASC) AS BIGINT) AS r_rarity
+      |  FROM j)
+      |SELECT doc_id, r_quality, r_repetition, r_rarity,
+      |  r_quality + r_repetition + r_rarity AS composite,
+      |  row_number() OVER (ORDER BY r_quality + r_repetition + r_rarity ASC, doc_id ASC)
+      |    <= (SELECT COUNT(*) FROM documents) // 2 AS keep
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q247_curation_rank" -> q247CurationRank,
     "q241_truncation_loss" -> q241TruncationLoss,
     "q172_rolling_fingerprint" -> q172RollingFingerprint,
     "q177_corpus_health" -> q177CorpusHealth,
@@ -595,6 +694,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q247_curation_rank" -> q247Sql,
     "q241_truncation_loss" -> q241Sql,
     "q172_rolling_fingerprint" -> q172Sql,
     "q177_corpus_health" -> q177Sql,
