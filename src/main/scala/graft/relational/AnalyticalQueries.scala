@@ -732,7 +732,57 @@ object AnalyticalQueries {
       |    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** q248 — RFM customer segmentation (recency / frequency / monetary
+    * quartiles): the classic lifecycle-marketing rollup — per customer,
+    * last order date, order count, and decimal-exact lifetime spend,
+    * each cut into quartiles by NTILE(4) under a TOTAL order (metric +
+    * c_custkey tiebreak — a bare metric order leaves quartile
+    * boundaries engine-dependent on ties), composed into the
+    * three-digit segment label ('444' = best).
+    *
+    * Scale shape: one partial-aggregated groupBy(custkey) collapses
+    * orders to one row per customer BEFORE the windows, so the three
+    * global NTILE sorts run on the customer frame (≪ fact volume);
+    * production swaps exact quartiles for approx_percentile cuts (the
+    * q90/q247 convention).
+    */
+  val q248RfmSegments: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perCust = T.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("n_orders"),
+        graft.core.dsl.dsum($"o_totalprice").as("spend"))
+    val r = ntile(4).over(Window.orderBy($"last_order".asc, $"o_custkey".asc))
+    val f = ntile(4).over(Window.orderBy($"n_orders".asc, $"o_custkey".asc))
+    val m = ntile(4).over(Window.orderBy($"spend".asc, $"o_custkey".asc))
+    perCust
+      .withColumn("r_q", r).withColumn("f_q", f).withColumn("m_q", m)
+      .select($"o_custkey", $"n_orders", $"spend", $"r_q", $"f_q", $"m_q",
+        concat($"r_q", $"f_q", $"m_q").as("segment"))
+      .orderBy($"o_custkey")
+  }
+
+  val q248Sql: String =
+    s"""WITH pc AS (
+       |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+       |    COUNT(*) AS n_orders,
+       |    ${graft.core.OracleDsl.dsum("o_totalprice")} AS spend
+       |  FROM orders GROUP BY o_custkey)
+       |SELECT o_custkey, n_orders, spend,
+       |  NTILE(4) OVER (ORDER BY last_order ASC, o_custkey ASC) AS r_q,
+       |  NTILE(4) OVER (ORDER BY n_orders ASC, o_custkey ASC) AS f_q,
+       |  NTILE(4) OVER (ORDER BY spend ASC, o_custkey ASC) AS m_q,
+       |  CAST(NTILE(4) OVER (ORDER BY last_order ASC, o_custkey ASC) AS VARCHAR)
+       |    || CAST(NTILE(4) OVER (ORDER BY n_orders ASC, o_custkey ASC) AS VARCHAR)
+       |    || CAST(NTILE(4) OVER (ORDER BY spend ASC, o_custkey ASC) AS VARCHAR)
+       |    AS segment
+       |FROM pc
+       |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q248_rfm_segments" -> q248RfmSegments,
     "q82_shipping_priority" -> q82ShippingPriority,
     "q83_local_supplier_volume" -> q83LocalSupplierVolume,
     "q94_funnel" -> q94Funnel,
@@ -751,6 +801,7 @@ object AnalyticalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q248_rfm_segments" -> q248Sql,
     "q181_min_cost_supplier" -> q181Sql,
     "q182_excess_volume" -> q182Sql,
     "q188_recursive_reach" -> q188Sql,
