@@ -30,6 +30,63 @@ object VectorStats {
 
   val QuantScale = 1000000.0
 
+  /** q249 — embedding data-QUALITY audit (q107's sibling for the
+    * vector table — the gate before any index build): per label, the
+    * vector count, dimension-consistency check (every vector must have
+    * the modal dimensionality), zero-vector count (an all-zero
+    * embedding is an upstream encoder failure and poisons cosine
+    * math), non-finite component count (NaN/Inf — quantized arithmetic
+    * silently absorbs them otherwise), and the exact quantized norm²
+    * sum (the magnitude-drift axis: a batch of mis-scaled vectors
+    * shifts it by orders of magnitude).
+    *
+    * Exactness: norm² is the Σq² BIGINT of floor(x·1e4)-quantized
+    * components (the q151 covariance budget — squares, so the coarser
+    * scale), summed per label; all other columns are exact integer
+    * counts. One narrow HOF projection + one partial-aggregated
+    * groupBy(label).
+    */
+  val q249VectorAudit: Q = (s, dir) => {
+    import s.implicits._
+    val q = transform($"embedding",
+      x => floor(x.cast("double") * lit(10000.0)).cast("long"))
+    T.embeddings(s, dir)
+      .select($"label", $"vec_id",
+        size($"embedding").as("dim"),
+        expr("""CAST(size(filter(embedding,
+          |  x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) AS LONG)"""
+          .stripMargin).as("n_bad"),
+        expr("""CAST(IF(size(filter(embedding, x -> CAST(x AS DOUBLE) != 0.0)) = 0, 1, 0) AS LONG)""")
+          .as("is_zero"),
+        aggregate(q, lit(0L), (acc, v) => acc + v * v).as("norm2_q"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vec"),
+        countDistinct($"dim").as("n_dims_seen"),
+        min($"dim").as("min_dim"), max($"dim").as("max_dim"),
+        sum($"is_zero").as("n_zero_vec"),
+        sum($"n_bad").as("n_nonfinite"),
+        sum($"norm2_q").as("sum_norm2_q"))
+      .orderBy($"label")
+  }
+
+  val q249Sql: String =
+    """SELECT label, COUNT(*) AS n_vec,
+      |  COUNT(DISTINCT len(embedding)) AS n_dims_seen,
+      |  MIN(len(embedding)) AS min_dim, MAX(len(embedding)) AS max_dim,
+      |  CAST(SUM(CASE WHEN len(list_filter(embedding,
+      |    x -> CAST(x AS DOUBLE) != 0.0)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_zero_vec,
+      |  CAST(SUM(len(list_filter(embedding,
+      |    x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE)))) AS BIGINT)
+      |    AS n_nonfinite,
+      |  CAST(SUM(list_sum(list_transform(embedding, x ->
+      |    CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)
+      |      * CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)))) AS BIGINT)
+      |    AS sum_norm2_q
+      |FROM embeddings
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   /** q137 — exact per-label centroid numerators: for each (label, dim),
     * the BIGINT sum of quantized components and the vector count.
     */
@@ -106,9 +163,11 @@ object VectorStats {
   val queries: Map[String, Q] = Map(
     "q137_group_centroid" -> q137GroupCentroid,
     "q151_embedding_covariance" -> q151EmbeddingCovariance,
+    "q249_vector_audit" -> q249VectorAudit,
   )
   val oracleSql: Map[String, String] = Map(
     "q137_group_centroid" -> q137Sql,
     "q151_embedding_covariance" -> q151Sql,
+    "q249_vector_audit" -> q249Sql,
   )
 }
