@@ -421,6 +421,63 @@ object TextAnalysis {
        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q250 — classifier EVALUATION harness (confusion matrix + exact
+    * Cohen's kappa) for the q146 trained language classifier against
+    * the corpus's ground-truth labels — the metrics leg every
+    * train/eval pipeline ends with. Kappa is emitted as an exact
+    * integer ratio (the q208/q211 convention): with N docs, C correct,
+    * and Σ rowₗ·colₗ the chance-agreement numerator over matching
+    * labels, κ = (C·N − Σ)/(N² − Σ) — every term a BIGINT product of
+    * counts, so the row hash-compares where the usual float κ would
+    * not. The per-cell rows carry the summary columns alongside (a
+    * |langs|² frame; constant columns cost nothing).
+    *
+    * Scale shape: the classifier pipeline runs ONCE (checkpointed);
+    * everything downstream aggregates the (doc, label, prediction)
+    * frame — two label-keyed partial aggs and a 1-row summary cross
+    * join.
+    */
+  val q250ClassifierEval: Q = (s, dir) => {
+    import s.implicits._
+    val pred = q146LangNgramClassify(s, dir)
+      .select($"doc_id", $"lang", $"pred_lang").localCheckpoint()
+    val cells = pred.groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+    val rowM = pred.groupBy($"lang").agg(count(lit(1)).as("n_row"))
+    val colM = pred.groupBy($"pred_lang").agg(count(lit(1)).as("n_col"))
+    val pe = rowM.join(colM, rowM("lang") === colM("pred_lang"))
+      .agg(coalesce(sum($"n_row" * $"n_col"), lit(0L)).as("pe_num"))
+    val totals = pred.agg(count(lit(1)).as("n_total"),
+      sum(when($"lang" === $"pred_lang", 1L).otherwise(0L)).as("n_correct"))
+    val summary = totals.crossJoin(pe)
+      .select($"n_total", $"n_correct",
+        ($"n_correct" * $"n_total" - $"pe_num").as("kappa_num"),
+        ($"n_total" * $"n_total" - $"pe_num").as("kappa_den"))
+    cells.crossJoin(summary)
+      .select($"lang", $"pred_lang", $"n", $"n_total", $"n_correct",
+        $"kappa_num", $"kappa_den")
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  val q250Sql: String = {
+    val cls = q146Sql.replace("ORDER BY d.doc_id", "")
+    s"""WITH cls AS ($cls),
+       |cells AS (SELECT lang, pred_lang, COUNT(*) AS n
+       |          FROM cls GROUP BY lang, pred_lang),
+       |rm AS (SELECT lang, COUNT(*) AS n_row FROM cls GROUP BY lang),
+       |cm AS (SELECT pred_lang, COUNT(*) AS n_col FROM cls GROUP BY pred_lang),
+       |pe AS (SELECT CAST(COALESCE(SUM(n_row * n_col), 0) AS BIGINT) AS pe_num
+       |       FROM rm JOIN cm ON rm.lang = cm.pred_lang),
+       |tot AS (SELECT COUNT(*) AS n_total,
+       |          CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS n_correct
+       |        FROM cls)
+       |SELECT lang, pred_lang, n, n_total, n_correct,
+       |  n_correct * n_total - pe_num AS kappa_num,
+       |  n_total * n_total - pe_num AS kappa_den
+       |FROM cells CROSS JOIN tot CROSS JOIN pe
+       |ORDER BY lang, pred_lang""".stripMargin
+  }
+
   /** q172 rolling-hash parameters, sized so the fold NEVER leaves
     * int64: acc < M = 2³¹−1, B ≈ 2²⁰, token hash < 2²⁸ ⇒ each step ≤
     * ~2⁵¹ — Spark and DuckDB run the identical exact arithmetic (a
@@ -680,6 +737,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "q247_curation_rank" -> q247CurationRank,
+    "q250_classifier_eval" -> q250ClassifierEval,
     "q241_truncation_loss" -> q241TruncationLoss,
     "q172_rolling_fingerprint" -> q172RollingFingerprint,
     "q177_corpus_health" -> q177CorpusHealth,
@@ -695,6 +753,7 @@ object TextAnalysis {
 
   val oracleSql: Map[String, String] = Map(
     "q247_curation_rank" -> q247Sql,
+    "q250_classifier_eval" -> q250Sql,
     "q241_truncation_loss" -> q241Sql,
     "q172_rolling_fingerprint" -> q172Sql,
     "q177_corpus_health" -> q177Sql,
