@@ -165,13 +165,26 @@ class FbcDataWriter(root: String, iPkg: Int, iSch: Int, iName: Int,
 
   private var written = 0L
 
+  private def pathComponent(row: InternalRow, i: Int, col: String): String = {
+    require(!row.isNullAt(i), s"fbc write: null $col (path components are required)")
+    val v = row.getUTF8String(i).toString
+    require(v.nonEmpty && !v.contains('/') && !v.contains('\\') &&
+      v != "." && v != "..",
+      s"fbc write: $col value '$v' is not a valid path component")
+    v
+  }
+
   override def write(row: InternalRow): Unit = {
-    val dir = Paths.get(root, row.getUTF8String(iPkg).toString,
-      row.getUTF8String(iSch).toString)
+    val dir = Paths.get(root, pathComponent(row, iPkg, "package"),
+      pathComponent(row, iSch, "schema"))
     Files.createDirectories(dir)
-    val target = dir.resolve(row.getUTF8String(iName).toString + ".json")
+    val target = dir.resolve(pathComponent(row, iName, "name") + ".json")
     val tmp = dir.resolve(s".${target.getFileName}.$partitionId.$taskId.tmp")
-    Files.write(tmp, row.getUTF8String(iBlob).getBytes)
+    // blob is nullable in the connector schema: a null blob is an empty
+    // file (the tree has no way to represent SQL null content).
+    val blob = if (row.isNullAt(iBlob)) Array.emptyByteArray
+               else row.getUTF8String(iBlob).getBytes
+    Files.write(tmp, blob)
     Files.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -234,9 +247,14 @@ class FbcScanBuilder(root: String) extends ScanBuilder
 
   /** LIMIT pushes into planning: one row per file means truncating the
     * pruned file walk to `n` IS the limit — a `LIMIT 5` listing stats
-    * 5 files' names instead of the whole tree.
+    * 5 files' names instead of the whole tree. Refused when a COUNT
+    * aggregation was already pushed (aggregate pushdown runs first):
+    * the limit then applies to the AGGREGATED rows, which
+    * FbcCountScan does not truncate — accepting it would make Spark
+    * drop its Limit operator and return every group.
     */
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    if (countStar) false else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = false
 
   /** Accept equality on the path-derived columns (fully applied by
@@ -288,7 +306,13 @@ class FbcCountScan(root: String, pushed: Array[Filter],
       .map { case (key, ps) =>
         FbcCountRow(key, ps.map(_.files.length.toLong).sum)
       }.toArray
-    Array(FbcCountPartition(rows))
+    // Complete pushdown means Spark plans NO aggregate on top, so a
+    // global COUNT(*) over an empty/missing tree must still yield the
+    // SQL-mandated single 0 row from the source itself.
+    val withGlobalZero =
+      if (groupCols.isEmpty && rows.isEmpty) Array(FbcCountRow(Nil, 0L))
+      else rows
+    Array(FbcCountPartition(withGlobalZero))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {

@@ -200,6 +200,51 @@ class FbcDataSourceSpec extends SparkSpec {
       s"no file may be reprocessed across restarts: $counts")
   }
 
+  test("grouped count + limit keeps Spark's Limit (no silent drop)") {
+    // regression: pushLimit must refuse when a count aggregate was
+    // already pushed — otherwise Spark removes its Limit operator and
+    // the query returns every group
+    val df = FbcSource.read(spark).groupBy($"package").count().limit(2)
+    assert(df.collect().length == 2,
+      "groupBy().count().limit(2) must return exactly 2 rows")
+    val grouped = FbcSource.read(spark).groupBy($"package").count()
+    assert(grouped.count() > 2, "fixture must have >2 packages for this test")
+  }
+
+  test("global COUNT(*) over a missing tree is one row with count 0") {
+    val missing = "/root/repo/target/fixtures/fbcfs-does-not-exist"
+    val rows = spark.read.format(classOf[FbcDataSource].getName)
+      .load(missing).groupBy().count().collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 0L,
+      s"empty-tree global count must be a single 0 row, got ${rows.toSeq}")
+  }
+
+  test("write path: null blob becomes an empty file; bad path components fail") {
+    val root = "/root/repo/target/fixtures/fbcfs-nullblob"
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    Seq(("pkg-x", "olm.bundle", "obj-1", null: String))
+      .toDF("package", "schema", "name", "blob")
+      .write.format(classOf[FbcDataSource].getName).mode("append").save(root)
+    val back = spark.read.format(classOf[FbcDataSource].getName).load(root)
+      .select($"name", $"blob").as[(String, String)].collect()
+    assert(back.toSeq == Seq(("obj-1", "")),
+      s"null blob must round-trip as empty content, got ${back.toSeq}")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Seq(("../escape", "olm.bundle", "obj-2", "x"))
+        .toDF("package", "schema", "name", "blob")
+        .write.format(classOf[FbcDataSource].getName).mode("append").save(root)
+    }
+    assert(ex.getMessage != null)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/root/repo/target/fixtures/escape")),
+      "path-separator values must not escape the tree root")
+  }
+
   test("non-equality predicates stay with Spark and still evaluate") {
     val got = FbcSource.read(spark)
       .filter($"name".startsWith("pkg"))
