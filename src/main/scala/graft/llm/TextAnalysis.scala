@@ -341,7 +341,14 @@ object TextAnalysis {
     * Docs shorter than 3 chars have no trigrams and classify to 'unk'
     * in both engines.
     */
-  val q146LangNgramClassify: Q = (s, dir) => {
+  val q146LangNgramClassify: Q = (s, dir) =>
+    classifyCore(s, dir).orderBy(col("doc_id"))
+
+  /** The q146 classifier pipeline without the presentation sort —
+    * shared with q250's evaluation harness, which only aggregates the
+    * frame and must not pay a global sort it immediately discards.
+    */
+  private def classifyCore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = T.documents(s, dir)
     // ONE trigram pass: per-(doc, trigram) occurrence counts serve both
@@ -387,7 +394,6 @@ object TextAnalysis {
       .select($"doc_id", $"lang",
         coalesce($"p_lang", lit("unk")).as("pred_lang"),
         coalesce($"score", lit(0L)).as("score"))
-      .orderBy($"doc_id")
   }
 
   val q146Sql: String =
@@ -432,22 +438,24 @@ object TextAnalysis {
     * not. The per-cell rows carry the summary columns alongside (a
     * |langs|² frame; constant columns cost nothing).
     *
-    * Scale shape: the classifier pipeline runs ONCE (checkpointed);
-    * everything downstream aggregates the (doc, label, prediction)
-    * frame — two label-keyed partial aggs and a 1-row summary cross
-    * join.
+    * Scale shape: the classifier pipeline is consumed by exactly ONE
+    * aggregation — the (lang, pred_lang) confusion matrix, a |langs|²
+    * frame. Marginals, totals, and the kappa terms all derive from
+    * that tiny checkpointed frame, so the expensive per-doc scoring
+    * runs once with no re-read and no big-frame materialization.
     */
   val q250ClassifierEval: Q = (s, dir) => {
     import s.implicits._
-    val pred = q146LangNgramClassify(s, dir)
-      .select($"doc_id", $"lang", $"pred_lang").localCheckpoint()
-    val cells = pred.groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
-    val rowM = pred.groupBy($"lang").agg(count(lit(1)).as("n_row"))
-    val colM = pred.groupBy($"pred_lang").agg(count(lit(1)).as("n_col"))
+    val cells = classifyCore(s, dir)
+      .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // tiny; consumed by four derivations below
+    val rowM = cells.groupBy($"lang").agg(sum($"n").as("n_row"))
+    val colM = cells.groupBy($"pred_lang").agg(sum($"n").as("n_col"))
     val pe = rowM.join(colM, rowM("lang") === colM("pred_lang"))
       .agg(coalesce(sum($"n_row" * $"n_col"), lit(0L)).as("pe_num"))
-    val totals = pred.agg(count(lit(1)).as("n_total"),
-      sum(when($"lang" === $"pred_lang", 1L).otherwise(0L)).as("n_correct"))
+    val totals = cells.agg(sum($"n").as("n_total"),
+      coalesce(sum(when($"lang" === $"pred_lang", $"n")), lit(0L))
+        .as("n_correct"))
     val summary = totals.crossJoin(pe)
       .select($"n_total", $"n_correct",
         ($"n_correct" * $"n_total" - $"pe_num").as("kappa_num"),
