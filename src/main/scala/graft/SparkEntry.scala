@@ -42,7 +42,7 @@ object SparkEntry {
       graft.plans.AsOfMergeJoin.queries ++ JourneyQueries.queries ++
       StatInference.queries ++ ShortestPaths.queries ++
       BinaryQuantization.queries ++ KMeans.queries ++ FbcSource.queries ++
-      LabelPropagation.queries
+      LabelPropagation.queries ++ graft.plans.PlanLineage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +71,5 @@ object SparkEntry {
       graft.plans.AsOfMergeJoin.oracleSql ++ JourneyQueries.oracleSql ++
       StatInference.oracleSql ++ ShortestPaths.oracleSql ++
       BinaryQuantization.oracleSql ++ KMeans.oracleSql ++ FbcSource.oracleSql ++
-      LabelPropagation.oracleSql
+      LabelPropagation.oracleSql ++ graft.plans.PlanLineage.oracleSql
 }
