@@ -334,9 +334,38 @@ case class FbcCountRow(key: Seq[String], n: Long)
 case class FbcCountPartition(rows: Array[FbcCountRow]) extends InputPartition
 
 class FbcScan(root: String, pushed: Array[Filter], required: StructType,
-    limit: Option[Int] = None) extends Scan with Batch {
+    limit: Option[Int] = None) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** TRUE statistics from the pruned walk — one row per file makes
+    * rowCount exact, and sizeInBytes is the byte sum of exactly the
+    * files this scan (post filter/limit pushdown) will read. Spark's
+    * join planning consumes these through DataSourceV2ScanRelation, so
+    * a filtered FBC side broadcasts when it is genuinely small instead
+    * of defaulting to the conservative whole-table guess. Listing cost
+    * is the same driver-side walk planning already pays (cached below:
+    * Spark calls estimateStatistics and planInputPartitions
+    * separately).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val parts = plannedPartitions
+    val bytes = parts.iterator.flatMap(_.files.iterator)
+      .map(f => try Files.size(Paths.get(f)) catch { case _: Exception => 0L })
+      .sum
+    val rows = parts.iterator.map(_.files.length.toLong).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  private lazy val plannedPartitions: Array[FbcInputPartition] =
+    walkPartitions()
   override def toBatch: Batch = this
   override def description(): String =
     s"FbcScan(root=$root, pushed=${pushed.mkString(",")}, " +
@@ -347,7 +376,10 @@ class FbcScan(root: String, pushed: Array[Filter], required: StructType,
     pushed.collectFirst { case EqualTo(`col`, v: String) => v }
 
   /** Driver-side planning = the pruned directory walk. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedPartitions.toArray[InputPartition]
+
+  private def walkPartitions(): Array[FbcInputPartition] = {
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) return Array.empty
     def subdirs(p: Path, keep: Option[String]): Seq[Path] = {
@@ -389,7 +421,7 @@ class FbcScan(root: String, pushed: Array[Filter], required: StructType,
           }
         }
     }
-    limited.toArray[InputPartition]
+    limited.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

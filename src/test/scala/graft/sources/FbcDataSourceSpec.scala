@@ -245,6 +245,30 @@ class FbcDataSourceSpec extends SparkSpec {
       "path-separator values must not escape the tree root")
   }
 
+  test("scan reports exact statistics; filters shrink them") {
+    FbcSource.read(spark).count() // ensure fixture tree exists
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(FbcSource.FixtureRoot)
+    import scala.jdk.CollectionConverters._
+    val all = {
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".json")).toSeq
+      finally s.close()
+    }
+    val fullStats = FbcSource.read(spark)
+      .queryExecution.optimizedPlan.stats
+    assert(fullStats.sizeInBytes == BigInt(all.map(Files.size).sum),
+      s"full-scan sizeInBytes ${fullStats.sizeInBytes} != file byte sum")
+    assert(fullStats.rowCount.contains(BigInt(all.size)),
+      s"full-scan rowCount ${fullStats.rowCount} != ${all.size} files")
+    val filtered = FbcSource.read(spark)
+      .filter($"package" === "pkg-a")
+      .queryExecution.optimizedPlan.stats
+    assert(filtered.sizeInBytes < fullStats.sizeInBytes,
+      "pushed filter must shrink reported sizeInBytes")
+  }
+
   test("non-equality predicates stay with Spark and still evaluate") {
     val got = FbcSource.read(spark)
       .filter($"name".startsWith("pkg"))
