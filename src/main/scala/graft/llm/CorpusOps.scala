@@ -366,7 +366,78 @@ object CorpusOps {
        |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
        |ORDER BY tot.doc_id""".stripMargin
 
+  /** q252 — collocation support floor, PMI quantization scale, report
+    * size. The floor kills the hapax-pair pathology (pure PMI ranks
+    * singleton co-occurrences first); the scale follows the q202
+    * integer-quantization discipline.
+    */
+  val PmiMinCount = 5L
+  val PmiScale = 1000000L
+  val PmiTake = 50
+
+  /** q252 — PMI collocation extraction (Church & Hanks 1990): the
+    * corpus's most-associated bigrams ranked by pointwise mutual
+    * information over the bigram event space, pmi = log(c_xy·N /
+    * (c_x·c_y)). Emitted as the QUANTIZED ratio ⌊scale·c_xy·N /
+    * (c_x·c_y)⌋ — log is monotone, so ranking by the integer ratio IS
+    * ranking by PMI, and every term is a BIGINT product of exact
+    * counts (the q202/q208 convention; a float log would never
+    * hash-match cross-engine). The support floor [[PmiMinCount]] is the
+    * standard collocation noise gate.
+    *
+    * Scale shape: ONE explode + ONE pair-count shuffle; the left/right
+    * marginals and the grand total derive from the pair-count frame
+    * (vocab²-bounded, ≪ corpus) — the explode is never re-scanned. The
+    * support filter applies BEFORE the marginal joins, so the joined
+    * frame is the report candidate set, not the full vocabulary cross.
+    * Int64 budget: scale·c_xy·N ≤ 2⁶³ holds to ~10⁸ bigram tokens with
+    * c_xy ≤ 10⁵; past that the product moves to DECIMAL(38,0) —
+    * documented, not silently wrong (the q246 rule).
+    */
+  val q252PmiCollocations: Q = (s, dir) => {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val counts = T.documents(s, dir)
+      .select(explode(
+        zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter($"p.w2".isNotNull)
+      .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint() // feeds marginals, total, and candidates
+    val left = counts.groupBy($"w1").agg(sum($"c_xy").as("c_x"))
+    val right = counts.groupBy($"w2").agg(sum($"c_xy").as("c_y"))
+    val total = counts.agg(sum($"c_xy").as("n_pairs"))
+    counts.filter($"c_xy" >= PmiMinCount)
+      .join(left, "w1").join(right, "w2").crossJoin(total)
+      .withColumn("pmi_q",
+        expr(s"($PmiScale * c_xy * n_pairs) div (c_x * c_y)"))
+      .select($"w1", $"w2", $"c_xy", $"c_x", $"c_y", $"n_pairs", $"pmi_q")
+      .orderBy($"pmi_q".desc, $"w1".asc, $"w2".asc)
+      .limit(PmiTake)
+  }
+
+  val q252Sql: String =
+    s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |       FROM d, unnest(range(1, len(toks))) AS t(i)),
+       |counts AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2),
+       |lm AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x
+       |       FROM counts GROUP BY w1),
+       |rm AS (SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS c_y
+       |       FROM counts GROUP BY w2),
+       |tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_pairs FROM counts)
+       |SELECT counts.w1, counts.w2, c_xy, c_x, c_y, n_pairs,
+       |  ($PmiScale * c_xy * n_pairs) // (c_x * c_y) AS pmi_q
+       |FROM counts JOIN lm ON counts.w1 = lm.w1
+       |            JOIN rm ON counts.w2 = rm.w2
+       |            CROSS JOIN tot
+       |WHERE c_xy >= $PmiMinCount
+       |ORDER BY pmi_q DESC, counts.w1 ASC, counts.w2 ASC
+       |LIMIT $PmiTake""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q252_pmi_collocations" -> q252PmiCollocations,
     "q238_segment_dedup" -> q238SegmentDedup,
     "q202_lm_score" -> q202LmScore,
     "q135_phrase_search" -> q135PhraseSearch,
@@ -377,6 +448,7 @@ object CorpusOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q252_pmi_collocations" -> q252Sql,
     "q238_segment_dedup" -> q238Sql,
     "q135_phrase_search" -> q135Sql,
     "q136_token_budget_mix" -> q136Sql,
