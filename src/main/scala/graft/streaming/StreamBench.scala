@@ -421,6 +421,46 @@ object StreamBench {
     Seq((matched, orphans)).toDF("n_matched", "n_orphans")
   }
 
+  /** qs11 — streaming HLL cardinality over [[BloomBatches]]
+    * micro-batches: per shard, the constant-size register fold in
+    * ValueState — completing the sketch-state quartet (qs01
+    * membership, qs03 frequency, qs08 distribution, cardinality
+    * here). The timing is the per-batch heapify/update/serialize
+    * path; the merge runs after the stream stops.
+    */
+  val qs11HllStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val stream = MemoryStream[Event]
+    val name = s"bench_hll_${runId.incrementAndGet()}"
+    val q = HllStream.hllSketches(stream.toDS())
+      .toDF("shard", "sketch")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-hll-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    // latest sketch per shard: HLL estimates only grow within a shard
+    // (register maxima are monotone), so the max-estimate emission is
+    // the cumulative one. shards·batches rows — bounded driver pick.
+    val all = s.table(name).select($"shard", $"sketch")
+      .as[(Long, Array[Byte])].collect()
+    val latest = all.groupBy(_._1).map { case (_, rs) =>
+      rs.map(_._2).maxBy(b =>
+        org.apache.datasketches.hll.HllSketch.heapify(b).getEstimate)
+    }.toSeq
+    s.catalog.dropTempView(name)
+    val merged = HllStream.merge(latest)
+    Seq((rows.size.toLong, math.round(merged.getEstimate)))
+      .toDF("n_in", "est_distinct")
+  }
+
   val benchOnly: Map[String, Q] = Map(
     "qs01_bloom_dedup_stream" -> qs01BloomDedupStream,
     "qs02_cdc_apply_stream" -> qs02CdcApplyStream,
@@ -432,5 +472,6 @@ object StreamBench {
     "qs08_kll_stream" -> qs08KllStream,
     "qs09_fullouter_join_stream" -> qs09FullOuterJoinStream,
     "qs10_topk_stream" -> qs10TopKStream,
+    "qs11_hll_stream" -> qs11HllStream,
   )
 }
