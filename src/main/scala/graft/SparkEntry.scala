@@ -42,7 +42,8 @@ object SparkEntry {
       graft.plans.AsOfMergeJoin.queries ++ JourneyQueries.queries ++
       StatInference.queries ++ ShortestPaths.queries ++
       BinaryQuantization.queries ++ KMeans.queries ++ FbcSource.queries ++
-      LabelPropagation.queries ++ graft.plans.PlanLineage.queries
+      LabelPropagation.queries ++ graft.plans.PlanLineage.queries ++
+      graft.plans.PlanMetrics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +72,6 @@ object SparkEntry {
       graft.plans.AsOfMergeJoin.oracleSql ++ JourneyQueries.oracleSql ++
       StatInference.oracleSql ++ ShortestPaths.oracleSql ++
       BinaryQuantization.oracleSql ++ KMeans.oracleSql ++ FbcSource.oracleSql ++
-      LabelPropagation.oracleSql ++ graft.plans.PlanLineage.oracleSql
+      LabelPropagation.oracleSql ++ graft.plans.PlanLineage.oracleSql ++
+      graft.plans.PlanMetrics.oracleSql
 }
