@@ -138,6 +138,88 @@ object VectorSearch {
       |FROM neg LEFT JOIN pos ON neg.qid = pos.qid
       |ORDER BY neg.qid""".stripMargin
 
+  /** q254 neighbor-vote size. */
+  val KnnVoteK = 5
+
+  /** q254 — kNN LABEL-CONSISTENCY audit (confident-learning-lite): for
+    * each query vector, its [[KnnVoteK]] nearest neighbors vote on the
+    * label; a query whose own label loses the vote is a mislabeling
+    * candidate — the curation screen run before training on labeled
+    * embeddings (noisy labels poison contrastive and classifier heads
+    * alike). Vote ties break to the smaller label id; output is all
+    * integers/booleans, so the row hash is float-free even though the
+    * RANKING ran on the quantized-cosine scores.
+    *
+    * Scale shape: q44's bounded-broadcast exact scoring (queries
+    * broadcast, corpus streams); per-query top-k via the keyed window;
+    * the vote is a (qid, label)-keyed partial agg over k·|Q| rows. At
+    * full-corpus audit the candidate generation swaps to the IVF/PQ
+    * indexes, exactly as q176's scaladoc prescribes.
+    */
+  val q254KnnLabelAudit: Q = (s, dir) => {
+    import s.implicits._
+    val e = T.embeddings(s, dir)
+      .select($"vec_id", $"label", $"embedding",
+        norm_q20($"embedding").as("norm"))
+    val qset = e.filter($"vec_id" < QuerySetSize)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        $"embedding".as("ea"), $"norm".as("na"))
+    val corpus = e.select($"vec_id".as("nid"), $"label".as("nlabel"),
+      $"embedding".as("eb"), $"norm".as("nb"))
+    val scored = corpus.join(broadcast(qset), $"qid" =!= $"nid")
+      .withColumn("cos_sim",
+        cosine(dot_q20($"ea", $"eb").cast("double"), $"na", $"nb"))
+    val wTop = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid".asc)
+    val votes = scored
+      .withColumn("rn", row_number().over(wTop)).filter($"rn" <= KnnVoteK)
+      .groupBy($"qid", $"qlabel", $"nlabel")
+      .agg(count(lit(1)).as("n_vote"))
+    val wVote = Window.partitionBy($"qid")
+      .orderBy($"n_vote".desc, $"nlabel".asc)
+    votes.withColumn("vr", row_number().over(wVote)).filter($"vr" === 1)
+      .select($"qid", $"qlabel".as("label"), $"nlabel".as("pred_label"),
+        $"n_vote", ($"nlabel" === $"qlabel").as("agree"))
+      .orderBy($"qid")
+  }
+
+  val q254Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, SQRT(CAST(SUM(qv[i] * qv[i]) AS DOUBLE)) AS nrm
+      |  FROM q, range(1, 65) t(i) GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS qid, a.label AS qlabel,
+      |    b.vec_id AS nid, b.label AS nlabel,
+      |    CAST(SUM(a.qv[i] * b.qv[i]) AS DOUBLE) AS dot
+      |  FROM q a JOIN q b ON a.vec_id <> b.vec_id,
+      |       range(1, 65) t(i)
+      |  WHERE a.vec_id < $QuerySetSize
+      |  GROUP BY 1, 2, 3, 4),
+      |cos AS (
+      |  SELECT qid, qlabel, nid, nlabel, dot / (na.nrm * nb.nrm) AS cos_sim
+      |  FROM dots JOIN norms na ON dots.qid = na.vec_id
+      |            JOIN norms nb ON dots.nid = nb.vec_id),
+      |topk AS (
+      |  SELECT qid, qlabel, nlabel FROM (
+      |    SELECT qid, qlabel, nlabel,
+      |      ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY cos_sim DESC, nid ASC) AS rn
+      |    FROM cos) WHERE rn <= $KnnVoteK),
+      |votes AS (
+      |  SELECT qid, qlabel, nlabel, COUNT(*) AS n_vote
+      |  FROM topk GROUP BY 1, 2, 3)
+      |SELECT qid, qlabel AS label, nlabel AS pred_label, n_vote,
+      |  nlabel = qlabel AS agree
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      |    ORDER BY n_vote DESC, nlabel ASC) AS vr
+      |  FROM votes) WHERE vr = 1
+      |ORDER BY qid""".stripMargin
+
   val q44Sql: String =
     s"""WITH q AS (
       |  SELECT vec_id,
@@ -714,6 +796,7 @@ object VectorSearch {
 
   val queries: Map[String, Q] = Map(
     "q44_cosine_topk" -> q44CosineTopk,
+    "q254_knn_label_audit" -> q254KnnLabelAudit,
     "q176_hard_negatives" -> q176HardNegatives,
     "q45_lsh_ann" -> q45LshAnnGate,
     "q81_ivf_ann" -> q81IvfAnnGate,
@@ -730,6 +813,7 @@ object VectorSearch {
     */
   val oracleSql: Map[String, String] = Map(
     "q44_cosine_topk" -> q44Sql,
+    "q254_knn_label_audit" -> q254Sql,
     "q176_hard_negatives" -> q176Sql,
     "q45_lsh_ann" -> soundnessSql,
     "q81_ivf_ann" -> soundnessSql,
