@@ -314,6 +314,64 @@ object TextPipeline {
           .otherwise("test"))
   }
 
+  /** q255 — output shard count. */
+  val NumShards = 16
+
+  /** q255 — balanced SHARD-AND-MANIFEST, the dataset-prep OUTPUT
+    * stage: every document lands in one of [[NumShards]] shards via a
+    * salted md5 (uniform, engine-independent, decorrelated from the
+    * q95 split and q100 sampling salts), takes a deterministic
+    * pseudo-random WITHIN-shard position (md5 order key — the global
+    * shuffle training loaders require, reproducible run-to-run), and
+    * each shard emits a manifest row: doc count, token count, id
+    * range, and a position-sensitive checksum Σ rank·doc_id (the q184
+    * convention — one out-of-place document breaks the hash, so the
+    * ORDER is under the gate, not just membership).
+    *
+    * Scale shape: assignment + order key are narrow per-row
+    * projections (no shuffle); the production write is
+    * `repartition(shard)` + `sortWithinPartitions(order_key)` — one
+    * exchange, no global sort, no window. The keyed window here is the
+    * GATE's device for making each rank explicit and comparable; with
+    * shards ≪ cores it caps parallelism at |shards|, which is exactly
+    * why the write path doesn't use it.
+    */
+  val q255ShardManifest: Q = (s, dir) => {
+    import s.implicits._
+    val assigned = T.documents(s, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_toks"),
+        (conv(substring(md5(concat(lit("sh:"), $"doc_id".cast("string"))),
+          1, 4), 16, 10).cast("long") % NumShards).as("shard"),
+        md5(concat(lit("ord:"), $"doc_id".cast("string"))).as("ord_key"))
+    val w = Window.partitionBy($"shard").orderBy($"ord_key".asc, $"doc_id".asc)
+    assigned.withColumn("rn", row_number().over(w))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"),
+        sum($"rn" * $"doc_id").as("ord_checksum"))
+      .orderBy($"shard")
+  }
+
+  val q255Sql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    CAST('0x' || substring(md5('sh:' || CAST(doc_id AS VARCHAR)), 1, 4)
+       |      AS INTEGER) % $NumShards AS shard,
+       |    md5('ord:' || CAST(doc_id AS VARCHAR)) AS ord_key
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+       |    ORDER BY ord_key ASC, doc_id ASC) AS rn
+       |  FROM a)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |  CAST(SUM(rn * doc_id) AS BIGINT) AS ord_checksum
+       |FROM r GROUP BY shard ORDER BY shard""".stripMargin
+
   /** q95 — split sizes + id range per split over documents. */
   val q95TrainSplit: Q = (s, dir) => {
     import s.implicits._
@@ -843,6 +901,7 @@ object TextPipeline {
     "q92_chunking" -> q92Chunking,
     "q93_pii_scrub" -> q93PiiScrub,
     "q95_train_split" -> q95TrainSplit,
+    "q255_shard_manifest" -> q255ShardManifest,
     "q97_corpus_prep" -> q97CorpusPrep,
     "q100_stratified_sample" -> q100StratifiedSample,
     "q116_group_sample" -> q116GroupSample,
@@ -859,6 +918,7 @@ object TextPipeline {
     "q92_chunking" -> q92Sql,
     "q93_pii_scrub" -> q93Sql,
     "q95_train_split" -> q95Sql,
+    "q255_shard_manifest" -> q255Sql,
     "q97_corpus_prep" -> q97Sql,
     "q100_stratified_sample" -> q100Sql,
     "q116_group_sample" -> q116Sql,
