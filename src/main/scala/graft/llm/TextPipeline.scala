@@ -542,6 +542,73 @@ object TextPipeline {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q256 — HTML → clean text extraction, THE web-corpus ingest step
+    * (CommonCrawl-style pipelines live or die on it): drop
+    * script/style blocks wholesale (their CONTENT is not text), strip
+    * remaining tags, decode the core entities (&amp; LAST — decoding
+    * it first would corrupt double-escaped entities like &amp;lt;),
+    * collapse whitespace. The fixture page is built in-query from SQL
+    * literals around each document's text (the q235 planted-fixture
+    * convention — both engines construct byte-identical input), so the
+    * gate covers construction AND extraction: the cleaned text must
+    * recover the document body plus the decoded literals, byte-for-
+    * byte across 500 rows.
+    *
+    * Scale shape: map-only regex chain (one codegen stage, no
+    * shuffle before the order-by). Regex subset chosen inside the
+    * Java-regex ∩ RE2 common dialect: (?s), lazy quantifiers, [^>]
+    * classes — no backreferences, no lookaround (RE2 has neither).
+    */
+  val q256HtmlExtract: Q = (s, dir) => {
+    import s.implicits._
+    val html = concat(
+      lit("<html><head><title>Doc "), $"doc_id".cast("string"),
+      lit("</title><style>p { color: red; }</style></head><body><h1>Doc "),
+      $"doc_id".cast("string"), lit("</h1><p>"), $"text",
+      lit("</p><script>var x = 1; console.log(\"</p>\");</script>" +
+        "<p>Tom &amp; Jerry &lt;3 &quot;quoted&gt;</p></body></html>"))
+    val noBlocks = regexp_replace(regexp_replace(html,
+      "(?s)<script.*?</script>", " "), "(?s)<style.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noTags, "&lt;", "<"), "&gt;", ">"),
+      "&quot;", "\""), "&amp;", "&")
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    T.documents(s, dir)
+      .select($"doc_id", clean.as("clean_text"),
+        length(clean).as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val q256Sql: String = {
+    val html = """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      '</title><style>p { color: red; }</style></head><body><h1>Doc ' ||
+      CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+      '</p><script>var x = 1; console.log("</p>");</script>' ||
+      '<p>Tom &amp; Jerry &lt;3 &quot;quoted&gt;</p></body></html>'"""
+    s"""SELECT doc_id,
+       |  trim(regexp_replace(
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(regexp_replace(regexp_replace($html,
+       |        '(?s)<script.*?</script>', ' ', 'g'),
+       |        '(?s)<style.*?</style>', ' ', 'g'),
+       |        '<[^>]+>', ' ', 'g'),
+       |      '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+       |      '&quot;', '"', 'g'), '&amp;', '&', 'g'),
+       |    '\\s+', ' ', 'g')) AS clean_text,
+       |  CAST(len(trim(regexp_replace(
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(regexp_replace(regexp_replace($html,
+       |        '(?s)<script.*?</script>', ' ', 'g'),
+       |        '(?s)<style.*?</style>', ' ', 'g'),
+       |        '<[^>]+>', ' ', 'g'),
+       |      '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+       |      '&quot;', '"', 'g'), '&amp;', '&', 'g'),
+       |    '\\s+', ' ', 'g'))) AS INTEGER) AS n_chars
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q235 — Unicode NFC codepoint normalization, q124's codepoint-level
     * sibling: the same visible text can arrive precomposed (U+00E9 'é')
     * or decomposed (U+0065 U+0301), and byte-keyed dedup (q40/q131)
@@ -906,6 +973,7 @@ object TextPipeline {
     "q100_stratified_sample" -> q100StratifiedSample,
     "q116_group_sample" -> q116GroupSample,
     "q124_text_normalize" -> q124TextNormalize,
+    "q256_html_extract" -> q256HtmlExtract,
     "q235_nfc_normalize" -> q235NfcNormalize,
     "q240_span_corrupt" -> q240SpanCorrupt,
     "q103_sequence_packing" -> q103SequencePacking,
@@ -919,6 +987,7 @@ object TextPipeline {
     "q93_pii_scrub" -> q93Sql,
     "q95_train_split" -> q95Sql,
     "q255_shard_manifest" -> q255Sql,
+    "q256_html_extract" -> q256Sql,
     "q97_corpus_prep" -> q97Sql,
     "q100_stratified_sample" -> q100Sql,
     "q116_group_sample" -> q116Sql,
