@@ -97,6 +97,24 @@ object GraftFunctions {
           intArg(args(1), "kll_quantiles", 1),
           intArg(args(2), "kll_quantiles", 2))
       }),
+    (FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch"),
+      (args: Seq[Expression]) => {
+        arity("theta_sketch", args, 2)
+        ThetaSketchAgg(args.head, intArg(args(1), "theta_sketch", 1))
+      }),
+    (FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (args: Seq[Expression]) => {
+        arity("theta_estimate", args, 1); ThetaEstimate(args.head)
+      }),
+    (FunctionIdentifier("theta_intersect_est"),
+      new ExpressionInfo(classOf[ThetaIntersectEstimate].getName,
+        "theta_intersect_est"),
+      (args: Seq[Expression]) => {
+        arity("theta_intersect_est", args, 2)
+        ThetaIntersectEstimate(args(0), args(1))
+      }),
   )
 
   /** Register all graft SQL functions on a live session. */

@@ -186,13 +186,69 @@ object SketchAggregates {
     """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys, TRUE AS ok
       |FROM events""".stripMargin
 
+  /** q257 theta nominal size (2^12 entries) and tolerance. At every
+    * test SF the distinct sides sit below 2^12, so the sketches run in
+    * EXACT mode and the estimate equals the true intersection — the
+    * ±1% band exists for the estimation regime past ~4k distinct keys
+    * per side (ThetaSketchSpec forces that regime with lgK=4).
+    */
+  val ThetaLgK = 12
+  val ThetaTol = 0.01
+
+  /** q257 — theta-sketch INTERSECTION gate, the q74 (n, ok)
+    * convention: audience overlap |viewers ∩ buyers| via native
+    * theta-sketch set algebra ([[graft.functions.ThetaSketchAgg]] /
+    * [[graft.functions.ThetaIntersectEstimate]]) — the set operation
+    * q170's HLL inclusion–exclusion can only approximate with error
+    * scaling in |A∪B|; theta intersection error tracks the RESULT.
+    * `ok` requires the sketch estimate within [[ThetaTol]] of the
+    * exact overlap recomputed in the same query.
+    *
+    * Scale shape: two partial-aggregated sketch folds over one scan
+    * each (per-partition states, ObjectHashAggregate merge); the
+    * intersection is a scalar expression over the two 1-row sketch
+    * frames; the exact sides exist only to gate.
+    */
+  val q257ThetaIntersection: Q = (s, dir) => {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val ev = T.events(s, dir).select($"user_id", $"event_type")
+    val ska = ev.filter($"event_type" === "view")
+      .agg(expr(s"theta_sketch(user_id, $ThetaLgK)").as("ska"))
+    val skb = ev.filter($"event_type" === "purchase")
+      .agg(expr(s"theta_sketch(user_id, $ThetaLgK)").as("skb"))
+    val exact = ev.agg(
+      countDistinct(when($"event_type" === "view", $"user_id"))
+        .as("n_viewers"),
+      countDistinct(when($"event_type" === "purchase", $"user_id"))
+        .as("n_buyers"))
+    val both = ev.filter($"event_type" === "view").select($"user_id")
+      .intersect(ev.filter($"event_type" === "purchase").select($"user_id"))
+      .agg(count(lit(1)).as("n_both"))
+    exact.crossJoin(both).crossJoin(ska).crossJoin(skb)
+      .withColumn("est", expr("theta_intersect_est(ska, skb)"))
+      .select($"n_viewers", $"n_buyers", $"n_both",
+        (abs($"est" - $"n_both") <= lit(ThetaTol) * $"n_both" + lit(0.5))
+          .as("ok"))
+  }
+
+  val q257Sql: String =
+    """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+      |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT (SELECT COUNT(*) FROM v) AS n_viewers,
+      |  (SELECT COUNT(*) FROM b) AS n_buyers,
+      |  (SELECT COUNT(*) FROM v JOIN b USING (user_id)) AS n_both,
+      |  TRUE AS ok""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q257_theta_intersection" -> q257ThetaIntersection,
     "q215_mg_topk_gate" -> q215MgTopkGate,
     "q220_kll_gate" -> q220KllGate,
     "q223_cms_probe_gate" -> q223CmsProbeGate,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q257_theta_intersection" -> q257Sql,
     "q215_mg_topk_gate" -> q215Sql,
     "q220_kll_gate" -> q220Sql,
     "q223_cms_probe_gate" -> q223Sql,
