@@ -53,11 +53,89 @@ object PrivacyAudit {
        |GROUP BY c_nationkey, c_mktsegment
        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  /** q258 forget-set selector: every 97th customer key — deterministic,
+    * ~1% of customers, survives every SF.
+    */
+  val ForgetMod = 97
+
+  /** q258 — right-to-be-forgotten CASCADE audit: deleting a customer
+    * set must cascade through orders to lineitems, and the audit a
+    * privacy officer signs is (per table) rows before / deleted /
+    * after, plus a REFERENTIAL check that the post-delete state has no
+    * orphans (an order whose customer vanished, a lineitem whose order
+    * vanished) — the failure mode of a cascade that missed a hop. All
+    * counts exact BIGINTs under one hash.
+    *
+    * Scale shape: each cascade hop is one left-semi (doomed rows) or
+    * left-anti (survivors) equi-join keyed on the parent key — the
+    * forget set is ~1% of customers, so AQE broadcasts the doomed-key
+    * frames; orphan checks are anti-joins on the SAME keys, reusing
+    * the partitioning. No table is scanned more than twice.
+    */
+  val q258CascadeDelete: Q = (s, dir) => {
+    import s.implicits._
+    val cust = T.customer(s, dir).select($"c_custkey")
+    val ords = T.orders(s, dir).select($"o_orderkey", $"o_custkey")
+    val lines = T.lineitem(s, dir).select($"l_orderkey")
+    val doomedC = cust.filter($"c_custkey" % ForgetMod === 0)
+      .localCheckpoint() // tiny key frame; feeds both hops + audit
+    val doomedO = ords.join(doomedC, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey").localCheckpoint()
+    val afterC = cust.join(doomedC, Seq("c_custkey"), "left_anti")
+    val afterO = ords.join(doomedO, Seq("o_orderkey"), "left_anti")
+    val afterL = lines.join(doomedO, $"l_orderkey" === $"o_orderkey",
+      "left_anti")
+    val orphanO = afterO.join(afterC, $"o_custkey" === $"c_custkey",
+      "left_anti")
+    val orphanL = afterL.join(afterO.select($"o_orderkey"),
+      $"l_orderkey" === $"o_orderkey", "left_anti")
+    def leg(table: String, before: Long, after: DataFrame,
+        orphans: DataFrame): DataFrame =
+      after.agg(count(lit(1)).as("n_after"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(table).as("tbl"), lit(before).as("n_before"),
+          (lit(before) - $"n_after").as("n_deleted"), $"n_after",
+          $"n_orphans")
+    leg("customer", cust.count(), afterC, afterC.limit(0))
+      .unionByName(leg("lineitem", lines.count(), afterL, orphanL))
+      .unionByName(leg("orders", ords.count(), afterO, orphanO))
+      .orderBy($"tbl")
+  }
+
+  val q258Sql: String =
+    s"""WITH dc AS (SELECT c_custkey FROM customer WHERE c_custkey % $ForgetMod = 0),
+       |do_ AS (SELECT o_orderkey FROM orders JOIN dc ON o_custkey = c_custkey),
+       |ac AS (SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM dc)),
+       |ao AS (SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM do_)),
+       |al AS (SELECT * FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM do_))
+       |SELECT 'customer' AS tbl,
+       |  (SELECT COUNT(*) FROM customer) AS n_before,
+       |  (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM ac) AS n_deleted,
+       |  (SELECT COUNT(*) FROM ac) AS n_after,
+       |  0 AS n_orphans
+       |UNION ALL
+       |SELECT 'lineitem',
+       |  (SELECT COUNT(*) FROM lineitem),
+       |  (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM al),
+       |  (SELECT COUNT(*) FROM al),
+       |  (SELECT COUNT(*) FROM al WHERE l_orderkey NOT IN
+       |     (SELECT o_orderkey FROM ao))
+       |UNION ALL
+       |SELECT 'orders',
+       |  (SELECT COUNT(*) FROM orders),
+       |  (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM ao),
+       |  (SELECT COUNT(*) FROM ao),
+       |  (SELECT COUNT(*) FROM ao WHERE o_custkey NOT IN
+       |     (SELECT c_custkey FROM ac))
+       |ORDER BY tbl""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q258_cascade_delete" -> q258CascadeDelete,
     "q217_k_anonymity" -> q217KAnonymity,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q217_k_anonymity" -> q217Sql,
+    "q258_cascade_delete" -> q258Sql,
   )
 }

@@ -405,7 +405,69 @@ object TimeSeriesQueries {
        |GROUP BY a.user_id, a.event_id
        |ORDER BY a.user_id, a.event_id""".stripMargin
 
+  /** q259 — per-(type, day) TIME-WEIGHTED average price (TWAP), the
+    * irregular-sampling correction every monitoring/finance rollup
+    * needs: a value that held for 50 minutes must weigh 50× one that
+    * held for a minute, which a plain AVG cannot see. Each event's
+    * value is weighted by its holding interval — microseconds until
+    * the NEXT event of the same (type, day), via one lead() window;
+    * the day's last event has no successor and carries zero weight
+    * (the standard right-open convention, documented not fudged).
+    *
+    * Exactness: cents (exact decimal quantization) × interval-µs
+    * products sum in DECIMAL(38,0) — cents·µs reaches ~10¹⁵ per row,
+    * so the int64 headroom a BIGINT sum would need is gone by ~10⁴
+    * rows; the decimal sum is exact at any scale, and the final
+    * ÷(100·Σµs) is one correctly-rounded double division on identical
+    * inputs in both engines.
+    *
+    * Scale shape: ONE keyed window (lead) + ONE partial-aggregated
+    * groupBy, both hash-partitioned on (event_type, day) — the window
+    * and the aggregate share the partitioning, so the whole query is
+    * a single exchange.
+    */
+  val q259Twap: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"),
+        unix_micros($"ts").as("t_us"), $"event_id",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val w = Window.partitionBy($"event_type", $"day")
+      .orderBy($"t_us".asc, $"event_id".asc)
+    ev.withColumn("dt_us", lead($"t_us", 1).over(w) - $"t_us")
+      .filter($"dt_us".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n_weighted"),
+        sum($"dt_us").as("den_us"),
+        sum(($"cents" * $"dt_us")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("num"))
+      .select($"event_type", $"day", $"n_weighted", $"den_us",
+        ($"num".cast("double") / ($"den_us" * lit(100.0))).as("twap"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q259Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (
+      |  SELECT event_type, day, cents,
+      |    lead(t_us) OVER (PARTITION BY event_type, day
+      |      ORDER BY t_us ASC, event_id ASC) - t_us AS dt_us
+      |  FROM e)
+      |SELECT event_type, day, COUNT(*) AS n_weighted,
+      |  CAST(SUM(dt_us) AS BIGINT) AS den_us,
+      |  CAST(SUM(CAST(cents * dt_us AS DECIMAL(38,0))) AS DOUBLE)
+      |    / (CAST(SUM(dt_us) AS BIGINT) * 100.0) AS twap
+      |FROM d WHERE dt_us IS NOT NULL
+      |GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q259_twap" -> q259Twap,
     "q199_ewma_exact" -> q199EwmaExact,
     "q104_resample_ffill" -> q104ResampleFfill,
     "q118_rolling_window" -> q118RollingWindow,
@@ -415,6 +477,7 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q259_twap" -> q259Sql,
     "q199_ewma_exact" -> q199Sql,
     "q104_resample_ffill" -> q104Sql,
     "q118_rolling_window" -> q118Sql,

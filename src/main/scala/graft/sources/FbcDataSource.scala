@@ -335,9 +335,59 @@ case class FbcCountPartition(rows: Array[FbcCountRow]) extends InputPartition
 
 class FbcScan(root: String, pushed: Array[Filter], required: StructType,
     limit: Option[Int] = None) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
+
+  /** RUNTIME (DPP-style) filtering on the directory columns: when this
+    * scan sits under a join whose other side filters selectively,
+    * Spark materializes that side first and hands the observed key set
+    * here as `In` filters — the walk then prunes to exactly the
+    * directories a static planner could never know about. The dynamic
+    * twin of the planning-time `pushFilters` pruning; together they
+    * make package/schema behave like partition columns of a real
+    * warehouse table.
+    */
+  /** A pushed LIMIT means Spark already removed its Limit operator on
+    * the promise of "first n rows of the statically-filtered walk";
+    * runtime filters removing rows that counted toward that n would
+    * silently shrink the result, so the scan declares no filterable
+    * attributes in that case (runtime filtering is an optimization the
+    * source may decline, never a correctness contract).
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (limit.isDefined)
+      Array.empty[org.apache.spark.sql.connector.expressions.NamedReference]
+    else Seq("package", "schema")
+      // only columns that survived pruning: Spark resolves these refs
+      // against the scan's OUTPUT schema and fails the query otherwise
+      .filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  @volatile private var cachedPartitions: Array[FbcInputPartition] = _
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters
+    cachedPartitions = null // re-walk under the narrowed key sets
+  }
+
+  /** Directory-level evaluation of a runtime filter (conservative:
+    * unknown shapes keep the partition).
+    */
+  private def keepPartition(p: FbcInputPartition): Boolean =
+    runtimeFilters.forall {
+      case EqualTo("package", v: String) => p.pkg == v
+      case EqualTo("schema", v: String) => p.sch == v
+      case org.apache.spark.sql.sources.In("package", vs) =>
+        vs.exists(_ == p.pkg)
+      case org.apache.spark.sql.sources.In("schema", vs) =>
+        vs.exists(_ == p.sch)
+      case _ => true
+    }
 
   /** TRUE statistics from the pruned walk — one row per file makes
     * rowCount exact, and sizeInBytes is the byte sum of exactly the
@@ -364,8 +414,17 @@ class FbcScan(root: String, pushed: Array[Filter], required: StructType,
     }
   }
 
-  private lazy val plannedPartitions: Array[FbcInputPartition] =
-    walkPartitions()
+  private def plannedPartitions: Array[FbcInputPartition] = {
+    var parts = cachedPartitions
+    if (parts == null) {
+      // belt-and-braces with filterAttributes: never runtime-prune a
+      // limited walk (the limit counted rows these filters would drop)
+      parts = if (limit.isDefined) walkPartitions()
+              else walkPartitions().filter(keepPartition)
+      cachedPartitions = parts
+    }
+    parts
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"FbcScan(root=$root, pushed=${pushed.mkString(",")}, " +

@@ -269,6 +269,61 @@ class FbcDataSourceSpec extends SparkSpec {
       "pushed filter must shrink reported sizeInBytes")
   }
 
+  test("runtime filters prune the walk (DPP contract, unit level)") {
+    FbcSource.read(spark).count() // ensure fixture tree exists
+    val scan = new FbcScan(FbcSource.FixtureRoot, Array.empty,
+      FbcDataSource.Schema)
+    val before = scan.planInputPartitions().length
+    assert(before > 1, "fixture must span multiple directories")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("package", Array("pkg-a"))))
+    val after = scan.planInputPartitions()
+      .map(_.asInstanceOf[FbcInputPartition])
+    assert(after.nonEmpty && after.forall(_.pkg == "pkg-a"),
+      s"runtime In filter must prune to pkg-a, got ${after.map(_.pkg).toSeq}")
+    assert(after.length < before)
+    // stats follow the runtime-narrowed walk
+    val stats = scan.estimateStatistics()
+    val expectFiles = after.map(_.files.length).sum
+    assert(stats.numRows.getAsLong == expectFiles)
+    // unknown filter shapes are ignored, not misapplied
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThan("name", "zzz")))
+    assert(scan.planInputPartitions().length == before,
+      "unknown runtime filter shapes must keep every partition")
+  }
+
+  test("runtime filters never prune a limited scan (pushed-limit safety)") {
+    FbcSource.read(spark).count()
+    val scan = new FbcScan(FbcSource.FixtureRoot, Array.empty,
+      FbcDataSource.Schema, limit = Some(3))
+    assert(scan.filterAttributes().isEmpty,
+      "limited scan must decline runtime filtering")
+    val before = scan.planInputPartitions()
+      .map(_.asInstanceOf[FbcInputPartition]).map(_.files.length).sum
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("package", Array("no-such-pkg"))))
+    val after = scan.planInputPartitions()
+      .map(_.asInstanceOf[FbcInputPartition]).map(_.files.length).sum
+    assert(after == before && after == 3,
+      s"limited walk must ignore runtime filters ($after vs $before)")
+  }
+
+  test("join against a filtered dim stays correct under runtime filtering") {
+    FbcSource.read(spark).count()
+    val dim = Seq(("pkg-a", 1)).toDF("package", "w")
+    val got = FbcSource.read(spark)
+      .select($"package", $"schema", $"name")
+      .join(dim, "package")
+      .select($"name").as[String].collect().toSet
+    val expected = graft.catalog.FbcIngest.withPackageKey(
+        graft.catalog.FbcIngest.readMetaStream(
+          spark, graft.catalog.CatalogOracle.FixtureSource))
+      .filter($"package" === "pkg-a")
+      .select($"name").as[String].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("non-equality predicates stay with Spark and still evaluate") {
     val got = FbcSource.read(spark)
       .filter($"name".startsWith("pkg"))
