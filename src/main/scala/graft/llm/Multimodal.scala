@@ -365,6 +365,50 @@ object Multimodal {
       })
   }
 
+  case class VideoCuts(media_id: Long, n_frames: Int, n_cuts: Int)
+
+  /** Scene-cut count for one GVID clip: decode consecutive frames
+    * (budgeted by `maxFrames`), flag a CUT where the L1 distance
+    * between consecutive frames' RGB channel means exceeds `tau` —
+    * the classic histogram/intensity-difference shot-boundary
+    * detector in its channel-mean form (Boreczky & Rowe 1996). The
+    * distance accumulates float means in DOUBLE in channel order, so
+    * the expectation mirror can replay it bit-for-bit.
+    */
+  private[llm] def sceneCutsGvid(bytes: Array[Byte], tau: Double,
+      maxFrames: Int = 64): (Int, Int) = {
+    val frames = parseGvid(bytes)
+    var cuts = 0
+    var prev: Array[Float] = null
+    frames.take(maxFrames).foreach { case (off, len) =>
+      val (_, _, f) =
+        decodePpm(java.util.Arrays.copyOfRange(bytes, off, off + len))
+      if (prev != null) {
+        val d = math.abs(f(0).toDouble - prev(0).toDouble) +
+          math.abs(f(1).toDouble - prev(1).toDouble) +
+          math.abs(f(2).toDouble - prev(2).toDouble)
+        if (d > tau) cuts += 1
+      }
+      prev = f
+    }
+    (frames.length, cuts)
+  }
+
+  /** Shot-boundary detection over every GVID payload — the TEMPORAL
+    * analysis leg of the video seam ([[sampleVideoFrames]] summarizes
+    * content, this finds structure). Same mapPartitions batch shape
+    * and per-clip decode budget.
+    */
+  def detectSceneCuts(media: Dataset[MediaRecord], tau: Double,
+      maxFrames: Int = 64): Dataset[VideoCuts] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.filter(_.mime == GvidMime)
+      .map { m =>
+        val (n, cuts) = sceneCutsGvid(m.bytes, tau, maxFrames)
+        VideoCuts(m.media_id, n, cuts)
+      })
+  }
+
   /** Build a media table from the documents fixture (text bytes standing
     * in for encoded payloads), preserving the binary column end-to-end.
     */

@@ -311,12 +311,85 @@ object MultimodalOracle {
        |  TRUE AS ok
        |FROM documents WHERE doc_id < $MediaDocBound""".stripMargin
 
+  // ---- q260: scene-cut detection over the same GVID fixture ----
+
+  /** Scene-cut threshold: channel means live in [0,1]; consecutive
+    * synthetic frames differ by ~0.1 L1 on average, so 0.05 leaves
+    * both cut and no-cut transitions populated across the fixture.
+    */
+  val CutTau = 0.05
+
+  /** Expected per-clip cut count, mirroring
+    * [[Multimodal.sceneCutsGvid]]'s double-accumulated L1 over the
+    * closed-form frame means (never re-calling the detector).
+    */
+  private[llm] def cutsExpected(id: Long): (Int, Int) = {
+    val nf = gvidFrameCount(id)
+    val means = (0 until nf).map(f => ppmExpected(gvidFrameId(id, f))._3)
+    var cuts = 0
+    var i = 1
+    while (i < means.length) {
+      val a = means(i); val p = means(i - 1)
+      val d = math.abs(a(0).toDouble - p(0).toDouble) +
+        math.abs(a(1).toDouble - p(1).toDouble) +
+        math.abs(a(2).toDouble - p(2).toDouble)
+      if (d > CutTau) cuts += 1
+      i += 1
+    }
+    (nf, cuts)
+  }
+
+  case class ExpectedCuts(media_id: Long, e_frames: Int, e_cuts: Int)
+
+  /** q260 — shot-boundary detection under the driver gate: per-clip
+    * cut counts from the REAL frame decodes joined against the
+    * closed-form expectation; emits clip count, total transitions,
+    * total cuts (SQL-pinned would be circular — the counts come from
+    * the mirrored expectation, so the n_cuts column itself is part of
+    * the pinned oracle) and per-clip equality as ok.
+    */
+  val q260SceneCuts: Q = (s, dir) => {
+    import s.implicits._
+    val detected = Multimodal.detectSceneCuts(mediaScan(s, dir), CutTau)
+    val expected = T.documents(s, dir).filter($"doc_id" < MediaDocBound)
+      .select($"doc_id").as[Long]
+      .map { id => val (n, c) = cutsExpected(id); ExpectedCuts(id, n, c) }
+    detected.toDF().join(expected.toDF(), "media_id")
+      .agg(count(lit(1)).as("n_clips"),
+        sum($"e_frames" - 1).cast("long").as("n_transitions"),
+        sum($"e_cuts").cast("long").as("n_cuts"),
+        (coalesce(sum(when($"n_frames" =!= $"e_frames" ||
+          $"n_cuts" =!= $"e_cuts", 1)), lit(0)) === 0).as("ok"))
+  }
+
+  /** The DuckDB side recomputes n_clips/n_transitions from the same
+    * deterministic fixture arithmetic (frame count = 2 + id%3) and
+    * pins n_cuts via the expectation the Spark side must also match
+    * per-clip — a detector drift flips ok, a fixture drift breaks the
+    * counts.
+    */
+  def q260Sql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_clips,
+       |  CAST(SUM(1 + (doc_id % 3)) AS BIGINT) AS n_transitions,
+       |  CAST(${q260PinnedCuts} AS BIGINT) AS n_cuts,
+       |  TRUE AS ok
+       |FROM documents WHERE doc_id < $MediaDocBound""".stripMargin
+
+  /** Total expected cuts over the fixture ids — computed from the
+    * closed-form mirror at SQL-construction time (the q180 convention:
+    * expectations are literals by the time the oracle runs).
+    */
+  private def q260PinnedCuts: Long =
+    (0L until MediaDocBound).map(id => cutsExpected(id)._2.toLong).sum
+
   val queries: Map[String, Q] = Map(
     "q180_multimodal_decode" -> q180MultimodalDecode,
     "q190_multimodal_transforms" -> q190MultimodalTransforms,
+    "q260_scene_cuts" -> q260SceneCuts,
   )
   val oracleSql: Map[String, String] = Map(
     "q180_multimodal_decode" -> q180Sql,
     "q190_multimodal_transforms" -> q190Sql,
+    "q260_scene_cuts" -> q260Sql,
   )
 }

@@ -198,6 +198,31 @@ class MultimodalSpec extends SparkSpec {
     assert(!corrupted.sameElements(MultimodalOracle.ppmExpected(3L)._3))
   }
 
+  test("scene cuts: hand-built clip counts boundaries; mirror agrees on fixture ids") {
+    // hand-built 3-frame clip: identical, identical, different
+    def solidPpm(v: Int): Array[Byte] = {
+      val header = s"P6\n2 2\n255\n".getBytes("US-ASCII")
+      header ++ Array.fill(12)(v.toByte)
+    }
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    val frames = Seq(solidPpm(10), solidPpm(10), solidPpm(200))
+    val clip = "GVID".getBytes("US-ASCII") ++ le32(3) ++
+      frames.flatMap(f => le32(f.length) ++ f)
+    val (n, cuts) = Multimodal.sceneCutsGvid(clip, tau = 0.05)
+    assert(n == 3 && cuts == 1,
+      s"expected 1 cut over 2 transitions, got $cuts over ${n - 1}")
+    // threshold edge: a tau above any possible L1 (max 3.0) finds none
+    assert(Multimodal.sceneCutsGvid(clip, tau = 4.0)._2 == 0)
+    // mirror parity on the real fixture arithmetic
+    (0L until MultimodalOracle.MediaDocBound).foreach { id =>
+      val (en, ec) = MultimodalOracle.cutsExpected(id)
+      val (dn, dc) =
+        Multimodal.sceneCutsGvid(MultimodalOracle.gvidBytes(id), MultimodalOracle.CutTau)
+      assert(en == dn && ec == dc, s"cut mirror drift for id=$id")
+    }
+  }
+
   test("rolling fingerprint: deterministic, shift-sensitive") {
     val fp1 = Fingerprints.rollingFingerprint(Seq("a", "b", "c"))
     val fp2 = Fingerprints.rollingFingerprint(Seq("a", "b", "c"))
