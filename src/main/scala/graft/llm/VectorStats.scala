@@ -160,12 +160,60 @@ object VectorStats {
        |GROUP BY i, j
        |ORDER BY i, j""".stripMargin
 
+  /** q262 — bucket count for the per-dimension quantile transform. */
+  val QuantileBins = 10
+
+  /** q262 — per-DIMENSION quantile binning (the "quantile transform"
+    * feature-preprocessing step): each embedding component maps to its
+    * equi-depth decile WITHIN its dimension, normalizing away
+    * per-dimension scale/outliers before distance math. ntile over the
+    * total order (value, vec_id) is deterministic cross-engine (both
+    * engines define NTILE's remainder to front-load early buckets);
+    * emitted per (dim, bucket): count and the exact float bin edges
+    * cast to double (no arithmetic — bit-faithful).
+    *
+    * Scale shape: the per-dim window sorts within its dimension — fine
+    * while a dimension's column fits a sort spill, and the gate's
+    * device regardless; the at-scale form fits KLL boundaries per dim
+    * (q220's sketch) and assigns buckets by range join, trading
+    * exactness at the boundary for a shuffle-free map-side transform —
+    * documented, the q255 discipline.
+    */
+  val q262QuantileBins: Q = (s, dir) => {
+    import s.implicits._
+    val comp = T.embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"dim").orderBy($"v".asc, $"vec_id".asc)
+    comp.withColumn("bucket", ntile(QuantileBins).over(w))
+      .groupBy($"dim", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"v").cast("double").as("lo"),
+        max($"v").cast("double").as("hi"))
+      .orderBy($"dim", $"bucket")
+  }
+
+  val q262Sql: String =
+    s"""WITH comp AS (
+       |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, range(1, 65) t(i)),
+       |b AS (
+       |  SELECT dim, v,
+       |    NTILE($QuantileBins) OVER (PARTITION BY dim
+       |      ORDER BY v ASC, vec_id ASC) AS bucket
+       |  FROM comp)
+       |SELECT dim, bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+       |FROM b GROUP BY dim, bucket
+       |ORDER BY dim, bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q262_quantile_bins" -> q262QuantileBins,
     "q137_group_centroid" -> q137GroupCentroid,
     "q151_embedding_covariance" -> q151EmbeddingCovariance,
     "q249_vector_audit" -> q249VectorAudit,
   )
   val oracleSql: Map[String, String] = Map(
+    "q262_quantile_bins" -> q262Sql,
     "q137_group_centroid" -> q137Sql,
     "q151_embedding_covariance" -> q151Sql,
     "q249_vector_audit" -> q249Sql,

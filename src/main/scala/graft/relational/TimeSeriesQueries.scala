@@ -466,7 +466,65 @@ object TimeSeriesQueries {
       |GROUP BY event_type, day
       |ORDER BY event_type, day""".stripMargin
 
+  /** q261 — CUMULATIVE distinct users per (event_type, day) — the
+    * "unique users to date" growth curve every product dashboard
+    * carries. Spark (like most engines) rejects COUNT(DISTINCT) over a
+    * running window; the scalable spelling is FIRST-ARRIVAL
+    * decomposition: each (type, user)'s first active day is one keyed
+    * aggregate, arrivals-per-day one more, and the running total is a
+    * window over the tiny (type, day) frame — the heavy shuffles are
+    * both partial-aggregated on user keys, and the window never sees
+    * user-level rows (contrast a naive collect_set-over-window, which
+    * ships every user id through every window frame).
+    *
+    * Emits per (type, day): new users that day, cumulative uniques,
+    * and daily actives (for the new/returning split) — all exact
+    * BIGINTs.
+    */
+  val q261CumulativeUniques: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+      .select($"event_type", $"user_id", to_date($"ts").as("day"))
+    val daily = ev.groupBy($"event_type", $"day")
+      .agg(countDistinct($"user_id").as("n_active"))
+    val firstSeen = ev.groupBy($"event_type", $"user_id")
+      .agg(min($"day").as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firstSeen, Seq("event_type", "day"), "left")
+      .withColumn("n_new", coalesce($"n_new", lit(0L)))
+      .withColumn("n_cumulative", sum($"n_new").over(w))
+      .select($"event_type", $"day", $"n_active", $"n_new", $"n_cumulative")
+      .orderBy($"event_type", $"day")
+  }
+
+  val q261Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |daily AS (
+      |  SELECT event_type, day, COUNT(DISTINCT user_id) AS n_active
+      |  FROM e GROUP BY 1, 2),
+      |fs AS (
+      |  SELECT event_type, day, COUNT(*) AS n_new FROM (
+      |    SELECT event_type, user_id, MIN(day) AS day
+      |    FROM e GROUP BY 1, 2) t
+      |  GROUP BY 1, 2)
+      |SELECT daily.event_type, daily.day, n_active,
+      |  COALESCE(n_new, 0) AS n_new,
+      |  CAST(SUM(COALESCE(n_new, 0)) OVER (PARTITION BY daily.event_type
+      |    ORDER BY daily.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_cumulative
+      |FROM daily LEFT JOIN fs
+      |  ON daily.event_type = fs.event_type AND daily.day = fs.day
+      |ORDER BY daily.event_type, daily.day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q261_cumulative_uniques" -> q261CumulativeUniques,
     "q259_twap" -> q259Twap,
     "q199_ewma_exact" -> q199EwmaExact,
     "q104_resample_ffill" -> q104ResampleFfill,
@@ -477,6 +535,7 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q261_cumulative_uniques" -> q261Sql,
     "q259_twap" -> q259Sql,
     "q199_ewma_exact" -> q199Sql,
     "q104_resample_ffill" -> q104Sql,
