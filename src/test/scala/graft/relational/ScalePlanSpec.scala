@@ -183,4 +183,43 @@ class ScalePlanSpec extends SparkSpec {
     assert(p165.indexOf("Aggregate", joinIdx) > joinIdx,
       s"q165: no aggregate below the join (HAVING not pushed):\n$p165")
   }
+
+  test("round-8: windows and their aggregates share one hash exchange " +
+      "(q255/q259); q254 broadcasts only the bounded query set") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // q255/q259: the keyed window and the same-keyed groupBy must share
+    // a single hash partitioning — one hash exchange + the presentation
+    // range exchange, nothing more. A second hash exchange means the
+    // aggregate re-shuffled data the window already co-located.
+    atScaleRegime { // adaptive off: exchanges visible in the static plan
+      Seq(
+        "q255" -> graft.llm.TextPipeline.q255ShardManifest(spark, dir),
+        "q259" -> TimeSeriesQueries.q259Twap(spark, dir)
+      ).foreach { case (label, df) =>
+        val exchanges = df.queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+        val hashCount = exchanges.count(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+        assert(hashCount == 1,
+          s"$label: expected exactly 1 hash exchange (window+agg shared), " +
+            s"got $hashCount: $exchanges")
+      }
+    }
+    // q254: in the no-auto-broadcast regime the only broadcast is the
+    // hard hint on the BOUNDED query set (vec_id < QuerySetSize — a
+    // constant-cardinality side at any SF), never the corpus
+    atScaleRegime {
+      val plan = graft.llm.VectorSearch.q254KnnLabelAudit(spark, dir)
+        .queryExecution.executedPlan
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, "q254: bounded query set must broadcast")
+      bcasts.foreach { b =>
+        assert(b.toString.contains("vec_id"),
+          s"q254: broadcast side lacks the bounding vec_id filter:\n$b")
+        assert(b.find(_.toString.contains("vec_id <")).isDefined ||
+          b.find(_.toString.contains("< " + graft.llm.VectorSearch.QuerySetSize)).isDefined,
+          s"q254: broadcast subtree is not the bounded query set:\n${b.treeString}")
+      }
+    }
+  }
 }
