@@ -128,8 +128,81 @@ object SortedRuns {
        |    AS ord_checksum
        |FROM o""".stripMargin
 
-  val queries: Map[String, Q] = Map("q184_sorted_runs" -> q184SortedRuns)
-  val oracleSql: Map[String, String] = Map("q184_sorted_runs" -> q184Sql)
+  /** q263 layout root: events ranged on user_id ALONE. q184's layout
+    * ranges on (user_id, ts), so one user may legitimately straddle two
+    * files — fine for ordering, fatal for exchange-free aggregation
+    * (a straddled group double-counts). The aggregation claim needs
+    * every group in exactly one file, which ranging on the group key
+    * alone guarantees.
+    */
+  val UserSortRoot = "/root/repo/target/fixtures/usersort_events"
+  val UserSortFiles = 16
+
+  private def ensureUserLayout(s: SparkSession, dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    val marker = Paths.get(UserSortRoot, ".fixture_key")
+    val key = s"usersort:$dir:$UserSortFiles:v1"
+    val cached = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == key
+    if (!cached) {
+      graft.core.Tables.events(s, dir)
+        .repartitionByRange(UserSortFiles, col("user_id"))
+        .sortWithinPartitions(col("user_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(UserSortRoot)
+      Files.write(marker, key.getBytes("UTF-8"))
+    }
+  }
+
+  /** q263 — EXCHANGE-FREE aggregation over the user-keyed total-order
+    * layout: SortedRunsExec declares RangePartitioning(user_id), which
+    * satisfies the aggregate's ClusteredDistribution(user_id), so
+    * EnsureRequirements inserts NO exchange — the whole per-user
+    * rollup runs in the scan's own partitions (and the presentation
+    * orderBy rides the same RangePartitioning). At 100 TB this is the
+    * payoff of paying the sort ONCE at write: every later group-by on
+    * the layout key is shuffle-free, the aggregation equivalent of
+    * q79's bucketed join. The plan REQUIRE makes the claim
+    * load-bearing; footer certification is STRICT here (aMax < bMin —
+    * touching ranges would mean a straddled group and a silent
+    * double-count).
+    */
+  val q263SortedAgg: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    ensureUserLayout(s, dir)
+    val byFile = graft.sources.ZOrderQueries
+      .footerRangesByFile(s, UserSortRoot, "user_id").sortBy(_._2)
+    byFile.zip(byFile.drop(1)).foreach { case ((fa, _, aMax), (fb, bMin, _)) =>
+      require(aMax < bMin,
+        s"user_id ranges of $fa and $fb touch or overlap — a straddled " +
+          "group would double-count in the exchange-free plan")
+    }
+    val agg = read(s, UserSortRoot, Seq("user_id"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("sum_cents"))
+      .orderBy($"user_id")
+    val plan = agg.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange"),
+      s"group-by on the layout key must not shuffle; plan:\n$plan")
+    agg
+  }
+
+  val q263Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q184_sorted_runs" -> q184SortedRuns,
+    "q263_sorted_agg" -> q263SortedAgg)
+  val oracleSql: Map[String, String] = Map(
+    "q184_sorted_runs" -> q184Sql,
+    "q263_sorted_agg" -> q263Sql)
 }
 
 /** Logical marker: `child` (the per-file union) produces `sortOrder`
