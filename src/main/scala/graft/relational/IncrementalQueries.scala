@@ -315,6 +315,51 @@ object IncrementalQueries {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** q264 — incremental TOP-K maintenance, the third IVM leg (q105
+    * merges counter-additive aggregates, q166 expands delta joins):
+    * per-group top-k over a per-row score is DECOMPOSABLE —
+    * topk(A ∪ Δ) = topk(topk(A) ∪ topk(Δ)) — so a materialized top-k
+    * view absorbs a new batch by ranking only the k·|groups| retained
+    * rows against the delta's own top-k, never rescanning the base.
+    * The gate computes the incremental form while the oracle ranks the
+    * complete table: a wrong merge (k truncated too early, a dropped
+    * retained row, an unstable tiebreak) breaks the hash.
+    *
+    * Scale shape: each side's top-k is one keyed window over its OWN
+    * rows; the merge window ranks ≤ 2k rows per group. With the base's
+    * top-k materialized, maintenance cost is the delta scan plus a
+    * 2k-per-group sort — independent of base size. Scores rank on
+    * exact cents with the event_id tiebreak, so the retained set is
+    * identical cross-engine.
+    */
+  val q264IncrementalTopK: Q = (s, dir) => {
+    import s.implicits._
+    val k = 3
+    val ev = T.events(s, dir).select($"event_type", $"event_id",
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"cents".desc, $"event_id".asc)
+    def topk(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= k).drop("rn")
+    val base = ev.filter($"event_id" % 10 < 8)   // the materialized view
+    val delta = ev.filter($"event_id" % 10 >= 8) // the arriving batch
+    topk(topk(base).unionByName(topk(delta)))
+      .withColumn("rank", row_number().over(w))
+      .select($"event_type", $"rank", $"event_id", $"cents")
+      .orderBy($"event_type", $"rank")
+  }
+
+  val q264Sql: String =
+    """SELECT event_type, rank, event_id, cents FROM (
+      |  SELECT event_type, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+      |        event_id ASC) AS rank
+      |  FROM events) t
+      |WHERE rank <= 3
+      |ORDER BY event_type, rank""".stripMargin
+
   /** q170 — sketch-based SET-OVERLAP estimation: |viewers ∩ buyers| by
     * inclusion–exclusion over HLL sketches (|A| + |B| − |A∪B|, the
     * union sketch being the q122 merge) — how audience-overlap and
@@ -364,6 +409,7 @@ object IncrementalQueries {
   val queries: Map[String, Q] = Map(
     "q170_hll_overlap" -> q170HllOverlap,
     "q166_incremental_join" -> q166IncrementalJoin,
+    "q264_incremental_topk" -> q264IncrementalTopK,
     "q102_upsert" -> q102Upsert,
     "q105_incremental_agg" -> q105IncrementalAgg,
     "q106_scd2_intervals" -> q106Scd2,
@@ -374,6 +420,7 @@ object IncrementalQueries {
   val oracleSql: Map[String, String] = Map(
     "q170_hll_overlap" -> q170Sql,
     "q166_incremental_join" -> q166Sql,
+    "q264_incremental_topk" -> q264Sql,
     "q102_upsert" -> q102Sql,
     "q105_incremental_agg" -> q105Sql,
     "q106_scd2_intervals" -> q106Sql,

@@ -324,6 +324,27 @@ class FbcDataSourceSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("leftover tmp files from a crashed writer are invisible to scans") {
+    FbcSource.read(spark).count() // ensure fixture tree exists
+    val dir = java.nio.file.Paths.get(FbcSource.FixtureRoot, "pkg-a",
+      "olm.bundle")
+    // simulate a writer that died mid-write: its tmp never renamed
+    val torn = dir.resolve(".torn-obj.json.7.42.tmp")
+    java.nio.file.Files.write(torn, "{\"partial\":".getBytes)
+    try {
+      val names = FbcSource.read(spark)
+        .filter($"package" === "pkg-a" && $"schema" === "olm.bundle")
+        .select($"name").as[String].collect().toSet
+      assert(!names.exists(_.contains("torn")),
+        s"torn tmp file surfaced in scan: $names")
+      val n = FbcSource.read(spark).count()
+      val expected = graft.catalog.FbcIngest.withPackageKey(
+          graft.catalog.FbcIngest.readMetaStream(
+            spark, graft.catalog.CatalogOracle.FixtureSource)).count()
+      assert(n == expected, "counts must ignore tmp files")
+    } finally java.nio.file.Files.deleteIfExists(torn)
+  }
+
   test("non-equality predicates stay with Spark and still evaluate") {
     val got = FbcSource.read(spark)
       .filter($"name".startsWith("pkg"))
