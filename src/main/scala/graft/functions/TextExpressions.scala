@@ -74,6 +74,78 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-row VALUE-COUNT map of a string array: `["a","b","a"]` →
+  * `{"a":2,"b":1}` — the in-row form of `explode + groupBy(count)`.
+  * The point is the plan shape it unlocks: per-document term counting
+  * (q146's trigram profile, TF for BM25-style scoring) becomes a
+  * NARROW PROJECTION — one pass over each row's array, map-only —
+  * where the explode-then-aggregate spelling shuffles one row per
+  * token OCCURRENCE through a corpus-wide hash aggregate. Downstream
+  * consumers explode THIS map, which is already occurrence-deduped
+  * (one row per distinct token per doc), so the exchange that remains
+  * carries the smaller distinct frame (the [[SimHash64]] argument, one
+  * level up the aggregation tree).
+  *
+  * Keys keep FIRST-OCCURRENCE order (LinkedHashMap), so the map's
+  * serialized form is deterministic for a given array — required for
+  * checkpoint/cache stability, irrelevant to consumers that aggregate.
+  */
+case class CountValues(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.MapType(
+    StringType, LongType, valueContainsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"expected array<string>, got $other")
+    }
+  }
+
+  /** Hot loop shared by eval and codegen. */
+  def countOf(a: ArrayData): org.apache.spark.sql.catalyst.util.MapData = {
+    val m = new java.util.LinkedHashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val k = a.getUTF8String(i)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) 1L else prev + 1L)
+      }
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey
+      vals(j) = e.getValue
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+  }
+
+  override def nullSafeEval(v: Any): Any = countOf(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("countValues", this, classOf[CountValues].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countOf($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountValues =
+    copy(child = newChild)
+}
+
 /** Jaro-Winkler similarity as a codegen'd binary expression — a scalar
   * string-similarity function Spark has no builtin for (`levenshtein`
   * is the only edit metric in functions._), while DuckDB ships it
@@ -247,4 +319,8 @@ object TextFunctions {
   def jaroWinkler(l: Column, r: Column): Column =
     ColumnBridge.column(
       JaroWinkler(ColumnBridge.expression(l), ColumnBridge.expression(r)))
+
+  /** Value-count map of a string-array column (in-row explode+count). */
+  def countValues(c: Column): Column =
+    ColumnBridge.column(CountValues(ColumnBridge.expression(c)))
 }

@@ -369,9 +369,15 @@ object TextAnalysis {
         (a, b) => concat(a, b)),
       slice(chars, lit(3), triN),
       (ab, c) => concat(ab, c))
+    // Per-doc occurrence counts via the count_values expression — a
+    // NARROW projection (map built in-row, exploded already deduped to
+    // one row per distinct (doc, trigram)) where the r7 spelling
+    // exploded every OCCURRENCE and shuffled ~4M rows/sf0.1 through a
+    // corpus-wide 3-key hash aggregate before reaching this same frame.
     val tg = docs.filter(length($"text") >= 3)
-      .select($"doc_id", $"lang", explode(tgArr).as("tg"))
-      .groupBy($"doc_id", $"lang", $"tg").agg(count(lit(1)).as("c"))
+      .select($"doc_id", $"lang",
+        explode(graft.functions.TextFunctions.countValues(tgArr))
+          .as(Seq("tg", "c")))
       .localCheckpoint() // two consumers (profile, scoring); cut once
     val prof = tg.groupBy($"lang", $"tg").agg(sum($"c").as("cnt"))
     val wRank = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tg".asc)

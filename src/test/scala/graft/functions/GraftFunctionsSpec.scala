@@ -65,6 +65,28 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("constant integer"))
   }
 
+  test("count_values equals explode+groupBy counts; order is first-occurrence") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq("b", "a", "b", "c", "b")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("x"))).toDF("id", "toks")
+    val viaExpr = df.select($"id",
+        explode(TextFunctions.countValues($"toks")).as(Seq("t", "c")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaAgg = df.select($"id", explode($"toks").as("t"))
+      .groupBy($"id", $"t").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaExpr == viaAgg, s"$viaExpr vs $viaAgg")
+    // deterministic first-occurrence key order within the map
+    val keys = df.filter($"id" === 1L)
+      .select(map_keys(TextFunctions.countValues($"toks")))
+      .first().getSeq[String](0)
+    assert(keys == Seq("b", "a", "c"), s"unexpected key order $keys")
+    // empty array -> empty map (row 2 contributes nothing to explode)
+    assert(!viaExpr.exists(_._1 == 2L))
+  }
+
   test("extensions class exposes the same function set") {
     val names = GraftFunctions.descriptions.map(_._1.funcName).toSet
     assert(names == Set("simhash64", "dot_f32", "dot_q20", "srp_bucket",
