@@ -97,6 +97,11 @@ object GraftFunctions {
           intArg(args(1), "kll_quantiles", 1),
           intArg(args(2), "kll_quantiles", 2))
       }),
+    (FunctionIdentifier("count_values"),
+      new ExpressionInfo(classOf[CountValues].getName, "count_values"),
+      (args: Seq[Expression]) => {
+        arity("count_values", args, 1); CountValues(args.head)
+      }),
     (FunctionIdentifier("theta_sketch"),
       new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch"),
       (args: Seq[Expression]) => {

@@ -92,7 +92,8 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(names == Set("simhash64", "dot_f32", "dot_q20", "srp_bucket",
       "jaro_winkler", "mg_topk", "kll_quantiles", "cms_estimate",
       "hilbert_xy2d", "nfc_normalize",
-      "theta_sketch", "theta_estimate", "theta_intersect_est"))
+      "theta_sketch", "theta_estimate", "theta_intersect_est",
+      "count_values"))
     // the extensions entry point is constructible via the reflective
     // path spark.sql.extensions uses
     val ctor = Class.forName("graft.functions.GraftExtensions")
