@@ -14,6 +14,9 @@ run / fork := true
 // Pass forked program output straight through to stdout (no "[info] "
 // logger prefix) so the bench's one-line JSON stays machine-parseable.
 run / outputStrategy := Some(StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." line so the bench's
+// compact JSON summary is the LAST stdout line a tail-capture sees.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
