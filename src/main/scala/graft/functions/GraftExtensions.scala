@@ -120,6 +120,33 @@ object GraftFunctions {
         arity("theta_intersect_est", args, 2)
         ThetaIntersectEstimate(args(0), args(1))
       }),
+    (FunctionIdentifier("rbm_agg"),
+      new ExpressionInfo(classOf[BitmapAgg].getName, "rbm_agg"),
+      (args: Seq[Expression]) => {
+        arity("rbm_agg", args, 1); BitmapAgg(args.head)
+      }),
+    (FunctionIdentifier("rbm_or_agg"),
+      new ExpressionInfo(classOf[BitmapOrAgg].getName, "rbm_or_agg"),
+      (args: Seq[Expression]) => {
+        arity("rbm_or_agg", args, 1); BitmapOrAgg(args.head)
+      }),
+    (FunctionIdentifier("rbm_count"),
+      new ExpressionInfo(classOf[BitmapCount].getName, "rbm_count"),
+      (args: Seq[Expression]) => {
+        arity("rbm_count", args, 1); BitmapCount(args.head)
+      }),
+    (FunctionIdentifier("rbm_and_count"),
+      new ExpressionInfo(classOf[BitmapAndCount].getName, "rbm_and_count"),
+      (args: Seq[Expression]) => {
+        arity("rbm_and_count", args, 2)
+        BitmapAndCount(args(0), args(1))
+      }),
+    (FunctionIdentifier("rbm_or_count"),
+      new ExpressionInfo(classOf[BitmapOrCount].getName, "rbm_or_count"),
+      (args: Seq[Expression]) => {
+        arity("rbm_or_count", args, 2)
+        BitmapOrCount(args(0), args(1))
+      }),
   )
 
   /** Register all graft SQL functions on a live session. */

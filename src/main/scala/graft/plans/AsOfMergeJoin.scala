@@ -240,6 +240,78 @@ object AsOfMergeJoin {
       |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
       |ORDER BY purchase_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("q224_asof_native" -> q224AsofNative)
-  val oracleSql: Map[String, String] = Map("q224_asof_native" -> q224Sql)
+  val Buckets = 16
+
+  private val bucketed =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** Write the q224 join's two sides as co-bucketed SORTED managed
+    * tables (once per JVM per scale dir): both `bucketBy(16, user_id)
+    * .sortBy(user_id, time)`, with a `repartition(16, user_id)` ahead
+    * of the write so each task owns exactly one bucket — the
+    * one-file-per-bucket layout FileSourceScanExec requires before it
+    * reports the written sort order as `outputOrdering`.
+    */
+  private def ensureAsofBucketed(s: SparkSession,
+      dir: String): (String, String) = bucketed.getOrElseUpdate(dir, {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val sfx = java.nio.file.Paths.get(dir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val (p, g) = (s"purchases_bkt_$sfx", s"signups_bkt_$sfx")
+    Seq(p, g).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    val ev = graft.core.Tables.events(s, dir)
+    ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+      .repartition(Buckets, $"user_id")
+      .write.format("parquet")
+      .bucketBy(Buckets, "user_id").sortBy("user_id", "ts")
+      .saveAsTable(p)
+    ev.filter($"event_type" === "signup")
+      .groupBy($"user_id", $"ts".as("signup_ts"))
+      .agg(max($"event_id").as("signup_id"))
+      .repartition(Buckets, $"user_id")
+      .write.format("parquet")
+      .bucketBy(Buckets, "user_id").sortBy("user_id", "signup_ts")
+      .saveAsTable(g)
+    (p, g)
+  })
+
+  /** q266 — EXCHANGE-FREE and SORT-FREE native as-of join over
+    * co-bucketed sorted layouts: the JOIN leg of the pay-once-at-write
+    * trilogy (q184 order-carrying scan, q263 exchange-free aggregation,
+    * this). [[AsOfMergeJoinExec]] asks for exactly what a sort-merge
+    * join would — ClusteredDistribution + (key, time) ordering per side
+    * — so over two tables bucketed on `user_id` and sorted
+    * `(user_id, time)` with one file per bucket, EnsureRequirements
+    * finds both demands already met and inserts NOTHING: no exchange,
+    * no sort, straight to the O(1)-state merge walk. Both properties
+    * are REQUIRE'd on the executed plan, and the result must match the
+    * same DuckDB ASOF JOIN oracle as q224 — proving the fast plan is
+    * still the correct join. At 100 TB: bucketing fact tables on the
+    * as-of key once makes every later as-of lookup (the
+    * feature-store point-in-time pattern) shuffle-free.
+    */
+  val q266AsofBucketed: Q = (s, dir) => {
+    import s.implicits._
+    val (p, g) = ensureAsofBucketed(s, dir)
+    val joined = backward(s.table(p), s.table(g), Seq("user_id"),
+      leftTime = "ts", rightTime = "signup_ts")
+    val plan = joined.queryExecution.executedPlan.toString
+    require(plan.contains("AsOfMergeJoin"),
+      s"expected the native as-of exec; plan:\n$plan")
+    require(!plan.contains("Exchange"),
+      s"co-bucketed as-of join must not shuffle; plan:\n$plan")
+    require(!plan.contains("Sort ["),
+      s"co-bucketed sorted as-of join must not re-sort; plan:\n$plan")
+    joined.select($"purchase_id", $"user_id", $"ts", $"signup_id")
+      .orderBy($"purchase_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q224_asof_native" -> q224AsofNative,
+    "q266_asof_bucketed" -> q266AsofBucketed)
+  val oracleSql: Map[String, String] = Map(
+    "q224_asof_native" -> q224Sql,
+    "q266_asof_bucketed" -> q224Sql)
 }

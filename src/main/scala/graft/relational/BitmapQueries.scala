@@ -1,0 +1,88 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+import graft.functions.GraftFunctions
+
+/** Exact audience-overlap analytics on the native Roaring bitmap
+  * algebra ([[graft.functions.BitmapAgg]] family) — the EXACT
+  * counterpart of q257's theta-sketch gate, and the distinct-CUBE
+  * pattern sketches cannot provide: COUNT(DISTINCT) rollups do not
+  * re-aggregate (distinct counts are not additive), but bitmap
+  * partials OR-fold losslessly, so a per-(key, day) bitmap cube
+  * answers every coarser distinct question without rescanning raw
+  * rows.
+  */
+object BitmapQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q265 — exact pairwise audience overlap via bitmap algebra: per
+    * event type, the exact distinct-user bitmap (`rbm_agg`), plus
+    * the same bitmap REBUILT from a per-(type, day) cube through
+    * `rbm_or_agg` — `rollup_ok` pins the lossless-re-aggregation
+    * contract in-query. Output: for every type pair, exact |A|, |B|,
+    * |A∩B|, |A∪B| — all hash-compared against DuckDB's exact
+    * distinct-join recomputation (unlike q257's tolerance gate, every
+    * number here must match exactly).
+    *
+    * Scale shape: both aggregates are ObjectHashAggregate with full
+    * partial aggregation — partitions ship compressed bitmaps, never
+    * user lists; the pair matrix is a broadcast theta-join of two
+    * |types|-row frames; intersections/unions are scalar expression
+    * calls (container-pairwise cardinalities, no materialized result
+    * sets). At 100 TB the cube leg is the point: per-day bitmaps
+    * persist once, every later overlap/rollup query reads bitmaps
+    * only.
+    */
+  val q265BitmapOverlap: Q = (s, dir) => {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val ev = T.events(s, dir)
+      .select($"event_type", $"user_id", to_date($"ts").as("day"))
+    val direct = ev.groupBy($"event_type")
+      .agg(expr("rbm_agg(user_id)").as("bm"))
+    val rollup = ev.groupBy($"event_type", $"day")
+      .agg(expr("rbm_agg(user_id)").as("bm_day"))
+      .groupBy($"event_type")
+      .agg(expr("rbm_or_agg(bm_day)").as("bm_roll"))
+    val types = direct.join(rollup, "event_type")
+      .select($"event_type", $"bm",
+        expr("rbm_count(bm)").as("n"),
+        (expr("rbm_count(bm)") === expr("rbm_count(bm_roll)"))
+          .as("roll_ok"))
+    val a = types.select($"event_type".as("type_a"), $"bm".as("bm_a"),
+      $"n".as("n_a"), $"roll_ok".as("roll_a_ok"))
+    val b = types.select($"event_type".as("type_b"), $"bm".as("bm_b"),
+      $"n".as("n_b"), $"roll_ok".as("roll_b_ok"))
+    a.join(b, $"type_a" < $"type_b")
+      .select($"type_a", $"type_b", $"n_a", $"n_b",
+        expr("rbm_and_count(bm_a, bm_b)").as("n_and"),
+        expr("rbm_or_count(bm_a, bm_b)").as("n_or"),
+        ($"roll_a_ok" && $"roll_b_ok").as("rollup_ok"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val q265Sql: String =
+    """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+      |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM d GROUP BY event_type),
+      |p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |        CAST(COUNT(*) AS BIGINT) AS n_and
+      |      FROM d x JOIN d y USING (user_id)
+      |      WHERE x.event_type < y.event_type
+      |      GROUP BY 1, 2)
+      |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+      |  ca.n AS n_a, cb.n AS n_b,
+      |  CAST(COALESCE(p.n_and, 0) AS BIGINT) AS n_and,
+      |  CAST(ca.n + cb.n - COALESCE(p.n_and, 0) AS BIGINT) AS n_or,
+      |  TRUE AS rollup_ok
+      |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+      |LEFT JOIN p ON p.type_a = ca.event_type AND p.type_b = cb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
+  val queries: Map[String, Q] = Map("q265_bitmap_overlap" -> q265BitmapOverlap)
+  val oracleSql: Map[String, String] = Map("q265_bitmap_overlap" -> q265Sql)
+}

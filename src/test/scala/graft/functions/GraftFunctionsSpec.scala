@@ -93,7 +93,9 @@ class GraftFunctionsSpec extends SparkSpec {
       "jaro_winkler", "mg_topk", "kll_quantiles", "cms_estimate",
       "hilbert_xy2d", "nfc_normalize",
       "theta_sketch", "theta_estimate", "theta_intersect_est",
-      "count_values"))
+      "count_values",
+      "rbm_agg", "rbm_or_agg", "rbm_count", "rbm_and_count",
+      "rbm_or_count"))
     // the extensions entry point is constructible via the reflective
     // path spark.sql.extensions uses
     val ctor = Class.forName("graft.functions.GraftExtensions")
