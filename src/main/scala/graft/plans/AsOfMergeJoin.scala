@@ -259,7 +259,19 @@ object AsOfMergeJoin {
     val sfx = java.nio.file.Paths.get(dir).getFileName.toString
       .replaceAll("[^A-Za-z0-9_]", "_")
     val (p, g) = (s"purchases_bkt_$sfx", s"signups_bkt_$sfx")
-    Seq(p, g).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    val warehouse = java.net.URI.create(
+      s.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq(p, g).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      // leftovers from prior JVMs survive the in-memory catalog
+      val dir = java.nio.file.Paths.get(warehouse, t)
+      if (java.nio.file.Files.exists(dir)) {
+        val w = java.nio.file.Files.walk(dir)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(java.nio.file.Files.delete(_))
+        finally w.close()
+      }
+    }
     val ev = graft.core.Tables.events(s, dir)
     ev.filter($"event_type" === "purchase")
       .select($"event_id".as("purchase_id"), $"user_id", $"ts")
@@ -295,17 +307,28 @@ object AsOfMergeJoin {
   val q266AsofBucketed: Q = (s, dir) => {
     import s.implicits._
     val (p, g) = ensureAsofBucketed(s, dir)
-    val joined = backward(s.table(p), s.table(g), Seq("user_id"),
-      leftTime = "ts", rightTime = "signup_ts")
-    val plan = joined.queryExecution.executedPlan.toString
-    require(plan.contains("AsOfMergeJoin"),
-      s"expected the native as-of exec; plan:\n$plan")
-    require(!plan.contains("Exchange"),
-      s"co-bucketed as-of join must not shuffle; plan:\n$plan")
-    require(!plan.contains("Sort ["),
-      s"co-bucketed sorted as-of join must not re-sort; plan:\n$plan")
-    joined.select($"purchase_id", $"user_id", $"ts", $"signup_id")
-      .orderBy($"purchase_id")
+    // Since 3.1 Spark reports a bucketed scan's written sort order only
+    // behind this flag (the general case needs a files-per-bucket
+    // check); our writer guarantees one file per bucket, which is
+    // exactly the regime the flag serves. Scoped + restored: the
+    // sort-elision claim should not leak into other queries' plans.
+    val flag = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = s.conf.get(flag, "false")
+    s.conf.set(flag, "true")
+    try {
+      val joined = backward(s.table(p), s.table(g), Seq("user_id"),
+        leftTime = "ts", rightTime = "signup_ts")
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("AsOfMergeJoin"),
+        s"expected the native as-of exec; plan:\n$plan")
+      require(!plan.contains("Exchange"),
+        s"co-bucketed as-of join must not shuffle; plan:\n$plan")
+      require(!plan.contains("Sort ["),
+        s"co-bucketed sorted as-of join must not re-sort; plan:\n$plan")
+      joined.select($"purchase_id", $"user_id", $"ts", $"signup_id")
+        .orderBy($"purchase_id")
+        .localCheckpoint() // materialize under the scoped flag
+    } finally s.conf.set(flag, prev)
   }
 
   val queries: Map[String, Q] = Map(
