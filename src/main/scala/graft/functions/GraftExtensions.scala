@@ -147,6 +147,11 @@ object GraftFunctions {
         arity("rbm_or_count", args, 2)
         BitmapOrCount(args(0), args(1))
       }),
+    (FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (args: Seq[Expression]) => {
+        arity("deflate_len", args, 1); DeflateLen(args.head)
+      }),
   )
 
   /** Register all graft SQL functions on a live session. */

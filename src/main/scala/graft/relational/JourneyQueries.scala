@@ -162,13 +162,103 @@ object JourneyQueries {
        |ORDER BY n_sessions DESC, path
        |LIMIT $PathTake""".stripMargin
 
+  /** The q270 pattern book: (name, regex) over single-letter session
+    * paths (c=click, e=error, p=purchase, s=signup, v=view — first
+    * letters are unique). Search semantics on both engines (Spark
+    * RLIKE = Java find, DuckDB regexp_matches = RE2 search); the
+    * patterns stay inside the Java∩RE2 dialect (the q256 discipline:
+    * literal classes, `+`/`*`/`.`, anchors — no backrefs, no
+    * lookaround).
+    */
+  val Patterns: Seq[(String, String)] = Seq(
+    ("browse_to_buy", "v[vc]*p"),
+    ("error_retry", "e[^e]*e"),
+    ("pure_browsing", "^[vc]+$"),
+    ("signup_to_purchase", "s.*p"))
+
+  /** q270 — MATCH_RECOGNIZE-lite: regex pattern detection over session
+    * event sequences. Each session (q120/q226's 30-min gap cut)
+    * becomes its single-letter type string; each business pattern —
+    * funnel completion, error recurrence, bounce-less browsing,
+    * same-session activation — is one regex, reported with matching
+    * session and user counts. The row-pattern-matching surface
+    * (SQL:2016 MATCH_RECOGNIZE, Flink CEP) reduced to
+    * sessionize + string-encode + regex, which composes with every
+    * other operator instead of needing its own engine.
+    *
+    * Scale shape: sessionization is q226's two windows on one user
+    * partitioning; the path frame (one row per session) is then
+    * scanned once per pattern with a CONSTANT regex (codegen-cached) —
+    * 4 narrow aggregates over a frame already orders of magnitude
+    * smaller than events; a single-pass spelling would trade that for
+    * a non-constant pattern column and lose the regex cache.
+    */
+  val q270PathPatterns: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("t_us"),
+        substring($"event_type", 1, 1).as("code"))
+    val wSeq = Window.partitionBy($"user_id").orderBy($"t_us", $"event_id")
+    val paths = ev
+      .withColumn("prev_us", lag($"t_us", 1).over(wSeq))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || $"t_us" - $"prev_us" > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum($"new_sess").over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct($"t_us", $"event_id", $"code"))),
+          e => e.getField("code")), "").as("path"))
+      .localCheckpoint() // sessionize once, scan per pattern
+    Patterns.map { case (name, re) =>
+      paths.filter($"path".rlike(re))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct($"user_id").as("n_users"))
+        .select(lit(name).as("pattern"), $"n_sessions", $"n_users")
+    }.reduce(_ unionAll _)
+      .orderBy($"pattern")
+  }
+
+  val q270Sql: String = {
+    val perPattern = Patterns.map { case (name, re) =>
+      s"""SELECT '$name' AS pattern,
+         |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM paths WHERE regexp_matches(path, '$re')""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+       |         left(event_type, 1) AS code
+       |  FROM events),
+       |seq AS (
+       |  SELECT *, LAG(t_us) OVER (PARTITION BY user_id
+       |    ORDER BY t_us, event_id) AS prev_us
+       |  FROM ev),
+       |sess AS (
+       |  SELECT *, SUM(CASE WHEN prev_us IS NULL
+       |      OR t_us - prev_us > $SessionGapUs THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY t_us, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM seq),
+       |paths AS (
+       |  SELECT user_id, sess,
+       |    STRING_AGG(code, '' ORDER BY t_us, event_id) AS path
+       |  FROM sess GROUP BY user_id, sess)
+       |$perPattern
+       |ORDER BY pattern""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q225_multi_touch" -> q225MultiTouch,
     "q226_session_paths" -> q226SessionPaths,
+    "q270_path_patterns" -> q270PathPatterns,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q225_multi_touch" -> q225Sql,
     "q226_session_paths" -> q226Sql,
+    "q270_path_patterns" -> q270Sql,
   )
 }

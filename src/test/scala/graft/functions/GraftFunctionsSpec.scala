@@ -95,7 +95,7 @@ class GraftFunctionsSpec extends SparkSpec {
       "theta_sketch", "theta_estimate", "theta_intersect_est",
       "count_values",
       "rbm_agg", "rbm_or_agg", "rbm_count", "rbm_and_count",
-      "rbm_or_count"))
+      "rbm_or_count", "deflate_len"))
     // the extensions entry point is constructible via the reflective
     // path spark.sql.extensions uses
     val ctor = Class.forName("graft.functions.GraftExtensions")
