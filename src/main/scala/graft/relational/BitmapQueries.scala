@@ -83,6 +83,52 @@ object BitmapQueries {
       |LEFT JOIN p ON p.type_a = ca.event_type AND p.type_b = cb.event_type
       |ORDER BY type_a, type_b""".stripMargin
 
-  val queries: Map[String, Q] = Map("q265_bitmap_overlap" -> q265BitmapOverlap)
-  val oracleSql: Map[String, String] = Map("q265_bitmap_overlap" -> q265Sql)
+  /** q271 — EXACT incremental distinct maintenance, the fourth IVM leg
+    * (q105 counter-additive aggregates, q166 delta joins, q264 top-k)
+    * and the exactness upgrade of q122's HLL leg: distinct counts are
+    * not additive, but bitmap PARTIALS are losslessly mergeable, so
+    * yesterday's rollup and today's delta (q105's before/after-cutoff
+    * split) each store a per-group bitmap and the merged count is
+    * EXACT — the gate joins the merged path against the one-pass path
+    * and DuckDB's COUNT(DISTINCT), all three of which must agree to
+    * the row (where q122 could only grant ±5%).
+    *
+    * Scale shape: both paths are partial-aggregated bitmap folds; the
+    * production form persists the per-(group, day) bitmap column in
+    * the rollup table and answers every later distinct question by
+    * OR-fold, never rescanning raw events.
+    */
+  val q271BitmapIvm: Q = (s, dir) => {
+    GraftFunctions.register(s)
+    import s.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    val cutoff = lit("2024-01-15").cast(TimestampType)
+    val ev = T.events(s, dir).select($"event_type", $"ts", $"user_id")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy($"event_type").agg(expr("rbm_agg(user_id)").as("bm"))
+    val merged = partial(ev.filter($"ts" < cutoff))
+      .unionByName(partial(ev.filter($"ts" >= cutoff)))
+      .groupBy($"event_type")
+      .agg(expr("rbm_or_agg(bm)").as("bmm"))
+      .select($"event_type", expr("rbm_count(bmm)").as("n_distinct_users"))
+    val direct = ev.groupBy($"event_type")
+      .agg(expr("rbm_count(rbm_agg(user_id))").as("n_direct"))
+    merged.join(direct, "event_type")
+      .select($"event_type", $"n_distinct_users",
+        ($"n_distinct_users" === $"n_direct").as("merge_exact"))
+      .orderBy($"event_type")
+  }
+
+  val q271Sql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+      |  TRUE AS merge_exact
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q265_bitmap_overlap" -> q265BitmapOverlap,
+    "q271_bitmap_ivm" -> q271BitmapIvm)
+  val oracleSql: Map[String, String] = Map(
+    "q265_bitmap_overlap" -> q265Sql,
+    "q271_bitmap_ivm" -> q271Sql)
 }

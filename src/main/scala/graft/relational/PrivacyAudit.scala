@@ -129,13 +129,63 @@ object PrivacyAudit {
        |     (SELECT c_custkey FROM ac))
        |ORDER BY tbl""".stripMargin
 
+  /** q272 minimum distinct-sensitive-values per publishable class —
+    * the Machanavajjhala et al. distinct-l-diversity parameter.
+    */
+  val DiversityL = 3
+
+  /** q272 — l-DIVERSITY audit, the attribute-disclosure gate
+    * k-anonymity (q217) cannot express: a class of 50 identical-looking
+    * customers still leaks if they all share one sensitive value, so
+    * each (c_nationkey, c_mktsegment) class must also contain ≥
+    * [[DiversityL]] distinct sensitive bands (account-balance band as
+    * the sensitive attribute: debt / low / high). `publishable` now
+    * requires BOTH the size floor and the diversity floor — the classes
+    * q217 would publish but q272 suppresses are exactly the
+    * homogeneity-attack surface.
+    *
+    * Scale shape: one hash aggregation on the QI columns with a
+    * distinct-count on the (domain-3) band — map-side partials collapse
+    * to ≤ |QI-domain|·|bands| rows before the shuffle.
+    */
+  val q272LDiversity: Q = (s, dir) => {
+    import s.implicits._
+    val band = when($"c_acctbal" < 0, "debt")
+      .when($"c_acctbal" < 5000, "low").otherwise("high")
+    T.customer(s, dir)
+      .select($"c_nationkey", $"c_mktsegment", band.as("band"))
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("class_n"),
+        countDistinct($"band").as("l_div"))
+      .select($"c_nationkey", $"c_mktsegment", $"class_n", $"l_div",
+        ($"class_n" >= AnonymityK && $"l_div" >= DiversityL)
+          .as("publishable"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  val q272Sql: String =
+    s"""SELECT c_nationkey, c_mktsegment,
+       |  CAST(COUNT(*) AS BIGINT) AS class_n,
+       |  CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+       |    WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END) AS BIGINT)
+       |    AS l_div,
+       |  COUNT(*) >= $AnonymityK AND
+       |  COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+       |    WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END)
+       |    >= $DiversityL AS publishable
+       |FROM customer
+       |GROUP BY c_nationkey, c_mktsegment
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q258_cascade_delete" -> q258CascadeDelete,
     "q217_k_anonymity" -> q217KAnonymity,
+    "q272_l_diversity" -> q272LDiversity,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q217_k_anonymity" -> q217Sql,
     "q258_cascade_delete" -> q258Sql,
+    "q272_l_diversity" -> q272Sql,
   )
 }

@@ -75,6 +75,73 @@ object SchemaEvolution {
        |FROM read_parquet('$FixtureDir/*.parquet', union_by_name=true)
        |ORDER BY n_nationkey""".stripMargin
 
-  val queries: Map[String, Q] = Map("q144_schema_evolution" -> q144SchemaEvolution)
-  val oracleSql: Map[String, String] = Map("q144_schema_evolution" -> q144Sql)
+  /** q273 fixture roots: two successive snapshots of one logical
+    * table, exhibiting every drift class a contract checker must
+    * catch — a column ADDED (added_at), a column REMOVED (legacy_flag),
+    * a type WIDENED (id int → bigint), and untouched survivors.
+    */
+  val DriftV1 = "/root/repo/target/fixtures/drift_v1"
+  val DriftV2 = "/root/repo/target/fixtures/drift_v2"
+
+  private def writeDriftFixture(s: SparkSession): Unit = {
+    import s.implicits._
+    s.range(10)
+      .select($"id".cast("int").as("id"),
+        concat(lit("row"), $"id").as("name"),
+        ($"id" * 1.5).cast("float").as("score"),
+        ($"id" % 2 === 0).as("legacy_flag"))
+      .write.mode("overwrite").parquet(DriftV1)
+    s.range(10)
+      .select($"id".as("id"), // bigint: widened
+        concat(lit("row"), $"id").as("name"),
+        ($"id" * 1.5).cast("float").as("score"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("added_at"))
+      .write.mode("overwrite").parquet(DriftV2)
+  }
+
+  /** q273 — SCHEMA-DRIFT report between two snapshots of a table: per
+    * changed column, the change class and the before/after types — the
+    * data-contract check a pipeline runs before promoting a new
+    * snapshot (silent type widening and column removal are the classic
+    * downstream breakers; q144 proves Spark can READ through benign
+    * drift, this row proves the engine can DETECT and report all of
+    * it). Driver-side and job-free: two footer schema reads, no data
+    * scan — the q251/q253 plan-analysis discipline applied to the
+    * storage layer. Oracle = the pinned truth table of the planted
+    * drift (the q74 literal convention): a comparator that misses a
+    * removal, misreports a widening, or hallucinates drift on the
+    * untouched columns breaks the hash.
+    */
+  val q273SchemaDrift: Q = (s, dir) => {
+    import s.implicits._
+    writeDriftFixture(s)
+    val a = s.read.parquet(DriftV1).schema
+    val b = s.read.parquet(DriftV2).schema
+    val am = a.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val bm = b.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val added = (bm.keySet -- am.keySet).toSeq
+      .map(c => (c, "added", Option.empty[String], Option(bm(c))))
+    val removed = (am.keySet -- bm.keySet).toSeq
+      .map(c => (c, "removed", Option(am(c)), Option.empty[String]))
+    val changed = (am.keySet & bm.keySet).toSeq
+      .filter(c => am(c) != bm(c))
+      .map(c => (c, "type_changed", Option(am(c)), Option(bm(c))))
+    (added ++ removed ++ changed).sortBy(r => (r._1, r._2))
+      .toDF("col_name", "change", "from_type", "to_type")
+  }
+
+  val q273Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('added_at', 'added', CAST(NULL AS VARCHAR), 'timestamp'),
+      |  ('id', 'type_changed', 'int', 'bigint'),
+      |  ('legacy_flag', 'removed', 'boolean', CAST(NULL AS VARCHAR)))
+      |  AS t(col_name, change, from_type, to_type)
+      |ORDER BY col_name, change""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q144_schema_evolution" -> q144SchemaEvolution,
+    "q273_schema_drift" -> q273SchemaDrift)
+  val oracleSql: Map[String, String] = Map(
+    "q144_schema_evolution" -> q144Sql,
+    "q273_schema_drift" -> q273Sql)
 }
