@@ -461,6 +461,47 @@ object StreamBench {
       .toDF("n_in", "est_distinct")
   }
 
+  /** qs12 — streaming EXACT distinct via Roaring bitmap state
+    * ([[BitmapStream]]): the exact complement of qs11 on the same
+    * shard-and-fold path; the timing is the per-batch
+    * deserialize/OR/serialize of compressed set state, and the
+    * post-stream merge must equal the exact distinct count (asserted —
+    * a bench entry that also cannot silently go wrong).
+    */
+  val qs12BitmapStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val stream = MemoryStream[Event]
+    val name = s"bench_rbm_${runId.incrementAndGet()}"
+    val q = BitmapStream.bitmapShards(stream.toDS())
+      .toDF("shard", "bm")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-rbm-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val all = s.table(name).select($"shard", $"bm")
+      .as[(Long, Array[Byte])].collect()
+    // bitmaps only grow within a shard: max cardinality = cumulative
+    val latest = all.groupBy(_._1).map { case (_, rs) =>
+      rs.map(_._2).maxBy(b =>
+        graft.functions.BitmapCodec.deserialize(b).getLongCardinality)
+    }.toSeq
+    s.catalog.dropTempView(name)
+    val merged = BitmapStream.merge(latest)
+    val exact = rows.map(_.user_id).distinct.size.toLong
+    require(merged.getLongCardinality == exact,
+      s"streamed bitmap distinct ${merged.getLongCardinality} != $exact")
+    Seq((rows.size.toLong, merged.getLongCardinality))
+      .toDF("n_in", "n_distinct")
+  }
+
   val benchOnly: Map[String, Q] = Map(
     "qs01_bloom_dedup_stream" -> qs01BloomDedupStream,
     "qs02_cdc_apply_stream" -> qs02CdcApplyStream,
@@ -473,5 +514,6 @@ object StreamBench {
     "qs09_fullouter_join_stream" -> qs09FullOuterJoinStream,
     "qs10_topk_stream" -> qs10TopKStream,
     "qs11_hll_stream" -> qs11HllStream,
+    "qs12_bitmap_stream" -> qs12BitmapStream,
   )
 }
