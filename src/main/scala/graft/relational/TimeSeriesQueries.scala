@@ -523,7 +523,65 @@ object TimeSeriesQueries {
       |  ON daily.event_type = fs.event_type AND daily.day = fs.day
       |ORDER BY daily.event_type, daily.day""".stripMargin
 
+  /** q275 — THEIL–SEN robust trend per event type: the median of all
+    * pairwise daily-revenue slopes — the estimator that shrugs off the
+    * outlier days OLS (q228) is dragged by (29% breakdown point vs
+    * zero). Exactness across engines without quantizing the slope:
+    * daily revenues are exact BIGINT cents and day indices small ints,
+    * so each pair slope Δy/Δx is ONE correctly-rounded IEEE division
+    * of exactly-representable integers — bit-identical in Spark and
+    * DuckDB — and the LOWER MEDIAN (element (n−1)/2 of the sorted
+    * slopes, documented convention; no midpoint averaging) selects the
+    * same double on both sides, so the raw double hash-matches.
+    *
+    * Scale shape: the corpus-sized work is one (type, day) partial
+    * aggregation; the pair join runs on the DAILY frame
+    * (types × C(days, 2) rows — calendar-bounded, corpus-size
+    * independent), the q109/q244 in-group-quadratic discipline.
+    */
+  val q275TheilSen: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.events(s, dir)
+      .select($"event_type",
+        datediff(to_date($"ts"), lit("2024-01-01")).as("x"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy($"event_type", $"x").agg(sum($"c").as("y"))
+    val slopes = daily.as("a").join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" && $"a.x" < $"b.x")
+      .select($"a.event_type".as("event_type"),
+        (($"b.y" - $"a.y").cast("double") / ($"b.x" - $"a.x").cast("double"))
+          .as("slope"))
+    slopes.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sort_array(collect_list($"slope")).as("ss"))
+      .select($"event_type", $"n_pairs",
+        element_at($"ss", (($"n_pairs" - 1) / 2 + 1).cast("int"))
+          .as("ts_slope"))
+      .orderBy($"event_type")
+  }
+
+  val q275Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+      |  FROM events GROUP BY event_type, x),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.x < b.x),
+      |r AS (
+      |  SELECT event_type, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM pairs)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_pairs, slope AS ts_slope
+      |FROM r WHERE rn = (n - 1) // 2 + 1
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q275_theil_sen" -> q275TheilSen,
     "q261_cumulative_uniques" -> q261CumulativeUniques,
     "q259_twap" -> q259Twap,
     "q199_ewma_exact" -> q199EwmaExact,
@@ -535,6 +593,7 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q275_theil_sen" -> q275Sql,
     "q261_cumulative_uniques" -> q261Sql,
     "q259_twap" -> q259Sql,
     "q199_ewma_exact" -> q199Sql,

@@ -414,11 +414,96 @@ object LayoutQueries {
        |WHERE $BloomCol = $BloomProbeKey
        |ORDER BY o_orderkey""".stripMargin
 
+  /** q274 fixture: one logical events table across an EVOLVED
+    * partition spec — generation 1 (days before [[EvoCutoff]])
+    * partitioned by day alone, generation 2 partitioned by
+    * (day, event_type). The Iceberg-style scenario: specs change
+    * mid-table-life and readers must span both layouts transparently,
+    * pruning each generation BY ITS OWN spec.
+    */
+  val EvoRoot = "/root/repo/target/fixtures/evo_partitions"
+  val EvoCutoff = "2024-01-15"
+  val EvoDayOld = "2024-01-10"
+  val EvoDayNew = "2024-01-20"
+
+  private def ensureEvolvedLayout(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val marker = Paths.get(EvoRoot, ".fixture_key")
+    val key = s"evo:$dir"
+    val cached = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == key
+    if (!cached) {
+      val ev = T.events(s, dir)
+        .withColumn("event_day", date_format($"ts", "yyyy-MM-dd"))
+      ev.filter($"event_day" < EvoCutoff)
+        .repartition($"event_day")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("event_day")
+        .parquet(s"$EvoRoot/gen1")
+      ev.filter($"event_day" >= EvoCutoff)
+        .repartition($"event_day", $"event_type")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("event_day", "event_type")
+        .parquet(s"$EvoRoot/gen2")
+      Files.write(marker, key.getBytes("UTF-8"))
+    }
+  }
+
+  /** q274 — PARTITION-SPEC EVOLUTION read: one query spans both layout
+    * generations (pre-cutoff day-partitioned, post-cutoff
+    * (day, type)-partitioned), and the plan REQUIREs prove each
+    * generation prunes by its own spec — gen1's scan carries the day
+    * predicate in PartitionFilters (type filters post-scan, the old
+    * spec can do no better), gen2's scan carries BOTH day and type.
+    * The aggregate over the union hash-matches DuckDB recomputing from
+    * the raw events table, so spec evolution changed the I/O shape and
+    * nothing else. At 100 TB this is the point of evolving a spec:
+    * new data gains the finer pruning immediately, old data needs no
+    * rewrite.
+    */
+  val q274PartitionEvolution: Q = (s, dir) => {
+    import s.implicits._
+    ensureEvolvedLayout(s, dir)
+    def leg(root: String, day: String): DataFrame =
+      s.read.parquet(root)
+        .filter($"event_day" === day && $"event_type" === "purchase")
+        .select($"event_day", $"value")
+    val g1 = leg(s"$EvoRoot/gen1", EvoDayOld)
+    val g2 = leg(s"$EvoRoot/gen2", EvoDayNew)
+    val p1 = g1.queryExecution.executedPlan.toString
+    require(p1.contains("PartitionFilters: [") && !p1.contains("PartitionFilters: []") &&
+      p1.substring(p1.indexOf("PartitionFilters")).takeWhile(_ != ']')
+        .contains("event_day"),
+      s"gen1 scan must prune on event_day; plan:\n$p1")
+    val p2 = g2.queryExecution.executedPlan.toString
+    val p2Filters = p2.substring(p2.indexOf("PartitionFilters"))
+      .takeWhile(_ != ']')
+    require(p2Filters.contains("event_day") && p2Filters.contains("event_type"),
+      s"gen2 scan must prune on BOTH partition columns; plan:\n$p2")
+    g1.unionByName(g2)
+      // partition-type inference reads the day directory as DATE;
+      // surface it as the string the writer used
+      .groupBy($"event_day".cast("string").as("event_day"))
+      .agg(count(lit(1)).as("n"), dsl.dsumExpr($"value").as("sum_value"))
+      .orderBy($"event_day")
+  }
+
+  val q274Sql: String =
+    s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_day,
+       |  COUNT(*) AS n, ${O.dsumExpr("value")} AS sum_value
+       |FROM events
+       |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+       |    IN ('$EvoDayOld', '$EvoDayNew')
+       |  AND event_type = 'purchase'
+       |GROUP BY event_day
+       |ORDER BY event_day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q111_partition_pruning" -> q111PartitionPruning,
     "q113_compaction" -> q113Compaction,
     "q128_bloom_lookup" -> q128BloomLookup,
     "q186_dynamic_pruning" -> q186DynamicPruning,
+    "q274_partition_evolution" -> q274PartitionEvolution,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -426,5 +511,6 @@ object LayoutQueries {
     "q113_compaction" -> q113Sql,
     "q128_bloom_lookup" -> q128Sql,
     "q186_dynamic_pruning" -> q186Sql,
+    "q274_partition_evolution" -> q274Sql,
   )
 }
