@@ -436,7 +436,67 @@ object CorpusOps {
        |ORDER BY pmi_q DESC, counts.w1 ASC, counts.w2 ASC
        |LIMIT $PmiTake""".stripMargin
 
+  /** q278 top-list width: small enough that the two halves' rankings
+    * can genuinely differ over the fixture's compact vocabulary, large
+    * enough that the overlap is a meaningful drift statistic.
+    */
+  val DriftTopK = 20
+
+  /** q278 — VOCABULARY DRIFT between corpus halves: the top-K token
+    * lists of two corpus slices (even vs odd doc_id — the
+    * deterministic stand-in for "last month vs this month") compared
+    * by exact overlap and union — the distribution-shift tripwire a
+    * training-data pipeline watches between snapshot refreshes (topic
+    * drift, source-mix changes, and scraper regressions all move the
+    * head of the vocabulary before they move aggregate stats). Exact
+    * integers end to end: ranking is (freq DESC, token ASC) — a total
+    * order, so both engines pick identical top lists; overlap and
+    * union are set counts.
+    *
+    * Scale shape: one explode + one (half, token) partial-agg count
+    * (vocabulary-bounded result), one window over the vocab frame,
+    * set algebra on 2K rows.
+    */
+  val q278VocabDrift: Q = (s, dir) => {
+    import s.implicits._
+    val k = DriftTopK
+    val toks = T.documents(s, dir)
+      .select(($"doc_id" % 2 === 0).as("half_a"),
+        explode(split($"text", " ")).as("t"))
+      .filter($"t".rlike("^[a-z0-9]+$"))
+    val counts = toks.groupBy($"half_a", $"t").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy($"half_a").orderBy($"f".desc, $"t".asc)
+    val top = counts.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+    top.groupBy($"t").agg(count(lit(1)).as("sides"))
+      .agg(lit(k).as("k"),
+        sum(when($"sides" === 2, 1L).otherwise(0L)).as("n_overlap"),
+        count(lit(1)).as("n_union"))
+  }
+
+  val q278Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id % 2 = 0 AS half_a, word AS t
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+       |counts AS (
+       |  SELECT half_a, t, COUNT(*) AS f FROM toks GROUP BY half_a, t),
+       |top AS (
+       |  SELECT half_a, t FROM (
+       |    SELECT half_a, t,
+       |      ROW_NUMBER() OVER (PARTITION BY half_a
+       |        ORDER BY f DESC, t ASC) AS rn
+       |    FROM counts) WHERE rn <= $DriftTopK),
+       |sides AS (SELECT t, COUNT(*) AS sides FROM top GROUP BY t)
+       |SELECT $DriftTopK AS k,
+       |  CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overlap,
+       |  CAST(COUNT(*) AS BIGINT) AS n_union
+       |FROM sides""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q278_vocab_drift" -> q278VocabDrift,
     "q252_pmi_collocations" -> q252PmiCollocations,
     "q238_segment_dedup" -> q238SegmentDedup,
     "q202_lm_score" -> q202LmScore,
@@ -448,6 +508,7 @@ object CorpusOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q278_vocab_drift" -> q278Sql,
     "q252_pmi_collocations" -> q252Sql,
     "q238_segment_dedup" -> q238Sql,
     "q135_phrase_search" -> q135Sql,

@@ -104,13 +104,57 @@ object BucketedQueries {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** q276 — SHUFFLED HASH JOIN, the third physical join strategy under
+    * an explicit plan pin (q04 pins broadcast, q79 pins exchange-free
+    * sort-merge): the `shuffle_hash` hint builds a hash table from the
+    * smaller (orders) side per partition and STREAMS lineitem through
+    * it — no sort on either side, which beats sort-merge exactly when
+    * one side is modest-but-over-broadcast-threshold and sorting the
+    * big side would dominate. The REQUIRE proves the planner honored
+    * the hint (AQE is free to pick SHJ on its own; the hint makes the
+    * demo deterministic); the aggregate hash-matches the plain-join
+    * oracle, so strategy choice changed runtime shape and nothing
+    * else.
+    *
+    * Scale shape: both sides shuffle on the join key once (same
+    * exchanges a sort-merge join would pay) but skip both sorts; the
+    * build side must fit per-partition memory — the documented
+    * trade that keeps SMJ the safe default and SHJ the targeted
+    * optimization.
+    */
+  val q276ShuffleHashJoin: Q = (s, dir) => {
+    import s.implicits._
+    val joined = T.lineitem(s, dir)
+      .join(T.orders(s, dir).hint("shuffle_hash"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        dsl.dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+    val plan = joined.queryExecution.executedPlan.toString
+    require(plan.contains("ShuffledHashJoin"),
+      s"shuffle_hash hint not honored; plan:\n$plan")
+    require(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"expected only the shuffled hash join; plan:\n$plan")
+    joined
+  }
+
+  val q276Sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_lines,
+       |  ${O.dsum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q79_bucketed_join" -> q79BucketedJoin,
     "q80_salted_join" -> q80SaltedJoin,
+    "q276_shuffle_hash_join" -> q276ShuffleHashJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q79_bucketed_join" -> q79Sql,
     "q80_salted_join" -> q80Sql,
+    "q276_shuffle_hash_join" -> q276Sql,
   )
 }
