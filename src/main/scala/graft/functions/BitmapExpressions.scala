@@ -78,12 +78,19 @@ case class BitmapAgg(
 
   override def update(buf: RoaringBitmap, input: InternalRow): RoaringBitmap = {
     val v = child.eval(input)
-    if (v != null) {
-      val l = v.asInstanceOf[Number].longValue()
-      require(l >= 0L && l <= Int.MaxValue.toLong,
-        s"rbm_agg: key $l outside [0, 2^31-1] — use the 64-bit " +
-          "bitmap variant for wider key spaces")
-      buf.add(l.toInt)
+    if (v != null) child.dataType match {
+      case IntegerType =>
+        // any int32 fits: Roaring keys are raw 32-bit patterns, and
+        // set-of-bit-patterns semantics equals set-of-int-values — the
+        // property the DistinctToBitmap rewrite relies on for signed
+        // columns
+        buf.add(v.asInstanceOf[Int])
+      case _ =>
+        val l = v.asInstanceOf[Number].longValue()
+        require(l >= 0L && l <= Int.MaxValue.toLong,
+          s"rbm_agg: key $l outside [0, 2^31-1] — use the 64-bit " +
+            "bitmap variant for wider key spaces")
+        buf.add(l.toInt)
     }
     buf
   }

@@ -170,5 +170,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKFilterPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.DistinctToBitmap)
   }
 }

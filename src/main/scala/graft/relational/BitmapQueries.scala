@@ -125,10 +125,48 @@ object BitmapQueries {
       |  TRUE AS merge_exact
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q279 — the [[graft.plans.DistinctToBitmap]] optimizer rule under
+    * the driver gate: with the rule scoped onto the session,
+    * `countDistinct(intCol)` must plan as the single-pass bitmap
+    * aggregate (plan REQUIREs: `rbm_agg` present, no distinct
+    * machinery left) while the results — alongside an untouched plain
+    * count in the SAME Aggregate — hash-match DuckDB's
+    * COUNT(DISTINCT). The rule is appended and restored around the
+    * query (the q266 scoped-session-state discipline).
+    */
+  val q279DistinctRewrite: Q = (s, dir) => {
+    import s.implicits._
+    val prev = s.experimental.extraOptimizations
+    if (!prev.contains(graft.plans.DistinctToBitmap))
+      s.experimental.extraOptimizations = prev :+ graft.plans.DistinctToBitmap
+    try {
+      val df = T.events(s, dir)
+        .select($"event_type", $"user_id".cast("int").as("uid"))
+        .groupBy($"event_type")
+        .agg(countDistinct($"uid").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("rbm_agg"),
+        s"DistinctToBitmap did not fire; plan:\n$plan")
+      require(!plan.toLowerCase.contains("distinct"),
+        s"distinct machinery survived the rewrite; plan:\n$plan")
+      df.localCheckpoint() // materialize under the scoped rule
+    } finally s.experimental.extraOptimizations = prev
+  }
+
+  val q279Sql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q265_bitmap_overlap" -> q265BitmapOverlap,
-    "q271_bitmap_ivm" -> q271BitmapIvm)
+    "q271_bitmap_ivm" -> q271BitmapIvm,
+    "q279_distinct_rewrite" -> q279DistinctRewrite)
   val oracleSql: Map[String, String] = Map(
     "q265_bitmap_overlap" -> q265Sql,
-    "q271_bitmap_ivm" -> q271Sql)
+    "q271_bitmap_ivm" -> q271Sql,
+    "q279_distinct_rewrite" -> q279Sql)
 }

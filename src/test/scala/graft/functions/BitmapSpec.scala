@@ -69,4 +69,40 @@ class BitmapSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("DistinctToBitmap: rewrite fires for int, preserves results " +
+      "incl. negatives/nulls/empty groups, skips wider types") {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit}
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.tabulate(3000) { i =>
+      (i % 7, if (i % 11 == 0) None else Some(rnd.nextInt() / 1000))
+    }
+    val df = rows.toDF("g", "v")
+      .select($"g", $"v".cast("int").as("v"))
+    def run() = df.groupBy($"g")
+      .agg(countDistinct($"v").as("d"), count(lit(1)).as("n"))
+      .orderBy($"g").collect().toSeq
+    val expected = run()
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.DistinctToBitmap
+    try {
+      val rewritten = df.groupBy($"g")
+        .agg(countDistinct($"v").as("d"), count(lit(1)).as("n"))
+        .orderBy($"g")
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("rbm_agg"), s"rewrite did not fire:\n$plan")
+      assert(rewritten.collect().toSeq == expected)
+      // LongType distinct is left alone
+      val longPlan = df.select($"g", $"v".cast("long").as("v"))
+        .groupBy($"g").agg(countDistinct($"v"))
+        .queryExecution.executedPlan.toString
+      assert(!longPlan.contains("rbm_agg"),
+        s"rewrite must not touch non-int types:\n$longPlan")
+      // global aggregate over zero rows still yields the 0 row
+      val empty = df.filter($"g" === 999)
+        .agg(countDistinct($"v")).collect()
+      assert(empty.length == 1 && empty.head.getLong(0) == 0L)
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
