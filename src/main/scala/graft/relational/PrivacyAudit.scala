@@ -177,15 +177,65 @@ object PrivacyAudit {
        |GROUP BY c_nationkey, c_mktsegment
        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  /** q280 privacy budget per released statistic and the tail-bound
+    * failure probability the gate tolerates.
+    */
+  val DpEpsilon = 0.25
+  val DpDelta = 1e-9
+  val DpSeed = 20240814L
+
+  /** q280 — DIFFERENTIALLY-PRIVATE count release (ε-DP Laplace
+    * mechanism, Dwork et al.) with a deterministic-noise gate: per
+    * event type, the released count is round(exact + Lap(1/ε)) clamped
+    * at 0 — sensitivity 1 for a count, so scale b = 1/ε. Noise is
+    * drawn by inverse-CDF from a per-key uniform derived with
+    * `xxhash64(key, seed)` — pure codegen'd column arithmetic, no UDF,
+    * no RNG state — which makes the release REPRODUCIBLE (the
+    * fixed-seed discipline of q95's split: a re-run releases the same
+    * numbers, the real-world requirement for audited publications).
+    * The exact counts never leave the query; `ok` pins, per group,
+    * |noise| ≤ (1/ε)·ln(1/δ) (the Laplace tail bound at [[DpDelta]] —
+    * a broken inverse-CDF lands far outside) and a nonnegative
+    * release. The oracle re-derives the group list and budget ledger
+    * (ε per statistic, the parallel-composition accounting across
+    * disjoint groups).
+    *
+    * Scale shape: one partial-agg groupBy; noise is a narrow
+    * projection on the domain-bounded group frame.
+    */
+  val q280DpRelease: Q = (s, dir) => {
+    import s.implicits._
+    val b = 1.0 / DpEpsilon
+    val bound = b * math.log(1.0 / DpDelta)
+    val counts = T.events(s, dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("exact"))
+    val u = xxhash64($"event_type", lit(DpSeed)).cast("double") /
+      lit(2.0) / lit(Long.MaxValue.toDouble) // (-0.5, 0.5)
+    val noise = lit(-b) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
+    counts
+      .withColumn("noise", noise)
+      .withColumn("released",
+        greatest(round($"exact" + $"noise"), lit(0.0)).cast("long"))
+      .select($"event_type", lit(DpEpsilon).as("epsilon"),
+        (abs($"noise") <= bound && $"released" >= 0).as("ok"))
+      .orderBy($"event_type")
+  }
+
+  val q280Sql: String =
+    s"""SELECT event_type, CAST($DpEpsilon AS DOUBLE) AS epsilon, TRUE AS ok
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q258_cascade_delete" -> q258CascadeDelete,
     "q217_k_anonymity" -> q217KAnonymity,
     "q272_l_diversity" -> q272LDiversity,
+    "q280_dp_release" -> q280DpRelease,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q217_k_anonymity" -> q217Sql,
     "q258_cascade_delete" -> q258Sql,
     "q272_l_diversity" -> q272Sql,
+    "q280_dp_release" -> q280Sql,
   )
 }
