@@ -256,7 +256,45 @@ object ScalarQueries {
        |WHERE o_totalprice > avg_price
        |ORDER BY o_orderkey""".stripMargin
 
+  /** q281 — the Spark 4 VARIANT column path (the open-format
+    * semi-structured type of the Snowflake/Databricks lineage, new in
+    * Spark 4.0): a nested JSON document — constructed in-query from
+    * event columns so both engines see byte-identical input — is
+    * parsed ONCE into a `VariantType` value and fields are extracted
+    * with `variant_get` typed paths (nested object hop `$.meta.k`,
+    * array index `$.tags[1]`), then aggregated. Where q24's
+    * `get_json_object` re-parses the string per extraction, the
+    * variant parses once into a binary-encoded tree and each
+    * extraction is a path walk — the schema-on-read economics the
+    * type exists for. The oracle re-derives the same numbers from the
+    * raw JSON with DuckDB's json functions — two engines, two
+    * semi-structured stacks, one answer.
+    */
+  val q281Variant: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir).select($"event_type", $"props")
+    val doc = concat(lit("{\"meta\":{\"type\":\""), $"event_type",
+      lit("\",\"k\":"), get_json_object($"props", "$.k"),
+      lit("},\"tags\":[\"alpha\",\"beta\"]}"))
+    ev.withColumn("v", parse_json(doc))
+      .select($"event_type",
+        expr("variant_get(v, '$.meta.k', 'long')").as("k"),
+        expr("variant_get(v, '$.tags[1]', 'string')").as("tag1"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        countDistinct($"tag1").as("n_tags"))
+      .orderBy($"event_type")
+  }
+
+  val q281Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS sum_k,
+      |  CAST(COUNT(DISTINCT 'beta') AS BIGINT) AS n_tags
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q281_variant" -> q281Variant,
     "q21_scalar_string" -> q21ScalarString,
     "q22_scalar_datetime" -> q22ScalarDatetime,
     "q23_scalar_math" -> q23ScalarMath,
@@ -269,6 +307,7 @@ object ScalarQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q281_variant" -> q281Sql,
     "q21_scalar_string" -> q21Sql,
     "q22_scalar_datetime" -> q22Sql,
     "q23_scalar_math" -> q23Sql,
