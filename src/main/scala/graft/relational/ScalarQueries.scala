@@ -293,8 +293,91 @@ object ScalarQueries {
       |  CAST(COUNT(DISTINCT 'beta') AS BIGINT) AS n_tags
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q282 — COLLATION-aware grouping (string collations, new in Spark
+    * 4.0): part names re-cased three ways in-query (upper / initcap /
+    * lower by key) then grouped under the UTF8_LCASE collation — the
+    * engine-level case-insensitive equality that replaces the
+    * lower()-everything workaround (and, unlike it, composes with
+    * joins, DISTINCT, and window partitioning at no per-row rewrite
+    * cost). Representative + count per collated group hash-match
+    * DuckDB grouping the same re-cased strings by lower() — two
+    * different case-insensitivity mechanisms, one answer.
+    */
+  val q282Collation: Q = (s, dir) => {
+    import s.implicits._
+    val recased = T.part(s, dir).select(
+      when($"p_partkey" % 3 === 0, upper($"p_name"))
+        .when($"p_partkey" % 3 === 1, initcap($"p_name"))
+        .otherwise($"p_name").as("name"))
+    recased
+      .groupBy(collate($"name", "UTF8_LCASE").as("ci_name"))
+      .agg(min($"name").as("representative"), count(lit(1)).as("n"))
+      .select(lower($"ci_name").cast("string").as("name_lc"),
+        $"representative", $"n")
+      .orderBy($"name_lc")
+  }
+
+  val q282Sql: String =
+    """WITH recased AS (
+      |  SELECT CASE WHEN p_partkey % 3 = 0 THEN upper(p_name)
+      |              WHEN p_partkey % 3 = 1 THEN
+      |                array_to_string(list_transform(string_split(p_name, ' '),
+      |                  w -> upper(w[1]) || lower(w[2:])), ' ')
+      |              ELSE p_name END AS name
+      |  FROM part)
+      |SELECT lower(name) AS name_lc, MIN(name) AS representative,
+      |  COUNT(*) AS n
+      |FROM recased GROUP BY lower(name)
+      |ORDER BY name_lc""".stripMargin
+
+  /** q283 — error-safe arithmetic gallery (`try_add` / `try_divide` /
+    * `try_cast`): the ANSI-mode answer to "one bad
+    * row kills the job" — each operation yields NULL where strict
+    * evaluation would raise (overflow, division by zero, malformed
+    * cast), keeping the pipeline total. Edge values are constructed
+    * per-row from lineitem keys so every failure class actually
+    * occurs; DuckDB mirrors with TRY_CAST and explicit guards — the
+    * null pattern, not just the happy path, must hash-match.
+    */
+  val q283TryGallery: Q = (s, dir) => {
+    import s.implicits._
+    T.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .withColumn("ovf",
+        expr("try_add(CAST(9223372036854775807 AS BIGINT), " +
+          "CAST(l_orderkey AS BIGINT))"))
+      .withColumn("div",
+        expr("try_divide(CAST(l_quantity AS DOUBLE), " +
+          "CAST(l_linenumber % 3 AS DOUBLE))"))
+      .withColumn("bad_cast",
+        expr("try_cast(concat('x', CAST(l_orderkey AS STRING)) AS INT)"))
+      .withColumn("good_cast",
+        expr("try_cast(CAST(l_orderkey AS STRING) AS INT)"))
+      .groupBy(($"l_orderkey" % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"ovf".isNull, 1L).otherwise(0L)).as("n_ovf_null"),
+        sum(when($"div".isNull, 1L).otherwise(0L)).as("n_div_null"),
+        sum(when($"bad_cast".isNull, 1L).otherwise(0L)).as("n_badcast_null"),
+        sum($"good_cast".cast("long")).as("sum_goodcast"))
+      .orderBy($"bucket")
+  }
+
+  val q283Sql: String =
+    """SELECT l_orderkey % 7 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN l_orderkey <> 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_ovf_null,
+      |  CAST(SUM(CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_div_null,
+      |  CAST(COUNT(*) AS BIGINT) AS n_badcast_null,
+      |  CAST(SUM(TRY_CAST(CAST(l_orderkey AS VARCHAR) AS INTEGER))
+      |    AS BIGINT) AS sum_goodcast
+      |FROM lineitem
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q281_variant" -> q281Variant,
+    "q282_collation" -> q282Collation,
+    "q283_try_gallery" -> q283TryGallery,
     "q21_scalar_string" -> q21ScalarString,
     "q22_scalar_datetime" -> q22ScalarDatetime,
     "q23_scalar_math" -> q23ScalarMath,
@@ -308,6 +391,8 @@ object ScalarQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q281_variant" -> q281Sql,
+    "q282_collation" -> q282Sql,
+    "q283_try_gallery" -> q283Sql,
     "q21_scalar_string" -> q21Sql,
     "q22_scalar_datetime" -> q22Sql,
     "q23_scalar_math" -> q23Sql,
