@@ -250,15 +250,75 @@ object JourneyQueries {
        |ORDER BY pattern""".stripMargin
   }
 
+  /** q284 result width; sequences are strict (support desc, seq asc)
+    * total-ordered so the cut is engine-independent.
+    */
+  val SeqPatternTake = 20
+
+  /** q284 — SEQUENTIAL PATTERN MINING (PrefixSpan-family support
+    * counting, length-3): the top ordered event-type subsequences by
+    * user support — "which behavioral orderings are common" across
+    * whole user histories, the mining generalization of q150's
+    * single-step transitions and q270's fixed-pattern matching (here
+    * the patterns are DISCOVERED, not given). Subsequence = order
+    * preserved, gaps allowed; support = distinct users containing it
+    * at least once.
+    *
+    * Scale shape: position-indexed per-user sequences join to
+    * themselves twice ON user_id — after one shuffle the quadratic
+    * work is partition-local and bounded by per-user history length
+    * (C(len,3) triples); the DISTINCT collapses to (user, seq) before
+    * the support count. DuckDB replays the identical join spelling.
+    */
+  val q284SeqPatterns: Q = (s, dir) => {
+    import s.implicits._
+    val seq = T.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("t"),
+        substring($"event_type", 1, 1).as("code"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"t", $"event_id")))
+      .select($"user_id", $"pos", $"code")
+    val trip = seq.as("a")
+      .join(seq.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.pos" < $"b.pos")
+      .join(seq.as("c"),
+        $"b.user_id" === $"c.user_id" && $"b.pos" < $"c.pos")
+      .select($"a.user_id".as("user_id"),
+        concat($"a.code", $"b.code", $"c.code").as("seq"))
+      .distinct()
+    trip.groupBy($"seq").agg(count(lit(1)).as("support"))
+      .orderBy($"support".desc, $"seq")
+      .limit(SeqPatternTake)
+  }
+
+  val q284Sql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS pos,
+       |    left(event_type, 1) AS code
+       |  FROM events),
+       |trip AS (
+       |  SELECT DISTINCT a.user_id, a.code || b.code || c.code AS seq
+       |  FROM seq a
+       |  JOIN seq b ON a.user_id = b.user_id AND a.pos < b.pos
+       |  JOIN seq c ON b.user_id = c.user_id AND b.pos < c.pos)
+       |SELECT seq, CAST(COUNT(*) AS BIGINT) AS support
+       |FROM trip GROUP BY seq
+       |ORDER BY support DESC, seq
+       |LIMIT $SeqPatternTake""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q225_multi_touch" -> q225MultiTouch,
     "q226_session_paths" -> q226SessionPaths,
     "q270_path_patterns" -> q270PathPatterns,
+    "q284_seq_patterns" -> q284SeqPatterns,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q225_multi_touch" -> q225Sql,
     "q226_session_paths" -> q226Sql,
     "q270_path_patterns" -> q270Sql,
+    "q284_seq_patterns" -> q284Sql,
   )
 }

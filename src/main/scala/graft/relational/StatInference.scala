@@ -201,15 +201,82 @@ object StatInference {
       |  CAST(SUM(term_q) AS BIGINT) AS chi2_q
       |FROM terms""".stripMargin
 
+  /** q285 — MANN–WHITNEY U per event type (the nonparametric sibling
+    * of q229's Welch t: rank-based, so heavy tails and outliers that
+    * distort a mean comparison leave U untouched): variants are the
+    * same deterministic `user_id % 2` split, the statistic is
+    *   U_a = R_a − n_a(n_a+1)/2
+    * with R_a the variant-A sum of AVERAGE ranks over the pooled
+    * cent-quantized values. Exactness: average ranks are halves, so
+    * the whole computation runs on DOUBLED ranks — 2·r̄ = 2·rank +
+    * ties − 1, an integer from one RANK and one tie-COUNT window —
+    * and `u2_a` = 2·U_a is an exact BIGINT on both engines (no float
+    * rank arithmetic anywhere). The identity U_a + U_b = n_a·n_b is
+    * asserted in-query as `sum_ok`.
+    *
+    * Scale shape: one rank window + one tie-count window over the
+    * per-type pooled values, then a conditional aggregation — no
+    * self-join of variants, no second scan.
+    */
+  val q285MannWhitney: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val va = $"user_id" % 2 === 0
+    val ranked = T.events(s, dir)
+      .select($"event_type", va.as("is_a"),
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("qv"))
+      .withColumn("rk",
+        rank().over(Window.partitionBy($"event_type").orderBy($"qv")))
+      .withColumn("tie_n",
+        count(lit(1)).over(Window.partitionBy($"event_type", $"qv")))
+      .withColumn("r2", lit(2) * $"rk" + $"tie_n" - 1)
+    ranked.groupBy($"event_type")
+      .agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("n_b"),
+        sum(when($"is_a", $"r2").otherwise(0L)).as("r2_a"),
+        sum($"r2").as("r2_all"))
+      .select($"event_type", $"n_a", $"n_b",
+        ($"r2_a" - $"n_a" * ($"n_a" + 1)).as("u2_a"),
+        // average ranks preserve the rank total: Σ2r̄ must equal
+        // n(n+1) exactly — broken tie handling fails this before it
+        // perturbs U
+        ($"r2_all" === ($"n_a" + $"n_b") * ($"n_a" + $"n_b" + 1))
+          .as("sum_ok"))
+      .orderBy($"event_type")
+  }
+
+  val q285Sql: String =
+    """WITH pooled AS (
+      |  SELECT event_type, user_id % 2 = 0 AS is_a,
+      |    CAST(FLOOR(100 * value) AS BIGINT) AS qv
+      |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, is_a,
+      |    2 * RANK() OVER (PARTITION BY event_type ORDER BY qv)
+      |      + COUNT(*) OVER (PARTITION BY event_type, qv) - 1 AS r2
+      |  FROM pooled)
+      |SELECT event_type,
+      |  CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+      |  CAST(SUM(CASE WHEN is_a THEN r2 ELSE 0 END)
+      |    - SUM(CASE WHEN is_a THEN 1 ELSE 0 END)
+      |      * (SUM(CASE WHEN is_a THEN 1 ELSE 0 END) + 1) AS BIGINT)
+      |    AS u2_a,
+      |  TRUE AS sum_ok
+      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q228_grouped_ols" -> q228GroupedOls,
     "q229_welch_ttest" -> q229WelchTtest,
     "q230_chi2_independence" -> q230Chi2Independence,
+    "q285_mann_whitney" -> q285MannWhitney,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q228_grouped_ols" -> q228Sql,
     "q229_welch_ttest" -> q229Sql,
     "q230_chi2_independence" -> q230Sql,
+    "q285_mann_whitney" -> q285Sql,
   )
 }
