@@ -161,12 +161,56 @@ object BitmapQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q287 rolling window width (days, inclusive of the target day). */
+  val RollingDays = 7
+
+  /** q287 — ROLLING 7-DAY DISTINCT USERS via the bitmap cube: the
+    * classic non-additive pain query (a rolling COUNT(DISTINCT) can
+    * reuse nothing between adjacent windows in plain SQL — every
+    * window recounts its raw rows) answered the warehouse way: one
+    * per-day bitmap each (the q265/q271 cube), then each target day
+    * OR-folds its trailing 7 daily bitmaps — work per window goes by
+    * 7 compressed bitmaps, never by raw rows, and the count is EXACT
+    * where an HLL-based rolling would be approximate. Oracle: DuckDB
+    * recounts every window from raw rows — the expensive spelling the
+    * cube replaces, which is exactly the point.
+    *
+    * Scale shape: one partial-agg bitmap fold over the scan; the
+    * window expansion is a calendar-bounded self-join of the daily
+    * frame (days × 7 rows); production persists the daily bitmap
+    * column once and answers any window width from it.
+    */
+  val q287RollingDistinct: Q = (s, dir) => {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val daily = T.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id")
+      .groupBy($"day").agg(expr("rbm_agg(user_id)").as("bm"))
+    val pairs = daily.as("t").join(daily.as("srcd"),
+        datediff($"t.day", $"srcd.day").between(0, RollingDays - 1))
+      .select($"t.day".as("day"), $"srcd.bm".as("bm"))
+    pairs.groupBy($"day")
+      .agg(expr("rbm_count(rbm_or_agg(bm))").as("u7d"))
+      .orderBy($"day")
+  }
+
+  val q287Sql: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+       |SELECT t.day AS day,
+       |  CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS u7d
+       |FROM (SELECT DISTINCT day FROM d) t
+       |JOIN d s ON s.day BETWEEN t.day - ${RollingDays - 1} AND t.day
+       |GROUP BY t.day ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q265_bitmap_overlap" -> q265BitmapOverlap,
     "q271_bitmap_ivm" -> q271BitmapIvm,
-    "q279_distinct_rewrite" -> q279DistinctRewrite)
+    "q279_distinct_rewrite" -> q279DistinctRewrite,
+    "q287_rolling_distinct" -> q287RollingDistinct)
   val oracleSql: Map[String, String] = Map(
     "q265_bitmap_overlap" -> q265Sql,
     "q271_bitmap_ivm" -> q271Sql,
-    "q279_distinct_rewrite" -> q279Sql)
+    "q279_distinct_rewrite" -> q279Sql,
+    "q287_rolling_distinct" -> q287Sql)
 }

@@ -580,7 +580,71 @@ object TimeSeriesQueries {
       |FROM r WHERE rn = (n - 1) // 2 + 1
       |ORDER BY event_type""".stripMargin
 
+  /** Activity halo per event for the q286 coverage merge (µs). */
+  val ActivityWindowUs: Long = 5L * 60 * 1000000
+
+  /** q286 — INTERVAL MERGE (gaps-and-islands union): each event opens
+    * a 5-minute activity interval; overlapping/touching intervals per
+    * user merge into disjoint islands, reported as interval count and
+    * total covered time — the downtime-merging / session-coverage
+    * primitive that is NOT expressible as a plain window aggregate
+    * (coverage must not double-count overlaps). Island detection is
+    * the classic spelling: a new island starts where the running MAX
+    * of previous interval ends can't reach the current start; islands
+    * then aggregate min(start)/max(end). All integer µs — exact.
+    *
+    * Scale shape: two windows on one user_id partitioning + two keyed
+    * partial aggs; stable under tied timestamps (a tied row's start
+    * never exceeds its twin's end, so tie order cannot flip island
+    * assignment — scaladoc'd instead of hoped).
+    */
+  val q286IntervalMerge: Q = (s, dir) => {
+    import s.implicits._
+    val iv = T.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("st"))
+      .withColumn("en", $"st" + ActivityWindowUs)
+    val w = Window.partitionBy($"user_id").orderBy($"st", $"en")
+    iv
+      .withColumn("max_en_prev",
+        max($"en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when($"max_en_prev".isNull || $"st" > $"max_en_prev", 1L)
+          .otherwise(0L))
+      .withColumn("island", sum($"new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"island")
+      .agg(min($"st").as("ist"), max($"en").as("ien"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"ien" - $"ist").as("covered_us"))
+      .orderBy($"user_id")
+  }
+
+  val q286Sql: String =
+    s"""WITH iv AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) + $ActivityWindowUs AS en
+       |  FROM events),
+       |marked AS (
+       |  SELECT *, MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    AS max_en_prev
+       |  FROM iv),
+       |islands AS (
+       |  SELECT *, SUM(CASE WHEN max_en_prev IS NULL OR st > max_en_prev
+       |      THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY st, en
+       |          ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM marked),
+       |merged AS (
+       |  SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien
+       |  FROM islands GROUP BY user_id, island)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       |  CAST(SUM(ien - ist) AS BIGINT) AS covered_us
+       |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q286_interval_merge" -> q286IntervalMerge,
     "q275_theil_sen" -> q275TheilSen,
     "q261_cumulative_uniques" -> q261CumulativeUniques,
     "q259_twap" -> q259Twap,
@@ -593,6 +657,7 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q286_interval_merge" -> q286Sql,
     "q275_theil_sen" -> q275Sql,
     "q261_cumulative_uniques" -> q261Sql,
     "q259_twap" -> q259Sql,
