@@ -266,11 +266,84 @@ object StatInference {
       |  TRUE AS sum_ok
       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q288 sampling rate denominator (keys with user_id % 20 == 0 →
+    * a 5% systematic key-sample) and the error-envelope multiplier
+    * (4σ — a sanity envelope a correct estimator essentially never
+    * leaves, NOT a 95% confidence claim; the scaladoc'd distinction).
+    */
+  val SampleMod = 20
+  val EnvelopeSigmas = 4.0
+
+  /** q288 — SAMPLE-BASED estimation with an error envelope: the
+    * query-the-sample-not-the-corpus workflow of interactive 100 TB
+    * analytics — a deterministic 5% systematic key-sample
+    * (`user_id % 20 = 0`, the q95 fixed-split discipline, so both
+    * engines and every re-run see the SAME sample) estimates each
+    * event type's mean value, alongside the exact mean and a
+    * 4σ/√n sanity envelope from the sample's own variance. Every
+    * number derives from exact integer sums finished with identically
+    * spelled double arithmetic, so the full row — booleans included —
+    * hash-matches DuckDB with no gate convention needed.
+    *
+    * Scale shape: ONE conditional-aggregation pass computes both
+    * exact and sample moments (no second scan; at true scale the
+    * sample frame would be a materialized 5% table and the exact
+    * columns would not exist — they are the verification harness
+    * here).
+    */
+  val q288SampleEstimate: Q = (s, dir) => {
+    import s.implicits._
+    val inS = $"user_id" % SampleMod === 0
+    T.events(s, dir)
+      .select($"event_type", $"user_id",
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("qv"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_all"),
+        sum($"qv").as("s_all"),
+        sum(when(inS, 1L).otherwise(0L)).as("n_s"),
+        sum(when(inS, $"qv").otherwise(0L)).as("s1"),
+        sum(when(inS, $"qv" * $"qv").otherwise(0L)).as("s2"))
+      .select($"event_type", $"n_all", $"n_s",
+        expr("CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)").as("mean_all_q"),
+        expr("CAST(s1 AS DOUBLE) / CAST(n_s AS DOUBLE)").as("mean_sample_q"),
+        expr(s"""ABS(CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+                | - CAST(s1 AS DOUBLE) / CAST(n_s AS DOUBLE))
+                | <= $EnvelopeSigmas
+                |    * SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_s AS DOUBLE))
+                |           / (CAST(n_s AS DOUBLE) - 1.0))
+                |    / SQRT(CAST(n_s AS DOUBLE))""".stripMargin)
+          .as("in_envelope"))
+      .orderBy($"event_type")
+  }
+
+  val q288Sql: String =
+    s"""WITH a AS (
+       |  SELECT event_type, COUNT(*) AS n_all, SUM(qv) AS s_all,
+       |    COUNT(*) FILTER (WHERE user_id % $SampleMod = 0) AS n_s,
+       |    COALESCE(SUM(qv) FILTER (WHERE user_id % $SampleMod = 0), 0) AS s1,
+       |    COALESCE(SUM(qv * qv) FILTER (WHERE user_id % $SampleMod = 0), 0) AS s2
+       |  FROM (SELECT event_type, user_id,
+       |          CAST(FLOOR(100 * value) AS BIGINT) AS qv FROM events)
+       |  GROUP BY event_type)
+       |SELECT event_type, CAST(n_all AS BIGINT) AS n_all,
+       |  CAST(n_s AS BIGINT) AS n_s,
+       |  CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE) AS mean_all_q,
+       |  CAST(s1 AS DOUBLE) / CAST(n_s AS DOUBLE) AS mean_sample_q,
+       |  ABS(CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+       |   - CAST(s1 AS DOUBLE) / CAST(n_s AS DOUBLE))
+       |   <= $EnvelopeSigmas
+       |      * SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_s AS DOUBLE))
+       |             / (CAST(n_s AS DOUBLE) - 1.0))
+       |      / SQRT(CAST(n_s AS DOUBLE)) AS in_envelope
+       |FROM a ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q228_grouped_ols" -> q228GroupedOls,
     "q229_welch_ttest" -> q229WelchTtest,
     "q230_chi2_independence" -> q230Chi2Independence,
     "q285_mann_whitney" -> q285MannWhitney,
+    "q288_sample_estimate" -> q288SampleEstimate,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -278,5 +351,6 @@ object StatInference {
     "q229_welch_ttest" -> q229Sql,
     "q230_chi2_independence" -> q230Sql,
     "q285_mann_whitney" -> q285Sql,
+    "q288_sample_estimate" -> q288Sql,
   )
 }
