@@ -338,12 +338,82 @@ object StatInference {
        |      / SQRT(CAST(n_s AS DOUBLE)) AS in_envelope
        |FROM a ORDER BY event_type""".stripMargin
 
+  /** q289 — SPEARMAN rank correlation per return flag (the rank-based
+    * complement of q89's Pearson: monotone association, outlier-
+    * immune): ρ = Pearson over the two variables' average ranks.
+    * Exactness via the q285 doubled-rank discipline — 2·r̄ = 2·rank +
+    * ties − 1 is an exact integer from one RANK and one tie-COUNT
+    * window per variable, so every moment Σ2rx, Σ2ry, Σ(2rx)², Σ(2rx·
+    * 2ry)… is an exact BIGINT (the factor 2 cancels in ρ), and the
+    * final ρ is one identically spelled double expression on both
+    * engines.
+    *
+    * Scale shape: two rank windows + two tie windows per group
+    * partition, then ONE partial-aggregated moment pass — no
+    * self-join, no sort beyond the windows' own. Int64 budget:
+    * Σ(2r̄)² ≈ 4n³/3 per group overflows past ~1.3e6 rows/group —
+    * beyond that, ranks quantize to approx-percentile buckets (the
+    * q90 convention) before the moment pass.
+    */
+  val q289Spearman: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = T.lineitem(s, dir)
+      .select($"l_returnflag",
+        expr("CAST(FLOOR(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(FLOOR(100 * l_discount) AS BIGINT)").as("y"))
+    def r2(c: String): org.apache.spark.sql.Column =
+      lit(2) * rank().over(
+        Window.partitionBy($"l_returnflag").orderBy(col(c))) +
+        count(lit(1)).over(
+          Window.partitionBy($"l_returnflag", col(c))) - 1
+    val ranked = base
+      .withColumn("rx", r2("x"))
+      .withColumn("ry", r2("y"))
+    ranked.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"rx").as("sx"), sum($"ry").as("sy"),
+        sum($"rx" * $"rx").as("sxx"), sum($"ry" * $"ry").as("syy"),
+        sum($"rx" * $"ry").as("sxy"))
+      .select($"l_returnflag", $"n",
+        expr("""(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               | / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               |        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))""".stripMargin)
+          .as("spearman_rho"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q289Sql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+      |    CAST(FLOOR(100 * l_discount) AS BIGINT) AS y
+      |  FROM lineitem),
+      |ranked AS (
+      |  SELECT l_returnflag,
+      |    2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
+      |      + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1 AS rx,
+      |    2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
+      |      + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1 AS ry
+      |  FROM base),
+      |m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(rx) AS sx, SUM(ry) AS sy,
+      |    SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+      |  FROM ranked GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |   / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS spearman_rho
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q228_grouped_ols" -> q228GroupedOls,
     "q229_welch_ttest" -> q229WelchTtest,
     "q230_chi2_independence" -> q230Chi2Independence,
     "q285_mann_whitney" -> q285MannWhitney,
     "q288_sample_estimate" -> q288SampleEstimate,
+    "q289_spearman" -> q289Spearman,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -352,5 +422,6 @@ object StatInference {
     "q230_chi2_independence" -> q230Sql,
     "q285_mann_whitney" -> q285Sql,
     "q288_sample_estimate" -> q288Sql,
+    "q289_spearman" -> q289Sql,
   )
 }
