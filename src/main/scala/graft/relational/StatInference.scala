@@ -407,6 +407,78 @@ object StatInference {
       |          * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS spearman_rho
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** q290 — two-sample KOLMOGOROV–SMIRNOV test per event type (the
+    * distribution-shape complement of q229's mean test and q285's rank
+    * test: D = sup|F_a − F_b| detects ANY distributional difference —
+    * spread, shape, tails — not just location): variants are the same
+    * deterministic `user_id % 2` split, and the statistic is the max
+    * absolute gap between the two empirical CDFs over the pooled
+    * cent-quantized support. Exactness: the gap at value v is
+    * |cum_a/n_a − cum_b/n_b| = |n_b·cum_a − n_a·cum_b| / (n_a·n_b), so
+    * the max runs over the exact BIGINT numerator (≤ n_a·n_b ≈ 10¹⁰ at
+    * sf0.1 — int64 headroom to ~3·10⁹ rows per side) and only the
+    * reported `ks_d` divides, one identically spelled double op.
+    *
+    * Scale shape: one partial-aggregated groupBy collapses the stream
+    * to its DISTINCT (type, value) support before any window touches
+    * it; the cumulative and total sums are two frames over ONE
+    * (type)-partitioned window ordering — no self-join, no per-row
+    * CDF probe. Evaluating only at observed support points is exact:
+    * the CDF gap is constant between jumps, so the sup is attained at
+    * a jump.
+    */
+  val q290KsTest: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pooled = T.events(s, dir)
+      .select($"event_type", ($"user_id" % 2 === 0).as("is_a"),
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("qv"))
+    val support = pooled.groupBy($"event_type", $"qv")
+      .agg(sum(when($"is_a", 1L).otherwise(0L)).as("ca"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"qv")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy($"event_type")
+    support
+      .withColumn("cua", sum($"ca").over(wCum))
+      .withColumn("cub", sum($"cb").over(wCum))
+      .withColumn("na", sum($"ca").over(wAll))
+      .withColumn("nb", sum($"cb").over(wAll))
+      .groupBy($"event_type")
+      .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+        max(abs($"nb" * $"cua" - $"na" * $"cub")).as("d_num"))
+      .select($"event_type", $"n_a", $"n_b", $"d_num",
+        expr("CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))")
+          .as("ks_d"))
+      .orderBy($"event_type")
+  }
+
+  val q290Sql: String =
+    """WITH pooled AS (
+      |  SELECT event_type, user_id % 2 = 0 AS is_a,
+      |    CAST(FLOOR(100 * value) AS BIGINT) AS qv
+      |  FROM events),
+      |support AS (
+      |  SELECT event_type, qv,
+      |    CAST(COALESCE(SUM(CASE WHEN is_a THEN 1 ELSE 0 END), 0) AS BIGINT) AS ca,
+      |    CAST(COALESCE(SUM(CASE WHEN is_a THEN 0 ELSE 1 END), 0) AS BIGINT) AS cb
+      |  FROM pooled GROUP BY event_type, qv),
+      |cum AS (
+      |  SELECT event_type,
+      |    SUM(ca) OVER (PARTITION BY event_type ORDER BY qv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cua,
+      |    SUM(cb) OVER (PARTITION BY event_type ORDER BY qv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cub,
+      |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+      |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+      |  FROM support)
+      |SELECT event_type,
+      |  CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+      |  CAST(MAX(ABS(nb * cua - na * cub)) AS BIGINT) AS d_num,
+      |  CAST(MAX(ABS(nb * cua - na * cub)) AS DOUBLE)
+      |    / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) AS ks_d
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q228_grouped_ols" -> q228GroupedOls,
     "q229_welch_ttest" -> q229WelchTtest,
@@ -414,6 +486,7 @@ object StatInference {
     "q285_mann_whitney" -> q285MannWhitney,
     "q288_sample_estimate" -> q288SampleEstimate,
     "q289_spearman" -> q289Spearman,
+    "q290_ks_test" -> q290KsTest,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -423,5 +496,6 @@ object StatInference {
     "q285_mann_whitney" -> q285Sql,
     "q288_sample_estimate" -> q288Sql,
     "q289_spearman" -> q289Sql,
+    "q290_ks_test" -> q290Sql,
   )
 }

@@ -643,7 +643,155 @@ object TimeSeriesQueries {
        |  CAST(SUM(ien - ist) AS BIGINT) AS covered_us
        |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q291 ACF maximum lag (days). */
+  val AcfMaxLag = 7
+
+  /** q291 — AUTOCORRELATION function of each event type's daily-volume
+    * series at lags 1..[[AcfMaxLag]] — the seasonality/persistence
+    * readout (a weekly cycle shows as a lag-7 spike) that complements
+    * q199's EWMA smoothing and q275's trend: r_k says whether the
+    * series REPEATS, not where it is heading. Standard estimator
+    * (global mean and global variance in the denominator, the
+    * statsmodels/Box–Jenkins convention):
+    *   r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ_t(x_t−x̄)²
+    * expanded to exact cent-BIGINT sufficient statistics — P_k =
+    * Σx_t·x_{t−k}, A_k/B_k the two one-sided partial sums, n, S, Sxx —
+    * so the numerator is P_k − x̄(A_k+B_k) + (n−k)x̄² and everything
+    * before the final division is order-free integer arithmetic; the
+    * finish is one identically spelled double expression per engine.
+    *
+    * Scale shape: the raw stream collapses to the (type, day) daily
+    * frame in ONE partial-aggregated groupBy (the only pass over the
+    * data); the frame is bounded by types × days, so the 7-lag
+    * self-join and the moment aggregation run over thousands of rows
+    * regardless of corpus size — the q261 "user-level rows never enter
+    * a window" discipline applied to lags.
+    */
+  val q291Acf: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(sum(expr("CAST(FLOOR(100 * value) AS BIGINT)")).as("x"))
+    val wd = Window.partitionBy($"event_type").orderBy($"day")
+    val idx = daily
+      .withColumn("t", row_number().over(wd))
+      .select($"event_type", $"t", $"x")
+      .localCheckpoint() // tiny (types × days); three consumers below
+    val glob = idx.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+    val lags = s.range(1, AcfMaxLag + 1).select($"id".as("k"))
+    val pairs = idx.as("a")
+      .crossJoin(broadcast(lags))
+      .join(idx.as("b"),
+        $"a.event_type" === $"b.event_type" && $"b.t" === $"a.t" - $"k")
+      .groupBy($"a.event_type".as("event_type"), $"k")
+      .agg(count(lit(1)).as("m"),
+        sum($"a.x" * $"b.x").as("pk"),
+        sum($"a.x").as("sb"), sum($"b.x").as("sa"))
+    pairs.join(glob, "event_type")
+      .select($"event_type", $"k", $"n", $"m",
+        expr("""(CAST(pk AS DOUBLE)
+               | - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+               | + CAST(m AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+               | / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))""".stripMargin)
+          .as("acf"))
+      .orderBy($"event_type", $"k")
+  }
+
+  val q291Sql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |    CAST(SUM(CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY event_type, day),
+       |idx AS (
+       |  SELECT event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t, x
+       |  FROM daily),
+       |gm AS (
+       |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+       |  FROM idx GROUP BY event_type),
+       |pairs AS (
+       |  SELECT a.event_type, k, COUNT(*) AS m,
+       |    SUM(a.x * b.x) AS pk, SUM(a.x) AS sb, SUM(b.x) AS sa
+       |  FROM idx a
+       |  CROSS JOIN (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS k) lags
+       |  JOIN idx b ON b.event_type = a.event_type AND b.t = a.t - k
+       |  GROUP BY a.event_type, k)
+       |SELECT p.event_type, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       |  CAST(m AS BIGINT) AS m,
+       |  (CAST(pk AS DOUBLE)
+       |   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+       |   + CAST(m AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+       |   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS acf
+       |FROM pairs p JOIN gm g ON p.event_type = g.event_type
+       |ORDER BY p.event_type, k""".stripMargin
+
+  /** q292 — CUSUM CHANGEPOINT detection per event type: the day where
+    * the cumulative deviation from the series' global mean peaks — the
+    * standard single-changepoint estimator for a level shift (Page
+    * 1954's CUSUM reduced to its offline argmax form), and the
+    * monitoring question q149's z-score row does NOT answer (a z-score
+    * flags single outliers; CUSUM accumulates small persistent shifts
+    * until they are unmissable). Exactness: the mean-centered partial
+    * sum is scaled by n — G_t = n·Σ_{i≤t}x_i − t·Σx — so every
+    * compared magnitude is an exact BIGINT (cents ≤ 6·10¹⁰ × n ≈ 365
+    * ≈ 2·10¹³, int64 headroom ~400×) and the argmax (ties → earliest
+    * day, pinned by the sort) is deterministic cross-engine; no float
+    * enters the query at all.
+    *
+    * Scale shape: same single daily-collapse pass as q291, then one
+    * cumulative window + one whole-partition window over the bounded
+    * (type, day) frame and a row_number argmax — no self-join, no
+    * iteration, output one row per type.
+    */
+  val q292Cusum: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(sum(expr("CAST(FLOOR(100 * value) AS BIGINT)")).as("x"))
+    val wd = Window.partitionBy($"event_type").orderBy($"day")
+    val wCum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy($"event_type")
+    val g = daily
+      .withColumn("t", row_number().over(wd))
+      .withColumn("cs", sum($"x").over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum($"x").over(wAll))
+      .withColumn("g", $"n" * $"cs" - $"t" * $"sx")
+    g.withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy(abs($"g").desc, $"day".asc)))
+      .filter($"rn" === 1)
+      .select($"event_type", $"n".as("n_days"),
+        $"day".cast("date").as("cp_day"), abs($"g").as("g_abs"))
+      .orderBy($"event_type")
+  }
+
+  val q292Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(SUM(CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY event_type, day),
+      |g AS (
+      |  SELECT event_type, day,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+      |    SUM(x) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    SUM(x) OVER (PARTITION BY event_type) AS sx
+      |  FROM daily),
+      |scored AS (
+      |  SELECT event_type, day, n, ABS(n * cs - t * sx) AS g_abs,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ABS(n * cs - t * sx) DESC, day ASC) AS rn
+      |  FROM g)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  CAST(day AS DATE) AS cp_day, CAST(g_abs AS BIGINT) AS g_abs
+      |FROM scored WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q291_acf" -> q291Acf,
+    "q292_cusum" -> q292Cusum,
     "q286_interval_merge" -> q286IntervalMerge,
     "q275_theil_sen" -> q275TheilSen,
     "q261_cumulative_uniques" -> q261CumulativeUniques,
@@ -657,6 +805,8 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q291_acf" -> q291Sql,
+    "q292_cusum" -> q292Sql,
     "q286_interval_merge" -> q286Sql,
     "q275_theil_sen" -> q275Sql,
     "q261_cumulative_uniques" -> q261Sql,
