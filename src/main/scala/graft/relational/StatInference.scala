@@ -479,6 +479,84 @@ object StatInference {
       |    / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) AS ks_d
       |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q293 censoring horizon: a user whose LAST event falls within this
+    * many days of the corpus end is censored (still active — their
+    * true lifetime is only known to EXCEED the observed span), not
+    * churned. 14 days ≈ 2 observation cycles of the weekly activity
+    * the fixture carries.
+    */
+  val KmCensorDays = 14
+
+  /** q293 — KAPLAN–MEIER survival risk table over user lifetimes: the
+    * right-censoring-aware lifetime readout (retention teams' survival
+    * curve) that a naive "average user lifespan" gets WRONG — users
+    * still active at corpus end have unfinished lifetimes, and
+    * dropping OR counting them as churned both bias the estimate; KM
+    * is the standard fix (Kaplan & Meier 1958). Lifetime = days from
+    * first to last event; users whose last event is within
+    * [[KmCensorDays]] of the corpus end are censored. The row per
+    * distinct lifetime d is the estimator's complete sufficient
+    * statistics — (n_risk, n_event, n_censor): S(t) = Π_{d≤t, event}
+    * (1 − n_event/n_risk) is a trivial running product over them. The
+    * product itself is deliberately NOT a column: Spark has no exact
+    * product aggregate, and an exp(Σln) spelling is the one
+    * order-sensitive float reduction the repo's cross-engine
+    * discipline exists to avoid — integers ARE the estimator.
+    *
+    * Scale shape: the stream collapses to per-user (first, last) in
+    * ONE partial-aggregated groupBy; everything after runs on the
+    * lifetime support (≤ observed-span days rows — bounded by the
+    * calendar, not the corpus), so the single global-partition window
+    * is a constant-size frame at any scale (the q261 discipline).
+    */
+  val q293KaplanMeier: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val spans = T.events(s, dir)
+      .groupBy($"user_id")
+      .agg(min($"ts".cast("date")).as("d0"), max($"ts".cast("date")).as("d1"))
+    val horizon = spans.agg(max($"d1").as("dmax")) // 1-row frame
+    val lifetimes = spans.crossJoin(horizon)
+      .select(datediff($"d1", $"d0").cast("long").as("dur"),
+        (datediff($"dmax", $"d1") < KmCensorDays).as("censored"))
+    val byDur = lifetimes.groupBy($"dur")
+      .agg(sum(when(!$"censored", 1L).otherwise(0L)).as("n_event"),
+        sum(when($"censored", 1L).otherwise(0L)).as("n_censor"))
+    val wPrev = Window.orderBy($"dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    byDur
+      .withColumn("gone_before",
+        coalesce(sum($"n_event" + $"n_censor").over(wPrev), lit(0L)))
+      .withColumn("n_total", sum($"n_event" + $"n_censor").over(wAll))
+      .select($"dur", ($"n_total" - $"gone_before").as("n_risk"),
+        $"n_event", $"n_censor")
+      .orderBy($"dur")
+  }
+
+  val q293Sql: String =
+    s"""WITH spans AS (
+       |  SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+       |    CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS d1
+       |  FROM events GROUP BY user_id),
+       |h AS (SELECT MAX(d1) AS dmax FROM spans),
+       |lifetimes AS (
+       |  SELECT CAST(d1 - d0 AS BIGINT) AS dur,
+       |    (dmax - d1) < $KmCensorDays AS censored
+       |  FROM spans CROSS JOIN h),
+       |by_dur AS (
+       |  SELECT dur,
+       |    CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_event,
+       |    CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censor
+       |  FROM lifetimes GROUP BY dur)
+       |SELECT dur,
+       |  CAST(SUM(n_event + n_censor) OVER ()
+       |    - COALESCE(SUM(n_event + n_censor) OVER (ORDER BY dur
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS n_risk,
+       |  n_event, n_censor
+       |FROM by_dur ORDER BY dur""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q228_grouped_ols" -> q228GroupedOls,
     "q229_welch_ttest" -> q229WelchTtest,
@@ -487,6 +565,7 @@ object StatInference {
     "q288_sample_estimate" -> q288SampleEstimate,
     "q289_spearman" -> q289Spearman,
     "q290_ks_test" -> q290KsTest,
+    "q293_kaplan_meier" -> q293KaplanMeier,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -497,5 +576,6 @@ object StatInference {
     "q288_sample_estimate" -> q288Sql,
     "q289_spearman" -> q289Sql,
     "q290_ks_test" -> q290Sql,
+    "q293_kaplan_meier" -> q293Sql,
   )
 }
