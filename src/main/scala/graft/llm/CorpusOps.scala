@@ -495,7 +495,95 @@ object CorpusOps {
        |  CAST(COUNT(*) AS BIGINT) AS n_union
        |FROM sides""".stripMargin
 
+  /** q303 token length floor / edge document-support floor / report
+    * size — the TextRank noise gates (short function words out, one-off
+    * adjacencies out).
+    */
+  val TrMinLen = 3
+  val TrSupportMin = 3
+  val TrTopK = 25
+
+  /** q303 — corpus KEYWORD EXTRACTION via TextRank (Mihalcea & Tarau
+    * EMNLP'04): PageRank over the word-adjacency graph — words are
+    * nodes, consecutive candidate tokens (length ≥ [[TrMinLen]],
+    * re-sequenced after the filter) are undirected edges, edges kept
+    * when they appear in ≥ [[TrSupportMin]] documents; importance =
+    * [[graft.operators.PageRank.ranks]]' fixed-point damped power
+    * iteration, so the whole pipeline inherits q138's bit-identical
+    * integer-arithmetic discipline (no float damping anywhere). The
+    * graph-centrality complement of q252's PMI collocations: PMI finds
+    * ASSOCIATED pairs, TextRank finds CENTRAL words — hubs of the
+    * adjacency structure, the classic unsupervised keyword signal.
+    *
+    * Scale shape: one posexplode + one keyed lead window builds
+    * adjacencies (no self-join of the token stream); per-doc DISTINCT
+    * + support floor collapse the pair stream before the (bounded,
+    * vocabulary-sized) graph reaches the iterative ranks — where each
+    * iteration is one equi-join + one partial agg (q138's shape).
+    */
+  val q303TextrankKeywords: Q = (s, dir) => {
+    import s.implicits._
+    val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val tok = T.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .filter(length($"w") >= TrMinLen)
+    val pairs = tok
+      .withColumn("w2", lead($"w", 1).over(wd))
+      .filter($"w2".isNotNull && $"w" =!= $"w2")
+      .select($"doc_id", least($"w", $"w2").as("u"),
+        greatest($"w", $"w2").as("v"))
+      .distinct()
+    val edges = pairs.groupBy($"u", $"v")
+      .agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= TrSupportMin)
+      .select($"u", $"v")
+    graft.operators.PageRank.ranks(edges)
+      .select($"u".as("word"), $"r".as("pr"))
+      .orderBy($"pr".desc, $"word".asc)
+      .limit(TrTopK)
+  }
+
+  val q303Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, i, toks[i] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+       |       unnest(range(1, len(toks) + 1)) AS t(i)
+       |  WHERE len(toks[i]) >= $TrMinLen),
+       |seq AS (
+       |  SELECT doc_id, w,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+       |  FROM tok),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id, LEAST(a.w, b.w) AS u, GREATEST(a.w, b.w) AS v
+       |  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+       |  WHERE a.w <> b.w),
+       |ed0 AS MATERIALIZED (
+       |  SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= $TrSupportMin),
+       |ed AS MATERIALIZED (
+       |  SELECT u, v FROM ed0 UNION ALL SELECT v AS u, u AS v FROM ed0),
+       |deg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM ed GROUP BY u),
+       |r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |s1 AS (SELECT ed.v AS u, CAST(SUM(r0.r // deg.d) AS BIGINT) AS sc
+       |       FROM ed JOIN r0 ON ed.u = r0.u JOIN deg ON ed.u = deg.u GROUP BY ed.v),
+       |r1 AS (SELECT deg.u,
+       |         CAST(150000 + (850000 * COALESCE(s1.sc, 0)) // 1000000 AS BIGINT) AS r
+       |       FROM deg LEFT JOIN s1 ON deg.u = s1.u),
+       |s2 AS (SELECT ed.v AS u, CAST(SUM(r1.r // deg.d) AS BIGINT) AS sc
+       |       FROM ed JOIN r1 ON ed.u = r1.u JOIN deg ON ed.u = deg.u GROUP BY ed.v),
+       |r2 AS (SELECT deg.u,
+       |         CAST(150000 + (850000 * COALESCE(s2.sc, 0)) // 1000000 AS BIGINT) AS r
+       |       FROM deg LEFT JOIN s2 ON deg.u = s2.u),
+       |s3 AS (SELECT ed.v AS u, CAST(SUM(r2.r // deg.d) AS BIGINT) AS sc
+       |       FROM ed JOIN r2 ON ed.u = r2.u JOIN deg ON ed.u = deg.u GROUP BY ed.v),
+       |r3 AS (SELECT deg.u,
+       |         CAST(150000 + (850000 * COALESCE(s3.sc, 0)) // 1000000 AS BIGINT) AS r
+       |       FROM deg LEFT JOIN s3 ON deg.u = s3.u)
+       |SELECT u AS word, r AS pr FROM r3
+       |ORDER BY pr DESC, word ASC
+       |LIMIT $TrTopK""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q303_textrank_keywords" -> q303TextrankKeywords,
     "q278_vocab_drift" -> q278VocabDrift,
     "q252_pmi_collocations" -> q252PmiCollocations,
     "q238_segment_dedup" -> q238SegmentDedup,
@@ -508,6 +596,7 @@ object CorpusOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q303_textrank_keywords" -> q303Sql,
     "q278_vocab_drift" -> q278Sql,
     "q252_pmi_collocations" -> q252Sql,
     "q238_segment_dedup" -> q238Sql,

@@ -557,6 +557,80 @@ object StatInference {
        |  n_event, n_censor
        |FROM by_dur ORDER BY dur""".stripMargin
 
+  /** q302 replicate count. */
+  val BootReps = 32
+
+  /** q302 Poisson(1) inverse-CDF thresholds at 16-bit resolution:
+    * floor(65536 · P(X ≤ k)) for k = 0..4; u16 ≥ the last threshold
+    * caps the draw at 5 (P ≈ 0.04%, bias far below the estimator's
+    * own noise). Integer compares only — no float RNG anywhere.
+    */
+  val BootThresholds: Seq[Long] = Seq(24109L, 48218L, 60273L, 64291L, 65296L)
+
+  /** q302 — POISSON BOOTSTRAP uncertainty for the mean (Chamandy et
+    * al., "Estimating Uncertainty for Massive Data Streams", Google
+    * 2012): the at-scale bootstrap — classical resampling needs n
+    * draws WITH replacement per replicate (a global operation), the
+    * Poisson trick gives each row an independent Poisson(1) weight
+    * per replicate, turning the whole bootstrap into one stateless
+    * scan that shards perfectly. [[BootReps]] replicate means of the
+    * order totalprice; the spread across replicates IS the sampling
+    * distribution of the mean. Determinism: weights come from 16-bit
+    * md5(replicate:key) uniforms inverted through integer CDF
+    * thresholds ([[BootThresholds]]) — both engines draw the SAME
+    * weights, so the replicate means hash-compare exactly (sums are
+    * exact cent-BIGINTs; each mean is one double division).
+    *
+    * Scale shape: one narrow ×[[BootReps]] row expansion (generated
+    * next to the data — a broadcast of a 32-row frame, never a
+    * shuffle) partial-aggregated straight down to 32 rows. No state,
+    * no second pass; at 100 TB this is the only bootstrap that works.
+    */
+  val q302PoissonBootstrap: Q = (s, dir) => {
+    import s.implicits._
+    val reps = s.range(1, BootReps + 1).select($"id".cast("int").as("b"))
+    val t = BootThresholds
+    T.orders(s, dir)
+      .select($"o_orderkey",
+        expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)").as("y"))
+      .crossJoin(broadcast(reps))
+      .select($"b", $"y",
+        conv(substring(md5(concat($"b".cast("string"), lit(":"),
+          $"o_orderkey".cast("string"))), 1, 4), 16, 10)
+          .cast("long").as("u"))
+      .select($"b", $"y",
+        when($"u" < t(0), 0L).when($"u" < t(1), 1L).when($"u" < t(2), 2L)
+          .when($"u" < t(3), 3L).when($"u" < t(4), 4L).otherwise(5L)
+          .as("w"))
+      .groupBy($"b")
+      .agg(sum($"w").as("n_eff"), sum($"w" * $"y").as("sw"))
+      .select($"b", $"n_eff",
+        expr("CAST(sw AS DOUBLE) / CAST(n_eff AS DOUBLE)").as("mean_cents"))
+      .orderBy($"b")
+  }
+
+  val q302Sql: String = {
+    val t = BootThresholds
+    s"""WITH reps AS (SELECT unnest(range(1, ${BootReps + 1})) AS b),
+       |expanded AS (
+       |  SELECT b,
+       |    CAST(FLOOR(100 * o_totalprice) AS BIGINT) AS y,
+       |    CAST('0x' || substring(
+       |      md5(CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)),
+       |      1, 4) AS BIGINT) AS u
+       |  FROM orders CROSS JOIN reps),
+       |weighted AS (
+       |  SELECT b, y,
+       |    CASE WHEN u < ${t(0)} THEN 0 WHEN u < ${t(1)} THEN 1
+       |         WHEN u < ${t(2)} THEN 2 WHEN u < ${t(3)} THEN 3
+       |         WHEN u < ${t(4)} THEN 4 ELSE 5 END AS w
+       |  FROM expanded)
+       |SELECT CAST(b AS INTEGER) AS b,
+       |  CAST(SUM(w) AS BIGINT) AS n_eff,
+       |  CAST(SUM(w * y) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_cents
+       |FROM weighted GROUP BY b ORDER BY b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q228_grouped_ols" -> q228GroupedOls,
     "q229_welch_ttest" -> q229WelchTtest,
@@ -566,6 +640,7 @@ object StatInference {
     "q289_spearman" -> q289Spearman,
     "q290_ks_test" -> q290KsTest,
     "q293_kaplan_meier" -> q293KaplanMeier,
+    "q302_poisson_bootstrap" -> q302PoissonBootstrap,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -577,5 +652,6 @@ object StatInference {
     "q289_spearman" -> q289Sql,
     "q290_ks_test" -> q290Sql,
     "q293_kaplan_meier" -> q293Sql,
+    "q302_poisson_bootstrap" -> q302Sql,
   )
 }
