@@ -323,7 +323,68 @@ object JourneyQueries {
        |ORDER BY support DESC, seq
        |LIMIT $SeqPatternTake""".stripMargin
 
+  /** q305 — MARKOV NEXT-EVENT baseline + in-engine accuracy eval: fit
+    * the first-order transition argmax (per current event type, the
+    * most frequent next type — q150's matrix reduced to a predictor)
+    * and score it against the SAME transitions — the
+    * train-predict-evaluate loop of a baseline model run entirely as
+    * one declarative pipeline, and the yardstick every sequence model
+    * must beat. All integers: transition counts, argmax ties to the
+    * alphabetically first type (pinned by the sort), accuracy as the
+    * exact (n_correct, n_total) pair, no float anywhere.
+    *
+    * Scale shape: transitions come from ONE keyed lead window (no
+    * self-join of the stream); the model is a |types|² aggregate whose
+    * argmax runs on that tiny frame; scoring re-joins the model to
+    * the transition frame by the |types|-key BROADCAST.
+    */
+  val q305MarkovBaseline: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = T.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("cur"))
+      .withColumn("nxt", lead($"cur", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .select($"cur", $"nxt")
+      .localCheckpoint() // consumed by both the fit and the eval
+    val wArg = Window.partitionBy($"cur").orderBy($"n".desc, $"nxt".asc)
+    val model = trans.groupBy($"cur", $"nxt")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(wArg))
+      .filter($"rk" === 1)
+      .select($"cur", $"nxt".as("pred_next"))
+    trans.join(broadcast(model), "cur")
+      .groupBy($"cur")
+      .agg(max($"pred_next").as("pred_next"), // constant per cur
+        count(lit(1)).as("n_total"),
+        sum(when($"nxt" === $"pred_next", 1L).otherwise(0L)).as("n_correct"))
+      .orderBy($"cur")
+  }
+
+  val q305Sql: String =
+    """WITH trans AS (
+      |  SELECT cur, nxt FROM (
+      |    SELECT event_type AS cur,
+      |      LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+      |    FROM events)
+      |  WHERE nxt IS NOT NULL),
+      |model AS (
+      |  SELECT cur, nxt AS pred_next FROM (
+      |    SELECT cur, nxt, COUNT(*) AS n,
+      |      ROW_NUMBER() OVER (PARTITION BY cur
+      |        ORDER BY COUNT(*) DESC, nxt ASC) AS rk
+      |    FROM trans GROUP BY cur, nxt)
+      |  WHERE rk = 1)
+      |SELECT cur, MAX(pred_next) AS pred_next,
+      |  CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN nxt = pred_next THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct
+      |FROM trans JOIN model USING (cur)
+      |GROUP BY cur ORDER BY cur""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q305_markov_baseline" -> q305MarkovBaseline,
     "q225_multi_touch" -> q225MultiTouch,
     "q226_session_paths" -> q226SessionPaths,
     "q270_path_patterns" -> q270PathPatterns,
@@ -331,6 +392,7 @@ object JourneyQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q305_markov_baseline" -> q305Sql,
     "q225_multi_touch" -> q225Sql,
     "q226_session_paths" -> q226Sql,
     "q270_path_patterns" -> q270Sql,
