@@ -147,6 +147,12 @@ object GraftFunctions {
         arity("rbm_or_count", args, 2)
         BitmapOrCount(args(0), args(1))
       }),
+    (FunctionIdentifier("reservoir_sample"),
+      new ExpressionInfo(classOf[ReservoirSample].getName, "reservoir_sample"),
+      (args: Seq[Expression]) => {
+        arity("reservoir_sample", args, 2)
+        ReservoirSample(args.head, intArg(args(1), "reservoir_sample", 1))
+      }),
     (FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
       (args: Seq[Expression]) => {

@@ -240,7 +240,49 @@ object SketchAggregates {
       |  (SELECT COUNT(*) FROM v JOIN b USING (user_id)) AS n_both,
       |  TRUE AS ok""".stripMargin
 
+  /** q306 sample size per group. */
+  val RsK = 5
+
+  /** q306 — the native one-pass grouped k-sample aggregate
+    * ([[graft.functions.ReservoirSample]], SQL `reservoir_sample`)
+    * under the FULL hash gate — not an (n, ok) convention row: the
+    * sample is a pure function of each group's id set (bottom-k by
+    * md5 priority — order-, partitioning-, and merge-tree-independent
+    * by the semilattice property), so DuckDB recomputes the exact
+    * same ids with a ROW_NUMBER over the same md5 order. The q116
+    * window spelling sorts every group's rows; this ships k ids per
+    * group through an ObjectHashAggregate with full partial
+    * aggregation — the one-pass form a 100 TB table needs.
+    */
+  val q306ReservoirSample: Q = (s, dir) => {
+    GraftFunctions.register(s)
+    import s.implicits._
+    T.orders(s, dir)
+      .join(T.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"), $"o_orderkey")
+      .groupBy($"segment")
+      .agg(expr(s"reservoir_sample(o_orderkey, $RsK)").as("ids"))
+      .select($"segment", posexplode($"ids").as(Seq("pos0", "o_orderkey")))
+      .select($"segment", ($"pos0" + 1).cast("long").as("pos"), $"o_orderkey")
+      .orderBy($"segment", $"pos")
+  }
+
+  val q306Sql: String =
+    s"""WITH oc AS (
+       |  SELECT c_mktsegment AS segment, o_orderkey
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |ranked AS (
+       |  SELECT segment, o_orderkey,
+       |    ROW_NUMBER() OVER (PARTITION BY segment
+       |      ORDER BY substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15),
+       |        o_orderkey) AS pos
+       |  FROM oc)
+       |SELECT segment, CAST(pos AS BIGINT) AS pos, o_orderkey
+       |FROM ranked WHERE pos <= $RsK
+       |ORDER BY segment, pos""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q306_reservoir_sample" -> q306ReservoirSample,
     "q257_theta_intersection" -> q257ThetaIntersection,
     "q215_mg_topk_gate" -> q215MgTopkGate,
     "q220_kll_gate" -> q220KllGate,
@@ -248,6 +290,7 @@ object SketchAggregates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q306_reservoir_sample" -> q306Sql,
     "q257_theta_intersection" -> q257Sql,
     "q215_mg_topk_gate" -> q215Sql,
     "q220_kll_gate" -> q220Sql,
