@@ -91,7 +91,7 @@ class GraftFunctionsSpec extends SparkSpec {
     val names = GraftFunctions.descriptions.map(_._1.funcName).toSet
     assert(names == Set("simhash64", "dot_f32", "dot_q20", "srp_bucket",
       "jaro_winkler", "mg_topk", "kll_quantiles", "cms_estimate",
-      "hilbert_xy2d", "nfc_normalize",
+      "hilbert_xy2d", "nfc_normalize", "reservoir_sample",
       "theta_sketch", "theta_estimate", "theta_intersect_est",
       "count_values",
       "rbm_agg", "rbm_or_agg", "rbm_count", "rbm_and_count",
