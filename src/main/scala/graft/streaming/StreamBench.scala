@@ -502,7 +502,49 @@ object StreamBench {
       .toDF("n_in", "n_distinct")
   }
 
+  /** qs13 — streaming deterministic k-sample via bottom-k state
+    * ([[ReservoirStream]]): the sample leg of the sketch-state family;
+    * timing tracks the constant-k state read/fold/write per shard per
+    * batch, and the post-stream merge must equal the batch bottom-k
+    * EXACTLY (asserted id-for-id — the semilattice makes the gate
+    * exact where the sketch legs can only bound).
+    */
+  val qs13ReservoirStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val stream = MemoryStream[Event]
+    val name = s"bench_rsv_${runId.incrementAndGet()}"
+    val q = ReservoirStream.reservoirShards(stream.toDS())
+      .toDF("shard", "sample")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-rsv-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val all = s.table(name).select($"shard", $"sample")
+      .as[(Long, Array[Byte])].collect()
+    s.catalog.dropTempView(name)
+    // every emission holds true observed (priority, id) pairs, and
+    // bottom-k over the union of bottom-ks IS the global bottom-k
+    // (semilattice) — so merging ALL emissions needs no latest-state
+    // bookkeeping and is exactly right
+    val streamed = ReservoirStream.merge(all.map(_._2))
+    val batch = rows.map(_.event_id).distinct
+      .sortBy(id => (graft.functions.ReservoirSample.priority(id), id))
+      .take(ReservoirStream.K)
+    require(streamed == batch,
+      s"streamed sample != batch bottom-k (${streamed.size}/${batch.size})")
+    Seq((rows.size.toLong, streamed.size.toLong)).toDF("n_in", "k")
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "qs13_reservoir_stream" -> qs13ReservoirStream,
     "qs01_bloom_dedup_stream" -> qs01BloomDedupStream,
     "qs02_cdc_apply_stream" -> qs02CdcApplyStream,
     "qs03_cms_stream" -> qs03CmsStream,
