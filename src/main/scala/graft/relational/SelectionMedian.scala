@@ -83,8 +83,69 @@ object SelectionMedian {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q310 percentile set (per-mille, so ranks stay integer):
+    * p50/p95/p99 — the SLA-report triple.
+    */
+  val Pcts: Seq[Int] = Seq(500, 950, 990)
+
+  /** q310 — exact grouped MULTI-PERCENTILE by the same two-pass
+    * selection, ONE histogram serving every percentile: the SLA
+    * latency report (p50/p95/p99 per event type) computed exactly
+    * where `approx_percentile` (q84) trades error for memory — the
+    * selection recipe needs neither the error nor the full sort. Rank
+    * convention: k_p = ⌈p·n/1000⌉ (percentile_disc), all integer.
+    * Pass 2 explodes the THREE target ranks against the one cumulative
+    * bucket frame; pass 3 touches only the ≤3 located buckets per
+    * group.
+    *
+    * Scale shape: identical to q307 — the histogram pass is shared
+    * across all percentiles (the whole point: P percentiles cost ONE
+    * data pass + P bucket probes, not P sorts).
+    */
+  val q310SelectionPercentiles: Q = (s, dir) => {
+    import s.implicits._
+    val base = T.events(s, dir)
+      .select($"event_type".as("g"),
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("x"))
+      .localCheckpoint()
+    val hist = base
+      .withColumn("b", expr(s"x div $BucketCents"))
+      .groupBy($"g", $"b").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"g").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy($"g")
+    val cum = hist
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(wAll))
+    val pcts = s.createDataset(Pcts.map(_.toLong)).toDF("p")
+    val located = cum.crossJoin(broadcast(pcts))
+      .withColumn("k", expr("(p * n + 999) div 1000")) // ceil(p*n/1000)
+      .filter($"cum" >= $"k" && $"cum" - $"c" < $"k")
+      .select($"g".as("lg"), $"p", $"b".as("tb"), $"n",
+        ($"k" - ($"cum" - $"c")).as("off"))
+    val wIn = Window.partitionBy($"g", $"p").orderBy($"x")
+    base
+      .withColumn("b", expr(s"x div $BucketCents"))
+      .join(broadcast(located), $"b" === $"tb" && $"g" === $"lg")
+      .withColumn("rn", row_number().over(wIn))
+      .filter($"rn" === $"off")
+      .select($"g".as("event_type"), $"p", $"n", $"x".as("value_cents"))
+      .orderBy($"event_type", $"p")
+  }
+
+  val q310Sql: String = Pcts.map { p =>
+    s"""SELECT event_type, CAST($p AS BIGINT) AS p,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(percentile_disc(${p / 1000.0}) WITHIN GROUP (
+       |    ORDER BY CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT)
+       |    AS value_cents
+       |FROM events GROUP BY event_type""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY event_type, p")
+
   val queries: Map[String, Q] = Map(
-    "q307_selection_median" -> q307SelectionMedian)
+    "q307_selection_median" -> q307SelectionMedian,
+    "q310_selection_percentiles" -> q310SelectionPercentiles)
   val oracleSql: Map[String, String] = Map(
-    "q307_selection_median" -> q307Sql)
+    "q307_selection_median" -> q307Sql,
+    "q310_selection_percentiles" -> q310Sql)
 }
