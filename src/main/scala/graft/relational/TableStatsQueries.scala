@@ -435,6 +435,122 @@ object TableStatsQueries {
 
   val q183Sql: String = CboJoinSql.replace("cbo_", "")
 
+  /** q312 report size and edge support floor. */
+  val RhTopK = 10
+  val RhSupportMin = 2
+
+  /** q312 — RECOMMENDER EVALUATION by leave-last-out holdout: hold
+    * out each customer's LAST purchased part (by ship order), train
+    * the item-item co-occurrence model on everything else, and
+    * measure hit-rate@[[RhTopK]] — whether the held-out item appears
+    * in the customer's top-k recommendations. The eval harness every
+    * recsys pipeline runs (q236 builds neighbor lists; this row says
+    * whether they PREDICT), completing the train/predict/evaluate
+    * trio next to q250 (classifier) and q305 (sequence baseline).
+    *
+    * Proper protocol: the model NEVER sees a customer's held-out
+    * part — co-occurrence counts come from the train split only, so
+    * the hit rate is out-of-sample. Scoring is the integer CO-COUNT
+    * variant of item-based CF (score(cand) = Σ_{i ∈ train(u)}
+    * co(i, cand)) — deliberately not the cosine sum, whose
+    * float-accumulation order the cross-engine discipline forbids in
+    * a hashed column; ranks tie to the smaller part key. Customer
+    * baskets (not order baskets — q134/q236's unit) so a user's whole
+    * history recommends.
+    *
+    * Scale shape: the holdout is one keyed window argmax; train pairs
+    * form per customer (bounded by per-customer distinct parts, the
+    * q284 discipline); scoring is one equi-join of the customer's
+    * train items against the undirected model + one partial-agg SUM;
+    * the verdict is a |customers|-row frame collapsed to one.
+    */
+  val q312RecsysHoldout: Q = (s, dir) => {
+    import s.implicits._
+    val li = T.lineitem(s, dir)
+      .join(T.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("cust"), $"l_partkey".as("part"),
+        $"o_orderdate", $"l_orderkey", $"l_linenumber")
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cust")
+      .orderBy($"o_orderdate".desc, $"l_orderkey".desc, $"l_linenumber".desc,
+        $"part".desc) // (orderkey, linenumber) is NOT unique in the fixture
+    val test = li.withColumn("rn", row_number().over(wLast))
+      .filter($"rn" === 1).select($"cust", $"part".as("test_part"))
+    val cp = li.select($"cust", $"part").distinct()
+    val train = cp.join(test, "cust")
+      .filter($"part" =!= $"test_part")
+      .select($"cust", $"part")
+      .localCheckpoint() // feeds the pair join (twice) and the scoring
+    val co = train.as("a").join(train.as("b"),
+        $"a.cust" === $"b.cust" && $"a.part" < $"b.part")
+      .groupBy($"a.part".as("p1"), $"b.part".as("p2"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= RhSupportMin)
+      .localCheckpoint() // read twice by the undirected expansion
+    val und = co.select($"p1".as("item"), $"p2".as("cand"), $"c")
+      .unionByName(co.select($"p2".as("item"), $"p1".as("cand"), $"c"))
+    val scores = train.join(und, $"part" === $"item")
+      .groupBy($"cust", $"cand").agg(sum($"c").as("score"))
+      // never recommend something already in the TRAIN history — the
+      // held-out part must stay recommendable (filtering on full
+      // ownership would exclude the answer and pin the hit rate to 0)
+      .join(train.select($"cust", $"part".as("cand")),
+        Seq("cust", "cand"), "left_anti")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cust").orderBy($"score".desc, $"cand".asc)
+    val top = scores.withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= RhTopK)
+    val evald = train.select($"cust").distinct()
+    val hits = top.join(test, "cust")
+      .filter($"cand" === $"test_part")
+      .select($"cust").distinct()
+    evald.agg(count(lit(1)).as("n_eval"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+  }
+
+  val q312Sql: String =
+    s"""WITH li AS (
+       |  SELECT o_custkey AS cust, l_partkey AS part,
+       |    o_orderdate, l_orderkey, l_linenumber
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |test AS (
+       |  SELECT cust, part AS test_part FROM (
+       |    SELECT cust, part, ROW_NUMBER() OVER (PARTITION BY cust
+       |      ORDER BY o_orderdate DESC, l_orderkey DESC, l_linenumber DESC,
+       |        part DESC)
+       |      AS rn
+       |    FROM li) WHERE rn = 1),
+       |cp AS (SELECT DISTINCT cust, part FROM li),
+       |train AS MATERIALIZED (
+       |  SELECT cp.cust, cp.part
+       |  FROM cp JOIN test ON cp.cust = test.cust
+       |  WHERE cp.part <> test.test_part),
+       |co AS MATERIALIZED (
+       |  SELECT a.part AS p1, b.part AS p2, COUNT(*) AS c
+       |  FROM train a JOIN train b
+       |    ON a.cust = b.cust AND a.part < b.part
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $RhSupportMin),
+       |und AS (SELECT p1 AS item, p2 AS cand, c FROM co
+       |        UNION ALL SELECT p2, p1, c FROM co),
+       |scores AS (
+       |  SELECT t.cust, und.cand, CAST(SUM(c) AS BIGINT) AS score
+       |  FROM train t JOIN und ON t.part = und.item
+       |  GROUP BY t.cust, und.cand),
+       |fresh AS (
+       |  SELECT s.* FROM scores s
+       |  LEFT JOIN train tr ON tr.cust = s.cust AND tr.part = s.cand
+       |  WHERE tr.part IS NULL),
+       |top AS (
+       |  SELECT cust, cand FROM (
+       |    SELECT cust, cand, ROW_NUMBER() OVER (PARTITION BY cust
+       |      ORDER BY score DESC, cand ASC) AS rk
+       |    FROM fresh) WHERE rk <= $RhTopK)
+       |SELECT
+       |  (SELECT COUNT(DISTINCT cust) FROM train) AS n_eval,
+       |  (SELECT COUNT(DISTINCT top.cust)
+       |   FROM top JOIN test ON top.cust = test.cust
+       |   WHERE top.cand = test.test_part) AS n_hit""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q132_table_stats" -> q132TableStats,
     "q183_cbo_join_reorder" -> q183CboJoinReorder,
@@ -443,6 +559,7 @@ object TableStatsQueries {
     "q236_item_similarity" -> q236ItemSimilarity,
     "q244_triple_itemsets" -> q244Triples,
     "q245_benford_audit" -> q245BenfordAudit,
+    "q312_recsys_holdout" -> q312RecsysHoldout,
     "q246_concentration_profile" -> q246ConcentrationProfile,
   )
 
@@ -454,6 +571,7 @@ object TableStatsQueries {
     "q236_item_similarity" -> q236Sql,
     "q244_triple_itemsets" -> q244Sql,
     "q245_benford_audit" -> q245Sql,
+    "q312_recsys_holdout" -> q312Sql,
     "q246_concentration_profile" -> q246Sql,
   )
 }

@@ -789,7 +789,93 @@ object TimeSeriesQueries {
       |  CAST(day AS DATE) AS cp_day, CAST(g_abs AS BIGINT) AS g_abs
       |FROM scored WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** q313 business-hours window (UTC) for the campaign side. */
+  val BizStartHourUs: Long = 9L * 3600 * 1000000
+  val BizEndHourUs: Long = 17L * 3600 * 1000000
+
+  /** q313 — INTERVAL-SET INTERSECTION (the set-algebra completion of
+    * the interval family: q115 joins point-ranges, q286 merges a
+    * set's overlaps — this intersects TWO sets): each user's merged
+    * activity islands (q286's 30-min-gap spelling, verbatim) against
+    * the corpus's business-hours windows (09:00–17:00 UTC daily,
+    * generated from the observed date range) — "how much of each
+    * user's activity was in-hours", the ad-window / SLA-window
+    * attribution primitive. Overlap per (island, window) pair =
+    * min(ends) − max(starts) where positive; all integer µs.
+    *
+    * Scale shape: islands come from q286's two keyed windows + one
+    * partial agg; the window side is calendar-BOUNDED (days rows) and
+    * broadcast, so the intersection is a broadcast nested-loop with a
+    * range predicate over bounded candidates per island (~the few
+    * windows an island can span); a data-sized right side would take
+    * the q115 bin discipline instead (scaladoc'd by reference).
+    */
+  val q313IntervalIntersect: Q = (s, dir) => {
+    import s.implicits._
+    val iv = T.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("st"))
+      .withColumn("en", $"st" + ActivityWindowUs)
+    val w = Window.partitionBy($"user_id").orderBy($"st", $"en")
+    val islands = iv
+      .withColumn("max_en_prev",
+        max($"en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when($"max_en_prev".isNull || $"st" > $"max_en_prev", 1L)
+          .otherwise(0L))
+      .withColumn("island", sum($"new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"island")
+      .agg(min($"st").as("ist"), max($"en").as("ien"))
+    val days = T.events(s, dir)
+      .agg(date_trunc("day", min($"ts")).as("d0"),
+        date_trunc("day", max($"ts")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .select((unix_micros($"day") + BizStartHourUs).as("ws"),
+        (unix_micros($"day") + BizEndHourUs).as("we"))
+    islands.join(broadcast(days), $"ist" < $"we" && $"ws" < $"ien")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(least($"ien", $"we") - greatest($"ist", $"ws"))
+          .as("inhours_us"))
+      .orderBy($"user_id")
+  }
+
+  val q313Sql: String =
+    s"""WITH iv AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) + $ActivityWindowUs AS en
+       |  FROM events),
+       |marked AS (
+       |  SELECT *, MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    AS max_en_prev
+       |  FROM iv),
+       |isl AS (
+       |  SELECT *, SUM(CASE WHEN max_en_prev IS NULL OR st > max_en_prev
+       |      THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY st, en
+       |          ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM marked),
+       |merged AS (
+       |  SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien
+       |  FROM isl GROUP BY user_id, island),
+       |bounds AS (
+       |  SELECT date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS d0,
+       |    date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS d1
+       |  FROM events),
+       |wins AS (
+       |  SELECT epoch_us(day) + $BizStartHourUs AS ws,
+       |    epoch_us(day) + $BizEndHourUs AS we
+       |  FROM bounds,
+       |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(day))
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |  CAST(SUM(LEAST(ien, we) - GREATEST(ist, ws)) AS BIGINT)
+       |    AS inhours_us
+       |FROM merged JOIN wins ON ist < we AND ws < ien
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q313_interval_intersect" -> q313IntervalIntersect,
     "q291_acf" -> q291Acf,
     "q292_cusum" -> q292Cusum,
     "q286_interval_merge" -> q286IntervalMerge,
@@ -805,6 +891,7 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q313_interval_intersect" -> q313Sql,
     "q291_acf" -> q291Sql,
     "q292_cusum" -> q292Sql,
     "q286_interval_merge" -> q286Sql,
