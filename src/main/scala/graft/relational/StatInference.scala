@@ -631,6 +631,96 @@ object StatInference {
        |FROM weighted GROUP BY b ORDER BY b""".stripMargin
   }
 
+  /** q314 PSI bin width (cents) and the smoothing pseudo-count that
+    * keeps empty bins finite (industry-standard Laplace +1 — an empty
+    * serve-side bin is a REAL drift signal, not a division error).
+    */
+  val PsiBinCents = 2000L
+  val PsiSmooth = 1L
+
+  /** q314 — POPULATION STABILITY INDEX per event type between the
+    * observation window's two halves — the industry drift metric for
+    * ML feature monitoring: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i),
+    * read as <0.1 stable / 0.1–0.25 shifting / >0.25 retrain. The
+    * distribution-comparison triple this completes: q290's KS is the
+    * sup-norm test, q230's chi-square the independence test, PSI the
+    * MONITORING number teams actually alert on (it weights by the
+    * log-ratio, so mass moving into near-empty bins screams).
+    *
+    * Determinism: bins are FIXED equal-width (the q154 histogram
+    * discipline — no data-dependent quantile fitting, so the binning
+    * is reproducible across engines and runs); counts are exact
+    * BIGINTs with +1 smoothing; each bin's term is computed in
+    * doubles from exact integers, micro-quantized to BIGINT, and
+    * summed order-free (the q230 chi-square convention — the one
+    * order-sensitive float reduction becomes exact).
+    *
+    * Scale shape: ONE conditional-aggregation pass collapses the
+    * stream to (type, bin, n_first, n_second); the PSI fold runs on
+    * that bounded frame. The split is by the observed time midpoint —
+    * one 1-row aggregate broadcast, no second scan.
+    */
+  val q314PsiDrift: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+      .select($"event_type", unix_micros($"ts").as("t_us"),
+        expr(s"CAST(FLOOR(100 * value) AS BIGINT) div $PsiBinCents").as("bin"))
+    val mid = ev.agg(min($"t_us").as("mn"), max($"t_us").as("mx"))
+      .select(expr("mn + (mx - mn) div 2").as("mid_us")) // integer div:
+      // a float `/2` would round differently across engines at .5
+
+    val cells = ev.crossJoin(broadcast(mid))
+      .groupBy($"event_type", $"bin")
+      .agg(sum(when($"t_us" < $"mid_us", 1L).otherwise(0L)).as("na"),
+        sum(when($"t_us" >= $"mid_us", 1L).otherwise(0L)).as("nb"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+    cells
+      .withColumn("ta", sum($"na" + PsiSmooth).over(wAll))
+      .withColumn("tb", sum($"nb" + PsiSmooth).over(wAll))
+      .select($"event_type",
+        expr(s"""CAST(FLOOR(1000000.0 * (
+                |  (CAST(na + $PsiSmooth AS DOUBLE) / CAST(ta AS DOUBLE)
+                |   - CAST(nb + $PsiSmooth AS DOUBLE) / CAST(tb AS DOUBLE))
+                |  * LN((CAST(na + $PsiSmooth AS DOUBLE) / CAST(ta AS DOUBLE))
+                |       / (CAST(nb + $PsiSmooth AS DOUBLE) / CAST(tb AS DOUBLE)))
+                |)) AS BIGINT)""".stripMargin).as("term_q"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_bins"), sum($"term_q").as("psi_micro"))
+      .orderBy($"event_type")
+  }
+
+  val q314Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+       |    CAST(FLOOR(100 * value) AS BIGINT) // $PsiBinCents AS bin
+       |  FROM events),
+       |mid AS (
+       |  SELECT CAST(MIN(t_us) + (MAX(t_us) - MIN(t_us)) // 2 AS BIGINT)
+       |    AS mid_us
+       |  FROM ev),
+       |cells AS (
+       |  SELECT event_type, bin,
+       |    CAST(COALESCE(SUM(CASE WHEN t_us < mid_us THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS na,
+       |    CAST(COALESCE(SUM(CASE WHEN t_us >= mid_us THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS nb
+       |  FROM ev CROSS JOIN mid
+       |  GROUP BY event_type, bin),
+       |tot AS (
+       |  SELECT *,
+       |    SUM(na + $PsiSmooth) OVER (PARTITION BY event_type) AS ta,
+       |    SUM(nb + $PsiSmooth) OVER (PARTITION BY event_type) AS tb
+       |  FROM cells)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bins,
+       |  CAST(SUM(CAST(FLOOR(1000000.0 * (
+       |    (CAST(na + $PsiSmooth AS DOUBLE) / CAST(ta AS DOUBLE)
+       |     - CAST(nb + $PsiSmooth AS DOUBLE) / CAST(tb AS DOUBLE))
+       |    * LN((CAST(na + $PsiSmooth AS DOUBLE) / CAST(ta AS DOUBLE))
+       |         / (CAST(nb + $PsiSmooth AS DOUBLE) / CAST(tb AS DOUBLE)))
+       |  )) AS BIGINT)) AS BIGINT) AS psi_micro
+       |FROM tot GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q228_grouped_ols" -> q228GroupedOls,
     "q229_welch_ttest" -> q229WelchTtest,
@@ -641,6 +731,7 @@ object StatInference {
     "q290_ks_test" -> q290KsTest,
     "q293_kaplan_meier" -> q293KaplanMeier,
     "q302_poisson_bootstrap" -> q302PoissonBootstrap,
+    "q314_psi_drift" -> q314PsiDrift,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -653,5 +744,6 @@ object StatInference {
     "q290_ks_test" -> q290Sql,
     "q293_kaplan_meier" -> q293Sql,
     "q302_poisson_bootstrap" -> q302Sql,
+    "q314_psi_drift" -> q314Sql,
   )
 }
