@@ -104,6 +104,53 @@ object BucketedQueries {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** q315 salt fan-out. */
+  val AggSaltFactor = 16
+
+  /** q315 — SALTED TWO-PHASE AGGREGATION (the aggregation twin of
+    * q80's salted join): when one group dominates a high-volume
+    * groupBy, the final-aggregate task owning that key becomes the
+    * straggler even though partial aggregation bounds the DATA volume
+    * — salting splits each group into [[AggSaltFactor]] sub-groups for
+    * phase 1 (straggler key's work spreads over 16 tasks), and phase 2
+    * re-aggregates the tiny (groups × salt) frame. Correct for any
+    * DECOMPOSABLE aggregate (counts/sums re-sum; the ratio finishes
+    * after phase 2 — never average-of-averages, the classic salting
+    * bug). The salt is a deterministic hash of the row's own keys
+    * (q80's discipline), so the result is reproducible and
+    * oracle-checkable against the plain one-phase spelling.
+    *
+    * Scale shape: phase 1 = one partial-aggregated groupBy on
+    * (group, salt) — the skewed key's partials now land on 16
+    * reducers; phase 2 runs on |groups|·salt rows. The oracle
+    * computes the UNSALTED aggregate — equality proves the
+    * decomposition exact, not just plausible.
+    */
+  val q315SaltedAgg: Q = (s, dir) => {
+    import s.implicits._
+    val salted = T.lineitem(s, dir)
+      .select($"l_returnflag",
+        expr("CAST(FLOOR(l_quantity) AS BIGINT)").as("q"),
+        (hash($"l_orderkey", $"l_linenumber") % AggSaltFactor).as("salt"))
+    val phase1 = salted.groupBy($"l_returnflag", $"salt")
+      .agg(count(lit(1)).as("n"), sum($"q").as("sq"))
+    phase1.groupBy($"l_returnflag")
+      .agg(sum($"n").as("n_rows"), sum($"sq").as("sum_qty"))
+      .select($"l_returnflag", $"n_rows", $"sum_qty",
+        expr("CAST(sum_qty AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+          .as("avg_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q315Sql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** q276 — SHUFFLED HASH JOIN, the third physical join strategy under
     * an explicit plan pin (q04 pins broadcast, q79 pins exchange-free
     * sort-merge): the `shuffle_hash` hint builds a hash table from the
@@ -149,12 +196,14 @@ object BucketedQueries {
   val queries: Map[String, Q] = Map(
     "q79_bucketed_join" -> q79BucketedJoin,
     "q80_salted_join" -> q80SaltedJoin,
+    "q315_salted_agg" -> q315SaltedAgg,
     "q276_shuffle_hash_join" -> q276ShuffleHashJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q79_bucketed_join" -> q79Sql,
     "q80_salted_join" -> q80Sql,
+    "q315_salted_agg" -> q315Sql,
     "q276_shuffle_hash_join" -> q276Sql,
   )
 }

@@ -225,7 +225,94 @@ object PrivacyAudit {
     s"""SELECT event_type, CAST($DpEpsilon AS DOUBLE) AS epsilon, TRUE AS ok
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q316 — keep-probability threshold (49152/65536 = exactly 3/4)
+    * and the category domain, fixed alphabetically.
+    */
+  val RrKeepThreshold = 49152L
+  val RrCats = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q316 — LOCAL differential privacy by RANDOMIZED RESPONSE
+    * (Warner 1965; the RAPPOR family's core): each ROW randomizes its
+    * own category before the collector ever sees it — the trust model
+    * q280 cannot give (q280's Laplace release protects the OUTPUT;
+    * here the server never holds truthful microdata at all). Report =
+    * true category with p = 3/4, else a uniform draw from the
+    * 5-category domain; the collector debiases observed counts:
+    * π̂_i = (c_i/n − (1−p)/k) / p. Derandomized the repo's way — both
+    * coins are md5 uniforms keyed by event_id, p is the exact dyadic
+    * 49152/65536, so both engines flip the SAME coins and the whole
+    * release (reports, debiased estimates) hash-compares exactly. The
+    * exact per-category truth rides along: the row shows the privacy/
+    * accuracy trade (estimate converges at 1/(p√n) — visibly noisy at
+    * sf0.01, that noise IS the privacy).
+    *
+    * Scale shape: the mechanism is a narrow stateless projection
+    * (perfectly sharded — the whole point of LOCAL DP at 100 TB: no
+    * trusted aggregation point); collection is one partial-agg
+    * groupBy over the domain-bounded category space.
+    */
+  val q316RandomizedResponse: Q = (s, dir) => {
+    import s.implicits._
+    val k = RrCats.length
+    val catArr = array(RrCats.map(lit): _*)
+    val reported = T.events(s, dir)
+      .select($"event_id", $"event_type")
+      .withColumn("u1",
+        conv(substring(md5(concat(lit("rr1:"), $"event_id".cast("string"))),
+          1, 4), 16, 10).cast("long"))
+      .withColumn("u2",
+        conv(substring(md5(concat(lit("rr2:"), $"event_id".cast("string"))),
+          1, 4), 16, 10).cast("long"))
+      .select($"event_type",
+        when($"u1" < RrKeepThreshold, $"event_type")
+          .otherwise(element_at(catArr, ($"u2" % k).cast("int") + 1))
+          .as("reported"))
+    val n = reported.agg(count(lit(1)).as("n"))
+    val truth = reported.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_true"))
+    reported.groupBy($"reported".as("event_type"))
+      .agg(count(lit(1)).as("n_reported"))
+      .join(truth, "event_type")
+      .crossJoin(broadcast(n))
+      .select($"event_type", $"n_reported", $"n_true", $"n",
+        expr(s"""(CAST(n_reported AS DOUBLE) / CAST(n AS DOUBLE)
+                | - 0.25 / $k.0) / 0.75""".stripMargin).as("pi_hat"))
+      .orderBy($"event_type")
+  }
+
+  val q316Sql: String = {
+    val k = RrCats.length
+    val catList = RrCats.map(c => s"'$c'").mkString(", ")
+    s"""WITH coins AS (
+       |  SELECT event_type,
+       |    CAST('0x' || substring(md5('rr1:' || CAST(event_id AS VARCHAR)),
+       |      1, 4) AS BIGINT) AS u1,
+       |    CAST('0x' || substring(md5('rr2:' || CAST(event_id AS VARCHAR)),
+       |      1, 4) AS BIGINT) AS u2
+       |  FROM events),
+       |reported AS (
+       |  SELECT event_type,
+       |    CASE WHEN u1 < $RrKeepThreshold THEN event_type
+       |         ELSE list_extract([$catList], CAST(u2 % $k AS INTEGER) + 1)
+       |    END AS reported
+       |  FROM coins),
+       |n AS (SELECT COUNT(*) AS n FROM reported),
+       |truth AS (SELECT event_type, COUNT(*) AS n_true
+       |          FROM reported GROUP BY event_type)
+       |SELECT r.reported AS event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_reported,
+       |  CAST(t.n_true AS BIGINT) AS n_true, CAST(n.n AS BIGINT) AS n,
+       |  (CAST(COUNT(*) AS DOUBLE) / CAST(n.n AS DOUBLE)
+       |   - 0.25 / $k.0) / 0.75 AS pi_hat
+       |FROM reported r
+       |JOIN truth t ON t.event_type = r.reported
+       |CROSS JOIN n
+       |GROUP BY r.reported, t.n_true, n.n
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q316_randomized_response" -> q316RandomizedResponse,
     "q258_cascade_delete" -> q258CascadeDelete,
     "q217_k_anonymity" -> q217KAnonymity,
     "q272_l_diversity" -> q272LDiversity,
@@ -233,6 +320,7 @@ object PrivacyAudit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q316_randomized_response" -> q316Sql,
     "q217_k_anonymity" -> q217Sql,
     "q258_cascade_delete" -> q258Sql,
     "q272_l_diversity" -> q272Sql,
