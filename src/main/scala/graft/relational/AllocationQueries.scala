@@ -245,13 +245,120 @@ object AllocationQueries {
        |      SELECT * FROM boundary WHERE gap_hi >= gap_lo)
        |ORDER BY gap_lo""".stripMargin
 
+  /** q317 ring parameters: shards before/after, virtual nodes per
+    * shard (vnodes smooth the arc-length variance that makes plain
+    * consistent hashing unbalanced at small shard counts).
+    */
+  val ChShards = 8
+  val ChShardsAfter = 9
+  val ChVnodes = 64
+
+  /** q317 — CONSISTENT-HASHING shard assignment with the
+    * minimal-movement proof (Karger et al. '97, the Dynamo/Cassandra
+    * placement rule): each shard owns [[ChVnodes]] pseudo-random ring
+    * points (md5 of "shard:vnode"), each key goes to the first vnode
+    * clockwise of its own hash. The row computes the assignment under
+    * [[ChShards]] and [[ChShardsAfter]] shards and counts MOVED keys —
+    * the property the scheme exists for: adding one shard moves
+    * ~1/(n+1) of the keys, where modulo sharding (`hash % n`) moves
+    * ~n/(n+1), i.e. nearly everything. Both engines build the same
+    * ring (md5 coins), so per-shard counts and the movement census
+    * hash-compare exactly.
+    *
+    * Scale shape: the ring is a |shards|·vnodes frame, broadcast; the
+    * clockwise lookup is spelled as min-over-candidates (min(point ≥
+    * key-hash), else global min for the wrap) — one broadcast join +
+    * one partial-agg min per ring, a narrow stateless projection per
+    * key, exactly how a router evaluates it.
+    */
+  val q317ConsistentHash: Q = (s, dir) => {
+    import s.implicits._
+    def h(prefix: String, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(prefix), c.cast("string"))), 1, 15),
+        16, 10).cast("long")
+    def ring(n: Int): DataFrame = {
+      val shards = s.range(0, n).select($"id".as("shard"))
+      val vn = s.range(0, ChVnodes).select($"id".as("v"))
+      shards.crossJoin(vn)
+        .select($"shard",
+          h("ring:", concat($"shard".cast("string"), lit(":"),
+            $"v".cast("string"))).as("pt"))
+    }
+    def assign(keys: DataFrame, n: Int, outCol: String): DataFrame = {
+      val r = ring(n)
+      // clockwise successor: the ring point with the smallest pt ≥ kh;
+      // min(struct) carries the owning shard along. Wrap: global min.
+      val succ = keys.crossJoin(broadcast(r))
+        .filter($"pt" >= $"kh")
+        .groupBy($"user_id")
+        .agg(min(struct($"pt", $"shard")).as("m"))
+        .select($"user_id", $"m.shard".as(outCol))
+      val wrap = r.agg(min(struct($"pt", $"shard")).as("m"))
+        .select($"m.shard".as("wrap_shard"))
+      keys.join(succ, Seq("user_id"), "left")
+        .crossJoin(broadcast(wrap))
+        .select($"user_id",
+          coalesce(col(outCol), $"wrap_shard").as(outCol))
+    }
+    val keys = T.events(s, dir).select($"user_id").distinct()
+      .withColumn("kh", h("key:", $"user_id"))
+    val before = assign(keys, ChShards, "s_before")
+    val after = assign(keys, ChShardsAfter, "s_after")
+    before.join(after, "user_id")
+      .groupBy($"s_before")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when($"s_before" =!= $"s_after", 1L).otherwise(0L))
+          .as("n_moved"))
+      .orderBy($"s_before")
+  }
+
+  val q317Sql: String = {
+    // each part stripMargin'd exactly once — a second pass would eat
+    // the first pipe of any `||` that lands at a line start
+    def ringSql(n: Int, name: String) =
+      s"""$name AS (
+         |  SELECT shard,
+         |    CAST('0x' || substring(md5('ring:' || CAST(shard AS VARCHAR)
+         |      || ':' || CAST(v AS VARCHAR)), 1, 15) AS BIGINT) AS pt
+         |  FROM (SELECT unnest(range(0, $n)) AS shard) a
+         |  CROSS JOIN (SELECT unnest(range(0, $ChVnodes)) AS v) b)"""
+        .stripMargin
+    def assignSql(name: String, ringName: String, outCol: String) =
+      s"""$name AS (
+         |  SELECT k.user_id,
+         |    COALESCE(
+         |      (SELECT r.shard FROM $ringName r
+         |       WHERE r.pt >= k.kh ORDER BY r.pt, r.shard LIMIT 1),
+         |      (SELECT r.shard FROM $ringName r
+         |       ORDER BY r.pt, r.shard LIMIT 1)) AS $outCol
+         |  FROM keys k)""".stripMargin
+    val keys =
+      s"""WITH keys AS (
+         |  SELECT user_id,
+         |    CAST('0x' || substring(md5('key:' || CAST(user_id AS VARCHAR)),
+         |      1, 15) AS BIGINT) AS kh
+         |  FROM (SELECT DISTINCT user_id FROM events))""".stripMargin
+    val tail =
+      s"""SELECT s_before, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CASE WHEN s_before <> s_after THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_moved
+         |FROM ba JOIN bb ON ba.user_id = bb.user_id
+         |GROUP BY s_before ORDER BY s_before""".stripMargin
+    keys + ",\n" + ringSql(ChShards, "ring_a") + ",\n" +
+      ringSql(ChShardsAfter, "ring_b") + ",\n" +
+      assignSql("ba", "ring_a", "s_before") + ",\n" +
+      assignSql("bb", "ring_b", "s_after") + "\n" + tail
+  }
+
   val queries: Map[String, Q] = Map(
+    "q317_consistent_hash" -> q317ConsistentHash,
     "q298_fifo_match" -> q298FifoMatch,
     "q299_position_attribution" -> q299PositionAttribution,
     "q300_gap_audit" -> q300GapAudit,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q317_consistent_hash" -> q317Sql,
     "q298_fifo_match" -> q298Sql,
     "q299_position_attribution" -> q299Sql,
     "q300_gap_audit" -> q300Sql,
