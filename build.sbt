@@ -13,7 +13,11 @@ Test / fork := true
 run / fork := true
 // Pass forked program output straight through to stdout (no "[info] "
 // logger prefix) so the bench's one-line JSON stays machine-parseable.
+// Set at project level AND on both entry tasks: `runMain` does NOT
+// delegate to `run / outputStrategy`, and the driver may use either.
+outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Suppress the trailing "[success] Total time: ..." line so the bench's
 // compact JSON summary is the LAST stdout line a tail-capture sees.
 Global / showSuccess := false

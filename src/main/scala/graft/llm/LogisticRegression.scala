@@ -1,0 +1,159 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** Distributed full-batch logistic regression on hashed bag-of-words
+  * features — the TRAINED quality/domain filter of the corpus pipeline
+  * (the fastText-filter shape: CCNet, GPT-3's WebText classifier), and
+  * the repo's first iteratively-FITTED linear model (q228's OLS is
+  * closed-form; q277's isotonic is order-constrained). Binary target:
+  * the q319 PLANTED LEXICAL CONCEPT (does 'join' out-count 'scan' by
+  * ≥ the margin — the fixture's own lang labels are noise, measured),
+  * so the gate has unambiguous ground truth at every SF and held-out
+  * accuracy measures whether descent actually finds the marker
+  * buckets through the hashing collisions.
+  *
+  * Fitting is gradient descent on the convex log-loss: T fixed
+  * iterations, each ONE distributed pass — per-doc margin from a
+  * broadcast weight ARRAY LITERAL (element_at on a 64-wide array — no
+  * UDF, stays in codegen), then the per-bucket gradient partial-agg
+  * whose result is the [[HashDim]]-bounded collect (the q140 BPE rule:
+  * driver traffic is model-sized, never corpus-sized). Features are
+  * the q296 signed hashing-trick projection (Weinberger et al.
+  * ICML'09) L1-normalized per document.
+  *
+  * Oracle row is the q267/q277 gate convention — hashed columns are
+  * data-derivable counts + `ok`, where `ok` folds: train loss
+  * non-increasing across ALL iterations (convexity + small step — the
+  * optimizer-is-actually-descending check), finite weights, and
+  * held-out accuracy ≥ [[MinAccPermille]]‰ (majority baseline ~560‰).
+  * Gates are coarse on purpose: double partial sums reorder under
+  * partitioning, so ulp-level drift must not flip them.
+  */
+object LogisticRegression {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val HashDim = 64
+  val Iters = 30
+  val LearnRate = 3.5
+  /** Pinned after measuring (sf0.001 891‰, sf0.01 973‰; chance ~500‰). */
+  val MinAccPermille = 800L
+
+  /** Everything the gate (and the spec/profiler) needs to inspect. */
+  final case class Fit(nTrain: Long, nTest: Long, losses: Array[Double],
+    weights: Array[Double], bias: Double, accPermille: Long,
+    descentOk: Boolean, finiteOk: Boolean)
+
+  def fitEval(s: SparkSession, dir: String): Fit = {
+    import s.implicits._
+    // Planted-concept labels (q319's frame: lang ∈ pro_join/pro_scan).
+    val docs = NaiveBayes.plantedDocs(s, dir)
+
+    // q296 signed feature hash, L1-normalized per doc, + the label.
+    val tok = docs
+      .select($"doc_id", ($"lang" === "pro_join").cast("double").as("y"),
+        explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .select($"doc_id", $"y",
+        conv(substring(md5($"tok"), 1, 4), 16, 10).cast("int").as("h"))
+      .select($"doc_id", $"y", ($"h" % HashDim).cast("int").as("bucket"),
+        when(expr(s"(h div $HashDim) % 2") === 0, 1.0)
+          .otherwise(-1.0).as("sign"))
+    // L2-normalize each doc's signed-count vector: ‖x‖₂ = 1 bounds the
+    // log-loss curvature by ¼ (plus the bias row), so the fixed step
+    // provably descends — L1 scaling under-conditioned the weights and
+    // raw counts overshot on long docs (both measured as oscillation).
+    val raw = tok.groupBy($"doc_id", $"y", $"bucket")
+      .agg(sum($"sign").as("w"))
+      .filter($"w" =!= 0.0)
+    val norms = raw.groupBy($"doc_id")
+      .agg(sqrt(sum($"w" * $"w")).as("nrm"))
+    val feats = raw.join(norms, "doc_id")
+      .select($"doc_id", $"y", $"bucket", ($"w" / $"nrm").as("v"))
+    val train = feats.filter($"doc_id" % 5 =!= 0).localCheckpoint()
+    val test = feats.filter($"doc_id" % 5 === 0).localCheckpoint()
+    // Labeled docs always tokenize (they contain a marker token), so
+    // the split counts are plain planted-frame counts, as in the SQL.
+    val nTrain = docs.filter($"doc_id" % 5 =!= 0).count()
+    val nTest = docs.filter($"doc_id" % 5 === 0).count()
+
+    var w = Array.fill(HashDim)(0.0)
+    var b = 0.0
+    val losses = Array.ofDim[Double](Iters)
+    for (t <- 0 until Iters) {
+      val wCol = array(w.toSeq.map(lit): _*)
+      // Pass 1: per-doc margin, probability, residual g = p − y; the
+      // stable log-loss max(s,0) − y·s + ln(1+e^(−|s|)).
+      val perDoc = train.groupBy($"doc_id", $"y")
+        .agg(sum($"v" * element_at(wCol, $"bucket" + 1)).as("dot"))
+        .withColumn("s", $"dot" + lit(b))
+        .withColumn("g", lit(1.0) / (lit(1.0) + exp(-$"s")) - $"y")
+        .withColumn("loss",
+          greatest($"s", lit(0.0)) - $"y" * $"s" + log(lit(1.0) + exp(-abs($"s"))))
+      val gframe = perDoc.select($"doc_id", $"g", $"loss").localCheckpoint()
+      val lb = gframe.agg(sum($"loss").as("l"), sum($"g").as("gb")).head()
+      losses(t) = lb.getDouble(0) / nTrain
+      // Pass 2: per-bucket gradient — HashDim-bounded collect.
+      val grad = train.join(gframe.select($"doc_id", $"g"), "doc_id")
+        .groupBy($"bucket").agg(sum($"g" * $"v").as("gw"))
+        .as[(Int, Double)].collect().toMap
+      w = w.zipWithIndex.map { case (wi, i) =>
+        wi - LearnRate * grad.getOrElse(i, 0.0) / nTrain
+      }
+      b = b - LearnRate * lb.getDouble(1) / nTrain
+    }
+
+    val descentOk = (1 until Iters).forall(t =>
+      losses(t) <= losses(t - 1) * (1 + 1e-9) + 1e-9)
+    val finiteOk = w.forall(x => !x.isNaN && !x.isInfinite) &&
+      !b.isNaN && !b.isInfinite
+
+    val wCol = array(w.toSeq.map(lit): _*)
+    val scoredDocs = test.groupBy($"doc_id", $"y")
+      .agg(sum($"v" * element_at(wCol, $"bucket" + 1)).as("dot"))
+      .withColumn("pred", ($"dot" + lit(b) > 0.0).cast("double"))
+    val evalRow = scoredDocs.agg(
+      count(lit(1)).as("n"),
+      sum(when($"pred" === $"y", 1L).otherwise(0L)).as("n_correct")).head()
+    // A labeled doc could in principle lose every bucket to sign
+    // cancellation and never reach `feats`; those score by bias alone.
+    val nEmpty = nTest - evalRow.getLong(0)
+    val emptyCorrect =
+      if (nEmpty == 0) 0L
+      else docs.filter($"doc_id" % 5 === 0)
+        .join(scoredDocs.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .filter((($"lang" === "pro_join").cast("double")
+          === lit(if (b > 0) 1.0 else 0.0)))
+        .count()
+    val nCorrect = evalRow.getLong(1) + emptyCorrect
+    val accPermille = if (nTest == 0) 0L else 1000L * nCorrect / nTest
+    Fit(nTrain, nTest, losses, w, b, accPermille, descentOk, finiteOk)
+  }
+
+  val q321LogregGate: Q = (s, dir) => {
+    val f = fitEval(s, dir)
+    val ok = f.descentOk && f.finiteOk && f.accPermille >= MinAccPermille
+    s.createDataFrame(Seq(
+      (f.nTrain, f.nTest, HashDim.toLong, ok)
+    )).toDF("n_train", "n_test", "dim", "ok")
+  }
+
+  val q321Sql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id FROM (SELECT doc_id,
+       |      (length(text) - length(replace(text, 'join', ''))) / 4 AS cj,
+       |      (length(text) - length(replace(text, 'scan', ''))) / 4 AS cs
+       |    FROM documents)
+       |  WHERE abs(cj - cs) >= ${NaiveBayes.ConceptMargin})
+       |SELECT
+       |  (SELECT COUNT(*) FROM planted WHERE doc_id % 5 <> 0) AS n_train,
+       |  (SELECT COUNT(*) FROM planted WHERE doc_id % 5 = 0) AS n_test,
+       |  CAST($HashDim AS BIGINT) AS dim, TRUE AS ok""".stripMargin
+
+  val queries: Map[String, Q] = Map("q321_logreg_gate" -> q321LogregGate)
+  val oracleSql: Map[String, String] = Map("q321_logreg_gate" -> q321Sql)
+}

@@ -874,7 +874,80 @@ object TimeSeriesQueries {
        |FROM merged JOIN wins ON ist < we AND ws < ien
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q320 — classical ADDITIVE seasonal decomposition of the daily
+    * revenue series (Macaulay's ratio-to-moving-average method in its
+    * additive form, the `statsmodels seasonal_decompose` contract):
+    * trend = centered 7-day moving average, seasonal index = per
+    * day-of-week mean of the detrended series, residual = remainder.
+    * q291's ACF DETECTS the weekly cycle; this row EXTRACTS it — the
+    * pair is the standard seasonality readout.
+    *
+    * Exactness: revenue is cent-BIGINT; the centered MA is kept as the
+    * un-divided 7-day SUM so "detrended" is the exact integer
+    * 7·x_t − Σ_{|k|≤3} x_{t+k} (= 7·(x_t − trend)); day-of-week comes
+    * from epoch-day mod 7 (Thursday=0 — 1970-01-01 anchor), never from
+    * the engines' divergent DOW builtins. Only the final per-dow mean
+    * divides (÷n, ÷7, ÷100 to whole currency — three identically
+    * spelled double ops).
+    *
+    * Scale shape: the raw table collapses to the (day) frame in ONE
+    * partial-aggregated groupBy — the only pass over orders; the MA
+    * window and dow aggregation run on the days-bounded series (q291's
+    * discipline), so the plan is scan + hash agg + one tiny window.
+    * Edge days without a full 7-day window are excluded (centered-MA
+    * convention), n_days counts what remains per dow.
+    */
+  val q320SeasonalDecompose: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.orders(s, dir)
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum(expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)")).as("x"))
+    decomposeDaily(daily)
+  }
+
+  /** The q320 core over any (day: timestamp, x: bigint) daily frame —
+    * shared with the spec's planted trend+seasonal fixture.
+    */
+  def decomposeDaily(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val w7 = Window.orderBy($"day").rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("sum7", sum($"x").over(w7))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .filter($"cnt7" === 7)
+      .withColumn("dow",
+        pmod(datediff($"day".cast("date"), lit("1970-01-01").cast("date")), lit(7)))
+      .withColumn("det_q", lit(7) * $"x" - $"sum7")
+    det.groupBy($"dow")
+      .agg(count(lit(1)).as("n_days"), sum($"det_q").as("det_sum"))
+      .withColumn("seasonal",
+        expr("CAST(det_sum AS DOUBLE) / CAST(n_days AS DOUBLE) / 7.0 / 100.0"))
+      .select($"dow".cast("long").as("dow"), $"n_days", $"det_sum", $"seasonal")
+      .orderBy($"dow")
+  }
+
+  val q320Sql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day,
+      |    SUM(CAST(FLOOR(100 * o_totalprice) AS BIGINT)) AS x
+      |  FROM orders GROUP BY 1),
+      |det AS (
+      |  SELECT day, x,
+      |    SUM(x) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+      |    COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+      |  FROM daily),
+      |kept AS (
+      |  SELECT ((date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) % 7) + 7) % 7 AS dow,
+      |    7 * x - sum7 AS det_q
+      |  FROM det WHERE cnt7 = 7)
+      |SELECT CAST(dow AS BIGINT) AS dow, COUNT(*) AS n_days,
+      |  CAST(SUM(det_q) AS BIGINT) AS det_sum,
+      |  CAST(SUM(det_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 7.0 / 100.0 AS seasonal
+      |FROM kept GROUP BY dow ORDER BY dow""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q320_seasonal_decompose" -> q320SeasonalDecompose,
     "q313_interval_intersect" -> q313IntervalIntersect,
     "q291_acf" -> q291Acf,
     "q292_cusum" -> q292Cusum,
@@ -891,6 +964,7 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q320_seasonal_decompose" -> q320Sql,
     "q313_interval_intersect" -> q313Sql,
     "q291_acf" -> q291Sql,
     "q292_cusum" -> q292Sql,
