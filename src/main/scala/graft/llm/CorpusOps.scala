@@ -582,7 +582,67 @@ object CorpusOps {
        |ORDER BY pr DESC, word ASC
        |LIMIT $TrTopK""".stripMargin
 
+
+  /** q324 — pairwise SOURCE-OVERLAP matrix: exact shingle-level
+    * Jaccard between every pair of corpus sources — the provenance
+    * dedup audit ("how much of src A is already in src B") that runs
+    * before committing a new crawl to the mix; q278 compares two
+    * TEMPORAL slices' vocabulary heads, this compares ALL source
+    * pairs' full 3-gram sets. Content hashes are the 8-byte xxhash64
+    * of the shingle (the q41/q233 spelling); DuckDB recomputes on the
+    * raw shingle strings — same sets, engine-local keys, identical
+    * counts.
+    *
+    * Scale shape: one distinct (source, shingle) aggregation, then the
+    * pair counts via equi-join ON THE SHINGLE KEY — a shingle shared
+    * by k sources emits C(k,2) ≤ C(|sources|,2) pair rows, so the join
+    * fan-out is bounded by sources², a corpus-size CONSTANT; the
+    * output is the |sources|² matrix. No per-doc pairing anywhere —
+    * this is the aggregate twin of the document-level joins.
+    */
+  val q324SourceOverlap: Q = (s, dir) => {
+    import s.implicits._
+    val st = T.documents(s, dir)
+      .select($"source", explode(expr(
+        """IF(size(split(text, ' ')) >= 3,
+          |  transform(sequence(0, size(split(text, ' ')) - 3),
+          |    i -> concat_ws(' ', split(text, ' ')[i],
+          |         split(text, ' ')[i+1], split(text, ' ')[i+2])),
+          |  array())""".stripMargin)).as("tg"))
+      .select($"source", xxhash64($"tg").as("tgh"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = st.groupBy($"source").agg(count(lit(1)).as("n"))
+    val pairs = st.as("a").join(st.as("b"),
+        $"a.tgh" === $"b.tgh" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src1"), $"b.source".as("src2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select($"source".as("src1"), $"n".as("n1")), "src1")
+      .join(sizes.select($"source".as("src2"), $"n".as("n2")), "src2")
+      .withColumn("jaccard", $"inter" / ($"n1" + $"n2" - $"inter"))
+      .select($"src1", $"src2", $"n1", $"n2", $"inter", $"jaccard")
+      .orderBy($"src1", $"src2")
+  }
+
+  val q324Sql: String =
+    """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |st AS (SELECT DISTINCT source,
+      |         UNNEST(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+      |       FROM w),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+      |pairs AS (SELECT a.source AS src1, b.source AS src2, COUNT(*) AS inter
+      |          FROM st a JOIN st b ON a.tg = b.tg AND a.source < b.source
+      |          GROUP BY 1, 2)
+      |SELECT src1, src2, n1.n AS n1, n2.n AS n2, inter,
+      |  inter / (n1.n + n2.n - inter) AS jaccard
+      |FROM pairs JOIN sizes n1 ON pairs.src1 = n1.source
+      |           JOIN sizes n2 ON pairs.src2 = n2.source
+      |ORDER BY src1, src2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q324_source_overlap" -> q324SourceOverlap,
     "q303_textrank_keywords" -> q303TextrankKeywords,
     "q278_vocab_drift" -> q278VocabDrift,
     "q252_pmi_collocations" -> q252PmiCollocations,
@@ -596,6 +656,7 @@ object CorpusOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q324_source_overlap" -> q324Sql,
     "q303_textrank_keywords" -> q303Sql,
     "q278_vocab_drift" -> q278Sql,
     "q252_pmi_collocations" -> q252Sql,

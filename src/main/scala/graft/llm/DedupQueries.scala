@@ -818,6 +818,95 @@ object DedupQueries {
       .orderBy($"doc1", $"doc2")
   }
 
+
+  /** q322 — exact SET-CONTAINMENT self-join (the asymmetric member of
+    * the exact-similarity family; Agrawal et al. VLDB'10, the JOSIE/
+    * ProbeCount probe-index shape): find (inner, outer) document pairs
+    * with |inner ∩ outer| ≥ ⌈τ·|inner|⌉ over distinct word-3-grams —
+    * the doc-INSIDE-doc duplication (quoted articles, boilerplate
+    * wrappers, licence blocks) that RESEMBLANCE (q41/q233) structurally
+    * misses: a 50-shingle doc embedded verbatim in a 500-shingle page
+    * has Jaccard ≈ 0.1 but containment 1.0.
+    *
+    * Asymmetric prefix filter: with ANY global token order, if
+    * |x∩y| ≥ ⌈τ|x|⌉ then y contains one of x's first
+    * |x| − ⌈τ|x|⌉ + 1 tokens (missing all of them caps the overlap at
+    * ⌈τ|x|⌉ − 1) — so candidates = probe-side PREFIX ⋈ index-side FULL
+    * set, zero false negatives by theorem. Ordering by df ascending
+    * makes every probe token rare: a df-D token contributes ≤ D index
+    * rows, so candidate buckets stay small even though the index side
+    * is the whole corpus.
+    *
+    * Scale shape: one df count + one join back on the 8-byte shingle
+    * hash (shared spelling with q233), per-doc sort is array-local;
+    * the probe side explodes ONLY prefixes (≈ (1−τ)·corpus), the index
+    * side is the corpus-sized exploded frame partitioned by token hash
+    * — the same single-shuffle class as the df join itself. Verify is
+    * array_intersect on the two doc-bounded sorted arrays. The
+    * |outer| ≥ ⌈τ|inner|⌉ length filter prunes inside the join.
+    *
+    * τ = 8/10 in exact integer arithmetic; `containment` is the one
+    * double division, spelled identically in the oracle.
+    */
+  def containmentPairs(docs: DataFrame, num: Int, den: Int)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    val tri = triShingles(docs).select($"doc_id", xxhash64($"tg").as("tgh"))
+    val dfTab = tri.groupBy($"tgh").agg(count(lit(1)).as("df"))
+    val perDoc = tri.join(dfTab, "tgh")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"tgh"))).as("toks"))
+      .withColumn("n", size($"toks"))
+      .localCheckpoint()
+    // ceil(num*n/den) = (num*n + den-1) div den, exact.
+    val probe = perDoc.select($"doc_id", $"n",
+      explode(expr(s"slice(toks, 1, n - (($num * n + ${den - 1}) div $den) + 1)"))
+        .as("t"))
+      .select($"doc_id", $"n", $"t.tgh".as("tgh"))
+    val index = perDoc.select($"doc_id", $"n",
+      explode(expr("transform(toks, x -> x.tgh)")).as("tgh"))
+    val cand = probe.as("a").join(index.as("b"),
+        $"a.tgh" === $"b.tgh" && $"a.doc_id" =!= $"b.doc_id" &&
+          $"b.n" * den >= $"a.n" * num)
+      .select($"a.doc_id".as("inner_doc"), $"b.doc_id".as("outer_doc"),
+        $"a.n".as("n_inner"))
+      .distinct()
+    val arrays = perDoc.select($"doc_id",
+      expr("transform(toks, x -> x.tgh)").as("th"))
+    cand
+      .join(arrays.select($"doc_id".as("inner_doc"), $"th".as("th1")), "inner_doc")
+      .join(arrays.select($"doc_id".as("outer_doc"), $"th".as("th2")), "outer_doc")
+      .withColumn("inter", size(array_intersect($"th1", $"th2")))
+      .filter($"inter" * den >= $"n_inner" * num)
+      .withColumn("containment", $"inter" / $"n_inner")
+      .select($"inner_doc", $"outer_doc", $"inter", $"containment")
+      .orderBy($"inner_doc", $"outer_doc")
+  }
+
+  val q322ContainmentJoin: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    containmentPairs(T.documents(s, dir), 8, 10)
+  }
+
+  /** Exact all-pairs containment recompute — the prefix+index probe
+    * must find every pair the quadratic join finds. */
+  val q322Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (SELECT DISTINCT doc_id,
+      |          UNNEST(list_transform(range(1, len(ws) - 1),
+      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+      |        FROM w),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+      |            COUNT(*) AS inter
+      |          FROM tri a JOIN tri b ON a.tg = b.tg AND a.doc_id <> b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT inner_doc, outer_doc, inter,
+      |  inter / n1.n AS containment
+      |FROM pairs JOIN sizes n1 ON pairs.inner_doc = n1.doc_id
+      |WHERE inter * 10 >= n1.n * 8
+      |ORDER BY inner_doc, outer_doc""".stripMargin
+
   val q233PrefixJoin: Q = (s, dir) => {
     implicit val sp: SparkSession = s
     prefixFilterPairs(T.documents(s, dir), 7, 10)
@@ -926,6 +1015,7 @@ object DedupQueries {
     "q131_incremental_ingest" -> q131IncrementalIngest,
     "q197_jaro_pairs" -> q197JaroPairs,
     "q233_prefix_join" -> q233PrefixJoin,
+    "q322_containment_join" -> q322ContainmentJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -942,5 +1032,6 @@ object DedupQueries {
     "q131_incremental_ingest" -> q131Sql,
     "q197_jaro_pairs" -> q197Sql,
     "q233_prefix_join" -> q233Sql,
+    "q322_containment_join" -> q322Sql,
   )
 }

@@ -209,6 +209,49 @@ object NaiveBayes {
        |  (SELECT COUNT(DISTINCT lang) FROM planted WHERE doc_id % 5 <> 0) AS n_classes,
        |  TRUE AS ok""".stripMargin
 
-  val queries: Map[String, Q] = Map("q319_naive_bayes" -> q319NaiveBayes)
-  val oracleSql: Map[String, String] = Map("q319_naive_bayes" -> q319Sql)
+
+  /** q323 — 5-FOLD CROSS-VALIDATION of the q319 classifier (the
+    * model-selection loop every trained corpus filter runs before
+    * deployment): folds are the deterministic doc_id mod 5 partition,
+    * each fold trains on the other four and scores its own held-out
+    * fifth. One gate row per fold — a single unlucky fold fails ALONE,
+    * which is exactly the diagnostic CV exists to give. Cost is
+    * explicitly 5 independent fits (CV's definition, not plan waste).
+    */
+  val q323CvFolds: Q = (s, dir) => {
+    import s.implicits._
+    val docs = plantedDocs(s, dir).localCheckpoint()
+    val rows = (0 until 5).map { k =>
+      val train = docs.filter($"doc_id" % 5 =!= k)
+      val test = docs.filter($"doc_id" % 5 === k)
+      val pred = predictFrom(train, test)
+      val agg = pred.agg(
+        count(lit(1)).as("n"),
+        sum(when($"pred_lang" === $"true_lang", 1L).otherwise(0L)).as("c"))
+        .head()
+      val (n, c) = (agg.getLong(0), agg.getLong(1))
+      val acc = if (n == 0) 0L else 1000L * c / n
+      (k.toLong, n, acc >= MinAccPermille)
+    }
+    s.createDataFrame(rows).toDF("fold", "n_test", "ok")
+      .orderBy("fold")
+  }
+
+  val q323Sql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id FROM (SELECT doc_id,
+       |      (length(text) - length(replace(text, 'join', ''))) / 4 AS cj,
+       |      (length(text) - length(replace(text, 'scan', ''))) / 4 AS cs
+       |    FROM documents)
+       |  WHERE abs(cj - cs) >= $ConceptMargin)
+       |SELECT CAST(doc_id % 5 AS BIGINT) AS fold, COUNT(*) AS n_test,
+       |  TRUE AS ok
+       |FROM planted GROUP BY 1 ORDER BY fold""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q319_naive_bayes" -> q319NaiveBayes,
+    "q323_cv_folds" -> q323CvFolds)
+  val oracleSql: Map[String, String] = Map(
+    "q319_naive_bayes" -> q319Sql,
+    "q323_cv_folds" -> q323Sql)
 }

@@ -543,8 +543,48 @@ object StreamBench {
     Seq((rows.size.toLong, streamed.size.toLong)).toDF("n_in", "k")
   }
 
+  /** qs14 — watermarked SESSION WINDOWS over [[BloomBatches]]
+    * micro-batches plus a far-future sentinel that flushes every open
+    * session: times the merging-session state path (session_window is
+    * the one windowing mode whose state MERGES adjacent entries rather
+    * than folding into a fixed key), and gates the emitted session set
+    * against the same rows' batch session_window — count-exact.
+    */
+  val qs14SessionStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val maxTs = rows.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    val name = s"bench_sess_${runId.incrementAndGet()}"
+    val q = EventStreams.sessionCounts(stream.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-sess-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    stream.addData(Event(-1L, -1L, "sentinel",
+      new java.sql.Timestamp(maxTs + 24L * 3600 * 1000), 0.0))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val streamed = s.table(name).filter($"user_id" =!= -1L).count()
+    s.catalog.dropTempView(name)
+    val batch = rows.toDF()
+      .groupBy($"user_id", session_window($"ts", "10 minutes"))
+      .count().count()
+    require(streamed == batch,
+      s"session stream/batch mismatch: $streamed vs $batch")
+    Seq((rows.size.toLong, streamed)).toDF("n_in", "n_sessions")
+  }
+
   val benchOnly: Map[String, Q] = Map(
     "qs13_reservoir_stream" -> qs13ReservoirStream,
+    "qs14_session_stream" -> qs14SessionStream,
     "qs01_bloom_dedup_stream" -> qs01BloomDedupStream,
     "qs02_cdc_apply_stream" -> qs02CdcApplyStream,
     "qs03_cms_stream" -> qs03CmsStream,
