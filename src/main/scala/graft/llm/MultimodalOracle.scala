@@ -382,14 +382,103 @@ object MultimodalOracle {
   private def q260PinnedCuts: Long =
     (0L until MediaDocBound).map(id => cutsExpected(id)._2.toLong).sum
 
+
+  // ---- q326: audio energy segmentation over the same WAV fixture ----
+
+  /** Voiced threshold on per-frame RMS: uniform synthetic samples make
+    * frame RMS concentrate near 1/√3 ≈ 0.577, so 0.57 splits the
+    * fixture into 49 voiced / 25 silent frames with multi-segment
+    * clips present (measured on the closed form) — both branches of
+    * the detector populated.
+    */
+  val SegTheta = 0.57f
+
+  /** Maximal voiced runs over a frame-RMS sequence: (n_frames,
+    * n_voiced, n_segments) — the VAD-lite summarization a speech
+    * corpus-prep pipeline runs per clip. Shared by the real path and
+    * the expectation mirror (pure function of the float array, so
+    * mirroring is exact by construction).
+    */
+  private[llm] def voicedRuns(rms: Array[Float], theta: Float): (Int, Int, Int) = {
+    var voiced = 0; var segs = 0; var prev = false
+    var i = 0
+    while (i < rms.length) {
+      val v = rms(i) >= theta
+      if (v) { voiced += 1; if (!prev) segs += 1 }
+      prev = v
+      i += 1
+    }
+    (rms.length, voiced, segs)
+  }
+
+  case class ExpectedSeg(media_id: Long, e_frames: Int, e_voiced: Int,
+      e_segs: Int)
+
+  /** q326 — audio ENERGY SEGMENTATION (voice-activity detection in its
+    * threshold form) under the driver gate: per-clip voiced-frame and
+    * segment counts from the REAL decode path
+    * ([[Multimodal.sampleFrames]] → threshold → run-length), joined
+    * against the closed-form expectation; ok additionally requires the
+    * detector to be non-degenerate on the fixture (some silent frames,
+    * some voiced, ≥1 multi-segment clip) so a threshold drift cannot
+    * pass vacuously.
+    */
+  val q326AudioSegments: Q = (s, dir) => {
+    import s.implicits._
+    val detected = Multimodal.sampleFrames(mediaScan(s, dir), FrameSamples)
+      .map { r =>
+        val (f, v, g) = voicedRuns(r.frame_rms, SegTheta)
+        (r.media_id, f, v, g)
+      }.toDF("media_id", "n_frames", "n_voiced", "n_segs")
+    val expected = T.documents(s, dir).filter($"doc_id" < MediaDocBound)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val (f, v, g) = voicedRuns(frameRmsExpected(id), SegTheta)
+        ExpectedSeg(id, f, v, g)
+      }
+    detected.join(expected.toDF(), "media_id")
+      .agg(count(lit(1)).as("n_audio"),
+        sum($"e_frames").cast("long").as("n_frames"),
+        sum($"e_voiced").cast("long").as("n_voiced"),
+        sum($"e_segs").cast("long").as("n_segments"),
+        ((coalesce(sum(when($"n_frames" =!= $"e_frames" ||
+            $"n_voiced" =!= $"e_voiced" || $"n_segs" =!= $"e_segs", 1)),
+            lit(0)) === 0) &&
+          sum($"e_voiced") > 0 && sum($"e_voiced") < sum($"e_frames") &&
+          max($"e_segs") >= 2).as("ok"))
+  }
+
+  /** Fixture arithmetic pins frames (sample count 64 + id%32 over
+    * 32-sample frames → 2 + (id%32 >= 1... exactly ceil((64+id%32)/32))
+    * — spelled directly in SQL); voiced/segment totals are closed-form
+    * literals (the q260 convention).
+    */
+  def q326Sql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_audio,
+       |  CAST(SUM(CAST(CEIL((64 + doc_id % 32) / 32.0) AS BIGINT)) AS BIGINT)
+       |    AS n_frames,
+       |  CAST($q326PinnedVoiced AS BIGINT) AS n_voiced,
+       |  CAST($q326PinnedSegs AS BIGINT) AS n_segments,
+       |  TRUE AS ok
+       |FROM documents WHERE doc_id < $MediaDocBound""".stripMargin
+
+  private def q326PinnedVoiced: Long =
+    (0L until MediaDocBound)
+      .map(id => voicedRuns(frameRmsExpected(id), SegTheta)._2.toLong).sum
+  private def q326PinnedSegs: Long =
+    (0L until MediaDocBound)
+      .map(id => voicedRuns(frameRmsExpected(id), SegTheta)._3.toLong).sum
+
   val queries: Map[String, Q] = Map(
     "q180_multimodal_decode" -> q180MultimodalDecode,
     "q190_multimodal_transforms" -> q190MultimodalTransforms,
     "q260_scene_cuts" -> q260SceneCuts,
+    "q326_audio_segments" -> q326AudioSegments,
   )
   val oracleSql: Map[String, String] = Map(
     "q180_multimodal_decode" -> q180Sql,
     "q190_multimodal_transforms" -> q190Sql,
     "q260_scene_cuts" -> q260Sql,
+    "q326_audio_segments" -> q326Sql,
   )
 }
