@@ -582,9 +582,59 @@ object StreamBench {
     Seq((rows.size.toLong, streamed)).toDF("n_in", "n_sessions")
   }
 
+  /** qs15 — streaming MinHash-LSH NEAR-dup detection
+    * ([[LshDedupStream]]): per-band-bucket min-owner state over
+    * [[BloomBatches]] micro-batches; the gate replays the batch
+    * groupBy-min over the same docs and requires bucket-for-bucket
+    * equality (min is a semilattice — slicing-independent), then
+    * counts flagged near-dups. Times the keyed-state fold on the
+    * banding key space, the similarity sibling of qs01's exact path.
+    */
+  val qs15LshDedupStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // harness bound (the BenchRows convention): 1000 docs × 16 bands
+    // ≈ 16k state keys — enough that per-key state work dominates,
+    // small enough that the 2-run bench stays a bounded slice
+    val docs = T.documents(s, dir).select($"doc_id", $"text")
+      .filter($"doc_id" < 1000L)
+      .localCheckpoint()
+    val rows = LshDedupStream.bandRows(docs)
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val stream = MemoryStream[(Long, Int, Long)]
+    val name = s"bench_lsh_${runId.incrementAndGet()}"
+    val q = LshDedupStream.ownerStream(stream.toDS())
+      .toDF("band", "band_hash", "owner")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-lsh-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    // min only decreases -> the per-bucket MIN over all emissions is
+    // the final owner (no last-batch bookkeeping needed)
+    val streamed = s.table(name)
+      .groupBy($"band", $"band_hash").agg(min($"owner").as("owner"))
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    val batch = LshDedupStream.batchOwners(docs)
+    val diff = streamed.join(batch.withColumnRenamed("owner", "b_owner"),
+        Seq("band", "band_hash"), "full_outer")
+      .filter($"owner".isNull || $"b_owner".isNull || $"owner" =!= $"b_owner")
+      .count()
+    require(diff == 0L, s"streamed owners diverge from batch: $diff buckets")
+    val dups = LshDedupStream.nearDupDocs(docs, streamed).count()
+    Seq((docs.count(), dups)).toDF("n_docs", "n_near_dups")
+  }
+
   val benchOnly: Map[String, Q] = Map(
     "qs13_reservoir_stream" -> qs13ReservoirStream,
     "qs14_session_stream" -> qs14SessionStream,
+    "qs15_lsh_dedup_stream" -> qs15LshDedupStream,
     "qs01_bloom_dedup_stream" -> qs01BloomDedupStream,
     "qs02_cdc_apply_stream" -> qs02CdcApplyStream,
     "qs03_cms_stream" -> qs03CmsStream,
