@@ -62,12 +62,17 @@ object CdcChunking {
 
   val q327CdcChunking: Q = (s, dir) => {
     import s.implicits._
-    val chs = chunks(T.documents(s, dir).select($"doc_id", $"text"))
-    val census = chs.groupBy($"ch").agg(count(lit(1)).as("c"))
-    chs.agg(countDistinct($"doc_id").as("n_docs"),
-        count(lit(1)).as("n_chunks"))
-      .crossJoin(census.agg(count(lit(1)).as("n_distinct"),
-        max($"c").as("max_reuse")))
+    val docs = T.documents(s, dir).select($"doc_id", $"text")
+    // ONE pass over the corpus: all chunk stats come off the census;
+    // n_docs ≡ docs with non-empty text (every such doc yields ≥1
+    // chunk), so the doc count never re-runs the hashing pipeline —
+    // the two-consumer spelling recomputed the whole chunk pass twice
+    // (caught by the ScalePlanSpec single-generator pin).
+    val census = chunks(docs).groupBy($"ch").agg(count(lit(1)).as("c"))
+    docs.filter(length($"text") > 0)
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(census.agg(sum($"c").as("n_chunks"),
+        count(lit(1)).as("n_distinct"), max($"c").as("max_reuse")))
       .select($"n_docs", $"n_chunks", $"n_distinct", $"max_reuse")
   }
 
@@ -91,7 +96,7 @@ object CdcChunking {
        |chf AS (SELECT doc_id, md5(chunk) AS ch FROM ch WHERE length(chunk) > 0),
        |census AS (SELECT ch, COUNT(*) AS c FROM chf GROUP BY ch)
        |SELECT
-       |  (SELECT COUNT(DISTINCT doc_id) FROM chf) AS n_docs,
+       |  (SELECT COUNT(*) FROM documents WHERE length(text) > 0) AS n_docs,
        |  (SELECT COUNT(*) FROM chf) AS n_chunks,
        |  (SELECT COUNT(*) FROM census) AS n_distinct,
        |  (SELECT CAST(MAX(c) AS BIGINT) FROM census) AS max_reuse""".stripMargin

@@ -222,4 +222,67 @@ class ScalePlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("round-8k: q312 routes both top-k stages through the custom heap " +
+      "exec; q318's only broadcast is a 1-row aggregate; q322 stays " +
+      "equi-join-only; q327 holds one generator (hashing stays in HOFs)") {
+    atScaleRegime { // adaptive off: custom execs visible in the static plan
+      // q312: the item-kNN cap AND the final per-customer top-10 must
+      // both run on TopKPerGroupExec — a regression to WindowExec would
+      // silently re-sort 21M scored rows at sf0.1
+      val q312 = graft.relational.TableStatsQueries
+        .q312RecsysHoldout(spark, dir)
+      val heaps = q312.queryExecution.executedPlan.collect {
+        case t: graft.plans.TopKPerGroupExec => t
+      }
+      assert(heaps.size == 2,
+        s"q312: expected 2 TopKPerGroupExec (kNN cap + final top-10), " +
+          s"got ${heaps.size}")
+
+      // q318: the cross-joined 2m total must be the ONLY broadcast, and
+      // it must be a grand aggregate (1 row by construction) — never a
+      // scaling table
+      val q318 = graft.operators.LabelPropagation
+        .q318Modularity(spark, dir)
+      val plan = q318.queryExecution.executedPlan
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, "q318: two_m must broadcast")
+      bcasts.foreach { b =>
+        val grandAgg = b.find {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+            a.groupingExpressions.isEmpty
+          case _ => false
+        }
+        assert(grandAgg.isDefined,
+          s"q318: broadcast subtree is not a 1-row aggregate:\n${b.treeString}")
+      }
+
+      // q322: probe-prefix × full-index is an EQUI-join on the shingle
+      // hash — any cartesian/BNLJ here is quadratic at scale
+      val q322 = graft.llm.DedupQueries
+        .q322ContainmentJoin(spark, dir)
+      val p322 = q322.queryExecution.executedPlan
+      assert(p322.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"q322: cartesian product in plan")
+      assert(p322.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        "q322: expected sort-merge equi-joins in the no-broadcast regime")
+    }
+
+    atScaleRegime {
+      // q327: the per-position window hashing must stay inside HOFs —
+      // the plan gets exactly ONE generator (the chunk explode) and no
+      // window
+      val q327 = graft.llm.CdcChunking.q327CdcChunking(spark, dir)
+      val p327 = q327.queryExecution.executedPlan
+      val gens = p327.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(gens.size == 1,
+        s"q327: expected exactly 1 GenerateExec (chunk explode), got ${gens.size}")
+      assert(p327.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "q327: unexpected window in the chunking plan")
+    }
+  }
 }
