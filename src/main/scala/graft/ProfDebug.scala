@@ -60,8 +60,8 @@ object ProfDebug {
     val top = time("topk heap")(graft.plans.TopK.perGroup(scores, Seq("cust"),
       Seq("score" -> false, "cand" -> true), 10).localCheckpoint())
     println("[prof] top rows " + top.count())
-    val af = graft.llm.Als.fitEval(spark, dir)
-    println(s"[prof] ALS objs=${af.objs.mkString(",")} rmse=${af.rmse} base=${af.baseRmse} ratio=${af.ratioPermille} mono=${af.monotone} finite=${af.finite}")
+    val bf = graft.llm.BradleyTerry.fitEval(spark, dir)
+    println(s"[prof] BT lls=${bf.lls.take(4).mkString(",")}..${bf.lls.last} spear=${bf.spearmanPermille} mono=${bf.llMonotone} n=${bf.nItems}/${bf.nMatches}")
     spark.stop()
   }
 }
