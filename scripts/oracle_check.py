@@ -85,6 +85,9 @@ def values_equal(a, b):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # a runaway oracle (e.g. an accidentally-cyclic recursive CTE) must
+    # fail fast, not fill the disk with spill files
+    con.execute("SET max_temp_directory_size='8GB'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():

@@ -721,7 +721,142 @@ object StatInference {
        |  )) AS BIGINT)) AS BIGINT) AS psi_micro
        |FROM tot GROUP BY event_type ORDER BY event_type""".stripMargin
 
+
+  /** q331 — CUPED variance-reduced experiment readout (Deng, Xu,
+    * Kohavi & Walker, WSDM 2013 — the industry-standard uplift
+    * estimator): per-user pre-period covariate X (cent-sum of the
+    * user's even-epoch-day events — a deterministic balanced
+    * pre/post split) and post-period metric Y (odd days), variant =
+    * user_id mod 2, θ = Cov(X,Y)/Var(X) pooled, adjusted uplift =
+    * (Ȳ_t − Ȳ_c) − θ(X̄_t − X̄_c). q229 answers "is the difference
+    * real"; CUPED shrinks the noise that question is asked against —
+    * var(Y′) = var(Y)(1 − ρ²), reported as rho2.
+    *
+    * Exactness: per-user cent sums are BIGINT; every moment the θ and
+    * uplift arithmetic consumes is an exact integer sufficient
+    * statistic from ONE user-keyed pass + ONE global conditional agg;
+    * the finish is identically spelled doubles (q228 discipline).
+    *
+    * Scale shape: groupBy(user) partial agg → |users| rows → one
+    * grand conditional aggregate. No joins, no windows, no second
+    * scan — CUPED's whole point is that the adjustment needs only
+    * per-variant sums, never a per-user re-pass.
+    */
+  val q331Cuped: Q = (s, dir) => {
+    import s.implicits._
+    val perUser = T.events(s, dir)
+      .select($"user_id",
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("qv"),
+        (expr("CAST(ts AS DATE)").cast("string").substr(9, 2).cast("int") % 2
+          === 0).as("pre"))
+      .groupBy($"user_id")
+      .agg(sum(when($"pre", $"qv").otherwise(0L)).as("x"),
+        sum(when(!$"pre", $"qv").otherwise(0L)).as("y"))
+      .withColumn("t", ($"user_id" % 2 === 0).cast("long"))
+    val g = perUser.agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+      sum($"y" * $"y").as("syy"),
+      sum($"t").as("nt"),
+      sum($"t" * $"x").as("sxt"), sum($"t" * $"y").as("syt"))
+    g.select($"n", $"nt",
+      expr("(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))").as("theta"),
+      expr("CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(sy - syt AS DOUBLE) / CAST(n - nt AS DOUBLE)").as("uplift_raw"),
+      expr("""CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(sy - syt AS DOUBLE) / CAST(n - nt AS DOUBLE)
+             | - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             |   * (CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(sx - sxt AS DOUBLE) / CAST(n - nt AS DOUBLE))""".stripMargin).as("uplift_cuped"),
+      expr("""(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             | * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             | / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))""".stripMargin).as("rho2"))
+  }
+
+  val q331Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    COALESCE(SUM(CASE WHEN CAST(substring(CAST(CAST(ts AS DATE) AS VARCHAR), 9, 2) AS INTEGER) % 2 = 0
+      |      THEN qv ELSE 0 END), 0) AS x,
+      |    COALESCE(SUM(CASE WHEN CAST(substring(CAST(CAST(ts AS DATE) AS VARCHAR), 9, 2) AS INTEGER) % 2 <> 0
+      |      THEN qv ELSE 0 END), 0) AS y,
+      |    CAST(user_id % 2 = 0 AS BIGINT) AS t
+      |  FROM (SELECT user_id, ts, CAST(FLOOR(100 * value) AS BIGINT) AS qv
+      |        FROM events)
+      |  GROUP BY user_id),
+      |g AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy,
+      |    SUM(t) AS nt, SUM(t * x) AS sxt, SUM(t * y) AS syt
+      |  FROM pu)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(nt AS BIGINT) AS nt,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS theta,
+      |  CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(sy - syt AS DOUBLE) / CAST(n - nt AS DOUBLE) AS uplift_raw,
+      |  CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(sy - syt AS DOUBLE) / CAST(n - nt AS DOUBLE)
+      |   - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |     * (CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(sx - sxt AS DOUBLE) / CAST(n - nt AS DOUBLE)) AS uplift_cuped,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |   * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |   / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS rho2
+      |FROM g""".stripMargin
+
+  /** q332 — NEYMAN optimal stratified allocation (Neyman 1934; the
+    * design step ahead of q100's stratified draw): sample budget
+    * [[NeymanBudget]] split across strata ∝ N_h·σ_h — the allocation
+    * that minimizes the stratified estimator's variance. Sufficient
+    * statistics are exact cent-integer sums; σ_h and the shares are
+    * identically spelled doubles, and n_alloc = FLOOR of that shared
+    * double (bit-identical inputs ⇒ identical floor).
+    *
+    * Scale shape: ONE partial-agged groupBy over events + a 1-row
+    * broadcast total — the same single-pass shape as q229.
+    */
+  val NeymanBudget = 10000L
+
+  val q332NeymanAllocation: Q = (s, dir) => {
+    import s.implicits._
+    val strata = T.events(s, dir)
+      .select($"event_type",
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("qv"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_stratum"), sum($"qv").as("sv"),
+        sum($"qv" * $"qv").as("svv"))
+      .withColumn("sd", expr(
+        """SQRT((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n_stratum AS DOUBLE))
+          | / (CAST(n_stratum AS DOUBLE) - 1.0))""".stripMargin))
+      .withColumn("weight", $"n_stratum".cast("double") * $"sd")
+    val tot = strata.agg(sum($"weight").as("wtot"))
+    strata.crossJoin(broadcast(tot))
+      .select($"event_type", $"n_stratum", $"sd",
+        ($"weight" / $"wtot").as("alloc_frac"),
+        floor(lit(NeymanBudget.toDouble) * ($"weight" / $"wtot"))
+          .cast("long").as("n_alloc"))
+      .orderBy($"event_type")
+  }
+
+  val q332Sql: String =
+    s"""WITH st AS (
+       |  SELECT event_type, COUNT(*) AS n_stratum,
+       |    SUM(qv) AS sv, SUM(qv * qv) AS svv
+       |  FROM (SELECT event_type, CAST(FLOOR(100 * value) AS BIGINT) AS qv
+       |        FROM events)
+       |  GROUP BY event_type),
+       |w AS (
+       |  SELECT event_type, CAST(n_stratum AS BIGINT) AS n_stratum,
+       |    SQRT((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n_stratum AS DOUBLE))
+       |     / (CAST(n_stratum AS DOUBLE) - 1.0)) AS sd,
+       |    CAST(n_stratum AS DOUBLE) *
+       |    SQRT((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n_stratum AS DOUBLE))
+       |     / (CAST(n_stratum AS DOUBLE) - 1.0)) AS weight
+       |  FROM st)
+       |SELECT event_type, n_stratum, sd,
+       |  weight / (SELECT SUM(weight) FROM w) AS alloc_frac,
+       |  CAST(FLOOR($NeymanBudget.0 * (weight / (SELECT SUM(weight) FROM w))) AS BIGINT) AS n_alloc
+       |FROM w ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q331_cuped" -> q331Cuped,
+    "q332_neyman_allocation" -> q332NeymanAllocation,
     "q228_grouped_ols" -> q228GroupedOls,
     "q229_welch_ttest" -> q229WelchTtest,
     "q230_chi2_independence" -> q230Chi2Independence,
@@ -735,6 +870,8 @@ object StatInference {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q331_cuped" -> q331Sql,
+    "q332_neyman_allocation" -> q332Sql,
     "q228_grouped_ols" -> q228Sql,
     "q229_welch_ttest" -> q229Sql,
     "q230_chi2_independence" -> q230Sql,
