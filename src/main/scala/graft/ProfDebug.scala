@@ -60,8 +60,16 @@ object ProfDebug {
     val top = time("topk heap")(graft.plans.TopK.perGroup(scores, Seq("cust"),
       Seq("score" -> false, "cand" -> true), 10).localCheckpoint())
     println("[prof] top rows " + top.count())
-    val bf = graft.llm.BradleyTerry.fitEval(spark, dir)
-    println(s"[prof] BT lls=${bf.lls.take(4).mkString(",")}..${bf.lls.last} spear=${bf.spearmanPermille} mono=${bf.llMonotone} n=${bf.nItems}/${bf.nMatches}")
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val df = spark.sql("SELECT CAST(l_returnflag = 'R' AS LONG) AS y, CAST(FLOOR(1000 * l_tax) AS BIGINT) AS f FROM parquet.`" + dir + "/lineitem.parquet`")
+      val b = df.agg(min($"f").as("lo"), max($"f").as("hi")).head()
+      val lo = b.getLong(0); val hi = b.getLong(1)
+      println(s"[prof] tax lo=$lo hi=$hi")
+      val binned = df.select($"y", expr(s"CAST((f - $lo) * 32 div (${hi - lo + 1}) AS BIGINT)").as("bin"))
+      val hist = binned.groupBy($"bin").agg(count(lit(1)).as("n"), sum($"y").as("p")).orderBy($"bin")
+      hist.show(40)
+    }
     spark.stop()
   }
 }

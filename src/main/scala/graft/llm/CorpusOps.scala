@@ -603,19 +603,31 @@ object CorpusOps {
   val q324SourceOverlap: Q = (s, dir) => {
     import s.implicits._
     val st = T.documents(s, dir)
+      // hoist the split: inlining split(text) in the shingle lambda
+      // re-tokenizes per position (the q126 O(len²) trap — measured as
+      // the whole query's bottleneck here)
+      .select($"source", split($"text", " ").as("ws"))
       .select($"source", explode(expr(
-        """IF(size(split(text, ' ')) >= 3,
-          |  transform(sequence(0, size(split(text, ' ')) - 3),
-          |    i -> concat_ws(' ', split(text, ' ')[i],
-          |         split(text, ' ')[i+1], split(text, ' ')[i+2])),
+        """IF(size(ws) >= 3,
+          |  transform(sequence(0, size(ws) - 3),
+          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])),
           |  array())""".stripMargin)).as("tg"))
       .select($"source", xxhash64($"tg").as("tgh"))
-      .distinct()
+    // ONE corpus-scale shuffle: collect_set dedupes (source, shingle)
+    // repeats inside the aggregation, so no distinct pre-pass and no
+    // self-join re-shuffle; sizes and the C(|sources|,2)-bounded pair
+    // explode both come off the per-shingle source-set frame
+    val bySh = st.groupBy($"tgh")
+      .agg(sort_array(collect_set($"source")).as("srcs"))
       .localCheckpoint()
-    val sizes = st.groupBy($"source").agg(count(lit(1)).as("n"))
-    val pairs = st.as("a").join(st.as("b"),
-        $"a.tgh" === $"b.tgh" && $"a.source" < $"b.source")
-      .groupBy($"a.source".as("src1"), $"b.source".as("src2"))
+    val sizes = bySh.select(explode($"srcs").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val pairs = bySh
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)), y -> struct(x, y))))"""
+          .stripMargin)).as("pr"))
+      .groupBy($"pr.x".as("src1"), $"pr.y".as("src2"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.select($"source".as("src1"), $"n".as("n1")), "src1")

@@ -76,6 +76,81 @@ object TableStatsQueries {
     * pairs self-joined per order with p1 < p2, counted across orders,
     * pairs seen in ≥2 orders, top-100.
     */
+
+  /** q334 — ASSOCIATION RULES with support/confidence/lift (Agrawal,
+    * Imieliński & Swami SIGMOD'93; the step q134's raw co-occurrence
+    * counts feed): baskets are orders over the 100 part-key residue
+    * classes (the q329 item space — residue classes make rules dense
+    * enough to rank), rules A→B with support(A,B) ≥ [[RuleMinSupport]]
+    * baskets, emitted BOTH directions with
+    *   confidence = sup(A,B)/sup(A),  lift = conf·N/sup(B),
+    * ranked by (lift desc, A, B), top-50. Confidence and lift are the
+    * two one-step divisions (spelled identically; counts exact).
+    *
+    * Scale shape: q134's bounded per-basket pairing (items² ceiling
+    * per order) + one items-bounded singleton-support frame joined
+    * twice — the items-squared rule frame never touches corpus rows
+    * again. At 100 TB, baskets·items²/order is the canonical a-priori
+    * candidate cost; the residue-class projection is what bounds it.
+    */
+  val RuleMinSupport = 20L
+  val RuleTopK = 50
+
+  val q334AssocRules: Q = (s, dir) => {
+    import s.implicits._
+    val ob = T.lineitem(s, dir)
+      .select($"l_orderkey", ($"l_partkey" % 100).as("item")).distinct()
+      .localCheckpoint()
+    val nBaskets = ob.select($"l_orderkey").distinct().count()
+    val single = ob.groupBy($"item").agg(count(lit(1)).as("sup"))
+    val pair = ob.as("a").join(ob.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.item" < $"b.item")
+      .groupBy($"a.item".as("i"), $"b.item".as("j"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter($"sup_ab" >= RuleMinSupport)
+    val rules = pair.select($"i".as("ante"), $"j".as("cons"), $"sup_ab")
+      .unionByName(pair.select($"j".as("ante"), $"i".as("cons"), $"sup_ab"))
+      .join(single.select($"item".as("ante"), $"sup".as("sup_a")), "ante")
+      .join(single.select($"item".as("cons"), $"sup".as("sup_b")), "cons")
+      .withColumn("confidence",
+        expr("CAST(sup_ab AS DOUBLE) / CAST(sup_a AS DOUBLE)"))
+      .withColumn("lift",
+        expr(s"CAST(sup_ab AS DOUBLE) / CAST(sup_a AS DOUBLE) * $nBaskets.0 / CAST(sup_b AS DOUBLE)"))
+    rules
+      .orderBy($"lift".desc, $"ante".asc, $"cons".asc)
+      .limit(RuleTopK)
+      .select($"ante", $"cons", $"sup_ab", $"sup_a", $"sup_b",
+        $"confidence", $"lift")
+  }
+
+  val q334Sql: String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey % 100 AS item FROM lineitem),
+       |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM ob),
+       |single AS (SELECT item, COUNT(*) AS sup FROM ob GROUP BY item),
+       |pair AS (
+       |  SELECT a.item AS i, b.item AS j, COUNT(*) AS sup_ab
+       |  FROM ob a JOIN ob b
+       |    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $RuleMinSupport),
+       |rules AS (
+       |  SELECT i AS ante, j AS cons, sup_ab FROM pair
+       |  UNION ALL SELECT j, i, sup_ab FROM pair),
+       |scored AS (
+       |  SELECT r.ante, r.cons, CAST(r.sup_ab AS BIGINT) AS sup_ab,
+       |    CAST(sa.sup AS BIGINT) AS sup_a, CAST(sb.sup AS BIGINT) AS sup_b,
+       |    CAST(r.sup_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE) AS confidence,
+       |    CAST(r.sup_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE)
+       |      * (SELECT CAST(n AS DOUBLE) FROM nb) / CAST(sb.sup AS DOUBLE) AS lift
+       |  FROM rules r
+       |  JOIN single sa ON r.ante = sa.item
+       |  JOIN single sb ON r.cons = sb.item)
+       |SELECT ante, cons, sup_ab, sup_a, sup_b, confidence, lift
+       |FROM scored
+       |ORDER BY lift DESC, ante ASC, cons ASC
+       |LIMIT $RuleTopK""".stripMargin
+
+
   val q134Cooccurrence: Q = (s, dir) => {
     import s.implicits._
     val op = T.lineitem(s, dir)
@@ -571,6 +646,7 @@ object TableStatsQueries {
     "q132_table_stats" -> q132TableStats,
     "q183_cbo_join_reorder" -> q183CboJoinReorder,
     "q134_cooccurrence" -> q134Cooccurrence,
+    "q334_assoc_rules" -> q334AssocRules,
     "q154_value_histogram" -> q154ValueHistogram,
     "q236_item_similarity" -> q236ItemSimilarity,
     "q244_triple_itemsets" -> q244Triples,
@@ -583,6 +659,7 @@ object TableStatsQueries {
     "q132_table_stats" -> q132Sql,
     "q183_cbo_join_reorder" -> q183Sql,
     "q134_cooccurrence" -> q134Sql,
+    "q334_assoc_rules" -> q334Sql,
     "q154_value_histogram" -> q154Sql,
     "q236_item_similarity" -> q236Sql,
     "q244_triple_itemsets" -> q244Sql,

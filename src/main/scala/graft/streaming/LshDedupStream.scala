@@ -36,12 +36,15 @@ object LshDedupStream {
   val Perms = 16
   val Bands = 16
 
-  /** Exactly [[graft.llm.DedupQueries]]'s shingle spelling. */
+  /** Exactly [[graft.llm.DedupQueries]]'s shingle spelling, over a
+    * pre-split `ws` column (inlining split(text) in the lambda
+    * re-tokenizes per position — the q126 O(len²) trap, measured 2.8×
+    * on q324).
+    */
   private val shinglesExpr =
-    """IF(size(split(text, ' ')) >= 3,
-      |  transform(sequence(0, size(split(text, ' ')) - 3),
-      |    i -> concat_ws(' ', split(text, ' ')[i],
-      |         split(text, ' ')[i+1], split(text, ' ')[i+2])),
+    """IF(size(ws) >= 3,
+      |  transform(sequence(0, size(ws) - 3),
+      |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])),
       |  array())""".stripMargin
 
   /** (doc_id, band, band_hash) rows from a (doc_id, text) frame via
@@ -60,6 +63,7 @@ object LshDedupStream {
       xxhash64(slice: _*)
     }
     docs
+      .withColumn("ws", split($"text", " "))
       .withColumn("tgs", expr(shinglesExpr))
       .filter(size($"tgs") > 0)
       .select($"doc_id" +: sigExprs: _*)
