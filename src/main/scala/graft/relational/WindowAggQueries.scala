@@ -112,6 +112,45 @@ object WindowAggQueries {
     * which the oracle asserts as literal TRUE — a tolerance check the
     * hash-compare gate can enforce exactly.
     */
+
+  /** q335 — Spark 4's native `approx_top_k` sketch aggregate gated
+    * against the exact heavy hitters (the q74/q84 convention for
+    * engine-internal sketches, and the BUILTIN sibling of the
+    * hand-rolled q96 Count-Min and q215 Misra–Gries rows): with
+    * maxItemsTracked ≫ k over a ~100-key space the datasketches
+    * frequent-items guarantee is exact containment, so `ok` demands
+    * the sketch's top-k SET equals the exact top-k (ties broken by
+    * the exact count frame, which is also what the oracle recomputes)
+    * AND every estimated count equals the true count.
+    *
+    * Scale shape: one pass, mergeable bounded state per partition —
+    * the same 100 TB contract as q74's HLL; the exact side exists
+    * only as the gate's anchor.
+    */
+  val q335ApproxTopK: Q = (s, dir) => {
+    import s.implicits._
+    val items = T.lineitem(s, dir).select(($"l_partkey" % 100).as("item"))
+    val k = 10
+    val approx = items
+      .select(expr(s"approx_top_k(item, $k, 1000)").as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item".as("item"), $"e.count".as("est"))
+    val exact = items.groupBy($"item").agg(count(lit(1)).as("n_exact"))
+    val topExact = exact
+      .orderBy($"n_exact".desc, $"item".asc).limit(k)
+    val joined = topExact.join(approx, Seq("item"), "left")
+    joined.agg(
+        count(lit(1)).as("k"),
+        sum(when($"est".isNull || $"est" =!= $"n_exact", 1L).otherwise(0L))
+          .as("misses"))
+      .select($"k",
+        ($"misses" === 0L).as("ok"))
+  }
+
+  val q335Sql: String =
+    """SELECT CAST(10 AS BIGINT) AS k, TRUE AS ok""".stripMargin
+
+
   val q74ApproxDistinct: Q = (s, dir) => {
     import s.implicits._
     T.orders(s, dir)
@@ -497,6 +536,7 @@ object WindowAggQueries {
     "q13_grouping_sets" -> q13GroupingSets,
     "q14_count_distinct" -> q14CountDistinct,
     "q74_approx_distinct" -> q74ApproxDistinct,
+    "q335_approx_top_k" -> q335ApproxTopK,
     "q84_approx_percentile" -> q84ApproxPercentile,
     "q96_heavy_hitters" -> q96HeavyHitters,
     "q98_window_pct" -> q98WindowPct,
@@ -517,6 +557,7 @@ object WindowAggQueries {
     "q13_grouping_sets" -> q13Sql,
     "q14_count_distinct" -> q14Sql,
     "q74_approx_distinct" -> q74Sql,
+    "q335_approx_top_k" -> q335Sql,
     "q84_approx_percentile" -> q84Sql,
     "q96_heavy_hitters" -> q96Sql,
     "q98_window_pct" -> q98Sql,
