@@ -196,6 +196,72 @@ object TextPipeline {
       |FROM dl LEFT JOIN piv ON dl.doc_id = piv.doc_id
       |ORDER BY 1""".stripMargin
 
+
+  /** q337 — IR EVALUATION harness over the q108 BM25 ranking:
+    * recall@10, first-relevant rank, and MRR against the AND-semantics
+    * ground truth (docs containing EVERY query term) — the
+    * retrieval-quality readout a RAG/search pipeline runs after
+    * building the index (q108 scores; this row says whether the
+    * scores RETRIEVE). Every metric is exact: BM25 doubles are
+    * bit-identical cross-engine (q108's log-free discipline), ranks
+    * break ties by doc_id, and the two divisions are spelled once.
+    *
+    * Scale shape: ranking is restricted to POSITIVE-score docs — a
+    * relevant doc always scores > 0 (it contains the terms; the
+    * rational IDF is positive), and every zero-score doc ranks below
+    * every positive one, so the restricted rank EQUALS the global
+    * rank for every relevant doc while the sort shrinks from corpus
+    * size to candidate size (the production candidate-set contract).
+    */
+  val q337IrEval: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val n = docs.select(countDistinct($"doc_id")).as[Long].head()
+    val scored = bm25(docs, Bm25QueryTerms, n)
+      .filter($"bm25" > 0.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"bm25".desc, $"doc_id".asc)
+    val ranked = scored.withColumn("rank", row_number().over(w))
+    val rel = Bm25QueryTerms
+      .map(t => tokenize(docs).filter($"term" === t)
+        .select($"doc_id").distinct())
+      .reduce(_.intersect(_))
+    val relRanks = ranked.join(rel, "doc_id").localCheckpoint()
+    relRanks.agg(
+        count(lit(1)).as("n_relevant"),
+        sum(when($"rank" <= 10, 1L).otherwise(0L)).as("hits_at_10"),
+        min($"rank").cast("long").as("first_rank"))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_ranked"))))
+      .select($"n_ranked", $"n_relevant", $"hits_at_10", $"first_rank",
+        expr("CAST(hits_at_10 AS DOUBLE) / CAST(n_relevant AS DOUBLE)")
+          .as("recall_at_10"),
+        expr("1.0 / CAST(first_rank AS DOUBLE)").as("mrr"))
+  }
+
+  val q337Sql: String = {
+    val base = q108Sql.replace("ORDER BY 1", "")
+    s"""WITH b AS ($base),
+       |ranked AS (
+       |  SELECT doc_id, bm25,
+       |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+       |  FROM b WHERE bm25 > 0.0),
+       |tok2 AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+       |         FROM documents),
+       |rel AS (
+       |  SELECT doc_id FROM tok2 WHERE term = 'data'
+       |  INTERSECT
+       |  SELECT doc_id FROM tok2 WHERE term = 'join'),
+       |rr AS (SELECT ranked.* FROM ranked JOIN rel USING (doc_id))
+       |SELECT
+       |  (SELECT COUNT(*) FROM ranked) AS n_ranked,
+       |  (SELECT COUNT(*) FROM rr) AS n_relevant,
+       |  (SELECT COUNT(*) FROM rr WHERE rank <= 10) AS hits_at_10,
+       |  (SELECT CAST(MIN(rank) AS BIGINT) FROM rr) AS first_rank,
+       |  CAST((SELECT COUNT(*) FROM rr WHERE rank <= 10) AS DOUBLE)
+       |    / CAST((SELECT COUNT(*) FROM rr) AS DOUBLE) AS recall_at_10,
+       |  1.0 / CAST((SELECT MIN(rank) FROM rr) AS DOUBLE) AS mrr""".stripMargin
+  }
+
   /** Chunking contract: windows of [[ChunkSize]] tokens every
     * [[ChunkStride]] tokens; the final window may be shorter but the
     * tail is always covered (start sequence runs to n − size + stride).
@@ -978,6 +1044,7 @@ object TextPipeline {
     "q240_span_corrupt" -> q240SpanCorrupt,
     "q103_sequence_packing" -> q103SequencePacking,
     "q108_bm25" -> q108Bm25,
+    "q337_ir_eval" -> q337IrEval,
     "q158_temperature_mix" -> q158TemperatureMix,
   )
   val oracleSql: Map[String, String] = Map(
@@ -996,6 +1063,7 @@ object TextPipeline {
     "q240_span_corrupt" -> q240Sql,
     "q103_sequence_packing" -> q103Sql,
     "q108_bm25" -> q108Sql,
+    "q337_ir_eval" -> q337Sql,
     "q158_temperature_mix" -> q158Sql,
   )
 }

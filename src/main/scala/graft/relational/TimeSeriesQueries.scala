@@ -946,7 +946,66 @@ object TimeSeriesQueries {
       |  CAST(SUM(det_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 7.0 / 100.0 AS seasonal
       |FROM kept GROUP BY dow ORDER BY dow""".stripMargin
 
+
+  /** q338 — FORECAST BACKTEST of the two canonical baselines over the
+    * daily revenue series: naive (x̂_t = x_{t−1}) and seasonal-naive
+    * (x̂_t = x_{t−7}), scored by MAE and by MASE (Hyndman & Koehler
+    * 2006 — the M-competition scale-free standard: seasonal-naive MAE
+    * over naive MAE; < 1 means the weekly cycle q291/q320 detected is
+    * PREDICTIVE, not just descriptive). Errors are exact |BIGINT|
+    * cent sums; the three divisions are spelled once. Evaluation
+    * region = days with both lags defined — identical in both engines
+    * by the shared row_number convention.
+    *
+    * Scale shape: one partial-agged daily collapse (the only corpus
+    * pass), lags + error sums on the days-bounded frame (q291's
+    * discipline).
+    */
+  val q338ForecastBacktest: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.orders(s, dir)
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum(expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)")).as("x"))
+    val w = Window.orderBy($"day")
+    daily
+      .withColumn("l1", lag($"x", 1).over(w))
+      .withColumn("l7", lag($"x", 7).over(w))
+      .filter($"l1".isNotNull && $"l7".isNotNull)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs($"x" - $"l1")).as("ae_naive"),
+        sum(abs($"x" - $"l7")).as("ae_seasonal"))
+      .select($"n_eval",
+        expr("CAST(ae_naive AS DOUBLE) / CAST(n_eval AS DOUBLE) / 100.0")
+          .as("mae_naive"),
+        expr("CAST(ae_seasonal AS DOUBLE) / CAST(n_eval AS DOUBLE) / 100.0")
+          .as("mae_seasonal"),
+        expr("CAST(ae_seasonal AS DOUBLE) / CAST(ae_naive AS DOUBLE)")
+          .as("mase"))
+  }
+
+  val q338Sql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day,
+      |    SUM(CAST(FLOOR(100 * o_totalprice) AS BIGINT)) AS x
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT x,
+      |    LAG(x, 1) OVER (ORDER BY day) AS l1,
+      |    LAG(x, 7) OVER (ORDER BY day) AS l7
+      |  FROM daily),
+      |e AS (
+      |  SELECT COUNT(*) AS n_eval,
+      |    CAST(SUM(ABS(x - l1)) AS BIGINT) AS ae_naive,
+      |    CAST(SUM(ABS(x - l7)) AS BIGINT) AS ae_seasonal
+      |  FROM lagged WHERE l1 IS NOT NULL AND l7 IS NOT NULL)
+      |SELECT n_eval,
+      |  CAST(ae_naive AS DOUBLE) / CAST(n_eval AS DOUBLE) / 100.0 AS mae_naive,
+      |  CAST(ae_seasonal AS DOUBLE) / CAST(n_eval AS DOUBLE) / 100.0 AS mae_seasonal,
+      |  CAST(ae_seasonal AS DOUBLE) / CAST(ae_naive AS DOUBLE) AS mase
+      |FROM e""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q338_forecast_backtest" -> q338ForecastBacktest,
     "q320_seasonal_decompose" -> q320SeasonalDecompose,
     "q313_interval_intersect" -> q313IntervalIntersect,
     "q291_acf" -> q291Acf,
@@ -964,6 +1023,7 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q338_forecast_backtest" -> q338Sql,
     "q320_seasonal_decompose" -> q320Sql,
     "q313_interval_intersect" -> q313Sql,
     "q291_acf" -> q291Sql,
