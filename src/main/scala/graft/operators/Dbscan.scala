@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** Grid-accelerated DBSCAN (Ester, Kriegel, Sander & Xu, KDD'96) over
+  * the embedding table's first two coordinates — DENSITY clustering,
+  * the family member the repo's others can't express: k-means (q234)
+  * partitions everything into convex cells, LPA (q239) needs an edge
+  * list, DBSCAN discovers arbitrary-shape dense regions AND labels
+  * sparse points as noise (the outlier-aware clustering a curation
+  * pipeline uses to find coherent embedding regions vs stragglers).
+  *
+  * Exact semantics, integer-quantized: coordinates are ⌊1000·e⌋,
+  * neighborhood is dx²+dy² ≤ [[DbEps]]² in pure BIGINT arithmetic; a
+  * point is CORE iff its closed neighborhood has ≥ [[DbMinPts]]
+  * points; clusters are connected components of the core-core
+  * neighbor graph labeled by min vec_id ([[ConnectedComponents]]);
+  * border points adopt the smallest core-neighbor label; everything
+  * else is noise (cluster −1). Every rule is integer-exact, so the
+  * per-point output hash-compares against a brute-force O(n²) oracle.
+  *
+  * Scale shape: the neighbor join is the 3×3 GRID join (cell = eps
+  * floor-division; any pair within eps differs by ≤1 cell per axis —
+  * candidate completeness by construction), so pair work is bounded
+  * by local density, never n² — the q297 spatial-join discipline; the
+  * oracle does the quadratic join the grid exists to avoid. CC is the
+  * q101 label-propagation fixpoint (O(log n) rounds of equi-joins).
+  */
+object Dbscan {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val DbScale = 1000
+  val DbEps = 30L
+  val DbMinPts = 5L
+
+  val q340Dbscan: Q = (s, dir) => {
+    import s.implicits._
+    val pts = T.embeddings(s, dir)
+      .select($"vec_id",
+        expr(s"CAST(FLOOR($DbScale * embedding[0]) AS BIGINT)").as("x"),
+        expr(s"CAST(FLOOR($DbScale * embedding[1]) AS BIGINT)").as("y"))
+      .localCheckpoint()
+    cluster(pts, DbEps, DbMinPts)
+  }
+
+  /** DBSCAN over any (vec_id, x, y) integer point frame — the full
+    * pipeline, shared with the spec's hand layouts. */
+  def cluster(pts: DataFrame, eps: Long, minPts: Long): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val withCell = pts
+      .withColumn("cx", expr(s"x div $eps"))
+      .withColumn("cy", expr(s"y div $eps"))
+    val probe = withCell.select($"vec_id".as("a"), $"x".as("ax"),
+        $"y".as("ay"),
+        explode(expr("""transform(sequence(-1, 1), dx -> dx)""")).as("dx"),
+        $"cx", $"cy")
+      .select($"a", $"ax", $"ay", ($"cx" + $"dx").as("jx"),
+        explode(expr("""transform(sequence(-1, 1), dy -> dy)""")).as("dy"),
+        $"cy")
+      .select($"a", $"ax", $"ay", $"jx", ($"cy" + $"dy").as("jy"))
+    val nbr = probe.join(
+        withCell.select($"vec_id".as("b"), $"x".as("bx"), $"y".as("by"),
+          $"cx".as("jx"), $"cy".as("jy")),
+        Seq("jx", "jy"))
+      .filter($"a" =!= $"b" &&
+        ($"ax" - $"bx") * ($"ax" - $"bx") +
+          ($"ay" - $"by") * ($"ay" - $"by") <= eps * eps)
+      .select($"a", $"b")
+      .localCheckpoint()
+    val core = nbr.groupBy($"a").agg(count(lit(1)).as("deg"))
+      .filter($"deg" + 1 >= minPts)
+      .select($"a".as("vec_id"))
+      .localCheckpoint()
+    val coreEdges = nbr
+      .join(core.select($"vec_id".as("a")), "a")
+      .join(core.select($"vec_id".as("b")), "b")
+      .filter($"a" < $"b")
+    val comps = ConnectedComponents(coreEdges, src = "a", dst = "b")
+      .select($"id".as("vec_id"), $"comp")
+    // isolated core points (no core neighbor) are their own cluster
+    val coreLabeled = core.join(comps, Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"comp", $"vec_id").as("cluster"))
+      .localCheckpoint()
+    val borderLabeled = nbr
+      .join(core.select($"vec_id".as("a")), Seq("a"), "left_anti")
+      .join(coreLabeled.select($"vec_id".as("b"), $"cluster"), "b")
+      .groupBy($"a".as("vec_id"))
+      .agg(min($"cluster").as("cluster"))
+    val labeled = coreLabeled.withColumn("role", lit("core"))
+      .unionByName(borderLabeled.withColumn("role", lit("border")))
+    pts.select($"vec_id").join(labeled, Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"role", lit("noise")).as("role"),
+        coalesce($"cluster", lit(-1L)).as("cluster"))
+      .orderBy($"vec_id")
+  }
+
+  /** Brute-force oracle: quadratic neighbor join + reachability-closure
+    * min labels — exactly the work the grid and the CC fixpoint avoid.
+    */
+  val q340Sql: String =
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT vec_id,
+       |    CAST(FLOOR($DbScale * embedding[1]) AS BIGINT) AS x,
+       |    CAST(FLOOR($DbScale * embedding[2]) AS BIGINT) AS y
+       |  FROM embeddings),
+       |nbr AS (
+       |  SELECT p.vec_id AS a, q.vec_id AS b
+       |  FROM pts p JOIN pts q ON p.vec_id <> q.vec_id
+       |    AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+       |        <= ${DbEps * DbEps}),
+       |core AS (
+       |  SELECT a AS vec_id FROM nbr GROUP BY a
+       |  HAVING COUNT(*) + 1 >= $DbMinPts),
+       |ce AS (
+       |  SELECT n.a, n.b FROM nbr n
+       |  JOIN core ca ON n.a = ca.vec_id
+       |  JOIN core cb ON n.b = cb.vec_id),
+       |walk AS (
+       |  SELECT vec_id AS node, vec_id AS lbl FROM core
+       |  UNION
+       |  SELECT ce.b, w.lbl FROM walk w JOIN ce ON ce.a = w.node),
+       |comp AS (SELECT node AS vec_id, MIN(lbl) AS cluster
+       |         FROM walk GROUP BY node),
+       |border AS (
+       |  SELECT n.a AS vec_id, MIN(c.cluster) AS cluster
+       |  FROM nbr n
+       |  JOIN comp c ON n.b = c.vec_id
+       |  WHERE n.a NOT IN (SELECT vec_id FROM core)
+       |  GROUP BY n.a),
+       |lab AS (
+       |  SELECT vec_id, 'core' AS role, cluster FROM comp
+       |  UNION ALL
+       |  SELECT vec_id, 'border', cluster FROM border)
+       |SELECT p.vec_id,
+       |  COALESCE(l.role, 'noise') AS role,
+       |  CAST(COALESCE(l.cluster, -1) AS BIGINT) AS cluster
+       |FROM pts p LEFT JOIN lab l ON p.vec_id = l.vec_id
+       |ORDER BY p.vec_id""".stripMargin
+
+  val queries: Map[String, Q] = Map("q340_dbscan" -> q340Dbscan)
+  val oracleSql: Map[String, String] = Map("q340_dbscan" -> q340Sql)
+}

@@ -135,6 +135,57 @@ object ReshapeStatsQueries {
       |FROM s
       |ORDER BY l_returnflag""".stripMargin
 
+
+  /** q339 — exact per-group WEIGHTED median (lower weighted median:
+    * the smallest value whose cumulative weight reaches half the
+    * group total) of extendedprice weighted by quantity — the robust
+    * importance-weighted aggregate (a q216-style weighted corpus
+    * reads its central tendency this way; an unweighted median would
+    * let one high-multiplicity row count once). Integer weights and
+    * cent values keep every comparison exact: 2·cumw ≥ totw is pure
+    * BIGINT arithmetic, no midpoint averaging, no doubles at all.
+    *
+    * Scale shape: the rank window partitions on the 3-value flag key
+    * (the q90 oracle-anchor caveat applies — the production spelling
+    * at scale is a weighted histogram/selection pass, q307's shape);
+    * one window + one argmin per group.
+    */
+  val q339WeightedMedian: Q = (s, dir) => {
+    import s.implicits._
+    val base = T.lineitem(s, dir)
+      .select($"l_returnflag",
+        expr("CAST(FLOOR(100 * l_extendedprice) AS BIGINT)").as("v"),
+        expr("CAST(FLOOR(l_quantity) AS BIGINT)").as("w"))
+    val wOrd = Window.partitionBy($"l_returnflag")
+      .orderBy($"v", $"w").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy($"l_returnflag")
+    base
+      .withColumn("cumw", sum($"w").over(wOrd))
+      .withColumn("totw", sum($"w").over(wAll))
+      .filter($"cumw" * 2 >= $"totw")
+      .groupBy($"l_returnflag")
+      .agg(min($"v").as("wmedian_cents"), max($"totw").as("total_weight"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q339Sql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag,
+      |    CAST(FLOOR(100 * l_extendedprice) AS BIGINT) AS v,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS w
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT l_returnflag, v,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v, w
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+      |  FROM base)
+      |SELECT l_returnflag,
+      |  CAST(MIN(v) AS BIGINT) AS wmedian_cents,
+      |  CAST(MAX(totw) AS BIGINT) AS total_weight
+      |FROM c WHERE cumw * 2 >= totw
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** q90 — exact per-group median via rank arithmetic (the portable
     * spelling: average of the values at positions ⌊(n+1)/2⌋ and
     * ⌊n/2⌋+1), which both engines evaluate as the same 1-or-2-element
@@ -394,6 +445,7 @@ object ReshapeStatsQueries {
     "q88_unpivot" -> q88Unpivot,
     "q89_stats_moments" -> q89StatsMoments,
     "q90_median_rank" -> q90MedianRank,
+    "q339_weighted_median" -> q339WeightedMedian,
     "q110_winsorize" -> q110Winsorize,
     "q162_decile_summary" -> q162DecileSummary,
   )
@@ -405,6 +457,7 @@ object ReshapeStatsQueries {
     "q88_unpivot" -> q88Sql,
     "q89_stats_moments" -> q89Sql,
     "q90_median_rank" -> q90Sql,
+    "q339_weighted_median" -> q339Sql,
     "q110_winsorize" -> q110Sql,
     "q162_decile_summary" -> q162Sql,
   )

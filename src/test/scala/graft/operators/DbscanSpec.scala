@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand 2-D layouts for DBSCAN: two dense blobs separated by more
+  * than eps form two clusters, a lone faraway point is noise, a point
+  * within eps of one blob but with too few neighbors of its own is a
+  * border member, and a chain of core points within eps links into
+  * ONE cluster (density-reachability — the property k-means lacks).
+  */
+class DbscanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(pts: Seq[(Long, Long, Long)], eps: Long, minPts: Long) =
+    Dbscan.cluster(pts.toDF("vec_id", "x", "y"), eps, minPts)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("two blobs, one border, one noise") {
+    // blob A: 4 mutually-close points at origin; blob B: 4 at (100, 0);
+    // border: 11 away from A's edge (inside eps of one A-core, deg 1);
+    // noise: far from everything
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 3L, 0L), (3L, 0L, 3L), (4L, 3L, 3L),
+      (10L, 100L, 0L), (11L, 103L, 0L), (12L, 100L, 3L), (13L, 103L, 3L),
+      (20L, 14L, 0L), // within eps=12 of point 2 (dist 11) only
+      (30L, 500L, 500L))
+    val out = run(pts, eps = 12L, minPts = 4L)
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_)._1 == "core"), s"$out")
+    assert(Seq(10L, 11L, 12L, 13L).forall(out(_)._1 == "core"), s"$out")
+    assert(out(1L)._2 == 1L && out(4L)._2 == 1L)
+    assert(out(10L)._2 == 10L && out(13L)._2 == 10L)
+    assert(out(20L) == ("border", 1L), s"border wrong: ${out(20L)}")
+    assert(out(30L) == ("noise", -1L), s"noise wrong: ${out(30L)}")
+  }
+
+  test("density chain links into one cluster") {
+    // a line of points each within eps of the next — k-means would
+    // split it, DBSCAN chains it
+    val pts = (0 until 12).map(i => (i.toLong, i * 10L, 0L))
+    val out = run(pts, eps = 12L, minPts = 3L)
+    // endpoints see only ONE neighbor within eps -> border, correctly
+    assert((1L to 10L).forall(out(_)._1 == "core"), s"$out")
+    assert(out(0L)._1 == "border" && out(11L)._1 == "border", s"$out")
+    // min CORE id labels the single chained cluster
+    assert(out.values.map(_._2).toSet == Set(1L), s"chain split: $out")
+  }
+
+  test("minPts above any neighborhood makes everything noise") {
+    val pts = Seq((1L, 0L, 0L), (2L, 5L, 0L), (3L, 1000L, 0L))
+    val out = run(pts, eps = 10L, minPts = 5L)
+    assert(out.values.forall(_ == ("noise", -1L)), s"$out")
+  }
+
+  test("negative coordinates: grid candidate generation stays complete") {
+    // pair straddling the 0-cell boundary at negative coords
+    val pts = Seq((1L, -5L, -5L), (2L, -15L, -5L), (3L, -25L, -5L),
+      (4L, 200L, 200L))
+    val out = run(pts, eps = 12L, minPts = 2L)
+    assert(out(1L)._1 == "core" && out(2L)._1 == "core" && out(3L)._1 == "core")
+    assert(out(1L)._2 == out(3L)._2, s"negative-coord chain split: $out")
+    assert(out(4L) == ("noise", -1L))
+  }
+}
