@@ -907,6 +907,96 @@ object DedupQueries {
       |WHERE inter * 10 >= n1.n * 8
       |ORDER BY inner_doc, outer_doc""".stripMargin
 
+
+  /** q344 — near-dup EXPLANATION: for every q41-verified pair, the
+    * longest run of CONSECUTIVE doc1 positions whose 3-gram also
+    * occurs in doc2 (L consecutive trigram hits span L+2 shared
+    * tokens) — the evidence a human reviewer or a surgical-dedup
+    * policy (q238 cuts boilerplate; this LOCATES it per pair) needs
+    * beyond a bare Jaccard number. Pure integer gaps-and-islands:
+    * matched positions → run id = pos − row_number → max island.
+    *
+    * Scale shape: everything downstream of the candidate set is
+    * PAIR-BOUNDED (the q41 verify discipline): positional trigrams
+    * explode only for docs appearing in pairs (left-semi pruned), the
+    * membership check is one equi-join on (doc2, trigram), islands
+    * are a window over matched positions per pair.
+    */
+  val q344DupSpansExplain: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val pairs = nearDuplicates(s, docs, NearDupThreshold)
+      .select($"doc1", $"doc2").localCheckpoint()
+    val posTg = docs
+      .join(pairs.select($"doc1".as("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi")
+      .select($"doc_id", split($"text", " ").as("ws")) // hoisted: q126 trap
+      .select($"doc_id", posexplode(expr(
+        """IF(size(ws) >= 3,
+          |  transform(sequence(0, size(ws) - 3),
+          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])),
+          |  array())""".stripMargin)).as(Seq("pos", "tg")))
+    val tri2 = triShingles(docs)
+      .join(pairs.select($"doc2".as("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi")
+      .select($"doc_id".as("doc2"), $"tg")
+    val matched = pairs
+      .join(posTg.withColumnRenamed("doc_id", "doc1"), "doc1")
+      .join(tri2, Seq("doc2", "tg"))
+      .select($"doc1", $"doc2", $"pos")
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc1", $"doc2").orderBy($"pos")
+    matched
+      .withColumn("run_id", $"pos" - row_number().over(wRun))
+      .groupBy($"doc1", $"doc2", $"run_id")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy($"doc1", $"doc2")
+      .agg(max($"run_len").as("longest_run"))
+      .withColumn("span_tokens", $"longest_run" + 2)
+      .orderBy($"doc1", $"doc2")
+  }
+
+  /** The oracle replays q41's exact pair set, then the same
+    * gaps-and-islands over matched positions. */
+  val q344Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tri AS (SELECT DISTINCT doc_id,
+       |          UNNEST(list_transform(range(1, len(ws) - 1),
+       |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+       |        FROM w),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+       |       FROM tri a JOIN tri b ON a.tg = b.tg AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc1, doc2 FROM pr
+       |  JOIN sizes n1 ON pr.doc1 = n1.doc_id
+       |  JOIN sizes n2 ON pr.doc2 = n2.doc_id
+       |  WHERE inter / (n1.n + n2.n - inter) >= $NearDupThreshold),
+       |pos1 AS (
+       |  SELECT doc_id, g.i - 1 AS pos,
+       |    ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS tg
+       |  FROM w, LATERAL (SELECT UNNEST(range(1, len(ws) - 1)) AS i) g),
+       |matched AS (
+       |  SELECT p.doc1, p.doc2, s1.pos
+       |  FROM pairs p
+       |  JOIN pos1 s1 ON s1.doc_id = p.doc1
+       |  JOIN tri t2 ON t2.doc_id = p.doc2 AND t2.tg = s1.tg),
+       |runs AS (
+       |  SELECT doc1, doc2,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc1, doc2 ORDER BY pos)
+       |      AS run_id
+       |  FROM matched),
+       |rl AS (
+       |  SELECT doc1, doc2, COUNT(*) AS run_len
+       |  FROM runs GROUP BY doc1, doc2, run_id)
+       |SELECT doc1, doc2, CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       |  CAST(MAX(run_len) + 2 AS BIGINT) AS span_tokens
+       |FROM rl GROUP BY doc1, doc2
+       |ORDER BY doc1, doc2""".stripMargin
+
+
   val q233PrefixJoin: Q = (s, dir) => {
     implicit val sp: SparkSession = s
     prefixFilterPairs(T.documents(s, dir), 7, 10)
@@ -1016,6 +1106,7 @@ object DedupQueries {
     "q197_jaro_pairs" -> q197JaroPairs,
     "q233_prefix_join" -> q233PrefixJoin,
     "q322_containment_join" -> q322ContainmentJoin,
+    "q344_dup_spans_explain" -> q344DupSpansExplain,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1033,5 +1124,6 @@ object DedupQueries {
     "q197_jaro_pairs" -> q197Sql,
     "q233_prefix_join" -> q233Sql,
     "q322_containment_join" -> q322Sql,
+    "q344_dup_spans_explain" -> q344Sql,
   )
 }

@@ -854,7 +854,70 @@ object StatInference {
        |  CAST(FLOOR($NeymanBudget.0 * (weight / (SELECT SUM(weight) FROM w))) AS BIGINT) AS n_alloc
        |FROM w ORDER BY event_type""".stripMargin
 
+
+  /** q343 — covariate BALANCE audit by standardized mean difference
+    * (the |SMD| < 0.1 randomization check every experiment readout
+    * runs FIRST — Austin 2009): per event type, the pre-period
+    * covariate (the q331 even-day cent-sum per user) compared between
+    * variants by SMD = (x̄_t − x̄_c) / √((s²_t + s²_c)/2). A splitter
+    * bug (e.g. variant correlated with activity) shows here before it
+    * corrupts every downstream uplift. Completes the experimentation
+    * trio: q229 significance, q331 variance reduction, q343 validity.
+    * Exact integer sufficient statistics; the finish is the one
+    * spelled double chain (q228 discipline).
+    *
+    * Scale shape: one user-keyed partial agg (shared shape with q331)
+    * + one grand conditional agg per event type — no joins, no
+    * windows.
+    */
+  val q343BalanceAudit: Q = (s, dir) => {
+    import s.implicits._
+    val perUser = T.events(s, dir)
+      .select($"event_type", $"user_id",
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("qv"),
+        (expr("CAST(ts AS DATE)").cast("string").substr(9, 2).cast("int") % 2
+          === 0).as("pre"))
+      .filter($"pre")
+      .groupBy($"event_type", $"user_id")
+      .agg(sum($"qv").as("x"))
+      .withColumn("t", ($"user_id" % 2 === 0).cast("long"))
+    perUser.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"t").as("nt"),
+        sum($"t" * $"x").as("sxt"),
+        sum($"t" * $"x" * $"x").as("sxxt"),
+        sum((lit(1L) - $"t") * $"x").as("sxc"),
+        sum((lit(1L) - $"t") * $"x" * $"x").as("sxxc"))
+      .select($"event_type", $"n", $"nt",
+        expr("""(CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(sxc AS DOUBLE) / CAST(n - nt AS DOUBLE))
+               | / SQRT((((CAST(sxxt AS DOUBLE) - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)) / (CAST(nt AS DOUBLE) - 1.0))
+               |        + ((CAST(sxxc AS DOUBLE) - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE) / CAST(n - nt AS DOUBLE)) / (CAST(n - nt AS DOUBLE) - 1.0))) / 2.0)""".stripMargin)
+          .as("smd"))
+      .orderBy($"event_type")
+  }
+
+  val q343Sql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id, SUM(qv) AS x,
+      |    CAST(user_id % 2 = 0 AS BIGINT) AS t
+      |  FROM (SELECT event_type, user_id, ts,
+      |          CAST(FLOOR(100 * value) AS BIGINT) AS qv FROM events)
+      |  WHERE CAST(substring(CAST(CAST(ts AS DATE) AS VARCHAR), 9, 2) AS INTEGER) % 2 = 0
+      |  GROUP BY event_type, user_id),
+      |g AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(t) AS nt,
+      |    SUM(t * x) AS sxt, SUM(t * x * x) AS sxxt,
+      |    SUM((1 - t) * x) AS sxc, SUM((1 - t) * x * x) AS sxxc
+      |  FROM pu GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(nt AS BIGINT) AS nt,
+      |  (CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(sxc AS DOUBLE) / CAST(n - nt AS DOUBLE))
+      |   / SQRT((((CAST(sxxt AS DOUBLE) - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)) / (CAST(nt AS DOUBLE) - 1.0))
+      |          + ((CAST(sxxc AS DOUBLE) - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE) / CAST(n - nt AS DOUBLE)) / (CAST(n - nt AS DOUBLE) - 1.0))) / 2.0)
+      |    AS smd
+      |FROM g ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q343_balance_audit" -> q343BalanceAudit,
     "q331_cuped" -> q331Cuped,
     "q332_neyman_allocation" -> q332NeymanAllocation,
     "q228_grouped_ols" -> q228GroupedOls,
@@ -870,6 +933,7 @@ object StatInference {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q343_balance_audit" -> q343Sql,
     "q331_cuped" -> q331Sql,
     "q332_neyman_allocation" -> q332Sql,
     "q228_grouped_ols" -> q228Sql,
