@@ -143,6 +143,79 @@ object Dbscan {
        |FROM pts p LEFT JOIN lab l ON p.vec_id = l.vec_id
        |ORDER BY p.vec_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("q340_dbscan" -> q340Dbscan)
-  val oracleSql: Map[String, String] = Map("q340_dbscan" -> q340Sql)
+
+  /** q345 — radius-bounded exact kNN GRAPH (k = [[KnnK]] nearest
+    * neighbors within [[DbEps]]) over the same quantized plane — the
+    * construction primitive of graph-based similarity methods
+    * (mutual-kNN clustering, NN-Descent/HNSW seeding) and the
+    * all-points sibling of q44's query-set top-k and q297's 1-NN
+    * join. Distances are exact BIGINT squares; ranking ties break
+    * (d², neighbor id) — fully ordered, so the edge list hash-compares
+    * against the brute-force oracle.
+    *
+    * Scale shape: the 3×3 grid join bounds candidates by local
+    * density (radius-bounded kNN is exactly what makes the grid
+    * COMPLETE — an unbounded k-th neighbor can live arbitrarily far);
+    * per-point selection runs on [[graft.plans.TopKPerGroupExec]]'s
+    * bounded heap, not a window sort. The oracle is the quadratic
+    * join + window the grid and the heap avoid.
+    */
+  val KnnK = 5
+
+  val q345KnnGraph: Q = (s, dir) => {
+    import s.implicits._
+    val pts = T.embeddings(s, dir)
+      .select($"vec_id",
+        expr(s"CAST(FLOOR($DbScale * embedding[0]) AS BIGINT)").as("x"),
+        expr(s"CAST(FLOOR($DbScale * embedding[1]) AS BIGINT)").as("y"))
+      .localCheckpoint()
+    val withCell = pts
+      .withColumn("cx", expr(s"x div $DbEps"))
+      .withColumn("cy", expr(s"y div $DbEps"))
+    val probe = withCell.select($"vec_id".as("a"), $"x".as("ax"),
+        $"y".as("ay"),
+        explode(expr("transform(sequence(-1, 1), dx -> dx)")).as("dx"),
+        $"cx", $"cy")
+      .select($"a", $"ax", $"ay", ($"cx" + $"dx").as("jx"),
+        explode(expr("transform(sequence(-1, 1), dy -> dy)")).as("dy"),
+        $"cy")
+      .select($"a", $"ax", $"ay", $"jx", ($"cy" + $"dy").as("jy"))
+    val cand = probe.join(
+        withCell.select($"vec_id".as("b"), $"x".as("bx"), $"y".as("by"),
+          $"cx".as("jx"), $"cy".as("jy")),
+        Seq("jx", "jy"))
+      .filter($"a" =!= $"b")
+      .withColumn("d2",
+        ($"ax" - $"bx") * ($"ax" - $"bx") +
+          ($"ay" - $"by") * ($"ay" - $"by"))
+      .filter($"d2" <= DbEps * DbEps)
+      .select($"a", $"b", $"d2")
+    graft.plans.TopK.perGroup(cand, Seq("a"),
+        Seq("d2" -> true, "b" -> true), KnnK)
+      .orderBy($"a", $"d2", $"b")
+  }
+
+  val q345Sql: String =
+    s"""WITH pts AS (
+       |  SELECT vec_id,
+       |    CAST(FLOOR($DbScale * embedding[1]) AS BIGINT) AS x,
+       |    CAST(FLOOR($DbScale * embedding[2]) AS BIGINT) AS y
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT p.vec_id AS a, q.vec_id AS b,
+       |    (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS d2
+       |  FROM pts p JOIN pts q ON p.vec_id <> q.vec_id),
+       |rk AS (
+       |  SELECT a, b, CAST(d2 AS BIGINT) AS d2,
+       |    ROW_NUMBER() OVER (PARTITION BY a ORDER BY d2, b) AS r
+       |  FROM cand WHERE d2 <= ${DbEps * DbEps})
+       |SELECT a, b, d2 FROM rk WHERE r <= $KnnK
+       |ORDER BY a, d2, b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q340_dbscan" -> q340Dbscan,
+    "q345_knn_graph" -> q345KnnGraph)
+  val oracleSql: Map[String, String] = Map(
+    "q340_dbscan" -> q340Sql,
+    "q345_knn_graph" -> q345Sql)
 }
