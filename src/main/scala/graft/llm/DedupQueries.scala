@@ -997,6 +997,57 @@ object DedupQueries {
        |ORDER BY doc1, doc2""".stripMargin
 
 
+
+  /** q346 — DEDUP SAVINGS report: the one-row business case for the
+    * whole dedup family — of N docs, how many survive keep-one-per-
+    * cluster (the q101/q163 policy), how many drop, and how many
+    * CHARS of storage/compute the drop saves (exact n_chars sums).
+    * This is the number a 100 TB ingest review actually asks for;
+    * the cluster machinery behind it is q101's verbatim.
+    *
+    * Scale shape: the q101 pipeline (banded LSH → exact verify → CC)
+    * plus ONE left join of docs to cluster labels and a single
+    * conditional aggregate — no new corpus pass.
+    */
+  val q346DedupSavings: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir).select($"doc_id", $"n_chars")
+    val pairs = nearDuplicates(s, T.documents(s, dir), NearDupThreshold)
+      .select($"doc1", $"doc2")
+    val cc = graft.operators.ConnectedComponents(pairs,
+      src = "doc1", dst = "doc2")
+    docs
+      .join(cc.select($"id".as("doc_id"), $"comp"), Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chars",
+        coalesce($"comp", $"doc_id").as("rep"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"doc_id" === $"rep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"doc_id" =!= $"rep", 1L).otherwise(0L)).as("n_dropped"),
+        sum($"n_chars").as("chars_total"),
+        sum(when($"doc_id" =!= $"rep", $"n_chars").otherwise(0L))
+          .as("chars_saved"))
+      .withColumn("savings_ratio",
+        expr("CAST(chars_saved AS DOUBLE) / CAST(chars_total AS DOUBLE)"))
+  }
+
+  val q346Sql: String =
+    s"""$nearDupReachCte,
+       |lab AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+       |j AS (
+       |  SELECT d.doc_id, d.n_chars, COALESCE(l.rep, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
+       |SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN doc_id = rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(SUM(CASE WHEN doc_id <> rep THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS chars_saved,
+       |  CAST(SUM(CASE WHEN doc_id <> rep THEN n_chars ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(n_chars) AS DOUBLE) AS savings_ratio
+       |FROM j""".stripMargin
+
+
   val q233PrefixJoin: Q = (s, dir) => {
     implicit val sp: SparkSession = s
     prefixFilterPairs(T.documents(s, dir), 7, 10)
@@ -1107,6 +1158,7 @@ object DedupQueries {
     "q233_prefix_join" -> q233PrefixJoin,
     "q322_containment_join" -> q322ContainmentJoin,
     "q344_dup_spans_explain" -> q344DupSpansExplain,
+    "q346_dedup_savings" -> q346DedupSavings,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1125,5 +1177,6 @@ object DedupQueries {
     "q233_prefix_join" -> q233Sql,
     "q322_containment_join" -> q322Sql,
     "q344_dup_spans_explain" -> q344Sql,
+    "q346_dedup_savings" -> q346Sql,
   )
 }
