@@ -100,6 +100,16 @@ object Bench {
     val failedNames = results.collect { case (k, _, false) => k }
     val failedCompact = failedNames.take(3).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    // Top-10 slowest as their own compact line (~300 chars): the full
+    // per-query line's HEAD is truncated by the driver's 2000-char
+    // tail, so per-query regressions were invisible in the artifact;
+    // the 10 biggest entries are exactly the ones a regression lands
+    // in. Printed BEFORE the final compact total line so the driver's
+    // last-line parse still yields the headline numbers.
+    val top10 = results.filter(_._3).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => s"\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"top10_slowest","unit":"sec","queries":$top10}""")
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n":${results.size},"n_failed":${failedNames.size},"failed":$failedCompact,"ok":${failedNames.isEmpty},"sf":"$sfDir"}""")
     spark.stop()
   }

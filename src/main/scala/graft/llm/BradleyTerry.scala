@@ -115,8 +115,13 @@ object BradleyTerry {
       lls += llOf(j)
       val denom = j.groupBy($"a")
         .agg(sum($"n_ab" / ($"pa" + $"pb")).as("d"))
+      // floor at a tiny eps: a zero-win item would get p=0, and the
+      // next LL pass would fold w_ab*log(0) = 0*(-Inf) = NaN into the
+      // sum (and log(0) = -Inf into the geometric-mean normalizer).
+      // Hunter's condition assumes strong connectivity; the floor keeps
+      // the degenerate residue-class-never-wins fixture finite instead.
       pi = wins.join(denom, "a")
-        .select($"a", ($"w" / $"d").as("p"))
+        .select($"a", greatest($"w" / $"d", lit(1e-12)).as("p"))
         .localCheckpoint()
     }
     lls += llOf(joined(pi))

@@ -53,8 +53,14 @@ object ClusterEval {
         min(when($"label" === $"clabel", $"d")).as("a"),
         min(when($"label" =!= $"clabel", $"d")).as("b"))
       .withColumn("s_q",
-        floor(lit(1000000.0) * ($"b" - $"a") / greatest($"a", $"b"))
-          .cast("long"))
+        // degenerate case spelled explicitly IN BOTH ENGINES: a point
+        // sitting exactly on its own and the nearest-other centroid has
+        // a = b = 0; the textbook convention is s = 0, and leaving it
+        // to 0/0 diverges (Spark casts the NaN to 0L, DuckDB errors on
+        // CAST(FLOOR(NaN) AS BIGINT))
+        when(greatest($"a", $"b") === 0.0, 0L)
+          .otherwise(floor(lit(1000000.0) * ($"b" - $"a")
+            / greatest($"a", $"b")).cast("long")))
     perPoint.groupBy($"label")
       .agg(count(lit(1)).as("n"), sum($"s_q").as("s_q_sum"))
       .withColumn("mean_silhouette",
@@ -87,7 +93,9 @@ object ClusterEval {
        |  FROM d GROUP BY vec_id, label),
        |sq AS (
        |  SELECT label,
-       |    CAST(FLOOR(1000000.0 * (b - a) / GREATEST(a, b)) AS BIGINT) AS s_q
+       |    CASE WHEN GREATEST(a, b) = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(FLOOR(1000000.0 * (b - a) / GREATEST(a, b))
+       |                AS BIGINT) END AS s_q
        |  FROM pp)
        |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
        |  CAST(SUM(s_q) AS BIGINT) AS s_q_sum,

@@ -221,7 +221,10 @@ object NaiveBayes {
   val q323CvFolds: Q = (s, dir) => {
     import s.implicits._
     val docs = plantedDocs(s, dir).localCheckpoint()
-    val rows = (0 until 5).map { k =>
+    // emit only folds PRESENT in the data (the oracle's GROUP BY
+    // doc_id % 5 shape): an empty fold must neither emit a phantom
+    // row nor NPE on the null sum an empty frame aggregates to
+    val rows = (0 until 5).flatMap { k =>
       val train = docs.filter($"doc_id" % 5 =!= k)
       val test = docs.filter($"doc_id" % 5 === k)
       val pred = predictFrom(train, test)
@@ -229,9 +232,10 @@ object NaiveBayes {
         count(lit(1)).as("n"),
         sum(when($"pred_lang" === $"true_lang", 1L).otherwise(0L)).as("c"))
         .head()
-      val (n, c) = (agg.getLong(0), agg.getLong(1))
-      val acc = if (n == 0) 0L else 1000L * c / n
-      (k.toLong, n, acc >= MinAccPermille)
+      val n = agg.getLong(0)
+      val c = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      if (n == 0) None
+      else Some((k.toLong, n, 1000L * c / n >= MinAccPermille))
     }
     s.createDataFrame(rows).toDF("fold", "n_test", "ok")
       .orderBy("fold")

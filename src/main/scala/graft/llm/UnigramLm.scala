@@ -110,7 +110,10 @@ object UnigramLm {
 
     // candidate pieces: all substrings up to MaxPieceLen, weighted by
     // word freq; cap at MaxCandidates by (freq desc, piece asc); single
-    // chars always retained (coverage floor)
+    // chars always retained (coverage floor). The cap is applied
+    // DISTRIBUTED (TakeOrderedAndProject under orderBy+limit) so the
+    // driver materializes ≤ MaxCandidates + |alphabet| rows, never the
+    // full substring census.
     val subCounts = words.flatMap { case (w, f) =>
       for {
         i <- 0 until w.length
@@ -118,11 +121,14 @@ object UnigramLm {
       } yield (w.substring(i, i + l), f)
     }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
       .map { case (p, f) => (p, f) }
-      .collect()
-    val singles = subCounts.filter(_._1.length == 1)
+      .localCheckpoint()
+    val singles = subCounts.filter(_._1.length == 1).collect()
     val multis = subCounts.filter(_._1.length > 1)
+      .orderBy(org.apache.spark.sql.functions.col("_2").desc,
+        org.apache.spark.sql.functions.col("_1").asc)
+      .limit(MaxCandidates - singles.length)
+      .collect()
       .sortBy { case (p, f) => (-f, p) }
-      .take(MaxCandidates - singles.length)
     require(singles.length + multis.length >= targetVocab,
       s"candidate pool ${singles.length + multis.length} < $targetVocab")
     var pieces: Array[(String, Double)] = {

@@ -724,9 +724,12 @@ object StatInference {
 
   /** q331 — CUPED variance-reduced experiment readout (Deng, Xu,
     * Kohavi & Walker, WSDM 2013 — the industry-standard uplift
-    * estimator): per-user pre-period covariate X (cent-sum of the
-    * user's even-epoch-day events — a deterministic balanced
-    * pre/post split) and post-period metric Y (odd days), variant =
+    * estimator): per-user "pre" covariate X (cent-sum of the user's
+    * even-DAY-OF-MONTH events — a deterministic, engine-agnostic
+    * interleaved split on substr(date,9,2) % 2; NOT temporally prior,
+    * which is fine for the estimator: CUPED only needs X correlated
+    * with Y and unaffected by treatment) and metric Y (odd
+    * day-of-month events), variant =
     * user_id mod 2, θ = Cov(X,Y)/Var(X) pooled, adjusted uplift =
     * (Ȳ_t − Ȳ_c) − θ(X̄_t − X̄_c). q229 answers "is the difference
     * real"; CUPED shrinks the noise that question is asked against —
@@ -857,8 +860,8 @@ object StatInference {
 
   /** q343 — covariate BALANCE audit by standardized mean difference
     * (the |SMD| < 0.1 randomization check every experiment readout
-    * runs FIRST — Austin 2009): per event type, the pre-period
-    * covariate (the q331 even-day cent-sum per user) compared between
+    * runs FIRST — Austin 2009): per event type, the covariate
+    * (the q331 even-day-of-month cent-sum per user) compared between
     * variants by SMD = (x̄_t − x̄_c) / √((s²_t + s²_c)/2). A splitter
     * bug (e.g. variant correlated with activity) shows here before it
     * corrupts every downstream uplift. Completes the experimentation

