@@ -631,7 +631,73 @@ object StreamBench {
     Seq((docs.count(), dups)).toDF("n_docs", "n_near_dups")
   }
 
+  /** qs16 — streaming PSI drift monitor ([[PsiStream]]): the
+    * observation window's first half is the FIXED reference histogram,
+    * the second half streams in over [[BloomBatches]] micro-batches,
+    * and each batch re-emits per-type PSI. The gate replays the same
+    * split batch-side through the ONE shared finish
+    * ([[PsiStream.psiMicro]]) and requires type-for-type equality of
+    * (n_rows, n_bins, psi_micro) — counter-additive histogram state
+    * makes that exact, not a tolerance band. Times the per-batch
+    * map-state fold + bounded-bin finish path.
+    */
+  val qs16PsiStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val mid = {
+      val ts = rows.map(_.ts.getTime)
+      ts.min + (ts.max - ts.min) / 2
+    }
+    val (refRows, curRows) = rows.partition(_.ts.getTime < mid)
+    val ref = refRows.groupBy(_.event_type).map { case (t, es) =>
+      t -> es.groupBy(e => PsiStream.binOf(e.value))
+        .map { case (b, bs) => b -> bs.size.toLong }
+    }
+    val stream = MemoryStream[Event]
+    val name = s"bench_psi_${runId.incrementAndGet()}"
+    val q = PsiStream.psiStream(stream.toDS(), ref)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-psi-ckpt").toString)
+      .start()
+    curRows.grouped(curRows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    // latest emission per type = the max-n_rows one (n_rows is the
+    // monotone cumulative fold count); types × batches rows — bounded
+    val all = s.table(name).as[PsiEmit].collect()
+    s.catalog.dropTempView(name)
+    val streamed = all.groupBy(_.event_type).map { case (t, es) =>
+      t -> es.maxBy(_.n_rows)
+    }
+    val curBatch = curRows.groupBy(_.event_type).map { case (t, es) =>
+      t -> es.groupBy(e => PsiStream.binOf(e.value))
+        .map { case (b, bs) => b -> bs.size.toLong }
+    }
+    (ref.keySet ++ curBatch.keySet).foreach { t =>
+      val nCur = curBatch.getOrElse(t, Map.empty).values.sum
+      if (nCur == 0L)
+        require(!streamed.contains(t),
+          s"type $t emitted a reading with no current-window rows")
+      else {
+        val e = streamed(t)
+        val exp = PsiStream.psiMicro(ref.getOrElse(t, Map.empty),
+          curBatch.getOrElse(t, Map.empty))
+        require(e.n_rows == nCur && (e.n_bins, e.psi_micro) == exp,
+          s"type $t: streamed (${e.n_rows},${e.n_bins},${e.psi_micro}) " +
+            s"!= batch ($nCur,${exp._1},${exp._2})")
+      }
+    }
+    val drifted = streamed.values.count(_.psi_micro > 250000L).toLong
+    Seq((streamed.size.toLong, drifted)).toDF("n_types", "n_drifted")
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "qs16_psi_stream" -> qs16PsiStream,
     "qs13_reservoir_stream" -> qs13ReservoirStream,
     "qs14_session_stream" -> qs14SessionStream,
     "qs15_lsh_dedup_stream" -> qs15LshDedupStream,
