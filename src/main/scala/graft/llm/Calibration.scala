@@ -1,0 +1,138 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probability CALIBRATION audit (Brier score + reliability bins) of
+  * the q321 logistic filter's held-out scores — the eval-loop closer
+  * next to q342's ROC-AUC: AUC certifies DISCRIMINATION (ranking),
+  * this certifies the scores as PROBABILITIES (a corpus filter that
+  * keeps docs with p ≥ 0.9 is making a calibration bet, not a ranking
+  * bet — Brier is what that bet is graded on; Brier 1950, reliability
+  * diagrams per Niculescu-Mizil & Caruana ICML'05).
+  *
+  * Sufficient statistics are exact BIGINTs (the repo discipline): each
+  * held-out doc contributes floor(10⁶·p) and floor(10⁶·(p−y)²) —
+  * integer-quantized BEFORE any aggregation, so the per-bin sums are
+  * order-free exact and every gate below compares integers (one double
+  * chain only inside the per-doc quantization, which is a fixed
+  * per-row expression).
+  *
+  * The gate folds (pinned after measuring sf0.001 / sf0.01: Brier
+  * 136/140 milli vs the base-rate predictor's 245/251 — clear skill —
+  * and ECE 252/338 milli: the raw sigmoid is OVERCONFIDENT, the
+  * classic uncalibrated-linear-model reliability shape, so the ECE
+  * cap certifies "not catastrophically miscalibrated" rather than
+  * "well calibrated"; tightening it is q277-isotonic work, and the
+  * honest reading is exactly what this row exists to surface):
+  *   - counting closure: bin counts sum to n_test, ≥ 2 occupied bins;
+  *   - SKILL: model Brier < base-rate Brier (Brier is a proper score —
+  *     an uninformative model cannot beat the climatology bet);
+  *   - absolute quality: Brier ≤ [[BrierCapMilli]]‰;
+  *   - reliability: expected calibration error (bin-count-weighted
+  *     |frac_pos − mean_p|) ≤ [[EceCapMilli]]‰.
+  *
+  * Scale shape: ONE pass over the held-out frame into ≤ [[Bins]]
+  * grouped rows; every downstream number is computed from that
+  * bounded collect. The fit itself is q321's (shared code path).
+  */
+object Calibration {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val Bins = 10
+  /** Measured 136‰ (sf0.001) / 140‰ (sf0.01); base-rate ~245-251‰. */
+  val BrierCapMilli = 200L
+  /** Measured 252‰ (sf0.001) / 338‰ (sf0.01) — see the scaladoc. */
+  val EceCapMilli = 450L
+
+  /** All calibration numbers, integer-exact where the discipline
+    * demands: (n_test, n_pos_test, occupied, sum_n, brier_micro,
+    * brier_base_micro, ece_micro).
+    */
+  /** Reliability cells (bin, n, n_pos, p_q_sum, brier_q_sum) from a
+    * (y, p) frame — the ONE distributed pass; everything downstream is
+    * arithmetic on ≤ [[Bins]] rows.
+    */
+  def binCells(scored: DataFrame): Array[(Long, Long, Long, Long, Long)] = {
+    val s = scored.sparkSession
+    import s.implicits._
+    scored
+      .select(
+        least(floor($"p" * Bins), lit(Bins - 1)).cast("long").as("bin"),
+        $"y".cast("long").as("y"),
+        floor($"p" * 1000000.0).cast("long").as("p_q"),
+        floor(($"p" - $"y") * ($"p" - $"y") * 1000000.0).cast("long")
+          .as("brier_q"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+        sum($"p_q").as("p_q_sum"), sum($"brier_q").as("brier_q_sum"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+  }
+
+  /** (brier_micro, ece_micro) from the bounded cell array. */
+  def finish(cells: Array[(Long, Long, Long, Long, Long)]): (Long, Long) = {
+    val nTest = cells.map(_._2).sum
+    val brierMicro = cells.map(_._5).sum / nTest
+    // ECE numerator Σ_b |10⁶·n_pos_b − Σ p_q| is EXACT; one integer
+    // division by N finishes it in micro units
+    val eceMicro = cells.map { case (_, _, nPos, pq, _) =>
+      math.abs(1000000L * nPos - pq)
+    }.sum / nTest
+    (brierMicro, eceMicro)
+  }
+
+  def stats(s: SparkSession, dir: String): (Long, Long, Long, Long, Long, Long, Long) = {
+    import s.implicits._
+    val f = LogisticRegression.fitEval(s, dir)
+    val cells = binCells(f.scored)
+
+    val nTest = cells.map(_._2).sum
+    val nPosTest = cells.map(_._3).sum
+    // base rate from the TRAIN split (the only data a deployed
+    // filter's constant benchmark may see)
+    val docs = NaiveBayes.plantedDocs(s, dir)
+    val trainAgg = docs.filter($"doc_id" % 5 =!= 0)
+      .agg(count(lit(1)).as("n"),
+        sum(($"lang" === "pro_join").cast("long")).as("n_pos")).head()
+    val (nTrain, nPosTrain) = (trainAgg.getLong(0), trainAgg.getLong(1))
+    val pBar = nPosTrain.toDouble / nTrain.toDouble
+    val brierBaseMicro = math.floor(1000000.0 *
+      (nPosTest.toDouble * (1.0 - pBar) * (1.0 - pBar)
+        + (nTest - nPosTest).toDouble * pBar * pBar)
+      / nTest.toDouble).toLong
+    val (brierMicro, eceMicro) = finish(cells)
+    (nTest, nPosTest, cells.length.toLong, cells.map(_._2).sum,
+      brierMicro, brierBaseMicro, eceMicro)
+  }
+
+  /** q347 — the oracle row: data-derivable counts + the folded gate
+    * (the q321/q267 convention for engine-internal numerics).
+    */
+  val q347Calibration: Q = (s, dir) => {
+    import s.implicits._
+    val (nTest, nPosTest, occupied, sumN, brierMicro, brierBaseMicro,
+      eceMicro) = stats(s, dir)
+    val ok = sumN == nTest && occupied >= 2L &&
+      brierMicro < brierBaseMicro &&
+      brierMicro <= BrierCapMilli * 1000L &&
+      eceMicro <= EceCapMilli * 1000L
+    Seq((nTest, nPosTest, ok)).toDF("n_test", "n_pos_test", "ok")
+  }
+
+  val q347Sql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, CASE WHEN cj > cs THEN 1 ELSE 0 END AS pos
+       |  FROM (SELECT doc_id,
+       |      (length(text) - length(replace(text, 'join', ''))) / 4 AS cj,
+       |      (length(text) - length(replace(text, 'scan', ''))) / 4 AS cs
+       |    FROM documents)
+       |  WHERE abs(cj - cs) >= ${NaiveBayes.ConceptMargin})
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+       |  CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS n_pos_test,
+       |  TRUE AS ok
+       |FROM planted WHERE doc_id % 5 = 0""".stripMargin
+
+  val queries: Map[String, Q] = Map("q347_calibration" -> q347Calibration)
+  val oracleSql: Map[String, String] = Map("q347_calibration" -> q347Sql)
+}

@@ -46,10 +46,14 @@ object LogisticRegression {
   /** Pinned after measuring (sf0.001 891‰, sf0.01 973‰; chance ~500‰). */
   val MinAccPermille = 800L
 
-  /** Everything the gate (and the spec/profiler) needs to inspect. */
+  /** Everything the gate (and the spec/profiler) needs to inspect.
+    * `scored` is the HELD-OUT (doc_id, y, p) frame — localCheckpointed,
+    * so downstream consumers (q347 calibration) read it without
+    * re-running the fit's lineage.
+    */
   final case class Fit(nTrain: Long, nTest: Long, losses: Array[Double],
     weights: Array[Double], bias: Double, accPermille: Long,
-    descentOk: Boolean, finiteOk: Boolean)
+    descentOk: Boolean, finiteOk: Boolean, scored: DataFrame)
 
   def fitEval(s: SparkSession, dir: String): Fit = {
     import s.implicits._
@@ -141,7 +145,20 @@ object LogisticRegression {
         .count()
     val nCorrect = evalRow.getLong(1) + emptyCorrect
     val accPermille = if (nTest == 0) 0L else 1000L * nCorrect / nTest
-    Fit(nTrain, nTest, losses, w, b, accPermille, descentOk, finiteOk)
+    // held-out probabilities for downstream calibration (q347): the
+    // sigmoid of the same margin the accuracy gate thresholds;
+    // bias-only docs (every bucket lost to sign cancellation) score
+    // sigmoid(b), same as the eval path above
+    val scored = scoredDocs
+      .select($"doc_id", $"y",
+        (lit(1.0) / (lit(1.0) + exp(-($"dot" + lit(b))))).as("p"))
+      .unionByName(docs.filter($"doc_id" % 5 === 0)
+        .join(scoredDocs.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .select($"doc_id", ($"lang" === "pro_join").cast("double").as("y"),
+          lit(1.0 / (1.0 + math.exp(-b))).as("p")))
+      .localCheckpoint()
+    Fit(nTrain, nTest, losses, w, b, accPermille, descentOk, finiteOk,
+      scored)
   }
 
   val q321LogregGate: Q = (s, dir) => {
