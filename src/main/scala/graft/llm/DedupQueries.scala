@@ -998,6 +998,105 @@ object DedupQueries {
 
 
 
+  /** q348 — TRUE token-level LCS per q41-verified pair: q344's
+    * longest consecutive run under-reports REORDERED duplication (a
+    * paragraph swap breaks the run but not the shared content); the
+    * longest common subsequence is the order-preserving-but-gap-
+    * tolerant measure that survives it, and LCS ≥ run+2 tokens always
+    * (a run IS a common subsequence), so the two rows bracket the
+    * pair's shared-content shape. Classic O(n·m) rolling-row DP —
+    * genuinely sequential in both dimensions, so it runs as a typed
+    * per-row map (the documented last-resort tier) on the
+    * PAIR-BOUNDED frame: |verified pairs| rows × (tokens² ints),
+    * never a corpus-scale operation. The oracle replays the pair set
+    * and the SAME DP as a DuckDB recursive CTE whose accumulator is
+    * the dp row (list_reduce builds each next row) — integer-exact on
+    * both engines, no tolerance.
+    */
+  val q348DupLcs: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val pairs = nearDuplicates(s, docs, NearDupThreshold)
+      .select($"doc1", $"doc2").localCheckpoint()
+    val toks = docs.select($"doc_id", split($"text", " ").as("ws"))
+    pairs
+      .join(toks.select($"doc_id".as("doc1"), $"ws".as("ws1")), "doc1")
+      .join(toks.select($"doc_id".as("doc2"), $"ws".as("ws2")), "doc2")
+      .select($"doc1", $"doc2", $"ws1", $"ws2")
+      .as[(Long, Long, Seq[String], Seq[String])]
+      .map { case (d1, d2, a, b) => (d1, d2, lcsTokens(a, b)) }
+      .toDF("doc1", "doc2", "lcs_tokens")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  /** Rolling-row LCS DP — O(n·m) time, O(m) space. */
+  def lcsTokens(a: Seq[String], b: Seq[String]): Long = {
+    val m = b.length
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    val bArr = b.toArray
+    a.foreach { ai =>
+      var j = 0
+      while (j < m) {
+        val diag = prev(j) + (if (ai == bArr(j)) 1 else 0)
+        cur(j + 1) = math.max(math.max(prev(j + 1), cur(j)), diag)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+    }
+    prev(m).toLong
+  }
+
+  /** Oracle: q41's exact pair replay, then the row-by-row LCS DP as a
+    * recursive CTE — list_reduce over [[0],[1],…,[m]] threads the
+    * partial next row as the accumulator (DuckDB 1.0's list_reduce
+    * takes no initial value, so the first singleton list [0] seeds
+    * it), with row[j+1]=old dp[j], acc[j]=new dp[j−1], row[j]=old
+    * dp[j−1] spelling the classic recurrence.
+    */
+  val q348Sql: String =
+    s"""WITH RECURSIVE
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tri AS (SELECT DISTINCT doc_id,
+       |          UNNEST(list_transform(range(1, len(ws) - 1),
+       |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+       |        FROM w),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+       |       FROM tri a JOIN tri b ON a.tg = b.tg AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc1, doc2 FROM pr
+       |  JOIN sizes n1 ON pr.doc1 = n1.doc_id
+       |  JOIN sizes n2 ON pr.doc2 = n2.doc_id
+       |  WHERE inter / (n1.n + n2.n - inter) >= $NearDupThreshold),
+       |pt AS (
+       |  SELECT p.doc1, p.doc2, w1.ws AS t1, w2.ws AS t2
+       |  FROM pairs p
+       |  JOIN w w1 ON w1.doc_id = p.doc1
+       |  JOIN w w2 ON w2.doc_id = p.doc2),
+       |dp AS (
+       |  SELECT doc1, doc2, 0 AS i,
+       |    list_transform(range(0, len(t2) + 1), x -> CAST(0 AS BIGINT))
+       |      AS row, t1, t2
+       |  FROM pt
+       |  UNION ALL
+       |  SELECT doc1, doc2, i + 1,
+       |    list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT)],
+       |        list_transform(range(1, len(t2) + 1), j -> [j])),
+       |      (acc, x) -> list_append(acc,
+       |        greatest(row[x[1] + 1], acc[x[1]],
+       |          row[x[1]] + CASE WHEN t1[i + 1] = t2[x[1]] THEN 1
+       |                           ELSE 0 END))),
+       |    t1, t2
+       |  FROM dp WHERE i < len(t1))
+       |SELECT doc1, doc2, CAST(row[len(t2) + 1] AS BIGINT) AS lcs_tokens
+       |FROM dp WHERE i = len(t1)
+       |ORDER BY doc1, doc2""".stripMargin
+
   /** q346 — DEDUP SAVINGS report: the one-row business case for the
     * whole dedup family — of N docs, how many survive keep-one-per-
     * cluster (the q101/q163 policy), how many drop, and how many
@@ -1158,6 +1257,7 @@ object DedupQueries {
     "q233_prefix_join" -> q233PrefixJoin,
     "q322_containment_join" -> q322ContainmentJoin,
     "q344_dup_spans_explain" -> q344DupSpansExplain,
+    "q348_dup_lcs" -> q348DupLcs,
     "q346_dedup_savings" -> q346DedupSavings,
   )
 
@@ -1177,6 +1277,7 @@ object DedupQueries {
     "q233_prefix_join" -> q233Sql,
     "q322_containment_join" -> q322Sql,
     "q344_dup_spans_explain" -> q344Sql,
+    "q348_dup_lcs" -> q348Sql,
     "q346_dedup_savings" -> q346Sql,
   )
 }

@@ -166,4 +166,23 @@ class DedupSpec extends SparkSpec {
     // never longer than the set, always at least 1
     (1 to 200).foreach(n => assert(p(n) >= 1 && p(n) <= n))
   }
+
+  test("lcsTokens: classic cases, reordering, symmetry, bounds") {
+    def t(x: String) = x.split(" ").toSeq
+    val lcs = DedupQueries.lcsTokens _
+    assert(lcs(t("a b c d"), t("b q c d z")) == 3L) // b c d
+    assert(lcs(t("a b c"), t("x y z")) == 0L)
+    assert(lcs(t("a b c"), t("a b c")) == 3L)
+    assert(lcs(Seq.empty, t("a b")) == 0L)
+    // REORDERED duplication — the case q344's consecutive-run metric
+    // under-reports: paragraph swap keeps LCS at the larger block
+    val p1 = t("one two three four five six seven eight")
+    val swapped = t("five six seven eight one two three four")
+    assert(lcs(p1, swapped) == 4L, "LCS should keep the larger block")
+    // symmetry + bounds
+    val a = t("the quick brown fox jumps over the lazy dog")
+    val b = t("a quick fox leaps over a lazy dog today")
+    assert(lcs(a, b) == lcs(b, a))
+    assert(lcs(a, b) <= math.min(a.length, b.length))
+  }
 }
