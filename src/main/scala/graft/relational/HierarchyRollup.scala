@@ -79,6 +79,54 @@ object HierarchyRollup {
       |GROUP BY sub.root
       |ORDER BY p_partkey""".stripMargin
 
-  val queries: Map[String, Q] = Map("q325_bom_rollup" -> q325BomRollup)
-  val oracleSql: Map[String, String] = Map("q325_bom_rollup" -> q325Sql)
+  /** q349 — the NATIVE recursive-CTE surface (Spark 4's
+    * `WITH RECURSIVE`, SPARK-24497: UnionLoop/UnionLoopRef in the
+    * plan, pinned by HierarchyRollupSpec): the SAME parts-explosion
+    * semantics as q325, spelled as the recursive enumeration BOTH
+    * engines now run natively — so q325-DP ≡ q349-recursion ≡
+    * DuckDB-recursion triangulate each other exactly (cent-exact
+    * BIGINTs, no tolerance). The q325 key-shift trap applies verbatim
+    * (hk = key + 1, else node 0 is its own child and the recursion
+    * never terminates).
+    *
+    * Scale note: the enumeration materializes one row per
+    * (root, descendant) path — Σ subtree sizes ≈ n·depth rows with
+    * depth ≤ digits(maxkey) ≤ 10, so the loop is bounded and each
+    * iteration is ONE equi-join the optimizer plans normally; for
+    * deep/wide hierarchies where per-root enumeration explodes, the
+    * q325 bottom-up DP (one row per NODE per round) remains the
+    * 100 TB path — this row exists to certify the native surface
+    * against it.
+    */
+  val q349RecursiveCte: Q = (s, dir) => {
+    T.part(s, dir).createOrReplaceTempView("q349_part")
+    s.sql(
+      """WITH RECURSIVE sub(root, node, mult) AS (
+        |  SELECT p_partkey + 1, p_partkey + 1, CAST(1 AS BIGINT)
+        |  FROM q349_part
+        |  UNION ALL
+        |  SELECT s.root, c.p_partkey + 1,
+        |    s.mult * ((c.p_partkey + 1) % 3 + 1)
+        |  FROM sub s JOIN q349_part c
+        |    ON (c.p_partkey + 1) div 10 = s.node)
+        |SELECT CAST(sub.root - 1 AS BIGINT) AS p_partkey,
+        |  CAST(SUM(sub.mult *
+        |    CAST(FLOOR(100 * p.p_retailprice) AS BIGINT)) AS BIGINT)
+        |    AS ext_cost_cents
+        |FROM sub JOIN q349_part p ON sub.node = p.p_partkey + 1
+        |GROUP BY sub.root
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** DuckDB's recursion is q325's oracle verbatim — the point: both
+    * engines run the literal same recursive program.
+    */
+  val q349Sql: String = q325Sql
+
+  val queries: Map[String, Q] = Map(
+    "q325_bom_rollup" -> q325BomRollup,
+    "q349_recursive_cte" -> q349RecursiveCte)
+  val oracleSql: Map[String, String] = Map(
+    "q325_bom_rollup" -> q325Sql,
+    "q349_recursive_cte" -> q349Sql)
 }

@@ -48,4 +48,17 @@ class HierarchyRollupSpec extends SparkSpec {
       .count()
     assert(bad == 0L, s"$bad nodes violate the rollup recurrence")
   }
+
+  test("q349 native WITH RECURSIVE: UnionLoop in plan, result == q325 DP") {
+    val rec = HierarchyRollup.q349RecursiveCte(spark, dir)
+    val opt = rec.queryExecution.optimizedPlan.toString
+    assert(opt.contains("UnionLoop"),
+      s"native recursion operator missing from plan:\n$opt")
+    val recOut = rec.select(($"p_partkey" + 1).as("k"),
+      $"ext_cost_cents".as("rext"))
+    val diff = out.join(recOut, Seq("k"), "full_outer")
+      .filter($"ext".isNull || $"rext".isNull || $"ext" =!= $"rext")
+      .count()
+    assert(diff == 0L, s"$diff nodes diverge between DP and native recursion")
+  }
 }
