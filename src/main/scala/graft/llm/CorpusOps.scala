@@ -155,6 +155,85 @@ object CorpusOps {
        |GROUP BY sp.doc_id
        |ORDER BY sp.doc_id""".stripMargin
 
+  /** q350 — exact-substring span length (tokens). */
+  val SubK = 10
+
+  /** q350 — MAXIMAL repeated-span LOCALIZATION, the cut stage of
+    * exact-substring dedup (Lee et al. ACL'22 "Deduplicating Training
+    * Data Makes Language Models Better" — their suffix-array pass,
+    * re-expressed as the Spark-native n-gram census): q139 COUNTS
+    * duplicated spans, q344 explains one PAIR; this locates, per doc,
+    * the maximal spans whose every [[SubK]]-gram occurs ≥2 times
+    * ANYWHERE in the corpus (same-doc repeats count — Lee et al. cut
+    * those too). Overlapping/chaining repeated grams merge by interval
+    * union (a new span starts when the gap to the previous duplicated
+    * position exceeds [[SubK]]−1), so `covered_tokens` is the EXACT
+    * union coverage a surgical cut would remove, never double-counted.
+    *
+    * Scale shape: spans are md5'd before the frequency shuffle (q139's
+    * constant-width-key narrowing); the multiplicity filter semi-joins
+    * positions back on the digest; islands are one keyed window over
+    * duplicated positions only (corpus-volume rows never enter a
+    * window). The suffix array the paper builds is the single-machine
+    * spelling; the n-gram census is the shuffle-native one.
+    */
+  val q350SubstringSpans: Q = (s, dir) => {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val grams = T.documents(s, dir)
+      .filter(size(toks) >= SubK)
+      .select($"doc_id",
+        posexplode(transform(sequence(lit(1), size(toks) - (SubK - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(SubK))))))
+          .as(Seq("pos", "h")))
+    val dupH = grams.groupBy($"h").agg(count(lit(1)).as("m"))
+      .filter($"m" >= 2).select($"h")
+    val dupPos = grams.join(dupH, "h").select($"doc_id", $"pos")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    dupPos
+      .withColumn("gap",
+        when($"pos" - lag($"pos", 1).over(w) <= SubK - 1, 0L).otherwise(1L))
+      .withColumn("island", sum($"gap").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"island")
+      .agg((max($"pos") - min($"pos") + SubK).as("span_tokens"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        max($"span_tokens").as("max_span_tokens"),
+        sum($"span_tokens").as("covered_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val q350Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SubK),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(toks[i:i + ${SubK - 1}], ' ')) AS h
+       |  FROM d, unnest(range(1, len(toks) - ${SubK - 2})) AS t(i)),
+       |m AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM g JOIN m USING (h)),
+       |fl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+       |      ORDER BY pos) <= ${SubK - 1} THEN 0 ELSE 1 END AS gap
+       |  FROM dp),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM fl),
+       |sp AS (
+       |  SELECT doc_id, island,
+       |    MAX(pos) - MIN(pos) + $SubK AS span_tokens
+       |  FROM isl GROUP BY doc_id, island)
+       |SELECT doc_id, COUNT(*) AS n_spans,
+       |  CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+       |  CAST(SUM(span_tokens) AS BIGINT) AS covered_tokens
+       |FROM sp GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** q142 — schedule prefix length. */
   val InterleaveTake = 50
 
@@ -663,6 +742,7 @@ object CorpusOps {
     "q135_phrase_search" -> q135PhraseSearch,
     "q136_token_budget_mix" -> q136TokenBudgetMix,
     "q139_dup_spans" -> q139DupSpans,
+    "q350_substring_spans" -> q350SubstringSpans,
     "q142_source_interleave" -> q142SourceInterleave,
     "q143_bigram_stats" -> q143BigramStats,
   )
@@ -676,6 +756,7 @@ object CorpusOps {
     "q135_phrase_search" -> q135Sql,
     "q136_token_budget_mix" -> q136Sql,
     "q139_dup_spans" -> q139Sql,
+    "q350_substring_spans" -> q350Sql,
     "q142_source_interleave" -> q142Sql,
     "q143_bigram_stats" -> q143Sql,
     "q202_lm_score" -> q202Sql,
