@@ -234,6 +234,81 @@ object CorpusOps {
        |FROM sp GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** q351 — training-sequence length (tokens) and the cumsum block
+    * width (docs per block).
+    */
+  val SeqLen = 512L
+  val PackBlock = 1000L
+
+  /** q351 — SEQUENCE PACKING (the concat-and-chunk step every LM
+    * training pipeline runs between the corpus and the dataloader —
+    * T5's "pack to length", GPT-style document concatenation): docs in
+    * deterministic doc_id order concatenate into one token stream cut
+    * into [[SeqLen]]-token sequences; per sequence, how many documents
+    * overlap it and how many START in it (the attention-mask /
+    * boundary-loss accounting a packing-aware trainer needs).
+    *
+    * The global running offset is the scale trap here: a bare
+    * `Window.orderBy(doc_id)` is a single-partition sort at any scale.
+    * The scalable spelling is the classic TWO-LEVEL SCAN: per-block
+    * ([[PackBlock]] docs) token subtotals → running block offsets on
+    * the blocks-bounded frame → intra-block cumsum under
+    * `partitionBy(block)` plus the block offset. Every shuffle is
+    * keyed; no global sort anywhere (the oracle uses the plain global
+    * window both engines can afford at oracle SF).
+    *
+    * A doc with token span [start, end) touches sequences
+    * start div L .. (end−1) div L — the explode is bounded by
+    * n_tok/L + 1 per doc. All integers exact.
+    */
+  val q351SeqPacking: Q = (s, dir) => {
+    import s.implicits._
+    val d = T.documents(s, dir)
+      .select($"doc_id", expr(s"doc_id div $PackBlock").as("blk"),
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .localCheckpoint() // one source pass feeds both levels
+    val blockOffsets = d.groupBy($"blk").agg(sum($"n_tok").as("bt"))
+      .withColumn("boff",
+        coalesce(sum($"bt").over(org.apache.spark.sql.expressions.Window
+          .orderBy($"blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"blk", $"boff") // blocks-bounded frame: tiny window is fine
+    val wIn = Window.partitionBy($"blk").orderBy($"doc_id")
+    val spans = d.join(broadcast(blockOffsets), "blk")
+      .withColumn("end",
+        $"boff" + sum($"n_tok").over(wIn))
+      .withColumn("start", $"end" - $"n_tok")
+      .select($"doc_id", $"start", $"end",
+        explode(expr(s"sequence(start div $SeqLen, (end - 1) div $SeqLen)"))
+          .as("seq_id"))
+    spans.groupBy($"seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"start" >= $"seq_id" * SeqLen, 1L).otherwise(0L))
+          .as("n_starts"))
+      .orderBy($"seq_id")
+  }
+
+  val q351Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS "end"
+       |  FROM d),
+       |sp AS (
+       |  SELECT doc_id, "end" - n_tok AS "start", "end",
+       |    UNNEST(range(("end" - n_tok) // $SeqLen,
+       |      ("end" - 1) // $SeqLen + 1)) AS seq_id
+       |  FROM c)
+       |SELECT seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN "start" >= seq_id * $SeqLen THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_starts
+       |FROM sp GROUP BY seq_id
+       |ORDER BY seq_id""".stripMargin
+
   /** q142 — schedule prefix length. */
   val InterleaveTake = 50
 
@@ -743,6 +818,7 @@ object CorpusOps {
     "q136_token_budget_mix" -> q136TokenBudgetMix,
     "q139_dup_spans" -> q139DupSpans,
     "q350_substring_spans" -> q350SubstringSpans,
+    "q351_seq_packing" -> q351SeqPacking,
     "q142_source_interleave" -> q142SourceInterleave,
     "q143_bigram_stats" -> q143BigramStats,
   )
@@ -757,6 +833,7 @@ object CorpusOps {
     "q136_token_budget_mix" -> q136Sql,
     "q139_dup_spans" -> q139Sql,
     "q350_substring_spans" -> q350Sql,
+    "q351_seq_packing" -> q351Sql,
     "q142_source_interleave" -> q142Sql,
     "q143_bigram_stats" -> q143Sql,
     "q202_lm_score" -> q202Sql,
