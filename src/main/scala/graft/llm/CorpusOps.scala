@@ -309,6 +309,72 @@ object CorpusOps {
        |FROM sp GROUP BY seq_id
        |ORDER BY seq_id""".stripMargin
 
+  /** q352 — epoch budget (documents) for the temperature mix. */
+  val MixBudgetDocs = 10000L
+
+  /** q352 — TEMPERATURE-BASED source mixing (the multilingual/
+    * multi-source sampling rule of mT5/XLM-R: sample source s with
+    * probability ∝ tokens_s^(1/T), flattening the head so low-resource
+    * sources are not drowned — here T = 2, i.e. √tokens, chosen
+    * BECAUSE sqrt is IEEE-correctly-rounded and therefore bit-identical
+    * cross-engine where pow(x, 0.3) is libm-dependent): per source,
+    * exact token counts → micro-quantized weight floor(10⁶·√t) (BIGINT
+    * BEFORE any summation — the one double op per source is the
+    * correctly-rounded sqrt) → a [[MixBudgetDocs]]-doc epoch allocated
+    * by LARGEST REMAINDER (the q299 money-split discipline: floor
+    * shares, then +1 to the largest B·w mod Σw remainders, ties to the
+    * smaller source name), so the allocation sums to the budget
+    * EXACTLY and every number in the row is an integer both engines
+    * reproduce bit-for-bit.
+    *
+    * Scale shape: ONE partial-aggregated groupBy(source) collapses the
+    * corpus; everything after runs on the sources-bounded frame (the
+    * window is over |sources| rows).
+    */
+  val q352TemperatureMix: Q = (s, dir) => {
+    import s.implicits._
+    val per = T.documents(s, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("n_tok"))
+      .groupBy($"source").agg(sum($"n_tok").as("n_tokens"))
+      .withColumn("wq", floor(sqrt($"n_tokens") * 1000000.0).cast("long"))
+    val tot = per.agg(sum($"wq").as("wtot"))
+    val base = per.crossJoin(broadcast(tot))
+      .withColumn("fl", expr(s"($MixBudgetDocs * wq) div wtot"))
+      .withColumn("rem", expr(s"($MixBudgetDocs * wq) % wtot"))
+    val short = base.agg((lit(MixBudgetDocs) - sum($"fl")).as("short"))
+    base.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"rem".desc, $"source".asc)))
+      .select($"source", $"n_tokens", $"wq",
+        ($"fl" + when($"rk" <= $"short", 1L).otherwise(0L)).as("alloc"))
+      .orderBy($"source")
+  }
+
+  val q352Sql: String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source, n_tokens,
+       |    CAST(FLOOR(SQRT(n_tokens) * 1000000.0) AS BIGINT) AS wq
+       |  FROM per),
+       |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot FROM w),
+       |b AS (
+       |  SELECT source, n_tokens, wq,
+       |    ($MixBudgetDocs * wq) // wtot AS fl,
+       |    ($MixBudgetDocs * wq) % wtot AS rem
+       |  FROM w CROSS JOIN t),
+       |sh AS (SELECT $MixBudgetDocs - CAST(SUM(fl) AS BIGINT) AS short FROM b),
+       |r AS (
+       |  SELECT b.*, sh.short,
+       |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+       |  FROM b CROSS JOIN sh)
+       |SELECT source, n_tokens, wq,
+       |  CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc
+       |FROM r ORDER BY source""".stripMargin
+
   /** q142 — schedule prefix length. */
   val InterleaveTake = 50
 
@@ -819,6 +885,7 @@ object CorpusOps {
     "q139_dup_spans" -> q139DupSpans,
     "q350_substring_spans" -> q350SubstringSpans,
     "q351_seq_packing" -> q351SeqPacking,
+    "q352_temperature_mix" -> q352TemperatureMix,
     "q142_source_interleave" -> q142SourceInterleave,
     "q143_bigram_stats" -> q143BigramStats,
   )
@@ -834,6 +901,7 @@ object CorpusOps {
     "q139_dup_spans" -> q139Sql,
     "q350_substring_spans" -> q350Sql,
     "q351_seq_packing" -> q351Sql,
+    "q352_temperature_mix" -> q352Sql,
     "q142_source_interleave" -> q142Sql,
     "q143_bigram_stats" -> q143Sql,
     "q202_lm_score" -> q202Sql,
