@@ -46,10 +46,6 @@ object Calibration {
   /** Measured 252‰ (sf0.001) / 338‰ (sf0.01) — see the scaladoc. */
   val EceCapMilli = 450L
 
-  /** All calibration numbers, integer-exact where the discipline
-    * demands: (n_test, n_pos_test, occupied, sum_n, brier_micro,
-    * brier_base_micro, ece_micro).
-    */
   /** Reliability cells (bin, n, n_pos, p_q_sum, brier_q_sum) from a
     * (y, p) frame — the ONE distributed pass; everything downstream is
     * arithmetic on ≤ [[Bins]] rows.
@@ -82,6 +78,10 @@ object Calibration {
     (brierMicro, eceMicro)
   }
 
+  /** All q347 numbers, integer-exact where the discipline demands:
+    * (n_test, n_pos_test, occupied, sum_n, brier_micro,
+    * brier_base_micro, ece_micro).
+    */
   def stats(s: SparkSession, dir: String): (Long, Long, Long, Long, Long, Long, Long) = {
     import s.implicits._
     val f = LogisticRegression.fitEval(s, dir)
@@ -133,6 +133,95 @@ object Calibration {
        |  TRUE AS ok
        |FROM planted WHERE doc_id % 5 = 0""".stripMargin
 
-  val queries: Map[String, Q] = Map("q347_calibration" -> q347Calibration)
-  val oracleSql: Map[String, String] = Map("q347_calibration" -> q347Sql)
+  /** Measured raw→calibrated: sf0.001 ECE 252→74‰ / Brier 136→96‰;
+    * sf0.01 ECE 338→13‰ / Brier 140→24‰ — isotonic repairs exactly the
+    * overconfidence q347 measures. Cap = 2× the worse measured SF.
+    */
+  val CalEceCapMilli = 150L
+
+  /** q353 — ISOTONIC RECALIBRATION of the q321 scores (the fix for
+    * exactly the overconfidence q347 surfaces, closing the calibration
+    * loop: q342 ranks, q347 audits, q353 repairs): PAVA
+    * ([[graft.operators.Isotonic.pava]] — the q277 exact-rational
+    * block fit) over the TRAIN-split (score, y) pairs yields the
+    * monotone step function; test scores map to their step's rational
+    * block mean, and the same binCells/finish machinery re-reads
+    * Brier/ECE on the calibrated probabilities.
+    *
+    * Scale shape: the calibration fit collects the CALIBRATION
+    * SAMPLE's (score, label) pairs — at 100 TB that split is a
+    * bounded held-out sample by construction (you never isotonic-fit
+    * a trillion points; Niculescu-Mizil & Caruana fit thousands), so
+    * the collect is sample-bounded by contract, not corpus-bounded.
+    * APPLICATION to test scores is distributed: the step function
+    * broadcasts as a blocks frame and each doc picks its step via a
+    * bounded theta-join + one keyed window.
+    *
+    * The gate folds: calibrated ECE ≤ raw ECE AND calibrated Brier ≤
+    * raw Brier (isotonic is the least-squares monotone fit on train —
+    * on held-out data both improving is the expected reading, gated
+    * after measuring) AND calibrated ECE ≤ [[CalEceCapMilli]]‰.
+    */
+  def calibratedStats(s: SparkSession, dir: String)
+      : (Long, Long, Long, Long, Long, Long) = {
+    import s.implicits._
+    val f = LogisticRegression.fitEval(s, dir)
+    val trainPairs = f.trainScored
+      .select(floor($"p" * 1000000.0).cast("long").as("pq"),
+        $"y".cast("long").as("y"), $"doc_id")
+      .orderBy($"pq", $"doc_id")
+      .as[(Long, Long, Long)].collect()
+    val blocks = graft.operators.Isotonic.pava(
+      trainPairs.map(_._2 * 1000000L).toSeq)
+    var pos = 0
+    val steps = blocks.zipWithIndex.map { case ((bsum, bcnt), i) =>
+      val lo = if (i == 0) Long.MinValue else trainPairs(pos)._1
+      pos += bcnt.toInt
+      (lo, bsum, bcnt)
+    }
+    val blocksDf = broadcast(steps.toDF("lo", "bsum", "bcnt"))
+    val test = f.scored
+      .select($"doc_id", $"y", floor($"p" * 1000000.0).cast("long").as("pq"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"lo".desc)
+    val cal = test.join(blocksDf, $"pq" >= $"lo")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter($"rk" === 1)
+      .select($"y",
+        ($"bsum".cast("double") / ($"bcnt".cast("double") * 1000000.0))
+          .as("p"))
+    val (rawBrier, rawEce) = finish(binCells(f.scored.select($"y", $"p")))
+    val calCells = binCells(cal)
+    val (calBrier, calEce) = finish(calCells)
+    (trainPairs.length.toLong, calCells.map(_._2).sum,
+      rawBrier, calBrier, rawEce, calEce)
+  }
+
+  val q353IsotonicCal: Q = (s, dir) => {
+    import s.implicits._
+    val (nCal, nTest, rawBrier, calBrier, rawEce, calEce) =
+      calibratedStats(s, dir)
+    val ok = calEce <= rawEce && calBrier <= rawBrier &&
+      calEce <= CalEceCapMilli * 1000L && nTest > 0L
+    Seq((nCal, nTest, ok)).toDF("n_cal", "n_test", "ok")
+  }
+
+  val q353Sql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id FROM (SELECT doc_id,
+       |      (length(text) - length(replace(text, 'join', ''))) / 4 AS cj,
+       |      (length(text) - length(replace(text, 'scan', ''))) / 4 AS cs
+       |    FROM documents)
+       |  WHERE abs(cj - cs) >= ${NaiveBayes.ConceptMargin})
+       |SELECT
+       |  (SELECT COUNT(*) FROM planted WHERE doc_id % 5 <> 0) AS n_cal,
+       |  (SELECT COUNT(*) FROM planted WHERE doc_id % 5 = 0) AS n_test,
+       |  TRUE AS ok""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q347_calibration" -> q347Calibration,
+    "q353_isotonic_cal" -> q353IsotonicCal)
+  val oracleSql: Map[String, String] = Map(
+    "q347_calibration" -> q347Sql,
+    "q353_isotonic_cal" -> q353Sql)
 }

@@ -53,7 +53,8 @@ object LogisticRegression {
     */
   final case class Fit(nTrain: Long, nTest: Long, losses: Array[Double],
     weights: Array[Double], bias: Double, accPermille: Long,
-    descentOk: Boolean, finiteOk: Boolean, scored: DataFrame)
+    descentOk: Boolean, finiteOk: Boolean, scored: DataFrame,
+    trainScored: DataFrame)
 
   def fitEval(s: SparkSession, dir: String): Fit = {
     import s.implicits._
@@ -157,8 +158,20 @@ object LogisticRegression {
         .select($"doc_id", ($"lang" === "pro_join").cast("double").as("y"),
           lit(1.0 / (1.0 + math.exp(-b))).as("p")))
       .localCheckpoint()
+    // TRAIN-side probabilities under the SAME final weights — the
+    // frame an isotonic recalibrator (q353) fits on; bias-only train
+    // docs handled identically to the test path
+    val trainScored = train.groupBy($"doc_id", $"y")
+      .agg(sum($"v" * element_at(wCol, $"bucket" + 1)).as("dot"))
+      .select($"doc_id", $"y",
+        (lit(1.0) / (lit(1.0) + exp(-($"dot" + lit(b))))).as("p"))
+      .unionByName(docs.filter($"doc_id" % 5 =!= 0)
+        .join(train.select($"doc_id").distinct(), Seq("doc_id"), "left_anti")
+        .select($"doc_id", ($"lang" === "pro_join").cast("double").as("y"),
+          lit(1.0 / (1.0 + math.exp(-b))).as("p")))
+      .localCheckpoint()
     Fit(nTrain, nTest, losses, w, b, accPermille, descentOk, finiteOk,
-      scored)
+      scored, trainScored)
   }
 
   val q321LogregGate: Q = (s, dir) => {

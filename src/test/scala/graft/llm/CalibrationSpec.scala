@@ -42,4 +42,13 @@ class CalibrationSpec extends SparkSpec {
     assert(brier <= Calibration.BrierCapMilli * 1000L)
     assert(ece <= Calibration.EceCapMilli * 1000L)
   }
+
+  test("q353 isotonic recalibration improves both readings at sf0.001") {
+    val (nCal, nTest, rawBrier, calBrier, rawEce, calEce) =
+      Calibration.calibratedStats(spark, "/root/testdata/sf0.001")
+    assert(nCal > 0 && nTest > 0)
+    assert(calEce <= rawEce, s"ECE worsened: $rawEce -> $calEce")
+    assert(calBrier <= rawBrier, s"Brier worsened: $rawBrier -> $calBrier")
+    assert(calEce <= Calibration.CalEceCapMilli * 1000L)
+  }
 }
