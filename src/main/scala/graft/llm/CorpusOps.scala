@@ -375,6 +375,69 @@ object CorpusOps {
        |    AS alloc
        |FROM r ORDER BY source""".stripMargin
 
+  /** q354 — ZIPF rank-frequency slope (the corpus-statistics readout
+    * every data survey table prints: log-freq vs log-rank OLS slope,
+    * ≈ −1 for natural text — a drifted slope flags boilerplate floods
+    * or vocabulary collapse before any downstream metric moves):
+    * exact term frequencies → deterministic rank (freq desc, token
+    * asc) → per-term floor(10⁶·ln rank)/floor(10⁶·ln freq) BIGINT
+    * quantizations (the q314 LN-cross-engine precedent) → OLS slope
+    * from DECIMAL(38,0)/HUGEINT-exact moment sums, finished in one
+    * identically-spelled double division, re-quantized to micro. The
+    * slope is fully DATA-DERIVABLE, so the oracle compares the value
+    * itself — no ok-gate indirection.
+    *
+    * Scale shape: one corpus tokenize/count shuffle collapses to the
+    * vocab-bounded frame; the rank window and moment sums run there.
+    * Product sums go through DECIMAL(38,0) (q259: int64 dies once
+    * vocab·ln² passes ~10¹⁸ — spelled wide on BOTH engines).
+    */
+  val q354ZipfSlope: Q = (s, dir) => {
+    import s.implicits._
+    val tf = T.documents(s, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val ranked = tf
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"freq".desc, $"tok".asc))) // vocab-bounded frame
+      .select(
+        floor(log($"rk") * 1000000.0).cast("long").as("xq"),
+        floor(log($"freq") * 1000000.0).cast("long").as("yq"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum($"xq".cast("decimal(38,0)")).as("sx"),
+        sum($"yq".cast("decimal(38,0)")).as("sy"),
+        sum(($"xq" * $"yq").cast("decimal(38,0)")).as("sxy"),
+        sum(($"xq" * $"xq").cast("decimal(38,0)")).as("sxx"))
+      .select($"n",
+        expr("""CAST(FLOOR(1000000.0 *
+               |  (CAST(n * sxy - sx * sy AS DOUBLE)
+               |   / CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+               |""".stripMargin).as("slope_micro"))
+  }
+
+  val q354Sql: String =
+    """WITH tf AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '' GROUP BY tok),
+      |r AS (
+      |  SELECT CAST(FLOOR(LN(ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC))
+      |      * 1000000.0) AS BIGINT) AS xq,
+      |    CAST(FLOOR(LN(freq) * 1000000.0) AS BIGINT) AS yq
+      |  FROM tf),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(yq AS HUGEINT)) AS sy,
+      |    SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+      |    SUM(CAST(xq AS HUGEINT) * xq) AS sxx
+      |  FROM r)
+      |SELECT n, CAST(FLOOR(1000000.0 *
+      |    (CAST(n * sxy - sx * sy AS DOUBLE)
+      |     / CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS slope_micro
+      |FROM m""".stripMargin
+
   /** q142 — schedule prefix length. */
   val InterleaveTake = 50
 
@@ -886,6 +949,7 @@ object CorpusOps {
     "q350_substring_spans" -> q350SubstringSpans,
     "q351_seq_packing" -> q351SeqPacking,
     "q352_temperature_mix" -> q352TemperatureMix,
+    "q354_zipf_slope" -> q354ZipfSlope,
     "q142_source_interleave" -> q142SourceInterleave,
     "q143_bigram_stats" -> q143BigramStats,
   )
@@ -902,6 +966,7 @@ object CorpusOps {
     "q350_substring_spans" -> q350Sql,
     "q351_seq_packing" -> q351Sql,
     "q352_temperature_mix" -> q352Sql,
+    "q354_zipf_slope" -> q354Sql,
     "q142_source_interleave" -> q142Sql,
     "q143_bigram_stats" -> q143Sql,
     "q202_lm_score" -> q202Sql,
