@@ -438,6 +438,67 @@ object CorpusOps {
       |     / CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS slope_micro
       |FROM m""".stripMargin
 
+  /** q355 — HEAPS' LAW vocabulary-growth exponent (V ≈ K·T^β, the
+    * second corpus-survey number next to q354's Zipf slope: β ≈ 0.5
+    * for natural text; β near 0 means a CLOSED vocabulary — which is
+    * exactly what this fixture's 31-word synthetic lexicon reads, and
+    * the honest value the row pins): two prefix points (docs up to
+    * mid = max_doc div 2, and all docs) give exact (T₁,V₁,T₂,V₂);
+    * β = ln(V₂/V₁)/ln(T₂/T₁) quantized micro. "Distinct tokens in a
+    * prefix" is spelled as tokens whose FIRST doc ≤ mid — one
+    * groupBy(min) instead of a per-prefix re-distinct. All four raw
+    * counts are emitted and oracle-compared alongside β.
+    *
+    * Scale shape: one tokenize pass; vocab first-occurrence is a
+    * token-keyed partial agg; both prefix readings are conditional
+    * aggregates riding the same pass (no second scan, no window).
+    */
+  val q355HeapsLaw: Q = (s, dir) => {
+    import s.implicits._
+    val toks = T.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+    val mid = T.documents(s, dir).agg(expr("MAX(doc_id) div 2").as("m"))
+    val tCounts = toks.crossJoin(broadcast(mid)).agg(
+      sum(when($"doc_id" <= $"m", 1L).otherwise(0L)).as("t1"),
+      count(lit(1)).as("t2"))
+    val vCounts = toks.groupBy($"tok").agg(min($"doc_id").as("fd"))
+      .crossJoin(broadcast(mid)).agg(
+        sum(when($"fd" <= $"m", 1L).otherwise(0L)).as("v1"),
+        count(lit(1)).as("v2"))
+    tCounts.crossJoin(vCounts)
+      .select($"t1", $"t2", $"v1", $"v2",
+        expr("""CAST(FLOOR(1000000.0 *
+               |  ((LN(CAST(v2 AS DOUBLE)) - LN(CAST(v1 AS DOUBLE)))
+               |   / (LN(CAST(t2 AS DOUBLE)) - LN(CAST(t1 AS DOUBLE)))))
+               |  AS BIGINT)""".stripMargin).as("beta_micro"))
+  }
+
+  val q355Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, tok
+      |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> ''),
+      |mid AS (SELECT MAX(doc_id) // 2 AS m FROM documents),
+      |tc AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN doc_id <= m THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+      |    CAST(COUNT(*) AS BIGINT) AS t2
+      |  FROM tk CROSS JOIN mid),
+      |vc AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN fd <= m THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |    CAST(COUNT(*) AS BIGINT) AS v2
+      |  FROM (SELECT tok, MIN(doc_id) AS fd FROM tk GROUP BY tok)
+      |  CROSS JOIN mid)
+      |SELECT t1, t2, v1, v2,
+      |  CAST(FLOOR(1000000.0 *
+      |    ((LN(CAST(v2 AS DOUBLE)) - LN(CAST(v1 AS DOUBLE)))
+      |     / (LN(CAST(t2 AS DOUBLE)) - LN(CAST(t1 AS DOUBLE)))))
+      |    AS BIGINT) AS beta_micro
+      |FROM tc CROSS JOIN vc""".stripMargin
+
   /** q142 — schedule prefix length. */
   val InterleaveTake = 50
 
@@ -950,6 +1011,7 @@ object CorpusOps {
     "q351_seq_packing" -> q351SeqPacking,
     "q352_temperature_mix" -> q352TemperatureMix,
     "q354_zipf_slope" -> q354ZipfSlope,
+    "q355_heaps_law" -> q355HeapsLaw,
     "q142_source_interleave" -> q142SourceInterleave,
     "q143_bigram_stats" -> q143BigramStats,
   )
@@ -967,6 +1029,7 @@ object CorpusOps {
     "q351_seq_packing" -> q351Sql,
     "q352_temperature_mix" -> q352Sql,
     "q354_zipf_slope" -> q354Sql,
+    "q355_heaps_law" -> q355Sql,
     "q142_source_interleave" -> q142Sql,
     "q143_bigram_stats" -> q143Sql,
     "q202_lm_score" -> q202Sql,
