@@ -89,11 +89,75 @@ object QualityAuditQueries {
       |        THEN 1 ELSE 0 END) FROM lineitem)
       |ORDER BY "check"""".stripMargin
 
+  /** q358 — BENFORD first-digit audit of order amounts (Benford 1938,
+    * Nigrini's fraud-audit standard — the data-quality screen that
+    * catches fabricated or truncated monetary columns: natural
+    * multi-scale amounts put digit d first with probability
+    * log₁₀(1+1/d)): exact first-digit counts of the cent amounts, the
+    * Benford expectation n·ln(1+1/d)/ln 10 micro-quantized per digit
+    * (the one double chain, spelled identically), and each digit's
+    * χ²-style deviation term floor(10⁶·(o−e)²/e) — per-digit rows so
+    * the audit shows WHICH digit is off, not just that something is
+    * (the q230 chi-square convention, pointed at a reference law
+    * instead of an independence null).
+    *
+    * Scale shape: one conditional-aggregation pass collapses the
+    * corpus to 9 digit rows; every finish runs there.
+    */
+  val q358BenfordAudit: Q = (s, dir) => {
+    import s.implicits._
+    val digits = T.orders(s, dir)
+      .select(expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)").as("c"))
+      .filter($"c" > 0L)
+      .select(substring($"c".cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum($"n_obs").as("n"))
+    digits.crossJoin(broadcast(tot))
+      .select($"digit", $"n_obs",
+        expr("""CAST(FLOOR(1000000.0 * CAST(n AS DOUBLE)
+               |  * (LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0)))
+               |  AS BIGINT)""".stripMargin).as("expected_micro"))
+      .withColumn("dev_micro",
+        expr("""CAST(FLOOR(1000000.0 *
+               |  (CAST(n_obs AS DOUBLE)
+               |   - CAST(expected_micro AS DOUBLE) / 1000000.0)
+               |  * (CAST(n_obs AS DOUBLE)
+               |     - CAST(expected_micro AS DOUBLE) / 1000000.0)
+               |  / (CAST(expected_micro AS DOUBLE) / 1000000.0))
+               |  AS BIGINT)""".stripMargin))
+      .orderBy($"digit")
+  }
+
+  val q358Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM (SELECT CAST(FLOOR(100 * o_totalprice) AS BIGINT) AS c
+      |        FROM orders)
+      |  WHERE c > 0),
+      |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      |      FROM d GROUP BY digit),
+      |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM g),
+      |e AS (
+      |  SELECT digit, n_obs,
+      |    CAST(FLOOR(1000000.0 * CAST(n AS DOUBLE)
+      |      * (LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0)))
+      |      AS BIGINT) AS expected_micro
+      |  FROM g CROSS JOIN t)
+      |SELECT digit, n_obs, expected_micro,
+      |  CAST(FLOOR(1000000.0 *
+      |    (CAST(n_obs AS DOUBLE) - CAST(expected_micro AS DOUBLE) / 1000000.0)
+      |    * (CAST(n_obs AS DOUBLE) - CAST(expected_micro AS DOUBLE) / 1000000.0)
+      |    / (CAST(expected_micro AS DOUBLE) / 1000000.0)) AS BIGINT)
+      |    AS dev_micro
+      |FROM e ORDER BY digit""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q358_benford_audit" -> q358BenfordAudit,
     "q107_dq_audit" -> q107DqAudit,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q358_benford_audit" -> q358Sql,
     "q107_dq_audit" -> q107Sql,
   )
 }

@@ -142,10 +142,104 @@ object SelectionMedian {
        |FROM events GROUP BY event_type""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY event_type, p")
 
+  /** q356 — exact 10%-TRIMMED MEAN per order priority (the robust
+    * location estimate between q90's median and the plain mean — the
+    * number a spend report quotes when outlier orders would swamp the
+    * average) by DUAL-RANK selection: the same one-histogram recipe
+    * locates BOTH cut values (the k-th and (n−k+1)-th order
+    * statistics, k = n div 10) in one bucket probe each, and the
+    * trimmed sum closes in ONE conditional aggregate with the
+    * tie-corrected closed form
+    * sum(k smallest) = sum(x < lo) + (k − cnt(x < lo))·lo —
+    * the multiset of excluded values is tie-order-invariant, so this
+    * equals the oracle's rank-window exclusion exactly. No full-group
+    * sort or window anywhere; groups with n < 10 degrade to the plain
+    * mean symmetrically in both engines (k = 0 ⇒ nothing excluded).
+    */
+  val q356TrimmedMean: Q = (s, dir) => {
+    import s.implicits._
+    val base = T.orders(s, dir)
+      .select($"o_orderpriority".as("g"),
+        expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)").as("x"))
+      .localCheckpoint()
+    val hist = base
+      .withColumn("b", expr(s"x div $BucketCents"))
+      .groupBy($"g", $"b").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"g").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy($"g")
+    val cum = hist
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(wAll))
+    val sides = s.createDataset(Seq("lo", "hi")).toDF("side")
+    val located = cum.crossJoin(broadcast(sides))
+      .withColumn("k", expr("n div 10"))
+      .filter($"k" >= 1)
+      .withColumn("tgt",
+        when($"side" === "lo", $"k").otherwise($"n" - $"k" + 1))
+      .filter($"cum" >= $"tgt" && $"cum" - $"c" < $"tgt")
+      .select($"g".as("lg"), $"side", $"b".as("tb"),
+        ($"tgt" - ($"cum" - $"c")).as("off"))
+    val wIn = Window.partitionBy($"g", $"side").orderBy($"x")
+    val cuts = base
+      .withColumn("b", expr(s"x div $BucketCents"))
+      .join(broadcast(located), $"b" === $"tb" && $"g" === $"lg")
+      .withColumn("rn", row_number().over(wIn))
+      .filter($"rn" === $"off")
+      .groupBy($"g")
+      .agg(max(when($"side" === "lo", $"x")).as("lo"),
+        max(when($"side" === "hi", $"x")).as("hi"))
+    base.join(broadcast(cuts), Seq("g"), "left")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"x").as("tot"),
+        sum(when($"x" < $"lo", $"x").otherwise(0L)).as("slt"),
+        sum(when($"x" < $"lo", 1L).otherwise(0L)).as("clt"),
+        sum(when($"x" > $"hi", $"x").otherwise(0L)).as("sgt"),
+        sum(when($"x" > $"hi", 1L).otherwise(0L)).as("cgt"),
+        max(coalesce($"lo", lit(0L))).as("lov"),
+        max(coalesce($"hi", lit(0L))).as("hiv"))
+      .withColumn("k", expr("n div 10"))
+      .withColumn("trimmed_sum",
+        $"tot" - ($"slt" + ($"k" - $"clt") * $"lov")
+          - ($"sgt" + ($"k" - $"cgt") * $"hiv"))
+      .select($"g".as("o_orderpriority"), $"n",
+        ($"n" - lit(2L) * $"k").as("n_kept"), $"trimmed_sum",
+        (col("trimmed_sum").cast("double")
+          / ($"n" - lit(2L) * $"k").cast("double"))
+          .as("trimmed_mean_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** The oracle is the rank-window exclusion the selection recipe
+    * must equal (tie-order-invariant by the multiset argument).
+    */
+  val q356Sql: String =
+    """WITH b AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(FLOOR(100 * o_totalprice) AS BIGINT) AS x
+      |  FROM orders),
+      |r AS (
+      |  SELECT g, x,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS n
+      |  FROM b)
+      |SELECT g AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(MAX(n) - 2 * (MAX(n) // 10) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+      |    THEN x ELSE 0 END) AS BIGINT) AS trimmed_sum,
+      |  CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+      |    THEN x ELSE 0 END) AS DOUBLE)
+      |    / CAST(MAX(n) - 2 * (MAX(n) // 10) AS DOUBLE)
+      |    AS trimmed_mean_cents
+      |FROM r GROUP BY g
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q307_selection_median" -> q307SelectionMedian,
-    "q310_selection_percentiles" -> q310SelectionPercentiles)
+    "q310_selection_percentiles" -> q310SelectionPercentiles,
+    "q356_trimmed_mean" -> q356TrimmedMean)
   val oracleSql: Map[String, String] = Map(
     "q307_selection_median" -> q307Sql,
-    "q310_selection_percentiles" -> q310Sql)
+    "q310_selection_percentiles" -> q310Sql,
+    "q356_trimmed_mean" -> q356Sql)
 }

@@ -919,7 +919,86 @@ object StatInference {
       |    AS smd
       |FROM g ORDER BY event_type""".stripMargin
 
+  /** q357 — MANN–KENDALL trend test per event type (Mann 1945 /
+    * Kendall's tau-b machinery — the NONPARAMETRIC "is this series
+    * trending" answer next to q275's Theil–Sen slope ESTIMATE; the
+    * standard pairing in hydrology/monitoring: Theil–Sen says how
+    * steep, Mann–Kendall says whether to believe it): daily cent-sums
+    * per type, S = Σ_{i<j} sign(v_j − v_i) exact integer from the
+    * days-bounded pair join, tie-corrected variance
+    * (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18, z with the ±1 continuity
+    * correction — everything integer until the ONE double chain
+    * (÷18, sqrt, divide, micro-quantize), spelled identically in
+    * both engines.
+    *
+    * Scale shape: corpus collapses in ONE (type, day) partial agg;
+    * the quadratic pair join and the tie census run on the
+    * calendar-bounded daily frame (the q275/q109 in-group-quadratic
+    * discipline).
+    */
+  val q357MannKendall: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.events(s, dir)
+      .select($"event_type", expr("CAST(ts AS DATE)").as("day"),
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("qv"))
+      .groupBy($"event_type", $"day").agg(sum($"qv").as("v"))
+      .localCheckpoint() // feeds pairs, ties, and n
+    val pairs = daily.as("a").join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" && $"a.day" < $"b.day")
+      .groupBy($"a.event_type".as("event_type"))
+      .agg(sum(signum($"b.v" - $"a.v").cast("long")).as("s_stat"))
+    val nDays = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy($"event_type", $"v")
+      .agg(count(lit(1)).as("t"))
+      .groupBy($"event_type")
+      .agg(sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tie_corr"))
+    nDays.join(pairs, "event_type").join(ties, "event_type")
+      .select($"event_type", $"n_days", $"s_stat",
+        expr("""CAST(FLOOR(1000000.0 * (
+               |  CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+               |       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+               |       ELSE 0.0 END
+               |  / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+               |              - tie_corr AS DOUBLE) / 18.0)
+               |)) AS BIGINT)""".stripMargin).as("z_micro"))
+      .orderBy($"event_type")
+  }
+
+  val q357Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |p AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(CASE WHEN b.v > a.v THEN 1
+      |                  WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+      |      AS s_stat
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY a.event_type),
+      |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      |       FROM daily GROUP BY event_type),
+      |tc AS (
+      |  SELECT event_type,
+      |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+      |  FROM (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS t
+      |        FROM daily GROUP BY event_type, v)
+      |  GROUP BY event_type)
+      |SELECT nd.event_type, n_days, s_stat,
+      |  CAST(FLOOR(1000000.0 * (
+      |    CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |         WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |         ELSE 0.0 END
+      |    / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+      |                - tie_corr AS DOUBLE) / 18.0)
+      |  )) AS BIGINT) AS z_micro
+      |FROM nd JOIN p USING (event_type) JOIN tc USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q357_mann_kendall" -> q357MannKendall,
     "q343_balance_audit" -> q343BalanceAudit,
     "q331_cuped" -> q331Cuped,
     "q332_neyman_allocation" -> q332NeymanAllocation,
@@ -936,6 +1015,7 @@ object StatInference {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q357_mann_kendall" -> q357Sql,
     "q343_balance_audit" -> q343Sql,
     "q331_cuped" -> q331Sql,
     "q332_neyman_allocation" -> q332Sql,
