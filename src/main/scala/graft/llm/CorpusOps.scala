@@ -499,6 +499,80 @@ object CorpusOps {
       |    AS BIGINT) AS beta_micro
       |FROM tc CROSS JOIN vc""".stripMargin
 
+  /** q360 — per-source KL DIVERGENCE from the corpus token
+    * distribution (the source-governance reading the drift family was
+    * missing: q314's PSI compares two time windows of one stream,
+    * this ranks SOURCES by how far each one's unigram distribution
+    * sits from the pooled corpus — the number that tells an ingest
+    * review which feed is the outlier before any model sees it):
+    * KL(source ‖ corpus) = Σ_tok p_s·ln(p_s/p_c) over the shared
+    * vocab with +1 smoothing on both sides (q314's Laplace
+    * convention — a source missing a corpus-common token is REAL
+    * signal, not a division error). Per-token terms are computed in
+    * doubles from exact BIGINT counts, micro-quantized, summed
+    * order-free (the q230/q314 fold).
+    *
+    * Scale shape: ONE (source, tok) partial-agged pass; corpus totals
+    * are the token-marginal of the same frame (no second scan); the
+    * KL fold runs on the sources×vocab-bounded frame.
+    */
+  val q360SourceKl: Q = (s, dir) => {
+    import s.implicits._
+    val st = T.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the marginal and the per-source fold
+    // full (source × vocab) support with +1 smoothing: cross the
+    // source list with the vocab so zero cells smooth identically
+    val vocab = st.groupBy($"tok").agg(sum($"c").as("ct"))
+    val sources = st.select($"source").distinct()
+    val cells = sources.crossJoin(vocab)
+      .join(st, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("c"))
+    val wSrc = Window.partitionBy($"source")
+    val tot = cells
+      .withColumn("ts", sum($"c" + 1L).over(wSrc))
+    val totC = vocab.agg(sum($"ct" + 1L).as("tc"))
+    tot.crossJoin(broadcast(totC))
+      .select($"source",
+        expr("""CAST(FLOOR(1000000.0 * (
+               |  (CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE))
+               |  * LN((CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE))
+               |       / (CAST(ct + 1 AS DOUBLE) / CAST(tc AS DOUBLE)))
+               |)) AS BIGINT)""".stripMargin).as("term_q"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_toks"), sum($"term_q").as("kl_micro"))
+      .orderBy($"source")
+  }
+
+  val q360Sql: String =
+    """WITH st AS (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY source, tok),
+      |vocab AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct
+      |          FROM st GROUP BY tok),
+      |cells AS (
+      |  SELECT s.source, v.tok, v.ct, COALESCE(st.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM st) s
+      |  CROSS JOIN vocab v
+      |  LEFT JOIN st ON st.source = s.source AND st.tok = v.tok),
+      |w AS (
+      |  SELECT source, tok, ct, c,
+      |    CAST(SUM(c + 1) OVER (PARTITION BY source) AS BIGINT) AS ts,
+      |    (SELECT CAST(SUM(ct + 1) AS BIGINT) FROM vocab) AS tc
+      |  FROM cells)
+      |SELECT source, COUNT(*) AS n_toks,
+      |  CAST(SUM(CAST(FLOOR(1000000.0 * (
+      |    (CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE))
+      |    * LN((CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE))
+      |         / (CAST(ct + 1 AS DOUBLE) / CAST(tc AS DOUBLE)))
+      |  )) AS BIGINT)) AS BIGINT) AS kl_micro
+      |FROM w GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** q142 — schedule prefix length. */
   val InterleaveTake = 50
 
@@ -1012,6 +1086,7 @@ object CorpusOps {
     "q352_temperature_mix" -> q352TemperatureMix,
     "q354_zipf_slope" -> q354ZipfSlope,
     "q355_heaps_law" -> q355HeapsLaw,
+    "q360_source_kl" -> q360SourceKl,
     "q142_source_interleave" -> q142SourceInterleave,
     "q143_bigram_stats" -> q143BigramStats,
   )
@@ -1030,6 +1105,7 @@ object CorpusOps {
     "q352_temperature_mix" -> q352Sql,
     "q354_zipf_slope" -> q354Sql,
     "q355_heaps_law" -> q355Sql,
+    "q360_source_kl" -> q360Sql,
     "q142_source_interleave" -> q142Sql,
     "q143_bigram_stats" -> q143Sql,
     "q202_lm_score" -> q202Sql,
