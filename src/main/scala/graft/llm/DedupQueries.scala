@@ -596,6 +596,57 @@ object DedupQueries {
       |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxEdit
       |ORDER BY name1, name2""".stripMargin
 
+  /** q361 — COMPLETE-recall edit-distance-1 join via DELETION
+    * NEIGHBORHOODS (FastSS, Bocek et al. 2007): q109 blocks on the
+    * last token — the standard trade-off that SCOPES recall to
+    * same-block pairs; this is the exact-recall spelling at k = 1:
+    * every pair with ed ≤ 1 shares an element of {s} ∪ D₁(s) (equal
+    * strings share s; a substitution shares the deletion at that
+    * position; an insertion's shorter string IS a deletion of the
+    * longer), so the neighborhood equi-join is a COMPLETE candidate
+    * generator and one levenshtein verify removes the false
+    * candidates D₁∩D₁ admits (e.g. "ax"/"xa" share "a"+"x" deletions
+    * at distance 2). Customer names differ in single digits, so the
+    * fixture has real mass at distance 1.
+    *
+    * Scale shape: the explode is |rows|·(len+1) constant-factor
+    * blow-up with CONSTANT-width keys; bucket population is bounded
+    * by alphabet+1 per (position, residual) — no quadratic anywhere
+    * on the Spark side; candidate pairs dedupe BEFORE the verify so
+    * levenshtein runs once per pair. The oracle is the quadratic
+    * join the neighborhood join replaces.
+    */
+  val q361DeletionJoin: Q = (s, dir) => {
+    import s.implicits._
+    val names = T.customer(s, dir).select($"c_custkey", $"c_name")
+    val keys = names.select($"c_custkey", $"c_name",
+      explode(expr(
+        """array_distinct(concat(array(c_name),
+          |  transform(sequence(1, length(c_name)),
+          |    i -> concat(substr(c_name, 1, i - 1),
+          |                substr(c_name, i + 1, length(c_name))))))"""
+          .stripMargin)).as("k"))
+    val cand = keys.as("a").join(keys.as("b"),
+        $"a.k" === $"b.k" && $"a.c_custkey" < $"b.c_custkey")
+      .select($"a.c_custkey".as("cust1"), $"a.c_name".as("n1"),
+        $"b.c_custkey".as("cust2"), $"b.c_name".as("n2"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein($"n1", $"n2").cast("long"))
+      .filter($"dist" <= 1L)
+      .select($"cust1", $"cust2", $"dist")
+      .orderBy($"cust1", $"cust2")
+  }
+
+  val q361Sql: String =
+    """SELECT a.c_custkey AS cust1, b.c_custkey AS cust2,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY cust1, cust2""".stripMargin
+
   /** q197 — Jaro-Winkler fuzzy pairing through the custom codegen
     * expression ([[graft.functions.JaroWinkler]]): brand-blocked part
     * pairs whose names score ≥ 0.93. The POINT of the row is the
@@ -1258,6 +1309,7 @@ object DedupQueries {
     "q322_containment_join" -> q322ContainmentJoin,
     "q344_dup_spans_explain" -> q344DupSpansExplain,
     "q348_dup_lcs" -> q348DupLcs,
+    "q361_deletion_join" -> q361DeletionJoin,
     "q346_dedup_savings" -> q346DedupSavings,
   )
 
@@ -1278,6 +1330,7 @@ object DedupQueries {
     "q322_containment_join" -> q322Sql,
     "q344_dup_spans_explain" -> q344Sql,
     "q348_dup_lcs" -> q348Sql,
+    "q361_deletion_join" -> q361Sql,
     "q346_dedup_savings" -> q346Sql,
   )
 }
