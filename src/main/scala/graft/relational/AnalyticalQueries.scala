@@ -781,7 +781,51 @@ object AnalyticalQueries {
        |FROM pc
        |ORDER BY o_custkey""".stripMargin
 
+  /** q362 — correlated LATERAL subquery with per-row ORDER BY+LIMIT
+    * (the SQL-standard spelling of "top-2 orders per customer" — the
+    * surface q156's TopKPerGroup custom plan and q18's window
+    * spelling expose through the DataFrame API, here as the literal
+    * LATERAL both engines now parse): Spark decorrelates the
+    * correlated limit into a keyed window plan (the
+    * DecorrelationSpec family — no per-customer re-execution
+    * survives into the physical plan), DuckDB runs its own lateral
+    * join; the two must agree row-for-row under the deterministic
+    * (cents DESC, o_orderkey) tie order.
+    *
+    * Scale shape: after decorrelation this is ONE customer-keyed
+    * window over orders — no nested-loop per-row subquery; customers
+    * without orders drop out in both engines (inner lateral).
+    */
+  val q362LateralTopk: Q = (s, dir) => {
+    T.customer(s, dir).createOrReplaceTempView("q362_customer")
+    T.orders(s, dir).createOrReplaceTempView("q362_orders")
+    s.sql(
+      """SELECT c.c_custkey, l.o_orderkey, l.cents
+        |FROM q362_customer c,
+        |LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(FLOOR(100 * o_totalprice) AS BIGINT) AS cents
+        |  FROM q362_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY cents DESC, o_orderkey
+        |  LIMIT 2) l
+        |ORDER BY c.c_custkey, l.cents DESC, l.o_orderkey""".stripMargin)
+  }
+
+  val q362Sql: String =
+    """SELECT c.c_custkey, l.o_orderkey, l.cents
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey,
+      |    CAST(FLOOR(100 * o_totalprice) AS BIGINT) AS cents
+      |  FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY cents DESC, o_orderkey
+      |  LIMIT 2) l
+      |ORDER BY c.c_custkey, l.cents DESC, l.o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q362_lateral_topk" -> q362LateralTopk,
     "q248_rfm_segments" -> q248RfmSegments,
     "q82_shipping_priority" -> q82ShippingPriority,
     "q83_local_supplier_volume" -> q83LocalSupplierVolume,
@@ -801,6 +845,7 @@ object AnalyticalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q362_lateral_topk" -> q362Sql,
     "q248_rfm_segments" -> q248Sql,
     "q181_min_cost_supplier" -> q181Sql,
     "q182_excess_volume" -> q182Sql,
