@@ -383,7 +383,128 @@ object JourneyQueries {
       |FROM trans JOIN model USING (cur)
       |GROUP BY cur ORDER BY cur""".stripMargin
 
+  /** q363 integer absorption solve — Jacobi iteration with EXACT
+    * integer arithmetic per step: p'ᵢ = (Σⱼ nᵢⱼ·pⱼ) div nᵢ with
+    * p(CONV) = 10⁶, p(NULL) = 0, removed channel pinned to 0. From
+    * the all-zero start each update is monotone nondecreasing and
+    * bounded, so the integer sequence converges; every term is a
+    * BIGINT product/sum/div — no float order-dependence anywhere.
+    */
+  def absorptionMicro(trans: Seq[(String, String, Long)],
+      removed: Option[String], iters: Int = 60): Long = {
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct
+      .filterNot(s => s == "CONV" || s == "NULL")
+    val outDeg = trans.groupBy(_._1).map { case (f, ts) =>
+      f -> ts.map(_._3).sum
+    }
+    val byFrom = trans.groupBy(_._1)
+    var p = states.map(_ -> 0L).toMap
+    def pOf(cur: Map[String, Long], s: String): Long = s match {
+      case "CONV" => 1000000L
+      case "NULL" => 0L
+      case x if removed.contains(x) => 0L
+      case x => cur.getOrElse(x, 0L)
+    }
+    for (_ <- 1 to iters) {
+      val prev = p
+      p = states.map { st =>
+        if (removed.contains(st)) st -> 0L
+        else {
+          val n = outDeg.getOrElse(st, 0L)
+          if (n == 0L) st -> 0L
+          else st -> byFrom(st).map { case (_, to, c) =>
+            c * pOf(prev, to)
+          }.sum / n
+        }
+      }.toMap
+    }
+    p.getOrElse("START", 0L)
+  }
+
+  /** q363 — MARKOV REMOVAL-EFFECT attribution (the data-driven model
+    * completing the attribution family: q148 last-touch, q225 linear,
+    * q299 position-based — this one, Anderl et al. 2016's industry
+    * standard, asks the chain itself "how much conversion disappears
+    * if channel c vanishes?"): journeys truncate at the FIRST
+    * purchase (CONV) or end in NULL; transition counts are exact from
+    * one keyed lead window; absorption probabilities come from the
+    * INTEGER Jacobi fixpoint above — engine-internal but float-free,
+    * so the spec pins closed-form chains to the exact rational.
+    *
+    * Output rows are the (from, to, n) transition matrix — fully
+    * data-derivable, value-compared by the oracle — with the `ok`
+    * fold carrying the solve's invariants: p_full ∈ (0, 10⁶], every
+    * removal effect in [0, p_full], and iteration-60 = iteration-61
+    * at START (converged, not truncated).
+    *
+    * Scale shape: ONE keyed lead window builds transitions (q305's
+    * shape + truncation); the solve runs on the |states|²-bounded
+    * collected matrix — model-sized, never row-sized.
+    */
+  val q363MarkovAttribution: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t_us", $"event_id")
+    val ev = T.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("t_us"), $"event_id",
+        when($"event_type" === "purchase", "CONV")
+          .otherwise($"event_type").as("st"))
+      .withColumn("rn", row_number().over(w))
+    val firstConv = ev.filter($"st" === "CONV")
+      .groupBy($"user_id").agg(min($"rn").as("rp"))
+    val kept = ev.join(firstConv, Seq("user_id"), "left")
+      .filter($"rp".isNull || $"rn" <= $"rp")
+      .localCheckpoint() // feeds START rows and the lead window
+    val wk = Window.partitionBy($"user_id").orderBy($"rn")
+    val trans = kept.filter($"rn" === 1)
+      .select(lit("START").as("from_state"), $"st".as("to_state"))
+      .unionByName(kept
+        .withColumn("nxt", lead($"st", 1).over(wk))
+        .filter($"st" =!= "CONV")
+        .select($"st".as("from_state"),
+          coalesce($"nxt", lit("NULL")).as("to_state")))
+      .groupBy($"from_state", $"to_state")
+      .agg(count(lit(1)).as("n"))
+    val rows = trans.as[(String, String, Long)].collect().toSeq
+    val pFull = absorptionMicro(rows, None)
+    val pFull61 = absorptionMicro(rows, None, 61)
+    val channels = rows.map(_._1).distinct
+      .filterNot(s => s == "START" || s == "CONV" || s == "NULL")
+    val removals = channels.map(c => pFull - absorptionMicro(rows, Some(c)))
+    val ok = pFull > 0L && pFull <= 1000000L && pFull == pFull61 &&
+      removals.forall(r => r >= 0L && r <= pFull)
+    trans.withColumn("ok", lit(ok)).orderBy($"from_state", $"to_state")
+  }
+
+  val q363Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+      |         ELSE event_type END AS st
+      |  FROM events),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY t_us, event_id) AS rn
+      |  FROM e),
+      |fc AS (SELECT user_id, MIN(rn) AS rp FROM r
+      |       WHERE st = 'CONV' GROUP BY user_id),
+      |k AS (
+      |  SELECT r.* FROM r LEFT JOIN fc USING (user_id)
+      |  WHERE fc.rp IS NULL OR r.rn <= fc.rp),
+      |b AS (
+      |  SELECT st, LEAD(st) OVER (PARTITION BY user_id ORDER BY rn)
+      |    AS nxt
+      |  FROM k),
+      |t AS (
+      |  SELECT 'START' AS from_state, st AS to_state FROM k WHERE rn = 1
+      |  UNION ALL
+      |  SELECT st, COALESCE(nxt, 'NULL') FROM b WHERE st <> 'CONV')
+      |SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n,
+      |  TRUE AS ok
+      |FROM t GROUP BY from_state, to_state
+      |ORDER BY from_state, to_state""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q363_markov_attribution" -> q363MarkovAttribution,
     "q305_markov_baseline" -> q305MarkovBaseline,
     "q225_multi_touch" -> q225MultiTouch,
     "q226_session_paths" -> q226SessionPaths,
@@ -392,6 +513,7 @@ object JourneyQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q363_markov_attribution" -> q363Sql,
     "q305_markov_baseline" -> q305Sql,
     "q225_multi_touch" -> q225Sql,
     "q226_session_paths" -> q226Sql,
