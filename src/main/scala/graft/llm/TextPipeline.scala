@@ -1028,7 +1028,102 @@ object TextPipeline {
        |LIMIT $WeightedSampleK""".stripMargin
   }
 
+  /** q364 BM25 constants (Robertson et al., TREC-3): k₁ saturates
+    * term frequency, b normalizes by document length.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Query: Seq[String] = Seq("join", "scan", "vector")
+  val Bm25Take = 20
+
+  /** q364 — BM25 ranked retrieval (Robertson/Spärck Jones Okapi
+    * weighting — THE lexical relevance function; q76's TF-IDF weighs
+    * the corpus matrix, this SCORES DOCS AGAINST A QUERY, which is
+    * what a training-data pipeline runs to mine topic-relevant docs
+    * from a 100 TB crawl): per query term, idf = ln(1 + (N−df+.5)/
+    * (df+.5)) (the +1 form, always positive), tf saturation
+    * tf·(k₁+1)/(tf + k₁·(1−b+b·dl/avgdl)). Per-term scores are
+    * micro-quantized BIGINTs BEFORE the per-doc sum (the one float
+    * summation becomes exact — terms would otherwise sum in
+    * engine-dependent order), ranking ties break by doc_id.
+    *
+    * Scale shape: tf for QUERY TERMS ONLY (the filter lands before
+    * the groupBy — the posting-list discipline of q135); df and
+    * avgdl are term- and 1-row-bounded broadcasts; the final top-k is
+    * TakeOrdered, never a global sort.
+    */
+  val q364Bm25: Q = (s, dir) => {
+    import s.implicits._
+    val qterms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val docs = T.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"ws", size($"ws").cast("long").as("dl"))
+      .localCheckpoint() // feeds avgdl, tf, and dl
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum($"dl").as("sum_dl"))
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"ws").as("tok"))
+      .filter($"tok".isin(Bm25Query: _*))
+      .groupBy($"doc_id", $"dl", $"tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_micro", expr(
+        s"""CAST(FLOOR(1000000.0 *
+           |  LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+           |           / (CAST(df AS DOUBLE) + 0.5))
+           |  * (CAST(tf AS DOUBLE) * (1.0 + $Bm25K1))
+           |    / (CAST(tf AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B
+           |       + $Bm25B * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+           |                   / CAST(sum_dl AS DOUBLE))))
+           |) AS BIGINT)""".stripMargin))
+      .groupBy($"doc_id")
+      .agg(sum($"term_micro").as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy($"score_micro".desc, $"doc_id".asc)
+      .limit(Bm25Take)
+  }
+
+  val q364Sql: String = {
+    val qterms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |              CAST(SUM(dl) AS BIGINT) AS sum_dl FROM d),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE tok IN ($qterms)
+       |  GROUP BY doc_id, tok),
+       |dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY tok),
+       |t AS (
+       |  SELECT tf.doc_id,
+       |    CAST(FLOOR(1000000.0 *
+       |      LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |               / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * (1.0 + $Bm25K1))
+       |        / (CAST(tf AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B
+       |           + $Bm25B * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+       |                       / CAST(sum_dl AS DOUBLE))))
+       |    ) AS BIGINT) AS term_micro
+       |  FROM tf
+       |  JOIN dfr USING (tok)
+       |  JOIN d USING (doc_id)
+       |  CROSS JOIN st)
+       |SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro,
+       |  COUNT(*) AS n_terms_hit
+       |FROM t GROUP BY doc_id
+       |ORDER BY score_micro DESC, doc_id ASC
+       |LIMIT $Bm25Take""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q364_bm25" -> q364Bm25,
     "q200_weighted_sample" -> q200WeightedSample,
     "q76_tfidf" -> q76Tfidf,
     "q92_chunking" -> q92Chunking,
@@ -1049,6 +1144,7 @@ object TextPipeline {
   )
   val oracleSql: Map[String, String] = Map(
     "q200_weighted_sample" -> q200Sql,
+    "q364_bm25" -> q364Sql,
     "q76_tfidf" -> q76Sql,
     "q92_chunking" -> q92Sql,
     "q93_pii_scrub" -> q93Sql,
