@@ -1052,9 +1052,11 @@ object TextPipeline {
     * avgdl are term- and 1-row-bounded broadcasts; the final top-k is
     * TakeOrdered, never a global sort.
     */
-  val q364Bm25: Q = (s, dir) => {
+  /** The full scored frame (doc_id, score_micro, n_terms_hit) —
+    * q364 takes its top-k; q365's hybrid fusion ranks it whole.
+    */
+  def bm25ScoresMicro(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val qterms = Bm25Query.map(t => s"'$t'").mkString(", ")
     val docs = T.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", $"ws", size($"ws").cast("long").as("dl"))
@@ -1081,6 +1083,11 @@ object TextPipeline {
       .groupBy($"doc_id")
       .agg(sum($"term_micro").as("score_micro"),
         count(lit(1)).as("n_terms_hit"))
+  }
+
+  val q364Bm25: Q = (s, dir) => {
+    import s.implicits._
+    bm25ScoresMicro(s, dir)
       .orderBy($"score_micro".desc, $"doc_id".asc)
       .limit(Bm25Take)
   }

@@ -794,7 +794,121 @@ object VectorSearch {
       |FROM qq
       |ORDER BY vec_id""".stripMargin
 
+  /** q365 RRF constants: the standard k=60 (Cormack/Clarke/Büttcher
+    * SIGIR'09) and the fused page size.
+    */
+  val RrfK = 60L
+  val RrfTake = 20
+
+  /** q365 — RECIPROCAL-RANK FUSION of a lexical and a vector ranking
+    * (the hybrid-search primitive every modern retrieval stack runs:
+    * BM25 list ⊕ embedding list, score = Σ 1/(k+rank) — rank-based,
+    * so it needs no score calibration between the two systems): the
+    * lexical list is q364's micro-exact BM25 frame ranked whole; the
+    * vector list ranks the doc-paired embeddings (fixture convention:
+    * embeddings row i is doc i's vector — the parallel-array layout
+    * of the generated tables) by the q44 quantized-dot cosine against
+    * the vec_id-0 query vector. Each list contributes the INTEGER
+    * term 10⁶ div (k + rank) — RRF is rank-based, so integer division
+    * is a faithful quantization, and the fused score is exact BIGINT
+    * arithmetic end to end.
+    *
+    * Scale shape: both rankings are retrieval-output-sized frames
+    * (global rank windows run on scored candidates, not the corpus);
+    * the fusion is one full-outer join on doc_id + TakeOrdered.
+    */
+  val q365RrfFusion: Q = (s, dir) => {
+    import s.implicits._
+    val lex = TextPipeline.bm25ScoresMicro(s, dir)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy($"score_micro".desc, $"doc_id".asc)))
+      .select($"doc_id", $"lex_rank")
+    val ids = T.documents(s, dir).select($"doc_id")
+    val e = T.embeddings(s, dir)
+      .join(ids, $"vec_id" === $"doc_id")
+      .select($"vec_id", $"embedding", norm_q20($"embedding").as("norm"))
+      .localCheckpoint() // query row + corpus side share the pass
+    val qv = e.filter($"vec_id" === 0L)
+      .select($"embedding".as("ea"), $"norm".as("na"))
+    val vec = e.filter($"vec_id" =!= 0L).crossJoin(broadcast(qv))
+      .withColumn("cos_sim",
+        cosine(dot_q20($"ea", $"embedding").cast("double"), $"na", $"norm"))
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy($"cos_sim".desc, $"vec_id".asc)))
+      .select($"vec_id".as("doc_id"), $"vec_rank")
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + vec_rank)"), lit(0L)))
+      .orderBy($"rrf_micro".desc, $"doc_id".asc)
+      .limit(RrfTake)
+      .select($"doc_id", $"rrf_micro", $"lex_rank", $"vec_rank")
+  }
+
+  val q365Sql: String = {
+    val qterms = TextPipeline.Bm25Query.map(t => s"'$t'").mkString(", ")
+    val k1 = TextPipeline.Bm25K1
+    val b = TextPipeline.Bm25B
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |              CAST(SUM(dl) AS BIGINT) AS sum_dl FROM d),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE tok IN ($qterms)
+       |  GROUP BY doc_id, tok),
+       |dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY tok),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    CAST(SUM(CAST(FLOOR(1000000.0 *
+       |      LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |               / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * (1.0 + $k1))
+       |        / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b
+       |           + $b * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+       |                   / CAST(sum_dl AS DOUBLE))))
+       |    ) AS BIGINT)) AS BIGINT) AS score_micro
+       |  FROM tf JOIN dfr USING (tok) JOIN d USING (doc_id)
+       |  CROSS JOIN st GROUP BY tf.doc_id),
+       |lex AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (
+       |    ORDER BY score_micro DESC, doc_id ASC) AS lex_rank
+       |  FROM sc),
+       |q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |  WHERE vec_id IN (SELECT doc_id FROM documents)),
+       |norms AS (
+       |  SELECT vec_id, SQRT(CAST(SUM(qv[i] * qv[i]) AS DOUBLE)) AS nrm
+       |  FROM q, range(1, 65) t(i) GROUP BY vec_id),
+       |dots AS (
+       |  SELECT b.vec_id AS nid, CAST(SUM(a.qv[i] * b.qv[i]) AS DOUBLE) AS dot
+       |  FROM q a JOIN q b ON b.vec_id <> 0, range(1, 65) t(i)
+       |  WHERE a.vec_id = 0
+       |  GROUP BY b.vec_id),
+       |vec AS (
+       |  SELECT nid AS doc_id, ROW_NUMBER() OVER (
+       |    ORDER BY dot / (na.nrm * nb.nrm) DESC, nid ASC) AS vec_rank
+       |  FROM dots JOIN norms na ON na.vec_id = 0
+       |            JOIN norms nb ON dots.nid = nb.vec_id)
+       |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+       |  COALESCE(1000000 // (${RrfK} + lex_rank), 0)
+       |    + COALESCE(1000000 // (${RrfK} + vec_rank), 0) AS rrf_micro,
+       |  lex_rank, vec_rank
+       |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+       |ORDER BY rrf_micro DESC, doc_id ASC
+       |LIMIT $RrfTake""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q365_rrf_fusion" -> q365RrfFusion,
     "q44_cosine_topk" -> q44CosineTopk,
     "q254_knn_label_audit" -> q254KnnLabelAudit,
     "q176_hard_negatives" -> q176HardNegatives,
@@ -812,6 +926,7 @@ object VectorSearch {
     * additionally property-tested in VectorSearchSpec.
     */
   val oracleSql: Map[String, String] = Map(
+    "q365_rrf_fusion" -> q365Sql,
     "q44_cosine_topk" -> q44Sql,
     "q254_knn_label_audit" -> q254Sql,
     "q176_hard_negatives" -> q176Sql,
