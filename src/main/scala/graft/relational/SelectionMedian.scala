@@ -234,11 +234,97 @@ object SelectionMedian {
       |FROM r GROUP BY g
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q366 — MAD ROBUST OUTLIER screen per group (median absolute
+    * deviation — the robust σ with a 50% breakdown point; Iglewicz &
+    * Hoaglin's |x − med| > 3.5·MAD/0.6745 screen is the standard
+    * "flag spikes without letting the spikes move the threshold"
+    * rule, where a mean±3σ screen lets one whale shift σ itself):
+    * TWO chained selections — the group median by the q307 recipe,
+    * then the median of |x − med| by the SAME recipe over the
+    * deviation frame — and one conditional aggregate counts
+    * violations of 0.6745·|x − med| > 3.5·MAD, cross-multiplied in
+    * exact integers (6745·|dev| > 35000·MAD — no double anywhere in
+    * the decision).
+    *
+    * Scale shape: two histogram passes + two single-bucket probes +
+    * one count pass — never a full-group sort; the deviation frame
+    * reuses the cached base.
+    */
+  val q366MadOutliers: Q = (s, dir) => {
+    import s.implicits._
+    val base = T.lineitem(s, dir)
+      .select($"l_returnflag".as("g"),
+        expr("CAST(FLOOR(100 * l_extendedprice) AS BIGINT)").as("x"))
+      .localCheckpoint()
+    def medianOf(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val hist = df.withColumn("b", expr(s"x div $BucketCents"))
+        .groupBy($"g", $"b").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy($"g").orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy($"g")
+      val located = hist
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wAll))
+        .withColumn("k", expr("(n + 1) div 2"))
+        .filter($"cum" >= $"k" && $"cum" - $"c" < $"k")
+        .select($"g".as("lg"), $"b".as("tb"),
+          ($"k" - ($"cum" - $"c")).as("off"))
+      val wIn = Window.partitionBy($"g").orderBy($"x")
+      df.withColumn("b", expr(s"x div $BucketCents"))
+        .join(broadcast(located), $"b" === $"tb" && $"g" === $"lg")
+        .withColumn("rn", row_number().over(wIn))
+        .filter($"rn" === $"off")
+        .select($"g", $"x".as("med"))
+    }
+    val med = medianOf(base)
+    val devs = base.join(broadcast(med), "g")
+      .select($"g", abs($"x" - $"med").as("x"))
+      .localCheckpoint()
+    val mad = medianOf(devs).withColumnRenamed("med", "mad")
+    base.join(broadcast(med), "g").join(broadcast(mad), "g")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), max($"med").as("median_cents"),
+        max($"mad").as("mad_cents"),
+        sum(when(abs($"x" - $"med") * 6745L > $"mad" * 35000L, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select($"g".as("l_returnflag"), $"n", $"median_cents",
+        $"mad_cents", $"n_outliers")
+      .orderBy($"l_returnflag")
+  }
+
+  /** Oracle: percentile_disc medians (the spec the selections must
+    * equal) + the same integer cross-multiplied screen.
+    */
+  val q366Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(FLOOR(100 * l_extendedprice) AS BIGINT) AS x
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT g, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x)
+      |    AS BIGINT) AS med
+      |  FROM b GROUP BY g),
+      |md AS (
+      |  SELECT b.g, CAST(percentile_disc(0.5) WITHIN GROUP (
+      |    ORDER BY abs(x - med)) AS BIGINT) AS mad
+      |  FROM b JOIN m USING (g) GROUP BY b.g)
+      |SELECT b.g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(med) AS BIGINT) AS median_cents,
+      |  CAST(MAX(mad) AS BIGINT) AS mad_cents,
+      |  CAST(SUM(CASE WHEN abs(x - med) * 6745 > mad * 35000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM b JOIN m USING (g) JOIN md USING (g)
+      |GROUP BY b.g
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q366_mad_outliers" -> q366MadOutliers,
     "q307_selection_median" -> q307SelectionMedian,
     "q310_selection_percentiles" -> q310SelectionPercentiles,
     "q356_trimmed_mean" -> q356TrimmedMean)
   val oracleSql: Map[String, String] = Map(
+    "q366_mad_outliers" -> q366Sql,
     "q307_selection_median" -> q307Sql,
     "q310_selection_percentiles" -> q310Sql,
     "q356_trimmed_mean" -> q356Sql)
