@@ -1004,7 +1004,84 @@ object TimeSeriesQueries {
       |  CAST(ae_seasonal AS DOUBLE) / CAST(ae_naive AS DOUBLE) AS mase
       |FROM e""".stripMargin
 
+  /** q369 — EWMA CONTROL STATISTIC per event type (Roberts 1959 —
+    * the standard monitoring sibling of q292's CUSUM: CUSUM
+    * accumulates deviations linearly, EWMA discounts them
+    * geometrically, so EWMA reacts faster to moderate shifts while
+    * CUSUM wins on small persistent ones; a monitoring stack runs
+    * both): λ = 1/4 (a DYADIC constant — 0.25·x and 0.75·e are exact
+    * IEEE scalings, so the per-step arithmetic carries no rounding
+    * surprise), folded SEQUENTIALLY over the daily series with the
+    * identical operation order in both engines (Spark `aggregate`
+    * HOF with a struct accumulator; DuckDB `list_reduce` with the
+    * q348 list-accumulator idiom) — a float fold is deterministic
+    * when the fold ORDER is pinned, which an array-local reduction
+    * does and a SUM() never promises. Emits the final EWMA and the
+    * maximum |EWMA − series mean| excursion, micro-quantized.
+    *
+    * Scale shape: the same single daily-collapse pass as q291/q292;
+    * the fold runs array-local on the days-bounded series per type.
+    */
+  val q369Ewma: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(sum(expr("CAST(FLOOR(100 * value) AS BIGINT)")).as("x"))
+    daily
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"x").as("sx"),
+        expr("""transform(array_sort(collect_list(struct(day, x))),
+               |  p -> CAST(p.x AS DOUBLE))""".stripMargin).as("xs"))
+      .withColumn("mu", $"sx".cast("double") / $"n_days".cast("double"))
+      .withColumn("fold", expr(
+        """aggregate(xs,
+          |  named_struct('e', CAST(xs[0] AS DOUBLE), 'mx', CAST(0.0 AS DOUBLE),
+          |               'i', CAST(0 AS INT)),
+          |  (acc, v) -> named_struct(
+          |    'e', IF(acc.i = 0, v, 0.25 * v + 0.75 * acc.e),
+          |    'mx', greatest(acc.mx,
+          |      abs(IF(acc.i = 0, v, 0.25 * v + 0.75 * acc.e) - mu)),
+          |    'i', acc.i + 1))""".stripMargin))
+      .select($"event_type", $"n_days",
+        expr("CAST(FLOOR(1000000.0 * fold.e) AS BIGINT)").as("ewma_micro"),
+        expr("CAST(FLOOR(1000000.0 * fold.mx) AS BIGINT)")
+          .as("max_excursion_micro"))
+      .orderBy($"event_type")
+  }
+
+  val q369Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(SUM(CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    list_transform(list(x ORDER BY day), v -> CAST(v AS DOUBLE)) AS xs
+      |  FROM daily GROUP BY event_type),
+      |f AS (
+      |  SELECT event_type, n_days,
+      |    CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
+      |    list_reduce(
+      |      list_prepend([xs[1], CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+      |        list_transform(range(1, len(xs) + 1), i -> [xs[i],
+      |          CAST(0.0 AS DOUBLE), CAST(i AS DOUBLE)])),
+      |      (acc, p) -> [
+      |        CASE WHEN p[3] = 1.0 THEN p[1]
+      |             ELSE 0.25 * p[1] + 0.75 * acc[1] END,
+      |        greatest(acc[2], abs(
+      |          CASE WHEN p[3] = 1.0 THEN p[1]
+      |               ELSE 0.25 * p[1] + 0.75 * acc[1] END
+      |          - CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))),
+      |        p[3]]) AS fold
+      |  FROM ser)
+      |SELECT event_type, n_days,
+      |  CAST(FLOOR(1000000.0 * fold[1]) AS BIGINT) AS ewma_micro,
+      |  CAST(FLOOR(1000000.0 * fold[2]) AS BIGINT) AS max_excursion_micro
+      |FROM f ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q369_ewma" -> q369Ewma,
     "q338_forecast_backtest" -> q338ForecastBacktest,
     "q320_seasonal_decompose" -> q320SeasonalDecompose,
     "q313_interval_intersect" -> q313IntervalIntersect,
@@ -1023,6 +1100,7 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q369_ewma" -> q369Sql,
     "q338_forecast_backtest" -> q338Sql,
     "q320_seasonal_decompose" -> q320Sql,
     "q313_interval_intersect" -> q313Sql,
