@@ -111,6 +111,45 @@ object PlanMetrics {
       |  WHERE l_quantity < 10
       |ORDER BY op""".stripMargin
 
-  val queries: Map[String, Q] = Map("q253_plan_metrics" -> q253PlanMetrics)
-  val oracleSql: Map[String, String] = Map("q253_plan_metrics" -> q253Sql)
+  /** q370 — DECLARED inline metrics via the `observe()`/Observation
+    * API (q253's sibling from the other direction: q253 reads back
+    * the metrics Spark keeps per operator; this DECLARES custom
+    * aggregates on a node and collects them during the SAME action —
+    * the "audit while you run" shape: at 100 TB, full-scan telemetry
+    * rides the job you were running anyway, no second pass). The
+    * observe node sits BEFORE the filter, so one action yields both
+    * the filtered business answer and whole-input quality metrics;
+    * everything emitted is data-derivable, so the oracle recomputes
+    * all three numbers — an observe node wired after the filter, or
+    * double-counted under task retries, breaks the hash.
+    */
+  val q370ObservedMetrics: Q = (s, dir) => {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation(s"q370_${System.nanoTime()}")
+    val filtered = T.orders(s, dir)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)"))
+          .as("sum_cents"))
+      .filter($"o_orderpriority" === "1-URGENT")
+    val nUrgent = filtered.agg(count(lit(1))).head().getLong(0)
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("sum_cents").asInstanceOf[Long], nUrgent))
+      .toDF("n_rows", "sum_cents", "n_urgent")
+  }
+
+  val q370Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(FLOOR(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  CAST((SELECT COUNT(*) FROM orders
+      |        WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+      |FROM orders""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q253_plan_metrics" -> q253PlanMetrics,
+    "q370_observed_metrics" -> q370ObservedMetrics)
+  val oracleSql: Map[String, String] = Map(
+    "q253_plan_metrics" -> q253Sql,
+    "q370_observed_metrics" -> q370Sql)
 }
