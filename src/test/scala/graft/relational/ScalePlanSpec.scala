@@ -285,4 +285,45 @@ class ScalePlanSpec extends SparkSpec {
       }.isEmpty, "q327: unexpected window in the chunking plan")
     }
   }
+
+  test("round-9: q351 has no single-partition window; q350/q364 filter " +
+    "before their shuffles") {
+    atScaleRegime {
+      // q351 sequence packing: the two-level scan must leave NO window
+      // with an empty partition spec on the corpus path — the one
+      // window allowed to be global is the blocks-bounded offset frame,
+      // which sits under an aggregate of ~n/PackBlock rows
+      val q351 = graft.llm.CorpusOps.q351SeqPacking(spark, dir)
+      val p351 = q351.queryExecution.executedPlan
+      val globals = p351.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.size <= 1,
+        s"q351: ${globals.size} global-order windows; only the " +
+          s"blocks-bounded offset frame may sort globally:\n${p351.treeString}")
+      globals.foreach { w =>
+        val aggsBelow = w.collect {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        assert(aggsBelow.nonEmpty,
+          "q351: the global window must sit above the per-block " +
+            "aggregate (bounded frame), not the raw docs")
+      }
+      // q364 BM25: the query-term IN filter must land BELOW the
+      // tf aggregate (posting-list discipline) — no corpus-wide
+      // (doc, term) aggregation of non-query tokens
+      val q364 = graft.llm.TextPipeline.q364Bm25(spark, dir)
+      val p364 = q364.queryExecution.executedPlan
+      val aggWithFilterBelow = p364.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.collect {
+              case f: org.apache.spark.sql.execution.FilterExec
+                  if f.condition.toString.contains("tok") => f
+            }.nonEmpty => a
+      }
+      assert(aggWithFilterBelow.nonEmpty,
+        s"q364: token filter did not land below the tf aggregate:\n${p364.treeString}")
+    }
+  }
 }
