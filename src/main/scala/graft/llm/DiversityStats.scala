@@ -1,0 +1,241 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** Lexical-diversity and distribution-distance statistics over the
+  * corpus — the "how much MORE data is out there and how different is
+  * each feed" readouts a 100 TB ingest review runs next to the drift
+  * family (q314 PSI, q360 KL):
+  *
+  *   - q371 GOOD–TURING count-of-counts (Good 1953): the frequency-of-
+  *     frequencies table N_r over token-trigram species and the
+  *     adjusted count r* = (r+1)·N_{r+1}/N_r — the smoothing kernel of
+  *     Katz/Kneser–Ney LMs and the direct estimate of how much
+  *     probability mass belongs to UNSEEN events. Unigrams are useless
+  *     here (the fixture's vocab is closed — 31 types, all frequent,
+  *     N₁ = 0; SURVEY notes this honestly), so the species is the
+  *     token TRIGRAM, whose census at sf0.01 is textbook Zipf-tailed
+  *     (N₁ ≈ 9.4k, N₂ ≈ 4.5k, …).
+  *   - q372 CHAO1 species-richness estimate (Chao 1984, bias-corrected
+  *     form S_obs + N₁(N₁−1)/(2(N₂+1)) — defined even when N₂ = 0) +
+  *     Good–Turing coverage 1 − N₁/N: "how many distinct trigram
+  *     species would an infinite crawl of this corpus distribution
+  *     see, and what fraction of mass have we already observed".
+  *   - q373 Shannon ENTROPY per source + JENSEN–SHANNON divergence
+  *     from the pooled corpus distribution — the symmetric, bounded
+  *     (≤ ln 2) companion of q360's KL: JSD never explodes on
+  *     disjoint support, so it is the number to ALERT on. Same cell
+  *     construction as q360 (full source×vocab support, +1 Laplace
+  *     smoothing), per-token terms micro-quantized and summed
+  *     order-free (the q230/q314 fold).
+  *
+  * Reference: joelanford/console-etl has no text surface (it serves
+  * opaque file bodies — main.go:300-333); these are north-star [N]
+  * rows from SURVEY.md §2.b.
+  *
+  * Scale shapes: the trigram census is ONE partial-agg pass keyed on
+  * the bounded-width 3-token string (short ids here; at web scale the
+  * key would be md5'd per-doc pre-shuffle, the q139 span discipline);
+  * the count-of-counts reduction then collapses the species frame to
+  * ≤ max-count rows. q373 runs on the sources×vocab-bounded cell
+  * frame.
+  */
+object DiversityStats {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token-trigram species frame: (g, c) — one row per distinct
+    * trigram with its corpus count. The split() is hoisted once per
+    * doc (the q126 O(len²) trap), empty tokens filtered inside the
+    * array.
+    */
+  private def trigramCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, dir)
+      .withColumn("ts", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("g", explode(expr(
+        """CASE WHEN size(ts) >= 3 THEN
+          |  transform(sequence(0, size(ts) - 3),
+          |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))
+          |ELSE array() END""".stripMargin)))
+      .groupBy($"g").agg(count(lit(1)).as("c"))
+  }
+
+  private val TrigramCountsSql: String =
+    """SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |  SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      |  FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |        FROM documents),
+      |       UNNEST(range(1, len(ts) - 1)) AS t(i)
+      |) GROUP BY g""".stripMargin
+
+  /** q371 — Good–Turing count-of-counts over trigram species: per
+    * observed frequency r, the number of species N_r seen exactly r
+    * times and the Good–Turing adjusted count
+    * r* = (r+1)·N_{r+1}/N_r (0 where N_{r+1} = 0 — the raw estimator,
+    * honestly; smoothing N_r itself is q354's Zipf-fit territory).
+    */
+  val q371GoodTuring: Q = (s, dir) => {
+    import s.implicits._
+    val cc = trigramCounts(s, dir)
+      .groupBy($"c".as("r")).agg(count(lit(1)).as("n_r"))
+    val next = cc.select(($"r" - 1L).as("r"), $"n_r".as("n_next"))
+    cc.join(next, Seq("r"), "left")
+      .na.fill(0L, Seq("n_next"))
+      .select($"r", $"n_r",
+        expr("""CAST(FLOOR(1000000.0 *
+               |  (CAST(r + 1 AS DOUBLE) * CAST(n_next AS DOUBLE)
+               |   / CAST(n_r AS DOUBLE))) AS BIGINT)""".stripMargin)
+          .as("rstar_micro"))
+      .orderBy($"r")
+  }
+
+  val q371Sql: String =
+    s"""WITH f AS ($TrigramCountsSql),
+       |cc AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+       |       FROM f GROUP BY c)
+       |SELECT cc.r, cc.n_r,
+       |  CAST(FLOOR(1000000.0 *
+       |    (CAST(cc.r + 1 AS DOUBLE) * CAST(COALESCE(nx.n_r, 0) AS DOUBLE)
+       |     / CAST(cc.n_r AS DOUBLE))) AS BIGINT) AS rstar_micro
+       |FROM cc LEFT JOIN cc nx ON nx.r = cc.r + 1
+       |ORDER BY cc.r""".stripMargin
+
+  /** q372 — Chao1 richness + Good–Turing coverage: one scalar row
+    * (S_obs, N₁, N₂, N, chao1_micro, coverage_micro). Bias-corrected
+    * Chao1 keeps the estimator defined when doubletons vanish; the
+    * coverage 1 − N₁/N is the Good–Turing estimate of the probability
+    * mass already observed (its complement is the missing mass —
+    * exactly the chance the NEXT crawled trigram is novel).
+    */
+  val q372Chao1: Q = (s, dir) => {
+    import s.implicits._
+    trigramCounts(s, dir)
+      .agg(count(lit(1)).as("s_obs"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when($"c" === 2L, 1L).otherwise(0L)).as("n2"),
+        sum($"c").as("n_tot"))
+      .select($"s_obs", $"n1", $"n2", $"n_tot",
+        expr("""CAST(FLOOR(1000000.0 * (CAST(s_obs AS DOUBLE)
+               |  + CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)
+               |    / (2.0 * CAST(n2 + 1 AS DOUBLE)))) AS BIGINT)"""
+          .stripMargin).as("chao1_micro"),
+        expr("""CAST(FLOOR(1000000.0 *
+               |  (1.0 - CAST(n1 AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+               |  AS BIGINT)""".stripMargin).as("coverage_micro"))
+  }
+
+  val q372Sql: String =
+    s"""WITH f AS ($TrigramCountsSql),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+       |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(SUM(c) AS BIGINT) AS n_tot
+       |  FROM f)
+       |SELECT s_obs, n1, n2, n_tot,
+       |  CAST(FLOOR(1000000.0 * (CAST(s_obs AS DOUBLE)
+       |    + CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)
+       |      / (2.0 * CAST(n2 + 1 AS DOUBLE)))) AS BIGINT) AS chao1_micro,
+       |  CAST(FLOOR(1000000.0 *
+       |    (1.0 - CAST(n1 AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+       |    AS BIGINT) AS coverage_micro
+       |FROM agg""".stripMargin
+
+  /** q373 — per-source Shannon entropy + Jensen–Shannon divergence
+    * from the pooled corpus unigram distribution. Cell construction is
+    * q360's verbatim (full source×vocab support, +1 smoothing, window
+    * totals); each token's entropy term −p_s·ln p_s and JSD term
+    * ½p_s·ln(p_s/m) + ½p_c·ln(p_c/m) with m = ½(p_s+p_c) is one
+    * identically spelled double chain from exact BIGINT counts,
+    * micro-quantized, summed order-free.
+    */
+  val q373EntropyJsd: Q = (s, dir) => {
+    import s.implicits._
+    val st = T.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the marginal and the per-source fold
+    val vocab = st.groupBy($"tok").agg(sum($"c").as("ct"))
+    val sources = st.select($"source").distinct()
+    val cells = sources.crossJoin(vocab)
+      .join(st, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("c"))
+    val wSrc = Window.partitionBy($"source")
+    val tot = cells.withColumn("ts", sum($"c" + 1L).over(wSrc))
+    val totC = vocab.agg(sum($"ct" + 1L).as("tc"))
+    tot.crossJoin(broadcast(totC))
+      .select($"source",
+        expr("""CAST(FLOOR(1000000.0 * (
+               |  -(CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE))
+               |  * LN(CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE))
+               |)) AS BIGINT)""".stripMargin).as("h_q"),
+        expr("""CAST(FLOOR(1000000.0 * (
+               |  0.5 * (CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE))
+               |  * LN((CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE))
+               |       / (0.5 * (CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE)
+               |                 + CAST(ct + 1 AS DOUBLE) / CAST(tc AS DOUBLE))))
+               |  + 0.5 * (CAST(ct + 1 AS DOUBLE) / CAST(tc AS DOUBLE))
+               |  * LN((CAST(ct + 1 AS DOUBLE) / CAST(tc AS DOUBLE))
+               |       / (0.5 * (CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE)
+               |                 + CAST(ct + 1 AS DOUBLE) / CAST(tc AS DOUBLE))))
+               |)) AS BIGINT)""".stripMargin).as("j_q"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_toks"), sum($"h_q").as("entropy_micro"),
+        sum($"j_q").as("jsd_micro"))
+      .orderBy($"source")
+  }
+
+  val q373Sql: String =
+    """WITH st AS (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY source, tok),
+      |vocab AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct
+      |          FROM st GROUP BY tok),
+      |cells AS (
+      |  SELECT s.source, v.tok, v.ct, COALESCE(st.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM st) s
+      |  CROSS JOIN vocab v
+      |  LEFT JOIN st ON st.source = s.source AND st.tok = v.tok),
+      |w AS (
+      |  SELECT source, tok, ct, c,
+      |    CAST(SUM(c + 1) OVER (PARTITION BY source) AS BIGINT) AS ts,
+      |    (SELECT CAST(SUM(ct + 1) AS BIGINT) FROM vocab) AS tc
+      |  FROM cells)
+      |SELECT source, COUNT(*) AS n_toks,
+      |  CAST(SUM(CAST(FLOOR(1000000.0 * (
+      |    -(CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE))
+      |    * LN(CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE))
+      |  )) AS BIGINT)) AS BIGINT) AS entropy_micro,
+      |  CAST(SUM(CAST(FLOOR(1000000.0 * (
+      |    0.5 * (CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE))
+      |    * LN((CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE))
+      |         / (0.5 * (CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE)
+      |                   + CAST(ct + 1 AS DOUBLE) / CAST(tc AS DOUBLE))))
+      |    + 0.5 * (CAST(ct + 1 AS DOUBLE) / CAST(tc AS DOUBLE))
+      |    * LN((CAST(ct + 1 AS DOUBLE) / CAST(tc AS DOUBLE))
+      |         / (0.5 * (CAST(c + 1 AS DOUBLE) / CAST(ts AS DOUBLE)
+      |                   + CAST(ct + 1 AS DOUBLE) / CAST(tc AS DOUBLE))))
+      |  )) AS BIGINT)) AS BIGINT) AS jsd_micro
+      |FROM w GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q371_good_turing" -> q371GoodTuring,
+    "q372_chao1" -> q372Chao1,
+    "q373_entropy_jsd" -> q373EntropyJsd,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q371_good_turing" -> q371Sql,
+    "q372_chao1" -> q372Sql,
+    "q373_entropy_jsd" -> q373Sql,
+  )
+}
