@@ -1129,7 +1129,110 @@ object TextPipeline {
        |LIMIT $Bm25Take""".stripMargin
   }
 
+  /** q374 Dirichlet prior μ (Zhai & Lafferty SIGIR'01's standard
+    * setting) and page size.
+    */
+  val QlMu = "2000.0"
+  val QlTake = 20
+
+  /** q374 — QUERY-LIKELIHOOD retrieval under Dirichlet smoothing
+    * (Ponte & Croft SIGIR'98; Zhai & Lafferty SIGIR'01 — the language-
+    * modeling alternative to q364's BM25; a third scoring family makes
+    * q375's rank fusion a real multi-system hybrid): score(d) =
+    * Σ_{t∈Q} ln((tf_td + μ·cf_t/|C|) / (dl_d + μ)) — absent terms
+    * still contribute their smoothed background mass, which is the
+    * model's whole point. Candidates are docs hitting ≥1 query term
+    * (the posting-union discipline — a doc hitting none scores pure
+    * background and is never competitive); per-term scores are
+    * micro-quantized BEFORE the per-doc sum (exact order-free BIGINT),
+    * ranking ties break by doc_id.
+    *
+    * Scale shape: tf is posting-filtered before its shuffle (q135);
+    * cf and |C| are 3-row / 1-row broadcasts; the zero-tf completion
+    * runs on the candidate×3-term frame, never the corpus; top-k is
+    * TakeOrdered.
+    */
+  def qlScoresMicro(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"ws", size($"ws").cast("long").as("dl"))
+      .localCheckpoint() // feeds |C|, tf, and the candidate dl
+    val totals = docs.agg(sum($"dl").as("sum_dl"))
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"ws").as("tok"))
+      .filter($"tok".isin(Bm25Query: _*))
+      .groupBy($"doc_id", $"dl", $"tok")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds cf, candidates, and the cells
+    val terms = tf.groupBy($"tok").agg(sum($"tf").as("cf"))
+      .crossJoin(totals)
+    val cand = tf.select($"doc_id", $"dl").distinct()
+    cand.crossJoin(broadcast(terms))
+      .join(tf.select($"doc_id", $"tok", $"tf"), Seq("doc_id", "tok"), "left")
+      .na.fill(0L, Seq("tf"))
+      .withColumn("term_micro", expr(
+        s"""CAST(FLOOR(1000000.0 * LN(
+           |  (CAST(tf AS DOUBLE)
+           |   + $QlMu * (CAST(cf AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+           |  / (CAST(dl AS DOUBLE) + $QlMu))) AS BIGINT)""".stripMargin))
+      .groupBy($"doc_id")
+      .agg(sum($"term_micro").as("ql_micro"),
+        sum(when($"tf" > 0L, 1L).otherwise(0L)).as("n_terms_hit"))
+  }
+
+  val q374QueryLikelihood: Q = (s, dir) => {
+    import s.implicits._
+    qlScoresMicro(s, dir)
+      .orderBy($"ql_micro".desc, $"doc_id".asc)
+      .limit(QlTake)
+  }
+
+  /** WITH-fragment yielding `qlsc(doc_id, ql_micro, n_terms_hit)` —
+    * shared by q374's oracle and q375's three-list fusion oracle.
+    */
+  def qlSqlCtes: String = {
+    val qterms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""qd AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |qst AS (SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl FROM qd),
+       |qtf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE tok IN ($qterms)
+       |  GROUP BY doc_id, tok),
+       |qcf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf
+       |        FROM qtf GROUP BY tok),
+       |qcells AS (
+       |  SELECT c.doc_id, qd.dl, qcf.tok, qcf.cf, qst.sum_dl,
+       |    COALESCE(qtf.tf, 0) AS tf
+       |  FROM (SELECT DISTINCT doc_id FROM qtf) c
+       |  JOIN qd USING (doc_id) CROSS JOIN qcf CROSS JOIN qst
+       |  LEFT JOIN qtf ON qtf.doc_id = c.doc_id AND qtf.tok = qcf.tok),
+       |qlsc AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CAST(FLOOR(1000000.0 * LN(
+       |      (CAST(tf AS DOUBLE)
+       |       + $QlMu * (CAST(cf AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+       |      / (CAST(dl AS DOUBLE) + $QlMu))) AS BIGINT)) AS BIGINT)
+       |      AS ql_micro,
+       |    CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_terms_hit
+       |  FROM qcells GROUP BY doc_id)""".stripMargin
+  }
+
+  val q374Sql: String =
+    s"""WITH $qlSqlCtes
+       |SELECT doc_id, ql_micro, n_terms_hit
+       |FROM qlsc
+       |ORDER BY ql_micro DESC, doc_id ASC
+       |LIMIT $QlTake""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q374_query_likelihood" -> q374QueryLikelihood,
     "q364_bm25" -> q364Bm25,
     "q200_weighted_sample" -> q200WeightedSample,
     "q76_tfidf" -> q76Tfidf,
@@ -1150,6 +1253,7 @@ object TextPipeline {
     "q158_temperature_mix" -> q158TemperatureMix,
   )
   val oracleSql: Map[String, String] = Map(
+    "q374_query_likelihood" -> q374Sql,
     "q200_weighted_sample" -> q200Sql,
     "q364_bm25" -> q364Sql,
     "q76_tfidf" -> q76Sql,

@@ -907,7 +907,129 @@ object VectorSearch {
        |LIMIT $RrfTake""".stripMargin
   }
 
+  /** q375 — THREE-LIST reciprocal-rank fusion (BM25 ⊕ Dirichlet
+    * query-likelihood ⊕ embedding cosine): RRF's whole appeal is that
+    * adding a system is adding a term — no score calibration, no
+    * weight tuning (Cormack et al. SIGIR'09 fused 10+ lists); the
+    * third list here is a genuinely different MODEL family (q374's
+    * language-model scorer, not a BM25 variant), so agreement between
+    * the three is evidence, not redundancy. Same integer convention
+    * as q365: each list contributes 10⁶ div (k + rank), fused score
+    * exact BIGINT end to end, absent-from-list contributes 0.
+    *
+    * Scale shape: the two lexical rankings window over posting-union
+    * candidate frames, the vector ranking over the scored-candidates
+    * frame (q365's shapes); fusion is two full-outer joins on doc_id
+    * + TakeOrdered.
+    */
+  val q375Rrf3: Q = (s, dir) => {
+    import s.implicits._
+    val lex = TextPipeline.bm25ScoresMicro(s, dir)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy($"score_micro".desc, $"doc_id".asc)))
+      .select($"doc_id", $"lex_rank")
+    val ql = TextPipeline.qlScoresMicro(s, dir)
+      .withColumn("ql_rank", row_number().over(
+        Window.orderBy($"ql_micro".desc, $"doc_id".asc)))
+      .select($"doc_id", $"ql_rank")
+    val ids = T.documents(s, dir).select($"doc_id")
+    val e = T.embeddings(s, dir)
+      .join(ids, $"vec_id" === $"doc_id")
+      .select($"vec_id", $"embedding", norm_q20($"embedding").as("norm"))
+      .localCheckpoint() // query row + corpus side share the pass
+    val qv = e.filter($"vec_id" === 0L)
+      .select($"embedding".as("ea"), $"norm".as("na"))
+    val vec = e.filter($"vec_id" =!= 0L).crossJoin(broadcast(qv))
+      .withColumn("cos_sim",
+        cosine(dot_q20($"ea", $"embedding").cast("double"), $"na", $"norm"))
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy($"cos_sim".desc, $"vec_id".asc)))
+      .select($"vec_id".as("doc_id"), $"vec_rank")
+    lex.join(ql, Seq("doc_id"), "full_outer")
+      .join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + ql_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + vec_rank)"), lit(0L)))
+      .orderBy($"rrf_micro".desc, $"doc_id".asc)
+      .limit(RrfTake)
+      .select($"doc_id", $"rrf_micro", $"lex_rank", $"ql_rank", $"vec_rank")
+  }
+
+  val q375Sql: String = {
+    val qterms = TextPipeline.Bm25Query.map(t => s"'$t'").mkString(", ")
+    val k1 = TextPipeline.Bm25K1
+    val b = TextPipeline.Bm25B
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |              CAST(SUM(dl) AS BIGINT) AS sum_dl FROM d),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE tok IN ($qterms)
+       |  GROUP BY doc_id, tok),
+       |dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY tok),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    CAST(SUM(CAST(FLOOR(1000000.0 *
+       |      LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |               / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * (1.0 + $k1))
+       |        / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b
+       |           + $b * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+       |                   / CAST(sum_dl AS DOUBLE))))
+       |    ) AS BIGINT)) AS BIGINT) AS score_micro
+       |  FROM tf JOIN dfr USING (tok) JOIN d USING (doc_id)
+       |  CROSS JOIN st GROUP BY tf.doc_id),
+       |lex AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (
+       |    ORDER BY score_micro DESC, doc_id ASC) AS lex_rank
+       |  FROM sc),
+       |${TextPipeline.qlSqlCtes},
+       |qlr AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (
+       |    ORDER BY ql_micro DESC, doc_id ASC) AS ql_rank
+       |  FROM qlsc),
+       |q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |  WHERE vec_id IN (SELECT doc_id FROM documents)),
+       |norms AS (
+       |  SELECT vec_id, SQRT(CAST(SUM(qv[i] * qv[i]) AS DOUBLE)) AS nrm
+       |  FROM q, range(1, 65) t(i) GROUP BY vec_id),
+       |dots AS (
+       |  SELECT b.vec_id AS nid, CAST(SUM(a.qv[i] * b.qv[i]) AS DOUBLE) AS dot
+       |  FROM q a JOIN q b ON b.vec_id <> 0, range(1, 65) t(i)
+       |  WHERE a.vec_id = 0
+       |  GROUP BY b.vec_id),
+       |vec AS (
+       |  SELECT nid AS doc_id, ROW_NUMBER() OVER (
+       |    ORDER BY dot / (na.nrm * nb.nrm) DESC, nid ASC) AS vec_rank
+       |  FROM dots JOIN norms na ON na.vec_id = 0
+       |            JOIN norms nb ON dots.nid = nb.vec_id),
+       |lq AS (
+       |  SELECT COALESCE(lex.doc_id, qlr.doc_id) AS doc_id,
+       |    lex_rank, ql_rank
+       |  FROM lex FULL OUTER JOIN qlr ON lex.doc_id = qlr.doc_id)
+       |SELECT COALESCE(lq.doc_id, vec.doc_id) AS doc_id,
+       |  COALESCE(1000000 // (${RrfK} + lex_rank), 0)
+       |    + COALESCE(1000000 // (${RrfK} + ql_rank), 0)
+       |    + COALESCE(1000000 // (${RrfK} + vec_rank), 0) AS rrf_micro,
+       |  lex_rank, ql_rank, vec_rank
+       |FROM lq FULL OUTER JOIN vec ON lq.doc_id = vec.doc_id
+       |ORDER BY rrf_micro DESC, doc_id ASC
+       |LIMIT $RrfTake""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q375_rrf3" -> q375Rrf3,
     "q365_rrf_fusion" -> q365RrfFusion,
     "q44_cosine_topk" -> q44CosineTopk,
     "q254_knn_label_audit" -> q254KnnLabelAudit,
@@ -926,6 +1048,7 @@ object VectorSearch {
     * additionally property-tested in VectorSearchSpec.
     */
   val oracleSql: Map[String, String] = Map(
+    "q375_rrf3" -> q375Sql,
     "q365_rrf_fusion" -> q365Sql,
     "q44_cosine_topk" -> q44Sql,
     "q254_knn_label_audit" -> q254Sql,
