@@ -162,8 +162,13 @@ object Calibration {
     * on held-out data both improving is the expected reading, gated
     * after measuring) AND calibrated ECE ≤ [[CalEceCapMilli]]‰.
     */
-  def calibratedStats(s: SparkSession, dir: String)
-      : (Long, Long, Long, Long, Long, Long) = {
+  /** The isotonic-calibrated TEST frame (doc_id, y, p) plus the raw
+    * scored frame and calibration-sample size — the one place the
+    * PAVA fit + step application live; q353's audit and q376's
+    * deployed filter both consume it.
+    */
+  def calibratedTest(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) = {
     import s.implicits._
     val f = LogisticRegression.fitEval(s, dir)
     val trainPairs = f.trainScored
@@ -187,13 +192,20 @@ object Calibration {
     val cal = test.join(blocksDf, $"pq" >= $"lo")
       .withColumn("rk", row_number().over(wDoc))
       .filter($"rk" === 1)
-      .select($"y",
+      .select($"doc_id", $"y",
         ($"bsum".cast("double") / ($"bcnt".cast("double") * 1000000.0))
           .as("p"))
-    val (rawBrier, rawEce) = finish(binCells(f.scored.select($"y", $"p")))
-    val calCells = binCells(cal)
+    (cal, f.scored, trainPairs.length.toLong)
+  }
+
+  def calibratedStats(s: SparkSession, dir: String)
+      : (Long, Long, Long, Long, Long, Long) = {
+    import s.implicits._
+    val (cal, rawScored, nCal) = calibratedTest(s, dir)
+    val (rawBrier, rawEce) = finish(binCells(rawScored.select($"y", $"p")))
+    val calCells = binCells(cal.select($"y", $"p"))
     val (calBrier, calEce) = finish(calCells)
-    (trainPairs.length.toLong, calCells.map(_._2).sum,
+    (nCal, calCells.map(_._2).sum,
       rawBrier, calBrier, rawEce, calEce)
   }
 
@@ -218,10 +230,62 @@ object Calibration {
        |  (SELECT COUNT(*) FROM planted WHERE doc_id % 5 = 0) AS n_test,
        |  TRUE AS ok""".stripMargin
 
+  /** q376 decision statistics of the deployed filter on the held-out
+    * split: (n_test, n_kept, tp, fp, fn).
+    */
+  def filterStats(s: SparkSession, dir: String)
+      : (Long, Long, Long, Long, Long) = {
+    import s.implicits._
+    val (cal, _, _) = calibratedTest(s, dir)
+    val agg = cal.agg(
+      count(lit(1)).as("n"),
+      sum(($"p" >= 0.5).cast("long")).as("kept"),
+      sum((($"p" >= 0.5) && $"y" === 1.0).cast("long")).as("tp"),
+      sum((($"p" >= 0.5) && $"y" =!= 1.0).cast("long")).as("fp"),
+      sum((($"p" < 0.5) && $"y" === 1.0).cast("long")).as("fn")).head()
+    (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
+      agg.getLong(4))
+  }
+
+  /** Measured: precision 812‰ (sf0.001) / 944‰ (sf0.01), recall 928‰ /
+    * 1000‰ — caps = worse SF minus slack.
+    */
+  val FilterPrecisionCapMilli = 750L
+  val FilterRecallCapMilli = 850L
+
+  /** q376 — the calibrated-threshold CORPUS FILTER end to end (the
+    * decision q347/q353 exist to underwrite: keep docs whose
+    * CALIBRATED probability of the target concept is ≥ ½ — with
+    * calibrated scores, the ½ threshold IS the Bayes decision rule
+    * for symmetric cost, which raw overconfident sigmoids do not
+    * give you): q321's logistic scores → q353's isotonic step map →
+    * threshold → kept-set precision/recall vs the planted truth on
+    * the held-out split. The gate folds both ≥ the measured caps
+    * plus non-degeneracy (something kept, something dropped).
+    *
+    * Scale shape: fit + step table are calibration-sample-bounded
+    * (q353's contract); the decision and the confusion counts are
+    * one distributed pass over the held-out frame.
+    */
+  val q376CalibratedFilter: Q = (s, dir) => {
+    import s.implicits._
+    val (nTest, kept, tp, fp, fn) = filterStats(s, dir)
+    val precisionMilli = if (kept == 0L) 0L else 1000L * tp / kept
+    val recallMilli = if (tp + fn == 0L) 0L else 1000L * tp / (tp + fn)
+    val ok = kept > 0L && kept < nTest && tp + fp == kept &&
+      precisionMilli >= FilterPrecisionCapMilli &&
+      recallMilli >= FilterRecallCapMilli
+    Seq((nTest, tp + fn, ok)).toDF("n_test", "n_pos_test", "ok")
+  }
+
+  val q376Sql: String = q347Sql
+
   val queries: Map[String, Q] = Map(
     "q347_calibration" -> q347Calibration,
-    "q353_isotonic_cal" -> q353IsotonicCal)
+    "q353_isotonic_cal" -> q353IsotonicCal,
+    "q376_calibrated_filter" -> q376CalibratedFilter)
   val oracleSql: Map[String, String] = Map(
     "q347_calibration" -> q347Sql,
-    "q353_isotonic_cal" -> q353Sql)
+    "q353_isotonic_cal" -> q353Sql,
+    "q376_calibrated_filter" -> q376Sql)
 }

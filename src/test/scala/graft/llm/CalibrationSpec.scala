@@ -43,6 +43,15 @@ class CalibrationSpec extends SparkSpec {
     assert(ece <= Calibration.EceCapMilli * 1000L)
   }
 
+  test("q376 calibrated-threshold filter gate is green at sf0.001") {
+    val (n, kept, tp, fp, fn) =
+      Calibration.filterStats(spark, "/root/testdata/sf0.001")
+    assert(kept > 0 && kept < n, s"degenerate filter: kept $kept of $n")
+    assert(tp + fp == kept)
+    assert(1000 * tp / kept >= Calibration.FilterPrecisionCapMilli)
+    assert(1000 * tp / (tp + fn) >= Calibration.FilterRecallCapMilli)
+  }
+
   test("q353 isotonic recalibration improves both readings at sf0.001") {
     val (nCal, nTest, rawBrier, calBrier, rawEce, calEce) =
       Calibration.calibratedStats(spark, "/root/testdata/sf0.001")
