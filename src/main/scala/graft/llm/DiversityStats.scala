@@ -227,13 +227,72 @@ object DiversityStats {
       |FROM w GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** q379 — GINI coefficient of per-doc token counts by source (the
+    * Lorenz/inequality readout of corpus concentration: "is this feed
+    * a few whale documents or an even spread?" — the number that says
+    * whether doc-level sampling is safe or a single doc dominates the
+    * source's token budget): with x ranked ascending (rank i = 1..n),
+    * G = (2Σi·xᵢ − (n+1)Σx)/(n·Σx) — every sufficient statistic an
+    * exact BIGINT (rank·count products), ONE micro-quantized division
+    * at the end. Ties don't disturb the sum (equal x under permuted
+    * ranks contribute identically), so row_number is deterministic
+    * enough without a tie-break convention.
+    *
+    * Scale shape: one per-source rank window + one partial agg; no
+    * global sort (ranks are within-source).
+    */
+  val q379Gini: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"ntok", $"doc_id")
+    T.documents(s, dir)
+      .select($"source", $"doc_id",
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long")
+          .as("ntok"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("sum_tokens"),
+        sum($"i" * $"ntok").as("rank_weighted"))
+      .select($"source", $"n_docs", $"sum_tokens",
+        expr("""CAST(FLOOR(1000000.0 *
+               |  (CAST(2 * rank_weighted - (n_docs + 1) * sum_tokens
+               |        AS DOUBLE)
+               |   / CAST(n_docs * sum_tokens AS DOUBLE))) AS BIGINT)"""
+          .stripMargin).as("gini_micro"))
+      .orderBy($"source")
+  }
+
+  val q379Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS BIGINT) AS ntok
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, ntok,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY ntok, doc_id) AS BIGINT) AS i
+      |  FROM d),
+      |a AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+      |    CAST(SUM(i * ntok) AS BIGINT) AS rank_weighted
+      |  FROM r GROUP BY source)
+      |SELECT source, n_docs, sum_tokens,
+      |  CAST(FLOOR(1000000.0 *
+      |    (CAST(2 * rank_weighted - (n_docs + 1) * sum_tokens AS DOUBLE)
+      |     / CAST(n_docs * sum_tokens AS DOUBLE))) AS BIGINT) AS gini_micro
+      |FROM a
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q379_gini" -> q379Gini,
     "q371_good_turing" -> q371GoodTuring,
     "q372_chao1" -> q372Chao1,
     "q373_entropy_jsd" -> q373EntropyJsd,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q379_gini" -> q379Sql,
     "q371_good_turing" -> q371Sql,
     "q372_chao1" -> q372Sql,
     "q373_entropy_jsd" -> q373Sql,

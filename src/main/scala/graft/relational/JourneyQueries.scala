@@ -503,7 +503,138 @@ object JourneyQueries {
       |FROM t GROUP BY from_state, to_state
       |ORDER BY from_state, to_state""".stripMargin
 
+  /** q378 — SHAPLEY-VALUE attribution (Shapley 1953 via the marketing
+    * coalition game of Zhao et al. 2018 — the axiomatic end of the
+    * attribution family: q148 last-touch, q225 linear, q299 position,
+    * q363 Markov removal; Shapley is the UNIQUE allocation satisfying
+    * efficiency/symmetry/dummy/additivity): players are the channels,
+    * v(S) = number of conversions whose pre-purchase touched-channel
+    * set ⊆ S ("how many conversions survive if only S existed"),
+    * φ_c = Σ_{S∌c} |S|!(k−1−|S|)!/k!·(v(S∪c)−v(S)). Everything is
+    * EXACT INTEGER: journeys collapse to a ≤2^k-row (t_mask, n)
+    * histogram (channel index → bit), v is a mask-containment join,
+    * weights are factorial products kept UNSCALED (φ_perm = k!·φ —
+    * integer), and efficiency Σφ_perm = k!(v(C)−v(∅)) is the spec's
+    * closed-form check. Share is one micro-quantized division.
+    *
+    * Scale shape: corpus work is one keyed first-purchase window + one
+    * distinct (user, channel) agg; the subset enumeration, v solve and
+    * φ fold all run on 2^k-bounded frames (k = #channels, 3 here) —
+    * model-sized, never row-sized.
+    */
+  val q378Shapley: Q = (s, dir) => {
+    import s.implicits._
+    shapleyOf(T.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("t_us"), $"event_id",
+        $"event_type"))
+  }
+
+  /** The Shapley solve over any (user_id, t_us, event_id, event_type)
+    * frame — the spec pins closed-form hand games against it.
+    */
+  def shapleyOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t_us", $"event_id")
+    val ev = events
+      .withColumn("rn", row_number().over(w))
+    val firstConv = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"rn").as("rp"))
+    // converted users' distinct pre-purchase channels
+    val touched = ev.join(firstConv, Seq("user_id"))
+      .filter($"rn" < $"rp" && $"event_type" =!= "purchase")
+      .select($"user_id", $"event_type".as("channel")).distinct()
+      .localCheckpoint() // feeds the channel index and the masks
+    val chan = touched.select($"channel").distinct()
+      .withColumn("i", row_number().over(Window.orderBy($"channel")) - 1)
+    val k = chan.count().toInt
+    val conv = firstConv.select($"user_id")
+    val tmask = conv.join(
+        touched.join(broadcast(chan), "channel")
+          .groupBy($"user_id").agg(sum(expr("CAST(pow(2, i) AS BIGINT)"))
+            .as("m")),
+        Seq("user_id"), "left")
+      .na.fill(0L, Seq("m"))
+    val hist = tmask.groupBy($"m").agg(count(lit(1)).as("n_conv"))
+      .localCheckpoint() // ≤2^k rows; feeds every v(S) probe
+    val masks = s.range(0, 1L << k).select($"id".as("smask"))
+    val v = masks.join(hist, expr("(m & ~smask) = 0"), "left")
+      .groupBy($"smask").agg(coalesce(sum($"n_conv"), lit(0L)).as("v"))
+      .localCheckpoint()
+    val phi = broadcast(chan)
+      .join(v.select($"smask", $"v".as("v_s")),
+        expr("(smask & CAST(pow(2, i) AS BIGINT)) = 0"))
+      .join(v.select($"smask".as("smask_i"), $"v".as("v_si")),
+        expr("smask_i = smask + CAST(pow(2, i) AS BIGINT)"))
+      .groupBy($"channel")
+      .agg(sum(expr(
+        s"""factorial(bit_count(smask)) *
+           |factorial(${k - 1} - bit_count(smask)) *
+           |(v_si - v_s)""".stripMargin)).cast("long").as("phi_perm"))
+    val tot = phi.agg(sum($"phi_perm").as("phi_tot"))
+    phi.crossJoin(broadcast(tot))
+      .select($"channel", $"phi_perm",
+        expr("""CASE WHEN phi_tot = 0 THEN 0 ELSE
+               |CAST(FLOOR(1000000.0 * CAST(phi_perm AS DOUBLE)
+               |  / CAST(phi_tot AS DOUBLE)) AS BIGINT) END""".stripMargin)
+          .as("share_micro"))
+      .orderBy($"channel")
+  }
+
+  val q378Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id,
+      |    event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+      |  FROM events),
+      |fc AS (SELECT user_id, MIN(rn) AS rp FROM e
+      |       WHERE event_type = 'purchase' GROUP BY user_id),
+      |touched AS (
+      |  SELECT DISTINCT e.user_id, e.event_type AS channel
+      |  FROM e JOIN fc USING (user_id)
+      |  WHERE e.rn < fc.rp AND e.event_type <> 'purchase'),
+      |chan AS (
+      |  SELECT channel,
+      |    ROW_NUMBER() OVER (ORDER BY channel) - 1 AS i
+      |  FROM (SELECT DISTINCT channel FROM touched)),
+      |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM chan),
+      |tmask AS (
+      |  SELECT fc.user_id, COALESCE(tm.m, 0) AS m
+      |  FROM fc LEFT JOIN (
+      |    SELECT user_id,
+      |      CAST(SUM(CAST(pow(2, i) AS BIGINT)) AS BIGINT) AS m
+      |    FROM touched JOIN chan USING (channel) GROUP BY user_id) tm
+      |  USING (user_id)),
+      |hist AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_conv
+      |         FROM tmask GROUP BY m),
+      |masks AS (
+      |  SELECT CAST(s AS BIGINT) AS smask
+      |  FROM kk, UNNEST(range(0, CAST(pow(2, k) AS BIGINT))) t(s)),
+      |v AS (
+      |  SELECT smask,
+      |    CAST(COALESCE(SUM(n_conv), 0) AS BIGINT) AS v
+      |  FROM masks LEFT JOIN hist ON (m & ~smask) = 0
+      |  GROUP BY smask),
+      |phi AS (
+      |  SELECT channel,
+      |    CAST(SUM(factorial(CAST(bit_count(vs.smask) AS INTEGER))
+      |      * factorial(CAST(k - 1 - bit_count(vs.smask) AS INTEGER))
+      |      * (vsi.v - vs.v)) AS BIGINT) AS phi_perm
+      |  FROM chan CROSS JOIN kk
+      |  JOIN v vs ON (vs.smask & CAST(pow(2, i) AS BIGINT)) = 0
+      |  JOIN v vsi ON vsi.smask = vs.smask + CAST(pow(2, i) AS BIGINT)
+      |  GROUP BY channel)
+      |SELECT channel, phi_perm,
+      |  CASE WHEN (SELECT SUM(phi_perm) FROM phi) = 0 THEN 0 ELSE
+      |    CAST(FLOOR(1000000.0 * CAST(phi_perm AS DOUBLE)
+      |      / CAST((SELECT SUM(phi_perm) FROM phi) AS DOUBLE)) AS BIGINT)
+      |  END AS share_micro
+      |FROM phi
+      |ORDER BY channel""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q378_shapley_attribution" -> q378Shapley,
     "q363_markov_attribution" -> q363MarkovAttribution,
     "q305_markov_baseline" -> q305MarkovBaseline,
     "q225_multi_touch" -> q225MultiTouch,
@@ -513,6 +644,7 @@ object JourneyQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q378_shapley_attribution" -> q378Sql,
     "q363_markov_attribution" -> q363Sql,
     "q305_markov_baseline" -> q305Sql,
     "q225_multi_touch" -> q225Sql,
