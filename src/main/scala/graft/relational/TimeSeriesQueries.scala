@@ -1080,7 +1080,154 @@ object TimeSeriesQueries {
       |  CAST(FLOOR(1000000.0 * fold[2]) AS BIGINT) AS max_excursion_micro
       |FROM f ORDER BY event_type""".stripMargin
 
+  /** q380 — HOLT double-exponential smoothing per event type (Holt
+    * 1957 — q369-EWMA's sibling with a TREND state: EWMA of a trending
+    * series lags forever, Holt's b-component tracks the slope, so its
+    * one-step forecast l+b is the first usable baseline for "is
+    * tomorrow's volume surprising?"): α = β = 1/4 DYADIC (exact IEEE
+    * scalings), init l₁ = x₁, b₁ = x₁ − x₀ (the standard two-point
+    * start), folded sequentially with the identical operation order in
+    * both engines (the q369/q348 pinned-fold idiom). Emits final
+    * level, trend, and one-step forecast, micro-quantized.
+    *
+    * Scale shape: the same single daily-collapse pass as q291/q292/
+    * q369; the fold runs array-local on the days-bounded series.
+    */
+  val q380Holt: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(sum(expr("CAST(FLOOR(100 * value) AS BIGINT)")).as("x"))
+    daily
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("""transform(array_sort(collect_list(struct(day, x))),
+               |  p -> CAST(p.x AS DOUBLE))""".stripMargin).as("xs"))
+      .withColumn("fold", expr(
+        """aggregate(xs,
+          |  named_struct('l', CAST(xs[0] AS DOUBLE),
+          |               'b', CAST(0.0 AS DOUBLE), 'i', CAST(0 AS INT)),
+          |  (acc, v) -> named_struct(
+          |    'l', IF(acc.i <= 1, v,
+          |            0.25 * v + 0.75 * (acc.l + acc.b)),
+          |    'b', IF(acc.i = 0, CAST(0.0 AS DOUBLE),
+          |         IF(acc.i = 1, v - acc.l,
+          |            0.25 * ((0.25 * v + 0.75 * (acc.l + acc.b)) - acc.l)
+          |            + 0.75 * acc.b)),
+          |    'i', acc.i + 1))""".stripMargin))
+      .select($"event_type", $"n_days",
+        expr("CAST(FLOOR(1000000.0 * fold.l) AS BIGINT)").as("level_micro"),
+        expr("CAST(FLOOR(1000000.0 * fold.b) AS BIGINT)").as("trend_micro"),
+        expr("CAST(FLOOR(1000000.0 * (fold.l + fold.b)) AS BIGINT)")
+          .as("forecast_micro"))
+      .orderBy($"event_type")
+  }
+
+  val q380Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(SUM(CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    list_transform(list(x ORDER BY day), v -> CAST(v AS DOUBLE)) AS xs
+      |  FROM daily GROUP BY event_type),
+      |f AS (
+      |  SELECT event_type, n_days,
+      |    list_reduce(
+      |      list_prepend([xs[1], CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+      |        list_transform(range(1, len(xs) + 1), i -> [xs[i],
+      |          CAST(0.0 AS DOUBLE), CAST(i AS DOUBLE)])),
+      |      (acc, p) -> [
+      |        CASE WHEN p[3] <= 2.0 THEN p[1]
+      |             ELSE 0.25 * p[1] + 0.75 * (acc[1] + acc[2]) END,
+      |        CASE WHEN p[3] = 1.0 THEN CAST(0.0 AS DOUBLE)
+      |             WHEN p[3] = 2.0 THEN p[1] - acc[1]
+      |             ELSE 0.25 * ((0.25 * p[1] + 0.75 * (acc[1] + acc[2]))
+      |                          - acc[1])
+      |                  + 0.75 * acc[2] END,
+      |        p[3]]) AS fold
+      |  FROM ser)
+      |SELECT event_type, n_days,
+      |  CAST(FLOOR(1000000.0 * fold[1]) AS BIGINT) AS level_micro,
+      |  CAST(FLOOR(1000000.0 * fold[2]) AS BIGINT) AS trend_micro,
+      |  CAST(FLOOR(1000000.0 * (fold[1] + fold[2])) AS BIGINT)
+      |    AS forecast_micro
+      |FROM f ORDER BY event_type""".stripMargin
+
+  /** Hampel decision constants: |x − med| > 3·1.4826·MAD flags, as the
+    * exact integer cross-multiplication 10000·dev > 44478·MAD (no
+    * double in the verdict — the q366 discipline). MAD = 0 (constant
+    * window) flags ANY deviation — the standard Hampel caveat, here a
+    * deterministic contract rather than a surprise.
+    */
+  val HampelNum = 10000L
+  val HampelDen = 44478L
+
+  /** q381 — HAMPEL FILTER per event type (Hampel 1974; Pearson's
+    * recommended despiker for sensor/volume series — q149's z-score
+    * flags against a mean the spike itself shifted, the Hampel window
+    * median/MAD has a 50% breakdown inside every window): centered
+    * 7-day window (clamped at series edges), LOWER-median convention
+    * for both the window median and the MAD (deterministic, no
+    * midpoint averaging), integer verdict, repaired value = window
+    * median where flagged.
+    *
+    * Scale shape: one daily-collapse pass; the window collect is
+    * 7-bounded per row (array-local median — never a per-window
+    * sort shuffle); verdict and repair are row-local integer ops.
+    */
+  val q381Hampel: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(sum(expr("CAST(FLOOR(100 * value) AS BIGINT)")).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-3, 3)
+    daily
+      .withColumn("ws", collect_list($"x").over(w))
+      .withColumn("med", expr(
+        "array_sort(ws)[CAST((size(ws) + 1) div 2 AS INT) - 1]"))
+      .withColumn("mad", expr(
+        """array_sort(transform(ws, v -> abs(v - med)))
+          |  [CAST((size(ws) + 1) div 2 AS INT) - 1]""".stripMargin))
+      .withColumn("is_outlier",
+        expr(s"$HampelNum * abs(x - med) > $HampelDen * mad"))
+      .select($"event_type", to_date($"day").as("day"), $"x", $"med",
+        $"mad", $"is_outlier",
+        when($"is_outlier", $"med").otherwise($"x").as("repaired"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q381Sql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |    CAST(SUM(CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |win AS (
+       |  SELECT event_type, day, x,
+       |    list(x) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ws
+       |  FROM daily),
+       |m AS (
+       |  SELECT event_type, day, x, ws,
+       |    list_sort(ws)[(len(ws) + 1) // 2] AS med
+       |  FROM win),
+       |mm AS (
+       |  SELECT event_type, day, x, med,
+       |    list_sort(list_transform(ws, v -> abs(v - med)))
+       |      [(len(ws) + 1) // 2] AS mad
+       |  FROM m)
+       |SELECT event_type, CAST(day AS DATE) AS day, x, med, mad,
+       |  $HampelNum * abs(x - med) > $HampelDen * mad AS is_outlier,
+       |  CASE WHEN $HampelNum * abs(x - med) > $HampelDen * mad
+       |       THEN med ELSE x END AS repaired
+       |FROM mm
+       |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q380_holt" -> q380Holt,
+    "q381_hampel" -> q381Hampel,
     "q369_ewma" -> q369Ewma,
     "q338_forecast_backtest" -> q338ForecastBacktest,
     "q320_seasonal_decompose" -> q320SeasonalDecompose,
@@ -1100,6 +1247,8 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q380_holt" -> q380Sql,
+    "q381_hampel" -> q381Sql,
     "q369_ewma" -> q369Sql,
     "q338_forecast_backtest" -> q338Sql,
     "q320_seasonal_decompose" -> q320Sql,
