@@ -1028,7 +1028,80 @@ object VectorSearch {
        |LIMIT $RrfTake""".stripMargin
   }
 
+  val MipsTake = 10
+
+  /** q384 — MAXIMUM INNER-PRODUCT search + the norm-augmentation
+    * reduction gate (Bachrach et al. RecSys'14; the asymmetric
+    * transform behind every "dot-product retrieval on a cosine ANN
+    * index" deployment — recommender scores are dots, NOT cosines,
+    * and a cosine index alone returns the wrong neighbors when norms
+    * vary): the exact leg is the integer-quantized brute-force dot
+    * top-k (order-free exact BIGINT, oracle-checked); the reduction
+    * leg MATERIALIZES the augmented vectors x' = [x, √(M²−‖x‖²)],
+    * q' = [q, 0] in doubles, computes the plain cosine in the
+    * (d+1)-space numerically, and the gate demands its top-k MATCH
+    * the exact-MIPS set — the paper's claim, executed rather than
+    * assumed.
+    *
+    * Scale shape: q44's broadcast-query brute-force shape (the
+    * bounded-query contract); the augmentation adds one 1-row max
+    * broadcast; at index scale the augmented vectors feed the
+    * existing cosine ANN paths (q45/q81) unchanged — that's the
+    * reduction's point.
+    */
+  val q384Mips: Q = (s, dir) => {
+    import s.implicits._
+    val e = T.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        dot_q20($"embedding", $"embedding").as("n2"),
+        expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v)").as("n2d"))
+      .localCheckpoint() // query row, corpus side, and M share the pass
+    val qv = e.filter($"vec_id" === 0L)
+      .select($"embedding".as("ea"), $"n2d".as("n2da"))
+    val m2 = e.agg(max($"n2d").as("m2d"))
+    val dots = e.filter($"vec_id" =!= 0L).crossJoin(broadcast(qv))
+      .withColumn("dot_q", dot_q20($"ea", $"embedding"))
+      .localCheckpoint() // exact and augmented legs rank the same frame
+    val exact = dots.orderBy($"dot_q".desc, $"vec_id".asc).limit(MipsTake)
+      .select($"vec_id", $"dot_q")
+    val aug = dots.crossJoin(broadcast(m2))
+      .withColumn("augx", expr(
+        """concat(transform(embedding, x -> CAST(x AS DOUBLE)),
+          |  array(sqrt(m2d - n2d)))""".stripMargin))
+      .withColumn("augq", expr(
+        "concat(transform(ea, x -> CAST(x AS DOUBLE)), array(0D))"))
+      .withColumn("aug_cos", expr(
+        """aggregate(zip_with(augq, augx, (p, q) -> p * q), 0D,
+          |  (a, v) -> a + v)
+          |/ (sqrt(aggregate(transform(augq, x -> x * x), 0D, (a, v) -> a + v))
+          |   * sqrt(aggregate(transform(augx, x -> x * x), 0D,
+          |          (a, v) -> a + v)))""".stripMargin))
+      .orderBy($"aug_cos".desc, $"vec_id".asc).limit(MipsTake)
+      .select($"vec_id")
+    val ids = exact.select($"vec_id").as[Long].collect().toSet
+    val augIds = aug.as[Long].collect().toSet
+    val ok = ids == augIds
+    exact.withColumn("ok", lit(ok)).orderBy($"dot_q".desc, $"vec_id".asc)
+  }
+
+  val q384Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT b.vec_id, CAST(SUM(a.qv[i] * b.qv[i]) AS BIGINT) AS dot_q
+       |  FROM q a JOIN q b ON b.vec_id <> 0, range(1, 65) t(i)
+       |  WHERE a.vec_id = 0
+       |  GROUP BY b.vec_id)
+       |SELECT vec_id, dot_q, TRUE AS ok
+       |FROM dots
+       |ORDER BY dot_q DESC, vec_id ASC
+       |LIMIT $MipsTake""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q384_mips" -> q384Mips,
     "q375_rrf3" -> q375Rrf3,
     "q365_rrf_fusion" -> q365RrfFusion,
     "q44_cosine_topk" -> q44CosineTopk,
@@ -1048,6 +1121,7 @@ object VectorSearch {
     * additionally property-tested in VectorSearchSpec.
     */
   val oracleSql: Map[String, String] = Map(
+    "q384_mips" -> q384Sql,
     "q375_rrf3" -> q375Sql,
     "q365_rrf_fusion" -> q365Sql,
     "q44_cosine_topk" -> q44Sql,
