@@ -696,7 +696,62 @@ object StreamBench {
     Seq((streamed.size.toLong, drifted)).toDF("n_types", "n_drifted")
   }
 
+  /** qs17 — streaming CUSUM alarm monitor ([[CusumStream]]): the
+    * drift family's ALERT leg (qs16 reads PSI, this one pages). The
+    * reference mean comes from the observation window's first half as
+    * an exact rational; the second half streams in TIME ORDER over
+    * [[BloomBatches]] micro-batches (the ordered-topic contract CUSUM
+    * needs). The gate replays the identical fold batch-side through
+    * the ONE shared step ([[CusumStream.step]]) and requires
+    * type-for-type equality of the full final state — integer-exact,
+    * no tolerance. Times the per-batch sort + 5-long ValueState fold.
+    */
+  val qs17CusumStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val mid = {
+      val ts = rows.map(_.ts.getTime)
+      ts.min + (ts.max - ts.min) / 2
+    }
+    val (refRows, curRows0) = rows.partition(_.ts.getTime < mid)
+    val refs = refRows.groupBy(_.event_type).map { case (t, es) =>
+      t -> CusumRef(es.map(e => CusumStream.cents(e.value)).sum,
+        es.size.toLong)
+    }
+    val curRows = curRows0.sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = MemoryStream[Event]
+    val name = s"bench_cusum_${runId.incrementAndGet()}"
+    val q = CusumStream.cusumStream(stream.toDS(), refs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-cusum-ckpt").toString)
+      .start()
+    curRows.grouped(curRows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val all = s.table(name).as[CusumEmit].collect()
+    s.catalog.dropTempView(name)
+    val streamed = all.groupBy(_.event_type).map { case (t, es) =>
+      t -> es.maxBy(_.n_rows)
+    }
+    curRows.groupBy(_.event_type).foreach { case (t, es0) =>
+      val es = es0.sortBy(e => (e.ts.getTime, e.event_id))
+      val exp = CusumStream.fold(es, refs(t))
+      val e = streamed(t)
+      require((e.n_rows, e.s_pos, e.s_neg, e.n_alarms, e.first_alarm_n) ==
+        ((exp.n, exp.sPos, exp.sNeg, exp.nAlarms, exp.firstAlarmN)),
+        s"type $t: streamed $e != batch $exp")
+    }
+    Seq((streamed.size.toLong, streamed.values.map(_.n_alarms).sum))
+      .toDF("n_types", "n_alarms_total")
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "qs17_cusum_stream" -> qs17CusumStream,
     "qs16_psi_stream" -> qs16PsiStream,
     "qs13_reservoir_stream" -> qs13ReservoirStream,
     "qs14_session_stream" -> qs14SessionStream,
