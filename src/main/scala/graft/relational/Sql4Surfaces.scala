@@ -72,10 +72,100 @@ object Sql4Surfaces {
       |GROUP BY 1
       |ORDER BY brand_lc""".stripMargin
 
+  /** q389 — GROUP BY ALL / ORDER BY ALL (SPARK-44120/SPARK-41231; the
+    * analyst-ergonomics surface DuckDB popularized): every non-agg
+    * select item becomes a group key, every output column an order
+    * key — the query's MEANING is pinned by the resolver, so the gate
+    * is that the sugar resolves to exactly the classic spelling's
+    * result (the oracle runs the explicit form).
+    */
+  val q389GroupByAll: Q = (s, dir) => {
+    T.lineitem(s, dir).createOrReplaceTempView("q389_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM q389_lineitem
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+  }
+
+  val q389Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus, n, qty""".stripMargin
+
+  /** q390 — SQL-DEFINED scalar function (SPARK-51096 SQL UDFs: CREATE
+    * FUNCTION … RETURNS … RETURN expr — reusable business logic that
+    * lives in the catalog, inlined by the analyzer into the plan, so
+    * unlike a Scala UDF it stays inside codegen and pushdown): the
+    * cent-exact margin expression defined ONCE as a function, used in
+    * an aggregate; the oracle inlines the same expression.
+    */
+  val q390SqlUdf: Q = (s, dir) => {
+    T.lineitem(s, dir).createOrReplaceTempView("q390_lineitem")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION q390_margin_cents(
+        |  p DOUBLE, d DOUBLE) RETURNS BIGINT
+        |RETURN CAST(FLOOR(100.0 * p * (1.0 - d)) AS BIGINT)""".stripMargin)
+    s.sql(
+      """SELECT l_returnflag,
+        |  CAST(SUM(q390_margin_cents(l_extendedprice, l_discount))
+        |    AS BIGINT) AS margin_cents,
+        |  COUNT(*) AS n
+        |FROM q390_lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q390Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(FLOOR(100.0 * l_extendedprice * (1.0 - l_discount))
+      |    AS BIGINT)) AS BIGINT) AS margin_cents,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q391 — PARAMETERIZED SQL with named markers (SPARK-44066
+    * `spark.sql(text, args)`): the injection-safe plumbing every
+    * service in front of a warehouse needs — the literal lives in the
+    * args map, the text carries `:name` markers; the oracle inlines
+    * the same constants.
+    */
+  val q391ParamSql: Q = (s, dir) => {
+    T.orders(s, dir).createOrReplaceTempView("q391_orders")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(100.0 * o_totalprice) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM q391_orders
+        |WHERE o_orderstatus = :status AND o_totalprice > :floorPrice
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      Map("status" -> "F", "floorPrice" -> 1000))
+  }
+
+  val q391Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(100.0 * o_totalprice) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 1000
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q367_pipe_syntax" -> q367PipeSyntax,
-    "q368_collation_group" -> q368CollationGroup)
+    "q368_collation_group" -> q368CollationGroup,
+    "q389_group_by_all" -> q389GroupByAll,
+    "q390_sql_udf" -> q390SqlUdf,
+    "q391_param_sql" -> q391ParamSql)
   val oracleSql: Map[String, String] = Map(
     "q367_pipe_syntax" -> q367Sql,
-    "q368_collation_group" -> q368Sql)
+    "q368_collation_group" -> q368Sql,
+    "q389_group_by_all" -> q389Sql,
+    "q390_sql_udf" -> q390Sql,
+    "q391_param_sql" -> q391Sql)
 }

@@ -997,7 +997,176 @@ object StatInference {
       |FROM nd JOIN p USING (event_type) JOIN tc USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** q386 — KENDALL τ-b between the click and purchase DAILY volume
+    * series (Kendall 1938; the rank-concordance answer to "do the two
+    * streams move together day over day?" — Pearson on heavy-tailed
+    * daily sums chases whales, Spearman (q289) ranks one variable,
+    * τ-b reads PAIRWISE co-movement and its tie correction keeps the
+    * [−1,1] range honest when volumes repeat): over day pairs i<j,
+    * C/D = concordant/discordant counts, tie censuses per side, and
+    *   τ_b = (C−D)/√((n₀−n₁)(n₀−n₂))
+    * — every count an exact BIGINT from the days-bounded pair join
+    * (q275/q357 discipline), one spelled double finish.
+    */
+  val q386KendallTau: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.events(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(
+        sum(when($"event_type" === "click",
+          expr("CAST(FLOOR(100 * value) AS BIGINT)")).otherwise(0L)).as("a"),
+        sum(when($"event_type" === "purchase",
+          expr("CAST(FLOOR(100 * value) AS BIGINT)")).otherwise(0L)).as("b"))
+      .localCheckpoint() // both pair-join sides and the tie census
+    val l = daily.select($"day".as("di"), $"a".as("ai"), $"b".as("bi"))
+    val r = daily.select($"day".as("dj"), $"a".as("aj"), $"b".as("bj"))
+    val pairs = l.join(r, $"di" < $"dj")
+      .agg(
+        sum(when(($"ai" < $"aj" && $"bi" < $"bj") ||
+          ($"ai" > $"aj" && $"bi" > $"bj"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(($"ai" < $"aj" && $"bi" > $"bj") ||
+          ($"ai" > $"aj" && $"bi" < $"bj"), 1L).otherwise(0L)).as("n_d"),
+        sum(when($"ai" === $"aj", 1L).otherwise(0L)).as("t_a"),
+        sum(when($"bi" === $"bj", 1L).otherwise(0L)).as("t_b"),
+        count(lit(1)).as("n0"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    pairs.crossJoin(broadcast(n))
+      .select($"n_days", $"n_c", $"n_d",
+        expr("""CAST(FLOOR(1000000.0 *
+               |  (CAST(n_c - n_d AS DOUBLE)
+               |   / SQRT(CAST(n0 - t_a AS DOUBLE)
+               |          * CAST(n0 - t_b AS DOUBLE)))) AS BIGINT)"""
+          .stripMargin).as("tau_micro"))
+  }
+
+  val q386Sql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(SUM(CASE WHEN event_type = 'click'
+      |      THEN CAST(FLOOR(100 * value) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(100 * value) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS b
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN (l.a < r.a AND l.b < r.b)
+      |                    OR (l.a > r.a AND l.b > r.b)
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+      |    CAST(SUM(CASE WHEN (l.a < r.a AND l.b > r.b)
+      |                    OR (l.a > r.a AND l.b < r.b)
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+      |    CAST(SUM(CASE WHEN l.a = r.a THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+      |    CAST(SUM(CASE WHEN l.b = r.b THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n0
+      |  FROM daily l JOIN daily r ON l.day < r.day)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+      |  n_c, n_d,
+      |  CAST(FLOOR(1000000.0 *
+      |    (CAST(n_c - n_d AS DOUBLE)
+      |     / SQRT(CAST(n0 - t_a AS DOUBLE)
+      |            * CAST(n0 - t_b AS DOUBLE)))) AS BIGINT) AS tau_micro
+      |FROM p""".stripMargin
+
+  /** q388 Monte-Carlo draws. */
+  val PermReps = 200
+
+  /** q388 — RANDOMIZATION TEST for the A/B spend difference (Fisher
+    * 1935 exact-test logic, Monte-Carlo form — the inference tool that
+    * needs NO distributional assumption and, unlike q229's Welch t,
+    * no CDF: its p-value is a counting ratio, which is why it is the
+    * one test this engine can make EXACTLY reproducible cross-engine):
+    * units are purchasing users with their exact cent spend, the
+    * observed statistic is the cross-multiplied mean difference
+    * T = n_B·S_A − n_A·S_B (exact BIGINT), and each of [[PermReps]]
+    * draws reassigns groups by an md5 bit ("perm:r:user") — valid
+    * under the sharp null, deterministic everywhere. p̂ = (1 +
+    * #{|T_r| ≥ |T_obs|})/(R+1) (the +1 guards the Monte-Carlo p
+    * against zero, Davison–Hinkley convention), milli-quantized.
+    *
+    * Scale shape: units collapse in one partial agg; the R-fold
+    * replication is a units×R narrow explode feeding ONE keyed
+    * partial agg (R constant) — no shuffle grows with R beyond the
+    * R-row result; the md5 reassignment is a per-row expression.
+    */
+  val q388PermTest: Q = (s, dir) => {
+    import s.implicits._
+    val units = T.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(sum(expr("CAST(FLOOR(100 * value) AS BIGINT)")).as("x"))
+      .localCheckpoint() // observed stat + all R replicates
+    val obs = units
+      .agg(
+        sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"user_id" % 2 === 0, $"x").otherwise(0L)).as("s_a"),
+        sum(when($"user_id" % 2 =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"user_id" % 2 =!= 0, $"x").otherwise(0L)).as("s_b"),
+        count(lit(1)).as("n_units"))
+      .select($"n_units", ($"n_b" * $"s_a" - $"n_a" * $"s_b").as("t_obs"))
+    val perms = units
+      .withColumn("r", explode(expr(s"sequence(0, ${PermReps - 1})")))
+      .withColumn("g", expr(
+        """CAST(conv(substring(md5(concat('perm:', CAST(r AS STRING), ':',
+          |  CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"""
+          .stripMargin))
+      .groupBy($"r")
+      .agg(
+        sum(when($"g" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"g" === 0, $"x").otherwise(0L)).as("s_a"),
+        sum(when($"g" =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"g" =!= 0, $"x").otherwise(0L)).as("s_b"))
+      .select($"r", ($"n_b" * $"s_a" - $"n_a" * $"s_b").as("t_r"))
+    perms.crossJoin(broadcast(obs))
+      .agg(first($"n_units").as("n_units"), first($"t_obs").as("t_obs"),
+        sum(when(abs($"t_r") >= abs($"t_obs"), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .select($"n_units", $"t_obs", $"n_extreme",
+        expr(s"CAST(FLOOR(1000.0 * (1 + n_extreme) / ${PermReps + 1}.0) " +
+          "AS BIGINT)").as("p_milli"))
+  }
+
+  val q388Sql: String =
+    s"""WITH units AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |obs AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+       |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      * CAST(SUM(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS BIGINT)
+       |    - CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      * CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN x ELSE 0 END) AS BIGINT)
+       |      AS t_obs
+       |  FROM units),
+       |perms AS (
+       |  SELECT r,
+       |    CAST(SUM(CASE WHEN g <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      * CAST(SUM(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT)
+       |    - CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      * CAST(SUM(CASE WHEN g <> 0 THEN x ELSE 0 END) AS BIGINT)
+       |      AS t_r
+       |  FROM (
+       |    SELECT u.user_id, u.x, t.r,
+       |      CAST(('0x' || substring(md5('perm:' || CAST(t.r AS VARCHAR)
+       |        || ':' || CAST(u.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+       |        AS g
+       |    FROM units u, UNNEST(range(0, $PermReps)) t(r))
+       |  GROUP BY r)
+       |SELECT n_units, t_obs,
+       |  CAST(SUM(CASE WHEN abs(t_r) >= abs(t_obs) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_extreme,
+       |  CAST(FLOOR(1000.0 * (1 + SUM(CASE WHEN abs(t_r) >= abs(t_obs)
+       |    THEN 1 ELSE 0 END)) / ${PermReps + 1}.0) AS BIGINT) AS p_milli
+       |FROM perms CROSS JOIN obs
+       |GROUP BY n_units, t_obs""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q386_kendall_tau" -> q386KendallTau,
+    "q388_perm_test" -> q388PermTest,
     "q357_mann_kendall" -> q357MannKendall,
     "q343_balance_audit" -> q343BalanceAudit,
     "q331_cuped" -> q331Cuped,
@@ -1015,6 +1184,8 @@ object StatInference {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q386_kendall_tau" -> q386Sql,
+    "q388_perm_test" -> q388Sql,
     "q357_mann_kendall" -> q357Sql,
     "q343_balance_audit" -> q343Sql,
     "q331_cuped" -> q331Sql,
