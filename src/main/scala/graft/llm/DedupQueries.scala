@@ -1148,6 +1148,85 @@ object DedupQueries {
        |FROM dp WHERE i = len(t1)
        |ORDER BY doc1, doc2""".stripMargin
 
+  /** q392 — WEIGHTED (multiset/Ruzicka) Jaccard per q41-verified
+    * pair: binary Jaccard (q41/q43) treats "token appears 1× vs 40×"
+    * identically, so a doc that pads one shared boilerplate line with
+    * fresh content scores the same as a true copy; the multiset form
+    * Σmin(c₁,c₂)/Σmax(c₁,c₂) reads REPETITION MASS and is the measure
+    * weighted-MinHash sketches estimate — here computed exactly on
+    * the pair-bounded frame. Integer counts end to end, one
+    * micro-quantized division per pair.
+    *
+    * Scale shape: the pair frame is q41's verified output (bounded);
+    * each pair's token census meets in ONE (pair, tok) full-outer
+    * equi-join — no quadratic token work outside the pair set.
+    */
+  val q392WeightedJaccard: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val pairs = nearDuplicates(s, docs, NearDupThreshold)
+      .select($"doc1", $"doc2").localCheckpoint()
+    val tc = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val t1 = pairs.join(tc.select($"doc_id".as("doc1"), $"tok",
+      $"c".as("c1")), "doc1")
+    val t2 = pairs.join(tc.select($"doc_id".as("doc2"), $"tok",
+      $"c".as("c2")), "doc2")
+    t1.join(t2, Seq("doc1", "doc2", "tok"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
+      .groupBy($"doc1", $"doc2")
+      .agg(count(lit(1)).as("n_union_toks"),
+        sum(least($"c1", $"c2")).as("s_min"),
+        sum(greatest($"c1", $"c2")).as("s_max"))
+      .select($"doc1", $"doc2", $"n_union_toks",
+        expr("""CAST(FLOOR(1000000.0 * (CAST(s_min AS DOUBLE)
+               |  / CAST(s_max AS DOUBLE))) AS BIGINT)""".stripMargin)
+          .as("wjaccard_micro"))
+      .orderBy($"doc1", $"doc2")
+  }
+
+  val q392Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |tri AS (SELECT DISTINCT doc_id,
+       |          UNNEST(list_transform(range(1, len(ws) - 1),
+       |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+       |        FROM w),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+       |       FROM tri a JOIN tri b ON a.tg = b.tg AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc1, doc2 FROM pr
+       |  JOIN sizes n1 ON pr.doc1 = n1.doc_id
+       |  JOIN sizes n2 ON pr.doc2 = n2.doc_id
+       |  WHERE inter / (n1.n + n2.n - inter) >= $NearDupThreshold),
+       |tc AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE tok <> '' GROUP BY doc_id, tok),
+       |u AS (
+       |  SELECT p.doc1, p.doc2, t.tok
+       |  FROM pairs p JOIN tc t ON t.doc_id = p.doc1
+       |  UNION
+       |  SELECT p.doc1, p.doc2, t.tok
+       |  FROM pairs p JOIN tc t ON t.doc_id = p.doc2),
+       |cells AS (
+       |  SELECT u.doc1, u.doc2, u.tok,
+       |    COALESCE(a.c, 0) AS c1, COALESCE(b.c, 0) AS c2
+       |  FROM u
+       |  LEFT JOIN tc a ON a.doc_id = u.doc1 AND a.tok = u.tok
+       |  LEFT JOIN tc b ON b.doc_id = u.doc2 AND b.tok = u.tok)
+       |SELECT doc1, doc2, CAST(COUNT(*) AS BIGINT) AS n_union_toks,
+       |  CAST(FLOOR(1000000.0 * (CAST(SUM(LEAST(c1, c2)) AS DOUBLE)
+       |    / CAST(SUM(GREATEST(c1, c2)) AS DOUBLE))) AS BIGINT)
+       |    AS wjaccard_micro
+       |FROM cells GROUP BY doc1, doc2
+       |ORDER BY doc1, doc2""".stripMargin
+
   /** q346 — DEDUP SAVINGS report: the one-row business case for the
     * whole dedup family — of N docs, how many survive keep-one-per-
     * cluster (the q101/q163 policy), how many drop, and how many
@@ -1308,6 +1387,7 @@ object DedupQueries {
     "q233_prefix_join" -> q233PrefixJoin,
     "q322_containment_join" -> q322ContainmentJoin,
     "q344_dup_spans_explain" -> q344DupSpansExplain,
+    "q392_weighted_jaccard" -> q392WeightedJaccard,
     "q348_dup_lcs" -> q348DupLcs,
     "q361_deletion_join" -> q361DeletionJoin,
     "q346_dedup_savings" -> q346DedupSavings,
@@ -1329,6 +1409,7 @@ object DedupQueries {
     "q233_prefix_join" -> q233Sql,
     "q322_containment_join" -> q322Sql,
     "q344_dup_spans_explain" -> q344Sql,
+    "q392_weighted_jaccard" -> q392Sql,
     "q348_dup_lcs" -> q348Sql,
     "q361_deletion_join" -> q361Sql,
     "q346_dedup_savings" -> q346Sql,

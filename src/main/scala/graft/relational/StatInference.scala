@@ -1,6 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
@@ -1164,9 +1165,97 @@ object StatInference {
        |FROM perms CROSS JOIN obs
        |GROUP BY n_units, t_obs""".stripMargin
 
+  /** q393 — WASSERSTEIN-1 (earth mover's) drift per event type vs the
+    * pooled value distribution — completing the drift-metric family
+    * with the one member that respects the VALUE AXIS: PSI (q314) and
+    * KL/JSD (q360/q373) treat bins as unordered symbols, so mass
+    * moving one bin over reads the same as mass teleporting across
+    * the range; EMD₁ = ∫|F_p − F_q|dx charges by the DISTANCE moved —
+    * it is the "how far did the distribution shift, in value units"
+    * number. Discrete form over the q314 bin grid: Σ_k |cum_k|·Δb_k ·
+    * width, with cum kept in the cross-multiplied integer space
+    * N_c·n_t − N_t·n_c (exact BIGINT; gaps between occupied bins
+    * weight by their bin distance), one double finish micro-quantized
+    * in value units.
+    *
+    * Scale shape: ONE (type, bin) partial-agg pass; pooled marginal
+    * reuses the frame; the cum window runs per type on the
+    * bins-bounded support.
+    */
+  val q393EmdDrift: Q = (s, dir) => {
+    import s.implicits._
+    val binned = T.events(s, dir)
+      .select($"event_type",
+        expr(s"CAST(FLOOR(100 * value) AS BIGINT) div $PsiBinCents")
+          .as("bin"))
+      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds pooled marginal, totals, and cells
+    val pooled = binned.groupBy($"bin").agg(sum($"n").as("n_c"))
+    val totT = binned.groupBy($"event_type").agg(sum($"n").as("n_t"))
+    val totC = pooled.agg(sum($"n_c").as("n_cc"))
+    val types = binned.select($"event_type").distinct()
+    val cells = types.crossJoin(pooled)
+      .join(binned, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("n"))
+      .join(broadcast(totT), "event_type")
+      .crossJoin(broadcast(totC))
+    val w = Window.partitionBy($"event_type").orderBy($"bin")
+    cells
+      .withColumn("cum", sum($"n_cc" * $"n" - $"n_t" * $"n_c").over(w))
+      .withColumn("delta", lead($"bin", 1).over(w) - $"bin")
+      .filter($"delta".isNotNull)
+      .groupBy($"event_type")
+      .agg((count(lit(1)) + 1L).as("n_bins"),
+        first($"n_t").as("n_t"), first($"n_cc").as("n_cc"),
+        sum(abs($"cum") * $"delta").as("num"))
+      .select($"event_type", $"n_bins",
+        expr(s"""CAST(FLOOR(1000000.0 * ${PsiBinCents / 100}.0
+                |  * CAST(num AS DOUBLE)
+                |  / (CAST(n_t AS DOUBLE) * CAST(n_cc AS DOUBLE)))
+                |  AS BIGINT)""".stripMargin).as("emd_micro"))
+      .orderBy($"event_type")
+  }
+
+  val q393Sql: String =
+    s"""WITH binned AS (
+       |  SELECT event_type,
+       |    CAST(FLOOR(100 * value) AS BIGINT) // $PsiBinCents AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |pooled AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS n_c
+       |           FROM binned GROUP BY bin),
+       |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_t
+       |        FROM binned GROUP BY event_type),
+       |totc AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n_cc FROM pooled),
+       |cells AS (
+       |  SELECT t.event_type, p.bin, p.n_c, COALESCE(b.n, 0) AS n,
+       |    tot.n_t, totc.n_cc
+       |  FROM (SELECT DISTINCT event_type FROM binned) t
+       |  CROSS JOIN pooled p
+       |  LEFT JOIN binned b ON b.event_type = t.event_type
+       |    AND b.bin = p.bin
+       |  JOIN tot ON tot.event_type = t.event_type
+       |  CROSS JOIN totc),
+       |cum AS (
+       |  SELECT event_type, bin, n_t, n_cc,
+       |    CAST(SUM(n_cc * n - n_t * n_c) OVER (PARTITION BY event_type
+       |      ORDER BY bin) AS BIGINT) AS cum,
+       |    LEAD(bin) OVER (PARTITION BY event_type ORDER BY bin) - bin
+       |      AS delta
+       |  FROM cells)
+       |SELECT event_type, CAST(COUNT(*) + 1 AS BIGINT) AS n_bins,
+       |  CAST(FLOOR(1000000.0 * ${PsiBinCents / 100}.0
+       |    * CAST(SUM(abs(cum) * delta) AS DOUBLE)
+       |    / (CAST(ANY_VALUE(n_t) AS DOUBLE)
+       |       * CAST(ANY_VALUE(n_cc) AS DOUBLE))) AS BIGINT) AS emd_micro
+       |FROM cum WHERE delta IS NOT NULL
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q386_kendall_tau" -> q386KendallTau,
     "q388_perm_test" -> q388PermTest,
+    "q393_emd_drift" -> q393EmdDrift,
     "q357_mann_kendall" -> q357MannKendall,
     "q343_balance_audit" -> q343BalanceAudit,
     "q331_cuped" -> q331Cuped,
@@ -1186,6 +1275,7 @@ object StatInference {
   val oracleSql: Map[String, String] = Map(
     "q386_kendall_tau" -> q386Sql,
     "q388_perm_test" -> q388Sql,
+    "q393_emd_drift" -> q393Sql,
     "q357_mann_kendall" -> q357Sql,
     "q343_balance_audit" -> q343Sql,
     "q331_cuped" -> q331Sql,
