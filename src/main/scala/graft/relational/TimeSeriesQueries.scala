@@ -1225,7 +1225,102 @@ object TimeSeriesQueries {
        |FROM mm
        |ORDER BY event_type, day""".stripMargin
 
+  /** q394 — PARTIAL autocorrelation (PACF) at lags 1..[[AcfMaxLag]]
+    * via the Levinson–Durbin recursion (Box–Jenkins' AR-order tool:
+    * ACF of an AR(p) tails off forever, PACF CUTS OFF at p — q291
+    * says "correlated", this says "how many AR terms explain it"):
+    * the ACF inputs are q291's exact-moment double chain (identical
+    * both engines), and the recursion α_k = (r_k − Σφ_{k−1,j}r_{k−j})
+    * /E_{k−1}, φ updates, E_k = E_{k−1}(1−α_k²) is pure +−×/ in a
+    * PINNED operation order — Scala driver doubles and DuckDB's
+    * recursive-CTE doubles are bit-identical because both are IEEE
+    * and both spell the same tree (no transcendentals anywhere).
+    * PACF values micro-quantized.
+    *
+    * Scale shape: ACF is q291's distributed pipeline; the recursion
+    * runs on the collected types×[[AcfMaxLag]] frame — model-sized
+    * (the q363 absorption-solve precedent), never row-sized.
+    */
+  val q394Pacf: Q = (s, dir) => {
+    import s.implicits._
+    val acf = q291Acf(s, dir)
+      .select($"event_type", $"k", $"acf")
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> rows.sortBy(_._2).map(_._3).toArray
+      }
+    val out = acf.toSeq.sortBy(_._1).flatMap { case (t, r) =>
+      var phi = Array.empty[Double]
+      var e = 1.0
+      (1 to r.length).map { k =>
+        var s2 = 0.0
+        var j = 1
+        while (j < k) { s2 += phi(j - 1) * r(k - j - 1); j += 1 }
+        val a = (r(k - 1) - s2) / e
+        val nphi = Array.tabulate(k - 1)(i => phi(i) - a * phi(k - i - 2)) :+ a
+        e = e * (1.0 - a * a)
+        phi = nphi
+        (t, k.toLong, math.floor(1000000.0 * a).toLong)
+      }
+    }
+    out.toDF("event_type", "k", "pacf_micro")
+      .orderBy($"event_type", $"k")
+  }
+
+  val q394Sql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |    CAST(SUM(CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY event_type, day),
+       |idx AS (
+       |  SELECT event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t, x
+       |  FROM daily),
+       |gm AS (
+       |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+       |  FROM idx GROUP BY event_type),
+       |pairs AS (
+       |  SELECT a.event_type, k, COUNT(*) AS m,
+       |    SUM(a.x * b.x) AS pk, SUM(a.x) AS sb, SUM(b.x) AS sa
+       |  FROM idx a
+       |  CROSS JOIN (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS k) lags
+       |  JOIN idx b ON b.event_type = a.event_type AND b.t = a.t - k
+       |  GROUP BY a.event_type, k),
+       |acf AS (
+       |  SELECT p.event_type, k,
+       |    (CAST(pk AS DOUBLE)
+       |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+       |     + CAST(m AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+       |     / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS acf
+       |  FROM pairs p JOIN gm g ON p.event_type = g.event_type),
+       |racf AS (
+       |  SELECT event_type, list(acf ORDER BY k) AS r
+       |  FROM acf GROUP BY event_type),
+       |ld AS (
+       |  SELECT event_type, 0 AS k, CAST(1.0 AS DOUBLE) AS e,
+       |    CAST([] AS DOUBLE[]) AS phi, CAST([] AS DOUBLE[]) AS pacf
+       |  FROM racf
+       |  UNION ALL
+       |  SELECT event_type, k + 1, e * (1.0 - a * a),
+       |    list_append(list_transform(range(1, k + 1),
+       |      j -> phi[j] - a * phi[k + 1 - j]), a),
+       |    list_append(pacf, a)
+       |  FROM (
+       |    SELECT ld.*, racf.r,
+       |      (r[k + 1] - CASE WHEN k = 0 THEN CAST(0.0 AS DOUBLE)
+       |        ELSE list_reduce(
+       |          list_prepend(CAST(0.0 AS DOUBLE),
+       |            list_transform(range(1, k + 1), j -> phi[j] * r[k + 1 - j])),
+       |          (acc2, v) -> acc2 + v) END) / e AS a
+       |    FROM ld JOIN racf USING (event_type)
+       |    WHERE k < ${AcfMaxLag}))
+       |SELECT event_type, CAST(k AS BIGINT) AS k,
+       |  CAST(FLOOR(1000000.0 * pacf[k]) AS BIGINT) AS pacf_micro
+       |FROM ld WHERE k >= 1
+       |ORDER BY event_type, k""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q394_pacf" -> q394Pacf,
     "q380_holt" -> q380Holt,
     "q381_hampel" -> q381Hampel,
     "q369_ewma" -> q369Ewma,
@@ -1247,6 +1342,7 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q394_pacf" -> q394Sql,
     "q380_holt" -> q380Sql,
     "q381_hampel" -> q381Sql,
     "q369_ewma" -> q369Sql,
