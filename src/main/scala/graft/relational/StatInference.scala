@@ -535,6 +535,71 @@ object StatInference {
       .orderBy($"dur")
   }
 
+  /** q395 — NELSON–AALEN cumulative hazard over the q293 risk table
+    * (Nelson 1972, Aalen 1978 — the estimator survival analysis
+    * prefers when the SUM is the natural object: H(t) = Σ_{d≤t}
+    * d_i/n_i is a plain sum of per-time hazards, so unlike q293's
+    * product-form S(t) it fits the repo's exactness discipline
+    * DIRECTLY: each term is one micro-quantized division of exact
+    * BIGINTs, and the cumulative is an integer window sum of those
+    * quantized terms — deterministic with no product workaround;
+    * its exp(−H) transform is the Fleming–Harrington survival
+    * curve, deliberately not emitted for the same no-exact-product
+    * reason q293 documents).
+    *
+    * Scale shape: q293's one-pass per-user collapse; hazard terms
+    * and the cum window run on the lifetime-support-bounded frame.
+    */
+  val q395NelsonAalen: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val risk = q293KaplanMeier(s, dir)
+    val wCum = Window.orderBy($"dur")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    risk
+      .withColumn("term_micro", expr(
+        """CAST(FLOOR(1000000.0 * (CAST(n_event AS DOUBLE)
+          |  / CAST(n_risk AS DOUBLE))) AS BIGINT)""".stripMargin))
+      .withColumn("cum_hazard_micro", sum($"term_micro").over(wCum))
+      .select($"dur", $"n_risk", $"n_event", $"term_micro",
+        $"cum_hazard_micro")
+      .orderBy($"dur")
+  }
+
+  val q395Sql: String =
+    s"""WITH spans AS (
+       |  SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+       |    CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS d1
+       |  FROM events GROUP BY user_id),
+       |h AS (SELECT MAX(d1) AS dmax FROM spans),
+       |lifetimes AS (
+       |  SELECT CAST(d1 - d0 AS BIGINT) AS dur,
+       |    (dmax - d1) < $KmCensorDays AS censored
+       |  FROM spans CROSS JOIN h),
+       |by_dur AS (
+       |  SELECT dur,
+       |    CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_event,
+       |    CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censor
+       |  FROM lifetimes GROUP BY dur),
+       |risk AS (
+       |  SELECT dur,
+       |    CAST(SUM(n_event + n_censor) OVER ()
+       |      - COALESCE(SUM(n_event + n_censor) OVER (ORDER BY dur
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS n_risk,
+       |    n_event
+       |  FROM by_dur),
+       |terms AS (
+       |  SELECT dur, n_risk, n_event,
+       |    CAST(FLOOR(1000000.0 * (CAST(n_event AS DOUBLE)
+       |      / CAST(n_risk AS DOUBLE))) AS BIGINT) AS term_micro
+       |  FROM risk)
+       |SELECT dur, n_risk, n_event, term_micro,
+       |  CAST(SUM(term_micro) OVER (ORDER BY dur
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_hazard_micro
+       |FROM terms ORDER BY dur""".stripMargin
+
   val q293Sql: String =
     s"""WITH spans AS (
        |  SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
@@ -1256,6 +1321,7 @@ object StatInference {
     "q386_kendall_tau" -> q386KendallTau,
     "q388_perm_test" -> q388PermTest,
     "q393_emd_drift" -> q393EmdDrift,
+    "q395_nelson_aalen" -> q395NelsonAalen,
     "q357_mann_kendall" -> q357MannKendall,
     "q343_balance_audit" -> q343BalanceAudit,
     "q331_cuped" -> q331Cuped,
@@ -1276,6 +1342,7 @@ object StatInference {
     "q386_kendall_tau" -> q386Sql,
     "q388_perm_test" -> q388Sql,
     "q393_emd_drift" -> q393Sql,
+    "q395_nelson_aalen" -> q395Sql,
     "q357_mann_kendall" -> q357Sql,
     "q343_balance_audit" -> q343Sql,
     "q331_cuped" -> q331Sql,
