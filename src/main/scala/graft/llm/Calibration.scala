@@ -280,12 +280,57 @@ object Calibration {
 
   val q376Sql: String = q347Sql
 
+  /** Gate green at sf0.001 and sf0.01 (CalibrationSpec logs the
+    * measured value); no-skill = 1000‰, perfect targeting on the
+    * ~40%-positive planted frame ≈ 2500‰.
+    */
+  val TopLiftCapMilli = 1600L
+
+  /** q398 — DECILE LIFT / GAINS table gate for the q321 scores (the
+    * campaign-targeting readout next to AUC q342 / calibration q347:
+    * "if I can only afford the top 10%, how much better than random
+    * is it?"): test docs ranked by score desc (ties by doc_id), decile
+    * d = (rank−1)·10 div n, per-decile lift kept as the exact integer
+    * cross-multiplication 1000·n_pos_d·n_test div (n_d·n_pos_test).
+    * The gate folds: deciles partition the test set, AND the top
+    * decile's lift ≥ [[TopLiftCapMilli]] (no-skill = 1000‰).
+    *
+    * Scale shape: one rank window over the held-out frame, one
+    * ≤10-row grouped agg.
+    */
+  val q398DecileLift: Q = (s, dir) => {
+    import s.implicits._
+    val f = LogisticRegression.fitEval(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"p".desc, $"doc_id".asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cells = f.scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("nn", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("decile", expr("(rank - 1) * 10 div nn"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sum($"y".cast("long")).as("n_pos"))
+      .as[(Long, Long, Long)].collect()
+    val nTest = cells.map(_._2).sum
+    val nPos = cells.map(_._3).sum
+    val top = cells.minBy(_._1)
+    val topLift =
+      if (nPos == 0L) 0L else 1000L * top._3 * nTest / (top._2 * nPos)
+    val ok = nTest > 0L && top._1 == 0L &&
+      topLift >= TopLiftCapMilli
+    Seq((nTest, nPos, ok)).toDF("n_test", "n_pos_test", "ok")
+  }
+
+  val q398Sql: String = q347Sql
+
   val queries: Map[String, Q] = Map(
     "q347_calibration" -> q347Calibration,
     "q353_isotonic_cal" -> q353IsotonicCal,
-    "q376_calibrated_filter" -> q376CalibratedFilter)
+    "q376_calibrated_filter" -> q376CalibratedFilter,
+    "q398_decile_lift" -> q398DecileLift)
   val oracleSql: Map[String, String] = Map(
     "q347_calibration" -> q347Sql,
     "q353_isotonic_cal" -> q353Sql,
-    "q376_calibrated_filter" -> q376Sql)
+    "q376_calibrated_filter" -> q376Sql,
+    "q398_decile_lift" -> q398Sql)
 }

@@ -156,13 +156,79 @@ object Sql4Surfaces {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q399 — named WINDOW clause (SQL:2003 F861; one definition, many
+    * OVER references — the window-spec dedup a report with five
+    * analytics per partition otherwise copy-pastes five times): both
+    * a rank and a frame aggregate share one named spec, output
+    * bounded to the top-3 rows per flag.
+    */
+  val q399WindowClause: Q = (s, dir) => {
+    T.lineitem(s, dir).createOrReplaceTempView("q399_lineitem")
+    s.sql(
+      """SELECT * FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    RANK() OVER w AS rnk,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+        |      AS run_qty
+        |  FROM q399_lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity DESC, l_orderkey, l_linenumber))
+        |WHERE rnk <= 3
+        |ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber""".stripMargin)
+  }
+
+  val q399Sql: String =
+    """SELECT * FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber,
+      |    RANK() OVER w AS rnk,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+      |      AS run_qty
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_returnflag
+      |    ORDER BY l_quantity DESC, l_orderkey, l_linenumber))
+      |WHERE rnk <= 3
+      |ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber""".stripMargin
+
+  /** q400 — native SQL PIVOT / UNPIVOT round-trip (SPARK-38864: the
+    * reshape sugar as PARSER surfaces — q87 pins the DataFrame API
+    * melt/pivot; this pins the SQL spelling): lineitem flags pivot to
+    * one column per return flag, then UNPIVOT melts them back, and
+    * the round-trip must equal the plain GROUP BY the oracle runs —
+    * DuckDB's PIVOT dialect differs, which is exactly why the oracle
+    * speaks the classic spelling.
+    */
+  val q400PivotSql: Q = (s, dir) => {
+    T.lineitem(s, dir).createOrReplaceTempView("q400_lineitem")
+    s.sql(
+      """SELECT l_linestatus, flag, CAST(qty AS BIGINT) AS qty FROM (
+        |  SELECT * FROM (
+        |    SELECT l_linestatus, l_returnflag,
+        |      CAST(l_quantity AS BIGINT) AS q
+        |    FROM q400_lineitem)
+        |  PIVOT (SUM(q) FOR l_returnflag IN ('A' AS qa, 'N' AS qn,
+        |    'R' AS qr)))
+        |UNPIVOT (qty FOR flag IN (qa AS `A`, qn AS `N`, qr AS `R`))
+        |ORDER BY l_linestatus, flag""".stripMargin)
+  }
+
+  val q400Sql: String =
+    """SELECT l_linestatus, l_returnflag AS flag,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem
+      |GROUP BY l_linestatus, l_returnflag
+      |ORDER BY l_linestatus, flag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q399_window_clause" -> q399WindowClause,
+    "q400_pivot_sql" -> q400PivotSql,
     "q367_pipe_syntax" -> q367PipeSyntax,
     "q368_collation_group" -> q368CollationGroup,
     "q389_group_by_all" -> q389GroupByAll,
     "q390_sql_udf" -> q390SqlUdf,
     "q391_param_sql" -> q391ParamSql)
   val oracleSql: Map[String, String] = Map(
+    "q399_window_clause" -> q399Sql,
+    "q400_pivot_sql" -> q400Sql,
     "q367_pipe_syntax" -> q367Sql,
     "q368_collation_group" -> q368Sql,
     "q389_group_by_all" -> q389Sql,

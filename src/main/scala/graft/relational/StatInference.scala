@@ -1317,7 +1317,205 @@ object StatInference {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** q396 reps (smaller than q388's: 5 hypotheses × units×R rows). */
+  val BhReps = 100
+
+  /** q396 — BENJAMINI–HOCHBERG FDR control over per-type A/B
+    * randomization tests (BH 1995 — the multiple-testing step every
+    * metrics platform needs: run 5 A/B readouts and "one is p<0.05"
+    * is expected NOISE; BH bounds the false-discovery rate): each
+    * event type gets its own q388-style randomization p-value (exact
+    * counting rational (1+ne)/(R+1) — no CDF), then the step-up rule
+    * rejects ranks ≤ max{i: p_(i) ≤ α·i/m}, evaluated ENTIRELY in
+    * integers by cross-multiplication: (1+ne_i)·m·10 ≤ (R+1)·i at
+    * α = 1/10. Ties in p rank by type name — deterministic, and BH's
+    * step-up makes tie order irrelevant to the rejection SET.
+    *
+    * Scale shape: one (type, user) partial agg; ×R narrow explode →
+    * ONE (type, r) keyed agg; the BH step runs on the m-row frame.
+    */
+  val q396BhFdr: Q = (s, dir) => {
+    import s.implicits._
+    val units = T.events(s, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(sum(expr("CAST(FLOOR(100 * value) AS BIGINT)")).as("x"))
+      .localCheckpoint() // observed stats + all R replicates
+    val obs = units
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"user_id" % 2 === 0, $"x").otherwise(0L)).as("s_a"),
+        sum(when($"user_id" % 2 =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"user_id" % 2 =!= 0, $"x").otherwise(0L)).as("s_b"))
+      .select($"event_type", ($"n_b" * $"s_a" - $"n_a" * $"s_b").as("t_obs"))
+    val perms = units
+      .withColumn("r", explode(expr(s"sequence(0, ${BhReps - 1})")))
+      .withColumn("g", expr(
+        """CAST(conv(substring(md5(concat('permt:', event_type, ':',
+          |  CAST(r AS STRING), ':', CAST(user_id AS STRING))), 1, 8),
+          |  16, 10) AS BIGINT) % 2""".stripMargin))
+      .groupBy($"event_type", $"r")
+      .agg(
+        sum(when($"g" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"g" === 0, $"x").otherwise(0L)).as("s_a"),
+        sum(when($"g" =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"g" =!= 0, $"x").otherwise(0L)).as("s_b"))
+      .select($"event_type", $"r",
+        ($"n_b" * $"s_a" - $"n_a" * $"s_b").as("t_r"))
+    val ne = perms.join(obs, "event_type")
+      .groupBy($"event_type")
+      .agg(sum(when(abs($"t_r") >= abs($"t_obs"), 1L).otherwise(0L))
+        .as("n_extreme"))
+    val wRank = Window.orderBy($"n_extreme", $"event_type")
+    val wAll = Window.partitionBy()
+    ne
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("cond",
+        (lit(1L) + $"n_extreme") * $"m" * 10L <=
+          lit((BhReps + 1).toLong) * $"rank")
+      .withColumn("max_rej",
+        max(when($"cond", $"rank")).over(wAll))
+      .select($"event_type", $"n_extreme", $"rank",
+        coalesce($"rank" <= $"max_rej", lit(false)).as("rejected"))
+      .orderBy($"event_type")
+  }
+
+  val q396Sql: String =
+    s"""WITH units AS (
+       |  SELECT event_type, user_id,
+       |    CAST(SUM(CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY event_type, user_id),
+       |obs AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      * CAST(SUM(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS BIGINT)
+       |    - CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      * CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN x ELSE 0 END) AS BIGINT)
+       |      AS t_obs
+       |  FROM units GROUP BY event_type),
+       |perms AS (
+       |  SELECT event_type, r,
+       |    CAST(SUM(CASE WHEN g <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      * CAST(SUM(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT)
+       |    - CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      * CAST(SUM(CASE WHEN g <> 0 THEN x ELSE 0 END) AS BIGINT)
+       |      AS t_r
+       |  FROM (
+       |    SELECT u.event_type, u.user_id, u.x, t.r,
+       |      CAST(('0x' || substring(md5('permt:' || u.event_type || ':'
+       |        || CAST(t.r AS VARCHAR) || ':'
+       |        || CAST(u.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS g
+       |    FROM units u, UNNEST(range(0, $BhReps)) t(r))
+       |  GROUP BY event_type, r),
+       |ne AS (
+       |  SELECT p.event_type,
+       |    CAST(SUM(CASE WHEN abs(t_r) >= abs(t_obs) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_extreme
+       |  FROM perms p JOIN obs USING (event_type)
+       |  GROUP BY p.event_type),
+       |ranked AS (
+       |  SELECT event_type, n_extreme,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS m,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n_extreme, event_type)
+       |      AS BIGINT) AS rank
+       |  FROM ne),
+       |cond AS (
+       |  SELECT *, (1 + n_extreme) * m * 10 <= ${BhReps + 1} * rank AS c
+       |  FROM ranked)
+       |SELECT event_type, n_extreme, rank,
+       |  COALESCE(rank <= MAX(CASE WHEN c THEN rank END) OVER (), FALSE)
+       |    AS rejected
+       |FROM cond
+       |ORDER BY event_type""".stripMargin
+
+  /** q397 miscoverage α = 1/10 and the user-bucket split. */
+  val ConformalAlphaInv = 10L
+
+  /** q397 — SPLIT-CONFORMAL prediction interval per event type
+    * (Papadopoulos 2002 / Vovk; Lei et al. JASA'18 — the
+    * distribution-FREE uncertainty wrapper: whatever the predictor,
+    * the interval covers with probability ≥ 1−α in finite samples,
+    * assuming only exchangeability — the modern-ML uncertainty tool
+    * that is pure ORDER STATISTICS, hence exactly this engine's
+    * game): predictor = train-split mean (as the exact rational
+    * s/n), nonconformity = |residual| kept in CROSS-MULTIPLIED
+    * integer units r = |n_tr·x − s_tr|, q̂ = the ⌈(n_cal+1)(1−α)⌉-th
+    * smallest calibration residual by exact dual-rank selection
+    * (q356 discipline), and the TEST-split coverage of
+    * [μ̂ ± q̂/n_tr] is an exact integer count ratio — the guarantee
+    * emitted as data, not asserted.
+    *
+    * Scale shape: one conditional partial agg for the train moments;
+    * rank selection is one per-type window on the cal split; coverage
+    * one conditional count — no sort of anything but the cal frame.
+    */
+  val q397Conformal: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+      .select($"event_type", $"event_id", $"user_id" % 4L as "b",
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("xc"))
+      .localCheckpoint() // train moments, cal ranks, test coverage
+    val tr = ev.filter($"b" <= 1L).groupBy($"event_type")
+      .agg(count(lit(1)).as("n_tr"), sum($"xc").as("s_tr"))
+    val cal = ev.filter($"b" === 2L).join(broadcast(tr), "event_type")
+      .withColumn("r", abs($"n_tr" * $"xc" - $"s_tr"))
+    val nCal = cal.groupBy($"event_type").agg(count(lit(1)).as("n_cal"))
+    val wr = Window.partitionBy($"event_type").orderBy($"r", $"event_id")
+    val qhat = cal
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .join(broadcast(nCal), "event_type")
+      .filter($"rn" ===
+        expr(s"(9 * (n_cal + 1) + 9) div $ConformalAlphaInv"))
+      .select($"event_type", $"n_cal", $"r".as("qhat_scaled"))
+    val test = ev.filter($"b" === 3L).join(broadcast(tr), "event_type")
+      .join(broadcast(qhat), "event_type")
+      .groupBy($"event_type")
+      .agg(first($"n_cal").as("n_cal"), first($"qhat_scaled").as("qhat_scaled"),
+        count(lit(1)).as("n_test"),
+        sum(when(abs($"n_tr" * $"xc" - $"s_tr") <= $"qhat_scaled", 1L)
+          .otherwise(0L)).as("n_covered"))
+    test.select($"event_type", $"n_cal", $"n_test", $"qhat_scaled",
+      expr("(n_covered * 1000) div n_test").as("coverage_milli"))
+      .orderBy($"event_type")
+  }
+
+  val q397Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id, user_id % 4 AS b,
+       |    CAST(FLOOR(100 * value) AS BIGINT) AS xc
+       |  FROM events),
+       |tr AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_tr,
+       |    CAST(SUM(xc) AS BIGINT) AS s_tr
+       |  FROM ev WHERE b <= 1 GROUP BY event_type),
+       |cal AS (
+       |  SELECT ev.event_type, ev.event_id,
+       |    abs(n_tr * xc - s_tr) AS r
+       |  FROM ev JOIN tr USING (event_type) WHERE b = 2),
+       |ncal AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal
+       |         FROM cal GROUP BY event_type),
+       |qhat AS (
+       |  SELECT c.event_type, n_cal, r AS qhat_scaled
+       |  FROM (SELECT event_type, r, ROW_NUMBER() OVER (
+       |          PARTITION BY event_type ORDER BY r, event_id) AS rn
+       |        FROM cal) c
+       |  JOIN ncal ON ncal.event_type = c.event_type
+       |  WHERE rn = (9 * (n_cal + 1) + 9) // $ConformalAlphaInv)
+       |SELECT ev.event_type, ANY_VALUE(n_cal) AS n_cal,
+       |  CAST(COUNT(*) AS BIGINT) AS n_test,
+       |  ANY_VALUE(qhat_scaled) AS qhat_scaled,
+       |  CAST(SUM(CASE WHEN abs(n_tr * xc - s_tr) <= qhat_scaled
+       |    THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+       |    AS coverage_milli
+       |FROM ev JOIN tr USING (event_type) JOIN qhat USING (event_type)
+       |WHERE b = 3
+       |GROUP BY ev.event_type
+       |ORDER BY ev.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q396_bh_fdr" -> q396BhFdr,
+    "q397_conformal" -> q397Conformal,
     "q386_kendall_tau" -> q386KendallTau,
     "q388_perm_test" -> q388PermTest,
     "q393_emd_drift" -> q393EmdDrift,
@@ -1343,6 +1541,8 @@ object StatInference {
     "q388_perm_test" -> q388Sql,
     "q393_emd_drift" -> q393Sql,
     "q395_nelson_aalen" -> q395Sql,
+    "q396_bh_fdr" -> q396Sql,
+    "q397_conformal" -> q397Sql,
     "q357_mann_kendall" -> q357Sql,
     "q343_balance_audit" -> q343Sql,
     "q331_cuped" -> q331Sql,

@@ -52,6 +52,14 @@ class CalibrationSpec extends SparkSpec {
     assert(1000 * tp / (tp + fn) >= Calibration.FilterRecallCapMilli)
   }
 
+  test("q398 decile-lift gate is green at sf0.001") {
+    import spark.implicits._
+    val row = Calibration.q398DecileLift(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Boolean)].collect().head
+    info(s"n_test=${row._1} n_pos=${row._2} ok=${row._3}")
+    assert(row._3, "top-decile lift gate failed")
+  }
+
   test("q353 isotonic recalibration improves both readings at sf0.001") {
     val (nCal, nTest, rawBrier, calBrier, rawEce, calEce) =
       Calibration.calibratedStats(spark, "/root/testdata/sf0.001")
