@@ -284,7 +284,134 @@ object DiversityStats {
       |FROM a
       |ORDER BY source""".stripMargin
 
+  /** q402 pretokenizer pattern — GPT-2's (Radford et al. 2019)
+    * minus the `\s+(?!\S)` lookahead (RE2, DuckDB's engine, has no
+    * lookahead; the dropped branch only changes how trailing spaces
+    * attach, documented simplification): contractions, space-prefixed
+    * letter runs, digit runs, punctuation runs, whitespace runs.
+    */
+  val PretokPattern =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** q402 — BPE-style regex PRETOKENIZER census (the GPT-2 pattern
+    * every modern tokenizer pipeline runs before merges): per source,
+    * whitespace-token vs pretoken counts and the FERTILITY ratio
+    * (pretokens per whitespace token — the "how many pieces does this
+    * source shatter into" number that sets its real token budget;
+    * the fixture's `tok123`-style words split into a letter run + a
+    * digit run, so fertility ≈ 2, visible and oracle-checked).
+    * Pure-whitespace matches are dropped from the pretoken count
+    * (they merge into the following piece in real BPE).
+    *
+    * Scale shape: both counts are per-row narrow expressions inside
+    * the scan; ONE per-source partial agg.
+    */
+  val q402Pretokenizer: Q = (s, dir) => {
+    import s.implicits._
+    T.documents(s, dir)
+      .select($"source",
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long")
+          .as("ws"),
+        size(filter(
+          regexp_extract_all($"text", lit(PretokPattern), lit(0)),
+          t => trim(t) =!= "")).cast("long").as("pre"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"ws").as("ws_tokens"),
+        sum($"pre").as("pre_tokens"))
+      .select($"source", $"n_docs", $"ws_tokens", $"pre_tokens",
+        expr("""CAST(FLOOR(1000000.0 * (CAST(pre_tokens AS DOUBLE)
+               |  / CAST(ws_tokens AS DOUBLE))) AS BIGINT)""".stripMargin)
+          .as("fertility_micro"))
+      .orderBy($"source")
+  }
+
+  private val PretokSqlLit = PretokPattern.replace("'", "''")
+
+  val q402Sql: String =
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(pre) AS BIGINT) AS pre_tokens,
+       |  CAST(FLOOR(1000000.0 * (CAST(SUM(pre) AS DOUBLE)
+       |    / CAST(SUM(ws) AS DOUBLE))) AS BIGINT) AS fertility_micro
+       |FROM (
+       |  SELECT source,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+       |      AS BIGINT) AS ws,
+       |    CAST(len(list_filter(regexp_extract_all(text,
+       |      '$PretokSqlLit'), t -> trim(t) <> '')) AS BIGINT) AS pre
+       |  FROM documents)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** q403 top-list size. */
+  val SurgeTake = 10
+
+  /** q403 — SURGING-TOKEN drill-down (the itemized companion the
+    * aggregate drift family (PSI q314 / KL q360 / JSD q373 / EMD
+    * q393) hands to a human: WHICH tokens moved?): corpus halves by
+    * doc_id midpoint (the fixture's ingest-order proxy for old/new —
+    * a dated corpus would split on time), per-token +1-smoothed rate
+    * log-ratio ln((c_new+1)/(N_new+V) · (N_old+V)/(c_old+1)), exact
+    * BIGINT counts into one spelled double per token, top-|ratio|
+    * list with ties pinned by token.
+    *
+    * Scale shape: ONE (half, tok) partial agg; the ratio and top-k
+    * run on the vocab-bounded frame (TakeOrdered, no global sort).
+    */
+  val q403SurgingTokens: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val mid = docs.agg((((min($"doc_id") + max($"doc_id") + 1L) / 2L)
+      .cast("long")).as("mid"))
+    val tc = docs.crossJoin(broadcast(mid))
+      .select(($"doc_id" >= $"mid").as("new_half"),
+        explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"tok")
+      .agg(sum(when(!$"new_half", 1L).otherwise(0L)).as("c_old"),
+        sum(when($"new_half", 1L).otherwise(0L)).as("c_new"))
+      .localCheckpoint() // totals + vocab + per-token ratios
+    val tot = tc.agg(sum($"c_old").as("n_old"), sum($"c_new").as("n_new"),
+      count(lit(1)).as("v"))
+    tc.crossJoin(broadcast(tot))
+      .select($"tok", $"c_old", $"c_new",
+        expr("""CAST(FLOOR(1000000.0 * LN(
+               |  (CAST(c_new + 1 AS DOUBLE) / CAST(n_new + v AS DOUBLE))
+               |  / (CAST(c_old + 1 AS DOUBLE) / CAST(n_old + v AS DOUBLE))
+               |)) AS BIGINT)""".stripMargin).as("log_ratio_micro"))
+      .orderBy(abs($"log_ratio_micro").desc, $"tok".asc)
+      .limit(SurgeTake)
+  }
+
+  val q403Sql: String =
+    s"""WITH m AS (SELECT (MIN(doc_id) + MAX(doc_id) + 1) // 2 AS mid
+       |           FROM documents),
+       |tc AS (
+       |  SELECT tok,
+       |    CAST(SUM(CASE WHEN NOT new_half THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c_old,
+       |    CAST(SUM(CASE WHEN new_half THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c_new
+       |  FROM (
+       |    SELECT doc_id >= mid AS new_half,
+       |      UNNEST(string_split(text, ' ')) AS tok
+       |    FROM documents CROSS JOIN m)
+       |  WHERE tok <> '' GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+       |  CAST(SUM(c_new) AS BIGINT) AS n_new,
+       |  CAST(COUNT(*) AS BIGINT) AS v FROM tc)
+       |SELECT tok, c_old, c_new,
+       |  CAST(FLOOR(1000000.0 * LN(
+       |    (CAST(c_new + 1 AS DOUBLE) / CAST(n_new + v AS DOUBLE))
+       |    / (CAST(c_old + 1 AS DOUBLE) / CAST(n_old + v AS DOUBLE))
+       |  )) AS BIGINT) AS log_ratio_micro
+       |FROM tc CROSS JOIN tot
+       |ORDER BY abs(log_ratio_micro) DESC, tok ASC
+       |LIMIT $SurgeTake""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q402_pretokenizer" -> q402Pretokenizer,
+    "q403_surging_tokens" -> q403SurgingTokens,
     "q379_gini" -> q379Gini,
     "q371_good_turing" -> q371GoodTuring,
     "q372_chao1" -> q372Chao1,
@@ -292,6 +419,8 @@ object DiversityStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q402_pretokenizer" -> q402Sql,
+    "q403_surging_tokens" -> q403Sql,
     "q379_gini" -> q379Sql,
     "q371_good_turing" -> q371Sql,
     "q372_chao1" -> q372Sql,

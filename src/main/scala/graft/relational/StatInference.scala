@@ -1513,7 +1513,83 @@ object StatInference {
        |GROUP BY ev.event_type
        |ORDER BY ev.event_type""".stripMargin
 
+  /** q401 — DIFFERENCE-IN-DIFFERENCES estimator (Card–Krueger 1994
+    * design; the quasi-experimental workhorse when treatment wasn't
+    * randomized over TIME: the control group's pre→post drift is the
+    * counterfactual, and DiD = (T_post−T_pre) − (C_post−C_pre)
+    * cancels both group-level and period-level confounds under
+    * parallel trends): groups are the q229 user_id-parity split,
+    * periods split at the observation window's midpoint epoch-day
+    * (integer), and all four cell means stay exact (n, Σcents)
+    * sufficient statistics until ONE spelled double chain emits
+    * did_micro in cents. The four cells ride along as data.
+    *
+    * Scale shape: ONE conditional-aggregation pass over events —
+    * group and period are per-row integer expressions, the agg
+    * collapses to a single row.
+    */
+  val q401DiffInDiff: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+      .select($"user_id",
+        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("d"),
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("xc"))
+    val mid = ev.agg(((min($"d") + max($"d") + 1L) / 2L).cast("long")
+      .as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .select(($"user_id" % 2 === 0).as("treated"), ($"d" >= $"mid").as("post"),
+        $"xc")
+      .agg(
+        sum(when($"treated" && !$"post", 1L).otherwise(0L)).as("n_t_pre"),
+        sum(when($"treated" && !$"post", $"xc").otherwise(0L)).as("s_t_pre"),
+        sum(when($"treated" && $"post", 1L).otherwise(0L)).as("n_t_post"),
+        sum(when($"treated" && $"post", $"xc").otherwise(0L)).as("s_t_post"),
+        sum(when(!$"treated" && !$"post", 1L).otherwise(0L)).as("n_c_pre"),
+        sum(when(!$"treated" && !$"post", $"xc").otherwise(0L)).as("s_c_pre"),
+        sum(when(!$"treated" && $"post", 1L).otherwise(0L)).as("n_c_post"),
+        sum(when(!$"treated" && $"post", $"xc").otherwise(0L)).as("s_c_post"))
+      .select($"n_t_pre", $"n_t_post", $"n_c_pre", $"n_c_post",
+        expr("""CAST(FLOOR(1000000.0 * (
+               |  (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+               |   - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+               |  - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+               |     - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))
+               |)) AS BIGINT)""".stripMargin).as("did_micro_cents"))
+  }
+
+  val q401Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    datediff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP)
+      |      AS DATE)) AS d,
+      |    CAST(FLOOR(100 * value) AS BIGINT) AS xc
+      |  FROM events),
+      |m AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM ev),
+      |c AS (
+      |  SELECT user_id % 2 = 0 AS treated, d >= mid AS post, xc
+      |  FROM ev CROSS JOIN m),
+      |agg AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+      |    CAST(SUM(CASE WHEN treated AND NOT post THEN xc ELSE 0 END) AS BIGINT) AS s_t_pre,
+      |    CAST(SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+      |    CAST(SUM(CASE WHEN treated AND post THEN xc ELSE 0 END) AS BIGINT) AS s_t_post,
+      |    CAST(SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+      |    CAST(SUM(CASE WHEN NOT treated AND NOT post THEN xc ELSE 0 END) AS BIGINT) AS s_c_pre,
+      |    CAST(SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+      |    CAST(SUM(CASE WHEN NOT treated AND post THEN xc ELSE 0 END) AS BIGINT) AS s_c_post
+      |  FROM c)
+      |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+      |  CAST(FLOOR(1000000.0 * (
+      |    (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+      |     - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+      |    - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+      |       - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))
+      |  )) AS BIGINT) AS did_micro_cents
+      |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q401_diff_in_diff" -> q401DiffInDiff,
     "q396_bh_fdr" -> q396BhFdr,
     "q397_conformal" -> q397Conformal,
     "q386_kendall_tau" -> q386KendallTau,
@@ -1542,6 +1618,7 @@ object StatInference {
     "q393_emd_drift" -> q393Sql,
     "q395_nelson_aalen" -> q395Sql,
     "q396_bh_fdr" -> q396Sql,
+    "q401_diff_in_diff" -> q401Sql,
     "q397_conformal" -> q397Sql,
     "q357_mann_kendall" -> q357Sql,
     "q343_balance_audit" -> q343Sql,
