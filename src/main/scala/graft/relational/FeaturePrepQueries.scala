@@ -137,12 +137,83 @@ object FeaturePrepQueries {
        |HAVING SUM(sign) <> 0
        |ORDER BY doc_id, bucket""".stripMargin
 
+  /** q405 label horizon (µs): purchase within 7 days after cutoff. */
+  val PitHorizonUs: Long = 7L * 24 * 3600 * 1000000
+
+  /** q405 — POINT-IN-TIME-correct training-set construction (the
+    * feature-store discipline — Kakade/feast-style "as of" semantics:
+    * every feature must be computable at PREDICTION time, so features
+    * aggregate STRICTLY BEFORE the cutoff and the label looks only
+    * FORWARD into (cutoff, cutoff+horizon]; mixing the two directions
+    * is label leakage, the most common silent ML-pipeline bug): one
+    * row per user active before the cutoff (the observation window's
+    * midpoint — qs16's split convention), features = pre-cutoff
+    * view/click counts, spend cents, distinct active days; label =
+    * any purchase in the horizon. Exact integers throughout.
+    *
+    * Scale shape: ONE conditional-aggregation pass keyed by user —
+    * feature and label windows are per-row predicates inside the same
+    * agg, no self-join, no second scan.
+    */
+  val q405PitTrainingSet: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("t_us"), $"event_type",
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("xc"))
+    val mid = ev.agg((((min($"t_us") + max($"t_us")) / 2L).cast("long"))
+      .as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"t_us" < $"mid" && $"event_type" === "view", 1L)
+          .otherwise(0L)).as("n_views"),
+        sum(when($"t_us" < $"mid" && $"event_type" === "click", 1L)
+          .otherwise(0L)).as("n_clicks"),
+        sum(when($"t_us" < $"mid" && $"event_type" === "purchase", $"xc")
+          .otherwise(0L)).as("spend_cents"),
+        countDistinct(when($"t_us" < $"mid",
+          expr("t_us div 86400000000"))).as("n_active_days"),
+        max(when($"t_us" >= $"mid" &&
+          $"t_us" < $"mid" + PitHorizonUs &&
+          $"event_type" === "purchase", 1L).otherwise(0L)).as("label"))
+      .filter($"n_views" + $"n_clicks" + $"spend_cents" +
+        $"n_active_days" > 0L)
+      .orderBy($"user_id")
+  }
+
+  val q405Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+       |    event_type, CAST(FLOOR(100 * value) AS BIGINT) AS xc
+       |  FROM events),
+       |m AS (SELECT (MIN(t_us) + MAX(t_us)) // 2 AS mid FROM ev),
+       |agg AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN t_us < mid AND event_type = 'view'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+       |    CAST(SUM(CASE WHEN t_us < mid AND event_type = 'click'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+       |    CAST(SUM(CASE WHEN t_us < mid AND event_type = 'purchase'
+       |      THEN xc ELSE 0 END) AS BIGINT) AS spend_cents,
+       |    CAST(COUNT(DISTINCT CASE WHEN t_us < mid
+       |      THEN t_us // 86400000000 END) AS BIGINT) AS n_active_days,
+       |    CAST(MAX(CASE WHEN t_us >= mid
+       |      AND t_us < mid + ${PitHorizonUs}
+       |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS label
+       |  FROM ev CROSS JOIN m GROUP BY user_id)
+       |SELECT * FROM agg
+       |WHERE n_views + n_clicks + spend_cents + n_active_days > 0
+       |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q405_pit_training_set" -> q405PitTrainingSet,
     "q295_target_encode" -> q295TargetEncode,
     "q296_feature_hash" -> q296FeatureHash,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q405_pit_training_set" -> q405Sql,
     "q295_target_encode" -> q295Sql,
     "q296_feature_hash" -> q296Sql,
   )

@@ -1588,7 +1588,103 @@ object StatInference {
       |  )) AS BIGINT) AS did_micro_cents
       |FROM agg""".stripMargin
 
+  /** q404 — RATIO-METRIC A/B readout with the DELTA-METHOD standard
+    * error (Deng et al. KDD'17/'18 — the experiment-analysis trap this
+    * row exists to not fall into: "revenue per event" is a ratio of
+    * SUMS whose denominator is random too; treating it as a plain
+    * mean understates variance because user-level x and y are
+    * correlated): per variant R = Σx/Σy over user-level (x = purchase
+    * cents, y = event count), Var(R) ≈ (Sxx − 2R·Sxy + R²·Syy)/(n·ȳ²)
+    * from EXACT integer cross-moments (Σx, Σy, Σx², Σy², Σxy per
+    * variant), z = (R_a−R_b)/√(V_a+V_b) one spelled double chain.
+    *
+    * Scale shape: one (user) partial agg then one conditional agg to
+    * TWO variant cells — no user-level data leaves the first shuffle.
+    */
+  val q404RatioMetric: Q = (s, dir) => {
+    import s.implicits._
+    val units = T.events(s, dir)
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase",
+        expr("CAST(FLOOR(100 * value) AS BIGINT)")).otherwise(0L)).as("x"),
+        count(lit(1)).as("y"))
+    val cells = units
+      .agg(
+        sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"user_id" % 2 === 0, $"x").otherwise(0L)).as("sx_a"),
+        sum(when($"user_id" % 2 === 0, $"y").otherwise(0L)).as("sy_a"),
+        sum(when($"user_id" % 2 === 0, $"x" * $"x").otherwise(0L)).as("sxx_a"),
+        sum(when($"user_id" % 2 === 0, $"y" * $"y").otherwise(0L)).as("syy_a"),
+        sum(when($"user_id" % 2 === 0, $"x" * $"y").otherwise(0L)).as("sxy_a"),
+        sum(when($"user_id" % 2 =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"user_id" % 2 =!= 0, $"x").otherwise(0L)).as("sx_b"),
+        sum(when($"user_id" % 2 =!= 0, $"y").otherwise(0L)).as("sy_b"),
+        sum(when($"user_id" % 2 =!= 0, $"x" * $"x").otherwise(0L)).as("sxx_b"),
+        sum(when($"user_id" % 2 =!= 0, $"y" * $"y").otherwise(0L)).as("syy_b"),
+        sum(when($"user_id" % 2 =!= 0, $"x" * $"y").otherwise(0L)).as("sxy_b"))
+    def ratioVar(p: String): String =
+      s"""((CAST(sxx_$p AS DOUBLE) - CAST(sx_$p AS DOUBLE) * CAST(sx_$p AS DOUBLE) / CAST(n_$p AS DOUBLE))
+         | - 2.0 * (CAST(sx_$p AS DOUBLE) / CAST(sy_$p AS DOUBLE))
+         |   * (CAST(sxy_$p AS DOUBLE) - CAST(sx_$p AS DOUBLE) * CAST(sy_$p AS DOUBLE) / CAST(n_$p AS DOUBLE))
+         | + (CAST(sx_$p AS DOUBLE) / CAST(sy_$p AS DOUBLE)) * (CAST(sx_$p AS DOUBLE) / CAST(sy_$p AS DOUBLE))
+         |   * (CAST(syy_$p AS DOUBLE) - CAST(sy_$p AS DOUBLE) * CAST(sy_$p AS DOUBLE) / CAST(n_$p AS DOUBLE)))
+         | / ((CAST(n_$p AS DOUBLE) - 1.0) * CAST(n_$p AS DOUBLE)
+         |    * (CAST(sy_$p AS DOUBLE) / CAST(n_$p AS DOUBLE))
+         |    * (CAST(sy_$p AS DOUBLE) / CAST(n_$p AS DOUBLE)))""".stripMargin
+    cells.select($"n_a", $"n_b",
+      expr("CAST(FLOOR(1000000.0 * CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE)) AS BIGINT)").as("r_a_micro"),
+      expr("CAST(FLOOR(1000000.0 * CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE)) AS BIGINT)").as("r_b_micro"),
+      expr(s"""CAST(FLOOR(1000.0 *
+              |  (CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE)
+              |   - CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE))
+              |  / SQRT(${ratioVar("a")} + ${ratioVar("b")})) AS BIGINT)"""
+        .stripMargin).as("z_milli"))
+  }
+
+  val q404Sql: String = {
+    def ratioVar(p: String): String =
+      s"""((CAST(sxx_$p AS DOUBLE) - CAST(sx_$p AS DOUBLE) * CAST(sx_$p AS DOUBLE) / CAST(n_$p AS DOUBLE))
+         | - 2.0 * (CAST(sx_$p AS DOUBLE) / CAST(sy_$p AS DOUBLE))
+         |   * (CAST(sxy_$p AS DOUBLE) - CAST(sx_$p AS DOUBLE) * CAST(sy_$p AS DOUBLE) / CAST(n_$p AS DOUBLE))
+         | + (CAST(sx_$p AS DOUBLE) / CAST(sy_$p AS DOUBLE)) * (CAST(sx_$p AS DOUBLE) / CAST(sy_$p AS DOUBLE))
+         |   * (CAST(syy_$p AS DOUBLE) - CAST(sy_$p AS DOUBLE) * CAST(sy_$p AS DOUBLE) / CAST(n_$p AS DOUBLE)))
+         | / ((CAST(n_$p AS DOUBLE) - 1.0) * CAST(n_$p AS DOUBLE)
+         |    * (CAST(sy_$p AS DOUBLE) / CAST(n_$p AS DOUBLE))
+         |    * (CAST(sy_$p AS DOUBLE) / CAST(n_$p AS DOUBLE)))"""
+    s"""WITH units AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(FLOOR(100 * value) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS x,
+       |    CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM events GROUP BY user_id),
+       |cells AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_a,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN y * y ELSE 0 END) AS BIGINT) AS syy_a,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_a,
+       |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+       |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+       |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_b,
+       |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN y * y ELSE 0 END) AS BIGINT) AS syy_b,
+       |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_b
+       |  FROM units)
+       |SELECT n_a, n_b,
+       |  CAST(FLOOR(1000000.0 * CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE)) AS BIGINT) AS r_a_micro,
+       |  CAST(FLOOR(1000000.0 * CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE)) AS BIGINT) AS r_b_micro,
+       |  CAST(FLOOR(1000.0 *
+       |    (CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE)
+       |     - CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE))
+       |    / SQRT(${ratioVar("a")} + ${ratioVar("b")})) AS BIGINT) AS z_milli
+       |FROM cells""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q404_ratio_metric" -> q404RatioMetric,
     "q401_diff_in_diff" -> q401DiffInDiff,
     "q396_bh_fdr" -> q396BhFdr,
     "q397_conformal" -> q397Conformal,
@@ -1619,6 +1715,7 @@ object StatInference {
     "q395_nelson_aalen" -> q395Sql,
     "q396_bh_fdr" -> q396Sql,
     "q401_diff_in_diff" -> q401Sql,
+    "q404_ratio_metric" -> q404Sql,
     "q397_conformal" -> q397Sql,
     "q357_mann_kendall" -> q357Sql,
     "q343_balance_audit" -> q343Sql,
