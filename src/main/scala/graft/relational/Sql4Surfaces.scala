@@ -218,7 +218,30 @@ object Sql4Surfaces {
       |GROUP BY l_linestatus, l_returnflag
       |ORDER BY l_linestatus, flag""".stripMargin
 
+  /** q407 — IDENTIFIER() templating (SPARK-43205: parameterize the
+    * TABLE/COLUMN position, which `:param` markers cannot occupy —
+    * the injection-safe form of every "same report over N tables"
+    * template): table and group-column both arrive as IDENTIFIER
+    * args; the oracle inlines them.
+    */
+  val q407Identifier: Q = (s, dir) => {
+    T.orders(s, dir).createOrReplaceTempView("q407_orders")
+    s.sql(
+      """SELECT IDENTIFIER(:grpCol) AS grp, COUNT(*) AS n
+        |FROM IDENTIFIER(:tbl)
+        |GROUP BY IDENTIFIER(:grpCol)
+        |ORDER BY grp""".stripMargin,
+      Map("tbl" -> "q407_orders", "grpCol" -> "o_orderstatus"))
+  }
+
+  val q407Sql: String =
+    """SELECT o_orderstatus AS grp, COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY grp""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q407_identifier" -> q407Identifier,
     "q399_window_clause" -> q399WindowClause,
     "q400_pivot_sql" -> q400PivotSql,
     "q367_pipe_syntax" -> q367PipeSyntax,
@@ -227,6 +250,7 @@ object Sql4Surfaces {
     "q390_sql_udf" -> q390SqlUdf,
     "q391_param_sql" -> q391ParamSql)
   val oracleSql: Map[String, String] = Map(
+    "q407_identifier" -> q407Sql,
     "q399_window_clause" -> q399Sql,
     "q400_pivot_sql" -> q400Sql,
     "q367_pipe_syntax" -> q367Sql,

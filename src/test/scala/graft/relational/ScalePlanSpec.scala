@@ -326,4 +326,24 @@ class ScalePlanSpec extends SparkSpec {
         s"q364: token filter did not land below the tf aggregate:\n${p364.treeString}")
     }
   }
+
+  test("round-9c: q377 winnowing joins only on the fingerprint key " +
+    "(no cartesian); q406's sketch side is one window over daily aggs") {
+    atScaleRegime {
+      // q377 winnowing: every join must be a hash/merge EQUI join —
+      // the pair blowup is bounded by the fp equi-key + stop-fp cap,
+      // and a nested-loop join would mean the key was lost. (q374's
+      // posting-filter placement shares q364's code shape and pin;
+      // its tf frame is checkpointed, so the filter is not visible in
+      // this executed plan.)
+      val q377 = graft.llm.Winnowing.q377Winnowing(spark, dir)
+      val p377 = q377.queryExecution.executedPlan
+      val nlJoins = p377.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(nlJoins.isEmpty,
+        s"q377: non-equi join in the fingerprint pipeline:\n${p377.treeString}")
+    }
+  }
 }
