@@ -1683,7 +1683,143 @@ object StatInference {
        |FROM cells""".stripMargin
   }
 
+  /** q408 — WALD SPRT sequential conversion monitor (Wald 1945 — the
+    * original always-valid test: unlike a fixed-horizon z-test, the
+    * cumulative likelihood ratio may be CHECKED EVERY DAY without
+    * alpha inflation, which is how a pipeline monitor actually reads
+    * it): H₀ p=0.2 (the fixture's uniform-type conversion base) vs
+    * H₁ p=0.25 (the +25% lift worth paging about), per-day Bernoulli
+    * LLR k·ln(p₁/p₀) + (n−k)·ln(q₁/q₀) micro-quantized from exact
+    * (n, k) BIGINTs with the two log factors as identically spelled
+    * double literals; decision thresholds ln((1−β)/α), ln(β/(1−α))
+    * at α=0.05, β=0.1 pinned as micro constants. Emits the running
+    * decision per day — `continue` until a boundary crossing, then
+    * latched (the window max of crossings so far).
+    *
+    * Scale shape: ONE (day) conditional partial agg; the cumulative
+    * and latch windows run on the days-bounded frame.
+    */
+  val q408Sprt: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.events(s, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(($"event_type" === "purchase").cast("long")).as("k"))
+    val wCum = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("term_micro", expr(
+        """CAST(FLOOR(1000000.0 * (CAST(k AS DOUBLE) * LN(0.25 / 0.2)
+          |  + CAST(n - k AS DOUBLE) * LN(0.75 / 0.8))) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("cum_llr_micro", sum($"term_micro").over(wCum))
+      .withColumn("hit",
+        when($"cum_llr_micro" >= 2890372L, 2L)
+          .when($"cum_llr_micro" <= -2944439L, 1L).otherwise(0L))
+      .withColumn("latched", max($"hit").over(wCum))
+      .select($"day", $"n", $"k", $"cum_llr_micro",
+        when($"latched" === 2L, "accept_h1")
+          .when($"latched" === 1L, "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy($"day")
+  }
+
+  val q408Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT day, n, k,
+      |    CAST(FLOOR(1000000.0 * (CAST(k AS DOUBLE) * LN(0.25 / 0.2)
+      |      + CAST(n - k AS DOUBLE) * LN(0.75 / 0.8))) AS BIGINT)
+      |      AS term_micro
+      |  FROM daily),
+      |c AS (
+      |  SELECT day, n, k,
+      |    CAST(SUM(term_micro) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_llr_micro
+      |  FROM t),
+      |h AS (
+      |  SELECT *, CASE WHEN cum_llr_micro >= 2890372 THEN 2
+      |                 WHEN cum_llr_micro <= -2944439 THEN 1
+      |                 ELSE 0 END AS hit
+      |  FROM c)
+      |SELECT day, n, k, cum_llr_micro,
+      |  CASE MAX(hit) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    WHEN 2 THEN 'accept_h1' WHEN 1 THEN 'accept_h0'
+      |    ELSE 'continue' END AS decision
+      |FROM h ORDER BY day""".stripMargin
+
+  /** q409 — COHORT-STRATIFIED Kaplan–Meier risk table (q293
+    * partitioned by signup week — the retention question product
+    * actually asks: "are NEWER cohorts churning faster?"; pooling
+    * cohorts confounds tenure with calendar effects, stratifying is
+    * the fix): per (cohort_week, distinct lifetime) the complete
+    * sufficient statistics (n_risk, n_event, n_censor), censoring by
+    * the same horizon rule as q293, all windows now keyed by cohort.
+    *
+    * Scale shape: one per-user collapse; the risk windows run per
+    * cohort on the cohorts×lifetime-support-bounded frame.
+    */
+  val q409CohortKm: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val spans = T.events(s, dir)
+      .groupBy($"user_id")
+      .agg(min($"ts".cast("date")).as("d0"), max($"ts".cast("date")).as("d1"))
+    val horizon = spans.agg(max($"d1").as("dmax"))
+    val lifetimes = spans.crossJoin(broadcast(horizon))
+      .select(date_trunc("week", $"d0").cast("date").as("cohort_week"),
+        datediff($"d1", $"d0").cast("long").as("dur"),
+        (datediff($"dmax", $"d1") < KmCensorDays).as("censored"))
+    val byDur = lifetimes.groupBy($"cohort_week", $"dur")
+      .agg(sum(when(!$"censored", 1L).otherwise(0L)).as("n_event"),
+        sum(when($"censored", 1L).otherwise(0L)).as("n_censor"))
+    val wPrev = Window.partitionBy($"cohort_week").orderBy($"dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy($"cohort_week")
+    byDur
+      .withColumn("gone_before",
+        coalesce(sum($"n_event" + $"n_censor").over(wPrev), lit(0L)))
+      .withColumn("n_total", sum($"n_event" + $"n_censor").over(wAll))
+      .select($"cohort_week", $"dur",
+        ($"n_total" - $"gone_before").as("n_risk"),
+        $"n_event", $"n_censor")
+      .orderBy($"cohort_week", $"dur")
+  }
+
+  val q409Sql: String =
+    s"""WITH spans AS (
+       |  SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+       |    CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS d1
+       |  FROM events GROUP BY user_id),
+       |h AS (SELECT MAX(d1) AS dmax FROM spans),
+       |lifetimes AS (
+       |  SELECT CAST(date_trunc('week', d0) AS DATE) AS cohort_week,
+       |    CAST(d1 - d0 AS BIGINT) AS dur,
+       |    (dmax - d1) < $KmCensorDays AS censored
+       |  FROM spans CROSS JOIN h),
+       |by_dur AS (
+       |  SELECT cohort_week, dur,
+       |    CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_event,
+       |    CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censor
+       |  FROM lifetimes GROUP BY cohort_week, dur)
+       |SELECT cohort_week, dur,
+       |  CAST(SUM(n_event + n_censor) OVER (PARTITION BY cohort_week)
+       |    - COALESCE(SUM(n_event + n_censor) OVER (PARTITION BY cohort_week
+       |        ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS BIGINT) AS n_risk,
+       |  n_event, n_censor
+       |FROM by_dur ORDER BY cohort_week, dur""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q409_cohort_km" -> q409CohortKm,
+    "q408_sprt" -> q408Sprt,
     "q404_ratio_metric" -> q404RatioMetric,
     "q401_diff_in_diff" -> q401DiffInDiff,
     "q396_bh_fdr" -> q396BhFdr,
@@ -1716,6 +1852,8 @@ object StatInference {
     "q396_bh_fdr" -> q396Sql,
     "q401_diff_in_diff" -> q401Sql,
     "q404_ratio_metric" -> q404Sql,
+    "q408_sprt" -> q408Sql,
+    "q409_cohort_km" -> q409Sql,
     "q397_conformal" -> q397Sql,
     "q357_mann_kendall" -> q357Sql,
     "q343_balance_audit" -> q343Sql,
