@@ -92,8 +92,12 @@ object Winnowing {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  val q377Sql: String =
-    s"""WITH docs AS (
+  /** Shared oracle prefix: winnowing selection + stop-fp filter,
+    * yielding `fps(doc_id, fp)` and `keep(fp)` — used by q377 (pairs)
+    * and q410 (keep-one release census).
+    */
+  private val WinnowFpsCte: String =
+    s"""docs AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
        |  FROM documents),
        |hashed AS (
@@ -117,15 +121,83 @@ object Winnowing {
        |    FROM hashed)),
        |keep AS (
        |  SELECT fp FROM fps GROUP BY fp
-       |  HAVING COUNT(DISTINCT doc_id) <= $StopFpDf)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(COUNT(*) AS BIGINT) AS n_shared
-       |FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
-       |WHERE a.doc_id < b.doc_id
-       |GROUP BY a.doc_id, b.doc_id
-       |HAVING COUNT(*) >= $MinShared
+       |  HAVING COUNT(DISTINCT doc_id) <= $StopFpDf),
+       |wpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING COUNT(*) >= $MinShared)""".stripMargin
+
+  val q377Sql: String =
+    s"""WITH $WinnowFpsCte
+       |SELECT doc_a, doc_b, n_shared
+       |FROM wpairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  val queries: Map[String, Q] = Map("q377_winnowing" -> q377Winnowing)
-  val oracleSql: Map[String, String] = Map("q377_winnowing" -> q377Sql)
+  /** q410 — winnowing-based RELEASE census (the E2E this dedup mode
+    * feeds: q346 prices the MinHash pipeline's savings, this one
+    * prices WINNOWING's — keep the min-id doc of every fingerprint-
+    * connected cluster, then report per source what survives in docs
+    * AND tokens; the per-source view is what a mixing step (q136/
+    * q158) consumes next): clusters are connected components over the
+    * q377 pair graph (the q101 CC machinery verbatim), non-clustered
+    * docs keep themselves.
+    *
+    * Scale shape: the q377 pipeline + one CC fixpoint on the
+    * pair-bounded graph + one left join of docs to labels + one
+    * per-source partial agg — no new corpus pass beyond q377's.
+    */
+  val q410WinnowRelease: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = q377Winnowing(s, dir).select($"doc_a", $"doc_b")
+    val cc = graft.operators.ConnectedComponents(pairs,
+      src = "doc_a", dst = "doc_b")
+    T.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long")
+          .as("ntok"))
+      .join(cc.select($"id".as("doc_id"), $"comp"), Seq("doc_id"), "left")
+      .withColumn("kept", $"comp".isNull || $"comp" === $"doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"kept".cast("long")).as("n_kept"),
+        sum($"ntok").as("tokens"),
+        sum(when($"kept", $"ntok").otherwise(0L)).as("tokens_kept"))
+      .orderBy($"source")
+  }
+
+  val q410Sql: String =
+    s"""WITH RECURSIVE $WinnowFpsCte,
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM wpairs
+       |          UNION SELECT doc_b, doc_a FROM wpairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       |labels AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+       |      AS BIGINT) AS ntok
+       |  FROM documents),
+       |k AS (
+       |  SELECT d.source, d.ntok,
+       |    (l.comp IS NULL OR l.comp = d.doc_id) AS kept
+       |  FROM d LEFT JOIN labels l ON l.id = d.doc_id)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(ntok) AS BIGINT) AS tokens,
+       |  CAST(SUM(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT)
+       |    AS tokens_kept
+       |FROM k GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q377_winnowing" -> q377Winnowing,
+    "q410_winnow_release" -> q410WinnowRelease)
+  val oracleSql: Map[String, String] = Map(
+    "q377_winnowing" -> q377Sql,
+    "q410_winnow_release" -> q410Sql)
 }
