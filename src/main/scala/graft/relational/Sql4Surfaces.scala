@@ -240,7 +240,49 @@ object Sql4Surfaces {
       |GROUP BY o_orderstatus
       |ORDER BY grp""".stripMargin
 
+  /** q411 — native `percentile_cont` WITHIN GROUP (SQL:2008 ordered-set
+    * aggregate; SPARK-37691): the INTERPOLATING percentile both engines
+    * define identically (idx = p·(n−1), linear between neighbors) —
+    * pinned against DuckDB's native implementation rather than a
+    * rank-arithmetic replay (q90 owns the exact-rank convention; this
+    * row certifies the BUILTIN's semantics match across engines).
+    * Micro-quantized to absorb last-ulp spelling differences.
+    */
+  val q411PercentileCont: Q = (s, dir) => {
+    T.events(s, dir).createOrReplaceTempView("q411_events")
+    s.sql(
+      """SELECT event_type,
+        |  CAST(FLOOR(1000000.0 * percentile_cont(0.5)
+        |    WITHIN GROUP (ORDER BY CAST(FLOOR(100 * value) AS BIGINT)))
+        |    AS BIGINT) AS p50_micro,
+        |  CAST(FLOOR(1000000.0 * percentile_cont(0.9)
+        |    WITHIN GROUP (ORDER BY CAST(FLOOR(100 * value) AS BIGINT)))
+        |    AS BIGINT) AS p90_micro,
+        |  CAST(FLOOR(1000000.0 * percentile_cont(0.99)
+        |    WITHIN GROUP (ORDER BY CAST(FLOOR(100 * value) AS BIGINT)))
+        |    AS BIGINT) AS p99_micro
+        |FROM q411_events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  val q411Sql: String =
+    """SELECT event_type,
+      |  CAST(FLOOR(1000000.0 * percentile_cont(0.5)
+      |    WITHIN GROUP (ORDER BY CAST(FLOOR(100 * value) AS BIGINT)))
+      |    AS BIGINT) AS p50_micro,
+      |  CAST(FLOOR(1000000.0 * percentile_cont(0.9)
+      |    WITHIN GROUP (ORDER BY CAST(FLOOR(100 * value) AS BIGINT)))
+      |    AS BIGINT) AS p90_micro,
+      |  CAST(FLOOR(1000000.0 * percentile_cont(0.99)
+      |    WITHIN GROUP (ORDER BY CAST(FLOOR(100 * value) AS BIGINT)))
+      |    AS BIGINT) AS p99_micro
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q411_percentile_cont" -> q411PercentileCont,
     "q407_identifier" -> q407Identifier,
     "q399_window_clause" -> q399WindowClause,
     "q400_pivot_sql" -> q400PivotSql,
@@ -250,6 +292,7 @@ object Sql4Surfaces {
     "q390_sql_udf" -> q390SqlUdf,
     "q391_param_sql" -> q391ParamSql)
   val oracleSql: Map[String, String] = Map(
+    "q411_percentile_cont" -> q411Sql,
     "q407_identifier" -> q407Sql,
     "q399_window_clause" -> q399Sql,
     "q400_pivot_sql" -> q400Sql,

@@ -750,7 +750,60 @@ object StreamBench {
       .toDF("n_types", "n_alarms_total")
   }
 
+  /** qs18 — streaming EWMA control chart ([[EwmaStream]]): qs17's
+    * reference-window/gate harness with the EWMA processor — the
+    * geometric-discount half of the monitoring pair (q369's scaladoc
+    * contract). Gate: full-final-state equality (EWMA micro, counters)
+    * vs the shared-step batch fold.
+    */
+  val qs18EwmaStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val mid = {
+      val ts = rows.map(_.ts.getTime)
+      ts.min + (ts.max - ts.min) / 2
+    }
+    val (refRows, curRows0) = rows.partition(_.ts.getTime < mid)
+    val refs = refRows.groupBy(_.event_type).map { case (t, es) =>
+      val cs = es.map(e => CusumStream.cents(e.value))
+      t -> EwmaStream.refOf(cs.size.toLong, cs.sum,
+        cs.map(c => c * c).sum)
+    }
+    val curRows = curRows0.sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = MemoryStream[Event]
+    val name = s"bench_ewma_${runId.incrementAndGet()}"
+    val q = EwmaStream.ewmaStream(stream.toDS(), refs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-ewma-ckpt").toString)
+      .start()
+    curRows.grouped(curRows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val all = s.table(name).as[EwmaEmit].collect()
+    s.catalog.dropTempView(name)
+    val streamed = all.groupBy(_.event_type).map { case (t, es) =>
+      t -> es.maxBy(_.n_rows)
+    }
+    curRows.groupBy(_.event_type).foreach { case (t, es0) =>
+      val es = es0.sortBy(e => (e.ts.getTime, e.event_id))
+      val exp = EwmaStream.fold(es, refs(t))
+      val e = streamed(t)
+      require((e.n_rows, e.ewma_micro, e.n_alarms, e.first_alarm_n) ==
+        ((exp.n, math.floor(1000000.0 * exp.e).toLong, exp.nAlarms,
+          exp.firstAlarmN)),
+        s"type $t: streamed $e != batch $exp")
+    }
+    Seq((streamed.size.toLong, streamed.values.map(_.n_alarms).sum))
+      .toDF("n_types", "n_alarms_total")
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "qs18_ewma_stream" -> qs18EwmaStream,
     "qs17_cusum_stream" -> qs17CusumStream,
     "qs16_psi_stream" -> qs16PsiStream,
     "qs13_reservoir_stream" -> qs13ReservoirStream,
