@@ -1095,9 +1095,17 @@ object TimeSeriesQueries {
     */
   val q380Holt: Q = (s, dir) => {
     import s.implicits._
-    val daily = T.events(s, dir)
+    holtFold(T.events(s, dir)
       .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
-      .agg(sum(expr("CAST(FLOOR(100 * value) AS BIGINT)")).as("x"))
+      .agg(sum(expr("CAST(FLOOR(100 * value) AS BIGINT)")).as("x")))
+  }
+
+  /** The Holt fold over any (event_type, day, x) daily frame — the
+    * spec pins the exact-on-linear-series closed form against it.
+    */
+  def holtFold(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
     daily
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_days"),
@@ -1179,9 +1187,15 @@ object TimeSeriesQueries {
     */
   val q381Hampel: Q = (s, dir) => {
     import s.implicits._
-    val daily = T.events(s, dir)
+    hampelFilter(T.events(s, dir)
       .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
-      .agg(sum(expr("CAST(FLOOR(100 * value) AS BIGINT)")).as("x"))
+      .agg(sum(expr("CAST(FLOOR(100 * value) AS BIGINT)")).as("x")))
+  }
+
+  /** The Hampel screen over any (event_type, day, x) daily frame. */
+  def hampelFilter(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
     val w = Window.partitionBy($"event_type").orderBy($"day")
       .rowsBetween(-3, 3)
     daily
