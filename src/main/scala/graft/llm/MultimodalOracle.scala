@@ -190,6 +190,49 @@ object MultimodalOracle {
           $"features" =!= $"e_features", 1).otherwise(0)) === 0).as("ok"))
   }
 
+  /** q412 — METADATA-ONLY header census: the fast pass a 100 TB media
+    * lake runs FIRST (catalog dimensions, rates, durations, frame
+    * counts) — the PPM header parse touches tens of bytes, the WAV
+    * chunk walk stops at fmt/data bounds, and the GVID index SEEKS
+    * over frame payloads via their declared lengths; no raster or
+    * sample is ever decoded, which is the whole point at scale.
+    * Every header-derived value is gated against the fixture's
+    * closed-form expectation (q180's convention: blobs are
+    * engine-side, the oracle re-derives the census).
+    */
+  val q412MediaHeaders: Q = (s, dir) => {
+    import s.implicits._
+    val meta = mediaScan(s, dir).map { r =>
+      r.mime match {
+        case PpmMime =>
+          val h = Multimodal.parsePpmHeader(r.bytes)
+          (r.media_id, r.mime, h.width.toLong, h.height.toLong)
+        case WavMime =>
+          val h = Multimodal.parseWavHeader(r.bytes)
+          (r.media_id, r.mime, h.sampleRate.toLong, (h.dataLen / 2).toLong)
+        case _ =>
+          val fs = Multimodal.parseGvid(r.bytes)
+          (r.media_id, r.mime, fs.length.toLong, fs.head._2.toLong)
+      }
+    }.toDF("media_id", "mime", "m1", "m2")
+    val expected = T.documents(s, dir).filter($"doc_id" < MediaDocBound)
+      .select($"doc_id").as[Long]
+      .flatMap { id =>
+        val (pw, ph) = ppmDims(id)
+        Seq((id, PpmMime, pw.toLong, ph.toLong),
+          (id, WavMime, WavRate.toLong, wavSampleCount(id).toLong),
+          (id, GvidMime, gvidFrameCount(id).toLong,
+            ppmBytes(gvidFrameId(id, 0)).length.toLong))
+      }.toDF("media_id", "mime", "e1", "e2")
+    meta.join(expected, Seq("media_id", "mime"))
+      .agg(
+        sum(when($"mime" === PpmMime, 1).otherwise(0)).as("n_images"),
+        sum(when($"mime" === WavMime, 1).otherwise(0)).as("n_audio"),
+        sum(when($"mime" === GvidMime, 1).otherwise(0)).as("n_video"),
+        (sum(when($"m1" =!= $"e1" || $"m2" =!= $"e2", 1).otherwise(0))
+          === 0).as("ok"))
+  }
+
   val q180Sql: String =
     s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
        |  CAST(COUNT(*) AS BIGINT) AS n_audio,
@@ -471,12 +514,14 @@ object MultimodalOracle {
 
   val queries: Map[String, Q] = Map(
     "q180_multimodal_decode" -> q180MultimodalDecode,
+    "q412_media_headers" -> q412MediaHeaders,
     "q190_multimodal_transforms" -> q190MultimodalTransforms,
     "q260_scene_cuts" -> q260SceneCuts,
     "q326_audio_segments" -> q326AudioSegments,
   )
   val oracleSql: Map[String, String] = Map(
     "q180_multimodal_decode" -> q180Sql,
+    "q412_media_headers" -> q180Sql,
     "q190_multimodal_transforms" -> q190Sql,
     "q260_scene_cuts" -> q260Sql,
     "q326_audio_segments" -> q326Sql,
