@@ -207,17 +207,41 @@ class FbcScanBuilder(root: String) extends ScanBuilder
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = FbcDataSource.Schema
-  private var countStar = false
+  private var aggSpecs: Seq[FbcAggSpec] = Nil
 
   private var groupCols: Seq[String] = Nil
   private var limit: Option[Int] = None
 
-  /** COUNT(*) — plain or grouped by the DIRECTORY columns — is
-    * answerable from the pruned walk alone: the reference's listing
-    * endpoints ARE these queries (ReadDir + len, main.go:143-155).
-    * Complete pushdown: Spark gets the pre-aggregated rows and plans
-    * no aggregate on top.
+  /** COUNT(*) / MIN / MAX over the PATH-DERIVED columns — plain or
+    * grouped by the directory columns — are answerable from the pruned
+    * walk alone: the reference's listing endpoints ARE these queries
+    * (ReadDir + len, main.go:143-155), and min/max of a directory's
+    * file names is a listing fold, never a body read. Complete
+    * pushdown: Spark gets the pre-aggregated rows and plans no
+    * aggregate on top.
     */
+  private def specOf(
+      e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+      : Option[FbcAggSpec] = {
+    def colOf(x: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = x match {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference
+          if f.fieldNames().length == 1 &&
+            Seq("package", "schema", "name").contains(f.fieldNames()(0)) =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    e match {
+      case _: org.apache.spark.sql.connector.expressions.aggregate.CountStar =>
+        Some(FbcAggCount)
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+        colOf(m.column).map(FbcAggMin)
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+        colOf(m.column).map(FbcAggMax)
+      case _ => None
+    }
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
@@ -227,16 +251,15 @@ class FbcScanBuilder(root: String) extends ScanBuilder
           (f.fieldNames()(0) == "package" || f.fieldNames()(0) == "schema")
       case _ => false
     }
-    groupable && agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    groupable && agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(e => specOf(e).isDefined)
   }
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     if (supportCompletePushDown(agg)) {
-      countStar = true
+      aggSpecs = agg.aggregateExpressions().toSeq.map(e => specOf(e).get)
       groupCols = agg.groupByExpressions().toSeq.map {
         case f: org.apache.spark.sql.connector.expressions.NamedReference =>
           f.fieldNames()(0)
@@ -254,7 +277,7 @@ class FbcScanBuilder(root: String) extends ScanBuilder
     * drop its Limit operator and return every group.
     */
   override def pushLimit(n: Int): Boolean =
-    if (countStar) false else { limit = Some(n); true }
+    if (aggSpecs.nonEmpty) false else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = false
 
   /** Accept equality on the path-derived columns (fully applied by
@@ -277,24 +300,47 @@ class FbcScanBuilder(root: String) extends ScanBuilder
   }
 
   override def build(): Scan =
-    if (countStar) new FbcCountScan(root, pushed, groupCols)
+    if (aggSpecs.nonEmpty) new FbcAggScan(root, pushed, groupCols, aggSpecs)
     else new FbcScan(root, pushed, required, limit)
 }
 
-/** Metadata-only COUNT(*), plain or grouped by directory columns: the
-  * pruned walk's file counts as pre-aggregated rows — zero file bodies
-  * touched at any stage.
+/** One pushed-down aggregate: COUNT(*) or MIN/MAX over a path-derived
+  * column — everything a directory listing can answer.
   */
-class FbcCountScan(root: String, pushed: Array[Filter],
-    groupCols: Seq[String]) extends Scan with Batch {
+sealed trait FbcAggSpec
+case object FbcAggCount extends FbcAggSpec
+case class FbcAggMin(col: String) extends FbcAggSpec
+case class FbcAggMax(col: String) extends FbcAggSpec
+
+/** Metadata-only aggregates (COUNT(*) / MIN / MAX of path-derived
+  * columns), plain or grouped by directory columns: the pruned walk's
+  * file lists fold into pre-aggregated rows — zero file bodies touched
+  * at any stage (the name min/max is a listing fold, exactly the work
+  * the reference's ReadDir-based endpoints do).
+  */
+class FbcAggScan(root: String, pushed: Array[Filter],
+    groupCols: Seq[String], aggs: Seq[FbcAggSpec]) extends Scan with Batch {
   override def readSchema(): StructType = StructType(
-    groupCols.map(c => StructField(c, StringType, nullable = false)) :+
-      StructField("count", org.apache.spark.sql.types.LongType,
-        nullable = false))
+    groupCols.map(c => StructField(c, StringType, nullable = false)) ++
+      aggs.map {
+        case FbcAggCount =>
+          StructField("count", org.apache.spark.sql.types.LongType,
+            nullable = false)
+        case FbcAggMin(c) => StructField(s"min($c)", StringType,
+          nullable = true)
+        case FbcAggMax(c) => StructField(s"max($c)", StringType,
+          nullable = true)
+      })
   override def toBatch: Batch = this
   override def description(): String =
-    s"FbcCountScan(root=$root, groupBy=${groupCols.mkString(",")}, " +
-      s"pushed=${pushed.mkString(",")})"
+    s"FbcAggScan(root=$root, groupBy=${groupCols.mkString(",")}, " +
+      s"aggs=${aggs.mkString(",")}, pushed=${pushed.mkString(",")})"
+  private def colVals(c: String, p: FbcInputPartition): Seq[String] = c match {
+    case "package" => p.files.toSeq.map(_ => p.pkg)
+    case "schema" => p.files.toSeq.map(_ => p.sch)
+    case "name" => p.files.toSeq.map(f =>
+      Paths.get(f).getFileName.toString.stripSuffix(".json"))
+  }
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = new FbcScan(root, pushed, FbcDataSource.Schema, None)
       .planInputPartitions().map(_.asInstanceOf[FbcInputPartition])
@@ -304,34 +350,50 @@ class FbcCountScan(root: String, pushed: Array[Filter],
         case "schema" => p.sch
       })
       .map { case (key, ps) =>
-        FbcCountRow(key, ps.map(_.files.length.toLong).sum)
+        FbcAggRow(key, aggs.map {
+          case FbcAggCount => ps.map(_.files.length.toLong).sum
+          case FbcAggMin(c) =>
+            val vs = ps.toSeq.flatMap(p => colVals(c, p))
+            if (vs.isEmpty) null else vs.min
+          case FbcAggMax(c) =>
+            val vs = ps.toSeq.flatMap(p => colVals(c, p))
+            if (vs.isEmpty) null else vs.max
+        })
       }.toArray
     // Complete pushdown means Spark plans NO aggregate on top, so a
-    // global COUNT(*) over an empty/missing tree must still yield the
-    // SQL-mandated single 0 row from the source itself.
+    // global aggregate over an empty/missing tree must still yield the
+    // SQL-mandated single row (COUNT = 0, MIN/MAX = NULL) from the
+    // source itself.
     val withGlobalZero =
-      if (groupCols.isEmpty && rows.isEmpty) Array(FbcCountRow(Nil, 0L))
+      if (groupCols.isEmpty && rows.isEmpty)
+        Array(FbcAggRow(Nil, aggs.map {
+          case FbcAggCount => 0L
+          case _ => null
+        }))
       else rows
-    Array(FbcCountPartition(withGlobalZero))
+    Array(FbcAggPartition(withGlobalZero))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition)
           : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
-        private val rows = p.asInstanceOf[FbcCountPartition].rows
+        private val rows = p.asInstanceOf[FbcAggPartition].rows
         private var i = -1
         override def next(): Boolean = { i += 1; i < rows.length }
         override def get(): InternalRow =
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            (rows(i).key.map(v => UTF8String.fromString(v): Any) :+
-              (rows(i).n: Any)).toArray)
+            (rows(i).key.map(v => UTF8String.fromString(v): Any) ++
+              rows(i).vals.map {
+                case s: String => UTF8String.fromString(s): Any
+                case other => other: Any
+              }).toArray)
         override def close(): Unit = ()
       }
     }
 }
 
-case class FbcCountRow(key: Seq[String], n: Long)
-case class FbcCountPartition(rows: Array[FbcCountRow]) extends InputPartition
+case class FbcAggRow(key: Seq[String], vals: Seq[Any])
+case class FbcAggPartition(rows: Array[FbcAggRow]) extends InputPartition
 
 class FbcScan(root: String, pushed: Array[Filter], required: StructType,
     limit: Option[Int] = None) extends Scan with Batch
@@ -646,6 +708,38 @@ object FbcSource {
        |FROM read_text('$FixtureRoot/*/*/*.json')
        |ORDER BY package, "schema", name""".stripMargin
 
-  val queries: Map[String, Q] = Map("q237_fbc_source" -> q237FbcSource)
-  val oracleSql: Map[String, String] = Map("q237_fbc_source" -> q237Sql)
+  /** q413 — the MIN/MAX pushdown as an oracle row: per package, the
+    * file count and the lexical first/last schema-object name — all
+    * answered by [[FbcAggScan]] from the directory walk (complete
+    * pushdown, no Spark aggregate, zero bodies opened — the spec pins
+    * the plan and the counter; this row pins the VALUES against
+    * DuckDB's read of the same tree).
+    */
+  val q413FbcMinmax: Q = (s, _) => {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    import s.implicits._
+    read(s).groupBy($"package")
+      .agg(count(lit(1)).as("n"), min($"name").as("min_name"),
+        max($"name").as("max_name"))
+      .orderBy($"package")
+  }
+
+  val q413Sql: String =
+    s"""SELECT
+       |  regexp_extract(filename, '([^/]+)/[^/]+/[^/]+$$', 1) AS package,
+       |  COUNT(*) AS n,
+       |  MIN(regexp_replace(regexp_extract(filename, '([^/]+)$$', 1),
+       |    '\\.json$$', '')) AS min_name,
+       |  MAX(regexp_replace(regexp_extract(filename, '([^/]+)$$', 1),
+       |    '\\.json$$', '')) AS max_name
+       |FROM read_text('$FixtureRoot/*/*/*.json')
+       |GROUP BY package
+       |ORDER BY package""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q237_fbc_source" -> q237FbcSource,
+    "q413_fbc_minmax" -> q413FbcMinmax)
+  val oracleSql: Map[String, String] = Map(
+    "q237_fbc_source" -> q237Sql,
+    "q413_fbc_minmax" -> q413Sql)
 }

@@ -105,7 +105,7 @@ class FbcDataSourceSpec extends SparkSpec {
     // hash-aggregate over per-row data
     val plan = FbcSource.read(spark).groupBy().count()
       .queryExecution.executedPlan.toString
-    assert(plan.contains("FbcCountScan"), s"count scan missing: $plan")
+    assert(plan.contains("FbcAggScan"), s"count scan missing: $plan")
   }
 
   test("grouped COUNT by directory columns pushes down completely") {
@@ -124,7 +124,46 @@ class FbcDataSourceSpec extends SparkSpec {
     assert(grouped == expected, s"grouped counts diverged: $grouped")
     val plan = FbcSource.read(spark).groupBy($"package").count()
       .queryExecution.executedPlan.toString
-    assert(plan.contains("FbcCountScan"), s"grouped count scan missing: $plan")
+    assert(plan.contains("FbcAggScan"), s"grouped count scan missing: $plan")
+  }
+
+  test("MIN/MAX over path columns push down completely, metadata-only") {
+    FbcSource.read(spark).count() // ensure fixture tree exists
+    val before = FbcDataSource.filesOpened.get()
+    val df = FbcSource.read(spark).groupBy($"package")
+      .agg(count(lit(1)).as("n"), min($"name").as("min_name"),
+        max($"name").as("max_name"))
+    val got = df.as[(String, Long, String, String)].collect().toSet
+    assert(FbcDataSource.filesOpened.get() == before,
+      "min/max over names must not open file bodies")
+    val expected = graft.catalog.FbcIngest.withPackageKey(
+        graft.catalog.FbcIngest.readMetaStream(
+          spark, graft.catalog.CatalogOracle.FixtureSource))
+      .groupBy($"package")
+      .agg(count(lit(1)).as("n"), min($"name").as("min_name"),
+        max($"name").as("max_name"))
+      .as[(String, Long, String, String)].collect().toSet
+    assert(got == expected, s"pushed min/max diverged: $got")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FbcAggScan"), s"agg scan missing: $plan")
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown still planned an aggregate: $plan")
+  }
+
+  test("MIN over the blob column is refused (body-derived, not listable)") {
+    val df = FbcSource.read(spark).groupBy($"package")
+      .agg(min($"blob").as("m"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FbcAggScan"),
+      s"blob aggregate wrongly pushed: $plan")
+    // and it still answers correctly through the row path
+    val got = df.as[(String, String)].collect().toMap
+    val expected = graft.catalog.FbcIngest.withPackageKey(
+        graft.catalog.FbcIngest.readMetaStream(
+          spark, graft.catalog.CatalogOracle.FixtureSource))
+      .groupBy($"package").agg(min($"blob").as("m"))
+      .as[(String, String)].collect().toMap
+    assert(got == expected)
   }
 
   test("LIMIT pushes into planning: only n files are read") {
@@ -149,7 +188,7 @@ class FbcDataSourceSpec extends SparkSpec {
       .filter($"name".startsWith("pkg")).count()
     assert(n == expected, s"residual-filter count wrong: $n vs $expected")
     val plan = df.groupBy().count().queryExecution.executedPlan.toString
-    assert(!plan.contains("FbcCountScan"),
+    assert(!plan.contains("FbcAggScan"),
       s"aggregate pushed down past a residual filter: $plan")
   }
 
