@@ -1227,6 +1227,60 @@ object DedupQueries {
        |FROM cells GROUP BY doc1, doc2
        |ORDER BY doc1, doc2""".stripMargin
 
+  /** q414 — SOFT dedup (duplicate DOWN-WEIGHTING instead of dropping
+    * — the SoftDeDup idea: hard keep-one discards the signal that a
+    * document was independently produced N times, soft dedup keeps
+    * every copy at weight 1/|cluster| so the CLUSTER contributes one
+    * document's worth of training mass; the q158 mixing step then
+    * budgets on EFFECTIVE tokens): clusters are q41's verified
+    * near-dup components, each doc contributes
+    * ⌊10⁶·ntok/|cluster|⌋ effective micro-tokens (exact integer
+    * division — the per-doc floor is the deterministic convention,
+    * and the lost remainder is < |docs| micro-tokens per source).
+    *
+    * Scale shape: the q101 cluster machinery + one size agg on the
+    * labels frame + one docs join + one per-source partial agg.
+    */
+  val q414SoftDedup: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = nearDuplicates(s, T.documents(s, dir), NearDupThreshold)
+      .select($"doc1", $"doc2")
+    val cc = graft.operators.ConnectedComponents(pairs,
+      src = "doc1", dst = "doc2")
+    val sizes = cc.groupBy($"comp").agg(count(lit(1)).as("csize"))
+    T.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long")
+          .as("ntok"))
+      .join(cc.select($"id".as("doc_id"), $"comp"), Seq("doc_id"), "left")
+      .join(sizes, Seq("comp"), "left")
+      .na.fill(1L, Seq("csize"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("tokens"),
+        sum(expr("(1000000 * ntok) div csize")).as("eff_tokens_micro"))
+      .orderBy($"source")
+  }
+
+  val q414Sql: String =
+    s"""$nearDupReachCte,
+       |labels AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+       |csizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS csize
+       |           FROM labels GROUP BY comp),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+       |      AS BIGINT) AS ntok
+       |  FROM documents),
+       |k AS (
+       |  SELECT d.source, d.ntok, COALESCE(s2.csize, 1) AS csize
+       |  FROM d LEFT JOIN labels l ON l.id = d.doc_id
+       |  LEFT JOIN csizes s2 ON s2.comp = l.comp)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS tokens,
+       |  CAST(SUM((1000000 * ntok) // csize) AS BIGINT) AS eff_tokens_micro
+       |FROM k GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** q346 — DEDUP SAVINGS report: the one-row business case for the
     * whole dedup family — of N docs, how many survive keep-one-per-
     * cluster (the q101/q163 policy), how many drop, and how many
@@ -1388,6 +1442,7 @@ object DedupQueries {
     "q322_containment_join" -> q322ContainmentJoin,
     "q344_dup_spans_explain" -> q344DupSpansExplain,
     "q392_weighted_jaccard" -> q392WeightedJaccard,
+    "q414_soft_dedup" -> q414SoftDedup,
     "q348_dup_lcs" -> q348DupLcs,
     "q361_deletion_join" -> q361DeletionJoin,
     "q346_dedup_savings" -> q346DedupSavings,
@@ -1410,6 +1465,7 @@ object DedupQueries {
     "q322_containment_join" -> q322Sql,
     "q344_dup_spans_explain" -> q344Sql,
     "q392_weighted_jaccard" -> q392Sql,
+    "q414_soft_dedup" -> q414Sql,
     "q348_dup_lcs" -> q348Sql,
     "q361_deletion_join" -> q361Sql,
     "q346_dedup_savings" -> q346Sql,

@@ -409,7 +409,63 @@ object DiversityStats {
        |ORDER BY abs(log_ratio_micro) DESC, tok ASC
        |LIMIT $SurgeTake""".stripMargin
 
+  /** q415 top-order-statistics count. */
+  val HillK = 100
+
+  /** q415 — HILL tail-index estimator over the trigram frequency
+    * distribution (Hill 1975 — the standard power-law tail reading:
+    * q354 fits the Zipf slope through the WHOLE rank-frequency line,
+    * Hill reads only the top-k order statistics, which is where
+    * heavy-tail behavior actually lives and what extreme-value theory
+    * licenses): H = (1/k)Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎), α̂ = 1/H. Order
+    * statistics come from one (count desc, species asc) rank window
+    * (ties pinned); per-term logs micro-quantized from exact BIGINT
+    * counts and summed order-free; α̂ one spelled double chain.
+    *
+    * Scale shape: the same single species census; ranking runs on the
+    * census frame, the fold on k+1 rows.
+    */
+  val q415HillTail: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.orderBy($"c".desc, $"g".asc)
+    val top = trigramCounts(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= HillK + 1)
+    val xk1 = top.filter($"rk" === HillK + 1).select($"c".as("xk1"))
+    top.filter($"rk" <= HillK).crossJoin(broadcast(xk1))
+      .select(expr("""CAST(FLOOR(1000000.0 *
+                     |  LN(CAST(c AS DOUBLE) / CAST(xk1 AS DOUBLE)))
+                     |  AS BIGINT)""".stripMargin).as("term_micro"),
+        $"xk1")
+      .groupBy($"xk1")
+      .agg(sum($"term_micro").as("sum_micro"))
+      .select(lit(HillK.toLong).as("k"), $"xk1",
+        expr(s"CAST(sum_micro div $HillK AS BIGINT)").as("hill_micro"),
+        expr(s"""CAST(FLOOR(1000000.0 /
+                |  (CAST(sum_micro AS DOUBLE) / (1000000.0 * $HillK.0)))
+                |  AS BIGINT)""".stripMargin).as("alpha_micro"))
+  }
+
+  val q415Sql: String =
+    s"""WITH f AS ($TrigramCountsSql),
+       |r AS (
+       |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, g ASC) AS rk
+       |  FROM f),
+       |xk AS (SELECT c AS xk1 FROM r WHERE rk = ${HillK + 1}),
+       |t AS (
+       |  SELECT CAST(FLOOR(1000000.0 *
+       |    LN(CAST(c AS DOUBLE) / CAST(xk1 AS DOUBLE))) AS BIGINT)
+       |    AS term_micro, xk1
+       |  FROM r CROSS JOIN xk WHERE rk <= $HillK)
+       |SELECT CAST($HillK AS BIGINT) AS k, xk1,
+       |  CAST(SUM(term_micro) // $HillK AS BIGINT) AS hill_micro,
+       |  CAST(FLOOR(1000000.0 /
+       |    (CAST(SUM(term_micro) AS DOUBLE) / (1000000.0 * $HillK.0)))
+       |    AS BIGINT) AS alpha_micro
+       |FROM t GROUP BY xk1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q415_hill_tail" -> q415HillTail,
     "q402_pretokenizer" -> q402Pretokenizer,
     "q403_surging_tokens" -> q403SurgingTokens,
     "q379_gini" -> q379Gini,
@@ -419,6 +475,7 @@ object DiversityStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q415_hill_tail" -> q415Sql,
     "q402_pretokenizer" -> q402Sql,
     "q403_surging_tokens" -> q403Sql,
     "q379_gini" -> q379Sql,
