@@ -1281,6 +1281,35 @@ object DedupQueries {
        |FROM k GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** q417 — duplicate-cluster SIZE DISTRIBUTION (the dup-structure
+    * profile behind every keep-one/soft-dedup policy decision: a
+    * corpus of pairs dedups very differently from one with a few
+    * hundred-copy boilerplate clusters — same pair count, opposite
+    * savings; q346/q414 price a policy, this row shows the structure
+    * the pricing stands on): histogram of q41 verified-cluster sizes.
+    *
+    * Scale shape: q101 labels + one size agg + one ≤max-size-row
+    * histogram reduction.
+    */
+  val q417ClusterSizes: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = nearDuplicates(s, T.documents(s, dir), NearDupThreshold)
+      .select($"doc1", $"doc2")
+    graft.operators.ConnectedComponents(pairs, src = "doc1", dst = "doc2")
+      .groupBy($"comp").agg(count(lit(1)).as("csize"))
+      .groupBy($"csize").agg(count(lit(1)).as("n_clusters"))
+      .orderBy($"csize")
+  }
+
+  val q417Sql: String =
+    s"""$nearDupReachCte,
+       |labels AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+       |csz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS csize
+       |        FROM labels GROUP BY comp)
+       |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |FROM csz GROUP BY csize
+       |ORDER BY csize""".stripMargin
+
   /** q346 — DEDUP SAVINGS report: the one-row business case for the
     * whole dedup family — of N docs, how many survive keep-one-per-
     * cluster (the q101/q163 policy), how many drop, and how many
@@ -1443,6 +1472,7 @@ object DedupQueries {
     "q344_dup_spans_explain" -> q344DupSpansExplain,
     "q392_weighted_jaccard" -> q392WeightedJaccard,
     "q414_soft_dedup" -> q414SoftDedup,
+    "q417_cluster_sizes" -> q417ClusterSizes,
     "q348_dup_lcs" -> q348DupLcs,
     "q361_deletion_join" -> q361DeletionJoin,
     "q346_dedup_savings" -> q346DedupSavings,
@@ -1466,6 +1496,7 @@ object DedupQueries {
     "q344_dup_spans_explain" -> q344Sql,
     "q392_weighted_jaccard" -> q392Sql,
     "q414_soft_dedup" -> q414Sql,
+    "q417_cluster_sizes" -> q417Sql,
     "q348_dup_lcs" -> q348Sql,
     "q361_deletion_join" -> q361Sql,
     "q346_dedup_savings" -> q346Sql,

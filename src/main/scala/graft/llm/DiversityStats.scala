@@ -464,7 +464,52 @@ object DiversityStats {
        |    AS BIGINT) AS alpha_micro
        |FROM t GROUP BY xk1""".stripMargin
 
+  /** q416 — VOCABULARY COVERAGE curve points (the tokenizer-design
+    * readout: how many highest-frequency species cover 50/90/99% of
+    * corpus mass — the number that sizes a vocab before training it;
+    * read on the trigram census where the tail actually exists):
+    * k_X = smallest rank whose cumulative count clears X% — the
+    * comparison is the exact integer cross-multiplication
+    * 100·cum ≥ X·total, no ratio ever materialized.
+    *
+    * Scale shape: one census pass; one (count desc, species) rank +
+    * cum window on the census frame; three MIN aggregates.
+    */
+  val q416VocabCoverage: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.orderBy($"c".desc, $"g".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wr = Window.orderBy($"c".desc, $"g".asc)
+    val cum = trigramCounts(s, dir)
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .withColumn("cum", sum($"c").over(w))
+    val tot = cum.agg(max($"cum").as("total"), count(lit(1)).as("vocab"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first($"vocab").as("vocab"), first($"total").as("total_mass"),
+        min(when($"cum" * 100L >= $"total" * 50L, $"rk")).as("k50"),
+        min(when($"cum" * 100L >= $"total" * 90L, $"rk")).as("k90"),
+        min(when($"cum" * 100L >= $"total" * 99L, $"rk")).as("k99"))
+  }
+
+  val q416Sql: String =
+    s"""WITH f AS ($TrigramCountsSql),
+       |r AS (
+       |  SELECT c,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY c DESC, g ASC) AS BIGINT) AS rk,
+       |    CAST(SUM(c) OVER (ORDER BY c DESC, g ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM f),
+       |t AS (SELECT CAST(MAX(cum) AS BIGINT) AS total,
+       |             CAST(COUNT(*) AS BIGINT) AS vocab FROM r)
+       |SELECT ANY_VALUE(vocab) AS vocab, ANY_VALUE(total) AS total_mass,
+       |  MIN(CASE WHEN cum * 100 >= total * 50 THEN rk END) AS k50,
+       |  MIN(CASE WHEN cum * 100 >= total * 90 THEN rk END) AS k90,
+       |  MIN(CASE WHEN cum * 100 >= total * 99 THEN rk END) AS k99
+       |FROM r CROSS JOIN t""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q416_vocab_coverage" -> q416VocabCoverage,
     "q415_hill_tail" -> q415HillTail,
     "q402_pretokenizer" -> q402Pretokenizer,
     "q403_surging_tokens" -> q403SurgingTokens,
@@ -475,6 +520,7 @@ object DiversityStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q416_vocab_coverage" -> q416Sql,
     "q415_hill_tail" -> q415Sql,
     "q402_pretokenizer" -> q402Sql,
     "q403_surging_tokens" -> q403Sql,

@@ -281,7 +281,91 @@ object Sql4Surfaces {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q418 — NULL-handling aggregate semantics gallery (the silent
+    * cross-system divergence class: COUNT(*) vs COUNT(col), SUM over
+    * an all-NULL group (NULL, not 0), MIN/MAX skipping NULLs,
+    * COUNT(DISTINCT) excluding them — pinned value-for-value between
+    * engines on a derived nullable column, including one group forced
+    * all-NULL so the SUM-of-nothing convention is actually exercised).
+    */
+  val q418NullAggSemantics: Q = (s, dir) => {
+    T.events(s, dir).createOrReplaceTempView("q418_events")
+    s.sql(
+      """SELECT event_type, COUNT(*) AS n_rows, COUNT(x) AS n_vals,
+        |  COUNT(*) - COUNT(x) AS n_nulls,
+        |  CAST(SUM(x) AS BIGINT) AS sum_x,
+        |  MIN(x) AS min_x, MAX(x) AS max_x,
+        |  COUNT(DISTINCT x) AS ndv_x
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'error' OR value > 100 THEN NULL
+        |         ELSE CAST(FLOOR(100 * value) AS BIGINT) END AS x
+        |  FROM q418_events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  val q418Sql: String =
+    """SELECT event_type, COUNT(*) AS n_rows, COUNT(x) AS n_vals,
+      |  COUNT(*) - COUNT(x) AS n_nulls,
+      |  CAST(SUM(x) AS BIGINT) AS sum_x,
+      |  MIN(x) AS min_x, MAX(x) AS max_x,
+      |  COUNT(DISTINCT x) AS ndv_x
+      |FROM (
+      |  SELECT event_type,
+      |    CASE WHEN event_type = 'error' OR value > 100 THEN NULL
+      |         ELSE CAST(FLOOR(100 * value) AS BIGINT) END AS x
+      |  FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q419 — CALENDAR semantics gallery (the classic cross-system
+    * discrepancy nest: month-end CLAMPING when adding months to a
+    * Jan-31/leap-Feb date, ISO Monday week truncation, quarter
+    * bucketing, day-of-week numbering): per distinct order month,
+    * last_day, the +1-month month-end (clamped), the ISO week start
+    * of the 15th, and the ISO day-of-week of the 1st — every value
+    * compared cross-engine (Spark weekday() is Monday=0, DuckDB
+    * isodow is Monday=1; the +1 normalization is pinned here).
+    */
+  val q419CalendarSemantics: Q = (s, dir) => {
+    T.orders(s, dir).createOrReplaceTempView("q419_orders")
+    s.sql(
+      """SELECT DISTINCT
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  last_day(o_orderdate) AS month_end,
+        |  add_months(last_day(o_orderdate), 1) AS next_month_end_clamped,
+        |  CAST(date_trunc('week',
+        |    date_add(CAST(date_trunc('month', o_orderdate) AS DATE), 14))
+        |    AS DATE) AS week_start_of_15th,
+        |  weekday(CAST(date_trunc('month', o_orderdate) AS DATE)) + 1
+        |    AS isodow_of_first,
+        |  quarter(o_orderdate) AS qtr
+        |FROM q419_orders
+        |ORDER BY month_start""".stripMargin)
+      .selectExpr("CAST(month_start AS DATE) AS month_start", "month_end",
+        "next_month_end_clamped", "week_start_of_15th", "isodow_of_first",
+        "qtr")
+  }
+
+  val q419Sql: String =
+    """SELECT DISTINCT
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  last_day(o_orderdate) AS month_end,
+      |  CAST(last_day(o_orderdate) + INTERVAL 1 MONTH AS DATE)
+      |    AS next_month_end_clamped,
+      |  CAST(date_trunc('week',
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) + 14) AS DATE)
+      |    AS week_start_of_15th,
+      |  CAST(isodow(CAST(date_trunc('month', o_orderdate) AS DATE))
+      |    AS INTEGER) AS isodow_of_first,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+      |FROM orders
+      |ORDER BY month_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q418_null_agg_semantics" -> q418NullAggSemantics,
+    "q419_calendar_semantics" -> q419CalendarSemantics,
     "q411_percentile_cont" -> q411PercentileCont,
     "q407_identifier" -> q407Identifier,
     "q399_window_clause" -> q399WindowClause,
@@ -292,6 +376,8 @@ object Sql4Surfaces {
     "q390_sql_udf" -> q390SqlUdf,
     "q391_param_sql" -> q391ParamSql)
   val oracleSql: Map[String, String] = Map(
+    "q418_null_agg_semantics" -> q418Sql,
+    "q419_calendar_semantics" -> q419Sql,
     "q411_percentile_cont" -> q411Sql,
     "q407_identifier" -> q407Sql,
     "q399_window_clause" -> q399Sql,
