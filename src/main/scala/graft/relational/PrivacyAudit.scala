@@ -311,7 +311,60 @@ object PrivacyAudit {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** q420 privacy budget ε = 1 → Laplace scale b = Δf/ε = 1 for a
+    * count query (sensitivity 1).
+    */
+  val DpScale = "1.0"
+
+  /** q420 — DIFFERENTIAL-PRIVACY Laplace mechanism over per-source
+    * doc counts (Dwork et al. TCC'06 — the release mechanism next to
+    * q217's k-anonymity AUDIT: k-anon says whether a projection is
+    * safe to show, DP says how to publish an aggregate with a
+    * provable privacy loss): noisy = count + Lap(Δf/ε), noise drawn
+    * by inverse-CDF from an md5 uniform — PINNED randomness, which
+    * makes the row reproducible and oracle-checkable while being
+    * explicitly NOT private (a real release draws fresh noise; the
+    * mechanism's arithmetic is what this row certifies, and the
+    * scaladoc says so out loud). u ∈ (0,1) from 8 md5 hex chars,
+    * noise = −b·sign(u−½)·ln(1−2|u−½|), one identically spelled
+    * double chain, milli-quantized.
+    *
+    * Scale shape: one per-source partial agg + a per-row noise
+    * expression.
+    */
+  val q420DpCounts: Q = (s, dir) => {
+    import s.implicits._
+    T.documents(s, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .withColumn("u", expr(
+        """(CAST(conv(substring(md5(concat('dp:', source)), 1, 8), 16, 10)
+          |  AS DOUBLE) + 0.5) / 4294967296.0""".stripMargin))
+      .select($"source", $"n",
+        expr(s"""CAST(FLOOR(1000.0 * (CAST(n AS DOUBLE)
+                |  - $DpScale * SIGN(u - 0.5)
+                |    * LN(1.0 - 2.0 * ABS(u - 0.5)))) AS BIGINT)"""
+          .stripMargin).as("noisy_milli"))
+      .orderBy($"source")
+  }
+
+  val q420Sql: String =
+    s"""WITH c AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY source),
+       |u AS (
+       |  SELECT source, n,
+       |    (CAST(('0x' || substring(md5('dp:' || source), 1, 8)) AS BIGINT)
+       |     + 0.5) / 4294967296.0 AS u
+       |  FROM c)
+       |SELECT source, n,
+       |  CAST(FLOOR(1000.0 * (CAST(n AS DOUBLE)
+       |    - $DpScale * SIGN(u - 0.5)
+       |      * LN(1.0 - 2.0 * ABS(u - 0.5)))) AS BIGINT) AS noisy_milli
+       |FROM u
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q420_dp_counts" -> q420DpCounts,
     "q316_randomized_response" -> q316RandomizedResponse,
     "q258_cascade_delete" -> q258CascadeDelete,
     "q217_k_anonymity" -> q217KAnonymity,
@@ -320,6 +373,7 @@ object PrivacyAudit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q420_dp_counts" -> q420Sql,
     "q316_randomized_response" -> q316Sql,
     "q217_k_anonymity" -> q217Sql,
     "q258_cascade_delete" -> q258Sql,

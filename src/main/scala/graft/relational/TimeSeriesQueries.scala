@@ -1333,7 +1333,50 @@ object TimeSeriesQueries {
        |FROM ld WHERE k >= 1
        |ORDER BY event_type, k""".stripMargin
 
+  /** q421 — event-time LATENESS profile (the watermark-design readout
+    * every streaming deployment needs BEFORE picking a delay: how out
+    * of order is this feed, really? a watermark tighter than the
+    * observed lateness silently drops data — qs-family correctness
+    * depends on this number): arrival order is the event_id sequence
+    * (the fixture's generation order — a real feed would use ingest
+    * offsets), per consecutive arrival the event-time REGRESSION
+    * max(0, prev_ts − ts) in µs, reported per type as the late count,
+    * max, and total — exact integers end to end.
+    *
+    * Scale shape: ONE per-type lag window + one partial agg.
+    */
+  val q421LatenessProfile: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"event_id")
+    T.events(s, dir)
+      .select($"event_type", $"event_id", unix_micros($"ts").as("t_us"))
+      .withColumn("late_us",
+        greatest(lag($"t_us", 1).over(w) - $"t_us", lit(0L)))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(($"late_us" > 0L).cast("long")).as("n_late"),
+        max($"late_us").as("max_late_us"),
+        sum($"late_us").as("sum_late_us"))
+      .orderBy($"event_type")
+  }
+
+  val q421Sql: String =
+    """WITH l AS (
+      |  SELECT event_type,
+      |    greatest(LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |        PARTITION BY event_type ORDER BY event_id)
+      |      - epoch_us(CAST(ts AS TIMESTAMP)), 0) AS late_us
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+      |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us
+      |FROM l GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q421_lateness_profile" -> q421LatenessProfile,
     "q394_pacf" -> q394Pacf,
     "q380_holt" -> q380Holt,
     "q381_hampel" -> q381Hampel,
@@ -1357,6 +1400,7 @@ object TimeSeriesQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q394_pacf" -> q394Sql,
+    "q421_lateness_profile" -> q421Sql,
     "q380_holt" -> q380Sql,
     "q381_hampel" -> q381Sql,
     "q369_ewma" -> q369Sql,
