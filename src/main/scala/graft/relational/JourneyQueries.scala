@@ -633,7 +633,67 @@ object JourneyQueries {
       |FROM phi
       |ORDER BY channel""".stripMargin
 
+  /** q425 — TIME-TO-CONVERT percentiles (the funnel-latency readout
+    * next to q94's conversion COUNT: "half our converts buy within X,
+    * the slow tail within Y" — the number that sets remarketing-window
+    * and attribution-lookback policy): per converting user the exact
+    * µs gap from first touch (signup/view/click) to first purchase
+    * AFTER it; p50/p90 by exact lower-rank selection (q356 dual-rank
+    * discipline, ties by user), all integers.
+    *
+    * Scale shape: one per-user conditional collapse (min touch, min
+    * later purchase via one keyed agg pair) + rank selection on the
+    * converts-bounded duration frame.
+    */
+  val q425TimeToConvert: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("t_us"), $"event_type")
+    val firstTouch = ev.filter($"event_type".isin("signup", "view", "click"))
+      .groupBy($"user_id").agg(min($"t_us").as("t0"))
+    val durs = ev.filter($"event_type" === "purchase")
+      .join(firstTouch, "user_id")
+      .filter($"t_us" >= $"t0")
+      .groupBy($"user_id", $"t0").agg(min($"t_us").as("tp"))
+      .select($"user_id", ($"tp" - $"t0").as("dur_us"))
+      .localCheckpoint() // count + two rank probes
+    val n = durs.count()
+    val w = Window.orderBy($"dur_us", $"user_id")
+    val ranked = durs.withColumn("rk", row_number().over(w).cast("long"))
+    val k50 = (n + 1) / 2
+    val k90 = math.min((9L * n + 9L) / 10L, n)
+    val p50 = ranked.filter($"rk" === k50).select($"dur_us")
+      .as[Long].head()
+    val p90 = ranked.filter($"rk" === k90)
+      .select($"dur_us").as[Long].head()
+    Seq((n, p50, p90)).toDF("n_converted", "p50_us", "p90_us")
+  }
+
+  val q425Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_type
+      |  FROM events),
+      |ft AS (SELECT user_id, MIN(t_us) AS t0 FROM e
+      |       WHERE event_type IN ('signup', 'view', 'click')
+      |       GROUP BY user_id),
+      |durs AS (
+      |  SELECT e.user_id, MIN(e.t_us) - ANY_VALUE(ft.t0) AS dur_us
+      |  FROM e JOIN ft USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.t_us >= ft.t0
+      |  GROUP BY e.user_id),
+      |r AS (
+      |  SELECT dur_us,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY dur_us, user_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |  FROM durs)
+      |SELECT ANY_VALUE(n) AS n_converted,
+      |  MIN(CASE WHEN rk = (n + 1) // 2 THEN dur_us END) AS p50_us,
+      |  MIN(CASE WHEN rk = least((9 * n + 9) // 10, n) THEN dur_us END)
+      |    AS p90_us
+      |FROM r""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q425_time_to_convert" -> q425TimeToConvert,
     "q378_shapley_attribution" -> q378Shapley,
     "q363_markov_attribution" -> q363MarkovAttribution,
     "q305_markov_baseline" -> q305MarkovBaseline,
@@ -644,6 +704,7 @@ object JourneyQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q425_time_to_convert" -> q425Sql,
     "q378_shapley_attribution" -> q378Sql,
     "q363_markov_attribution" -> q363Sql,
     "q305_markov_baseline" -> q305Sql,

@@ -1817,7 +1817,225 @@ object StatInference {
        |  n_event, n_censor
        |FROM by_dur ORDER BY cohort_week, dur""".stripMargin
 
+  /** q422 — TWO-WAY ANOVA sum-of-squares decomposition with
+    * interaction (Fisher — the factorial-experiment readout the
+    * one-factor family (q229 t, q285 MW, q290 KS) can't give: does
+    * the VARIANT effect DIFFER BY EVENT TYPE? the interaction SS is
+    * that question): factors A = event_type, B = user-parity variant;
+    * cell-means decomposition SS_A/SS_B/SS_AB/SS_err from EXACT
+    * integer sufficient statistics (n_ij, Σx_ij, Σx²), each squared-
+    * sum TERM micro-quantized at its own level BEFORE summation (a
+    * double SUM over cells is engine-order-dependent); near-balanced
+    * cells make the unbalanced-design sequential ambiguity
+    * immaterial; F_AB one spelled chain, milli-quantized. Int64
+    * budget: 10⁶·Σx² must fit int64 — fine through sf0.1 cents
+    * (~2.5e18), re-scale the quantum past that.
+    *
+    * Scale shape: ONE (A,B)-cell partial agg (a·b rows) + marginal
+    * folds on that bounded frame.
+    */
+  val q422TwoWayAnova: Q = (s, dir) => {
+    import s.implicits._
+    val cells = T.events(s, dir)
+      .select($"event_type".as("a"), ($"user_id" % 2 === 0).as("b"),
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("x"))
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s1"),
+        sum($"x" * $"x").as("s2"))
+      .localCheckpoint() // all four SS folds read this a·b-row frame
+    // every squared-sum term is micro-quantized at ITS OWN level
+    // before any summation — a double SUM over cells would be
+    // engine-order-dependent (the q230/q314 fold, applied to ANOVA)
+    val qterm = "CAST(FLOOR(1000000.0 * (CAST(%s AS DOUBLE) " +
+      "* CAST(%s AS DOUBLE) / CAST(%s AS DOUBLE))) AS BIGINT)"
+    val tot = cells.agg(sum($"n").as("nn"), sum($"s1").as("t1"),
+      (sum($"s2") * 1000000L).as("t2q"), countDistinct($"a").as("na"),
+      countDistinct($"b").as("nb"))
+    val ssCells = cells
+      .agg(sum(expr(qterm.format("s1", "s1", "n"))).as("ct_q"))
+    val ssA = cells.groupBy($"a")
+      .agg(sum($"n").as("n_i"), sum($"s1").as("s_i"))
+      .agg(sum(expr(qterm.format("s_i", "s_i", "n_i"))).as("at_q"))
+    val ssB = cells.groupBy($"b")
+      .agg(sum($"n").as("n_j"), sum($"s1").as("s_j"))
+      .agg(sum(expr(qterm.format("s_j", "s_j", "n_j"))).as("bt_q"))
+    tot.crossJoin(broadcast(ssCells)).crossJoin(broadcast(ssA))
+      .crossJoin(broadcast(ssB))
+      .withColumn("cf_q", expr(qterm.format("t1", "t1", "nn")))
+      .select($"nn".as("n_obs"), $"na", $"nb",
+        ($"at_q" - $"cf_q").as("ss_a_micro"),
+        ($"bt_q" - $"cf_q").as("ss_b_micro"),
+        ($"ct_q" - $"at_q" - $"bt_q" + $"cf_q").as("ss_ab_micro"),
+        ($"t2q" - $"ct_q").as("ss_err_micro"),
+        expr("""CAST(FLOOR(1000.0 *
+               |  (CAST(ct_q - at_q - bt_q + cf_q AS DOUBLE)
+               |   / (CAST(na AS DOUBLE) - 1.0) / (CAST(nb AS DOUBLE) - 1.0))
+               |  / (CAST(t2q - ct_q AS DOUBLE)
+               |     / (CAST(nn AS DOUBLE)
+               |        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))
+               |  AS BIGINT)""".stripMargin).as("f_ab_milli"))
+  }
+
+  val q422Sql: String =
+    """WITH cells AS (
+      |  SELECT event_type AS a, user_id % 2 = 0 AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT) AS s1,
+      |    CAST(SUM(CAST(FLOOR(100 * value) AS BIGINT)
+      |      * CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT) AS s2
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s1) AS BIGINT) AS t1,
+      |    CAST(SUM(s2) * 1000000 AS BIGINT) AS t2q,
+      |    CAST(COUNT(DISTINCT a) AS BIGINT) AS na,
+      |    CAST(COUNT(DISTINCT b) AS BIGINT) AS nb
+      |  FROM cells),
+      |ct AS (SELECT CAST(SUM(CAST(FLOOR(1000000.0 * (CAST(s1 AS DOUBLE)
+      |         * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT))
+      |         AS BIGINT) AS ct_q FROM cells),
+      |at AS (SELECT CAST(SUM(CAST(FLOOR(1000000.0 * (CAST(s_i AS DOUBLE)
+      |         * CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE))) AS BIGINT))
+      |         AS BIGINT) AS at_q
+      |       FROM (SELECT a, CAST(SUM(n) AS BIGINT) AS n_i,
+      |               CAST(SUM(s1) AS BIGINT) AS s_i
+      |             FROM cells GROUP BY a)),
+      |bt AS (SELECT CAST(SUM(CAST(FLOOR(1000000.0 * (CAST(s_j AS DOUBLE)
+      |         * CAST(s_j AS DOUBLE) / CAST(n_j AS DOUBLE))) AS BIGINT))
+      |         AS BIGINT) AS bt_q
+      |       FROM (SELECT b, CAST(SUM(n) AS BIGINT) AS n_j,
+      |               CAST(SUM(s1) AS BIGINT) AS s_j
+      |             FROM cells GROUP BY b)),
+      |f AS (
+      |  SELECT nn, na, nb, ct_q, at_q, bt_q, t2q,
+      |    CAST(FLOOR(1000000.0 * (CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+      |      / CAST(nn AS DOUBLE))) AS BIGINT) AS cf_q
+      |  FROM tot CROSS JOIN ct CROSS JOIN at CROSS JOIN bt)
+      |SELECT nn AS n_obs, na, nb,
+      |  CAST(at_q - cf_q AS BIGINT) AS ss_a_micro,
+      |  CAST(bt_q - cf_q AS BIGINT) AS ss_b_micro,
+      |  CAST(ct_q - at_q - bt_q + cf_q AS BIGINT) AS ss_ab_micro,
+      |  CAST(t2q - ct_q AS BIGINT) AS ss_err_micro,
+      |  CAST(FLOOR(1000.0 *
+      |    (CAST(ct_q - at_q - bt_q + cf_q AS DOUBLE)
+      |     / (CAST(na AS DOUBLE) - 1.0) / (CAST(nb AS DOUBLE) - 1.0))
+      |    / (CAST(t2q - ct_q AS DOUBLE)
+      |       / (CAST(nn AS DOUBLE)
+      |          - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))
+      |    AS BIGINT) AS f_ab_milli
+      |FROM f""".stripMargin
+
+  /** q424 — SAMPLE-RATIO MISMATCH check (the first thing every
+    * experimentation platform validates — an SRM means the assignment
+    * or logging is broken and every downstream readout is garbage;
+    * Fabijan et al. KDD'19 diagnosed it as the most common silent
+    * experiment bug): per event type, the unit counts under the
+    * 50/50 design, χ² = (n_a−n_b)²/(n_a+n_b) micro-quantized from
+    * exact BIGINTs, flag at the α=.05 critical value 3.841.
+    */
+  val q424Srm: Q = (s, dir) => {
+    import s.implicits._
+    T.events(s, dir)
+      .select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type")
+      .agg(sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"user_id" % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+      .select($"event_type", $"n_a", $"n_b",
+        expr("""CAST(FLOOR(1000000.0 *
+               |  (CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+               |   / CAST(n_a + n_b AS DOUBLE))) AS BIGINT)""".stripMargin)
+          .as("chi2_micro"))
+      .withColumn("srm_flag", $"chi2_micro" > 3841000L)
+      .orderBy($"event_type")
+  }
+
+  val q424Sql: String =
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      |c AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b
+      |  FROM u GROUP BY event_type)
+      |SELECT event_type, n_a, n_b,
+      |  CAST(FLOOR(1000000.0 *
+      |    (CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+      |     / CAST(n_a + n_b AS DOUBLE))) AS BIGINT) AS chi2_micro,
+      |  CAST(FLOOR(1000000.0 *
+      |    (CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+      |     / CAST(n_a + n_b AS DOUBLE))) AS BIGINT) > 3841000 AS srm_flag
+      |FROM c
+      |ORDER BY event_type""".stripMargin
+
+  /** q423 group count. */
+  val MomGroups = 32
+
+  /** q423 — MEDIAN-OF-MEANS robust mean (the sub-Gaussian estimator
+    * for heavy-tailed data — Nemirovsky–Yudin '83, popularized for
+    * ML by Lugosi–Mendelson: the plain mean of a heavy-tailed metric
+    * has terrible concentration, the median of k block means
+    * concentrates exponentially; operationally it is ALSO the
+    * estimator you get for free from k mapper partials): blocks by
+    * md5(event_id) mod k (engine-independent, decorrelated from any
+    * data order), each block mean ONE identically spelled double
+    * division of exact BIGINTs, the median of the k means by exact
+    * lower-rank selection (ties by block id). The plain mean rides
+    * along for contrast.
+    *
+    * Scale shape: ONE keyed partial agg to k rows; selection on the
+    * k-row frame.
+    */
+  val q423MedianOfMeans: Q = (s, dir) => {
+    import s.implicits._
+    val blocks = T.events(s, dir)
+      .select(expr(
+        s"""CAST(conv(substring(md5(concat('mom:', CAST(event_id AS STRING))),
+           |  1, 8), 16, 10) AS BIGINT) % $MomGroups""".stripMargin).as("blk"),
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("x"))
+      .groupBy($"blk")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s1"))
+      .withColumn("mean", expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .localCheckpoint() // the rank selection and the global mean
+    val w = Window.orderBy($"mean", $"blk")
+    val mom = blocks
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === (MomGroups + 1) / 2)
+      .select($"mean".as("mom"))
+    val tot = blocks.agg(sum($"n").as("n_obs"), sum($"s1").as("s_tot"))
+    tot.crossJoin(broadcast(mom))
+      .select($"n_obs",
+        expr("CAST(FLOOR(1000.0 * CAST(s_tot AS DOUBLE) / CAST(n_obs AS DOUBLE)) AS BIGINT)")
+          .as("mean_milli"),
+        expr("CAST(FLOOR(1000.0 * mom) AS BIGINT)").as("mom_milli"))
+  }
+
+  val q423Sql: String =
+    s"""WITH blocks AS (
+       |  SELECT CAST(('0x' || substring(md5('mom:' || CAST(event_id AS VARCHAR)),
+       |      1, 8)) AS BIGINT) % $MomGroups AS blk,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT) AS s1
+       |  FROM events GROUP BY 1),
+       |m AS (SELECT blk, n, s1,
+       |        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+       |      FROM blocks),
+       |sel AS (
+       |  SELECT mean AS mom FROM (
+       |    SELECT mean, ROW_NUMBER() OVER (ORDER BY mean, blk) AS rk
+       |    FROM m)
+       |  WHERE rk = ${(MomGroups + 1) / 2}),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_obs,
+       |        CAST(SUM(s1) AS BIGINT) AS s_tot FROM m)
+       |SELECT n_obs,
+       |  CAST(FLOOR(1000.0 * CAST(s_tot AS DOUBLE) / CAST(n_obs AS DOUBLE))
+       |    AS BIGINT) AS mean_milli,
+       |  CAST(FLOOR(1000.0 * mom) AS BIGINT) AS mom_milli
+       |FROM t CROSS JOIN sel""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q423_median_of_means" -> q423MedianOfMeans,
+    "q422_two_way_anova" -> q422TwoWayAnova,
+    "q424_srm" -> q424Srm,
     "q409_cohort_km" -> q409CohortKm,
     "q408_sprt" -> q408Sprt,
     "q404_ratio_metric" -> q404RatioMetric,
@@ -1854,6 +2072,9 @@ object StatInference {
     "q404_ratio_metric" -> q404Sql,
     "q408_sprt" -> q408Sql,
     "q409_cohort_km" -> q409Sql,
+    "q422_two_way_anova" -> q422Sql,
+    "q423_median_of_means" -> q423Sql,
+    "q424_srm" -> q424Sql,
     "q397_conformal" -> q397Sql,
     "q357_mann_kendall" -> q357Sql,
     "q343_balance_audit" -> q343Sql,

@@ -1375,7 +1375,59 @@ object TimeSeriesQueries {
       |FROM l GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q426 trailing window (days) for the MAU side. */
+  val MauWindowDays = 30
+
+  /** q426 — DAU/MAU STICKINESS per day (the engagement ratio every
+    * product review opens with — "what fraction of the monthly
+    * audience shows up daily"): exact trailing-30-day distinct via
+    * the q406 offsets-expansion (each (user, day) observation serves
+    * its ≤30 future windows — one narrow ×30 explode then a distinct
+    * partial agg; at 100 TB the same query runs on q406's merged
+    * daily HLL sketches instead, documented there), ratio
+    * milli-quantized by exact integer division.
+    *
+    * Scale shape: one (day,user) dedup, one bounded ×30 expansion +
+    * distinct partial agg, one day-keyed join — no window re-scan.
+    */
+  val q426Stickiness: Q = (s, dir) => {
+    import s.implicits._
+    val du = T.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+      .localCheckpoint() // DAU side and MAU expansion share it
+    val days = du.select($"day").distinct()
+    val dau = du.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val offsets = s.range(0, MauWindowDays).select($"id".as("off"))
+    val mau = du.crossJoin(broadcast(offsets))
+      .select(date_add($"day", $"off".cast("int")).as("day"), $"user_id")
+      .join(days, "day")
+      .distinct()
+      .groupBy($"day").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "day")
+      .select($"day", $"dau", $"mau",
+        expr("(1000 * dau) div mau").as("stickiness_milli"))
+      .orderBy($"day")
+  }
+
+  val q426Sql: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    user_id
+       |  FROM events),
+       |days AS (SELECT DISTINCT day FROM du),
+       |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+       |        FROM du GROUP BY day),
+       |mau AS (
+       |  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+       |  FROM days d JOIN du u
+       |    ON u.day <= d.day AND u.day > d.day - $MauWindowDays
+       |  GROUP BY d.day)
+       |SELECT day, dau, mau, (1000 * dau) // mau AS stickiness_milli
+       |FROM dau JOIN mau USING (day)
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q426_stickiness" -> q426Stickiness,
     "q421_lateness_profile" -> q421LatenessProfile,
     "q394_pacf" -> q394Pacf,
     "q380_holt" -> q380Holt,
@@ -1401,6 +1453,7 @@ object TimeSeriesQueries {
   val oracleSql: Map[String, String] = Map(
     "q394_pacf" -> q394Sql,
     "q421_lateness_profile" -> q421Sql,
+    "q426_stickiness" -> q426Sql,
     "q380_holt" -> q380Sql,
     "q381_hampel" -> q381Sql,
     "q369_ewma" -> q369Sql,
