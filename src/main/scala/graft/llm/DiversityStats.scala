@@ -508,7 +508,103 @@ object DiversityStats {
        |  MIN(CASE WHEN cum * 100 >= total * 99 THEN rk END) AS k99
        |FROM r CROSS JOIN t""".stripMargin
 
+  /** q427 — THEIL-T inequality with between/within DECOMPOSITION
+    * (Theil 1967 — the reason to run it NEXT TO q379's Gini: Gini
+    * doesn't decompose, Theil splits corpus token-mass inequality
+    * exactly into "sources differ from each other" vs "docs differ
+    * inside their source", which tells a curation review WHERE to
+    * intervene): T = (1/N)Σ(xᵢ/μ)ln(xᵢ/μ), T_between from source
+    * means, weighted within from per-source terms. Every per-doc and
+    * per-source term is one identically spelled double chain from
+    * exact BIGINTs, micro-quantized, summed order-free; the three
+    * emitted numbers come from those quantized pieces (closure
+    * T ≈ between + within then holds to quantization, checked in the
+    * spec-free oracle by value equality of each piece).
+    *
+    * Scale shape: one per-doc narrow pass + one per-source partial
+    * agg; the between fold runs on the sources-bounded frame.
+    */
+  val q427TheilDecomposition: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+      .select($"source",
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long")
+          .as("x"))
+      .filter($"x" > 0L)
+      .localCheckpoint() // totals, per-source, and per-doc terms
+    val tot = docs.agg(count(lit(1)).as("nn"), sum($"x").as("xx"))
+    val bySrc = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_s"), sum($"x").as("x_s"))
+    val tTotal = docs.crossJoin(broadcast(tot))
+      .select(expr(
+        """CAST(FLOOR(1000000.0 * (
+          |  (CAST(x AS DOUBLE) * CAST(nn AS DOUBLE) / CAST(xx AS DOUBLE))
+          |  * LN(CAST(x AS DOUBLE) * CAST(nn AS DOUBLE)
+          |       / CAST(xx AS DOUBLE)))) AS BIGINT)""".stripMargin)
+        .as("tq"))
+      .agg(sum($"tq").as("num"))
+    val tBetween = bySrc.crossJoin(broadcast(tot))
+      .select(expr(
+        """CAST(FLOOR(1000000.0 * (
+          |  (CAST(x_s AS DOUBLE) / CAST(xx AS DOUBLE))
+          |  * LN((CAST(x_s AS DOUBLE) / CAST(n_s AS DOUBLE))
+          |       / (CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)))))
+          |  AS BIGINT)""".stripMargin).as("bq"))
+      .agg(sum($"bq").as("between_micro"))
+    val tWithin = docs.join(bySrc, "source").crossJoin(broadcast(tot))
+      .select(expr(
+        """CAST(FLOOR(1000000.0 * (
+          |  (CAST(x AS DOUBLE) / CAST(xx AS DOUBLE))
+          |  * LN(CAST(x AS DOUBLE) * CAST(n_s AS DOUBLE)
+          |       / CAST(x_s AS DOUBLE)))) AS BIGINT)""".stripMargin)
+        .as("wq"))
+      .agg(sum($"wq").as("within_weighted_micro"))
+    tot.crossJoin(broadcast(tTotal)).crossJoin(broadcast(tBetween))
+      .crossJoin(broadcast(tWithin))
+      .select($"nn".as("n_docs"), $"xx".as("tokens"),
+        expr("CAST(num div nn AS BIGINT)").as("t_total_micro"),
+        $"between_micro", $"within_weighted_micro")
+  }
+
+  val q427Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS BIGINT) AS x
+      |  FROM documents),
+      |docs AS (SELECT * FROM d WHERE x > 0),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+      |               CAST(SUM(x) AS BIGINT) AS xx FROM docs),
+      |bysrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+      |                 CAST(SUM(x) AS BIGINT) AS x_s
+      |          FROM docs GROUP BY source),
+      |tt AS (
+      |  SELECT CAST(SUM(CAST(FLOOR(1000000.0 * (
+      |    (CAST(x AS DOUBLE) * CAST(nn AS DOUBLE) / CAST(xx AS DOUBLE))
+      |    * LN(CAST(x AS DOUBLE) * CAST(nn AS DOUBLE)
+      |         / CAST(xx AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS num
+      |  FROM docs CROSS JOIN tot),
+      |tb AS (
+      |  SELECT CAST(SUM(CAST(FLOOR(1000000.0 * (
+      |    (CAST(x_s AS DOUBLE) / CAST(xx AS DOUBLE))
+      |    * LN((CAST(x_s AS DOUBLE) / CAST(n_s AS DOUBLE))
+      |         / (CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)))))
+      |    AS BIGINT)) AS BIGINT) AS between_micro
+      |  FROM bysrc CROSS JOIN tot),
+      |tw AS (
+      |  SELECT CAST(SUM(CAST(FLOOR(1000000.0 * (
+      |    (CAST(x AS DOUBLE) / CAST(xx AS DOUBLE))
+      |    * LN(CAST(x AS DOUBLE) * CAST(n_s AS DOUBLE)
+      |         / CAST(x_s AS DOUBLE)))) AS BIGINT)) AS BIGINT)
+      |    AS within_weighted_micro
+      |  FROM docs JOIN bysrc USING (source) CROSS JOIN tot)
+      |SELECT nn AS n_docs, xx AS tokens,
+      |  CAST(num // nn AS BIGINT) AS t_total_micro,
+      |  between_micro, within_weighted_micro
+      |FROM tot CROSS JOIN tt CROSS JOIN tb CROSS JOIN tw""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q427_theil_decomposition" -> q427TheilDecomposition,
     "q416_vocab_coverage" -> q416VocabCoverage,
     "q415_hill_tail" -> q415HillTail,
     "q402_pretokenizer" -> q402Pretokenizer,
@@ -520,6 +616,7 @@ object DiversityStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q427_theil_decomposition" -> q427Sql,
     "q416_vocab_coverage" -> q416Sql,
     "q415_hill_tail" -> q415Sql,
     "q402_pretokenizer" -> q402Sql,

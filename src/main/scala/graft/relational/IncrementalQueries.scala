@@ -406,7 +406,85 @@ object IncrementalQueries {
       |     WHERE event_type = 'purchase')) AS n_inter_exact,
       |  TRUE AS overlap_ok""".stripMargin
 
+  /** q429 — the FULL MERGE clause matrix (ANSI MERGE as q102's upsert
+    * extended by the two clauses it lacks: WHEN MATCHED ... DELETE and
+    * Spark 3.4's WHEN NOT MATCHED BY SOURCE — the complete
+    * base⊕changes truth table a CDC apply must implement): base =
+    * orders, change set derived deterministically (key%5=0 touched;
+    * %3 picks delete vs update; %11=0 shifted keys insert), stale
+    * marking for urgent rows the source no longer mentions. The merge
+    * is expressed DECLARATIVELY as one full-outer join + CASE row
+    * policy — which IS merge-on-read, the same relational core a
+    * MERGE INTO executor plans — and the emitted census (status, n,
+    * cents checksum) value-checks every branch of the matrix.
+    *
+    * Scale shape: ONE full-outer hash join on the key + one partial
+    * agg; no per-row driver logic.
+    */
+  val q429MergeMatrix: Q = (s, dir) => {
+    import s.implicits._
+    val base = T.orders(s, dir)
+      .select($"o_orderkey".as("k"),
+        expr("CAST(FLOOR(100.0 * o_totalprice) AS BIGINT)").as("p"),
+        ($"o_orderpriority" === "1-URGENT").as("urgent"))
+      .localCheckpoint() // merge side + the insert-key shift bound
+    val maxK = base.agg(max($"k").as("maxk"))
+    val changes = base.filter($"k" % 5 === 0)
+      .select($"k",
+        when($"k" % 3 === 0, "delete").otherwise("update").as("action"),
+        lit(null).cast("long").as("newp"))
+      .unionByName(base.filter($"k" % 11 === 0).crossJoin(broadcast(maxK))
+        .select(($"k" + $"maxk").as("k"), lit("insert").as("action"),
+          lit(5000L).as("newp")))
+    base.join(changes, Seq("k"), "full_outer")
+      .select($"k",
+        when($"action" === "delete", lit(null).cast("string"))
+          .when($"action" === "update", lit("updated"))
+          .when($"action" === "insert", lit("inserted"))
+          .when($"action".isNull && $"urgent", lit("stale_marked"))
+          .otherwise(lit("kept")).as("status"),
+        when($"action" === "update", $"p" + 10000L)
+          .when($"action" === "insert", $"newp")
+          .otherwise($"p").as("pc"))
+      .filter($"status".isNotNull)
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n"), sum($"pc").as("sum_cents"))
+      .orderBy($"status")
+  }
+
+  val q429Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(FLOOR(100.0 * o_totalprice) AS BIGINT) AS p,
+      |    o_orderpriority = '1-URGENT' AS urgent
+      |  FROM orders),
+      |m AS (SELECT MAX(k) AS maxk FROM base),
+      |changes AS (
+      |  SELECT k, CASE WHEN k % 3 = 0 THEN 'delete' ELSE 'update' END
+      |      AS action, CAST(NULL AS BIGINT) AS newp
+      |  FROM base WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT k + maxk, 'insert', 5000
+      |  FROM base CROSS JOIN m WHERE k % 11 = 0),
+      |merged AS (
+      |  SELECT COALESCE(b.k, c.k) AS k,
+      |    CASE WHEN c.action = 'delete' THEN NULL
+      |         WHEN c.action = 'update' THEN 'updated'
+      |         WHEN c.action = 'insert' THEN 'inserted'
+      |         WHEN c.action IS NULL AND b.urgent THEN 'stale_marked'
+      |         ELSE 'kept' END AS status,
+      |    CASE WHEN c.action = 'update' THEN b.p + 10000
+      |         WHEN c.action = 'insert' THEN c.newp
+      |         ELSE b.p END AS pc
+      |  FROM base b FULL OUTER JOIN changes c ON b.k = c.k)
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(pc) AS BIGINT) AS sum_cents
+      |FROM merged WHERE status IS NOT NULL
+      |GROUP BY status
+      |ORDER BY status""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q429_merge_matrix" -> q429MergeMatrix,
     "q170_hll_overlap" -> q170HllOverlap,
     "q166_incremental_join" -> q166IncrementalJoin,
     "q264_incremental_topk" -> q264IncrementalTopK,
@@ -418,6 +496,7 @@ object IncrementalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q429_merge_matrix" -> q429Sql,
     "q170_hll_overlap" -> q170Sql,
     "q166_incremental_join" -> q166Sql,
     "q264_incremental_topk" -> q264Sql,
