@@ -1310,6 +1310,44 @@ object DedupQueries {
        |FROM csz GROUP BY csize
        |ORDER BY csize""".stripMargin
 
+  /** q430 — CROSS-SOURCE contamination matrix (which feeds copy from
+    * which: q41's verified pairs re-keyed by the SOURCES of their
+    * endpoints — the ingest-review answer "is feed X scraping feed Y,
+    * or only duplicating itself?"; diagonal = within-feed redundancy,
+    * off-diagonal = cross-feed copying, the one that breaks
+    * source-stratified dedup assumptions): unordered source pair
+    * (lexicographic) with pair counts.
+    *
+    * Scale shape: the q41 pipeline + two doc_id→source joins + one
+    * (src_a, src_b) partial agg.
+    */
+  val q430SourceContamination: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val src = docs.select($"doc_id", $"source")
+    nearDuplicates(s, docs, NearDupThreshold)
+      .select($"doc1", $"doc2")
+      .join(src.select($"doc_id".as("doc1"), $"source".as("s1")), "doc1")
+      .join(src.select($"doc_id".as("doc2"), $"source".as("s2")), "doc2")
+      .select(least($"s1", $"s2").as("src_a"),
+        greatest($"s1", $"s2").as("src_b"))
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val q430Sql: String =
+    s"""$nearDupReachCte,
+       |sp AS (
+       |  SELECT least(a.source, b.source) AS src_a,
+       |    greatest(a.source, b.source) AS src_b
+       |  FROM dup
+       |  JOIN documents a ON a.doc_id = dup.doc1
+       |  JOIN documents b ON b.doc_id = dup.doc2)
+       |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM sp GROUP BY src_a, src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   /** q346 — DEDUP SAVINGS report: the one-row business case for the
     * whole dedup family — of N docs, how many survive keep-one-per-
     * cluster (the q101/q163 policy), how many drop, and how many
@@ -1473,6 +1511,7 @@ object DedupQueries {
     "q392_weighted_jaccard" -> q392WeightedJaccard,
     "q414_soft_dedup" -> q414SoftDedup,
     "q417_cluster_sizes" -> q417ClusterSizes,
+    "q430_source_contamination" -> q430SourceContamination,
     "q348_dup_lcs" -> q348DupLcs,
     "q361_deletion_join" -> q361DeletionJoin,
     "q346_dedup_savings" -> q346DedupSavings,
@@ -1497,6 +1536,7 @@ object DedupQueries {
     "q392_weighted_jaccard" -> q392Sql,
     "q414_soft_dedup" -> q414Sql,
     "q417_cluster_sizes" -> q417Sql,
+    "q430_source_contamination" -> q430Sql,
     "q348_dup_lcs" -> q348Sql,
     "q361_deletion_join" -> q361Sql,
     "q346_dedup_savings" -> q346Sql,

@@ -206,13 +206,120 @@ object VectorStats {
        |FROM b GROUP BY dim, bucket
        |ORDER BY dim, bucket""".stripMargin
 
+  /** q431 — EMBEDDING-CENTROID drift per label (the drift family
+    * (PSI/KL/JSD/EMD/surge) extended to the VECTOR column: "did what
+    * this label MEANS move between corpus halves?" — the check run
+    * before trusting an old classifier head or ANN index against a
+    * refreshed embedding table): per (label, half by vec_id midpoint)
+    * the exact integer per-dimension centroid numerators (2^20
+    * quantization), then the cosine between the two half-centroids
+    * with every per-dimension product micro-quantized BEFORE the sum
+    * (order-free — a double Σ over dims is engine-order-dependent).
+    *
+    * Scale shape: one posexplode partial agg keyed (label, half, dim)
+    * — the classic centroid shuffle, labels×2×64 rows out; everything
+    * after runs on that bounded frame.
+    */
+  val q431CentroidDrift: Q = (s, dir) => {
+    import s.implicits._
+    val e = T.embeddings(s, dir)
+      .select($"vec_id", $"label",
+        expr("""transform(embedding,
+               |  x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"""
+          .stripMargin).as("qv"))
+    val mid = e.agg((((min($"vec_id") + max($"vec_id") + 1L) / 2L)
+      .cast("long")).as("mid"))
+    val halves = e.crossJoin(broadcast(mid))
+      .select($"label", ($"vec_id" >= $"mid").as("h"),
+        posexplode($"qv").as(Seq("i", "v")))
+      .localCheckpoint() // dims cells + per-half counts
+    val counts = halves.filter($"i" === 0).groupBy($"label", $"h")
+      .agg(count(lit(1)).as("n"))
+    val cells = halves.groupBy($"label", $"h", $"i")
+      .agg(sum($"v").as("sv"))
+      .join(counts, Seq("label", "h"))
+    val a = cells.filter(!$"h")
+      .select($"label", $"i", $"sv".as("sa"), $"n".as("n_a"))
+    val b = cells.filter($"h")
+      .select($"label", $"i", $"sv".as("sb"), $"n".as("n_b"))
+    a.join(b, Seq("label", "i"))
+      .select($"label", $"n_a", $"n_b",
+        expr("""CAST(FLOOR(1000000.0 *
+               |  ((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+               |   * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+               |   / 1048576.0)) AS BIGINT)""".stripMargin).as("ab_q"),
+        expr("""CAST(FLOOR(1000000.0 *
+               |  ((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+               |   * (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+               |   / 1048576.0)) AS BIGINT)""".stripMargin).as("aa_q"),
+        expr("""CAST(FLOOR(1000000.0 *
+               |  ((CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+               |   * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+               |   / 1048576.0)) AS BIGINT)""".stripMargin).as("bb_q"))
+      .groupBy($"label")
+      .agg(first($"n_a").as("n_a"), first($"n_b").as("n_b"),
+        sum($"ab_q").as("num"), sum($"aa_q").as("aa"),
+        sum($"bb_q").as("bb"))
+      .select($"label", $"n_a", $"n_b",
+        expr("""CAST(FLOOR(1000000.0 * (CAST(num AS DOUBLE)
+               |  / SQRT(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE))))
+               |  AS BIGINT)""".stripMargin).as("cos_micro"))
+      .orderBy($"label")
+  }
+
+  val q431Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |m AS (SELECT (MIN(vec_id) + MAX(vec_id) + 1) // 2 AS mid FROM e),
+      |halves AS (
+      |  SELECT label, vec_id >= mid AS h, i - 1 AS i, qv[i] AS v
+      |  FROM e CROSS JOIN m, UNNEST(range(1, len(qv) + 1)) AS t(i)),
+      |counts AS (
+      |  SELECT label, h, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM halves WHERE i = 0 GROUP BY label, h),
+      |cells AS (
+      |  SELECT hh.label, hh.h, hh.i, CAST(SUM(v) AS BIGINT) AS sv, n
+      |  FROM halves hh JOIN counts USING (label, h)
+      |  GROUP BY hh.label, hh.h, hh.i, n),
+      |j AS (
+      |  SELECT a.label, a.i, a.sv AS sa, a.n AS n_a, b.sv AS sb,
+      |    b.n AS n_b
+      |  FROM cells a JOIN cells b
+      |    ON a.label = b.label AND a.i = b.i AND NOT a.h AND b.h),
+      |t AS (
+      |  SELECT label, n_a, n_b,
+      |    CAST(FLOOR(1000000.0 *
+      |      ((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |       * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |       / 1048576.0)) AS BIGINT) AS ab_q,
+      |    CAST(FLOOR(1000000.0 *
+      |      ((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |       * (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |       / 1048576.0)) AS BIGINT) AS aa_q,
+      |    CAST(FLOOR(1000000.0 *
+      |      ((CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |       * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |       / 1048576.0)) AS BIGINT) AS bb_q
+      |  FROM j)
+      |SELECT label, ANY_VALUE(n_a) AS n_a, ANY_VALUE(n_b) AS n_b,
+      |  CAST(FLOOR(1000000.0 * (CAST(SUM(ab_q) AS DOUBLE)
+      |    / SQRT(CAST(SUM(aa_q) AS DOUBLE) * CAST(SUM(bb_q) AS DOUBLE))))
+      |    AS BIGINT) AS cos_micro
+      |FROM t GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q431_centroid_drift" -> q431CentroidDrift,
     "q262_quantile_bins" -> q262QuantileBins,
     "q137_group_centroid" -> q137GroupCentroid,
     "q151_embedding_covariance" -> q151EmbeddingCovariance,
     "q249_vector_audit" -> q249VectorAudit,
   )
   val oracleSql: Map[String, String] = Map(
+    "q431_centroid_drift" -> q431Sql,
     "q262_quantile_bins" -> q262Sql,
     "q137_group_centroid" -> q137Sql,
     "q151_embedding_covariance" -> q151Sql,
