@@ -1348,6 +1348,72 @@ object DedupQueries {
        |FROM sp GROUP BY src_a, src_b
        |ORDER BY src_a, src_b""".stripMargin
 
+  /** q432 — dedup THRESHOLD sensitivity sweep (how the q41 knob gets
+    * chosen: pair volume as a function of the Jaccard cutoff, read
+    * off ONE exact trigram-intersection computation — a cliff between
+    * two candidate thresholds means the corpus has a near-dup band
+    * there and the policy should not sit on it): for each candidate
+    * threshold (50..90% by 10), the count of doc pairs whose exact
+    * trigram Jaccard clears it — cross-multiplied integer comparison
+    * 100·inter ≥ t·union, no float.
+    *
+    * Scale shape: the candidate-pair frame is computed ONCE (the q41
+    * banding + exact-verify shape); the sweep is a constant-size
+    * thresholds explode over the pair-bounded frame.
+    */
+  val q432ThresholdSweep: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val tri = docs
+      .withColumn("ws", split($"text", " ")) // hoisted once (q126 trap)
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(ws) - 3),
+          |  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"""
+          .stripMargin)).as("tg"))
+    val sizes = tri.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inters = tri.select($"doc_id".as("doc1"), $"tg")
+      .join(tri.select($"doc_id".as("doc2"), $"tg"), "tg")
+      .filter($"doc1" < $"doc2")
+      .groupBy($"doc1", $"doc2").agg(count(lit(1)).as("inter"))
+    val pairs = inters
+      .join(sizes.select($"doc_id".as("doc1"), $"n".as("n1")), "doc1")
+      .join(sizes.select($"doc_id".as("doc2"), $"n".as("n2")), "doc2")
+      .select($"inter", ($"n1" + $"n2" - $"inter").as("un"))
+      .localCheckpoint() // one pair frame feeds every threshold
+    pairs
+      .withColumn("t", explode(expr("sequence(50, 90, 10)")))
+      .filter($"inter" * 100L >= $"t" * $"un")
+      .groupBy($"t".as("threshold_pct"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"threshold_pct")
+  }
+
+  val q432Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |tri AS (SELECT DISTINCT doc_id,
+      |          UNNEST(list_transform(range(1, len(ws) - 1),
+      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+      |        FROM w),
+      |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM tri GROUP BY doc_id),
+      |inters AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+      |             CAST(COUNT(*) AS BIGINT) AS inter
+      |           FROM tri a JOIN tri b
+      |             ON a.tg = b.tg AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT inter, n1.n + n2.n - inter AS un
+      |  FROM inters
+      |  JOIN sizes n1 ON inters.doc1 = n1.doc_id
+      |  JOIN sizes n2 ON inters.doc2 = n2.doc_id)
+      |SELECT t AS threshold_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM pairs, UNNEST(range(50, 100, 10)) AS s(t)
+      |WHERE inter * 100 >= t * un
+      |GROUP BY t
+      |ORDER BY threshold_pct""".stripMargin
+
   /** q346 — DEDUP SAVINGS report: the one-row business case for the
     * whole dedup family — of N docs, how many survive keep-one-per-
     * cluster (the q101/q163 policy), how many drop, and how many
@@ -1512,6 +1578,7 @@ object DedupQueries {
     "q414_soft_dedup" -> q414SoftDedup,
     "q417_cluster_sizes" -> q417ClusterSizes,
     "q430_source_contamination" -> q430SourceContamination,
+    "q432_threshold_sweep" -> q432ThresholdSweep,
     "q348_dup_lcs" -> q348DupLcs,
     "q361_deletion_join" -> q361DeletionJoin,
     "q346_dedup_savings" -> q346DedupSavings,
@@ -1537,6 +1604,7 @@ object DedupQueries {
     "q414_soft_dedup" -> q414Sql,
     "q417_cluster_sizes" -> q417Sql,
     "q430_source_contamination" -> q430Sql,
+    "q432_threshold_sweep" -> q432Sql,
     "q348_dup_lcs" -> q348Sql,
     "q361_deletion_join" -> q361Sql,
     "q346_dedup_savings" -> q346Sql,
