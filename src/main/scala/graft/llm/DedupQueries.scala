@@ -1357,9 +1357,13 @@ object DedupQueries {
     * trigram Jaccard clears it — cross-multiplied integer comparison
     * 100·inter ≥ t·union, no float.
     *
-    * Scale shape: the candidate-pair frame is computed ONCE (the q41
-    * banding + exact-verify shape); the sweep is a constant-size
-    * thresholds explode over the pair-bounded frame.
+    * Scale shape: the pair frame is computed ONCE as an exact
+    * shared-trigram equi-join over DISTINCT per-doc trigrams (the
+    * oracle replay's own shape — the sweep must rank thresholds below
+    * q41's operating point, which banding at that point would cut
+    * off); at corpus scale the q43 stop-shingle df cap bounds the hot
+    * keys exactly as it does there. The sweep itself is a
+    * constant-size thresholds explode over the pair-bounded frame.
     */
   val q432ThresholdSweep: Q = (s, dir) => {
     import s.implicits._

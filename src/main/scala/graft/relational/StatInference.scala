@@ -2032,7 +2032,83 @@ object StatInference {
        |  CAST(FLOOR(1000.0 * mom) AS BIGINT) AS mom_milli
        |FROM t CROSS JOIN sel""".stripMargin
 
+  /** q433 — POST-STRATIFICATION estimator for the A/B effect
+    * (Miratrix–Sekhon–Yu JRSS-B'13 — the free variance reduction
+    * q331's CUPED gets from a covariate, this one gets from a
+    * DISCRETE stratum: reweight per-stratum effects by the stratum's
+    * population share, removing the noise from stratum-mix imbalance
+    * between arms): strata = event type, effect = Σ_s (N_s/N)·
+    * (μ̄_as − μ̄_bs), against the unadjusted difference for contrast —
+    * all cell means exact (n, Σcents) statistics, each per-stratum
+    * term micro-quantized before the order-free sum (q422's fold),
+    * shares cross-multiplied integers.
+    *
+    * Scale shape: ONE (stratum, arm) conditional partial agg; the
+    * weighted fold runs on the strata-bounded frame.
+    */
+  val q433PostStratification: Q = (s, dir) => {
+    import s.implicits._
+    val cells = T.events(s, dir)
+      .select($"event_type".as("st"), ($"user_id" % 2 === 0).as("arm_a"),
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("x"))
+      .groupBy($"st")
+      .agg(
+        sum(when($"arm_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm_a", $"x").otherwise(0L)).as("s_a"),
+        sum(when(!$"arm_a", 1L).otherwise(0L)).as("n_b"),
+        sum(when(!$"arm_a", $"x").otherwise(0L)).as("s_b"))
+      .localCheckpoint() // totals + the weighted fold
+    val tot = cells.agg(sum($"n_a" + $"n_b").as("nn"),
+      sum($"s_a").as("ta"), sum($"n_a").as("na"),
+      sum($"s_b").as("tb"), sum($"n_b").as("nb"))
+    val strat = cells.crossJoin(broadcast(tot))
+      .select(expr(
+        """CAST(FLOOR(1000000.0 * (
+          |  (CAST(n_a + n_b AS DOUBLE) / CAST(nn AS DOUBLE))
+          |  * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          |     - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))))
+          |  AS BIGINT)""".stripMargin).as("term_q"))
+      .agg(sum($"term_q").as("post_strat_micro"), count(lit(1)).as("n_strata"))
+    tot.crossJoin(broadcast(strat))
+      .select($"nn".as("n_obs"), $"n_strata",
+        expr("""CAST(FLOOR(1000000.0 * (CAST(ta AS DOUBLE) / CAST(na AS DOUBLE)
+               |  - CAST(tb AS DOUBLE) / CAST(nb AS DOUBLE))) AS BIGINT)"""
+          .stripMargin).as("unadjusted_micro"),
+        $"post_strat_micro")
+  }
+
+  val q433Sql: String =
+    """WITH cells AS (
+      |  SELECT event_type AS st,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0
+      |      THEN CAST(FLOOR(100 * value) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0
+      |      THEN CAST(FLOOR(100 * value) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_b
+      |  FROM events GROUP BY event_type),
+      |tot AS (
+      |  SELECT CAST(SUM(n_a + n_b) AS BIGINT) AS nn,
+      |    CAST(SUM(s_a) AS BIGINT) AS ta, CAST(SUM(n_a) AS BIGINT) AS na,
+      |    CAST(SUM(s_b) AS BIGINT) AS tb, CAST(SUM(n_b) AS BIGINT) AS nb
+      |  FROM cells),
+      |strat AS (
+      |  SELECT CAST(SUM(CAST(FLOOR(1000000.0 * (
+      |      (CAST(n_a + n_b AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |         - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))))
+      |      AS BIGINT)) AS BIGINT) AS post_strat_micro,
+      |    CAST(COUNT(*) AS BIGINT) AS n_strata
+      |  FROM cells CROSS JOIN tot)
+      |SELECT nn AS n_obs, n_strata,
+      |  CAST(FLOOR(1000000.0 * (CAST(ta AS DOUBLE) / CAST(na AS DOUBLE)
+      |    - CAST(tb AS DOUBLE) / CAST(nb AS DOUBLE))) AS BIGINT)
+      |    AS unadjusted_micro,
+      |  post_strat_micro
+      |FROM tot CROSS JOIN strat""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q433_post_stratification" -> q433PostStratification,
     "q423_median_of_means" -> q423MedianOfMeans,
     "q422_two_way_anova" -> q422TwoWayAnova,
     "q424_srm" -> q424Srm,
@@ -2074,6 +2150,7 @@ object StatInference {
     "q409_cohort_km" -> q409Sql,
     "q422_two_way_anova" -> q422Sql,
     "q423_median_of_means" -> q423Sql,
+    "q433_post_stratification" -> q433Sql,
     "q424_srm" -> q424Sql,
     "q397_conformal" -> q397Sql,
     "q357_mann_kendall" -> q357Sql,
