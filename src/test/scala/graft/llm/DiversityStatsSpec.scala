@@ -29,6 +29,22 @@ class DiversityStatsSpec extends SparkSpec {
     assert(maxR.getAs[Long]("rstar_micro") == 0L)
   }
 
+  test("q427: Theil decomposition closes — total ≈ between + within " +
+    "to quantization loss") {
+    val r = DiversityStats.q427TheilDecomposition(spark, dir)
+      .collect().head
+    val n = r.getAs[Long]("n_docs")
+    val total = r.getAs[Long]("t_total_micro")
+    val between = r.getAs[Long]("between_micro")
+    val within = r.getAs[Long]("within_weighted_micro")
+    // each emitted piece sums ≤ n_docs (+ sources) floored micro terms,
+    // so the identity T = B + W must hold within that floor budget
+    val tol = n + 25L
+    assert(math.abs(total - (between + within)) <= tol,
+      s"closure violated: $total vs $between + $within (tol $tol)")
+    assert(between >= 0L && within >= 0L && total > 0L)
+  }
+
   test("q373: entropy bounded by ln(vocab); JSD within [0, ln 2]") {
     val rows = DiversityStats.q373EntropyJsd(spark, dir).collect()
     assert(rows.nonEmpty)
