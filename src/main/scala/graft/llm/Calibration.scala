@@ -176,12 +176,18 @@ object Calibration {
         $"y".cast("long").as("y"), $"doc_id")
       .orderBy($"pq", $"doc_id")
       .as[(Long, Long, Long)].collect()
-    val blocks = graft.operators.Isotonic.pava(
-      trainPairs.map(_._2 * 1000000L).toSeq)
+    // Pool TIED quantized scores into one weighted cell BEFORE the
+    // PAVA fit: a tie run straddling a block boundary would otherwise
+    // give the same score two fitted values (and two steps sharing a
+    // `lo`, making the rk=1 pick below arbitrary). Pooled, every step
+    // `lo` is a distinct pq and the map is a function of the score.
+    val pooled = trainPairs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (pq, g) => (pq, (g.map(_._2).sum * 1000000L, g.length.toLong)) }
+    val blocks = graft.operators.Isotonic.pavaPooled(pooled.map(_._2))
     var pos = 0
-    val steps = blocks.zipWithIndex.map { case ((bsum, bcnt), i) =>
-      val lo = if (i == 0) Long.MinValue else trainPairs(pos)._1
-      pos += bcnt.toInt
+    val steps = blocks.zipWithIndex.map { case ((bsum, bcnt, ncells), i) =>
+      val lo = if (i == 0) Long.MinValue else pooled(pos)._1
+      pos += ncells
       (lo, bsum, bcnt)
     }
     val blocksDf = broadcast(steps.toDF("lo", "bsum", "bcnt"))

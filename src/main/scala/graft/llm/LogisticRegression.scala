@@ -56,7 +56,76 @@ object LogisticRegression {
     descentOk: Boolean, finiteOk: Boolean, scored: DataFrame,
     trainScored: DataFrame)
 
+  /** The driver-side outcome of the iterative descent — everything in
+    * [[Fit]] except the two scored frames. THIS is what gets memoized
+    * per (session, dir): the fit is deterministic (md5 split, fixed
+    * iterations, broadcast-literal weights), so its seven consumers
+    * (q321, q347, q353, q376, q387, q398 + specs) share ONE descent
+    * (~4.5 s each at sf0.1; ~25 s of redundant bench time before this
+    * memo). The FRAMES are deliberately NOT cached: Verify/Bench
+    * unpersist every block between queries, so a cached
+    * localCheckpointed frame would be a dead block id — each fitEval
+    * call instead re-derives scored/trainScored from the memoized
+    * weights in one cheap pass (no iteration). Keyed on session
+    * IDENTITY so a fresh session refits rather than trusting stale
+    * state.
+    */
+  private final case class Model(nTrain: Long, nTest: Long,
+    losses: Array[Double], weights: Array[Double], bias: Double,
+    accPermille: Long, descentOk: Boolean, finiteOk: Boolean)
+
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Model]()
+
   def fitEval(s: SparkSession, dir: String): Fit = {
+    import s.implicits._
+    val m = modelCache.computeIfAbsent((s, dir), _ => fitModel(s, dir))
+    val (docs, feats) = featureFrames(s, dir)
+    val train = feats.filter($"doc_id" % 5 =!= 0)
+    val test = feats.filter($"doc_id" % 5 === 0)
+    val wCol = array(m.weights.toSeq.map(lit): _*)
+    val b = m.bias
+    val scoredDocs = test.groupBy($"doc_id", $"y")
+      .agg(sum($"v" * element_at(wCol, $"bucket" + 1)).as("dot"))
+    // held-out probabilities for downstream calibration (q347): the
+    // sigmoid of the same margin the accuracy gate thresholds;
+    // bias-only docs (every bucket lost to sign cancellation) score
+    // sigmoid(b), same as the eval path in fitModel. `m` is the RAW
+    // margin — the rank statistic q434's DeLong comparison quantizes
+    // (sigmoid saturates to exactly 1.0 at large |margin|, which would
+    // pool distinct ranks into one spurious tie class).
+    val scored = scoredDocs
+      .select($"doc_id", $"y", ($"dot" + lit(b)).as("m"),
+        (lit(1.0) / (lit(1.0) + exp(-($"dot" + lit(b))))).as("p"))
+      .unionByName(docs.filter($"doc_id" % 5 === 0)
+        .join(scoredDocs.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .select($"doc_id", ($"lang" === "pro_join").cast("double").as("y"),
+          lit(b).as("m"), lit(1.0 / (1.0 + math.exp(-b))).as("p")))
+      .localCheckpoint()
+    // TRAIN-side probabilities under the SAME final weights — the
+    // frame an isotonic recalibrator (q353) fits on; bias-only train
+    // docs handled identically to the test path
+    val trainScoredDocs = train.groupBy($"doc_id", $"y")
+      .agg(sum($"v" * element_at(wCol, $"bucket" + 1)).as("dot"))
+    val trainScored = trainScoredDocs
+      .select($"doc_id", $"y",
+        (lit(1.0) / (lit(1.0) + exp(-($"dot" + lit(b))))).as("p"))
+      .unionByName(docs.filter($"doc_id" % 5 =!= 0)
+        .join(trainScoredDocs.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .select($"doc_id", ($"lang" === "pro_join").cast("double").as("y"),
+          lit(1.0 / (1.0 + math.exp(-b))).as("p")))
+      .localCheckpoint()
+    Fit(m.nTrain, m.nTest, m.losses, m.weights, m.bias, m.accPermille,
+      m.descentOk, m.finiteOk, scored, trainScored)
+  }
+
+  /** (docs, feats): the planted-label frame and the L2-normalized
+    * signed-hash feature frame — one cheap non-iterative pass,
+    * re-derived per call (see [[modelCache]] for why frames are never
+    * cached across queries).
+    */
+  private def featureFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import s.implicits._
     // Planted-concept labels (q319's frame: lang ∈ pro_join/pro_scan).
     val docs = NaiveBayes.plantedDocs(s, dir)
@@ -82,6 +151,12 @@ object LogisticRegression {
       .agg(sqrt(sum($"w" * $"w")).as("nrm"))
     val feats = raw.join(norms, "doc_id")
       .select($"doc_id", $"y", $"bucket", ($"w" / $"nrm").as("v"))
+    (docs, feats)
+  }
+
+  private def fitModel(s: SparkSession, dir: String): Model = {
+    import s.implicits._
+    val (docs, feats) = featureFrames(s, dir)
     val train = feats.filter($"doc_id" % 5 =!= 0).localCheckpoint()
     val test = feats.filter($"doc_id" % 5 === 0).localCheckpoint()
     // Labeled docs always tokenize (they contain a marker token), so
@@ -146,32 +221,7 @@ object LogisticRegression {
         .count()
     val nCorrect = evalRow.getLong(1) + emptyCorrect
     val accPermille = if (nTest == 0) 0L else 1000L * nCorrect / nTest
-    // held-out probabilities for downstream calibration (q347): the
-    // sigmoid of the same margin the accuracy gate thresholds;
-    // bias-only docs (every bucket lost to sign cancellation) score
-    // sigmoid(b), same as the eval path above
-    val scored = scoredDocs
-      .select($"doc_id", $"y",
-        (lit(1.0) / (lit(1.0) + exp(-($"dot" + lit(b))))).as("p"))
-      .unionByName(docs.filter($"doc_id" % 5 === 0)
-        .join(scoredDocs.select($"doc_id"), Seq("doc_id"), "left_anti")
-        .select($"doc_id", ($"lang" === "pro_join").cast("double").as("y"),
-          lit(1.0 / (1.0 + math.exp(-b))).as("p")))
-      .localCheckpoint()
-    // TRAIN-side probabilities under the SAME final weights — the
-    // frame an isotonic recalibrator (q353) fits on; bias-only train
-    // docs handled identically to the test path
-    val trainScored = train.groupBy($"doc_id", $"y")
-      .agg(sum($"v" * element_at(wCol, $"bucket" + 1)).as("dot"))
-      .select($"doc_id", $"y",
-        (lit(1.0) / (lit(1.0) + exp(-($"dot" + lit(b))))).as("p"))
-      .unionByName(docs.filter($"doc_id" % 5 =!= 0)
-        .join(train.select($"doc_id").distinct(), Seq("doc_id"), "left_anti")
-        .select($"doc_id", ($"lang" === "pro_join").cast("double").as("y"),
-          lit(1.0 / (1.0 + math.exp(-b))).as("p")))
-      .localCheckpoint()
-    Fit(nTrain, nTest, losses, w, b, accPermille, descentOk, finiteOk,
-      scored, trainScored)
+    Model(nTrain, nTest, losses, w, b, accPermille, descentOk, finiteOk)
   }
 
   val q321LogregGate: Q = (s, dir) => {

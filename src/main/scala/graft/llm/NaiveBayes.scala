@@ -90,8 +90,33 @@ object NaiveBayes {
     predictFrom(train, test)
   }
 
+  /** Per-(doc, class) POSTERIOR SCORES on the held-out split — the
+    * score-level surface predictions() argmaxes away: (doc_id,
+    * true_lang, lang, score) with `score` the exact micro-nat BIGINT
+    * posterior (prior + token likelihoods). The DeLong comparison
+    * (q434) ranks on the two-class margin of this frame.
+    */
+  def classScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = plantedDocs(s, dir)
+    scoreFrom(docs.filter($"doc_id" % 5 =!= 0),
+      docs.filter($"doc_id" % 5 === 0))
+      .select(col("doc_id"), col("true_lang"), col("lang"), col("score"))
+  }
+
   /** Fit on `train`, classify `test`; both are (doc_id, lang, text). */
   def predictFrom(train: DataFrame, test: DataFrame): DataFrame = {
+    val scored = scoreFrom(train, test)
+    scored
+      .groupBy(col("doc_id"), col("true_lang"))
+      .agg(min(struct((-col("score")).as("ns"), col("lang").as("l")))
+        .getField("l").as("pred_lang"))
+  }
+
+  /** Fit on `train`, score every (test doc, class) pair — the shared
+    * core of predictFrom (argmax) and classScores (score emission).
+    */
+  private def scoreFrom(train: DataFrame, test: DataFrame): DataFrame = {
     val s = train.sparkSession
     import s.implicits._
 
@@ -149,9 +174,6 @@ object NaiveBayes {
       .withColumn("score",
         $"prior_q" + $"seen_score" + ($"len" - $"seen_len") * $"unseen_q")
     scored
-      .groupBy($"doc_id", $"true_lang")
-      .agg(min(struct((-$"score").as("ns"), $"lang".as("l")))
-        .getField("l").as("pred_lang"))
   }
 
   /** Train on doc_id % 5 ≠ 0, score doc_id % 5 = 0; the gate frame —

@@ -52,6 +52,32 @@ object Isotonic {
     stack.toSeq
   }
 
+  /** PAVA over PRE-POOLED points — each input is a (sum, weight) cell
+    * of points sharing one x value. Pooling ties BEFORE the fit is
+    * what makes the fitted step function single-valued at every x
+    * (unpooled PAVA can split a tie run across blocks, giving tied
+    * scores two different fitted values). Returns merged blocks as
+    * (sum, weight, nInputCells) so callers can walk the input sequence
+    * to recover each block's first x. Same exact BigInt mean
+    * comparison as [[pava]]; `pava(ys)` ≡ `pavaPooled(ys.map((_, 1)))`
+    * modulo the cell counter.
+    */
+  def pavaPooled(pts: Seq[(Long, Long)]): Seq[(Long, Long, Int)] = {
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    pts.foreach { case (s0, c0) =>
+      var (s, c, k) = (s0, c0, 1)
+      while (stack.nonEmpty && {
+        val (ps, pc, _) = stack.last
+        BigInt(s) * pc <= BigInt(ps) * c
+      }) {
+        val (ps, pc, pk) = stack.remove(stack.length - 1)
+        s += ps; c += pc; k += pk
+      }
+      stack += ((s, c, k))
+    }
+    stack.toSeq
+  }
+
   /** q277 — the isotonic-fit gate, the q74 (n, ok) convention: per
     * event type, PAVA over the exact daily-cents series; `ok` requires
     *   - TOTAL PRESERVATION: Σ block sums == Σ raw cents (PAVA pools

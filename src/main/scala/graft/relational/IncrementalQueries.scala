@@ -433,8 +433,11 @@ object IncrementalQueries {
       .select($"k",
         when($"k" % 3 === 0, "delete").otherwise("update").as("action"),
         lit(null).cast("long").as("newp"))
+      // maxk+1, NOT maxk: o_orderkey starts at 0, so a +maxk shift
+      // would map k=0's insert key onto the existing maxk row and the
+      // "insert" would silently overwrite a matched base row.
       .unionByName(base.filter($"k" % 11 === 0).crossJoin(broadcast(maxK))
-        .select(($"k" + $"maxk").as("k"), lit("insert").as("action"),
+        .select(($"k" + $"maxk" + 1L).as("k"), lit("insert").as("action"),
           lit(5000L).as("newp")))
     base.join(changes, Seq("k"), "full_outer")
       .select($"k",
@@ -464,7 +467,7 @@ object IncrementalQueries {
       |      AS action, CAST(NULL AS BIGINT) AS newp
       |  FROM base WHERE k % 5 = 0
       |  UNION ALL
-      |  SELECT k + maxk, 'insert', 5000
+      |  SELECT k + maxk + 1, 'insert', 5000
       |  FROM base CROSS JOIN m WHERE k % 11 = 0),
       |merged AS (
       |  SELECT COALESCE(b.k, c.k) AS k,

@@ -33,8 +33,15 @@ object PostingsIndex {
 
   val Buckets = 16
 
+  /** This JVM's pid, baked into the table name so concurrent sbt
+    * processes sharing the warehouse dir never drop/create the same
+    * table path (the object-level `synchronized` below only guards one
+    * JVM).
+    */
+  private val Pid = ProcessHandle.current().pid()
+
   private def tableFor(dir: String): String =
-    "graft_postings_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    "graft_postings_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_p" + Pid
 
   /** Build once per (JVM, sf dir): the write-side of the recipe. */
   def ensureIndex(s: SparkSession, dir: String): String = {
@@ -46,11 +53,30 @@ object PostingsIndex {
           s.conf.get("spark.sql.warehouse.dir")).getPath
         def deleteRec(p: java.nio.file.Path): Unit =
           if (Files.exists(p)) {
-            if (Files.isDirectory(p))
-              Files.list(p).forEach(deleteRec(_))
+            if (Files.isDirectory(p)) {
+              val ls = Files.list(p) // must close: each list() holds an fd
+              try ls.forEach(deleteRec(_)) finally ls.close()
+            }
             Files.delete(p)
           }
-        deleteRec(Paths.get(warehouse, t)) // leftovers from prior JVMs
+        // Reap index dirs left by DEAD JVMs only — the owner pid is in
+        // the name, and a pid that no longer resolves can't be racing
+        // us. Live siblings belong to concurrent sbt processes and are
+        // non-conflicting by construction (per-JVM names).
+        val wh = Paths.get(warehouse)
+        if (Files.isDirectory(wh)) {
+          val ls = Files.list(wh)
+          try ls.forEach { p =>
+            val n = p.getFileName.toString
+            val i = n.lastIndexOf("_p")
+            if (n.startsWith("graft_postings_") && i > 0) {
+              val dead = scala.util.Try(n.substring(i + 2).toLong).toOption
+                .exists(id => id != Pid && !ProcessHandle.of(id).isPresent)
+              if (dead) scala.util.Try(deleteRec(p))
+            }
+          } finally ls.close()
+        }
+        deleteRec(Paths.get(warehouse, t)) // leftovers from a pid reuse
         T.documents(s, dir)
           .select($"doc_id",
             posexplode(expr("filter(split(text, ' '), x -> x <> '')"))
