@@ -21,6 +21,9 @@ object ProfDelong {
         graft.llm.DelongAuc.delongStats(spark, dir)
       println(s"[delong] $dir m=$m n=$n aucNB=${aucA}u aucLR=${aucB}u " +
         s"|z|=${zAbs}u idNB=$idA idLR=$idB varOk=$varOk")
+      val (nq, recalls) = graft.llm.VectorSearch.probeCurveRecalls(spark, dir)
+      println(s"[probecurve] $dir nq=$nq " +
+        recalls.map { case (p, t, g) => s"p$p=twin:$t/gen:$g" }.mkString(" "))
     }
     spark.stop()
   }

@@ -693,6 +693,124 @@ object VectorSearch {
     s"""SELECT COUNT(*) AS n_queries, TRUE AS ok
        |FROM embeddings WHERE vec_id < $QuerySetSize""".stripMargin
 
+  /** q435 — the IVF NPROBE RECALL CURVE, the tuning artifact q86's
+    * single-point gate opened: strict recall@1 at probes ∈ {1, 2, 4}
+    * on TWO query populations, all readings served from ONE fitted
+    * codebook and ONE probe-ranking pass ([[ivfRanked]] at probes=4,
+    * checkpointed; the probes-p candidate set is its `crank ≤ p`
+    * prefix):
+    *   - TWIN-strict: queries are the planted ~0.999-cosine twins,
+    *     hit ⇔ top-1 is the original. Measures "does the index find a
+    *     near-duplicate" — at ceiling already at probe 1 (measured
+    *     1000‰ at every point, both SFs: a twin virtually always
+    *     shares its original's cell).
+    *   - GENERIC-strict: queries are the q44 query set, hit ⇔ top-1
+    *     IS the exact brute-force top-1 by id. The informative slope:
+    *     measured 280/410/580‰ (sf0.001) and 210/370/530‰ (sf0.01) at
+    *     probes 1/2/4 — a moderate-cosine neighbor often lives one
+    *     cell over, which is exactly what raising nprobe buys.
+    *
+    * MONOTONICITY is a theorem here, not a hope: candidate sets are
+    * nested in p, the exact top-1 has the maximal cosine among
+    * candidates (ties to smallest id, same rule both frames), so once
+    * found it cannot be displaced — the gate pins the implementation
+    * to that invariant. The one way it can bend at 100 TB is the
+    * per-query candidate cap engaging on a degenerate cell (at
+    * probes·√N ≪ [[IvfProbeCandidateCap]] it never does at tested
+    * SFs) — which is exactly what this curve would surface.
+    *
+    * Gate: both curves monotone non-decreasing AND twin recall@1 ≥
+    * [[ProbeCurveFloor1Permille]]‰ AND generic recall@4 ≥
+    * [[ProbeCurveFloor4Permille]]‰.
+    */
+  val ProbeCurveFloor1Permille = 900L
+  val ProbeCurveFloor4Permille = 450L
+  val ProbeCurvePoints = Seq(1, 2, 4)
+
+  /** (n_queries, per-probe (twin-strict‰, generic-strict‰)) — the
+    * measured curves q435 gates; public for the spec and the Prof
+    * probe. Twin-strict: queries are the planted twins, hit ⇔ top-1 is
+    * the twin's original. Generic-strict: queries are the q44 query
+    * set against the raw corpus, hit ⇔ top-1 IS the exact brute-force
+    * top-1 (same id). Both served from ONE codebook + ONE ranking pass
+    * over corpus ∪ twins.
+    */
+  def probeCurveRecalls(s: SparkSession, dir: String)
+      : (Long, Seq[(Long, Long, Long)]) = {
+    import s.implicits._
+    val e0 = T.embeddings(s, dir).select($"vec_id", $"embedding")
+    val twins = plantedTwins(e0)
+    val all = e0.unionByName(twins)
+    val nq = twins.count()
+    val cells = ivfCellCount(all.count())
+    val centroids = fitCodebook(all, cells)
+    val maxP = math.min(centroids.size, ProbeCurvePoints.max)
+    val e = all.select($"vec_id", $"embedding",
+      norm_q20($"embedding").as("norm"))
+    val ranked = ivfRanked(e, centroids, maxP).localCheckpoint()
+    // generic truth: exact brute-force top-1 over the RAW corpus (the
+    // q44 frame the oracle already hash-verifies)
+    val exact = q44CosineTopk(s, dir).filter($"rank" === 1)
+      .select($"qid", $"nid".as("exact_nid")).localCheckpoint()
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid".asc)
+    val recalls = ProbeCurvePoints.map { p =>
+      // one candidate frame per p: twin queries see the full planted
+      // corpus; generic queries must not count a twin as their answer
+      val corpus = ranked.filter($"crank" === 1)
+        .select($"cell", $"vec_id".as("nid"), $"embedding".as("eb"),
+          $"norm".as("nb"))
+      val probed = ranked
+        .filter($"crank" <= p &&
+          ($"vec_id" >= PlantedIdOffset || $"vec_id" < QuerySetSize))
+        .select($"cell", $"vec_id".as("qid"), $"embedding".as("ea"),
+          $"norm".as("na"))
+      val top1 = probed.join(corpus, "cell")
+        .filter($"qid" =!= $"nid")
+        // a generic query's candidate list excludes planted twins
+        // (its own twin would otherwise shadow the true corpus top-1)
+        .filter($"qid" >= PlantedIdOffset || $"nid" < PlantedIdOffset)
+        .withColumn("cos_sim",
+          cosine(dot_q20($"ea", $"eb").cast("double"), $"na", $"nb"))
+        .select($"qid", $"nid", $"cos_sim")
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" === 1)
+      val twinHits = top1.filter($"qid" >= PlantedIdOffset)
+        .agg(coalesce(sum(when($"nid" === $"qid" - PlantedIdOffset, 1L)
+          .otherwise(0L)), lit(0L))).head().getLong(0)
+      val genHits = top1.filter($"qid" < PlantedIdOffset)
+        .join(exact, "qid")
+        .agg(coalesce(sum(when($"nid" === $"exact_nid", 1L)
+          .otherwise(0L)), lit(0L))).head().getLong(0)
+      (p.toLong,
+        if (nq == 0) 0L else 1000L * twinHits / nq,
+        if (nq == 0) 0L else 1000L * genHits / nq)
+    }
+    (nq, recalls)
+  }
+
+  val q435IvfProbeCurve: Q = (s, dir) => {
+    import s.implicits._
+    val (nq, recalls) = probeCurveRecalls(s, dir)
+    val monotone = recalls.sliding(2).forall {
+      case Seq((_, t1, g1), (_, t2, g2)) => t1 <= t2 && g1 <= g2
+      case _ => true
+    }
+    val ok = monotone &&
+      recalls.head._2 >= ProbeCurveFloor1Permille &&
+      recalls.last._3 >= ProbeCurveFloor4Permille
+    recalls.map { case (p, _, _) => (p, nq, ok) }
+      .toDF("probes", "n_queries", "ok")
+      .orderBy($"probes")
+  }
+
+  private val probeCurveSql =
+    s"""SELECT CAST(p AS BIGINT) AS probes,
+       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id < $QuerySetSize)
+       |    AS n_queries,
+       |  TRUE AS ok
+       |FROM (VALUES (1), (2), (4)) t(p)
+       |ORDER BY probes""".stripMargin
+
   /** Soundness gate wrapping an ANN answer frame into the driver-checked
     * (n_vectors, ok) convention (q74/q85/q86): every returned (qid, nid,
     * cos_sim) is joined back to the raw embeddings and the similarity is
@@ -1111,6 +1229,7 @@ object VectorSearch {
     "q81_ivf_ann" -> q81IvfAnnGate,
     "q85_lsh_recall" -> q85LshRecall,
     "q86_ivf_recall" -> q86IvfRecall,
+    "q435_ivf_probe_curve" -> q435IvfProbeCurve,
     "q123_int8_quantize" -> q123Int8Quantize,
   )
 
@@ -1131,6 +1250,7 @@ object VectorSearch {
     "q81_ivf_ann" -> soundnessSql,
     "q85_lsh_recall" -> recallSql,
     "q86_ivf_recall" -> recallSql,
+    "q435_ivf_probe_curve" -> probeCurveSql,
     "q123_int8_quantize" -> q123Sql,
   )
 }

@@ -185,4 +185,22 @@ class VectorSearchSpec extends SparkSpec {
     assert(viaJoin.nonEmpty && viaJoin == viaExpr,
       s"forms diverge on ${viaJoin.toSet.diff(viaExpr.toSet).take(5)}")
   }
+
+  test("nprobe recall curve: monotone, twin at ceiling, generic slopes up") {
+    val (nq, recalls) = VectorSearch.probeCurveRecalls(spark, dir)
+    info(recalls.map { case (p, t, g) => s"p$p twin=$t gen=$g" }.mkString(" "))
+    assert(nq == VectorSearch.QuerySetSize)
+    assert(recalls.map(_._1) == Seq(1L, 2L, 4L))
+    recalls.sliding(2).foreach {
+      case Seq((_, t1, g1), (_, t2, g2)) =>
+        assert(t1 <= t2 && g1 <= g2, "curve must be monotone")
+      case _ =>
+    }
+    assert(recalls.head._2 >= VectorSearch.ProbeCurveFloor1Permille)
+    assert(recalls.last._3 >= VectorSearch.ProbeCurveFloor4Permille)
+    // the generic curve must actually SLOPE on this corpus — a flat
+    // reading would mean the probe prefix isn't widening candidates
+    assert(recalls.last._3 > recalls.head._3,
+      s"generic recall flat: ${recalls.map(_._3)}")
+  }
 }
