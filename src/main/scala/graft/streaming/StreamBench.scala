@@ -802,7 +802,66 @@ object StreamBench {
       .toDF("n_types", "n_alarms_total")
   }
 
+  /** qs19 — streaming SLIDING-WINDOW DISTINCT ([[SlidingHllStream]]):
+    * the watermark/timer leg of the sketch-state family — per-(shard,
+    * day) HLL MapState, event-time timers finalize each day's
+    * trailing-[[SlidingHllStream.WindowDays]]-day union once the
+    * watermark passes, eviction retires days no window can read. Rows
+    * stream in time order over [[BloomBatches]] micro-batches plus the
+    * empty batches that let the final watermark fire the tail timers.
+    * Gate: finalized per-day estimates EXACTLY equal the batch twin
+    * through the same (shard, day) atoms ([[SlidingHllStream
+    * .batchEstimates]]) on every finalized day — the q406 sketch-merge
+    * answer, streamed. Times the fold + timer + eviction path.
+    */
+  val qs19SlidingHllStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir).sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = MemoryStream[Event]
+    val name = s"bench_slhll_${runId.incrementAndGet()}"
+    val q = SlidingHllStream.slidingSketches(stream.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-slhll-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    (1 to 2).foreach { _ =>
+      stream.addData(Seq.empty[Event]); q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val emits = s.table(name).as[SlidingHllEmit].collect().toSeq
+    s.catalog.dropTempView(name)
+    val got = SlidingHllStream.mergeEstimates(emits)
+    val twin = SlidingHllStream.batchEstimates(rows)
+    val wmFinal = rows.map(_.ts.getTime).max -
+      SlidingHllStream.LatenessDays * SlidingHllStream.DayMillis
+    val finalDays = twin.keySet
+      .filter(d => (d + 1) * SlidingHllStream.DayMillis <= wmFinal)
+    require(got.keySet == finalDays,
+      s"emitted ${got.keySet.size} days != finalized ${finalDays.size}")
+    finalDays.foreach { d =>
+      if (got(d) != twin(d)) {
+        emits.filter(_.day == d).sortBy(_.shard).foreach { e =>
+          System.err.println(s"[qs19dbg] shard=${e.shard} day=$d " +
+            s"merged=${e.n_days_merged} est=" +
+            org.apache.datasketches.hll.HllSketch
+              .heapify(e.window_sketch).getEstimate)
+        }
+      }
+      require(got(d) == twin(d), s"day $d: ${got(d)} != twin ${twin(d)}")
+    }
+    Seq((finalDays.size.toLong,
+      got.values.map(v => math.floor(v).toLong).sum))
+      .toDF("n_days_finalized", "sum_floor_estimates")
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "qs19_sliding_hll_stream" -> qs19SlidingHllStream,
     "qs18_ewma_stream" -> qs18EwmaStream,
     "qs17_cusum_stream" -> qs17CusumStream,
     "qs16_psi_stream" -> qs16PsiStream,
