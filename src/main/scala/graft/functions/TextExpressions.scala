@@ -323,4 +323,8 @@ object TextFunctions {
   /** Value-count map of a string-array column (in-row explode+count). */
   def countValues(c: Column): Column =
     ColumnBridge.column(CountValues(ColumnBridge.expression(c)))
+
+  /** Porter stem of a string column (native codegen expression). */
+  def porterStem(c: Column): Column =
+    ColumnBridge.column(PorterStem(ColumnBridge.expression(c)))
 }

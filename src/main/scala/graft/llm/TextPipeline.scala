@@ -1231,7 +1231,73 @@ object TextPipeline {
        |ORDER BY ql_micro DESC, doc_id ASC
        |LIMIT $QlTake""".stripMargin
 
+  /** q436's planted morphology and its GROUND-TRUTH stems — pairs from
+    * the rule examples in Porter 1980 (verified full-pipeline in
+    * PorterStemSpec), spanning every step: plurals (1a), -ed/-ing with
+    * the double-consonant and *o repairs (1b), y→i (1c), the 2/3/4
+    * suffix chains, and the -e / -ll tidy-up (5). The fixture's own
+    * tokens are a closed synthetic vocabulary with no real morphology
+    * (measured, round-7 note), so the gate plants real English on the
+    * `doc_id % 13` slice — the q42/q213/q235 planted-fixture
+    * convention, built identically in both engines from literals.
+    */
+  val StemPlanted: Seq[(String, String)] = Seq(
+    "caresses" -> "caress", "ponies" -> "poni", "cats" -> "cat",
+    "agreed" -> "agre", "feed" -> "feed", "motoring" -> "motor",
+    "hopping" -> "hop", "filing" -> "file", "happy" -> "happi",
+    "sky" -> "sky", "relational" -> "relat", "conditional" -> "condit",
+    "valenci" -> "valenc", "digitizer" -> "digit",
+    "hopefulness" -> "hope", "electriciti" -> "electr",
+    "electrical" -> "electr", "triplicate" -> "triplic",
+    "adjustable" -> "adjust", "replacement" -> "replac",
+    "adoption" -> "adopt", "activate" -> "activ", "probate" -> "probat",
+    "rate" -> "rate", "controll" -> "control", "roll" -> "roll",
+    "generalizations" -> "gener", "oscillators" -> "oscil")
+
+  /** q436 — PORTER STEMMING as a native codegen expression
+    * ([[graft.functions.PorterStem]]): the classic index-term
+    * normalization between tokenization (q48) and term statistics
+    * (q76 TF-IDF / q364 BM25). The planted sentence rides the real
+    * `text` column (append → split → slice), so the expression is
+    * exercised through the corpus scan path, not on a literal frame;
+    * the census emits one (word, stem, n) row per planted word with
+    * n = planted-slice size. DuckDB ships no stemmer in this sandbox,
+    * so the oracle replays the GROUND TRUTH: the same (word, stem)
+    * literals × the slice count (the q74 planted-truth convention) —
+    * one wrong character in any stem and the hash breaks.
+    *
+    * Scale shape: map-only narrow projection (append, split, slice,
+    * explode bounded at |planted| rows per doc, stem in-row) + one
+    * partial agg on a |planted|-bounded key space.
+    */
+  val q436PorterStem: Q = (s, dir) => {
+    import s.implicits._
+    val words = StemPlanted.map(_._1)
+    T.documents(s, dir)
+      .filter($"doc_id" % 13 === 0)
+      .select(concat($"text", lit(" " + words.mkString(" "))).as("aug"))
+      .select(explode(
+        expr(s"slice(split(aug, ' '), -${words.size}, ${words.size})"))
+        .as("word"))
+      .select($"word",
+        graft.functions.TextFunctions.porterStem($"word").as("stem"))
+      .groupBy($"word", $"stem").agg(count(lit(1)).as("n"))
+      .orderBy($"word")
+  }
+
+  val q436Sql: String = {
+    val pairs = StemPlanted
+      .map { case (w, st) => s"('$w', '$st')" }.mkString(", ")
+    s"""WITH slice AS (
+       |  SELECT COUNT(*) AS n FROM documents WHERE doc_id % 13 = 0),
+       |truth(word, stem) AS (VALUES $pairs)
+       |SELECT word, stem, n
+       |FROM truth CROSS JOIN slice
+       |ORDER BY word""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q436_porter_stem" -> q436PorterStem,
     "q374_query_likelihood" -> q374QueryLikelihood,
     "q364_bm25" -> q364Bm25,
     "q200_weighted_sample" -> q200WeightedSample,
@@ -1253,6 +1319,7 @@ object TextPipeline {
     "q158_temperature_mix" -> q158TemperatureMix,
   )
   val oracleSql: Map[String, String] = Map(
+    "q436_porter_stem" -> q436Sql,
     "q374_query_likelihood" -> q374Sql,
     "q200_weighted_sample" -> q200Sql,
     "q364_bm25" -> q364Sql,
