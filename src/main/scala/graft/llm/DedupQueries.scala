@@ -1161,15 +1161,29 @@ object DedupQueries {
     * each pair's token census meets in ONE (pair, tok) full-outer
     * equi-join — no quadratic token work outside the pair set.
     */
-  val q392WeightedJaccard: Q = (s, dir) => {
+  /** Per-doc token census (doc_id, tok, c) — the weight vector both
+    * the exact weighted Jaccard (q392) and the CWS sketches (q438)
+    * read.
+    */
+  def tokenCensus(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+  }
+
+  /** The exact weighted-Jaccard frame over the q41-verified pairs:
+    * (doc1, doc2, n_union_toks, wjaccard_micro) — q392's body, shared
+    * with q438's lossless-at-τ gate.
+    */
+  def weightedJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = T.documents(s, dir)
     val pairs = nearDuplicates(s, docs, NearDupThreshold)
       .select($"doc1", $"doc2").localCheckpoint()
-    val tc = docs
-      .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .filter($"tok" =!= "")
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val tc = tokenCensus(docs)
     val t1 = pairs.join(tc.select($"doc_id".as("doc1"), $"tok",
       $"c".as("c1")), "doc1")
     val t2 = pairs.join(tc.select($"doc_id".as("doc2"), $"tok",
@@ -1184,8 +1198,10 @@ object DedupQueries {
         expr("""CAST(FLOOR(1000000.0 * (CAST(s_min AS DOUBLE)
                |  / CAST(s_max AS DOUBLE))) AS BIGINT)""".stripMargin)
           .as("wjaccard_micro"))
-      .orderBy($"doc1", $"doc2")
   }
+
+  val q392WeightedJaccard: Q = (s, dir) =>
+    weightedJaccardPairs(s, dir).orderBy(col("doc1"), col("doc2"))
 
   val q392Sql: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -1226,6 +1242,95 @@ object DedupQueries {
        |    AS wjaccard_micro
        |FROM cells GROUP BY doc1, doc2
        |ORDER BY doc1, doc2""".stripMargin
+
+  /** q438 CWS parameters: sketch coordinates and the lossless
+    * threshold. A τ=0.5 pair escapes all 16 coordinates with
+    * probability (1−wJ)^16 ≤ 1.5e-5; the fixture's verified pairs sit
+    * far above τ, so the gate is deterministic-TRUE with enormous
+    * margin under the pinned hash seeds.
+    */
+  val CwsSeeds = 16
+  val CwsTauMicro = 500000L
+
+  /** Ioffe 2010 CONSISTENT WEIGHTED SAMPLING sketch: per (doc, seed)
+    * the (token, t) sample whose collision probability across two
+    * docs IS their weighted Jaccard — the sketch-scale candidate
+    * GENERATOR for the multiset similarity q392 computes exactly.
+    * All "randomness" is a pure hash of (token, seed) — shared across
+    * docs, which is what makes the sampling CONSISTENT: r, c ~
+    * Gamma(2,1) via −ln(u·u), β ~ U(0,1), then per token with weight
+    * w: t = ⌊ln w / r + β⌋, a = c·e^(−r(t+1−β)), sample = argmin a.
+    *
+    * Scale shape: |tokens|×[[CwsSeeds]] narrow rows through one
+    * partial-agg argmin per (doc, seed) — map-side combinable; no
+    * pair work until the bucket join.
+    */
+  def cwsSketch(tc: DataFrame, seeds: Int = CwsSeeds): DataFrame = {
+    val s = tc.sparkSession
+    import s.implicits._
+    val seedDf = broadcast(s.range(0, seeds)
+      .select($"id".cast("int").as("seed")))
+    def u(i: Int) =
+      (pmod(xxhash64($"tok", $"seed", lit(i)), lit(1048576L))
+        .cast("double") + 0.5) / 1048576.0
+    tc.crossJoin(seedDf)
+      .withColumn("r", -log(u(1) * u(2)))
+      .withColumn("cgam", -log(u(3) * u(4)))
+      .withColumn("beta", u(5))
+      .withColumn("tval",
+        floor(log($"c".cast("double")) / $"r" + $"beta").cast("long"))
+      .withColumn("a",
+        $"cgam" * exp(-$"r" * ($"tval".cast("double") + 1.0 - $"beta")))
+      .groupBy($"doc_id", $"seed")
+      .agg(min(struct($"a", $"tok", $"tval")).as("smp"))
+      .select($"doc_id", $"seed", $"smp.tok".as("tok"),
+        $"smp.tval".as("tval"))
+  }
+
+  /** q438 — WEIGHTED-MINHASH candidate generation, gated LOSSLESS at
+    * τ (the q112 convention): docs sharing any CWS coordinate
+    * (seed, token, t) become candidates via one bucket equi-join; the
+    * gate then demands every exact pair with weighted Jaccard ≥
+    * [[CwsTauMicro]] (from [[weightedJaccardPairs]] — the q41-verified
+    * universe q392 already oracles) appears among the candidates.
+    * This closes the r9 verdict's gap: q392 measured weighted overlap
+    * exactly but had no sketch-scale generator; CWS is how the same
+    * question is ASKED at 100 TB — sketches once (|tokens|·K rows),
+    * buckets join on (seed, token, t), exact Ruzicka runs only on
+    * collisions.
+    */
+  val q438CwsCandidates: Q = (s, dir) => {
+    import s.implicits._
+    val exact = weightedJaccardPairs(s, dir)
+      .filter($"wjaccard_micro" >= CwsTauMicro)
+      .select($"doc1", $"doc2").localCheckpoint()
+    val sk = cwsSketch(tokenCensus(T.documents(s, dir))).localCheckpoint()
+    val cands = sk.as("x").join(sk.as("y"),
+        $"x.seed" === $"y.seed" && $"x.tok" === $"y.tok" &&
+          $"x.tval" === $"y.tval" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc1"), $"y.doc_id".as("doc2"))
+      .distinct()
+    val missed = exact.join(cands, Seq("doc1", "doc2"), "left_anti").count()
+    val nTau = exact.count()
+    Seq((nTau, missed == 0L && nTau > 0L)).toDF("n_tau_pairs", "ok")
+  }
+
+  val q438Sql: String = {
+    // q392's exact-pair pipeline (its CTE prefix verbatim), finished
+    // as the τ-census the gate pins (candidate counts are
+    // hash-internal, not oracle-derivable)
+    val ctePrefix = q392Sql.substring(0,
+      q392Sql.indexOf("SELECT doc1, doc2, CAST(COUNT(*)")).trim
+    s"""$ctePrefix,
+       |wj AS (
+       |  SELECT doc1, doc2,
+       |    CAST(FLOOR(1000000.0 * (CAST(SUM(LEAST(c1, c2)) AS DOUBLE)
+       |      / CAST(SUM(GREATEST(c1, c2)) AS DOUBLE))) AS BIGINT)
+       |      AS wjaccard_micro
+       |  FROM cells GROUP BY doc1, doc2)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_tau_pairs, TRUE AS ok
+       |FROM wj WHERE wjaccard_micro >= $CwsTauMicro""".stripMargin
+  }
 
   /** q414 — SOFT dedup (duplicate DOWN-WEIGHTING instead of dropping
     * — the SoftDeDup idea: hard keep-one discards the signal that a
@@ -1579,6 +1684,7 @@ object DedupQueries {
     "q322_containment_join" -> q322ContainmentJoin,
     "q344_dup_spans_explain" -> q344DupSpansExplain,
     "q392_weighted_jaccard" -> q392WeightedJaccard,
+    "q438_cws_candidates" -> q438CwsCandidates,
     "q414_soft_dedup" -> q414SoftDedup,
     "q417_cluster_sizes" -> q417ClusterSizes,
     "q430_source_contamination" -> q430SourceContamination,
@@ -1605,6 +1711,7 @@ object DedupQueries {
     "q322_containment_join" -> q322Sql,
     "q344_dup_spans_explain" -> q344Sql,
     "q392_weighted_jaccard" -> q392Sql,
+    "q438_cws_candidates" -> q438Sql,
     "q414_soft_dedup" -> q414Sql,
     "q417_cluster_sizes" -> q417Sql,
     "q430_source_contamination" -> q430Sql,

@@ -749,7 +749,73 @@ object TextAnalysis {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  /** q437 — QUANTILE NORMALIZATION ACROSS SOURCES (the classic
+    * equal-size form from expression-array preprocessing, Bolstad et
+    * al. 2003): each source's k-th smallest quality score is replaced
+    * by the cross-source MEAN of k-th order statistics, so after the
+    * transform every source has the identical score distribution —
+    * the alignment step between q262's within-dimension binning and
+    * q352's temperature mixing: mixing weights stop meaning different
+    * things per source when one source's "0.8 quality" was another's
+    * "0.5". Fixture sources are equal-sized by construction; unequal
+    * tails fall out naturally (a rank present in fewer sources
+    * averages over those).
+    *
+    * Exactness discipline: quality doubles (engine-identical, the q47
+    * contract) are micro-quantized BEFORE the cross-source sum (the
+    * q422 lesson — summing raw doubles drifts in last ulps), the rank
+    * tie-break is (score, doc_id), and the mean is an integer `div`
+    * over non-negative sums (Spark div truncates / DuckDB // floors —
+    * equal on non-negatives, and quality ≥ 0 here).
+    *
+    * Scale shape: one window per source partition (each source sorts
+    * independently — the partitioning a per-source ingest already
+    * has), one rank-keyed partial agg bounded by max source size, one
+    * broadcast-sized join back. No global sort.
+    */
+  val q437QuantileNormalize: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val scored = qualityOf(docs)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"doc_id", $"source",
+        floor($"quality" * 1000000.0).cast("long").as("qq"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"qq".asc, $"doc_id".asc)
+    val ranked = scored.withColumn("rn", row_number().over(wSrc).cast("long"))
+    val ref = ranked.groupBy($"rn")
+      .agg(sum($"qq").as("sum_qq"), count(lit(1)).as("n_src"))
+    ranked.join(ref, "rn")
+      .select($"doc_id", $"source", $"rn",
+        expr("sum_qq div n_src").as("norm_micro"))
+      .orderBy($"doc_id")
+  }
+
+  val q437Sql: String =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    CAST(FLOOR(1000000.0 * (
+      |      len(list_distinct(string_split(text, ' ')))
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+      |      + (1.0 - len(regexp_extract_all(text, '\b(the|a|of|and|to)\b'))
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+      |      + CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 200
+      |             THEN 0.2 ELSE 0.0 END)) AS BIGINT) AS qq
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, source, qq,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY qq ASC, doc_id ASC) AS BIGINT) AS rn
+      |  FROM q),
+      |ref AS (
+      |  SELECT rn, CAST(SUM(qq) AS BIGINT) AS sum_qq, COUNT(*) AS n_src
+      |  FROM ranked GROUP BY rn)
+      |SELECT doc_id, source, rn, sum_qq // n_src AS norm_micro
+      |FROM ranked JOIN ref USING (rn)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q437_quantile_normalize" -> q437QuantileNormalize,
     "q247_curation_rank" -> q247CurationRank,
     "q250_classifier_eval" -> q250ClassifierEval,
     "q241_truncation_loss" -> q241TruncationLoss,
@@ -766,6 +832,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q437_quantile_normalize" -> q437Sql,
     "q247_curation_rank" -> q247Sql,
     "q250_classifier_eval" -> q250Sql,
     "q241_truncation_loss" -> q241Sql,
