@@ -185,4 +185,34 @@ class DedupSpec extends SparkSpec {
     assert(lcs(a, b) == lcs(b, a))
     assert(lcs(a, b) <= math.min(a.length, b.length))
   }
+
+  test("CWS sketches: identical weights collide everywhere, disjoint never") {
+    import spark.implicits._
+    // two docs with IDENTICAL token censuses (wJ = 1 → every seed
+    // collides: the sample is a pure function of the shared census),
+    // one disjoint doc (wJ = 0 → no seed can collide: samples are
+    // drawn from disjoint token sets)
+    val tc = Seq(
+      (1L, "alpha", 3L), (1L, "beta", 1L), (1L, "gamma", 2L),
+      (2L, "alpha", 3L), (2L, "beta", 1L), (2L, "gamma", 2L),
+      (3L, "delta", 4L), (3L, "epsilon", 2L))
+      .toDF("doc_id", "tok", "c")
+    val sk = DedupQueries.cwsSketch(tc)
+      .as[(Long, Int, String, Long)].collect()
+      .groupBy(_._1).map { case (d, rows) =>
+        d -> rows.map(r => r._2 -> ((r._3, r._4))).toMap
+      }
+    assert(sk(1L).size == DedupQueries.CwsSeeds)
+    assert(sk(1L) == sk(2L), "wJ=1 pair must collide on every seed")
+    (0 until DedupQueries.CwsSeeds).foreach { s0 =>
+      assert(sk(1L)(s0) != sk(3L)(s0), s"disjoint docs collided on seed $s0")
+    }
+    // determinism across evaluations
+    val again = DedupQueries.cwsSketch(tc)
+      .as[(Long, Int, String, Long)].collect()
+      .groupBy(_._1).map { case (d, rows) =>
+        d -> rows.map(r => r._2 -> ((r._3, r._4))).toMap
+      }
+    assert(again == sk)
+  }
 }
