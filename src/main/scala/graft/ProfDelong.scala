@@ -24,6 +24,9 @@ object ProfDelong {
       val (nq, recalls) = graft.llm.VectorSearch.probeCurveRecalls(spark, dir)
       println(s"[probecurve] $dir nq=$nq " +
         recalls.map { case (p, t, g) => s"p$p=twin:$t/gen:$g" }.mkString(" "))
+      val (nn, nEx, seedR, afterR) = graft.operators.Dbscan.nndStats(spark, dir)
+      println(s"[nnd] $dir n=$nn exact_edges=$nEx seed=${seedR}permille " +
+        s"after=${afterR}permille")
     }
     spark.stop()
   }

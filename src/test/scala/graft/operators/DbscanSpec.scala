@@ -61,4 +61,16 @@ class DbscanSpec extends SparkSpec {
     assert(out(1L)._2 == out(3L)._2, s"negative-coord chain split: $out")
     assert(out(4L) == ("noise", -1L))
   }
+
+  test("nn-descent: one round improves recall past the floor (fixture)") {
+    val (n, nExact, seedR, afterR) =
+      Dbscan.nndStats(spark, "/root/testdata/sf0.001")
+    info(s"n=$n exact=$nExact seed=${seedR} after=${afterR} permille")
+    assert(n > 0 && nExact > 0)
+    assert(afterR > seedR, "one round must strictly improve recall")
+    assert(afterR >= Dbscan.NndAfterFloorPermille)
+    // and re-running is deterministic (hash-ring seed, exact ranks)
+    val again = Dbscan.nndStats(spark, "/root/testdata/sf0.001")
+    assert(again == ((n, nExact, seedR, afterR)))
+  }
 }
