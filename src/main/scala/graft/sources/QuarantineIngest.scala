@@ -39,7 +39,15 @@ object QuarantineIngest {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Fixed absolute path so the static oracle SQL can address it. */
+  /** Fixed absolute path so the static oracle SQL can address it.
+    * Shared per-checkout state: the file is rewritten from the run's
+    * OWN sfDir on every q133 call, so two CONCURRENT runs at different
+    * SFs race on it (one run's oracle can read the other run's
+    * fixture). The driver's gate runs Verify → oracle sequentially per
+    * SF, which is the supported shape; builders running a background
+    * full Verify should not run a different-SF q133 (or its spec)
+    * concurrently.
+    */
   val FixturePath = "/root/repo/target/fixtures/supplier_feed.csv"
 
   private val feedSchema = StructType(Seq(
