@@ -374,7 +374,111 @@ object ScalarQueries {
       |FROM lineitem
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** q441 — the MAP higher-order-function gallery (map_from_entries →
+    * transform_keys → transform_values → map_zip_with → map_filter →
+    * explode): the map-typed half of q25's array-HOF surface, absent
+    * until now. Per customer, two priority-keyed maps (order count,
+    * cent sum) are built from one partial agg, rewritten entirely
+    * IN-ROW by the HOF chain (keys get a "P:" prefix on both sides so
+    * the zip aligns; value = n·10¹³ + 2·sum_cents keeps both inputs
+    * recoverable and overflow-free), filtered on v % 3, and exploded
+    * back to rows. The oracle replays the SAME arithmetic
+    * RELATIONALLY — no maps — so a wrong HOF semantics (zip missing a
+    * key, filter dropping the wrong entry, key rewrite applied once)
+    * breaks the row hash.
+    *
+    * Scale shape: one (custkey, priority) partial agg; everything
+    * after is narrow in-row codegen — the point of map HOFs at 100 TB
+    * is exactly that the reshape never touches a shuffle.
+    */
+  val q441MapHofs: Q = (s, dir) => {
+    import s.implicits._
+    val per = T.orders(s, dir)
+      .select($"o_custkey", $"o_orderpriority".as("pr"),
+        expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)").as("cents"))
+      .groupBy($"o_custkey", $"pr")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sc"))
+    per.groupBy($"o_custkey")
+      .agg(
+        map_from_entries(sort_array(collect_list(struct($"pr", $"n"))))
+          .as("mn"),
+        map_from_entries(sort_array(collect_list(struct($"pr", $"sc"))))
+          .as("ms"))
+      .select($"o_custkey",
+        explode(
+          map_filter(
+            map_zip_with(
+              transform_keys($"mn", (k, _) => concat(lit("P:"), k)),
+              transform_keys(
+                transform_values($"ms", (_, v) => v * 2L),
+                (k, _) => concat(lit("P:"), k)),
+              (_, n, s2) => n * lit(10000000000000L) + coalesce(s2, lit(0L))),
+            (_, v) => v % 3 === 0))
+          .as(Seq("mkey", "mval")))
+      .orderBy($"o_custkey", $"mkey")
+  }
+
+  val q441Sql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, o_orderpriority AS pr,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(FLOOR(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+      |      AS sc
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_custkey, 'P:' || pr AS mkey,
+      |  CAST(n * 10000000000000 + 2 * sc AS BIGINT) AS mval
+      |FROM per
+      |WHERE (n * 10000000000000 + 2 * sc) % 3 = 0
+      |ORDER BY o_custkey, mkey""".stripMargin
+
+  /** q442 — max_by / min_by (SQL:2023 arg-max aggregates, the "which
+    * row holds the extreme" question every dashboard asks without a
+    * self-join): per event type, the event id carrying the max and
+    * min cent value. The ordering key is struct(cents, event_id) —
+    * UNIQUE by construction, because max_by/min_by tie-breaking is
+    * otherwise first-seen (partition-order-dependent); the unique
+    * struct key is the discipline that makes the builtin
+    * deterministic. Oracle replays with window ranks.
+    *
+    * Scale shape: one partial-aggregable pass — the agg form of the
+    * q18 top-1 window, with no sort and no per-group state beyond two
+    * running extremes.
+    */
+  val q442ArgExtremes: Q = (s, dir) => {
+    import s.implicits._
+    T.events(s, dir)
+      .select($"event_type", $"event_id",
+        expr("CAST(FLOOR(100 * value) AS BIGINT)").as("cents"))
+      .groupBy($"event_type")
+      .agg(
+        max_by($"event_id", struct($"cents", $"event_id")).as("top_id"),
+        min_by($"event_id", struct($"cents", $"event_id")).as("bot_id"),
+        max($"cents").as("max_cents"), min($"cents").as("min_cents"))
+      .orderBy($"event_type")
+  }
+
+  val q442Sql: String =
+    """WITH c AS (
+      |  SELECT event_type, event_id,
+      |    CAST(FLOOR(100 * value) AS BIGINT) AS cents
+      |  FROM events),
+      |rk AS (
+      |  SELECT event_type, event_id, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY cents DESC, event_id DESC) AS rmax,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY cents ASC, event_id ASC) AS rmin
+      |  FROM c)
+      |SELECT event_type,
+      |  MAX(CASE WHEN rmax = 1 THEN event_id END) AS top_id,
+      |  MAX(CASE WHEN rmin = 1 THEN event_id END) AS bot_id,
+      |  MAX(cents) AS max_cents, MIN(cents) AS min_cents
+      |FROM rk GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q441_map_hofs" -> q441MapHofs,
+    "q442_arg_extremes" -> q442ArgExtremes,
     "q281_variant" -> q281Variant,
     "q282_collation" -> q282Collation,
     "q283_try_gallery" -> q283TryGallery,
@@ -390,6 +494,8 @@ object ScalarQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q441_map_hofs" -> q441Sql,
+    "q442_arg_extremes" -> q442Sql,
     "q281_variant" -> q281Sql,
     "q282_collation" -> q282Sql,
     "q283_try_gallery" -> q283Sql,

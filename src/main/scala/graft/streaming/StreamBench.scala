@@ -860,7 +860,60 @@ object StreamBench {
       .toDF("n_days_finalized", "sum_floor_estimates")
   }
 
+  /** qs20 — STREAM-STATIC broadcast enrichment join + stateful agg:
+    * the bread-and-butter streaming-ETL shape the qs suite lacked —
+    * every micro-batch equi-joins the event stream against the STATIC
+    * customer dimension (re-resolved per batch by the engine; no
+    * state for the join itself, the 100 TB pattern for dimension
+    * enrichment), then folds a per-segment revenue aggregate in
+    * complete mode. Gate: the final per-segment (n, cents) table
+    * EXACTLY equals the batch join+agg over the same rows — integer
+    * cents, so equality is exact.
+    */
+  val qs20StreamStaticJoin: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val dim = T.customer(s, dir)
+      .select($"c_custkey".as("ckey"), $"c_mktsegment")
+    val nCust = dim.count()
+    val stream = MemoryStream[Event]
+    val name = s"bench_ssj_${runId.incrementAndGet()}"
+    val q = stream.toDS()
+      .withColumn("ckey", pmod($"user_id", lit(nCust)))
+      .withColumn("cents",
+        expr("CAST(FLOOR(100 * value) AS BIGINT)"))
+      .join(dim, "ckey") // stream-static: dimension re-read per batch
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-ssj-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val streamed = s.table(name)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    s.catalog.dropTempView(name)
+    val batch = s.createDataset(rows).toDF()
+      .withColumn("ckey", pmod($"user_id", lit(nCust)))
+      .withColumn("cents", expr("CAST(FLOOR(100 * value) AS BIGINT)"))
+      .join(dim, "ckey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    require(streamed == batch,
+      s"stream-static join diverges: ${streamed.size} vs ${batch.size} segments")
+    Seq((streamed.size.toLong, streamed.values.map(_._1).sum))
+      .toDF("n_segments", "n_rows_joined")
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "qs20_stream_static_join" -> qs20StreamStaticJoin,
     "qs19_sliding_hll_stream" -> qs19SlidingHllStream,
     "qs18_ewma_stream" -> qs18EwmaStream,
     "qs17_cusum_stream" -> qs17CusumStream,
