@@ -176,13 +176,26 @@ object DedupQueries {
   def nearDuplicates(spark: SparkSession, docs: DataFrame,
       minJaccard: Double): DataFrame = {
     import spark.implicits._
-    implicit val sp: SparkSession = spark
-    // the candidate frame is referenced three times below (both doc-id
-    // projections + the final join); an eager localCheckpoint runs the
-    // whole signature/banding pipeline ONCE and hands the tiny pair set
-    // to each consumer — without it Catalyst re-expands ~8 exchanges
-    // per reference (32-exchange plan, 3× the candidate work)
+    // the candidate frame is referenced three times in the verify
+    // stage (both doc-id projections + the final join); an eager
+    // localCheckpoint runs the whole signature/banding pipeline ONCE
+    // and hands the tiny pair set to each consumer — without it
+    // Catalyst re-expands ~8 exchanges per reference (32-exchange
+    // plan, 3× the candidate work)
     val cands = minhashCandidates(spark, docs).localCheckpoint()
+    verifyPairs(spark, docs, cands, minJaccard)
+      .orderBy($"doc1", $"doc2")
+  }
+
+  /** The exact-Jaccard VERIFY stage over an arbitrary candidate pair
+    * frame (doc1, doc2) — factored out of [[nearDuplicates]] so the
+    * incremental path (q443) verifies its own candidates with the
+    * IDENTICAL semantics the full-run oracle defines.
+    */
+  def verifyPairs(spark: SparkSession, docs: DataFrame, cands: DataFrame,
+      minJaccard: Double): DataFrame = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
     // exact verify over the UNCAPPED shingle universe (candidates are
     // already a tiny set, so no df cap is needed — and the answer then
     // matches the exact all-pairs oracle definition). Each candidate
@@ -208,7 +221,6 @@ object DedupQueries {
       .withColumn("jaccard", $"inter" / ($"n1" + $"n2" - $"inter"))
       .filter($"jaccard" >= minJaccard)
       .select($"doc1", $"doc2", $"inter", $"jaccard")
-      .orderBy($"doc1", $"doc2")
   }
 
   /** Banded SimHash candidate pairing: the 64-bit simhash splits into 4

@@ -1296,7 +1296,117 @@ object TextPipeline {
        |ORDER BY word""".stripMargin
   }
 
+  /** q444's position discounts 1/log₂(i+1), i = 1..10 — computed ONCE
+    * here and embedded as round-trip double literals in BOTH engines
+    * (Double.toString is shortest-round-trip, so DuckDB parses the
+    * identical bits): log₂ itself is libm-dependent and Java vs C can
+    * disagree in the last ulp, which a floor() then amplifies — pinned
+    * constants remove the library from the equality contract entirely.
+    */
+  val DcgK = 10
+  val DcgDiscounts: Seq[(Long, Double)] = (1 to DcgK).map(i =>
+    (i.toLong, 1.0 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** q444 — nDCG@10 of the q108 BM25 ranking under GRADED relevance
+    * (g = how many of the two query terms the doc contains, gain
+    * 2^g − 1 ∈ {0, 1, 3}) — the graded complement of q337's binary
+    * recall/MRR readout: a ranker that puts one-term docs above
+    * two-term docs loses nDCG while binary recall@10 can't see it.
+    * Every per-position term is micro-quantized BEFORE the sum (the
+    * q422 fold) with the pinned [[DcgDiscounts]]; IDCG re-ranks the
+    * same graded population ideally (threes, then ones); the final
+    * ratio is one integer division.
+    *
+    * Scale shape: ranking restricted to positive-score docs (the q337
+    * candidate-set contract), the DCG fold touches 10 rows, IDCG
+    * needs only the two grade counts.
+    */
+  val q444Ndcg: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val n = docs.select(countDistinct($"doc_id")).as[Long].head()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"bm25".desc, $"doc_id".asc)
+    val grades = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin(Bm25QueryTerms: _*))
+      .groupBy($"doc_id").agg(countDistinct($"term").cast("long").as("g"))
+    val ranked = bm25(docs, Bm25QueryTerms, n)
+      .filter($"bm25" > 0.0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .join(grades, Seq("doc_id"), "left").na.fill(0L, Seq("g"))
+      .withColumn("gain",
+        when($"g" === 2, 3L).when($"g" === 1, 1L).otherwise(0L))
+      .localCheckpoint()
+    val discDf = broadcast(DcgDiscounts.toDF("rank", "d"))
+    val dcg = ranked.filter($"rank" <= DcgK).join(discDf, "rank")
+      .agg(coalesce(sum(
+        floor(lit(1000000.0) * $"gain".cast("double") * $"d").cast("long")),
+        lit(0L))).head().getLong(0)
+    val cnt = ranked.agg(
+      count(lit(1)),
+      sum(when($"g" === 2, 1L).otherwise(0L)),
+      sum(when($"g" === 1, 1L).otherwise(0L))).head()
+    val (nRanked, n2, n1) = (cnt.getLong(0), cnt.getLong(1), cnt.getLong(2))
+    val idcg = DcgDiscounts.map { case (i, d) =>
+      val gain = if (i <= n2) 3L else if (i <= n2 + n1) 1L else 0L
+      math.floor(1000000.0 * gain * d).toLong
+    }.sum
+    val ndcg = if (idcg == 0) 0L else 1000000L * dcg / idcg
+    Seq((nRanked, n2, n1, dcg, idcg, ndcg))
+      .toDF("n_ranked", "n_g2", "n_g1", "dcg_micro", "idcg_micro",
+        "ndcg_micro")
+  }
+
+  val q444Sql: String = {
+    // string→DOUBLE cast, NOT a bare literal: DuckDB types bare
+    // decimal literals as DECIMAL(17,16), which rounds a
+    // 17-fractional-digit discount (1/log2(8) needs them) to a
+    // DIFFERENT double and flips a floor() at rank 7
+    val discRows = DcgDiscounts
+      .map { case (i, d) =>
+        s"($i, CAST('${java.lang.Double.toString(d)}' AS DOUBLE))" }
+      .mkString(", ")
+    val base = q108Sql.replace("ORDER BY 1", "")
+    s"""WITH b AS ($base),
+       |grades AS (
+       |  SELECT doc_id, COUNT(DISTINCT term) AS g
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE term IN ('data', 'join') GROUP BY doc_id),
+       |ranked AS (
+       |  SELECT b.doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, b.doc_id ASC) AS rank,
+       |    CASE COALESCE(g, 0) WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END
+       |      AS gain,
+       |    COALESCE(g, 0) AS g
+       |  FROM b LEFT JOIN grades ON b.doc_id = grades.doc_id
+       |  WHERE bm25 > 0.0),
+       |disc(rank, d) AS (VALUES $discRows),
+       |cnt AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked,
+       |    CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+       |  FROM ranked),
+       |dcg AS (
+       |  SELECT CAST(COALESCE(SUM(CAST(FLOOR(
+       |      1000000.0 * CAST(gain AS DOUBLE) * CAST(d AS DOUBLE))
+       |    AS BIGINT)), 0) AS BIGINT) AS dcg_micro
+       |  FROM ranked JOIN disc USING (rank)),
+       |idcg AS (
+       |  SELECT CAST(SUM(CAST(FLOOR(1000000.0 *
+       |      (CASE WHEN disc.rank <= n2 THEN 3
+       |            WHEN disc.rank <= n2 + n1 THEN 1 ELSE 0 END)
+       |      * CAST(d AS DOUBLE)) AS BIGINT)) AS BIGINT) AS idcg_micro
+       |  FROM disc CROSS JOIN cnt)
+       |SELECT n_ranked, n2 AS n_g2, n1 AS n_g1, dcg_micro, idcg_micro,
+       |  CASE WHEN idcg_micro = 0 THEN 0
+       |       ELSE 1000000 * dcg_micro // idcg_micro END AS ndcg_micro
+       |FROM cnt, dcg, idcg""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q444_ndcg" -> q444Ndcg,
     "q436_porter_stem" -> q436PorterStem,
     "q374_query_likelihood" -> q374QueryLikelihood,
     "q364_bm25" -> q364Bm25,
@@ -1319,6 +1429,7 @@ object TextPipeline {
     "q158_temperature_mix" -> q158TemperatureMix,
   )
   val oracleSql: Map[String, String] = Map(
+    "q444_ndcg" -> q444Sql,
     "q436_porter_stem" -> q436Sql,
     "q374_query_likelihood" -> q374Sql,
     "q200_weighted_sample" -> q200Sql,
