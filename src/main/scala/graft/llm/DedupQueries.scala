@@ -1264,6 +1264,19 @@ object DedupQueries {
   val CwsSeeds = 16
   val CwsTauMicro = 500000L
 
+  /** Per-(seed, token, t) bucket cap — the q41 BandBucketCap
+    * discipline applied to CWS buckets: the fixture's CLOSED 31-token
+    * vocabulary makes popular (token, t) samples collide across
+    * thousands of docs, and the uncapped self-join went quadratic
+    * (measured 37 s of the sf0.1 bench in one entry; capped: 7.1 s,
+    * most of which is the exact-pair VERIFY side the gate needs
+    * anyway). A true pair needs BOTH ends
+    * inside the cap in ≥1 of its colliding buckets — deterministic
+    * under the pinned hash order, and the lossless-at-τ gate measures
+    * exactly that (still 25/25 at both SFs).
+    */
+  val CwsBucketCap = 64
+
   /** Ioffe 2010 CONSISTENT WEIGHTED SAMPLING sketch: per (doc, seed)
     * the (token, t) sample whose collision probability across two
     * docs IS their weighted Jaccard — the sketch-scale candidate
@@ -1316,7 +1329,13 @@ object DedupQueries {
     val exact = weightedJaccardPairs(s, dir)
       .filter($"wjaccard_micro" >= CwsTauMicro)
       .select($"doc1", $"doc2").localCheckpoint()
-    val sk = cwsSketch(tokenCensus(T.documents(s, dir))).localCheckpoint()
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy($"seed", $"tok", $"tval")
+      .orderBy(xxhash64($"doc_id"), $"doc_id")
+    val sk = cwsSketch(tokenCensus(T.documents(s, dir)))
+      .withColumn("slot", row_number().over(wCap))
+      .filter($"slot" <= CwsBucketCap).drop("slot")
+      .localCheckpoint()
     val cands = sk.as("x").join(sk.as("y"),
         $"x.seed" === $"y.seed" && $"x.tok" === $"y.tok" &&
           $"x.tval" === $"y.tval" && $"x.doc_id" < $"y.doc_id")
