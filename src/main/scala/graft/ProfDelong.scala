@@ -27,6 +27,10 @@ object ProfDelong {
       val (nn, nEx, seedR, afterR) = graft.operators.Dbscan.nndStats(spark, dir)
       println(s"[nnd] $dir n=$nn exact_edges=$nEx seed=${seedR}permille " +
         s"after=${afterR}permille")
+      Seq(2, 3).foreach { rr =>
+        val (_, _, _, a) = graft.operators.Dbscan.nndStats(spark, dir, rr)
+        println(s"[nnd] $dir rounds=$rr after=${a}permille")
+      }
     }
     spark.stop()
   }

@@ -29,14 +29,17 @@ import org.apache.spark.sql.functions._
   * classifier, Σ_{positives} v10₂ == Σ_{negatives} v01₂ (both count
   * 2·Σψ over all m·n pairs; any window/join slip breaks the equality
   * exactly) — plus: both AUCs ≥ [[AucFloorMicro]]µ (measured: NB
-  * 1000000µ both SFs, LR 965838µ at sf0.001 / 997198µ at sf0.01 —
-  * near-ceiling on the planted concept, as they should be), Var ≥ 0
+  * 1000000µ everywhere, LR 965838µ/997198µ/987317µ at
+  * sf0.001/0.01/0.1 — near-ceiling on the planted concept), Var ≥ 0
   * (a Cauchy–Schwarz consequence per class, so a negative reading is
-  * a bug), and |z| ≤ [[ZCapMicro]]µ (measured 1426341µ at sf0.001,
-  * 707106µ at sf0.01; the cap is the standard 1.96 two-sided 5%
-  * bound: the two filters are trained on the SAME planted concept, so
-  * a significant score-level disagreement would mean one of the
-  * training paths is broken).
+  * a bug), and the DIRECTIONAL check aucNB ≥ aucLR (NB keys on the
+  * marker tokens exactly, so it is perfect on the planted concept by
+  * construction; LR pays 64-bucket hash collisions). Deliberately NOT
+  * a |z| non-significance cap: the z statistic GROWS with the test
+  * split (measured |z| 1.43/0.71/2.43 at sf0.001/0.01/0.1 and ~30 on
+  * the ×100 sf1 slice) because the NB-over-LR gap is REAL and more
+  * data makes a real gap significant — capping z would pin the gate
+  * to one sample size, the q345-eps class of mistake.
   *
   * Scale shape: two distinct-score windows (values-bounded) + two
   * equi-joins back + one per-class partial agg; driver traffic is the
@@ -53,14 +56,9 @@ object DelongAuc {
   type Q = (SparkSession, String) => DataFrame
 
   /** Both AUCs must clear this (micro units). Measured: NB 1000000µ
-    * at both SFs; LR 965838µ at sf0.001, 997198µ at sf0.01.
+    * everywhere; LR 965838µ / 997198µ / 987317µ at sf0.001/0.01/0.1.
     */
   val AucFloorMicro = 950000L
-
-  /** |z| cap, micro units: 1.96 — the two-sided 5% bound (see
-    * Scaladoc; measured |z| = 1426341µ at sf0.001, 707106µ at sf0.01).
-    */
-  val ZCapMicro = 1960000L
 
   /** Paired per-doc margins on the held-out split:
     * (doc_id, y, sa, sb) — sa the NB integer micro-nat two-class
@@ -157,9 +155,9 @@ object DelongAuc {
 
   val q434DelongPairedAuc: Q = (s, dir) => {
     import s.implicits._
-    val (m, n, aucA, aucB, zAbs, idA, idB, varOk) = delongStats(s, dir)
+    val (m, n, aucA, aucB, _, idA, idB, varOk) = delongStats(s, dir)
     val ok = idA && idB && varOk &&
-      aucA >= AucFloorMicro && aucB >= AucFloorMicro && zAbs <= ZCapMicro
+      aucA >= AucFloorMicro && aucB >= AucFloorMicro && aucA >= aucB
     Seq((m, n, ok)).toDF("n_pos", "n_neg", "ok")
   }
 
