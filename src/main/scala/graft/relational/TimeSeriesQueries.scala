@@ -1426,7 +1426,132 @@ object TimeSeriesQueries {
        |FROM dau JOIN mau USING (day)
        |ORDER BY day""".stripMargin
 
+  /** q445's season length — weekly, the calendar period the fixture's
+    * 30-day daily series actually contains four of.
+    */
+  val HwSeason = 7
+
+  /** The Holt–Winters ADDITIVE fold (Winters 1960) over one daily
+    * series — driver-side Scala doubles, the q394 discipline: the
+    * series is days-bounded by contract, every constant is dyadic
+    * (α = β = γ = 1/4, exact IEEE scalings), and the oracle replays
+    * the IDENTICAL operation order through DuckDB's list_reduce with
+    * a flat [l, b, s₀..s₆] accumulator. Standard two-season init:
+    * l = mean(season 1), b = (mean(season 2) − mean(season 1))/m,
+    * sⱼ = xⱼ − l; then per step
+    *   l' = α(x − sᵢ) + (1−α)(l + b)
+    *   b' = β(l' − l) + (1−β)b
+    *   sᵢ' = γ(x − l') + (1−γ)sᵢ
+    * Returns (level, trend, next-step forecast l+b+s_next).
+    * EXACT FIXPOINTS pin the algebra in the spec: a constant series
+    * folds to (C, 0, C) exactly, and a purely periodic series folds
+    * to (mean, 0, next value) exactly — dyadic steps preserve both.
+    */
+  def hwFold(xs: Array[Double], m: Int = HwSeason)
+      : (Double, Double, Double) = {
+    require(xs.length >= 2 * m, s"need two seasons, got ${xs.length}")
+    def seqSum(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i); i += 1 }
+      s
+    }
+    val m1 = seqSum(xs.slice(0, m)) / m
+    val m2 = seqSum(xs.slice(m, 2 * m)) / m
+    var l = m1
+    var b = (m2 - m1) / m
+    val s = Array.tabulate(m)(j => xs(j) - m1)
+    var i = m
+    while (i < xs.length) {
+      val si = i % m
+      val lNew = 0.25 * (xs(i) - s(si)) + 0.75 * (l + b)
+      val bNew = 0.25 * (lNew - l) + 0.75 * b
+      val sNew = 0.25 * (xs(i) - lNew) + 0.75 * s(si)
+      l = lNew; b = bNew; s(si) = sNew
+      i += 1
+    }
+    (l, b, l + b + s(xs.length % m))
+  }
+
+  /** q445 — HOLT–WINTERS additive seasonal smoothing per event type:
+    * the forecasting family's completion (q369 EWMA = level, q380
+    * Holt = level+trend, this = level+trend+SEASON — the first
+    * baseline whose one-step forecast can say "Mondays are just like
+    * that" instead of alarming weekly). Daily integer-cent series,
+    * [[hwFold]] on the driver (days-bounded collect), micro-quantized
+    * outputs; the oracle replays the identical fold in DuckDB
+    * list_reduce.
+    */
+  val q445HoltWinters: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(sum(expr("CAST(FLOOR(100 * value) AS BIGINT)")).as("x"))
+      .groupBy($"event_type")
+      .agg(expr("""transform(array_sort(collect_list(struct(day, x))),
+                  |  p -> CAST(p.x AS DOUBLE))""".stripMargin).as("xs"))
+      .as[(String, Array[Double])].collect()
+    val rows = daily.toSeq.sortBy(_._1).map { case (t, xs) =>
+      val (l, b, f) = hwFold(xs)
+      (t, xs.length.toLong,
+        math.floor(1000000.0 * l).toLong,
+        math.floor(1000000.0 * b).toLong,
+        math.floor(1000000.0 * f).toLong)
+    }
+    rows.toDF("event_type", "n_days", "level_micro", "trend_micro",
+      "forecast_micro")
+  }
+
+  val q445Sql: String = {
+    val m = HwSeason
+    // lNew / bNew / sNew spelled inline (lambdas bind no
+    // intermediates); recomputing the identical expression yields the
+    // identical double, so the repetition is safe
+    val lNew = s"0.25 * (p[1] - acc[3 + CAST(p[2] AS INT) % $m]) " +
+      "+ 0.75 * (acc[1] + acc[2])"
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |    CAST(SUM(CAST(FLOOR(100 * value) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |ser AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    list_transform(list(x ORDER BY day), v -> CAST(v AS DOUBLE)) AS xs
+       |  FROM ser0_src GROUP BY event_type),
+       |init AS (
+       |  SELECT event_type, n_days, xs,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs[1:$m]),
+       |      (a, v) -> a + v) / $m AS m1,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      xs[${m + 1}:${2 * m}]), (a, v) -> a + v) / $m AS m2
+       |  FROM ser),
+       |folded AS (
+       |  SELECT event_type, n_days, xs, m1,
+       |    list_reduce(
+       |      list_prepend(
+       |        list_concat([m1, (m2 - m1) / $m],
+       |          list_transform(range(1, $m + 1), j -> xs[j] - m1)),
+       |        list_transform(range($m + 1, len(xs) + 1),
+       |          i -> [xs[i], CAST(i - 1 AS DOUBLE)])),
+       |      (acc, p) -> list_concat(
+       |        [$lNew,
+       |         0.25 * (($lNew) - acc[1]) + 0.75 * acc[2]],
+       |        list_transform(range(0, $m), j ->
+       |          CASE WHEN j = CAST(p[2] AS INT) % $m
+       |               THEN 0.25 * (p[1] - ($lNew)) +
+       |                    0.75 * acc[3 + CAST(p[2] AS INT) % $m]
+       |               ELSE acc[3 + j] END))) AS f
+       |  FROM init)
+       |SELECT event_type, n_days,
+       |  CAST(FLOOR(1000000.0 * f[1]) AS BIGINT) AS level_micro,
+       |  CAST(FLOOR(1000000.0 * f[2]) AS BIGINT) AS trend_micro,
+       |  CAST(FLOOR(1000000.0 * (f[1] + f[2]
+       |    + f[3 + CAST(n_days AS INT) % $m])) AS BIGINT) AS forecast_micro
+       |FROM folded
+       |ORDER BY event_type""".stripMargin
+      .replace("ser0_src", "daily")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q445_holt_winters" -> q445HoltWinters,
     "q426_stickiness" -> q426Stickiness,
     "q421_lateness_profile" -> q421LatenessProfile,
     "q394_pacf" -> q394Pacf,
@@ -1464,6 +1589,7 @@ object TimeSeriesQueries {
     "q292_cusum" -> q292Sql,
     "q286_interval_merge" -> q286Sql,
     "q275_theil_sen" -> q275Sql,
+    "q445_holt_winters" -> q445Sql,
     "q261_cumulative_uniques" -> q261Sql,
     "q259_twap" -> q259Sql,
     "q199_ewma_exact" -> q199Sql,

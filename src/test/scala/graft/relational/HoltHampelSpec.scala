@@ -44,4 +44,22 @@ class HoltHampelSpec extends SparkSpec {
       assert(!r._3 && r._4 == 100L, s"flat row flagged: $r")
     }
   }
+
+  test("holt-winters exact fixpoints: constant and purely periodic series") {
+    val m = TimeSeriesQueries.HwSeason
+    // constant: l = C, b = 0, forecast = C — EXACT under dyadic steps
+    val (lc, bc, fc) = TimeSeriesQueries.hwFold(Array.fill(30)(420.0), m)
+    assert(lc == 420.0 && bc == 0.0 && fc == 420.0)
+    // purely periodic: l = season mean, b = 0, forecast = next value —
+    // the seasonal state absorbs the pattern exactly (each update's
+    // correction term is 0 in exact dyadic arithmetic). Period values
+    // are dyadic-friendly integers; mean 128 is exact.
+    val p = Array(64.0, 96.0, 128.0, 160.0, 192.0, 128.0, 128.0)
+    assert(p.sum / m == 128.0)
+    val xs = Array.tabulate(30)(i => p(i % m))
+    val (lp, bp, fp) = TimeSeriesQueries.hwFold(xs, m)
+    assert(lp == 128.0, s"level $lp")
+    assert(bp == 0.0, s"trend $bp")
+    assert(fp == p(30 % m), s"forecast $fp != ${p(30 % m)}")
+  }
 }
