@@ -2107,7 +2107,133 @@ object StatInference {
       |  post_strat_micro
       |FROM tot CROSS JOIN strat""".stripMargin
 
+  /** q446 — two-group LOG-RANK test (Mantel 1966) on TIME-TO-CONVERT
+    * (the q425 framing: duration = first event → first purchase,
+    * never-purchasers censor at the horizon — the q293 KM clock has
+    * ZERO uncensored events on this fixture, every user is active
+    * near corpus end, so the conversion clock is the one with actual
+    * events), groups = user-id parity (the q331 A/A framing —
+    * the expected reading is "no difference", which is exactly what an
+    * assignment-integrity check should see): at every merged event
+    * time t, observed group-1 events d₁ₜ vs the hypergeometric
+    * expectation dₜ·n₁ₜ/nₜ, variance dₜ·(n₁ₜ/nₜ)(n₂ₜ/nₜ)(nₜ−dₜ)/(nₜ−1);
+    * χ² = (O₁−E₁)²/V. Completes the survival family: q293 KM curve,
+    * q395 Nelson–Aalen hazard, q409 cohort KM — this is the TEST that
+    * says whether two curves differ.
+    *
+    * Exactness: E₁/E₂ terms are exact integer divisions
+    * ((10⁶·dₜ·n₁ₜ) div nₜ); V terms put the exact BIGINT products
+    * through ONE double division spelled identically in both engines
+    * (products ≤ users⁴ stay inside the 2⁵³ exact-integer range at
+    * tested SFs); the final χ² is one identically-spelled double
+    * division over the micro sums. At-risk counts come from a
+    * bounded-axis theta join (event times × users), the exact
+    * spelling the oracle replays.
+    */
+  val q446LogRank: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+    val first = ev.groupBy($"user_id")
+      .agg(min($"ts".cast("date")).as("d0"))
+    val conv = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"ts".cast("date")).as("dp"))
+    val horizon = ev.agg(max($"ts".cast("date")).as("dmax"))
+    val lifetimes = first
+      .join(conv, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(($"user_id" % 2).as("grp"),
+        when($"dp".isNotNull, datediff($"dp", $"d0").cast("long"))
+          .otherwise(datediff($"dmax", $"d0").cast("long")).as("dur"),
+        $"dp".isNull.as("censored"))
+      .localCheckpoint()
+    // merged event-time axis: durations with ≥1 uncensored event
+    val axis = lifetimes.filter(!$"censored")
+      .groupBy($"dur").agg(count(lit(1)).as("d_all"))
+      .select($"dur".as("t"), $"d_all")
+    val atRisk = lifetimes.join(broadcast(axis.select($"t")),
+        $"dur" >= $"t")
+      .groupBy($"t")
+      .agg(sum(when($"grp" === 1, 1L).otherwise(0L)).as("n1"),
+        count(lit(1)).as("nt"))
+    val events = lifetimes.filter(!$"censored")
+      .groupBy($"dur".as("t"))
+      .agg(sum(when($"grp" === 1, 1L).otherwise(0L)).as("d1"),
+        count(lit(1)).as("dt"))
+    val cells = atRisk.join(events, "t")
+      .select($"t", $"n1", ($"nt" - $"n1").as("n2"), $"nt", $"d1",
+        ($"dt" - $"d1").as("d2"), $"dt")
+      .withColumn("e1_micro", expr("(1000000 * dt * n1) div nt"))
+      .withColumn("e2_micro", expr("(1000000 * dt * n2) div nt"))
+      .withColumn("v_micro", expr(
+        """CAST(FLOOR(1000000.0 *
+          |  (CAST(dt * n1 * n2 * (nt - dt) AS DOUBLE)
+          |   / CAST(nt * nt * (nt - 1) AS DOUBLE))) AS BIGINT)"""
+          .stripMargin))
+    val agg = cells.agg(
+      count(lit(1)).as("n_times"),
+      sum($"d1").as("o1"), sum($"d2").as("o2"),
+      sum($"e1_micro").as("e1_micro"), sum($"e2_micro").as("e2_micro"),
+      sum($"v_micro").as("v_micro"))
+    agg.select($"n_times", $"o1", $"o2", $"e1_micro", $"e2_micro",
+      $"v_micro",
+      expr("""CAST(FLOOR(
+             |  CAST(1000000 * o1 - e1_micro AS DOUBLE)
+             |  * CAST(1000000 * o1 - e1_micro AS DOUBLE)
+             |  / CAST(v_micro AS DOUBLE)) AS BIGINT)"""
+        .stripMargin).as("chi2_micro"))
+  }
+
+  val q446Sql: String =
+    s"""WITH f AS (
+       |  SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0
+       |  FROM events GROUP BY user_id),
+       |p AS (
+       |  SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS dp
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |h AS (SELECT MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dmax
+       |      FROM events),
+       |lifetimes AS (
+       |  SELECT f.user_id % 2 AS grp,
+       |    CAST(CASE WHEN dp IS NOT NULL THEN dp - d0
+       |              ELSE dmax - d0 END AS BIGINT) AS dur,
+       |    dp IS NULL AS censored
+       |  FROM f LEFT JOIN p ON f.user_id = p.user_id CROSS JOIN h),
+       |axis AS (
+       |  SELECT dur AS t FROM lifetimes WHERE NOT censored GROUP BY dur),
+       |at_risk AS (
+       |  SELECT t,
+       |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(COUNT(*) AS BIGINT) AS nt
+       |  FROM lifetimes JOIN axis ON dur >= t GROUP BY t),
+       |ev AS (
+       |  SELECT dur AS t,
+       |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(COUNT(*) AS BIGINT) AS dt
+       |  FROM lifetimes WHERE NOT censored GROUP BY dur),
+       |cells AS (
+       |  SELECT t, n1, nt - n1 AS n2, nt, d1, dt - d1 AS d2, dt,
+       |    (1000000 * dt * n1) // nt AS e1_micro,
+       |    (1000000 * dt * (nt - n1)) // nt AS e2_micro,
+       |    CAST(FLOOR(1000000.0 *
+       |      (CAST(dt * n1 * (nt - n1) * (nt - dt) AS DOUBLE)
+       |       / CAST(nt * nt * (nt - 1) AS DOUBLE))) AS BIGINT) AS v_micro
+       |  FROM at_risk JOIN ev USING (t)),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+       |    CAST(SUM(d1) AS BIGINT) AS o1, CAST(SUM(d2) AS BIGINT) AS o2,
+       |    CAST(SUM(e1_micro) AS BIGINT) AS e1_micro,
+       |    CAST(SUM(e2_micro) AS BIGINT) AS e2_micro,
+       |    CAST(SUM(v_micro) AS BIGINT) AS v_micro
+       |  FROM cells)
+       |SELECT n_times, o1, o2, e1_micro, e2_micro, v_micro,
+       |  CAST(FLOOR(
+       |    CAST(1000000 * o1 - e1_micro AS DOUBLE)
+       |    * CAST(1000000 * o1 - e1_micro AS DOUBLE)
+       |    / CAST(v_micro AS DOUBLE)) AS BIGINT) AS chi2_micro
+       |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q446_log_rank" -> q446LogRank,
     "q433_post_stratification" -> q433PostStratification,
     "q423_median_of_means" -> q423MedianOfMeans,
     "q422_two_way_anova" -> q422TwoWayAnova,
@@ -2139,6 +2265,7 @@ object StatInference {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q446_log_rank" -> q446Sql,
     "q386_kendall_tau" -> q386Sql,
     "q388_perm_test" -> q388Sql,
     "q393_emd_drift" -> q393Sql,
