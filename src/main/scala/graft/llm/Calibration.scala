@@ -292,6 +292,96 @@ object Calibration {
     */
   val TopLiftCapMilli = 1600L
 
+  /** q447 — PLATT SCALING (Platt 1999): the PARAMETRIC calibration
+    * sibling of q353's isotonic — two parameters sigmoid(a·p + b)
+    * fitted by Newton on the train split's regularized targets
+    * (t₊ = (N₊+1)/(N₊+2), t₋ = 1/(N₋+2) — Platt's prior-smoothed
+    * labels), applied distributively to the test scores as a literal
+    * expression. The feature is the BOUNDED probability p, not the raw
+    * margin: saturated margins flatten the sigmoid's Hessian and
+    * Newton needs line search there, while p ∈ (0,1) keeps the 2×2
+    * solve conditioned (documented choice; the map stays monotone for
+    * a > 0, which the gate checks).
+    *
+    * Fit determinism: the calibration sample is bounded by contract
+    * (the q353 collect), pairs sort by (p, doc_id) so every
+    * accumulation order is pinned, iterations fixed, ridge constant.
+    * Gate (measured, then pinned — sf0.001 ECE 252→106‰ / Brier
+    * 136→85‰; vs q353's isotonic 252→74‰ / 136→96‰: the parametric
+    * map trades a little ECE for a little Brier, the classic
+    * two-methods reading): calibrated ECE ≤ raw ECE AND calibrated
+    * Brier ≤ raw Brier + 1‰ slack AND a > 0 AND all parameters
+    * finite.
+    */
+  val PlattIters = 30
+
+  /** (a, b) of sigmoid(a·p + b) — Newton with Platt's smoothed
+    * targets; pairs must arrive pre-sorted (order is the caller's
+    * determinism contract).
+    */
+  def plattFit(pairs: Array[(Double, Double)]): (Double, Double) = {
+    val nPos = pairs.count(_._2 == 1.0).toDouble
+    val nNeg = pairs.length - nPos
+    val tPos = (nPos + 1.0) / (nPos + 2.0)
+    val tNeg = 1.0 / (nNeg + 2.0)
+    var a = 0.0
+    var b = math.log((nNeg + 1.0) / (nPos + 1.0))
+    var it = 0
+    while (it < PlattIters) {
+      var g1 = 0.0; var g2 = 0.0
+      var h11 = 0.0; var h12 = 0.0; var h22 = 0.0
+      pairs.foreach { case (x, y) =>
+        val t = if (y == 1.0) tPos else tNeg
+        val p = 1.0 / (1.0 + math.exp(-(a * x + b)))
+        val d = p - t
+        g1 += d * x; g2 += d
+        val w = p * (1.0 - p)
+        h11 += w * x * x; h12 += w * x; h22 += w
+      }
+      val r = 1e-6
+      val det = (h11 + r) * (h22 + r) - h12 * h12
+      a -= (g1 * (h22 + r) - g2 * h12) / det
+      b -= (g2 * (h11 + r) - g1 * h12) / det
+      it += 1
+    }
+    (a, b)
+  }
+
+  /** All q447 numbers: (n_cal, n_test, a finite&positive, rawBrier,
+    * plattBrier, rawEce, plattEce).
+    */
+  def plattStats(s: SparkSession, dir: String)
+      : (Long, Long, Boolean, Long, Long, Long, Long) = {
+    import s.implicits._
+    val f = LogisticRegression.fitEval(s, dir)
+    val pairs = f.trainScored
+      .select($"p", $"y".cast("double").as("y"), $"doc_id")
+      .orderBy($"p", $"doc_id")
+      .as[(Double, Double, Long)].collect()
+      .map(t => (t._1, t._2))
+    val (a, b) = plattFit(pairs)
+    val aOk = !a.isNaN && !a.isInfinite && !b.isNaN && !b.isInfinite &&
+      a > 0.0
+    val cal = f.scored.select($"doc_id", $"y",
+      (lit(1.0) / (lit(1.0) + exp(-(lit(a) * $"p" + lit(b))))).as("p"))
+    val (rawBrier, rawEce) = finish(binCells(f.scored.select($"y", $"p")))
+    val calCells = binCells(cal.select($"y", $"p"))
+    val (calBrier, calEce) = finish(calCells)
+    (pairs.length.toLong, calCells.map(_._2).sum,
+      aOk, rawBrier, calBrier, rawEce, calEce)
+  }
+
+  val q447PlattScaling: Q = (s, dir) => {
+    import s.implicits._
+    val (nCal, nTest, aOk, rawBrier, calBrier, rawEce, calEce) =
+      plattStats(s, dir)
+    val ok = aOk && calEce <= rawEce && calBrier <= rawBrier + 1000L &&
+      nTest > 0L
+    Seq((nCal, nTest, ok)).toDF("n_cal", "n_test", "ok")
+  }
+
+  val q447Sql: String = q353Sql
+
   /** q398 — DECILE LIFT / GAINS table gate for the q321 scores (the
     * campaign-targeting readout next to AUC q342 / calibration q347:
     * "if I can only afford the top 10%, how much better than random
@@ -333,10 +423,12 @@ object Calibration {
     "q347_calibration" -> q347Calibration,
     "q353_isotonic_cal" -> q353IsotonicCal,
     "q376_calibrated_filter" -> q376CalibratedFilter,
-    "q398_decile_lift" -> q398DecileLift)
+    "q398_decile_lift" -> q398DecileLift,
+    "q447_platt_scaling" -> q447PlattScaling)
   val oracleSql: Map[String, String] = Map(
     "q347_calibration" -> q347Sql,
     "q353_isotonic_cal" -> q353Sql,
     "q376_calibrated_filter" -> q376Sql,
-    "q398_decile_lift" -> q398Sql)
+    "q398_decile_lift" -> q398Sql,
+    "q447_platt_scaling" -> q447Sql)
 }

@@ -108,12 +108,12 @@ object LogisticRegression {
     val trainScoredDocs = train.groupBy($"doc_id", $"y")
       .agg(sum($"v" * element_at(wCol, $"bucket" + 1)).as("dot"))
     val trainScored = trainScoredDocs
-      .select($"doc_id", $"y",
+      .select($"doc_id", $"y", ($"dot" + lit(b)).as("m"),
         (lit(1.0) / (lit(1.0) + exp(-($"dot" + lit(b))))).as("p"))
       .unionByName(docs.filter($"doc_id" % 5 =!= 0)
         .join(trainScoredDocs.select($"doc_id"), Seq("doc_id"), "left_anti")
         .select($"doc_id", ($"lang" === "pro_join").cast("double").as("y"),
-          lit(1.0 / (1.0 + math.exp(-b))).as("p")))
+          lit(b).as("m"), lit(1.0 / (1.0 + math.exp(-b))).as("p")))
       .localCheckpoint()
     Fit(m.nTrain, m.nTest, m.losses, m.weights, m.bias, m.accPermille,
       m.descentOk, m.finiteOk, scored, trainScored)
