@@ -1160,6 +1160,96 @@ object DedupQueries {
        |FROM dp WHERE i = len(t1)
        |ORDER BY doc1, doc2""".stripMargin
 
+  /** q448 — SMITH–WATERMAN local alignment score per q41-verified
+    * pair (Smith & Waterman 1981): the LOCAL-similarity member next
+    * to q348's global LCS — LCS counts every scattered common token,
+    * SW finds the best CONTIGUOUS-ish shared region (gaps and
+    * mismatches PAY: match +2, mismatch −1, gap −1, floor at 0), so a
+    * pair whose overlap is one long copied block outscores a pair
+    * with the same token multiset sprinkled throughout. Exact integer
+    * DP per pair (rolling rows, O(min) space); the oracle replays the
+    * identical recurrence as a DuckDB recursive CTE threading
+    * [best, H₀..Hₘ] per row (the q348 list-accumulator idiom, with
+    * the running max carried at list head).
+    *
+    * Scale shape: pair-bounded (q41's verified output); per-pair cost
+    * n·m on token counts the fixture bounds — at 100 TB the SAME
+    * candidates-then-verify shape holds, with SW as the verify.
+    */
+  val SwMatch = 2L
+  val SwMismatch = -1L
+  val SwGap = -1L
+
+  def swTokens(a: Seq[String], b: Seq[String]): Long = {
+    val m = b.length
+    var prev = new Array[Long](m + 1)
+    var cur = new Array[Long](m + 1)
+    val bArr = b.toArray
+    var best = 0L
+    a.foreach { ai =>
+      var j = 0
+      while (j < m) {
+        val sc = if (ai == bArr(j)) SwMatch else SwMismatch
+        val v = math.max(0L, math.max(prev(j) + sc,
+          math.max(prev(j + 1) + SwGap, cur(j) + SwGap)))
+        cur(j + 1) = v
+        if (v > best) best = v
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0L)
+    }
+    best
+  }
+
+  val q448SmithWaterman: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val docs = T.documents(s, dir)
+    val pairs = nearDuplicates(s, docs, NearDupThreshold)
+      .select($"doc1", $"doc2").localCheckpoint()
+    val toks = docs.select($"doc_id", split($"text", " ").as("ws"))
+    pairs
+      .join(toks.select($"doc_id".as("doc1"), $"ws".as("ws1")), "doc1")
+      .join(toks.select($"doc_id".as("doc2"), $"ws".as("ws2")), "doc2")
+      .select($"doc1", $"doc2", $"ws1", $"ws2")
+      .as[(Long, Long, Seq[String], Seq[String])]
+      .map { case (d1, d2, a, b) => (d1, d2, swTokens(a, b)) }
+      .toDF("doc1", "doc2", "sw_score")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  val q448Sql: String = {
+    // the new-H row fold, inlined twice below (lambdas bind no
+    // intermediates; identical expression → identical values)
+    val fold =
+      """list_reduce(
+        |      list_prepend([CAST(0 AS BIGINT)],
+        |        list_transform(range(1, len(t2) + 1), j -> [j])),
+        |      (acc, x) -> list_append(acc,
+        |        greatest(CAST(0 AS BIGINT),
+        |          row[x[1] + 1] + CASE WHEN t1[i + 1] = t2[x[1]]
+        |                               THEN 2 ELSE -1 END,
+        |          row[x[1] + 2] - 1,
+        |          acc[x[1]] - 1)))""".stripMargin
+    val prefix = q348Sql.substring(0, q348Sql.indexOf("dp AS ("))
+    s"""${prefix}dp AS (
+       |  SELECT doc1, doc2, 0 AS i,
+       |    list_transform(range(0, len(t2) + 2), x -> CAST(0 AS BIGINT))
+       |      AS row, t1, t2
+       |  FROM pt
+       |  UNION ALL
+       |  SELECT doc1, doc2, i + 1,
+       |    list_prepend(
+       |      greatest(row[1], list_max($fold)),
+       |      $fold),
+       |    t1, t2
+       |  FROM dp WHERE i < len(t1))
+       |SELECT doc1, doc2, CAST(row[1] AS BIGINT) AS sw_score
+       |FROM dp WHERE i = len(t1)
+       |ORDER BY doc1, doc2""".stripMargin
+  }
+
   /** q392 — WEIGHTED (multiset/Ruzicka) Jaccard per q41-verified
     * pair: binary Jaccard (q41/q43) treats "token appears 1× vs 40×"
     * identically, so a doc that pads one shared boilerplate line with
@@ -1716,6 +1806,7 @@ object DedupQueries {
     "q344_dup_spans_explain" -> q344DupSpansExplain,
     "q392_weighted_jaccard" -> q392WeightedJaccard,
     "q438_cws_candidates" -> q438CwsCandidates,
+    "q448_smith_waterman" -> q448SmithWaterman,
     "q414_soft_dedup" -> q414SoftDedup,
     "q417_cluster_sizes" -> q417ClusterSizes,
     "q430_source_contamination" -> q430SourceContamination,
@@ -1743,6 +1834,7 @@ object DedupQueries {
     "q344_dup_spans_explain" -> q344Sql,
     "q392_weighted_jaccard" -> q392Sql,
     "q438_cws_candidates" -> q438Sql,
+    "q448_smith_waterman" -> q448Sql,
     "q414_soft_dedup" -> q414Sql,
     "q417_cluster_sizes" -> q417Sql,
     "q430_source_contamination" -> q430Sql,

@@ -215,4 +215,24 @@ class DedupSpec extends SparkSpec {
       }
     assert(again == sk)
   }
+
+  test("smith-waterman: local block beats scattered overlap; gaps pay") {
+    def t(x: String) = x.split(" ").toSeq
+    val sw = DedupQueries.swTokens _
+    // identical: every token matches, score 2n
+    assert(sw(t("a b c d"), t("a b c d")) == 8L)
+    // disjoint: floor at 0
+    assert(sw(t("a b c"), t("x y z")) == 0L)
+    // LOCAL vs SCATTERED: same 4 shared tokens — the contiguous block
+    // scores 8, the scattered version pays a mismatch (-1) between
+    // every match so the best local region scores less
+    val block = sw(t("x a b c d y"), t("p a b c d q"))
+    val scattered = sw(t("a x b x c x d"), t("a y b y c y d"))
+    assert(block == 8L, s"block $block")
+    assert(scattered < block, s"scattered $scattered !< block $block")
+    assert(scattered == 2L + 3L * (2L - 1L), // 4 matches, 3 mismatch gaps
+      s"scattered $scattered")
+    // one gap: aligning 'a b c' vs 'a b x c' pays a single -1
+    assert(sw(t("a b c"), t("a b x c")) == 2L + 2L + 2L - 1L)
+  }
 }
