@@ -177,6 +177,73 @@ object PrivacyAudit {
        |GROUP BY c_nationkey, c_mktsegment
        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  /** q449 closeness threshold, micro units (t = 0.15): measured class
+    * EMDs at sf0.01 span 9666–259166µ with median 84083µ, so both the
+    * publish and suppress branches are non-vacuous.
+    */
+  val TCloseMicro = 150000L
+
+  /** q449 — t-CLOSENESS audit (Li, Li & Venkatasubramanian ICDE'07),
+    * completing the syntactic-privacy triad: k-anonymity (q217) bounds
+    * re-identification, l-diversity (q272) bounds homogeneity, but a
+    * class can be diverse yet SKEWED — 90% debt in a class vs 11%
+    * globally still discloses. t-closeness bounds the ORDERED EMD
+    * between each class's sensitive-band distribution and the global
+    * one: for ordinal bands (debt < low < high) EMD =
+    * (1/(m−1))·Σⱼ|cumⱼ(p−q)| — here EXACT integer arithmetic on the
+    * common denominator n·N (per-class counts × global counts,
+    * cross-multiplied before any division; one integer div finishes
+    * in micro units, identical truncation both engines on
+    * non-negatives).
+    *
+    * Scale shape: one QI-domain-bounded hash agg + a 1-row global
+    * broadcast; the audit costs one scan regardless of table size.
+    */
+  val q449TCloseness: Q = (s, dir) => {
+    import s.implicits._
+    val cls = T.customer(s, dir)
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(sum(when($"c_acctbal" < 0, 1L).otherwise(0L)).as("cd"),
+        sum(when($"c_acctbal" >= 0 && $"c_acctbal" < 5000, 1L)
+          .otherwise(0L)).as("cl"),
+        count(lit(1)).as("n"))
+    val glob = cls.agg(sum($"cd").as("gd"), sum($"cl").as("gl"),
+      sum($"n").as("nn"))
+    cls.crossJoin(broadcast(glob))
+      .withColumn("emd_micro", expr(
+        """(1000000 * (abs(cd * nn - gd * n)
+          |  + abs((cd + cl) * nn - (gd + gl) * n))) div (2 * n * nn)"""
+          .stripMargin))
+      .select($"c_nationkey", $"c_mktsegment", $"n".as("class_n"),
+        $"emd_micro",
+        ($"n" >= AnonymityK && $"emd_micro" <= TCloseMicro)
+          .as("publishable"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  val q449Sql: String =
+    s"""WITH cls AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cd,
+       |    CAST(SUM(CASE WHEN c_acctbal >= 0 AND c_acctbal < 5000
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS cl,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1, 2),
+       |g AS (SELECT CAST(SUM(cd) AS BIGINT) AS gd,
+       |             CAST(SUM(cl) AS BIGINT) AS gl,
+       |             CAST(SUM(n) AS BIGINT) AS nn FROM cls)
+       |SELECT c_nationkey, c_mktsegment, n AS class_n,
+       |  (1000000 * (abs(cd * nn - gd * n)
+       |    + abs((cd + cl) * nn - (gd + gl) * n))) // (2 * n * nn)
+       |    AS emd_micro,
+       |  n >= $AnonymityK AND
+       |  (1000000 * (abs(cd * nn - gd * n)
+       |    + abs((cd + cl) * nn - (gd + gl) * n))) // (2 * n * nn)
+       |    <= $TCloseMicro AS publishable
+       |FROM cls CROSS JOIN g
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   /** q280 privacy budget per released statistic and the tail-bound
     * failure probability the gate tolerates.
     */
@@ -369,6 +436,7 @@ object PrivacyAudit {
     "q258_cascade_delete" -> q258CascadeDelete,
     "q217_k_anonymity" -> q217KAnonymity,
     "q272_l_diversity" -> q272LDiversity,
+    "q449_t_closeness" -> q449TCloseness,
     "q280_dp_release" -> q280DpRelease,
   )
 
@@ -378,6 +446,7 @@ object PrivacyAudit {
     "q217_k_anonymity" -> q217Sql,
     "q258_cascade_delete" -> q258Sql,
     "q272_l_diversity" -> q272Sql,
+    "q449_t_closeness" -> q449Sql,
     "q280_dp_release" -> q280Sql,
   )
 }
