@@ -39,8 +39,10 @@ case class WordPieceTokens(child: Expression, vocab: Seq[String])
     vocab.filterNot(_.startsWith("##")).toSet
   @transient private lazy val contPieces: Set[String] =
     vocab.filter(_.startsWith("##")).map(_.substring(2)).toSet
-  @transient private lazy val maxLen: Int =
-    ((firstPieces.map(_.length) ++ contPieces.map(_.length)) + 1).max
+  @transient private lazy val maxLen: Int = {
+    val lens = firstPieces.map(_.length) ++ contPieces.map(_.length)
+    if (lens.isEmpty) 1 else lens.max
+  }
 
   def piecesOf(u: UTF8String): GenericArrayData = {
     val w = u.toString

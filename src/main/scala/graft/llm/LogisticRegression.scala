@@ -79,6 +79,11 @@ object LogisticRegression {
 
   def fitEval(s: SparkSession, dir: String): Fit = {
     import s.implicits._
+    // Evict entries whose session has been stopped (spec suites spin
+    // up several sessions per JVM; a strong key would pin each dead
+    // SparkSession + Model forever).
+    val it = modelCache.keySet.iterator()
+    while (it.hasNext) { if (it.next()._1.sparkContext.isStopped) it.remove() }
     val m = modelCache.computeIfAbsent((s, dir), _ => fitModel(s, dir))
     val (docs, feats) = featureFrames(s, dir)
     val train = feats.filter($"doc_id" % 5 =!= 0)

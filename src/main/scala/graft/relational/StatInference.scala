@@ -2164,10 +2164,14 @@ object StatInference {
         ($"dt" - $"d1").as("d2"), $"dt")
       .withColumn("e1_micro", expr("(1000000 * dt * n1) div nt"))
       .withColumn("e2_micro", expr("(1000000 * dt * n2) div nt"))
+      // nt==1 cells would divide by (nt-1)=0 → NaN, which Spark casts
+      // to 0 but DuckDB ERRORS on CAST to BIGINT — guard identically
+      // in both engines (a degenerate fixture/SF must not diverge).
       .withColumn("v_micro", expr(
-        """CAST(FLOOR(1000000.0 *
+        """CASE WHEN nt > 1 THEN CAST(FLOOR(1000000.0 *
           |  (CAST(dt * n1 * n2 * (nt - dt) AS DOUBLE)
-          |   / CAST(nt * nt * (nt - 1) AS DOUBLE))) AS BIGINT)"""
+          |   / CAST(nt * nt * (nt - 1) AS DOUBLE))) AS BIGINT)
+          |ELSE 0 END"""
           .stripMargin))
     val agg = cells.agg(
       count(lit(1)).as("n_times"),
@@ -2176,10 +2180,10 @@ object StatInference {
       sum($"v_micro").as("v_micro"))
     agg.select($"n_times", $"o1", $"o2", $"e1_micro", $"e2_micro",
       $"v_micro",
-      expr("""CAST(FLOOR(
+      expr("""CASE WHEN v_micro > 0 THEN CAST(FLOOR(
              |  CAST(1000000 * o1 - e1_micro AS DOUBLE)
              |  * CAST(1000000 * o1 - e1_micro AS DOUBLE)
-             |  / CAST(v_micro AS DOUBLE)) AS BIGINT)"""
+             |  / CAST(v_micro AS DOUBLE)) AS BIGINT) ELSE 0 END"""
         .stripMargin).as("chi2_micro"))
   }
 
@@ -2214,9 +2218,10 @@ object StatInference {
        |  SELECT t, n1, nt - n1 AS n2, nt, d1, dt - d1 AS d2, dt,
        |    (1000000 * dt * n1) // nt AS e1_micro,
        |    (1000000 * dt * (nt - n1)) // nt AS e2_micro,
-       |    CAST(FLOOR(1000000.0 *
+       |    CASE WHEN nt > 1 THEN CAST(FLOOR(1000000.0 *
        |      (CAST(dt * n1 * (nt - n1) * (nt - dt) AS DOUBLE)
-       |       / CAST(nt * nt * (nt - 1) AS DOUBLE))) AS BIGINT) AS v_micro
+       |       / CAST(nt * nt * (nt - 1) AS DOUBLE))) AS BIGINT)
+       |    ELSE 0 END AS v_micro
        |  FROM at_risk JOIN ev USING (t)),
        |agg AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
@@ -2226,10 +2231,10 @@ object StatInference {
        |    CAST(SUM(v_micro) AS BIGINT) AS v_micro
        |  FROM cells)
        |SELECT n_times, o1, o2, e1_micro, e2_micro, v_micro,
-       |  CAST(FLOOR(
+       |  CASE WHEN v_micro > 0 THEN CAST(FLOOR(
        |    CAST(1000000 * o1 - e1_micro AS DOUBLE)
        |    * CAST(1000000 * o1 - e1_micro AS DOUBLE)
-       |    / CAST(v_micro AS DOUBLE)) AS BIGINT) AS chi2_micro
+       |    / CAST(v_micro AS DOUBLE)) AS BIGINT) ELSE 0 END AS chi2_micro
        |FROM agg""".stripMargin
 
   val queries: Map[String, Q] = Map(

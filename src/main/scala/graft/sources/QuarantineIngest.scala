@@ -39,16 +39,45 @@ object QuarantineIngest {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Fixed absolute path so the static oracle SQL can address it.
-    * Shared per-checkout state: the file is rewritten from the run's
-    * OWN sfDir on every q133 call, so two CONCURRENT runs at different
-    * SFs race on it (one run's oracle can read the other run's
-    * fixture). The driver's gate runs Verify → oracle sequentially per
-    * SF, which is the supported shape; builders running a background
-    * full Verify should not run a different-SF q133 (or its spec)
-    * concurrently.
+  /** This JVM's pid + the run's SF tag, baked into the fixture name so
+    * two CONCURRENT runs (always distinct JVMs) never rewrite each
+    * other's file, and two SFs inside one JVM (parallel spec suites)
+    * get distinct files too (the PostingsIndex table-name discipline).
+    * The static oracle SQL can't know the SF at class-init, so it
+    * addresses `supplier_feed_p<pid>_*.csv` — a Verify JVM only ever
+    * writes ONE SF, so the glob matches exactly one file (stale files
+    * from dead pids are reaped below before any write).
     */
-  val FixturePath = "/root/repo/target/fixtures/supplier_feed.csv"
+  private val Pid = ProcessHandle.current().pid()
+  private val FixtureDir = "/root/repo/target/fixtures"
+
+  private def sfTag(dir: String): String =
+    dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
+      .replaceAll("[^A-Za-z0-9.]", "_")
+
+  def fixturePath(dir: String): String =
+    s"$FixtureDir/supplier_feed_p${Pid}_${sfTag(dir)}.csv"
+
+  /** Delete feed fixtures owned by pids that no longer resolve — a
+    * dead JVM can't be racing, and a recycled pid must not inherit a
+    * stale different-SF file that would widen this JVM's glob. */
+  private def reapDeadPidFixtures(): Unit = {
+    val d = Paths.get(FixtureDir)
+    if (Files.isDirectory(d)) {
+      val st = Files.list(d)
+      try {
+        st.iterator().forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("supplier_feed_p") && n.endsWith(".csv")) {
+            val pid = n.stripPrefix("supplier_feed_p").takeWhile(_.isDigit)
+            val alive = pid.nonEmpty && pid.toLongOption.exists(id =>
+              id == Pid || ProcessHandle.of(id).isPresent)
+            if (!alive) Files.deleteIfExists(p)
+          }
+        }
+      } finally st.close()
+    }
+  }
 
   private val feedSchema = StructType(Seq(
     StructField("s_suppkey", LongType),
@@ -71,9 +100,10 @@ object QuarantineIngest {
       else if (k % 7 == 5) s"$k,${r.getString(1)},NOT_A_NUMBER"
       else s"$k,${r.getString(1)},${r.getDouble(2)}"
     }.mkString("", "\n", "\n")
-    val target = Paths.get(FixturePath)
+    val target = Paths.get(fixturePath(dir))
     Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling("supplier_feed.csv.tmp")
+    reapDeadPidFixtures()
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
@@ -89,7 +119,7 @@ object QuarantineIngest {
       .option("header", "false")
       .option("mode", "PERMISSIVE")
       .schema(feedSchema)
-      .csv(FixturePath)
+      .csv(fixturePath(dir))
       .withColumn("status",
         when($"s_suppkey".isNotNull && $"s_name".isNotNull &&
           $"s_acctbal".isNotNull, "clean").otherwise("quarantined"))
@@ -101,7 +131,8 @@ object QuarantineIngest {
 
   val q133Sql: String =
     s"""WITH raw AS (
-       |  SELECT line FROM read_csv('$FixturePath', header=false, delim='|',
+       |  SELECT line FROM read_csv('$FixtureDir/supplier_feed_p${Pid}_*.csv',
+       |    header=false, delim='|',
        |    columns={'line': 'VARCHAR'})),
        |p AS (SELECT string_split(line, ',') AS f FROM raw),
        |c AS (

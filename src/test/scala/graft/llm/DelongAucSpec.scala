@@ -38,7 +38,7 @@ class DelongAucSpec extends SparkSpec {
     assert(sumPos == sumNeg)
   }
 
-  test("fixture gate: paired AUCs near ceiling, |z| inside the cap") {
+  test("fixture gate: paired AUCs near ceiling, directional aucNB >= aucLR") {
     val (m, n, aucA, aucB, zAbs, idA, idB, varOk) =
       DelongAuc.delongStats(spark, "/root/testdata/sf0.001")
     info(s"m=$m n=$n aucNB=$aucA aucLR=$aucB |z|=$zAbs")
