@@ -225,21 +225,30 @@ object Dbscan {
     */
   val NndSeedK = 20
 
-  /** All q439 numbers: (n_nodes, n_exact_edges, seed recall‰,
-    * after-one-round recall‰) — public for the spec and the probe.
+  /** The shared NN-Descent machinery (q439 one-round gate + q450
+    * convergence gate): quantized plane, hash-ring seed edges, the
+    * per-a bounded top-k selection, and one neighbor-of-neighbor
+    * round.
     */
-  def nndStats(s: SparkSession, dir: String,
-      rounds: Int = 1): (Long, Long, Long, Long) = {
+  private def nndPts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pts = T.embeddings(s, dir)
+    T.embeddings(s, dir)
       .select($"vec_id",
         expr(s"CAST(FLOOR($DbScale * embedding[0]) AS BIGINT)").as("x"),
         expr(s"CAST(FLOOR($DbScale * embedding[1]) AS BIGINT)").as("y"))
       .localCheckpoint()
-    val n = pts.count()
-    // hash-ring seed graph: each node's K successors in xxhash order —
-    // deterministic, geometry-blind (hash order is arbitrary w.r.t.
-    // the plane), the "random initial graph" NN-Descent starts from
+  }
+
+  /** Hash-ring seed graph: each node's K' successors in xxhash order —
+    * deterministic, geometry-blind (hash order is arbitrary w.r.t. the
+    * plane), the "random initial graph" NN-Descent starts from. The
+    * one global hash-order window is the SF-bounded convenience form —
+    * at 100 TB the seed comes from zipWithIndex rings per partition,
+    * same geometry-blindness, no global sort.
+    */
+  private def nndSeedEdges(pts: DataFrame, n: Long): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
     val wRing = org.apache.spark.sql.expressions.Window
       .orderBy(xxhash64($"vec_id"), $"vec_id")
     val ring = pts.select($"vec_id")
@@ -248,60 +257,77 @@ object Dbscan {
     val succ = (1 to NndSeedK).map(i => ring.select($"vec_id".as("a"),
         (($"pos" + i) % n).as("spos")))
       .reduce(_ unionByName _)
-    val seedEdges = succ
+    succ
       .join(ring.select($"vec_id".as("b"), $"pos".as("spos")), "spos")
       .select($"a", $"b").filter($"a" =!= $"b")
-    def topkByDist(e: DataFrame, k: Int): DataFrame = {
-      val d = e
-        .join(pts.select($"vec_id".as("a"), $"x".as("ax"), $"y".as("ay")), "a")
-        .join(pts.select($"vec_id".as("b"), $"x".as("bx"), $"y".as("by")), "b")
-        .withColumn("d2",
-          ($"ax" - $"bx") * ($"ax" - $"bx") +
-            ($"ay" - $"by") * ($"ay" - $"by"))
-        .select($"a", $"b", $"d2")
-      graft.plans.TopK.perGroup(d, Seq("a"),
-        Seq("d2" -> true, "b" -> true), k)
-        .select(col("a"), col("b"))
-    }
+  }
+
+  /** Per-a bounded top-k of candidate edges by exact integer d², ties
+    * by b (the q345 ordering).
+    */
+  private def nndTopkByDist(pts: DataFrame)(e: DataFrame, k: Int): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val d = e
+      .join(pts.select($"vec_id".as("a"), $"x".as("ax"), $"y".as("ay")), "a")
+      .join(pts.select($"vec_id".as("b"), $"x".as("bx"), $"y".as("by")), "b")
+      .withColumn("d2",
+        ($"ax" - $"bx") * ($"ax" - $"bx") +
+          ($"ay" - $"by") * ($"ay" - $"by"))
+      .select($"a", $"b", $"d2")
+    graft.plans.TopK.perGroup(d, Seq("a"),
+      Seq("d2" -> true, "b" -> true), k)
+      .select(col("a"), col("b"))
+  }
+
+  /** ONE NN-Descent round (Dong et al. 2011): candidates = current
+    * edges ∪ two-hop paths through the UNDIRECTED current graph
+    * (forward and reverse neighbors both generalize — the paper's
+    * general-neighbor set), re-selected at working width K'.
+    */
+  private def nndRound(pts: DataFrame, working: DataFrame): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val undirected = working
+      .unionByName(working.select($"b".as("a"), $"a".as("b")))
+      .distinct().localCheckpoint()
+    val cand = undirected.as("e1")
+      .join(undirected.as("e2"), $"e1.b" === $"e2.a")
+      .select($"e1.a".as("a"), $"e2.b".as("b"))
+      .filter($"a" =!= $"b")
+      .unionByName(working)
+      .distinct()
+    nndTopkByDist(pts)(cand, NndSeedK)
+  }
+
+  /** Recall‰ of graph g's edges vs the exact radius-bounded kNN graph. */
+  private def nndRecall(exact: DataFrame, nExact: Long)(g: DataFrame): Long =
+    if (nExact == 0) 0L
+    else 1000L * g.join(exact, Seq("a", "b"), "left_semi").count() / nExact
+
+  /** All q439 numbers: (n_nodes, n_exact_edges, seed recall‰,
+    * after-one-round recall‰) — public for the spec and the probe.
+    */
+  def nndStats(s: SparkSession, dir: String,
+      rounds: Int = 1): (Long, Long, Long, Long) = {
+    import s.implicits._
+    val pts = nndPts(s, dir)
+    val n = pts.count()
+    val seedEdges = nndSeedEdges(pts, n)
     // working graph at the WORKING width K' = NndSeedK (the paper
     // over-provisions the working K relative to the target k — the
     // 2-hop frontier is what drives convergence), final answer at KnnK
-    var working = topkByDist(seedEdges, NndSeedK).localCheckpoint()
-    // `rounds` NN-Descent rounds (Dong et al. 2011), default ONE:
-    // candidates = current edges ∪ two-hop paths through the
-    // UNDIRECTED current graph (forward and reverse neighbors both
-    // generalize — the paper's general-neighbor set). Extra rounds are
-    // the convergence knob the sf1 appendix validates.
+    var working = nndTopkByDist(pts)(seedEdges, NndSeedK).localCheckpoint()
     var r = 0
     while (r < rounds) {
-      val undirected = working
-        .unionByName(working.select($"b".as("a"), $"a".as("b")))
-        .distinct().localCheckpoint()
-      val cand = undirected.as("e1")
-        .join(undirected.as("e2"), $"e1.b" === $"e2.a")
-        .select($"e1.a".as("a"), $"e2.b".as("b"))
-        .filter($"a" =!= $"b")
-        .unionByName(working)
-        .distinct()
-      working = topkByDist(cand, NndSeedK).localCheckpoint()
+      working = nndRound(pts, working).localCheckpoint()
       r += 1
     }
-    val afterTop = graft.plans.TopK.perGroup(
-      working
-        .join(pts.select($"vec_id".as("a"), $"x".as("ax"), $"y".as("ay")), "a")
-        .join(pts.select($"vec_id".as("b"), $"x".as("bx"), $"y".as("by")), "b")
-        .withColumn("d2",
-          ($"ax" - $"bx") * ($"ax" - $"bx") +
-            ($"ay" - $"by") * ($"ay" - $"by"))
-        .select($"a", $"b", $"d2"),
-      Seq("a"), Seq("d2" -> true, "b" -> true), KnnK)
-      .select(col("a"), col("b"))
+    val afterTop = nndTopkByDist(pts)(working, KnnK)
     val exact = q345KnnGraph(s, dir).select($"a", $"b").localCheckpoint()
     val nExact = exact.count()
-    def recall(g: DataFrame): Long =
-      if (nExact == 0) 0L
-      else 1000L * g.join(exact, Seq("a", "b"), "left_semi").count() / nExact
-    (n, nExact, recall(topkByDist(seedEdges, KnnK)), recall(afterTop))
+    val rec = nndRecall(exact, nExact) _
+    (n, nExact, rec(nndTopkByDist(pts)(seedEdges, KnnK)), rec(afterTop))
   }
 
   /** q439 — one NN-DESCENT round (Dong, Moses & Li WWW'11) over a
@@ -357,12 +383,112 @@ object Dbscan {
        |  CAST(COUNT(*) AS BIGINT) AS n_exact_edges, TRUE AS ok
        |FROM rk WHERE r <= $KnnK""".stripMargin
 
+  /** q450 contract constants — see [[q450NnDescentConverged]]. */
+  val NndMaxRounds = 12
+  /** Stop when a round changes < δ·K'·n directed edges (Dong et al.
+    * §2.3's early-termination coefficient; the paper uses δ=0.001 —
+    * ours is coarser because the gate re-ranks to k=5 at the end, so
+    * late tail churn in the K'=20 working graph can't move the
+    * answer much).
+    */
+  val NndConvergeDeltaPermille = 10L
+  /** Converged-recall floor — the SERVICEABLE-index bar the r10
+    * verdict asked for (one round certified only 138–174‰).
+    */
+  val NndConvergedFloorPermille = 800L
+
+  /** Run NN-Descent to CONVERGENCE: rounds until the per-round update
+    * count drops under δ·K'·n or [[NndMaxRounds]] is hit. Returns
+    * (n_nodes, n_exact_edges, rounds_run, final recall‰, converged).
+    * The update count is the paper's own self-contained criterion
+    * (changed working-graph edges) — the loop never peeks at the
+    * exact graph; recall is measured once, after termination.
+    */
+  def nndConverge(s: SparkSession, dir: String,
+      maxRounds: Int = NndMaxRounds): (Long, Long, Long, Long, Boolean) = {
+    import s.implicits._
+    val pts = nndPts(s, dir)
+    val n = pts.count()
+    val seedEdges = nndSeedEdges(pts, n)
+    // Incremental search (Dong et al. §2.3): each edge carries an
+    // is_new flag (entered the working graph this round); a 2-hop
+    // candidate pair is generated only when at least ONE leg is new —
+    // old×old pairs were already tried the round after their younger
+    // leg arrived. Late rounds touch only the shrinking churn, which
+    // is what makes run-to-convergence affordable (measured 23.5 s →
+    // see BASELINE.md for the incremental number at sf0.1). The flag
+    // is computed by the same left join that counts updates, so the
+    // termination test costs no extra pass.
+    var working = nndTopkByDist(pts)(seedEdges, NndSeedK)
+      .withColumn("is_new", lit(true)).localCheckpoint()
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val undirected = working
+        .unionByName(working.select($"b".as("a"), $"a".as("b"), $"is_new"))
+        .groupBy($"a", $"b").agg(max($"is_new").as("is_new"))
+        .localCheckpoint()
+      val cand = undirected.as("e1")
+        .join(undirected.as("e2"), $"e1.b" === $"e2.a")
+        .filter($"e1.is_new" || $"e2.is_new")
+        .select($"e1.a".as("a"), $"e2.b".as("b"))
+        .filter($"a" =!= $"b")
+        .unionByName(working.select($"a", $"b"))
+        .distinct()
+      val next = nndTopkByDist(pts)(cand, NndSeedK)
+        .join(working.select($"a", $"b", lit(false).as("held")),
+          Seq("a", "b"), "left")
+        .select($"a", $"b", coalesce($"held", lit(true)).as("is_new"))
+        .localCheckpoint()
+      val updates = next.filter($"is_new").count()
+      working = next
+      r += 1
+      if (1000L * updates < NndConvergeDeltaPermille * (NndSeedK * n))
+        converged = true
+    }
+    val afterTop = nndTopkByDist(pts)(working.select($"a", $"b"), KnnK)
+    val exact = q345KnnGraph(s, dir).select($"a", $"b").localCheckpoint()
+    val nExact = exact.count()
+    (n, nExact, r.toLong, nndRecall(exact, nExact)(afterTop), converged)
+  }
+
+  /** q450 — NN-DESCENT RUN TO CONVERGENCE (the Dong et al. WWW'11
+    * contract q439's single round only previewed): iterate
+    * neighbor-of-neighbor rounds until the working graph stops
+    * changing (update count < δ·K'·n — the paper's early-termination
+    * test, self-contained, no oracle peeking), then gate the FINAL
+    * top-k recall vs the exact q345 graph at the serviceable-index
+    * floor [[NndConvergedFloorPermille]] — the bar a user could
+    * actually serve lookups from. Gate folds: converged within
+    * [[NndMaxRounds]] AND recall ≥ floor AND recall > the one-round
+    * reading's floor (the q439 gate must be strictly dominated).
+    *
+    * Scale shape: per round, candidates are K'²·4 per node (linear in
+    * n at fixed K'), distances exact BIGINTs, selection on the bounded
+    * TopK heap; the update counter is one anti-join on the two
+    * checkpointed K'·n-edge frames. Rounds to converge grow ~log n
+    * (the paper's empirical O(n^0.01·log n) iteration count), so the
+    * whole run stays near-linear — the SERVING answer at 100 TB is
+    * this same loop over per-partition rings.
+    */
+  val q450NnDescentConverged: Q = (s, dir) => {
+    import s.implicits._
+    val (n, nExact, rounds, recallP, converged) = nndConverge(s, dir)
+    val ok = converged && recallP >= NndConvergedFloorPermille &&
+      recallP > NndAfterFloorPermille
+    Seq((n, nExact, ok)).toDF("n_nodes", "n_exact_edges", "ok")
+  }
+
+  val q450Sql: String = q439Sql
+
   val queries: Map[String, Q] = Map(
     "q340_dbscan" -> q340Dbscan,
     "q345_knn_graph" -> q345KnnGraph,
-    "q439_nn_descent" -> q439NnDescent)
+    "q439_nn_descent" -> q439NnDescent,
+    "q450_nn_descent_converged" -> q450NnDescentConverged)
   val oracleSql: Map[String, String] = Map(
     "q340_dbscan" -> q340Sql,
     "q345_knn_graph" -> q345Sql,
-    "q439_nn_descent" -> q439Sql)
+    "q439_nn_descent" -> q439Sql,
+    "q450_nn_descent_converged" -> q450Sql)
 }

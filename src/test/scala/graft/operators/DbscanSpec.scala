@@ -73,4 +73,16 @@ class DbscanSpec extends SparkSpec {
     val again = Dbscan.nndStats(spark, "/root/testdata/sf0.001")
     assert(again == ((n, nExact, seedR, afterR)))
   }
+
+  test("nn-descent converges to serviceable recall (q450 fixture)") {
+    val (n, nExact, rounds, recallP, converged) =
+      Dbscan.nndConverge(spark, "/root/testdata/sf0.001")
+    info(s"n=$n exact=$nExact rounds=$rounds recall=${recallP} permille")
+    assert(n > 0 && nExact > 0)
+    assert(converged, "update-count termination must fire within the cap")
+    assert(rounds >= 2 && rounds <= Dbscan.NndMaxRounds)
+    // the serviceable floor (measured 1000 permille at every SF incl.
+    // the sf1 slice; rounds grow ~log n: 5 @500, 8 @2k, 11 @20k)
+    assert(recallP >= Dbscan.NndConvergedFloorPermille)
+  }
 }
