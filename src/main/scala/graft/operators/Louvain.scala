@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** LOUVAIN one-level community refinement (Blondel et al. 2008 phase
+  * 1) — the community family's OPTIMIZER: q239's LPA proposes a
+  * labeling, q318 MEASURES its Newman modularity, this IMPROVES it by
+  * modularity-maximizing single-node moves. The verdict framing: a
+  * measure, a baseline, and an optimizer.
+  *
+  * Determinism + exactness contract:
+  *   - The per-node move objective is the EXACT INTEGER
+  *     score(i→c) = 2m·l_ic − k_i·Σtot_c^{−i}, the Blondel ΔQ with
+  *     the positive constant 2m² multiplied through (l_ic = i's
+  *     neighbors in c, Σtot_c^{−i} = c's degree sum excluding i) —
+  *     argmax by (−score, community) so ties break to the smallest
+  *     label, no doubles anywhere in the decision.
+  *   - Rounds are SYNCHRONOUS with NODE-PARITY alternation (round r
+  *     lets only nodes with node % 2 == r % 2 move): the standard
+  *     distributed-Louvain guard against adjacent nodes swapping past
+  *     each other (Grappolo's coloring, reduced to 2 colors).
+  *   - Each round is ACCEPTED only if the exact global objective
+  *     4m²·Q = Σ_c (2m·E_c − D_c²) strictly improves (one BIGINT per
+  *     round to the driver); otherwise the labeling reverts. Monotone
+  *     by construction: the final Q can never sit below the start.
+  *
+  * Scale shape: per round, one labels⋈edges equi-join + two keyed
+  * partial aggs (the LPA round shape) plus the objective agg; the
+  * driver sees one integer per round. Int64 budget: |score| ≤
+  * 2m·max(l,k·Σtot) — at 2m = 10⁶ the products stay < 2⁶³; beyond
+  * that the same comparison runs per-community on DECIMAL(38,0)
+  * (scaladoc'd, the q422 budget discipline).
+  */
+object Louvain {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val Rounds = 4
+
+  /** Exact 4m²-scaled modularity Σ_c (2m·E_c − D_c²) of a labeling on
+    * a symmetric edge frame (2m directed rows).
+    */
+  def qScore(edges: DataFrame, labels: DataFrame, twoM: Long): Long = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val lu = labels.select($"node".as("u"), $"label".as("cu"))
+    val lv = labels.select($"node".as("v"), $"label".as("cv"))
+    val tagged = edges.join(lu, "u").join(lv, "v")
+    val perC = tagged.groupBy($"cu")
+      .agg(sum(when($"cu" === $"cv", 1L).otherwise(0L)).as("e_c"),
+        count(lit(1)).as("d_c"))
+    perC.agg(sum(lit(twoM) * $"e_c" - $"d_c" * $"d_c")).head().getLong(0)
+  }
+
+  /** One synchronous parity-gated best-move pass; returns the proposed
+    * labeling (accept decision is the caller's).
+    */
+  private def movePass(edges: DataFrame, labels: DataFrame, twoM: Long,
+      parity: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val deg = edges.groupBy($"u".as("node")).agg(count(lit(1)).as("k"))
+    val sigma = labels.join(deg, "node")
+      .groupBy($"label".as("c")).agg(sum($"k").as("sigma"))
+    // neighbor-community link counts l_ic
+    val lc = edges
+      .join(labels.select($"node".as("v"), $"label".as("c")), "v")
+      .groupBy($"u".as("node"), $"c").agg(count(lit(1)).as("l"))
+    // candidate set = neighbor communities ∪ own community (l=0 if no
+    // neighbors there)
+    val own = labels.select($"node", $"label".as("c"), lit(0L).as("l"))
+    val cand = lc.unionByName(own)
+      .groupBy($"node", $"c").agg(max($"l").as("l"))
+    val scored = cand
+      .join(labels, "node")
+      .join(deg, "node")
+      .join(sigma, "c")
+      .withColumn("t",
+        when($"c" === $"label", $"sigma" - $"k").otherwise($"sigma"))
+      .withColumn("score", lit(twoM) * $"l" - $"k" * $"t")
+    val best = scored.groupBy($"node", $"label")
+      .agg(min(struct((-$"score").as("ns"), $"c".as("cc")))
+        .getField("cc").as("best_c"))
+    best.select($"node",
+      when($"node" % 2 === parity, $"best_c").otherwise($"label")
+        .as("label"))
+  }
+
+  /** `rounds` parity-alternated passes from `labels0`, each accepted
+    * only on strict exact improvement; returns (labels, startScore,
+    * endScore, movedRounds).
+    */
+  def refine(edges: DataFrame, labels0: DataFrame,
+      rounds: Int = Rounds): (DataFrame, Long, Long, Long) = {
+    val twoM = edges.count()
+    var labels = labels0.localCheckpoint()
+    val start = qScore(edges, labels, twoM)
+    var best = start
+    var accepted = 0L
+    var r = 0
+    while (r < rounds) {
+      val next = movePass(edges, labels, twoM, r % 2).localCheckpoint()
+      val sc = qScore(edges, next, twoM)
+      if (sc > best) { labels = next; best = sc; accepted += 1 }
+      r += 1
+    }
+    (labels, start, best, accepted)
+  }
+
+  /** q452 — one-level Louvain over the gear co-purchase graph with TWO
+    * initializations (the LPA labeling and singletons — multi-start
+    * local search; at sf0.001 LPA collapses the graph to ONE community
+    * whose score no parity move improves, and the singleton start is
+    * what finds structure: 0 → 11624; at sf0.01/sf0.1 the LPA start
+    * wins: 100130 → 2242126, 71.98M → 256.68M in 4m²Q units), winner
+    * by exact score (ties to the LPA branch). Output = q318's
+    * per-community modularity frame of the WINNING labeling, plus the
+    * gate: winner score STRICTLY above the raw LPA score (measured
+    * true at every SF — the optimizer must actually optimize).
+    *
+    * The oracle replays the whole computation — 3 LPA rounds, 2×4
+    * parity move-rounds with the exact-integer accept test, winner
+    * selection, modularity frame — value for value in SQL; every
+    * decision is integer arithmetic, so the replay is exact.
+    */
+  val q452Louvain: Q = (s, dir) => {
+    import s.implicits._
+    val gl = T.lineitem(s, dir)
+      .join(T.part(s, dir), $"l_partkey" === $"p_partkey")
+      .filter($"p_name".like("%gear%"))
+      .select($"l_orderkey", $"l_partkey")
+    val edges = gl.as("a").join(gl.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .distinct()
+      .localCheckpoint()
+    val lpa = LabelPropagation.propagate(edges)
+    val single = edges.select($"u".as("node")).distinct()
+      .withColumn("label", $"node")
+    val (la, lpaScore, ea, _) = refine(edges, lpa)
+    val (lb, _, eb, _) = refine(edges, single)
+    val (win, winScore) = if (ea >= eb) (la, ea) else (lb, eb)
+    val ok = winScore > lpaScore
+    LabelPropagation.modularityOf(edges, win).withColumn("ok", lit(ok))
+  }
+
+  /** The full-replay oracle. Helpers emit one CTE block per concept so
+    * the 2×4 rounds stay mechanical; `tm` is cross-joined wherever 2m
+    * is needed (no scalar subqueries inside window specs).
+    */
+  val q452Sql: String = {
+    def lpaRound(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT u AS node, label FROM (
+         |    SELECT e.u, l.label, COUNT(*) AS n,
+         |      row_number() OVER (PARTITION BY e.u
+         |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |    FROM ed e JOIN $prev l ON e.v = l.node
+         |    GROUP BY e.u, l.label) q
+         |  WHERE rn = 1)""".stripMargin
+    // exact 4m²-scaled modularity of labeling `lab` as 1-row CTE `out`
+    def score(lab: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT SUM(two_m * e_c - d_c * d_c) AS v FROM (
+         |    SELECT tm.two_m,
+         |      SUM(CASE WHEN lu.label = lv.label THEN 1 ELSE 0 END) AS e_c,
+         |      COUNT(*) AS d_c
+         |    FROM ed e JOIN $lab lu ON e.u = lu.node
+         |      JOIN $lab lv ON e.v = lv.node CROSS JOIN tm
+         |    GROUP BY lu.label, tm.two_m))""".stripMargin
+    // one parity-gated move pass from `a` (score CTE `sPrev`) emitting
+    // accepted labeling `acc` and its score CTE `sAcc`
+    def moveRound(a: String, sPrev: String, parity: Int, tag: String,
+        acc: String, sAcc: String): String =
+      s"""sig_$tag AS MATERIALIZED (
+         |  SELECT label AS c, SUM(k) AS sigma
+         |  FROM $a JOIN deg USING (node) GROUP BY label),
+         |lc_$tag AS MATERIALIZED (
+         |  SELECT e.u AS node, l.label AS c, COUNT(*) AS lnk
+         |  FROM ed e JOIN $a l ON e.v = l.node GROUP BY e.u, l.label),
+         |cand_$tag AS MATERIALIZED (
+         |  SELECT node, c, MAX(lnk) AS lnk FROM (
+         |    SELECT node, c, lnk FROM lc_$tag
+         |    UNION ALL SELECT node, label AS c, 0 AS lnk FROM $a) z
+         |  GROUP BY node, c),
+         |best_$tag AS MATERIALIZED (
+         |  SELECT node, label, c AS best_c FROM (
+         |    SELECT cd.node, a.label, cd.c,
+         |      ROW_NUMBER() OVER (PARTITION BY cd.node ORDER BY
+         |        (tm.two_m * cd.lnk - d.k *
+         |         (CASE WHEN cd.c = a.label THEN sg.sigma - d.k
+         |               ELSE sg.sigma END)) DESC, cd.c ASC) AS rn
+         |    FROM cand_$tag cd JOIN $a a ON cd.node = a.node
+         |      JOIN deg d ON cd.node = d.node
+         |      JOIN sig_$tag sg ON cd.c = sg.c CROSS JOIN tm) z
+         |  WHERE rn = 1),
+         |prop_$tag AS MATERIALIZED (
+         |  SELECT node, CASE WHEN node % 2 = $parity THEN best_c
+         |                    ELSE label END AS label FROM best_$tag),
+         |${score(s"prop_$tag", s"sp_$tag")},
+         |$acc AS MATERIALIZED (
+         |  SELECT p.node,
+         |    CASE WHEN (SELECT v FROM sp_$tag) > (SELECT v FROM $sPrev)
+         |         THEN p.label ELSE a.label END AS label
+         |  FROM prop_$tag p JOIN $a a USING (node)),
+         |$sAcc AS MATERIALIZED (
+         |  SELECT CASE WHEN (SELECT v FROM sp_$tag) > (SELECT v FROM $sPrev)
+         |              THEN (SELECT v FROM sp_$tag)
+         |              ELSE (SELECT v FROM $sPrev) END AS v)""".stripMargin
+    def branch(start: String, sStart: String, b: String): String =
+      (0 until Rounds).map { r =>
+        val a = if (r == 0) start else s"acc_$b${r - 1}"
+        val sPrev = if (r == 0) sStart else s"s_$b${r - 1}"
+        moveRound(a, sPrev, r % 2, s"$b$r", s"acc_$b$r", s"s_$b$r")
+      }.mkString(",\n")
+    val last = Rounds - 1
+    s"""WITH gl AS MATERIALIZED (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  WHERE p_name LIKE '%gear%'),
+       |ed AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM gl a JOIN gl b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT u AS node, COUNT(*) AS k FROM ed GROUP BY u),
+       |tm AS (SELECT COUNT(*) AS two_m FROM ed),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM ed),
+       |${lpaRound("l0", "l1")},
+       |${lpaRound("l1", "l2")},
+       |${lpaRound("l2", "l3")},
+       |${score("l3", "s_lpa")},
+       |${branch("l3", "s_lpa", "a")},
+       |sing AS (SELECT DISTINCT u AS node, u AS label FROM ed),
+       |${score("sing", "s_sing")},
+       |${branch("sing", "s_sing", "b")},
+       |win AS MATERIALIZED (
+       |  SELECT a.node,
+       |    CASE WHEN (SELECT v FROM s_a$last) >= (SELECT v FROM s_b$last)
+       |         THEN a.label ELSE b.label END AS label
+       |  FROM acc_a$last a JOIN acc_b$last b USING (node)),
+       |wsc AS MATERIALIZED (
+       |  SELECT CASE WHEN (SELECT v FROM s_a$last) >= (SELECT v FROM s_b$last)
+       |              THEN (SELECT v FROM s_a$last)
+       |              ELSE (SELECT v FROM s_b$last) END AS v),
+       |tagged AS MATERIALIZED (
+       |  SELECT e.u, e.v, lu.label AS cu, lv.label AS cv
+       |  FROM ed e JOIN win lu ON e.u = lu.node JOIN win lv ON e.v = lv.node),
+       |internal AS MATERIALIZED (
+       |  SELECT cu AS community, COUNT(*) AS internal_edges
+       |  FROM tagged WHERE cu = cv GROUP BY cu),
+       |degree AS MATERIALIZED (
+       |  SELECT cu AS community, COUNT(*) AS degree_sum FROM tagged GROUP BY cu),
+       |sizes AS (SELECT label AS community, COUNT(*) AS n_nodes FROM win GROUP BY label)
+       |SELECT s.community, s.n_nodes,
+       |  COALESCE(d.degree_sum, 0) AS degree_sum,
+       |  COALESCE(i.internal_edges, 0) AS internal_edges,
+       |  CAST(COALESCE(i.internal_edges, 0) AS DOUBLE) / CAST(two_m AS DOUBLE)
+       |    - (CAST(COALESCE(d.degree_sum, 0) AS DOUBLE) / CAST(two_m AS DOUBLE))
+       |      * (CAST(COALESCE(d.degree_sum, 0) AS DOUBLE) / CAST(two_m AS DOUBLE)) AS q_contrib,
+       |  (SELECT v FROM wsc) > (SELECT v FROM s_lpa) AS ok
+       |FROM sizes s
+       |LEFT JOIN degree d ON s.community = d.community
+       |LEFT JOIN internal i ON s.community = i.community
+       |CROSS JOIN tm
+       |ORDER BY s.community""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q452_louvain_one_level" -> q452Louvain)
+  val oracleSql: Map[String, String] = Map(
+    "q452_louvain_one_level" -> q452Sql)
+}
