@@ -697,6 +697,180 @@ object StatInference {
        |FROM weighted GROUP BY b ORDER BY b""".stripMargin
   }
 
+  /** q454 replicate count (finer quantile grid than q302's 32). */
+  val BcaReps = 64
+
+  /** Pinned Φ⁻¹(k/64) literals, k = 0..64 — the bias-correction z₀
+    * lookup (z₀'s argument is the COUNT of replicates below θ̂, so it
+    * has exactly 65 possible values; tabulating them as round-trip
+    * string literals keeps ALL transcendentals out of both engines —
+    * the q444 pinned-constant discipline). Endpoints are ±1e18
+    * sentinels; the gate rejects them (z₀ must be finite).
+    */
+  val BcaZ0: Seq[String] = Seq("-1e18", "-2.1538746940614555", "-1.862731867421651", "-1.6759397227734436", "-1.5341205443525459", "-1.4177971379962673", "-1.3180108973035367", "-1.229858759216589", "-1.1503493803760079", "-1.0775155670402803", "-1.009990169249582", "-0.9467817563010456", "-0.8871465590188758", "-0.8305108782053992", "-0.7764217611479276", "-0.7245143834923653", "-0.6744897501960817", "-0.6260990123464213", "-0.579132162255556", "-0.5334097062412805", "-0.4887764111146694", "-0.44509652498551633", "-0.40225006532172525", "-0.3601298917895694", "-0.31863936396437514", "-0.27769043982157676", "-0.2372021093287877", "-0.1970990842943123", "-0.15731068461017067", "-0.1177698745790953", "-0.0784124127331122", "-0.03917608550309764", "0.0", "0.03917608550309764", "0.0784124127331122", "0.1177698745790953", "0.15731068461017067", "0.1970990842943123", "0.2372021093287877", "0.27769043982157676", "0.31863936396437514", "0.3601298917895694", "0.40225006532172525", "0.44509652498551633", "0.4887764111146694", "0.5334097062412805", "0.579132162255556", "0.6260990123464213", "0.6744897501960817", "0.7245143834923653", "0.7764217611479276", "0.8305108782053992", "0.8871465590188758", "0.9467817563010456", "1.009990169249582", "1.0775155670402803", "1.1503493803760079", "1.229858759216589", "1.3180108973035367", "1.4177971379962673", "1.5341205443525459", "1.6759397227734436", "1.862731867421651", "2.1538746940614555", "1e18")
+
+  /** Pinned Φ⁻¹(j/65) literals, j = 1..64 — the plotting-position
+    * grid the adjusted endpoints are counted against.
+    */
+  val BcaZj: Seq[String] = Seq("-2.1600444231842824", "-1.8696066471189026", "-1.6833482640036073", "-1.541986298854446", "-1.4260768722728472", "-1.3266775070350316", "-1.2388943795813598", "-1.159742045435351", "-1.0872573835362354", "-1.0200762327862016", "-0.9572094693644215", "-0.8979151835449686", "-0.8416212335729142", "-0.7878760170254153", "-0.7363159173761294", "-0.6866430509241719", "-0.6386096176206588", "-0.5920066223547551", "-0.5466555687662381", "-0.5024022233733554", "-0.45911185185086445", "-0.4166655212801165", "-0.37495718657255717", "-0.3338913617012391", "-0.29338123212119327", "-0.2533471031357998", "-0.21371510579760275", "-0.17441610093770255", "-0.1353847355175167", "-0.09655861528963908", "-0.05787756481121016", "-0.019282950895712154", "0.019282950895712154", "0.0578775648112103", "0.09655861528963908", "0.13538473551751684", "0.17441610093770255", "0.21371510579760286", "0.2533471031357998", "0.29338123212119355", "0.3338913617012391", "0.3749571865725573", "0.4166655212801165", "0.4591118518508645", "0.5024022233733554", "0.5466555687662383", "0.5920066223547551", "0.6386096176206588", "0.6866430509241719", "0.7363159173761297", "0.7878760170254153", "0.8416212335729144", "0.8979151835449686", "0.9572094693644219", "1.0200762327862016", "1.0872573835362356", "1.159742045435351", "1.2388943795813603", "1.3266775070350316", "1.4260768722728479", "1.541986298854446", "1.6833482640036077", "1.8696066471189026", "2.1600444231842837")
+
+  val BcaZLo = "-1.9599639845400538"
+  val BcaZHi = "1.9599639845400536"
+
+  /** q454 — BCa BOOTSTRAP confidence interval for the mean (Efron
+    * 1987 "Better Bootstrap Confidence Intervals" — the finishing
+    * piece next to q302's Poisson bootstrap: percentile intervals are
+    * first-order, BCa corrects BIAS (z₀, from the fraction of
+    * replicate means below θ̂) and SKEW-driven ACCELERATION (a, from
+    * the jackknife third moment) for second-order coverage).
+    *
+    * Engine-equality engineering (everything hash-compares exactly):
+    *   - y is floor(totalprice) div 100 (hundred-dollar ints);
+    *     replicate means reuse q302's integer Poisson(1) coins at
+    *     B = [[BcaReps]] — exact-int sums, one double division each.
+    *   - the jackknife acceleration collapses EXACTLY: with
+    *     θ₍ᵢ₎ = (T−yᵢ)/(n−1), the mean of the jackknife means is T/n
+    *     and a = Σẽᵢ³ / (6·(Σẽᵢ²)^{3/2}) for ẽᵢ = yᵢ − T/n — the
+    *     n(n−1) factors cancel. ẽᵢ is computed as
+    *     (yᵢ−c) − ρ/n (c = T div n, ρ = T mod n — exact ints, one
+    *     pinned double division), and the two power sums are per-row
+    *     quantized BEFORE summation (⌊256·ẽ²⌋, ⌊ẽ³⌋ — ẽ is
+    *     n-INDEPENDENT deviation scale, so the int64 budget is
+    *     n ≲ 1.6·10¹⁰ rows; at 100 TB drop the 256 shift, scaladoc'd).
+    *   - Φ and Φ⁻¹ never run at query time: z₀ has 65 possible values
+    *     (a count) and the endpoint-vs-grid comparisons need only the
+    *     64 grid quantiles — all pinned round-trip literals
+    *     ([[BcaZ0]]/[[BcaZj]]), with the interval endpoints picked by
+    *     COUNTING grid points under the adjusted z (an integer), then
+    *     reading that order statistic of the replicate means.
+    * Gate folds: finite z₀ (0 < k₀ < B), positive curvature (Σẽ² > 0),
+    * ordered indices, and the interval brackets θ̂ strictly.
+    */
+  val q454BcaBootstrap: Q = (s, dir) => {
+    import s.implicits._
+    val base = T.orders(s, dir)
+      .select($"o_orderkey",
+        expr("CAST(FLOOR(o_totalprice) AS BIGINT) div 100").as("yh"))
+      .localCheckpoint()
+    val momRow = base.agg(count(lit(1)).as("n"), sum($"yh").as("t")).head()
+    val n = momRow.getLong(0); val t = momRow.getLong(1)
+    val c = t / n; val rho = t - n * c
+    val eCol = expr(
+      s"CAST(yh - $c AS DOUBLE) - CAST($rho AS DOUBLE) / CAST($n AS DOUBLE)")
+    val uuRow = base
+      .select(eCol.as("e"))
+      .agg(sum(expr("CAST(FLOOR(e * e * 256.0) AS BIGINT)")).as("e2"),
+        sum(expr("CAST(FLOOR(e * e * e) AS BIGINT)")).as("e3")).head()
+    val e2 = uuRow.getLong(0); val e3 = uuRow.getLong(1)
+    val reps = s.range(1, BcaReps + 1).select($"id".cast("int").as("b"))
+    val th = BootThresholds
+    val boot = base.crossJoin(broadcast(reps))
+      .select($"b", $"yh",
+        conv(substring(md5(concat($"b".cast("string"), lit(":"),
+          $"o_orderkey".cast("string"))), 1, 4), 16, 10)
+          .cast("long").as("u"))
+      .select($"b", $"yh",
+        when($"u" < th(0), 0L).when($"u" < th(1), 1L).when($"u" < th(2), 2L)
+          .when($"u" < th(3), 3L).when($"u" < th(4), 4L).otherwise(5L)
+          .as("w"))
+      .groupBy($"b")
+      .agg(sum($"w").as("ne"), sum($"w" * $"yh").as("sw"))
+      .select($"b",
+        expr("CAST(sw AS DOUBLE) / CAST(ne AS DOUBLE)").as("m"))
+      .as[(Int, Double)].collect().sortBy(x => (x._2, x._1))
+    val theta = t.toDouble / n.toDouble
+    val k0 = boot.count(_._2 < theta)
+    val aAcc = e3.toDouble /
+      (6.0 * (e2.toDouble / 256.0) * math.sqrt(e2.toDouble / 256.0))
+    val z0 = BcaZ0(k0).toDouble
+    def adjusted(zA: Double): Double = {
+      val w = z0 + zA
+      z0 + w / (1.0 - aAcc * w)
+    }
+    val aLo = adjusted(BcaZLo.toDouble)
+    val aHi = adjusted(BcaZHi.toDouble)
+    val zj = BcaZj.map(_.toDouble)
+    val k1 = math.max(1, math.min(zj.count(_ <= aLo), BcaReps))
+    val k2 = math.max(1, math.min(zj.count(_ <= aHi), BcaReps))
+    val lo = boot(k1 - 1)._2
+    val hi = boot(k2 - 1)._2
+    val ok = k0 > 0 && k0 < BcaReps && e2 > 0L && k1 <= k2 &&
+      lo < theta && theta < hi
+    Seq((n, k0.toLong, k1.toLong, k2.toLong, lo, hi, ok))
+      .toDF("n", "k0", "k1", "k2", "lo_mean", "hi_mean", "ok")
+  }
+
+  val q454Sql: String = {
+    val th = BootThresholds
+    val z0Rows = BcaZ0.zipWithIndex
+      .map { case (z, k) => s"($k, CAST('$z' AS DOUBLE))" }.mkString(", ")
+    val zjRows = BcaZj.zipWithIndex
+      .map { case (z, j) => s"(${j + 1}, CAST('$z' AS DOUBLE))" }.mkString(", ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) // 100 AS yh
+       |  FROM orders),
+       |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |               CAST(SUM(yh) AS BIGINT) AS t FROM base),
+       |ctr AS (SELECT n, t, t // n AS c, t - n * (t // n) AS rho FROM mom),
+       |dev AS (
+       |  SELECT CAST(yh - c AS DOUBLE)
+       |    - CAST(rho AS DOUBLE) / CAST(n AS DOUBLE) AS e
+       |  FROM base CROSS JOIN ctr),
+       |uu AS (
+       |  SELECT CAST(SUM(CAST(FLOOR(e * e * 256.0) AS BIGINT)) AS BIGINT) AS e2,
+       |         CAST(SUM(CAST(FLOOR(e * e * e) AS BIGINT)) AS BIGINT) AS e3
+       |  FROM dev),
+       |reps AS (SELECT unnest(range(1, ${BcaReps + 1})) AS b),
+       |weighted AS (
+       |  SELECT b, yh,
+       |    CASE WHEN u < ${th(0)} THEN 0 WHEN u < ${th(1)} THEN 1
+       |         WHEN u < ${th(2)} THEN 2 WHEN u < ${th(3)} THEN 3
+       |         WHEN u < ${th(4)} THEN 4 ELSE 5 END AS w
+       |  FROM (SELECT b, yh,
+       |      CAST('0x' || substring(
+       |        md5(CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)),
+       |        1, 4) AS BIGINT) AS u
+       |    FROM base CROSS JOIN reps) z),
+       |bm AS MATERIALIZED (
+       |  SELECT b, CAST(SUM(w * yh) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+       |  FROM weighted GROUP BY b),
+       |k0c AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k0 FROM bm CROSS JOIN ctr
+       |  WHERE m < CAST(t AS DOUBLE) / CAST(n AS DOUBLE)),
+       |z0t(k, z) AS (VALUES $z0Rows),
+       |zjt(j, z) AS (VALUES $zjRows),
+       |acc AS (
+       |  SELECT CAST(e3 AS DOUBLE) /
+       |    (6.0 * (CAST(e2 AS DOUBLE) / 256.0)
+       |     * sqrt(CAST(e2 AS DOUBLE) / 256.0)) AS a
+       |  FROM uu),
+       |z0v AS (SELECT z AS z0 FROM z0t JOIN k0c ON k = k0),
+       |adj AS (
+       |  SELECT
+       |    z0 + (z0 + CAST('$BcaZLo' AS DOUBLE))
+       |      / (1.0 - a * (z0 + CAST('$BcaZLo' AS DOUBLE))) AS alo,
+       |    z0 + (z0 + CAST('$BcaZHi' AS DOUBLE))
+       |      / (1.0 - a * (z0 + CAST('$BcaZHi' AS DOUBLE))) AS ahi
+       |  FROM z0v CROSS JOIN acc),
+       |ks AS (
+       |  SELECT
+       |    GREATEST(1, LEAST((SELECT CAST(COUNT(*) AS BIGINT) FROM zjt
+       |      CROSS JOIN adj WHERE z <= alo), $BcaReps)) AS k1,
+       |    GREATEST(1, LEAST((SELECT CAST(COUNT(*) AS BIGINT) FROM zjt
+       |      CROSS JOIN adj WHERE z <= ahi), $BcaReps)) AS k2),
+       |ord AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS r FROM bm)
+       |SELECT ctr.n, k0c.k0, ks.k1, ks.k2,
+       |  (SELECT m FROM ord WHERE r = ks.k1) AS lo_mean,
+       |  (SELECT m FROM ord WHERE r = ks.k2) AS hi_mean,
+       |  k0c.k0 > 0 AND k0c.k0 < $BcaReps
+       |    AND (SELECT e2 FROM uu) > 0 AND ks.k1 <= ks.k2
+       |    AND (SELECT m FROM ord WHERE r = ks.k1)
+       |        < CAST(ctr.t AS DOUBLE) / CAST(ctr.n AS DOUBLE)
+       |    AND CAST(ctr.t AS DOUBLE) / CAST(ctr.n AS DOUBLE)
+       |        < (SELECT m FROM ord WHERE r = ks.k2) AS ok
+       |FROM ctr CROSS JOIN k0c CROSS JOIN ks""".stripMargin
+  }
+
   /** q314 PSI bin width (cents) and the smoothing pseudo-count that
     * keeps empty bins finite (industry-standard Laplace +1 — an empty
     * serve-side bin is a REAL drift signal, not a division error).
@@ -2266,6 +2440,7 @@ object StatInference {
     "q290_ks_test" -> q290KsTest,
     "q293_kaplan_meier" -> q293KaplanMeier,
     "q302_poisson_bootstrap" -> q302PoissonBootstrap,
+    "q454_bca_bootstrap" -> q454BcaBootstrap,
     "q314_psi_drift" -> q314PsiDrift,
   )
 
@@ -2298,6 +2473,7 @@ object StatInference {
     "q290_ks_test" -> q290Sql,
     "q293_kaplan_meier" -> q293Sql,
     "q302_poisson_bootstrap" -> q302Sql,
+    "q454_bca_bootstrap" -> q454Sql,
     "q314_psi_drift" -> q314Sql,
   )
 }

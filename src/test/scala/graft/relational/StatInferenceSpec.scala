@@ -77,4 +77,34 @@ class StatInferenceSpec extends SparkSpec {
     assert(fix.getAs[Long]("df") > 0)
     assert(fix.getAs[Long]("chi2_q") >= 0, "chi2 is non-negative")
   }
+
+  test("q454 jackknife acceleration reduction is the textbook formula") {
+    // the code computes a from Σẽ³/(6(Σẽ²)^1.5); verify against the
+    // direct Efron definition Σ(θ̄₍·₎−θ₍ᵢ₎)³ / (6[Σ(θ̄₍·₎−θ₍ᵢ₎)²]^1.5)
+    // on a small skewed sample — the n(n−1) cancellation is the
+    // non-obvious step the oracle relies on
+    val y = Array(1.0, 2.0, 2.0, 3.0, 7.0, 11.0, 30.0)
+    val n = y.length
+    val t = y.sum
+    val jack = y.map(v => (t - v) / (n - 1))
+    val jbar = jack.sum / n
+    val d2 = jack.map(j => (jbar - j) * (jbar - j)).sum
+    val d3 = jack.map(j => math.pow(jbar - j, 3)).sum
+    val aDirect = d3 / (6.0 * math.pow(d2, 1.5))
+    // jbar − θ₍ᵢ₎ = ẽᵢ/(n−1), so the (n−1) powers cancel in the ratio
+    val e = y.map(_ - t / n)
+    val aReduced = e.map(v => v * v * v).sum /
+      (6.0 * math.pow(e.map(v => v * v).sum, 1.5))
+    assert(math.abs(aDirect - aReduced) < 1e-12,
+      s"reduction mismatch: direct $aDirect vs reduced $aReduced")
+  }
+
+  test("q454 fixture gate: BCa interval brackets the mean at sf0.001") {
+    val row = StatInference.q454BcaBootstrap(spark, dir).head()
+    info(row.toString)
+    assert(row.getAs[Long]("n") > 0)
+    assert(row.getAs[Boolean]("ok"),
+      "finite z0, ordered indices, interval must bracket theta-hat")
+    assert(row.getAs[Double]("lo_mean") < row.getAs[Double]("hi_mean"))
+  }
 }
