@@ -363,7 +363,60 @@ object Sql4Surfaces {
       |FROM orders
       |ORDER BY month_start""".stripMargin
 
+  /** q455 — the native TABLESAMPLE surface (the SQL sampling a 100 TB
+    * exploration session leans on before any full scan), certified by
+    * the q74 convention — sampling is engine-internal randomness, so
+    * the oracle pins data-derivable values + a folded `ok`:
+    *   - `TABLESAMPLE (p PERCENT) REPEATABLE (seed)` is per-row
+    *     Bernoulli: the sampled COUNT must sit inside the 4σ binomial
+    *     envelope, checked as the exact integer cross-multiplication
+    *     (10·n₁ − n)² ≤ 144·n (p = 10% ⇒ σ² = 0.09n; both seeds of
+    *     the gallery checked);
+    *   - REPEATABLE means REPEATABLE: the same seed must return the
+    *     IDENTICAL row set (symmetric key difference empty), not just
+    *     the same count;
+    *   - `TABLESAMPLE (k ROWS)` is exact: count == k.
+    * Scale note: PERCENT sampling is a stateless per-row coin at the
+    * scan (no shuffle, no global pass — the only sampling shape that
+    * works at 100 TB); ROWS sampling is a limit (one-partition pull)
+    * and is certified here as the SMALL-k convenience it is.
+    */
+  val q455Tablesample: Q = (s, dir) => {
+    import s.implicits._
+    T.orders(s, dir).createOrReplaceTempView("q455_orders")
+    val nTotal = s.sql("SELECT COUNT(*) AS c FROM q455_orders")
+      .head().getLong(0)
+    def bern(seed: Int) = s.sql(
+      s"""SELECT o_orderkey FROM q455_orders
+         |TABLESAMPLE (10 PERCENT) REPEATABLE ($seed)""".stripMargin)
+    val n1 = bern(42).count()
+    val n2 = bern(7).count()
+    // same seed ⇒ identical row set: two INDEPENDENT executions of the
+    // seed-42 sample must have an empty difference in both directions
+    val runA = bern(42).localCheckpoint()
+    val runB = bern(42).localCheckpoint()
+    val diff = runA.exceptAll(runB).count() + runB.exceptAll(runA).count()
+    val nRows = s.sql(
+      """SELECT o_orderkey FROM q455_orders TABLESAMPLE (500 ROWS)""")
+      .count()
+    def envelope(k: Long): Boolean = {
+      val dev = 10L * k - nTotal
+      dev * dev <= 144L * nTotal
+    }
+    val ok = nTotal > 0L && envelope(n1) && envelope(n2) &&
+      diff == 0L && nRows == math.min(500L, nTotal)
+    Seq((nTotal, math.min(500L, nTotal), ok))
+      .toDF("n_total", "n_rows_sample", "ok")
+  }
+
+  val q455Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(LEAST(500, COUNT(*)) AS BIGINT) AS n_rows_sample,
+      |  TRUE AS ok
+      |FROM orders""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q455_tablesample" -> q455Tablesample,
     "q418_null_agg_semantics" -> q418NullAggSemantics,
     "q419_calendar_semantics" -> q419CalendarSemantics,
     "q411_percentile_cont" -> q411PercentileCont,
@@ -376,6 +429,7 @@ object Sql4Surfaces {
     "q390_sql_udf" -> q390SqlUdf,
     "q391_param_sql" -> q391ParamSql)
   val oracleSql: Map[String, String] = Map(
+    "q455_tablesample" -> q455Sql,
     "q418_null_agg_semantics" -> q418Sql,
     "q419_calendar_semantics" -> q419Sql,
     "q411_percentile_cont" -> q411Sql,
