@@ -1231,6 +1231,158 @@ object TextPipeline {
        |ORDER BY ql_micro DESC, doc_id ASC
        |LIMIT $QlTake""".stripMargin
 
+  /** q460 feedback-set size, expansion-term count, and the RM3
+    * interpolation weight α in milli (0.6 — Abdul-Jaleel et al.'s
+    * standard setting).
+    */
+  val FbDocs = 10
+  val FbTerms = 8
+  val Rm3AlphaMilli = 600L
+
+  /** q460 — RM3 PSEUDO-RELEVANCE FEEDBACK (Lavrenko & Croft SIGIR'01
+    * relevance models; the RM3 interpolation of Abdul-Jaleel et al.
+    * TREC'04 — the classic second-pass retrieval loop: retrieve, read
+    * the top docs, expand the query with what they talk about,
+    * retrieve again): feedback set = q374's Dirichlet-QL top
+    * [[FbDocs]]; relevance model with UNIFORM document weights
+    * (pinned simplification, scaladoc'd — the doc-likelihood-weighted
+    * variant needs exp at query time, which the engine-equality
+    * contract avoids): r_w = Σ_{d∈F} (10⁶·tf_wd) div dl_d — EXACT
+    * integers; expansion = top [[FbTerms]] terms by (r desc, term)
+    * excluding the original query; RM3 weights in micro —
+    * α/|Q| per original term, (1−α)·r_w div Σr per expansion term;
+    * final score = Σ_w weight_w·lnterm_micro(w,d) div 1000 over the
+    * posting-union candidates of the EXPANDED term set, ties by
+    * doc_id. Every step is integer-exact or micro-floored ln (the
+    * q374 discipline), so the oracle replays the whole loop value
+    * for value.
+    *
+    * Scale shape: the feedback set is k docs (driver sees nothing —
+    * terms flow as a ≤|Q|+m-row broadcast frame); corpus tf is
+    * posting-filtered by a JOIN against that frame (no isin literals,
+    * no collect); cells are candidates×terms.
+    */
+  val q460Rm3Feedback: Q = (s, dir) => {
+    import s.implicits._
+    val docs = T.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"ws", size($"ws").cast("long").as("dl"))
+      .localCheckpoint()
+    val totals = docs.agg(sum($"dl").as("sum_dl"))
+    // feedback set: q374's ranking, top FbDocs
+    val fb = qlScoresMicro(s, dir)
+      .orderBy($"ql_micro".desc, $"doc_id".asc)
+      .limit(FbDocs)
+      .select($"doc_id")
+    // relevance model over the feedback docs (uniform doc weights)
+    val rw = docs.join(fb, "doc_id")
+      .select($"doc_id", $"dl", explode($"ws").as("tok"))
+      .groupBy($"doc_id", $"dl", $"tok")
+      .agg(count(lit(1)).as("tf"))
+      .select($"tok", expr("(1000000 * tf) div dl").as("r"))
+      .groupBy($"tok").agg(sum($"r").as("r"))
+      .filter(!$"tok".isin(Bm25Query: _*))
+      .orderBy($"r".desc, $"tok".asc)
+      .limit(FbTerms)
+      .localCheckpoint()
+    val rSum = rw.agg(sum($"r")).head().getLong(0)
+    val nQ = Bm25Query.size
+    // integer div, never a rounded double cast (Spark casts truncate,
+    // DuckDB casts round — `div`/`//` agree on non-negative ints)
+    val expTerms = rw.select($"tok",
+      expr(s"(${(1000L - Rm3AlphaMilli) * 1000L} * r) div $rSum")
+        .as("w_micro"))
+    val origTerms = Bm25Query.toDF("tok")
+      .select($"tok", lit(Rm3AlphaMilli * 1000L / nQ).as("w_micro"))
+    val terms = origTerms.unionByName(expTerms).localCheckpoint()
+    // corpus statistics for the expanded term set (posting-filtered)
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"ws").as("tok"))
+      .join(broadcast(terms.select($"tok")), "tok")
+      .groupBy($"doc_id", $"dl", $"tok")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val cf = tf.groupBy($"tok").agg(sum($"tf").as("cf")).crossJoin(totals)
+    val cand = tf.select($"doc_id", $"dl").distinct()
+    cand.crossJoin(broadcast(cf.join(terms, "tok")))
+      .join(tf.select($"doc_id", $"tok", $"tf"), Seq("doc_id", "tok"), "left")
+      .na.fill(0L, Seq("tf"))
+      .withColumn("lnterm_micro", expr(
+        s"""CAST(FLOOR(1000000.0 * LN(
+           |  (CAST(tf AS DOUBLE)
+           |   + $QlMu * (CAST(cf AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+           |  / (CAST(dl AS DOUBLE) + $QlMu))) AS BIGINT)""".stripMargin))
+      .groupBy($"doc_id")
+      // the product is negative (ln of a probability) — FLOOR of an
+      // exact double (|w·l| < 2^53), identical in both engines; `div`
+      // would truncate toward zero in Spark but floor in some engines
+      .agg(sum(expr(
+        """CAST(FLOOR(CAST(w_micro * lnterm_micro AS DOUBLE) / 1000.0)
+          |AS BIGINT)""".stripMargin)).as("rm3_score"),
+        sum(when($"tf" > 0L, 1L).otherwise(0L)).as("n_terms_hit"))
+      .orderBy($"rm3_score".desc, $"doc_id".asc)
+      .limit(QlTake)
+  }
+
+  val q460Sql: String = {
+    val qterms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val origRows = Bm25Query
+      .map(t => s"('$t', ${Rm3AlphaMilli * 1000L / Bm25Query.size})")
+      .mkString(", ")
+    s"""WITH $qlSqlCtes,
+       |fb AS MATERIALIZED (
+       |  SELECT doc_id FROM qlsc
+       |  ORDER BY ql_micro DESC, doc_id ASC LIMIT $FbDocs),
+       |fbtf AS (
+       |  SELECT z.doc_id, qd.dl, z.tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+       |        FROM documents WHERE doc_id IN (SELECT doc_id FROM fb)) z
+       |  JOIN qd ON z.doc_id = qd.doc_id
+       |  GROUP BY z.doc_id, qd.dl, z.tok),
+       |rw AS MATERIALIZED (
+       |  SELECT tok, CAST(SUM((1000000 * tf) // dl) AS BIGINT) AS r
+       |  FROM fbtf WHERE tok NOT IN ($qterms)
+       |  GROUP BY tok
+       |  ORDER BY r DESC, tok ASC LIMIT $FbTerms),
+       |rs AS (SELECT CAST(SUM(r) AS BIGINT) AS rsum FROM rw),
+       |terms AS MATERIALIZED (
+       |  SELECT tok, CAST(w_micro AS BIGINT) AS w_micro FROM (
+       |    SELECT tok, w_micro FROM (VALUES $origRows) t(tok, w_micro)
+       |    UNION ALL
+       |    SELECT rw.tok,
+       |      (${(1000L - Rm3AlphaMilli) * 1000L} * rw.r) // rs.rsum
+       |        AS w_micro
+       |    FROM rw CROSS JOIN rs) u),
+       |ctf AS MATERIALIZED (
+       |  SELECT z.doc_id, qd.dl, z.tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+       |        FROM documents) z
+       |  JOIN qd ON z.doc_id = qd.doc_id
+       |  WHERE z.tok IN (SELECT tok FROM terms)
+       |  GROUP BY z.doc_id, qd.dl, z.tok),
+       |ccf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf
+       |        FROM ctf GROUP BY tok),
+       |ccand AS (SELECT DISTINCT doc_id, dl FROM ctf),
+       |cells AS (
+       |  SELECT c.doc_id, c.dl, t.tok, t.w_micro, ccf.cf, qst.sum_dl,
+       |    COALESCE(ctf.tf, 0) AS tf
+       |  FROM ccand c CROSS JOIN terms t
+       |  JOIN ccf ON ccf.tok = t.tok CROSS JOIN qst
+       |  LEFT JOIN ctf ON ctf.doc_id = c.doc_id AND ctf.tok = t.tok)
+       |SELECT doc_id,
+       |  CAST(SUM(CAST(FLOOR(CAST(w_micro * CAST(FLOOR(1000000.0 * LN(
+       |    (CAST(tf AS DOUBLE)
+       |     + $QlMu * (CAST(cf AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+       |    / (CAST(dl AS DOUBLE) + $QlMu))) AS BIGINT) AS DOUBLE)
+       |    / 1000.0) AS BIGINT))
+       |    AS BIGINT) AS rm3_score,
+       |  CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_terms_hit
+       |FROM cells GROUP BY doc_id
+       |ORDER BY rm3_score DESC, doc_id ASC
+       |LIMIT $QlTake""".stripMargin
+  }
+
   /** q436's planted morphology and its GROUND-TRUTH stems — pairs from
     * the rule examples in Porter 1980 (verified full-pipeline in
     * PorterStemSpec), spanning every step: plurals (1a), -ed/-ing with
@@ -1409,6 +1561,7 @@ object TextPipeline {
     "q444_ndcg" -> q444Ndcg,
     "q436_porter_stem" -> q436PorterStem,
     "q374_query_likelihood" -> q374QueryLikelihood,
+    "q460_rm3_feedback" -> q460Rm3Feedback,
     "q364_bm25" -> q364Bm25,
     "q200_weighted_sample" -> q200WeightedSample,
     "q76_tfidf" -> q76Tfidf,
@@ -1432,6 +1585,7 @@ object TextPipeline {
     "q444_ndcg" -> q444Sql,
     "q436_porter_stem" -> q436Sql,
     "q374_query_likelihood" -> q374Sql,
+    "q460_rm3_feedback" -> q460Sql,
     "q200_weighted_sample" -> q200Sql,
     "q364_bm25" -> q364Sql,
     "q76_tfidf" -> q76Sql,

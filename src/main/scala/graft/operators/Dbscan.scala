@@ -404,8 +404,13 @@ object Dbscan {
     * (changed working-graph edges) — the loop never peeks at the
     * exact graph; recall is measured once, after termination.
     */
-  def nndConverge(s: SparkSession, dir: String,
-      maxRounds: Int = NndMaxRounds): (Long, Long, Long, Long, Boolean) = {
+  /** The full convergence loop; returns (pts, working graph (a, b,
+    * is_new), rounds run, converged, n) — shared by q450's gate and
+    * q456's beam-search serving (which builds once and serves many).
+    */
+  private[operators] def nndConvergeGraph(s: SparkSession, dir: String,
+      maxRounds: Int = NndMaxRounds)
+      : (DataFrame, DataFrame, Long, Boolean, Long) = {
     import s.implicits._
     val pts = nndPts(s, dir)
     val n = pts.count()
@@ -446,10 +451,18 @@ object Dbscan {
       if (1000L * updates < NndConvergeDeltaPermille * (NndSeedK * n))
         converged = true
     }
+    (pts, working, r.toLong, converged, n)
+  }
+
+  def nndConverge(s: SparkSession, dir: String,
+      maxRounds: Int = NndMaxRounds): (Long, Long, Long, Long, Boolean) = {
+    import s.implicits._
+    val (pts, working, rounds, converged, n) =
+      nndConvergeGraph(s, dir, maxRounds)
     val afterTop = nndTopkByDist(pts)(working.select($"a", $"b"), KnnK)
     val exact = q345KnnGraph(s, dir).select($"a", $"b").localCheckpoint()
     val nExact = exact.count()
-    (n, nExact, r.toLong, nndRecall(exact, nExact)(afterTop), converged)
+    (n, nExact, rounds, nndRecall(exact, nExact)(afterTop), converged)
   }
 
   /** q450 — NN-DESCENT RUN TO CONVERGENCE (the Dong et al. WWW'11

@@ -871,6 +871,124 @@ object StatInference {
        |FROM ctr CROSS JOIN k0c CROSS JOIN ks""".stripMargin
   }
 
+  /** q458 slope bucket width (micro-cents/day) for the selection pass. */
+  val TsBucket = 4294967296L // 2^32
+
+  /** q458 — THEIL–SEN robust slope (Theil 1950 / Sen 1968 — the
+    * robust-regression leg next to q228's OLS and q423's
+    * median-of-means: OLS's slope has breakdown point 0, one corrupt
+    * day drags it arbitrarily; the median of pairwise slopes survives
+    * ~29% contamination) over the daily-revenue series.
+    *
+    * Exactness: day index and daily cents are exact ints; each pair's
+    * slope is micro-quantized by ONE double division then floor
+    * (identical spelling both engines); the median slope is found by
+    * the q307 BUCKETED SELECTION (histogram pass over 2³²-wide slope
+    * buckets + cumulative locate + a window over ONLY the target
+    * bucket — no global sort over the O(days²) pair frame); the
+    * intercept is the exact-integer median of 10⁶·rᵢ − slope·dᵢ over
+    * the days-bounded frame. Lower-median convention ((n+1) div 2)
+    * in both engines. Int64 budget: |slope·d| ≤ ~10¹⁸ at the tested
+    * revenue scale (scaladoc'd; the 100 TB form drops to milli
+    * quantization).
+    *
+    * Scale shape: the pair frame is days²-bounded (the series axis,
+    * not the row count — orders collapse to ≤ days rows first); one
+    * partial-agg histogram + bounded cumulative + pruned window.
+    */
+  /** The Theil–Sen core on a (d: Long, r: Long) series frame — public
+    * for the hand-fixture spec (planted line + outlier robustness).
+    * Returns (n_days, n_pairs, slope_micro, intercept_micro).
+    */
+  def theilSenOn(daysIn: DataFrame): (Long, Long, Long, Long) = {
+    val s = daysIn.sparkSession
+    import s.implicits._
+    val days = daysIn.localCheckpoint()
+    val nDays = days.count()
+    val pairs = days.as("a").join(days.as("b"), $"a.d" < $"b.d")
+      .select($"a.d".as("da"), $"b.d".as("db"), $"a.r".as("ra"), $"b.r".as("rb"))
+      .select($"da", $"db", expr(
+        """CAST(FLOOR(1000000.0 * CAST(rb - ra AS DOUBLE)
+          |  / CAST(db - da AS DOUBLE)) AS BIGINT)""".stripMargin).as("sm"))
+      .localCheckpoint()
+    val nPairs = pairs.count()
+    val k = (nPairs + 1) / 2
+    // bucketed selection for the k-th smallest slope
+    val hist = pairs
+      .withColumn("bkt", expr(s"CAST(FLOOR(CAST(sm AS DOUBLE) / $TsBucket) AS BIGINT)"))
+      .groupBy($"bkt").agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val loc = hist
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("before", $"cum" - $"c")
+      .filter($"before" < k && $"cum" >= k)
+      .select($"bkt", (lit(k) - $"before").as("resid"))
+    val wIn = Window.partitionBy($"bkt").orderBy($"sm", $"da", $"db")
+    val slope = pairs
+      .withColumn("bkt", expr(s"CAST(FLOOR(CAST(sm AS DOUBLE) / $TsBucket) AS BIGINT)"))
+      .join(broadcast(loc), "bkt")
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .filter($"rn" === $"resid")
+      .select($"sm").head().getLong(0)
+    // intercept: exact-integer median over the days-bounded frame
+    val wI = Window.orderBy($"v", $"d")
+    val ki = (nDays + 1) / 2
+    val intercept = days
+      .select($"d", (lit(1000000L) * $"r" - lit(slope) * $"d").as("v"))
+      .withColumn("rn", row_number().over(wI).cast("long"))
+      .filter($"rn" === ki)
+      .select($"v").head().getLong(0)
+    (nDays, nPairs, slope, intercept)
+  }
+
+  val q458TheilSen: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.orders(s, dir)
+      .groupBy($"o_orderdate")
+      .agg(sum(expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)")).as("r"))
+    val d0 = daily.agg(min($"o_orderdate").as("dmin"))
+    val days = daily.crossJoin(broadcast(d0))
+      .select(datediff($"o_orderdate", $"dmin").cast("long").as("d"), $"r")
+    val (nDays, nPairs, slope, intercept) = theilSenOn(days)
+    Seq((nDays, nPairs, slope, intercept))
+      .toDF("n_days", "n_pairs", "slope_micro", "intercept_micro")
+  }
+
+  val q458Sql: String =
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT o_orderdate,
+       |    CAST(SUM(CAST(FLOOR(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS r
+       |  FROM orders GROUP BY o_orderdate),
+       |days AS MATERIALIZED (
+       |  SELECT CAST(date_diff('day',
+       |      (SELECT MIN(CAST(o_orderdate AS DATE)) FROM daily),
+       |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d, r
+       |  FROM daily),
+       |pairs AS MATERIALIZED (
+       |  SELECT CAST(FLOOR(1000000.0 * CAST(b.r - a.r AS DOUBLE)
+       |    / CAST(b.d - a.d AS DOUBLE)) AS BIGINT) AS sm,
+       |    a.d AS da, b.d AS db
+       |  FROM days a JOIN days b ON a.d < b.d),
+       |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+       |slope AS (
+       |  SELECT sm FROM (
+       |    SELECT sm, ROW_NUMBER() OVER (ORDER BY sm, da, db) AS rn
+       |    FROM pairs) z CROSS JOIN np
+       |  WHERE rn = (n_pairs + 1) // 2),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM days),
+       |icept AS (
+       |  SELECT v FROM (
+       |    SELECT 1000000 * r - (SELECT sm FROM slope) * d AS v, d,
+       |      ROW_NUMBER() OVER (ORDER BY 1000000 * r
+       |        - (SELECT sm FROM slope) * d, d) AS rn
+       |    FROM days) z CROSS JOIN nd
+       |  WHERE rn = (n_days + 1) // 2)
+       |SELECT nd.n_days, np.n_pairs,
+       |  (SELECT sm FROM slope) AS slope_micro,
+       |  CAST((SELECT v FROM icept) AS BIGINT) AS intercept_micro
+       |FROM nd CROSS JOIN np""".stripMargin
+
   /** q314 PSI bin width (cents) and the smoothing pseudo-count that
     * keeps empty bins finite (industry-standard Laplace +1 — an empty
     * serve-side bin is a REAL drift signal, not a division error).
@@ -2441,6 +2559,7 @@ object StatInference {
     "q293_kaplan_meier" -> q293KaplanMeier,
     "q302_poisson_bootstrap" -> q302PoissonBootstrap,
     "q454_bca_bootstrap" -> q454BcaBootstrap,
+    "q458_theil_sen" -> q458TheilSen,
     "q314_psi_drift" -> q314PsiDrift,
   )
 
@@ -2474,6 +2593,7 @@ object StatInference {
     "q293_kaplan_meier" -> q293Sql,
     "q302_poisson_bootstrap" -> q302Sql,
     "q454_bca_bootstrap" -> q454Sql,
+    "q458_theil_sen" -> q458Sql,
     "q314_psi_drift" -> q314Sql,
   )
 }

@@ -52,4 +52,13 @@ class OpqSpec extends SparkSpec {
     assert(rows(0).getBoolean(1),
       "OPQ corpus distortion must be strictly below PQ's")
   }
+
+  test("q457 fixture gate: residual stage strictly refines one-stage VQ") {
+    val rows = Opq.q457ResidualQuantization(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 500L)
+    assert(rows(0).getBoolean(1),
+      "two-stage RQ distortion must be strictly below one-stage")
+  }
 }

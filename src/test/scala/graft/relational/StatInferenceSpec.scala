@@ -99,6 +99,29 @@ class StatInferenceSpec extends SparkSpec {
       s"reduction mismatch: direct $aDirect vs reduced $aReduced")
   }
 
+  test("q458 theil-sen recovers a planted line through one wild outlier") {
+    import spark.implicits._
+    // r = 3d + 5 exactly, plus one corrupted day: the pairwise-slope
+    // median must still read slope 3 / intercept 5 (micro-scaled) —
+    // the breakdown property OLS lacks
+    val clean = (0L until 10L).map(d => (d, 3L * d + 5L))
+    val days = (clean :+ ((100L, 1000000000L))).toDF("d", "r")
+    val (nDays, nPairs, slope, intercept) = StatInference.theilSenOn(days)
+    assert(nDays == 11L && nPairs == 55L)
+    assert(slope == 3000000L, s"robust slope: got $slope")
+    assert(intercept == 5000000L, s"robust intercept: got $intercept")
+  }
+
+  test("q460 RM3 expansion reranks with a wider term set at sf0.001") {
+    val rows = graft.llm.TextPipeline.q460Rm3Feedback(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= graft.llm.TextPipeline.QlTake)
+    val hitMax = rows.map(_.getAs[Long]("n_terms_hit")).max
+    info(s"rows=${rows.length} max n_terms_hit=$hitMax")
+    // expansion must widen the matchable set past the raw query size
+    assert(hitMax > graft.llm.TextPipeline.Bm25Query.size,
+      "some doc must hit an expansion term beyond the original query")
+  }
+
   test("q454 fixture gate: BCa interval brackets the mean at sf0.001") {
     val row = StatInference.q454BcaBootstrap(spark, dir).head()
     info(row.toString)
