@@ -92,6 +92,93 @@ object JourneyQueries {
        |    AS total_credit
        |FROM c GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** q464 half-life in days — credit halves per elapsed half-life. */
+  val DecayHalfLifeDays = 2L
+
+  /** q464 — TIME-DECAY multi-touch attribution, completing the
+    * industry attribution spectrum (q148 last-touch = all credit to
+    * recency, q225 linear = recency-blind, this = exponential decay
+    * by age: the model ad platforms default to). The decay is a
+    * DYADIC STEP — weight w = 2^(days-to-halflives) spelled as the
+    * integer left-shift 1 << ((lookback − age_days) div halflife), so
+    * weights, the per-purchase weight sum, and each touch's share
+    * pool·w div Σw (+ remainder to the EARLIEST touch, the q225
+    * money-split discipline) are all exact BIGINTs in both engines —
+    * a float 2^(−age/h) would never hash-match. Contract: continuous
+    * exponential decay quantized at half-life boundaries (scaladoc'd;
+    * the q74-convention alternative would gate a transcendental).
+    *
+    * Scale shape: identical to q225 — one user-key hash join with the
+    * range filter inside, two purchase-keyed windows, one channel agg.
+    */
+  val q464TimeDecayAttribution: Q = (s, dir) => {
+    import s.implicits._
+    val ev = T.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("t_us"),
+        $"event_type")
+    val touches = ev.filter($"event_type".isin("view", "click"))
+      .select($"user_id", $"event_id".as("touch_id"),
+        $"t_us".as("touch_us"), $"event_type".as("channel"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"t_us".as("purchase_us"))
+    val dayUs = 24L * 3600 * 1000000
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter($"touch_us" < $"purchase_us" &&
+        $"touch_us" >= $"purchase_us" - LookbackUs)
+      .withColumn("w", expr(
+        s"""shiftleft(CAST(1 AS BIGINT),
+           |  CAST((7 - (purchase_us - touch_us) div $dayUs)
+           |       div $DecayHalfLifeDays AS INT))""".stripMargin))
+    val wAll = Window.partitionBy($"purchase_id")
+    val wRank = Window.partitionBy($"purchase_id")
+      .orderBy($"touch_us", $"touch_id")
+    joined
+      .withColumn("sw", sum($"w").over(wAll))
+      .withColumn("share", expr(s"($CreditPool * w) div sw"))
+      .withColumn("floors", sum($"share").over(wAll))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("credit", $"share" +
+        when($"rk" === 1, lit(CreditPool) - $"floors").otherwise(lit(0L)))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_touches"), sum($"credit").as("total_credit"))
+      .orderBy($"channel")
+  }
+
+  val q464Sql: String = {
+    val dayUs = 24L * 3600 * 1000000
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+       |         event_type
+       |  FROM events),
+       |t AS (SELECT user_id, event_id AS touch_id, t_us AS touch_us,
+       |             event_type AS channel
+       |      FROM ev WHERE event_type IN ('view', 'click')),
+       |p AS (SELECT user_id, event_id AS purchase_id, t_us AS purchase_us
+       |      FROM ev WHERE event_type = 'purchase'),
+       |j AS (SELECT p.purchase_id, t.channel, t.touch_us, t.touch_id,
+       |        CAST(1 AS BIGINT)
+       |          << CAST((7 - (p.purchase_us - t.touch_us) // $dayUs)
+       |             // $DecayHalfLifeDays AS INTEGER) AS w
+       |      FROM p JOIN t ON p.user_id = t.user_id
+       |        AND t.touch_us < p.purchase_us
+       |        AND t.touch_us >= p.purchase_us - $LookbackUs),
+       |c1 AS (SELECT channel, purchase_id, touch_us, touch_id, w,
+       |         SUM(w) OVER (PARTITION BY purchase_id) AS sw
+       |       FROM j),
+       |c2 AS (SELECT channel, ($CreditPool * w) // sw AS share,
+       |         SUM(($CreditPool * w) // sw)
+       |           OVER (PARTITION BY purchase_id) AS floors,
+       |         ROW_NUMBER() OVER (PARTITION BY purchase_id
+       |           ORDER BY touch_us, touch_id) AS rk
+       |       FROM c1)
+       |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       |  CAST(SUM(share +
+       |    CASE WHEN rk = 1 THEN $CreditPool - floors ELSE 0 END)
+       |    AS BIGINT) AS total_credit
+       |FROM c2 GROUP BY channel ORDER BY channel""".stripMargin
+  }
+
   /** Session gap (µs): 30 minutes, the classic web-analytics cut. */
   val SessionGapUs: Long = 30L * 60 * 1000000
 
@@ -693,6 +780,7 @@ object JourneyQueries {
       |FROM r""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q464_time_decay_attribution" -> q464TimeDecayAttribution,
     "q425_time_to_convert" -> q425TimeToConvert,
     "q378_shapley_attribution" -> q378Shapley,
     "q363_markov_attribution" -> q363MarkovAttribution,
@@ -704,6 +792,7 @@ object JourneyQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q464_time_decay_attribution" -> q464Sql,
     "q425_time_to_convert" -> q425Sql,
     "q378_shapley_attribution" -> q378Sql,
     "q363_markov_attribution" -> q363Sql,

@@ -1550,7 +1550,151 @@ object TimeSeriesQueries {
       .replace("ser0_src", "daily")
   }
 
+  /** q463 output size (selected points incl. the fixed endpoints). */
+  val LttbOut = 100
+
+  /** q463 — LTTB DOWNSAMPLING (Steinarsson 2013 "Largest Triangle
+    * Three Buckets" — the dashboarding downsampler Grafana/Plotly
+    * ship: a 100 TB daily series renders as [[LttbOut]] points that
+    * preserve visual extremes, which uniform striding destroys):
+    * endpoints fixed; interior points bucketed into LttbOut−2 equal
+    * index ranges; each bucket keeps the point maximizing the
+    * triangle area with the PREVIOUSLY SELECTED point and the NEXT
+    * bucket's centroid. The sequential prev-dependency makes this a
+    * driver fold over the DAYS-BOUNDED series (the q394/q445
+    * contract); all arithmetic is exact: the m-scaled doubled area
+    * |(xp·m − Sx)(yc − yp) − (xp − xc)(Sy − yp·m)| is an integer
+    * < 2⁵³ (products bounded by days·bucketwidth·cents — scaladoc
+    * budget), ties keep the EARLIEST candidate, and the oracle
+    * replays the whole fold with DuckDB list_reduce lambdas (the
+    * q445 idiom) value for value.
+    */
+  val q463LttbDownsample: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.orders(s, dir)
+      .groupBy($"o_orderdate")
+      .agg(sum(expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)")).as("r"))
+    val d0 = daily.agg(min($"o_orderdate").as("dmin"))
+    val series: Array[(Long, Long)] = daily.crossJoin(broadcast(d0))
+      .select(datediff($"o_orderdate", $"dmin").cast("long").as("d"), $"r")
+      .orderBy($"d")
+      .as[(Long, Long)].collect()
+    val n = series.length
+    val k = LttbOut
+    require(n > k, s"series of $n days must exceed $k output points")
+    // bucket j (0-based, j = 0..k-3) covers 0-based interior indices
+    // [1 + j(n-2) div (k-2), 1 + (j+1)(n-2) div (k-2) - 1]
+    def lo(j: Int): Int = (1L + j.toLong * (n - 2) / (k - 2)).toInt
+    def hi(j: Int): Int = lo(j + 1) - 1
+    val selected = scala.collection.mutable.ArrayBuffer(0)
+    var j = 0
+    while (j < k - 2) {
+      val (xp, yp) = series(selected.last)
+      // next anchor: bucket j+1's sums, or the final point
+      val (sx, sy, m) =
+        if (j < k - 3) {
+          var a = 0L; var b = 0L; var c = 0L
+          var i = lo(j + 1)
+          while (i <= hi(j + 1)) {
+            a += series(i)._1; b += series(i)._2; c += 1; i += 1
+          }
+          (a, b, c)
+        } else (series(n - 1)._1, series(n - 1)._2, 1L)
+      var best = -1
+      var bestArea = -1L
+      var i = lo(j)
+      while (i <= hi(j)) {
+        val (xc, yc) = series(i)
+        val area = math.abs(
+          (xp * m - sx) * (yc - yp) - (xp - xc) * (sy - yp * m))
+        if (area > bestArea) { bestArea = area; best = i }
+        i += 1
+      }
+      selected += best
+      j += 1
+    }
+    selected += n - 1
+    selected.zipWithIndex
+      .map { case (idx, o) =>
+        (o.toLong, series(idx)._1, series(idx)._2)
+      }.toSeq.toDF("out_idx", "d", "r")
+      .orderBy($"out_idx")
+  }
+
+  val q463Sql: String = {
+    val k = LttbOut
+    // lists are 1-indexed; selected indices are kept 0-based (like the
+    // Spark fold) as DOUBLE-carried small ints (exact). Bucket j's
+    // 0-based lo index is 1 + j(n-2)//(k-2); anchors (next-bucket
+    // sums) precompute OUTSIDE the fold so the fold lambda only
+    // indexes a list. jv/pix inline p[1]/acc[len(acc)] (lambdas bind
+    // no intermediates — the q445 inlining discipline).
+    val jv = "CAST(p[1] AS BIGINT)"
+    val pix = "CAST(acc[len(acc)] AS BIGINT)"
+    val loJ = s"(1 + ($jv) * (n - 2) // ($k - 2))"
+    val loJ1 = s"(1 + (($jv) + 1) * (n - 2) // ($k - 2))"
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT o_orderdate,
+       |    CAST(SUM(CAST(FLOOR(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS r
+       |  FROM orders GROUP BY o_orderdate),
+       |pts AS (
+       |  SELECT CAST(date_diff('day',
+       |      (SELECT MIN(CAST(o_orderdate AS DATE)) FROM daily),
+       |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d, r
+       |  FROM daily),
+       |ser AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    list(CAST(d AS DOUBLE) ORDER BY d) AS ds,
+       |    list(CAST(r AS DOUBLE) ORDER BY d) AS rs
+       |  FROM pts),
+       |anch AS (
+       |  SELECT n, ds, rs,
+       |    list_transform(range(0, $k - 2), j ->
+       |      CASE WHEN j < $k - 3 THEN [
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          ds[(1 + (j + 1) * (n - 2) // ($k - 2)) + 1
+       |             : (1 + (j + 2) * (n - 2) // ($k - 2))]),
+       |          (a, v) -> a + v),
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          rs[(1 + (j + 1) * (n - 2) // ($k - 2)) + 1
+       |             : (1 + (j + 2) * (n - 2) // ($k - 2))]),
+       |          (a, v) -> a + v),
+       |        CAST((1 + (j + 2) * (n - 2) // ($k - 2))
+       |          - (1 + (j + 1) * (n - 2) // ($k - 2)) AS DOUBLE)]
+       |      ELSE [ds[CAST(n AS INT)], rs[CAST(n AS INT)], 1.0] END)
+       |    AS anchors
+       |  FROM ser),
+       |folded AS (
+       |  SELECT n, ds, rs,
+       |    list_reduce(
+       |      list_prepend([CAST(0 AS DOUBLE)],
+       |        list_transform(range(0, $k - 2), j -> [CAST(j AS DOUBLE)])),
+       |      (acc, p) -> list_append(acc,
+       |        list_reduce(
+       |          list_prepend([CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE)],
+       |            list_transform(range($loJ, $loJ1),
+       |              c -> [CAST(c AS DOUBLE),
+       |                abs((ds[($pix) + 1] * anchors[($jv) + 1][3]
+       |                     - anchors[($jv) + 1][1])
+       |                  * (rs[CAST(c AS INT) + 1] - rs[($pix) + 1])
+       |                  - (ds[($pix) + 1] - ds[CAST(c AS INT) + 1])
+       |                  * (anchors[($jv) + 1][2]
+       |                     - rs[($pix) + 1] * anchors[($jv) + 1][3]))])),
+       |          (a2, q) -> CASE WHEN q[2] > a2[2] THEN q ELSE a2 END)[1]))
+       |      AS idxs
+       |  FROM anch)
+       |SELECT CAST(o - 1 AS BIGINT) AS out_idx,
+       |  CAST(ds[CAST(ix AS INT) + 1] AS BIGINT) AS d,
+       |  CAST(rs[CAST(ix AS INT) + 1] AS BIGINT) AS r
+       |FROM (
+       |  SELECT n, ds, rs, UNNEST(list_append(idxs, CAST(n - 1 AS DOUBLE)))
+       |    AS ix, UNNEST(range(1, $k + 1)) AS o
+       |  FROM folded)
+       |ORDER BY out_idx""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q463_lttb_downsample" -> q463LttbDownsample,
     "q445_holt_winters" -> q445HoltWinters,
     "q426_stickiness" -> q426Stickiness,
     "q421_lateness_profile" -> q421LatenessProfile,
@@ -1576,6 +1720,7 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q463_lttb_downsample" -> q463Sql,
     "q394_pacf" -> q394Sql,
     "q421_lateness_profile" -> q421Sql,
     "q426_stickiness" -> q426Sql,
