@@ -415,7 +415,78 @@ object Sql4Surfaces {
       |  TRUE AS ok
       |FROM orders""".stripMargin
 
+  /** q465 hop bound — keeps the UNION ALL path expansion finite on a
+    * cyclic graph (degree^hops rows from one seed; 4 is the honest
+    * bound at the fixture densities and the portable spelling — the
+    * deduplicating UNION mode changes engine row multiplicities).
+    */
+  val RecHops = 4
+
+  /** q465 — RECURSIVE CTE surface (`WITH RECURSIVE`, SQL:1999's one
+    * iteration construct — new in Spark 4.x, SPARK-24497): single-
+    * source transitive closure with MIN-hop distances over the gear
+    * co-purchase graph (the q239 edge list), the BOM-explosion /
+    * reachability shape every warehouse eventually needs. The EXACT
+    * SAME SQL text runs in both engines (anchor = the smallest node,
+    * recursive step = frontier ⋈ edges bounded at [[RecHops]], final
+    * MIN-hop aggregate), so the oracle certifies Spark's brand-new
+    * recursion machinery against DuckDB's mature one value for value.
+    *
+    * Scale shape: each recursion level is one equi-join on the node
+    * key (Spark plans levels as iterated joins — the Pregel shape);
+    * the hop bound caps the blowup on cycles, and the closing
+    * aggregate collapses path multiplicity. At 100 TB the same
+    * closure runs as the q138-style bounded fixpoint; this row
+    * certifies the declarative SURFACE.
+    */
+  val q465RecursiveCte: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val gl = T.lineitem(s, dir)
+      .join(T.part(s, dir), $"l_partkey" === $"p_partkey")
+      .filter($"p_name".like("%gear%"))
+      .select($"l_orderkey", $"l_partkey")
+    gl.as("a").join(gl.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .distinct()
+      .createOrReplaceTempView("q465_edges")
+    s.sql(recClosureSql("q465_edges"))
+  }
+
+  /** The shared recursive query text — `edges` is the table name. */
+  private def recClosureSql(edges: String): String =
+    s"""WITH RECURSIVE reach(node, hop) AS (
+       |  SELECT CAST(MIN(u) AS BIGINT) AS node, 0 AS hop FROM $edges
+       |  UNION ALL
+       |  SELECT e.v AS node, r.hop + 1 AS hop
+       |  FROM reach r JOIN $edges e ON e.u = r.node
+       |  WHERE r.hop < $RecHops)
+       |SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hops
+       |FROM reach GROUP BY node ORDER BY node""".stripMargin
+
+  val q465Sql: String =
+    s"""WITH RECURSIVE ed AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM (SELECT l_orderkey, l_partkey FROM lineitem
+       |        JOIN part ON l_partkey = p_partkey
+       |        WHERE p_name LIKE '%gear%') a
+       |  JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+       |        JOIN part ON l_partkey = p_partkey
+       |        WHERE p_name LIKE '%gear%') b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |reach(node, hop) AS (
+       |  SELECT CAST(MIN(u) AS BIGINT) AS node, 0 AS hop FROM ed
+       |  UNION ALL
+       |  SELECT e.v AS node, r.hop + 1 AS hop
+       |  FROM reach r JOIN ed e ON e.u = r.node
+       |  WHERE r.hop < $RecHops)
+       |SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hops
+       |FROM reach GROUP BY node ORDER BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q465_recursive_cte" -> q465RecursiveCte,
     "q455_tablesample" -> q455Tablesample,
     "q418_null_agg_semantics" -> q418NullAggSemantics,
     "q419_calendar_semantics" -> q419CalendarSemantics,
@@ -429,6 +500,7 @@ object Sql4Surfaces {
     "q390_sql_udf" -> q390SqlUdf,
     "q391_param_sql" -> q391ParamSql)
   val oracleSql: Map[String, String] = Map(
+    "q465_recursive_cte" -> q465Sql,
     "q455_tablesample" -> q455Sql,
     "q418_null_agg_semantics" -> q418Sql,
     "q419_calendar_semantics" -> q419Sql,

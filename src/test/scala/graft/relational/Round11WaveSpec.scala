@@ -42,6 +42,26 @@ class Round11WaveSpec extends SparkSpec {
       "selected days must be strictly increasing (one per bucket)")
   }
 
+  test("q465: recursive CTE computes min-hop closure on a hand graph") {
+    import spark.implicits._
+    // chain 10->20->30 plus a shortcut 10->30 and a cycle 30->10:
+    // min hops from 10 must read 0/1/1, bounded recursion terminates
+    Seq((10L, 20L), (20L, 30L), (10L, 30L), (30L, 10L))
+      .toDF("u", "v").createOrReplaceTempView("q465_hand_edges")
+    val got = spark.sql(
+      s"""WITH RECURSIVE reach(node, hop) AS (
+         |  SELECT CAST(MIN(u) AS BIGINT) AS node, 0 AS hop
+         |  FROM q465_hand_edges
+         |  UNION ALL
+         |  SELECT e.v AS node, r.hop + 1 AS hop
+         |  FROM reach r JOIN q465_hand_edges e ON e.u = r.node
+         |  WHERE r.hop < ${Sql4Surfaces.RecHops})
+         |SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hops
+         |FROM reach GROUP BY node""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 0L, 20L -> 1L, 30L -> 1L), s"got $got")
+  }
+
   test("q464: time-decay credit is conserved and equals the linear pool") {
     val lin = JourneyQueries.q225MultiTouch(spark, dir).collect()
       .map(_.getAs[Long]("total_credit")).sum
