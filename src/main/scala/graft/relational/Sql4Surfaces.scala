@@ -485,7 +485,79 @@ object Sql4Surfaces {
        |SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hops
        |FROM reach GROUP BY node ORDER BY node""".stripMargin
 
+  /** q466 — SQL session VARIABLES (SPARK-46246 `DECLARE VARIABLE` /
+    * `SET VAR`, new in Spark 4.x): the parameterization surface for
+    * SQL-only pipelines (a threshold computed by one statement and
+    * consumed by the next, no string templating). The variable is SET
+    * from a scalar subquery (the p90 open-order price via exact
+    * lower-rank selection) and consumed in a filter + aggregate; the
+    * oracle inlines the identical selection as a scalar CTE.
+    */
+  val q466SessionVariable: Q = (s, dir) => {
+    T.orders(s, dir).createOrReplaceTempView("q466_orders")
+    s.sql("DECLARE OR REPLACE VARIABLE q466_floor BIGINT")
+    s.sql(
+      """SET VAR q466_floor = (
+        |  SELECT cents FROM (
+        |    SELECT CAST(FLOOR(100 * o_totalprice) AS BIGINT) AS cents,
+        |      ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |      COUNT(*) OVER () AS n
+        |    FROM q466_orders) z
+        |  WHERE rn = (9 * n) DIV 10)""".stripMargin)
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(MIN(CAST(FLOOR(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+        |    AS min_cents
+        |FROM q466_orders
+        |WHERE CAST(FLOOR(100 * o_totalprice) AS BIGINT) >= q466_floor
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q466Sql: String =
+    """WITH f AS (
+      |  SELECT cents FROM (
+      |    SELECT CAST(FLOOR(100 * o_totalprice) AS BIGINT) AS cents,
+      |      ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+      |      COUNT(*) OVER () AS n
+      |    FROM orders) z
+      |  WHERE rn = (9 * n) // 10)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(MIN(CAST(FLOOR(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+      |    AS min_cents
+      |FROM orders CROSS JOIN f
+      |WHERE CAST(FLOOR(100 * o_totalprice) AS BIGINT) >= f.cents
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q467 — LATERAL correlated subquery join (SPARK-34382): the
+    * top-N-per-group spelling analysts write instead of a rank
+    * window — the subquery re-executes per outer row with the
+    * correlation pushed in. The IDENTICAL text runs in DuckDB
+    * (LATERAL is SQL:1999), certifying Spark's decorrelation against
+    * a reference implementation: per nation, its 2 cheapest suppliers.
+    */
+  val q467LateralJoin: Q = (s, dir) => {
+    T.nation(s, dir).createOrReplaceTempView("q467_nation")
+    T.supplier(s, dir).createOrReplaceTempView("q467_supplier")
+    s.sql(lateralSql("q467_nation", "q467_supplier"))
+  }
+
+  private def lateralSql(nation: String, supplier: String): String =
+    s"""SELECT n.n_name, t.s_name,
+       |  CAST(FLOOR(100 * t.s_acctbal) AS BIGINT) AS bal_cents
+       |FROM $nation n,
+       |LATERAL (
+       |  SELECT s_name, s_acctbal FROM $supplier s
+       |  WHERE s.s_nationkey = n.n_nationkey
+       |  ORDER BY s_acctbal, s_suppkey LIMIT 2) t
+       |ORDER BY n.n_name, bal_cents, t.s_name""".stripMargin
+
+  val q467Sql: String = lateralSql("nation", "supplier")
+
   val queries: Map[String, Q] = Map(
+    "q466_session_variable" -> q466SessionVariable,
+    "q467_lateral_join" -> q467LateralJoin,
     "q465_recursive_cte" -> q465RecursiveCte,
     "q455_tablesample" -> q455Tablesample,
     "q418_null_agg_semantics" -> q418NullAggSemantics,
@@ -500,6 +572,8 @@ object Sql4Surfaces {
     "q390_sql_udf" -> q390SqlUdf,
     "q391_param_sql" -> q391ParamSql)
   val oracleSql: Map[String, String] = Map(
+    "q466_session_variable" -> q466Sql,
+    "q467_lateral_join" -> q467Sql,
     "q465_recursive_cte" -> q465Sql,
     "q455_tablesample" -> q455Sql,
     "q418_null_agg_semantics" -> q418Sql,
