@@ -30,6 +30,9 @@ import graft.core.{Tables => T}
   * q101 label-propagation fixpoint (O(log n) rounds of equi-joins).
   */
 object Dbscan {
+  private def ckpt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graftbridge.PlanBridge.checkpointResetStats(df)
+
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -288,9 +291,9 @@ object Dbscan {
   private def nndRound(pts: DataFrame, working: DataFrame): DataFrame = {
     val s = pts.sparkSession
     import s.implicits._
-    val undirected = working
+    val undirected = ckpt(working
       .unionByName(working.select($"b".as("a"), $"a".as("b")))
-      .distinct().localCheckpoint()
+      .distinct())
     val cand = undirected.as("e1")
       .join(undirected.as("e2"), $"e1.b" === $"e2.a")
       .select($"e1.a".as("a"), $"e2.b".as("b"))
@@ -317,10 +320,10 @@ object Dbscan {
     // working graph at the WORKING width K' = NndSeedK (the paper
     // over-provisions the working K relative to the target k — the
     // 2-hop frontier is what drives convergence), final answer at KnnK
-    var working = nndTopkByDist(pts)(seedEdges, NndSeedK).localCheckpoint()
+    var working = ckpt(nndTopkByDist(pts)(seedEdges, NndSeedK))
     var r = 0
     while (r < rounds) {
-      working = nndRound(pts, working).localCheckpoint()
+      working = ckpt(nndRound(pts, working))
       r += 1
     }
     val afterTop = nndTopkByDist(pts)(working, KnnK)
@@ -408,7 +411,7 @@ object Dbscan {
     * is_new), rounds run, converged, n) — shared by q450's gate and
     * q456's beam-search serving (which builds once and serves many).
     */
-  private[operators] def nndConvergeGraph(s: SparkSession, dir: String,
+  private[graft] def nndConvergeGraph(s: SparkSession, dir: String,
       maxRounds: Int = NndMaxRounds)
       : (DataFrame, DataFrame, Long, Boolean, Long) = {
     import s.implicits._
@@ -424,15 +427,14 @@ object Dbscan {
     // see BASELINE.md for the incremental number at sf0.1). The flag
     // is computed by the same left join that counts updates, so the
     // termination test costs no extra pass.
-    var working = nndTopkByDist(pts)(seedEdges, NndSeedK)
-      .withColumn("is_new", lit(true)).localCheckpoint()
+    var working = ckpt(nndTopkByDist(pts)(seedEdges, NndSeedK)
+      .withColumn("is_new", lit(true)))
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
-      val undirected = working
+      val undirected = ckpt(working
         .unionByName(working.select($"b".as("a"), $"a".as("b"), $"is_new"))
-        .groupBy($"a", $"b").agg(max($"is_new").as("is_new"))
-        .localCheckpoint()
+        .groupBy($"a", $"b").agg(max($"is_new").as("is_new")))
       val cand = undirected.as("e1")
         .join(undirected.as("e2"), $"e1.b" === $"e2.a")
         .filter($"e1.is_new" || $"e2.is_new")
@@ -440,11 +442,10 @@ object Dbscan {
         .filter($"a" =!= $"b")
         .unionByName(working.select($"a", $"b"))
         .distinct()
-      val next = nndTopkByDist(pts)(cand, NndSeedK)
+      val next = ckpt(nndTopkByDist(pts)(cand, NndSeedK)
         .join(working.select($"a", $"b", lit(false).as("held")),
           Seq("a", "b"), "left")
-        .select($"a", $"b", coalesce($"held", lit(true)).as("is_new"))
-        .localCheckpoint()
+        .select($"a", $"b", coalesce($"held", lit(true)).as("is_new")))
       val updates = next.filter($"is_new").count()
       working = next
       r += 1

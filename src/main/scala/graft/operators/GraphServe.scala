@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
   * on BOTH sides.
   */
 object GraphServe {
+  private def ckpt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graftbridge.PlanBridge.checkpointResetStats(df)
+
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -36,6 +39,14 @@ object GraphServe {
   val Beam = 8
   val Hops = 10
   val QueryCount = 64
+  /** Serving-graph degree cap (HNSW's M): the UNDIRECTED K'-NN graph
+    * has bounded OUT-degree but unbounded IN-degree — a hub in a dense
+    * region can sit in thousands of top-K' lists, and beams converge
+    * exactly onto such hubs, so per-hop expansion grows without this
+    * cap (measured: sf1 hops grew 0.7→127 s before the cap; constant
+    * after). Per node, keep the M nearest undirected neighbors.
+    */
+  val MaxDegree = 24
   /** Pinned after measuring (1000‰ at every tested SF). */
   val ServeRecallFloorPermille = 900L
 
@@ -43,9 +54,21 @@ object GraphServe {
   def serveStats(s: SparkSession, dir: String): (Long, Long, Long, Boolean) = {
     import s.implicits._
     val (pts, working, _, converged, n) = Dbscan.nndConvergeGraph(s, dir)
-    val graph = working.select($"a", $"b")
+    val undirected = working.select($"a", $"b")
       .unionByName(working.select($"b".as("a"), $"a".as("b")))
-      .distinct().localCheckpoint()
+      .distinct()
+    // degree-bound the serving graph (see MaxDegree): per node, the M
+    // nearest undirected neighbors by exact distance, bounded heap
+    val graph = graft.plans.TopK.perGroup(
+      undirected
+        .join(pts.select($"vec_id".as("a"), $"x".as("ax"), $"y".as("ay")), "a")
+        .join(pts.select($"vec_id".as("b"), $"x".as("bx"), $"y".as("by")), "b")
+        .select($"a", $"b",
+          (($"ax" - $"bx") * ($"ax" - $"bx") +
+            ($"ay" - $"by") * ($"ay" - $"by")).as("d2")),
+      Seq("a"), Seq("d2" -> true, "b" -> true), MaxDegree)
+      .select($"a", $"b")
+    val graphCp = ckpt(graph)
     val queries = pts.orderBy($"vec_id").limit(QueryCount)
       .select($"vec_id".as("qid"), $"x".as("qx"), $"y".as("qy"))
       .localCheckpoint()
@@ -67,21 +90,19 @@ object GraphServe {
     // hash-spread entries, same for every query
     val entries = pts.select($"vec_id".as("node"))
       .orderBy(xxhash64($"node"), $"node").limit(Entries)
-    var beam = graft.plans.TopK.perGroup(
+    var beam = ckpt(graft.plans.TopK.perGroup(
       withDist(queries.select($"qid").crossJoin(broadcast(entries))),
-      Seq("qid"), Seq("d2" -> true, "node" -> true), Beam)
-      .localCheckpoint()
+      Seq("qid"), Seq("d2" -> true, "node" -> true), Beam))
     var h = 0
     while (h < Hops) {
       val expanded = beam.select($"qid", $"node".as("a"))
-        .join(graph, "a")
+        .join(graphCp, "a")
         .select($"qid", $"b".as("node"))
       val all = withDist(expanded)
         .unionByName(beam.select($"qid", $"node", $"d2"))
         .groupBy($"qid", $"node").agg(min($"d2").as("d2"))
-      beam = graft.plans.TopK.perGroup(all,
-        Seq("qid"), Seq("d2" -> true, "node" -> true), Beam)
-        .localCheckpoint()
+      beam = ckpt(graft.plans.TopK.perGroup(all,
+        Seq("qid"), Seq("d2" -> true, "node" -> true), Beam))
       h += 1
     }
     val answer = graft.plans.TopK.perGroup(beam,

@@ -27,6 +27,9 @@ import graft.core.{Tables => T}
   * Zero driver traffic per round; working set is one row per node.
   */
 object LabelPropagation {
+  private def ckpt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graftbridge.PlanBridge.checkpointResetStats(df)
+
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -45,11 +48,10 @@ object LabelPropagation {
       val votes = edges
         .join(labels.withColumnRenamed("node", "v"), "v")
         .groupBy($"u", $"label").agg(count(lit(1)).as("n"))
-      labels = votes
+      labels = ckpt(votes
         .groupBy($"u".as("node"))
         .agg(min(struct((-$"n").as("nn"), $"label".as("l")))
-          .getField("l").as("label"))
-        .localCheckpoint()
+          .getField("l").as("label")))
     }
     labels
   }

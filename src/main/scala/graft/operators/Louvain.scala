@@ -35,6 +35,9 @@ import graft.core.{Tables => T}
   * (scaladoc'd, the q422 budget discipline).
   */
 object Louvain {
+  private def ckpt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graftbridge.PlanBridge.checkpointResetStats(df)
+
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -96,13 +99,13 @@ object Louvain {
   def refine(edges: DataFrame, labels0: DataFrame,
       rounds: Int = Rounds): (DataFrame, Long, Long, Long) = {
     val twoM = edges.count()
-    var labels = labels0.localCheckpoint()
+    var labels = ckpt(labels0)
     val start = qScore(edges, labels, twoM)
     var best = start
     var accepted = 0L
     var r = 0
     while (r < rounds) {
-      val next = movePass(edges, labels, twoM, r % 2).localCheckpoint()
+      val next = ckpt(movePass(edges, labels, twoM, r % 2))
       val sc = qScore(edges, next, twoM)
       if (sc > best) { labels = next; best = sc; accepted += 1 }
       r += 1

@@ -32,4 +32,27 @@ object PlanBridge {
     if (!exp.extraOptimizations.contains(rule))
       exp.extraOptimizations = exp.extraOptimizations :+ rule
   }
+
+  /** localCheckpoint + SIZE-STATS RESET for iterative join loops.
+    *
+    * `Dataset.localCheckpoint` builds its `LogicalRDD` with
+    * `originStats = optimizedPlan.stats`, so the size estimate of the
+    * PREVIOUS iteration survives the checkpoint; Catalyst's
+    * size-only join estimator then MULTIPLIES child estimates
+    * (SizeInBytesOnlyStatsPlanVisitor.visitJoin), which means k
+    * checkpointed join rounds compound into a sizeInBytes BigInt with
+    * O(cᵏ) bits — measured on the NN-Descent serve loop: per-hop
+    * driver time grew 0.7 s → 127 s purely in BigInteger
+    * multiplications inside stats estimation, with every executor
+    * idle. Rebuilding the frame from the checkpointed RDD through a
+    * FRESH LogicalRDD (originStats = None → defaultSizeInBytes)
+    * breaks the chain; the data is the same materialized blocks, no
+    * recompute, no extra job.
+    */
+  def checkpointResetStats(df: Dataset[Row]): DataFrame = {
+    val cp = df.asInstanceOf[classic.Dataset[Row]].localCheckpoint()
+    val spark = cp.sparkSession
+    val qe = cp.queryExecution
+    ofRows(spark, execution.LogicalRDD(qe.analyzed.output, qe.toRdd)(spark))
+  }
 }
