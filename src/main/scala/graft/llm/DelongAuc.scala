@@ -86,15 +86,36 @@ object DelongAuc {
   private[llm] def components(paired: DataFrame, sc: String): DataFrame = {
     val s = paired.sparkSession
     import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
     val byScore = paired.groupBy(col(sc).as("s"))
       .agg(sum($"y").as("np_s"), (count(lit(1)) - sum($"y")).as("nn_s"))
-    val wBelow = org.apache.spark.sql.expressions.Window.orderBy($"s")
+    // Range-partitioned TWO-PASS prefix sums (the r10 verdict's scale
+    // note: a bare Window.orderBy(s) is one task over LR's
+    // near-per-doc-distinct margins): intra-partition running sums
+    // under a pid-keyed window + broadcast per-partition offsets; the
+    // only global window left is over the 32-row offsets frame.
+    // np_above falls out as total_np − inclusive-prefix(np).
+    val parts = byScore.repartitionByRange(32, $"s")
+      .withColumn("pid", spark_partition_id())
+    val wIn = W.partitionBy($"pid").orderBy($"s")
       .rowsBetween(Long.MinValue, -1)
-    val wAbove = org.apache.spark.sql.expressions.Window.orderBy($"s")
-      .rowsBetween(1, Long.MaxValue)
-    val pre = byScore
-      .withColumn("nn_below", coalesce(sum($"nn_s").over(wBelow), lit(0L)))
-      .withColumn("np_above", coalesce(sum($"np_s").over(wAbove), lit(0L)))
+    val withRun = parts
+      .withColumn("nn_below_in", coalesce(sum($"nn_s").over(wIn), lit(0L)))
+      .withColumn("np_upto_in",
+        coalesce(sum($"np_s").over(wIn), lit(0L)) + $"np_s")
+    val wP = W.orderBy($"pid")
+    val offs = withRun.groupBy($"pid")
+      .agg(sum($"nn_s").as("tnn"), sum($"np_s").as("tnp"))
+      .withColumn("nn_off",
+        coalesce(sum($"tnn").over(wP.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("np_off",
+        coalesce(sum($"tnp").over(wP.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("total_np",
+        sum($"tnp").over(wP.rowsBetween(Long.MinValue, Long.MaxValue)))
+      .select($"pid", $"nn_off", $"np_off", $"total_np")
+    val pre = withRun.join(broadcast(offs), "pid")
+      .withColumn("nn_below", $"nn_off" + $"nn_below_in")
+      .withColumn("np_above", $"total_np" - ($"np_off" + $"np_upto_in"))
     paired.select($"doc_id", $"y", col(sc).as("s"))
       .join(pre, "s")
       .select($"doc_id", $"y",
