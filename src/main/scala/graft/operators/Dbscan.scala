@@ -265,6 +265,84 @@ object Dbscan {
       .select($"a", $"b").filter($"a" =!= $"b")
   }
 
+  /** The 100 TB seed form the global ring's scaladoc promises — and a
+    * CORRECTION to its first draft: per-partition rings are
+    * DISCONNECTED islands (at 500 nodes / 32 partitions each island
+    * has 16 < K' members; NN-Descent's 2-hop exploration can never
+    * cross a component boundary, so the loop "converges" instantly at
+    * 24‰ recall). The seed must be a connected EXPANDER, which the
+    * global hash ring was by accident of its random order. Scalable
+    * spelling: dense POSITIONS from the two-level scan (range
+    * partition + keyed row_number + broadcast offsets — the q351/q451
+    * machinery, no single-task window), then K' successors at
+    * hash-derived RANDOM OFFSETS (1 + xxhash(vec_id, j) mod (n−1)) —
+    * a random K'-out graph: connected w.h.p., expander mixing, the
+    * geometry-blindness NN-Descent's convergence proof wants.
+    */
+  private[graft] def nndSeedEdgesScalable(pts: DataFrame, n: Long): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val parts = pts.select($"vec_id").repartitionByRange(32, $"vec_id")
+      .withColumn("pid", spark_partition_id())
+    val wIn = W.partitionBy($"pid").orderBy($"vec_id")
+    val withRn = parts.withColumn("rn", row_number().over(wIn).cast("long"))
+    val wP = W.orderBy($"pid")
+    val offs = withRn.groupBy($"pid").agg(count(lit(1)).as("c"))
+      .withColumn("poff", coalesce(sum($"c").over(
+        wP.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select($"pid", $"poff")
+    val ring = withRn.join(broadcast(offs), "pid")
+      .select($"vec_id", ($"poff" + $"rn" - 1L).as("pos"))
+      .localCheckpoint()
+    val succ = (1 to NndSeedK).map(j => ring.select($"vec_id".as("a"),
+        (($"pos" + lit(1L) + pmod(xxhash64($"vec_id", lit(j)), lit(n - 1)))
+          % n).as("spos")))
+      .reduce(_ unionByName _)
+    succ.join(ring.select($"vec_id".as("b"), $"pos".as("spos")), "spos")
+      .select($"a", $"b").filter($"a" =!= $"b")
+  }
+
+  /** q468's spec surface: run the convergence loop from the
+    * PARTITIONED seed; returns (n, rounds, recall‰, converged).
+    */
+  def nndConvergePartitionedSeed(s: SparkSession, dir: String)
+      : (Long, Long, Long, Boolean) = {
+    import s.implicits._
+    val pts = nndPts(s, dir)
+    val n = pts.count()
+    val seedEdges = nndSeedEdgesScalable(pts, n)
+    var working = ckpt(nndTopkByDist(pts)(seedEdges, NndSeedK)
+      .withColumn("is_new", lit(true)))
+    var r = 0
+    var converged = false
+    while (r < NndMaxRounds && !converged) {
+      val undirected = ckpt(working
+        .unionByName(working.select($"b".as("a"), $"a".as("b"), $"is_new"))
+        .groupBy($"a", $"b").agg(max($"is_new").as("is_new")))
+      val cand = undirected.as("e1")
+        .join(undirected.as("e2"), $"e1.b" === $"e2.a")
+        .filter($"e1.is_new" || $"e2.is_new")
+        .select($"e1.a".as("a"), $"e2.b".as("b"))
+        .filter($"a" =!= $"b")
+        .unionByName(working.select($"a", $"b"))
+        .distinct()
+      val next = ckpt(nndTopkByDist(pts)(cand, NndSeedK)
+        .join(working.select($"a", $"b", lit(false).as("held")),
+          Seq("a", "b"), "left")
+        .select($"a", $"b", coalesce($"held", lit(true)).as("is_new")))
+      val updates = next.filter($"is_new").count()
+      working = next
+      r += 1
+      if (1000L * updates < NndConvergeDeltaPermille * (NndSeedK * n))
+        converged = true
+    }
+    val afterTop = nndTopkByDist(pts)(working.select($"a", $"b"), KnnK)
+    val exact = q345KnnGraph(s, dir).select($"a", $"b").localCheckpoint()
+    val nExact = exact.count()
+    (n, r.toLong, nndRecall(exact, nExact)(afterTop), converged)
+  }
+
   /** Per-a bounded top-k of candidate edges by exact integer d², ties
     * by b (the q345 ordering).
     */

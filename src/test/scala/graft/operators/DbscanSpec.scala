@@ -85,4 +85,15 @@ class DbscanSpec extends SparkSpec {
     // the sf1 slice; rounds grow ~log n: 5 @500, 8 @2k, 11 @20k)
     assert(recallP >= Dbscan.NndConvergedFloorPermille)
   }
+
+  test("q468: partitioned-seed convergence matches the global-ring floor") {
+    // the 100 TB seed form (per-partition rings, no global window)
+    // must converge to the same serviceable recall as the hash ring
+    val (n, rounds, recallP, converged) =
+      Dbscan.nndConvergePartitionedSeed(spark, "/root/testdata/sf0.001")
+    info(s"n=$n rounds=$rounds recall=${recallP} permille")
+    assert(converged && n > 0)
+    assert(recallP >= Dbscan.NndConvergedFloorPermille,
+      s"partitioned seed must reach the same floor, got $recallP")
+  }
 }
