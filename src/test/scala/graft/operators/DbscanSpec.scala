@@ -86,14 +86,24 @@ class DbscanSpec extends SparkSpec {
     assert(recallP >= Dbscan.NndConvergedFloorPermille)
   }
 
-  test("q468: partitioned-seed convergence matches the global-ring floor") {
-    // the 100 TB seed form (per-partition rings, no global window)
-    // must converge to the same serviceable recall as the hash ring
-    val (n, rounds, recallP, converged) =
-      Dbscan.nndConvergePartitionedSeed(spark, "/root/testdata/sf0.001")
-    info(s"n=$n rounds=$rounds recall=${recallP} permille")
-    assert(converged && n > 0)
-    assert(recallP >= Dbscan.NndConvergedFloorPermille,
-      s"partitioned seed must reach the same floor, got $recallP")
+  test("q468: expander seed is the gated seed; ring seed regression-pins it") {
+    // Round 12 made the scalable expander seed (no single-task window)
+    // THE gated convergence seed; this pin proves (a) the gated
+    // default converges to the serviceable floor, and (b) the retired
+    // global-ring seed still reaches the same floor but no faster —
+    // the expander's mixing advantage (3 vs 5 rounds at sf0.001) is a
+    // measured property, not an accident.
+    val dir = "/root/testdata/sf0.001"
+    val (n, _, roundsExp, recallExp, convExp) = Dbscan.nndConverge(spark, dir)
+    val (_, _, roundsRing, recallRing, convRing) =
+      Dbscan.nndConverge(spark, dir, seed = Dbscan.nndSeedEdges)
+    info(s"n=$n expander rounds=$roundsExp recall=${recallExp} permille; " +
+      s"ring rounds=$roundsRing recall=${recallRing} permille")
+    assert(convExp && convRing && n > 0)
+    assert(recallExp >= Dbscan.NndConvergedFloorPermille,
+      s"expander (gated) seed must reach the floor, got $recallExp")
+    assert(recallRing >= Dbscan.NndConvergedFloorPermille)
+    assert(roundsExp <= roundsRing,
+      "expander mixing must converge no slower than the ring")
   }
 }
