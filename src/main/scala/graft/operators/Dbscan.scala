@@ -462,9 +462,28 @@ object Dbscan {
       maxRounds: Int = NndMaxRounds,
       seed: (DataFrame, Long) => DataFrame = nndSeedEdgesScalable)
       : (DataFrame, DataFrame, Long, Boolean, Long) = {
-    import s.implicits._
     val pts = nndPts(s, dir)
+    val (working, r, converged, n) = nndConvergeFromPts(pts, maxRounds, seed)
+    (pts, working, r, converged, n)
+  }
+
+  /** The convergence loop over an ARBITRARY (vec_id, x, y) point set —
+    * q470's upper HNSW layers run this same loop on their
+    * geometrically-thinned subsets (n/8^ℓ nodes each), so layer
+    * builds reuse the proven machinery instead of a second kNN path.
+    * Degenerate inputs (n < 2: nothing to join) return an empty
+    * converged graph.
+    */
+  private[graft] def nndConvergeFromPts(pts: DataFrame,
+      maxRounds: Int = NndMaxRounds,
+      seed: (DataFrame, Long) => DataFrame = nndSeedEdgesScalable)
+      : (DataFrame, Long, Boolean, Long) = {
+    val s = pts.sparkSession
+    import s.implicits._
     val n = pts.count()
+    if (n < 2)
+      return (pts.select($"vec_id".as("a"), $"vec_id".as("b"),
+        lit(false).as("is_new")).limit(0), 0L, true, n)
     val seedEdges = seed(pts, n)
     // Incremental search (Dong et al. §2.3): each edge carries an
     // is_new flag (entered the working graph this round); a 2-hop
@@ -500,7 +519,7 @@ object Dbscan {
       if (1000L * updates < NndConvergeDeltaPermille * (NndSeedK * n))
         converged = true
     }
-    (pts, working, r.toLong, converged, n)
+    (working, r.toLong, converged, n)
   }
 
   /** Final-recall measurement of a converged graph vs the exact q345

@@ -82,48 +82,93 @@ object GraphServe {
   }
 
   /** (n_queries, hits, recall‰, converged) — public for the spec. */
-  def serveStats(s: SparkSession, dir: String): (Long, Long, Long, Boolean) = {
+  /** The [[QueryCount]] benchmark queries (qid, qx, qy). */
+  private[graft] def serveQueries(pts: DataFrame): DataFrame = {
+    val s = pts.sparkSession
     import s.implicits._
-    val (pts, graphCp, converged) = servingGraph(s, dir)
-    val queries = pts.orderBy($"vec_id").limit(QueryCount)
+    pts.orderBy($"vec_id").limit(QueryCount)
       .select($"vec_id".as("qid"), $"x".as("qx"), $"y".as("qy"))
       .localCheckpoint()
-    val nq = queries.count()
-    def withDist(cand: DataFrame): DataFrame = cand
+  }
+
+  /** Exact per-query distance of candidate (qid, node) pairs. */
+  private[graft] def withDist(pts: DataFrame, queries: DataFrame)
+      (cand: DataFrame): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    cand
       .join(pts.select($"vec_id".as("node"), $"x", $"y"), "node")
       .join(broadcast(queries), "qid")
       .filter($"node" =!= $"qid")
       .select($"qid", $"node",
         (($"x" - $"qx") * ($"x" - $"qx") +
           ($"y" - $"qy") * ($"y" - $"qy")).as("d2"))
-    // exact truth: the full scan the graph avoids (Q·n rows, queries
-    // broadcast)
-    val truth = graft.plans.TopK.perGroup(
-      withDist(pts.select($"vec_id".as("node"))
+  }
+
+  /** Exact top-1 truth: the full query×corpus scan the graph avoids. */
+  private[graft] def exactTruth(pts: DataFrame, queries: DataFrame)
+      : DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    graft.plans.TopK.perGroup(
+      withDist(pts, queries)(pts.select($"vec_id".as("node"))
         .crossJoin(broadcast(queries.select($"qid")))),
       Seq("qid"), Seq("d2" -> true, "node" -> true), 1)
       .select($"qid", $"node".as("t_node"))
-    // hash-spread entries, same for every query
-    val entries = pts.select($"vec_id".as("node"))
-      .orderBy(xxhash64($"node"), $"node").limit(Entries)
-    var beam = ckpt(graft.plans.TopK.perGroup(
-      withDist(queries.select($"qid").crossJoin(broadcast(entries))),
-      Seq("qid"), Seq("d2" -> true, "node" -> true), Beam))
+  }
+
+  /** The batch beam walk: advance every query `hops` rounds over
+    * `graph` (a, b edges) from `startBeam` (qid, node, d2), keeping
+    * the best `beamWidth` visited nodes per query — one (beam ⋈
+    * edges) equi-join + one bounded top-k per hop, shared by the flat
+    * q456 serve and q470's per-layer descents.
+    */
+  private[graft] def walk(pts: DataFrame, queries: DataFrame,
+      graph: DataFrame, startBeam: DataFrame, beamWidth: Int,
+      hops: Int): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val wd = withDist(pts, queries) _
+    var beam = startBeam
     var h = 0
-    while (h < Hops) {
+    while (h < hops) {
       val expanded = beam.select($"qid", $"node".as("a"))
-        .join(graphCp, "a")
+        .join(graph, "a")
         .select($"qid", $"b".as("node"))
-      val all = withDist(expanded)
+      val all = wd(expanded)
         .unionByName(beam.select($"qid", $"node", $"d2"))
         .groupBy($"qid", $"node").agg(min($"d2").as("d2"))
       beam = ckpt(graft.plans.TopK.perGroup(all,
-        Seq("qid"), Seq("d2" -> true, "node" -> true), Beam))
+        Seq("qid"), Seq("d2" -> true, "node" -> true), beamWidth))
       h += 1
     }
-    val answer = graft.plans.TopK.perGroup(beam,
+    beam
+  }
+
+  /** Top-1 answer per query from a final beam. */
+  private[graft] def beamAnswer(beam: DataFrame): DataFrame = {
+    val s = beam.sparkSession
+    import s.implicits._
+    graft.plans.TopK.perGroup(beam,
       Seq("qid"), Seq("d2" -> true, "node" -> true), 1)
       .select($"qid", $"node".as("a_node"))
+  }
+
+  def serveStats(s: SparkSession, dir: String): (Long, Long, Long, Boolean) = {
+    import s.implicits._
+    val (pts, graphCp, converged) = servingGraph(s, dir)
+    val queries = serveQueries(pts)
+    val nq = queries.count()
+    val truth = exactTruth(pts, queries)
+    // hash-spread entries, same for every query
+    val entries = pts.select($"vec_id".as("node"))
+      .orderBy(xxhash64($"node"), $"node").limit(Entries)
+    val beam0 = ckpt(graft.plans.TopK.perGroup(
+      withDist(pts, queries)(
+        queries.select($"qid").crossJoin(broadcast(entries))),
+      Seq("qid"), Seq("d2" -> true, "node" -> true), Beam))
+    val beam = walk(pts, queries, graphCp, beam0, Beam, Hops)
+    val answer = beamAnswer(beam)
     val hits = answer.join(truth, "qid")
       .filter($"a_node" === $"t_node").count()
     val recall = if (nq == 0) 0L else 1000L * hits / nq

@@ -17,6 +17,30 @@ class Round12WaveSpec extends SparkSpec {
       "forest score must beat the single-tree quartile gate with margin")
   }
 
+  test("q470: layered descent reaches the flat walk's recall floor " +
+      "from one entry and fewer base hops") {
+    val (nq, hits, recall, layers, converged) =
+      graft.operators.Hnsw.layeredServeStats(spark, dir)
+    info(s"nq=$nq hits=$hits recall=${recall} permille layers=$layers")
+    assert(converged && nq > 0 && layers >= 1)
+    assert(recall >= graft.operators.GraphServe.ServeRecallFloorPermille)
+    // the hierarchy's point: 1 entry vs 32, 6 base hops vs 10
+    assert(graft.operators.Hnsw.BaseHops < graft.operators.GraphServe.Hops)
+  }
+
+  test("q471: the LCP array answers a sub-8 threshold the rank-overlap " +
+      "trick cannot") {
+    import org.apache.spark.sql.functions._
+    val out = graft.llm.SuffixArray.q471LcpDedupSpans(spark, dir)
+      .groupBy($"k").agg(count(lit(1)).as("docs"),
+        sum($"covered_tokens").as("cov")).orderBy($"k").collect()
+    assert(out.length == 2, "both thresholds must produce spans")
+    val (k5, k10) = (out(0), out(1))
+    assert(k5.getLong(0) == 5L && k10.getLong(0) == 10L)
+    // k=5 is strictly more permissive: at least as many covered tokens
+    assert(k5.getAs[Long]("cov") >= k10.getAs[Long]("cov"))
+  }
+
   test("q469: the ensemble average reduces variance vs single trees") {
     import org.apache.spark.sql.functions._
     // Two independent 4-tree half-forest means must disagree LESS on
