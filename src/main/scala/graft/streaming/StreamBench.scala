@@ -13,6 +13,10 @@ import graft.core.{Tables => T}
   * cannot instantiate a case class nested inside an object). */
 case class BenchCdcRow(k: Long, v: String, seq: Long)
 
+/** Query-vector row for the qs21 beam-serve bench (top-level for the
+  * same encoder reason). */
+case class BenchServeQuery(qid: Long, qx: Long, qy: Long)
+
 /** Bench-only harnesses for the streaming operators the driver's
   * batch-oriented gates never time: Bloom streaming dedup and the CDC
   * apply loop. Each entry runs a BOUNDED MemoryStream to completion —
@@ -912,7 +916,63 @@ object StreamBench {
       .toDF("n_segments", "n_rows_joined")
   }
 
+  /** qs21 — STREAMING BEAM-SERVE probe: the q456 graph-ANN walk as a
+    * micro-batch query service — static persisted serving index
+    * (pts + degree-capped graph, built once via IndexStore), a
+    * MemoryStream of query vectors drained in [[BloomBatches]]
+    * batches, and per batch a foreachBatch hop loop (the q456 walk
+    * verbatim: hash-spread entries, beam [[graft.operators.GraphServe.Beam]],
+    * [[graft.operators.GraphServe.Hops]] hops) — so the bench times
+    * the SERVING path's per-batch latency the way qs01-qs20 time the
+    * other stateful legs. Gate: the streamed answers EXACTLY equal
+    * the one-shot batch walk over the same query set (per-query
+    * walks are independent and tie-broken deterministically, so
+    * slicing must not change a single answer).
+    */
+  val qs21BeamServeStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.GraphServe
+    val (pts, graph, _) = GraphServe.servingGraph(s, dir)
+    val allQueries = GraphServe.serveQueries(pts)
+    val qRows = allQueries.as[BenchServeQuery].collect().toSeq.sortBy(_.qid)
+    val entries = pts.select($"vec_id".as("node"))
+      .orderBy(xxhash64($"node"), $"node").limit(GraphServe.Entries)
+      .localCheckpoint()
+    def serve(queries: DataFrame): Map[Long, Long] = {
+      val beam0 = graft.plans.TopK.perGroup(
+        GraphServe.withDist(pts, queries)(
+          queries.select($"qid").crossJoin(broadcast(entries))),
+        Seq("qid"), Seq("d2" -> true, "node" -> true), GraphServe.Beam)
+      GraphServe.beamAnswer(GraphServe.walk(pts, queries, graph, beam0,
+        GraphServe.Beam, GraphServe.Hops))
+        .as[(Long, Long)].collect().toMap
+    }
+    val streamed = scala.collection.mutable.Map[Long, Long]()
+    val stream = MemoryStream[BenchServeQuery]
+    val q = stream.toDF()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-serve-ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) streamed ++= serve(batch.localCheckpoint())
+        ()
+      }
+      .start()
+    qRows.grouped(qRows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val oneShot = serve(allQueries)
+    require(streamed.toMap == oneShot,
+      s"streamed serve diverges: ${streamed.size} vs ${oneShot.size} answers")
+    Seq((oneShot.size.toLong, BloomBatches.toLong))
+      .toDF("n_queries", "n_batches")
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "qs21_beam_serve_stream" -> qs21BeamServeStream,
     "qs20_stream_static_join" -> qs20StreamStaticJoin,
     "qs19_sliding_hll_stream" -> qs19SlidingHllStream,
     "qs18_ewma_stream" -> qs18EwmaStream,

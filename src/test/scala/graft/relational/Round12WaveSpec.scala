@@ -41,6 +41,17 @@ class Round12WaveSpec extends SparkSpec {
     assert(k5.getAs[Long]("cov") >= k10.getAs[Long]("cov"))
   }
 
+  test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
+    // the entry's internal require() IS the slicing-independence gate
+    // (per-batch walks must reproduce the full-set walk answer for
+    // answer); this pins it at spec time on the fixture
+    val row = graft.streaming.StreamBench.qs21BeamServeStream(
+      spark, dir).collect().head
+    assert(row.getAs[Long]("n_queries") > 0)
+    assert(row.getAs[Long]("n_batches") ==
+      graft.streaming.StreamBench.BloomBatches.toLong)
+  }
+
   test("q469: the ensemble average reduces variance vs single trees") {
     import org.apache.spark.sql.functions._
     // Two independent 4-tree half-forest means must disagree LESS on
