@@ -41,6 +41,51 @@ class Round12WaveSpec extends SparkSpec {
     assert(k5.getAs[Long]("cov") >= k10.getAs[Long]("cov"))
   }
 
+  test("q472: F-S linkage recovers planted pairs and learns an " +
+      "oriented model") {
+    val (nPairs, nTrue, nClassified, hits, fps, orientedOk, emOk) =
+      graft.operators.RecordLinkage.linkStats(spark, dir)
+    info(s"pairs=$nPairs true=$nTrue classified=$nClassified " +
+      s"hits=$hits fps=$fps oriented=$orientedOk em=$emOk")
+    assert(nTrue > 0 && orientedOk && emOk)
+    assert(1000L * hits >=
+      graft.operators.RecordLinkage.MinRecallPermille * nTrue)
+    assert(1000L * fps <= graft.operators.RecordLinkage.MaxFpPermille *
+      math.max(nClassified, 1L))
+    // recall is bounded ABOVE too: a pair with both high-evidence
+    // fields corrupted must NOT classify on segment agreement alone
+    assert(hits <= nTrue)
+  }
+
+  test("q473: weighted coreset cost tracks the full cost on a solution " +
+      "it was not built around") {
+    val (n, m, full0, core0, full1, core1) =
+      graft.operators.Coreset.coresetStats(spark, dir)
+    info(f"n=$n m=$m sol0 full=$full0%.0f core=$core0%.0f " +
+      f"sol1 full=$full1%.0f core=$core1%.0f")
+    assert(n > 0 && m > 0 && m <= 4 * graft.operators.Coreset.TargetM)
+    def relErr(f: Double, c: Double) = math.abs(c - f) / f
+    info(f"relerr sol0=${relErr(full0, core0)}%.3f " +
+      f"sol1=${relErr(full1, core1)}%.3f")
+    assert(relErr(full0, core0) * 1000 <= graft.operators.Coreset.TolPermille)
+    assert(relErr(full1, core1) * 1000 <= graft.operators.Coreset.TolPermille)
+  }
+
+  test("q474: PPR mass concentrates on the seed cohort vs global PR") {
+    import org.apache.spark.sql.functions._
+    val seeds = graft.core.Tables.customer(spark, dir)
+      .filter($"c_nationkey" === graft.operators.PageRank.PprSeedNation)
+      .select($"c_custkey".as("node_id"))
+    val pprTop = graft.operators.PageRank
+      .q474PersonalizedPageRank(spark, dir)
+      .join(seeds, Seq("node_id"), "left_semi").count()
+    val prTop = graft.operators.PageRank.q138PageRank(spark, dir)
+      .join(seeds, Seq("node_id"), "left_semi").count()
+    info(s"seed-cohort members in top-20: ppr=$pprTop global=$prTop")
+    assert(pprTop > prTop,
+      "personalization must pull the seed cohort into the top ranks")
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
