@@ -86,6 +86,34 @@ class Round12WaveSpec extends SparkSpec {
       "personalization must pull the seed cohort into the top ranks")
   }
 
+  test("q475: greedy facility-location gains are non-increasing and " +
+      "beat random selection") {
+    val (n, fGreedy, fRandom, gains) =
+      graft.operators.SubmodularSelect.selectStats(spark, dir)
+    info(s"n=$n F_greedy=$fGreedy F_random=$fRandom gains=$gains")
+    assert(n > 0 && gains.length == graft.operators.SubmodularSelect.SelectK)
+    assert(gains.sliding(2).forall { case Seq(a, b) => a >= b; case _ => true },
+      "submodularity: greedy marginal gains must be non-increasing")
+    assert(fGreedy > fRandom,
+      "greedy coverage must strictly beat the same-size random pick")
+    assert(gains.sum == fGreedy, "telescoping: gains must sum to F(S)")
+  }
+
+  test("q476: Benford audit rows are a complete digit census") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.relational.BenfordAudit.q476BenfordAudit(spark, dir)
+      .collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val nObs = rows.map(_.getAs[Long]("n_obs")).sum
+    assert(nObs > 0)
+    // proportion gaps sum to ~0 (within 9 micro of truncation)
+    val gapSum = rows.map(_.getAs[Long]("gap_micro")).sum
+    info(s"n=$nObs gap_sum_micro=$gapSum")
+    assert(math.abs(gapSum) <= 9L + 2L,
+      "observed and expected proportions must both total ~1")
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
