@@ -43,7 +43,7 @@ object SparkEntry {
       StatInference.queries ++ ShortestPaths.queries ++ VariantQueries.queries ++ Sql4Surfaces.queries ++
       BinaryQuantization.queries ++ KMeans.queries ++ FbcSource.queries ++
       LabelPropagation.queries ++ Dbscan.queries ++ graft.plans.PlanLineage.queries ++
-      graft.plans.PlanMetrics.queries ++ BitmapQueries.queries ++ Pca.queries ++ UnigramLm.queries ++ CompressionSignal.queries ++ Isotonic.queries ++ KCore.queries ++ FeaturePrepQueries.queries ++ GeoGridJoin.queries ++ AllocationQueries.queries ++ FixedWidthScan.queries ++ SurrogateKeys.queries ++ SelectionMedian.queries ++ Hits.queries ++ Lsa.queries ++ ReplicaReconcile.queries ++ NaiveBayes.queries ++ LogisticRegression.queries ++ HierarchyRollup.queries ++ CdcChunking.queries ++ Als.queries ++ SplitFinding.queries ++ TreeGrow.queries ++ BradleyTerry.queries ++ ClusterEval.queries ++ Calibration.queries ++ DiversityStats.queries ++ graft.llm.Winnowing.queries ++ graft.sources.Sharding.queries ++ graft.llm.FeatureHashing.queries ++ graft.llm.RandomProjection.queries ++ graft.llm.ClassifierAgreement.queries ++ SlidingDistinct.queries ++ graft.sources.PostingsIndex.queries ++ graft.llm.DelongAuc.queries ++ graft.llm.WordPieceQuery.queries ++ graft.llm.SuffixArray.queries ++ graft.operators.Louvain.queries ++ graft.llm.Opq.queries ++ graft.operators.GraphServe.queries ++ graft.llm.BbitMinhash.queries ++ graft.llm.PmiFeatures.queries ++ graft.operators.IsolationTree.queries ++ graft.operators.Hnsw.queries ++ graft.operators.RecordLinkage.queries ++ graft.operators.Coreset.queries ++ graft.operators.SubmodularSelect.queries ++ BenfordAudit.queries
+      graft.plans.PlanMetrics.queries ++ BitmapQueries.queries ++ Pca.queries ++ UnigramLm.queries ++ CompressionSignal.queries ++ Isotonic.queries ++ KCore.queries ++ FeaturePrepQueries.queries ++ GeoGridJoin.queries ++ AllocationQueries.queries ++ FixedWidthScan.queries ++ SurrogateKeys.queries ++ SelectionMedian.queries ++ Hits.queries ++ Lsa.queries ++ ReplicaReconcile.queries ++ NaiveBayes.queries ++ LogisticRegression.queries ++ HierarchyRollup.queries ++ CdcChunking.queries ++ Als.queries ++ SplitFinding.queries ++ TreeGrow.queries ++ BradleyTerry.queries ++ ClusterEval.queries ++ Calibration.queries ++ DiversityStats.queries ++ graft.llm.Winnowing.queries ++ graft.sources.Sharding.queries ++ graft.llm.FeatureHashing.queries ++ graft.llm.RandomProjection.queries ++ graft.llm.ClassifierAgreement.queries ++ SlidingDistinct.queries ++ graft.sources.PostingsIndex.queries ++ graft.llm.DelongAuc.queries ++ graft.llm.WordPieceQuery.queries ++ graft.llm.SuffixArray.queries ++ graft.operators.Louvain.queries ++ graft.llm.Opq.queries ++ graft.operators.GraphServe.queries ++ graft.llm.BbitMinhash.queries ++ graft.llm.PmiFeatures.queries ++ graft.operators.IsolationTree.queries ++ graft.operators.Hnsw.queries ++ graft.operators.RecordLinkage.queries ++ graft.operators.Coreset.queries ++ graft.operators.SubmodularSelect.queries ++ BenfordAudit.queries ++ graft.operators.GraphInsert.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -73,5 +73,5 @@ object SparkEntry {
       StatInference.oracleSql ++ ShortestPaths.oracleSql ++ VariantQueries.oracleSql ++ Sql4Surfaces.oracleSql ++
       BinaryQuantization.oracleSql ++ KMeans.oracleSql ++ FbcSource.oracleSql ++
       LabelPropagation.oracleSql ++ Dbscan.oracleSql ++ graft.plans.PlanLineage.oracleSql ++
-      graft.plans.PlanMetrics.oracleSql ++ BitmapQueries.oracleSql ++ Pca.oracleSql ++ UnigramLm.oracleSql ++ CompressionSignal.oracleSql ++ Isotonic.oracleSql ++ KCore.oracleSql ++ FeaturePrepQueries.oracleSql ++ GeoGridJoin.oracleSql ++ AllocationQueries.oracleSql ++ FixedWidthScan.oracleSql ++ SurrogateKeys.oracleSql ++ SelectionMedian.oracleSql ++ Hits.oracleSql ++ Lsa.oracleSql ++ ReplicaReconcile.oracleSql ++ NaiveBayes.oracleSql ++ LogisticRegression.oracleSql ++ HierarchyRollup.oracleSql ++ CdcChunking.oracleSql ++ Als.oracleSql ++ SplitFinding.oracleSql ++ TreeGrow.oracleSql ++ BradleyTerry.oracleSql ++ ClusterEval.oracleSql ++ Calibration.oracleSql ++ DiversityStats.oracleSql ++ graft.llm.Winnowing.oracleSql ++ graft.sources.Sharding.oracleSql ++ graft.llm.FeatureHashing.oracleSql ++ graft.llm.RandomProjection.oracleSql ++ graft.llm.ClassifierAgreement.oracleSql ++ SlidingDistinct.oracleSql ++ graft.sources.PostingsIndex.oracleSql ++ graft.llm.DelongAuc.oracleSql ++ graft.llm.WordPieceQuery.oracleSql ++ graft.llm.SuffixArray.oracleSql ++ graft.operators.Louvain.oracleSql ++ graft.llm.Opq.oracleSql ++ graft.operators.GraphServe.oracleSql ++ graft.llm.BbitMinhash.oracleSql ++ graft.llm.PmiFeatures.oracleSql ++ graft.operators.IsolationTree.oracleSql ++ graft.operators.Hnsw.oracleSql ++ graft.operators.RecordLinkage.oracleSql ++ graft.operators.Coreset.oracleSql ++ graft.operators.SubmodularSelect.oracleSql ++ BenfordAudit.oracleSql
+      graft.plans.PlanMetrics.oracleSql ++ BitmapQueries.oracleSql ++ Pca.oracleSql ++ UnigramLm.oracleSql ++ CompressionSignal.oracleSql ++ Isotonic.oracleSql ++ KCore.oracleSql ++ FeaturePrepQueries.oracleSql ++ GeoGridJoin.oracleSql ++ AllocationQueries.oracleSql ++ FixedWidthScan.oracleSql ++ SurrogateKeys.oracleSql ++ SelectionMedian.oracleSql ++ Hits.oracleSql ++ Lsa.oracleSql ++ ReplicaReconcile.oracleSql ++ NaiveBayes.oracleSql ++ LogisticRegression.oracleSql ++ HierarchyRollup.oracleSql ++ CdcChunking.oracleSql ++ Als.oracleSql ++ SplitFinding.oracleSql ++ TreeGrow.oracleSql ++ BradleyTerry.oracleSql ++ ClusterEval.oracleSql ++ Calibration.oracleSql ++ DiversityStats.oracleSql ++ graft.llm.Winnowing.oracleSql ++ graft.sources.Sharding.oracleSql ++ graft.llm.FeatureHashing.oracleSql ++ graft.llm.RandomProjection.oracleSql ++ graft.llm.ClassifierAgreement.oracleSql ++ SlidingDistinct.oracleSql ++ graft.sources.PostingsIndex.oracleSql ++ graft.llm.DelongAuc.oracleSql ++ graft.llm.WordPieceQuery.oracleSql ++ graft.llm.SuffixArray.oracleSql ++ graft.operators.Louvain.oracleSql ++ graft.llm.Opq.oracleSql ++ graft.operators.GraphServe.oracleSql ++ graft.llm.BbitMinhash.oracleSql ++ graft.llm.PmiFeatures.oracleSql ++ graft.operators.IsolationTree.oracleSql ++ graft.operators.Hnsw.oracleSql ++ graft.operators.RecordLinkage.oracleSql ++ graft.operators.Coreset.oracleSql ++ graft.operators.SubmodularSelect.oracleSql ++ BenfordAudit.oracleSql ++ graft.operators.GraphInsert.oracleSql
 }

@@ -296,11 +296,17 @@ object SuffixArray {
   val q471LcpDedupSpans: Q = (s, dir) => {
     import s.implicits._
     val (stream, levels) = saIndex(s, dir)
-    val sa = levels.last._2
-    val adj = sa.select($"r", $"gpos".as("i"))
-      .join(sa.select(($"r" - 1).as("r"), $"gpos".as("j")), "r")
-      .select($"i", $"j")
-    val lcp = lcpAdjacent(adj, levels).localCheckpoint()
+    // the LCP array itself is the PERSISTED artifact (what the Lee et
+    // al. pipeline ships next to the array): built once per (JVM,
+    // dir), after which every threshold is a filter + island window
+    val lt = graft.core.IndexStore.ensure(s, "salcp", dir) {
+      val sa = levels.last._2
+      val adj = sa.select($"r", $"gpos".as("i"))
+        .join(sa.select(($"r" - 1).as("r"), $"gpos".as("j")), "r")
+        .select($"i", $"j")
+      lcpAdjacent(adj, levels)
+    }
+    val lcp = s.table(lt)
     Seq(AltK, CorpusOps.SubK).map { k =>
       val dupPos = lcp.filter($"lcp" >= k)
         .select(explode(array($"i", $"j")).as("gpos"))

@@ -114,6 +114,17 @@ class Round12WaveSpec extends SparkSpec {
       "observed and expected proportions must both total ~1")
   }
 
+  test("q477: delta points insert into the serving graph by search, " +
+      "not rebuild") {
+    val (n, nDelta, hits, recall, converged) =
+      graft.operators.GraphInsert.insertStats(spark, dir)
+    info(s"n=$n delta=$nDelta hits=$hits recall=${recall} permille")
+    assert(converged && nDelta > 0 && nDelta < n,
+      "the hash split must produce a real base/delta partition")
+    assert(recall >= graft.operators.GraphInsert.InsertRecallFloorPermille,
+      s"merged-graph serve recall $recall under the floor")
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
