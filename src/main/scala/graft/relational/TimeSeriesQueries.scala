@@ -1569,19 +1569,14 @@ object TimeSeriesQueries {
     * replays the whole fold with DuckDB list_reduce lambdas (the
     * q445 idiom) value for value.
     */
-  val q463LttbDownsample: Q = (s, dir) => {
-    import s.implicits._
-    val daily = T.orders(s, dir)
-      .groupBy($"o_orderdate")
-      .agg(sum(expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)")).as("r"))
-    val d0 = daily.agg(min($"o_orderdate").as("dmin"))
-    val series: Array[(Long, Long)] = daily.crossJoin(broadcast(d0))
-      .select(datediff($"o_orderdate", $"dmin").cast("long").as("d"), $"r")
-      .orderBy($"d")
-      .as[(Long, Long)].collect()
+  /** The LTTB fold over one ordered series — shared by q463's driver
+    * fold and q478's per-key mapGroups fold; returns
+    * (out_idx, d, v) for the k selected points.
+    */
+  private[relational] def lttbFold(series: Array[(Long, Long)], k: Int)
+      : Seq[(Long, Long, Long)] = {
     val n = series.length
-    val k = LttbOut
-    require(n > k, s"series of $n days must exceed $k output points")
+    require(n > k, s"series of $n points must exceed $k output points")
     // bucket j (0-based, j = 0..k-3) covers 0-based interior indices
     // [1 + j(n-2) div (k-2), 1 + (j+1)(n-2) div (k-2) - 1]
     def lo(j: Int): Int = (1L + j.toLong * (n - 2) / (k - 2)).toInt
@@ -1614,10 +1609,22 @@ object TimeSeriesQueries {
       j += 1
     }
     selected += n - 1
-    selected.zipWithIndex
-      .map { case (idx, o) =>
-        (o.toLong, series(idx)._1, series(idx)._2)
-      }.toSeq.toDF("out_idx", "d", "r")
+    selected.zipWithIndex.map { case (idx, o) =>
+      (o.toLong, series(idx)._1, series(idx)._2)
+    }.toSeq
+  }
+
+  val q463LttbDownsample: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.orders(s, dir)
+      .groupBy($"o_orderdate")
+      .agg(sum(expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)")).as("r"))
+    val d0 = daily.agg(min($"o_orderdate").as("dmin"))
+    val series: Array[(Long, Long)] = daily.crossJoin(broadcast(d0))
+      .select(datediff($"o_orderdate", $"dmin").cast("long").as("d"), $"r")
+      .orderBy($"d")
+      .as[(Long, Long)].collect()
+    lttbFold(series, LttbOut).toDF("out_idx", "d", "r")
       .orderBy($"out_idx")
   }
 
@@ -1693,7 +1700,107 @@ object TimeSeriesQueries {
        |ORDER BY out_idx""".stripMargin
   }
 
+  /** q478 output size per key (30-day series → 12 points). */
+  val LttbKeyOut = 12
+
+  /** q478 — LTTB PER KEY (the dashboard's real shape: one downsampled
+    * trace PER SERIES, not one global fold): each event_type's daily
+    * cents series runs the IDENTICAL [[lttbFold]] inside mapGroups —
+    * series are independent, so the per-key sequential fold is
+    * embarrassingly parallel across keys, and the per-group input is
+    * CALENDAR-BOUNDED (days × one key), the mapGroups admission rule.
+    * Day offsets are per-key (d = day − key's first day). Oracle: the
+    * q463 DuckDB list-lambda replay, grouped by event_type — same
+    * fold, five series, value for value.
+    */
+  val q478LttbPerKey: Q = (s, dir) => {
+    import s.implicits._
+    val daily = T.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy($"event_type", $"day").agg(sum($"c").as("r"))
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+    val pts = daily
+      .withColumn("d", datediff($"day", min($"day").over(wKey)).cast("long"))
+      .select($"event_type", $"d", $"r")
+      .as[(String, Long, Long)]
+    pts.groupByKey(_._1)
+      .flatMapGroups { (tpe, it) =>
+        val series = it.toArray.sortBy(_._2).map(t => (t._2, t._3))
+        lttbFold(series, LttbKeyOut).map { case (o, d, v) => (tpe, o, d, v) }
+      }
+      .toDF("event_type", "out_idx", "d", "r")
+      .orderBy($"event_type", $"out_idx")
+  }
+
+  val q478Sql: String = {
+    val k = LttbKeyOut
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS r
+       |  FROM events GROUP BY 1, 2),
+       |pts AS (
+       |  SELECT event_type,
+       |    CAST(date_diff('day',
+       |      MIN(day) OVER (PARTITION BY event_type), day) AS BIGINT) AS d,
+       |    r
+       |  FROM daily),
+       |ser AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    list(CAST(d AS DOUBLE) ORDER BY d) AS ds,
+       |    list(CAST(r AS DOUBLE) ORDER BY d) AS rs
+       |  FROM pts GROUP BY event_type),
+       |anch AS (
+       |  SELECT event_type, n, ds, rs,
+       |    list_transform(range(0, $k - 2), j ->
+       |      CASE WHEN j < $k - 3 THEN [
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          ds[(1 + (j + 1) * (n - 2) // ($k - 2)) + 1
+       |             : (1 + (j + 2) * (n - 2) // ($k - 2))]),
+       |          (a, v) -> a + v),
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          rs[(1 + (j + 1) * (n - 2) // ($k - 2)) + 1
+       |             : (1 + (j + 2) * (n - 2) // ($k - 2))]),
+       |          (a, v) -> a + v),
+       |        CAST((1 + (j + 2) * (n - 2) // ($k - 2))
+       |          - (1 + (j + 1) * (n - 2) // ($k - 2)) AS DOUBLE)]
+       |      ELSE [ds[CAST(n AS INT)], rs[CAST(n AS INT)], 1.0] END)
+       |    AS anchors
+       |  FROM ser),
+       |folded AS (
+       |  SELECT event_type, n, ds, rs,
+       |    list_reduce(
+       |      list_prepend([CAST(0 AS DOUBLE)],
+       |        list_transform(range(0, $k - 2), j -> [CAST(j AS DOUBLE)])),
+       |      (acc, p) -> list_append(acc,
+       |        list_reduce(
+       |          list_prepend([CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE)],
+       |            list_transform(range((1 + (CAST(p[1] AS BIGINT)) * (n - 2) // ($k - 2)), (1 + ((CAST(p[1] AS BIGINT)) + 1) * (n - 2) // ($k - 2))),
+       |              c -> [CAST(c AS DOUBLE),
+       |                abs((ds[(CAST(acc[len(acc)] AS BIGINT)) + 1] * anchors[(CAST(p[1] AS BIGINT)) + 1][3]
+       |                     - anchors[(CAST(p[1] AS BIGINT)) + 1][1])
+       |                  * (rs[CAST(c AS INT) + 1] - rs[(CAST(acc[len(acc)] AS BIGINT)) + 1])
+       |                  - (ds[(CAST(acc[len(acc)] AS BIGINT)) + 1] - ds[CAST(c AS INT) + 1])
+       |                  * (anchors[(CAST(p[1] AS BIGINT)) + 1][2]
+       |                     - rs[(CAST(acc[len(acc)] AS BIGINT)) + 1] * anchors[(CAST(p[1] AS BIGINT)) + 1][3]))])),
+       |          (a2, q) -> CASE WHEN q[2] > a2[2] THEN q ELSE a2 END)[1]))
+       |      AS idxs
+       |  FROM anch)
+       |SELECT event_type, CAST(o - 1 AS BIGINT) AS out_idx,
+       |  CAST(ds[CAST(ix AS INT) + 1] AS BIGINT) AS d,
+       |  CAST(rs[CAST(ix AS INT) + 1] AS BIGINT) AS r
+       |FROM (
+       |  SELECT event_type, n, ds, rs,
+       |    UNNEST(list_append(idxs, CAST(n - 1 AS DOUBLE))) AS ix,
+       |    UNNEST(range(1, $k + 1)) AS o
+       |  FROM folded)
+       |ORDER BY event_type, out_idx""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q478_lttb_per_key" -> q478LttbPerKey,
     "q463_lttb_downsample" -> q463LttbDownsample,
     "q445_holt_winters" -> q445HoltWinters,
     "q426_stickiness" -> q426Stickiness,
@@ -1720,6 +1827,7 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q478_lttb_per_key" -> q478Sql,
     "q463_lttb_downsample" -> q463Sql,
     "q394_pacf" -> q394Sql,
     "q421_lateness_profile" -> q421Sql,

@@ -125,6 +125,22 @@ class Round12WaveSpec extends SparkSpec {
       s"merged-graph serve recall $recall under the floor")
   }
 
+  test("q478: per-key LTTB keeps endpoints and increasing days per series") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.relational.TimeSeriesQueries.q478LttbPerKey(spark, dir)
+      .collect()
+    val byKey = rows.groupBy(_.getString(0))
+    assert(byKey.size == 5, s"expected 5 event-type series, got ${byKey.size}")
+    byKey.foreach { case (k, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("out_idx"))
+      assert(sorted.length == graft.relational.TimeSeriesQueries.LttbKeyOut)
+      assert(sorted.head.getAs[Long]("d") == 0L, s"$k: first point is day 0")
+      val ds = sorted.map(_.getAs[Long]("d"))
+      assert(ds.sliding(2).forall(p => p(0) < p(1)),
+        s"$k: selected days must be strictly increasing")
+    }
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
