@@ -19,59 +19,128 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.q01PricingSummary(spark, "/root/testdata/sf0.001")
 
+  private val modules = Seq(
+    (RelationalQueries.queries, RelationalQueries.oracleSql),
+    (WindowAggQueries.queries, WindowAggQueries.oracleSql),
+    (ScalarQueries.queries, ScalarQueries.oracleSql),
+    (StreamShapeQueries.queries, StreamShapeQueries.oracleSql),
+    (DedupQueries.queries, DedupQueries.oracleSql),
+    (EmbeddingDedup.queries, EmbeddingDedup.oracleSql),
+    (TextAnalysis.queries, TextAnalysis.oracleSql),
+    (VectorSearch.queries, VectorSearch.oracleSql),
+    (TextPipeline.queries, TextPipeline.oracleSql),
+    (CsvScan.queries, CsvScan.oracleSql),
+    (CatalogOracle.queries, CatalogOracle.oracleSql),
+    (K8sObjects.queries, K8sObjects.oracleSql),
+    (BucketedQueries.queries, BucketedQueries.oracleSql),
+    (AnalyticalQueries.queries, AnalyticalQueries.oracleSql),
+    (ReshapeStatsQueries.queries, ReshapeStatsQueries.oracleSql),
+    (IncrementalQueries.queries, IncrementalQueries.oracleSql),
+    (TimeSeriesQueries.queries, TimeSeriesQueries.oracleSql),
+    (graft.relational.QualityAuditQueries.queries, graft.relational.QualityAuditQueries.oracleSql),
+    (LayoutQueries.queries, LayoutQueries.oracleSql),
+    (IntervalJoin.queries, IntervalJoin.oracleSql),
+    (OrcSource.queries, OrcSource.oracleSql),
+    (ZOrderQueries.queries, ZOrderQueries.oracleSql),
+    (TableStatsQueries.queries, TableStatsQueries.oracleSql),
+    (QuarantineIngest.queries, QuarantineIngest.oracleSql),
+    (CorpusOps.queries, CorpusOps.oracleSql),
+    (VectorStats.queries, VectorStats.oracleSql),
+    (PageRank.queries, PageRank.oracleSql),
+    (BpeTrain.queries, BpeTrain.oracleSql),
+    (SchemaEvolution.queries, SchemaEvolution.oracleSql),
+    (TriangleCount.queries, TriangleCount.oracleSql),
+    (ProductQuantization.queries, ProductQuantization.oracleSql),
+    (graft.plans.TopK.queries, graft.plans.TopK.oracleSql),
+    (BinaryFiles.queries, BinaryFiles.oracleSql),
+    (Federation.queries, Federation.oracleSql),
+    (DynamicOverwrite.queries, DynamicOverwrite.oracleSql),
+    (MultimodalOracle.queries, MultimodalOracle.oracleSql),
+    (graft.plans.SortedRuns.queries, graft.plans.SortedRuns.oracleSql),
+    (graft.sources.DeletionVectors.queries, graft.sources.DeletionVectors.oracleSql),
+    (TpchShapeQueries.queries, TpchShapeQueries.oracleSql),
+    (Skyline.queries, Skyline.oracleSql),
+    (XmlSource.queries, XmlSource.oracleSql),
+    (TpchCompletionQueries.queries, TpchCompletionQueries.oracleSql),
+    (Contamination.queries, Contamination.oracleSql),
+    (PiiRedaction.queries, PiiRedaction.oracleSql),
+    (NullSemantics.queries, NullSemantics.oracleSql),
+    (SketchAggregates.queries, SketchAggregates.oracleSql),
+    (ImportanceWeights.queries, ImportanceWeights.oracleSql),
+    (PrivacyAudit.queries, PrivacyAudit.oracleSql),
+    (Matryoshka.queries, Matryoshka.oracleSql),
+    (PerceptualHash.queries, PerceptualHash.oracleSql),
+    (BitemporalQueries.queries, BitemporalQueries.oracleSql),
+    (HilbertLayout.queries, HilbertLayout.oracleSql),
+    (graft.plans.AsOfMergeJoin.queries, graft.plans.AsOfMergeJoin.oracleSql),
+    (JourneyQueries.queries, JourneyQueries.oracleSql),
+    (StatInference.queries, StatInference.oracleSql),
+    (ShortestPaths.queries, ShortestPaths.oracleSql),
+    (VariantQueries.queries, VariantQueries.oracleSql),
+    (Sql4Surfaces.queries, Sql4Surfaces.oracleSql),
+    (BinaryQuantization.queries, BinaryQuantization.oracleSql),
+    (KMeans.queries, KMeans.oracleSql),
+    (FbcSource.queries, FbcSource.oracleSql),
+    (LabelPropagation.queries, LabelPropagation.oracleSql),
+    (Dbscan.queries, Dbscan.oracleSql),
+    (graft.plans.PlanLineage.queries, graft.plans.PlanLineage.oracleSql),
+    (graft.plans.PlanMetrics.queries, graft.plans.PlanMetrics.oracleSql),
+    (BitmapQueries.queries, BitmapQueries.oracleSql),
+    (Pca.queries, Pca.oracleSql),
+    (UnigramLm.queries, UnigramLm.oracleSql),
+    (CompressionSignal.queries, CompressionSignal.oracleSql),
+    (Isotonic.queries, Isotonic.oracleSql),
+    (KCore.queries, KCore.oracleSql),
+    (FeaturePrepQueries.queries, FeaturePrepQueries.oracleSql),
+    (GeoGridJoin.queries, GeoGridJoin.oracleSql),
+    (AllocationQueries.queries, AllocationQueries.oracleSql),
+    (FixedWidthScan.queries, FixedWidthScan.oracleSql),
+    (SurrogateKeys.queries, SurrogateKeys.oracleSql),
+    (SelectionMedian.queries, SelectionMedian.oracleSql),
+    (Hits.queries, Hits.oracleSql),
+    (Lsa.queries, Lsa.oracleSql),
+    (ReplicaReconcile.queries, ReplicaReconcile.oracleSql),
+    (NaiveBayes.queries, NaiveBayes.oracleSql),
+    (LogisticRegression.queries, LogisticRegression.oracleSql),
+    (HierarchyRollup.queries, HierarchyRollup.oracleSql),
+    (CdcChunking.queries, CdcChunking.oracleSql),
+    (Als.queries, Als.oracleSql),
+    (SplitFinding.queries, SplitFinding.oracleSql),
+    (TreeGrow.queries, TreeGrow.oracleSql),
+    (BradleyTerry.queries, BradleyTerry.oracleSql),
+    (ClusterEval.queries, ClusterEval.oracleSql),
+    (Calibration.queries, Calibration.oracleSql),
+    (DiversityStats.queries, DiversityStats.oracleSql),
+    (graft.llm.Winnowing.queries, graft.llm.Winnowing.oracleSql),
+    (graft.sources.Sharding.queries, graft.sources.Sharding.oracleSql),
+    (graft.llm.FeatureHashing.queries, graft.llm.FeatureHashing.oracleSql),
+    (graft.llm.RandomProjection.queries, graft.llm.RandomProjection.oracleSql),
+    (graft.llm.ClassifierAgreement.queries, graft.llm.ClassifierAgreement.oracleSql),
+    (SlidingDistinct.queries, SlidingDistinct.oracleSql),
+    (graft.sources.PostingsIndex.queries, graft.sources.PostingsIndex.oracleSql),
+    (graft.llm.DelongAuc.queries, graft.llm.DelongAuc.oracleSql),
+    (graft.llm.WordPieceQuery.queries, graft.llm.WordPieceQuery.oracleSql),
+    (graft.llm.SuffixArray.queries, graft.llm.SuffixArray.oracleSql),
+    (graft.operators.Louvain.queries, graft.operators.Louvain.oracleSql),
+    (graft.llm.Opq.queries, graft.llm.Opq.oracleSql),
+    (graft.operators.GraphServe.queries, graft.operators.GraphServe.oracleSql),
+    (graft.llm.BbitMinhash.queries, graft.llm.BbitMinhash.oracleSql),
+    (graft.llm.PmiFeatures.queries, graft.llm.PmiFeatures.oracleSql),
+    (graft.operators.IsolationTree.queries, graft.operators.IsolationTree.oracleSql),
+    (graft.operators.Hnsw.queries, graft.operators.Hnsw.oracleSql),
+    (graft.operators.RecordLinkage.queries, graft.operators.RecordLinkage.oracleSql),
+    (graft.operators.Coreset.queries, graft.operators.Coreset.oracleSql),
+    (graft.operators.SubmodularSelect.queries, graft.operators.SubmodularSelect.oracleSql),
+    (BenfordAudit.queries, BenfordAudit.oracleSql),
+    (graft.operators.GraphInsert.queries, graft.operators.GraphInsert.oracleSql),
+    (graft.llm.BinPacking.queries, graft.llm.BinPacking.oracleSql))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ WindowAggQueries.queries ++
-      ScalarQueries.queries ++ StreamShapeQueries.queries ++
-      DedupQueries.queries ++ EmbeddingDedup.queries ++ TextAnalysis.queries ++ VectorSearch.queries ++
-      TextPipeline.queries ++ CsvScan.queries ++ CatalogOracle.queries ++
-      K8sObjects.queries ++ BucketedQueries.queries ++
-      AnalyticalQueries.queries ++ ReshapeStatsQueries.queries ++
-      IncrementalQueries.queries ++ TimeSeriesQueries.queries ++
-      graft.relational.QualityAuditQueries.queries ++ LayoutQueries.queries ++
-      IntervalJoin.queries ++ OrcSource.queries ++ ZOrderQueries.queries ++
-      TableStatsQueries.queries ++ QuarantineIngest.queries ++
-      CorpusOps.queries ++ VectorStats.queries ++ PageRank.queries ++
-      BpeTrain.queries ++ SchemaEvolution.queries ++ TriangleCount.queries ++
-      ProductQuantization.queries ++ graft.plans.TopK.queries ++ BinaryFiles.queries ++ Federation.queries ++ DynamicOverwrite.queries ++
-      MultimodalOracle.queries ++ graft.plans.SortedRuns.queries ++
-      graft.sources.DeletionVectors.queries ++ TpchShapeQueries.queries ++
-      Skyline.queries ++ XmlSource.queries ++ TpchCompletionQueries.queries ++ Contamination.queries ++ PiiRedaction.queries ++ NullSemantics.queries ++ SketchAggregates.queries ++
-      ImportanceWeights.queries ++ PrivacyAudit.queries ++ Matryoshka.queries ++
-      PerceptualHash.queries ++ BitemporalQueries.queries ++ HilbertLayout.queries ++
-      graft.plans.AsOfMergeJoin.queries ++ JourneyQueries.queries ++
-      StatInference.queries ++ ShortestPaths.queries ++ VariantQueries.queries ++ Sql4Surfaces.queries ++
-      BinaryQuantization.queries ++ KMeans.queries ++ FbcSource.queries ++
-      LabelPropagation.queries ++ Dbscan.queries ++ graft.plans.PlanLineage.queries ++
-      graft.plans.PlanMetrics.queries ++ BitmapQueries.queries ++ Pca.queries ++ UnigramLm.queries ++ CompressionSignal.queries ++ Isotonic.queries ++ KCore.queries ++ FeaturePrepQueries.queries ++ GeoGridJoin.queries ++ AllocationQueries.queries ++ FixedWidthScan.queries ++ SurrogateKeys.queries ++ SelectionMedian.queries ++ Hits.queries ++ Lsa.queries ++ ReplicaReconcile.queries ++ NaiveBayes.queries ++ LogisticRegression.queries ++ HierarchyRollup.queries ++ CdcChunking.queries ++ Als.queries ++ SplitFinding.queries ++ TreeGrow.queries ++ BradleyTerry.queries ++ ClusterEval.queries ++ Calibration.queries ++ DiversityStats.queries ++ graft.llm.Winnowing.queries ++ graft.sources.Sharding.queries ++ graft.llm.FeatureHashing.queries ++ graft.llm.RandomProjection.queries ++ graft.llm.ClassifierAgreement.queries ++ SlidingDistinct.queries ++ graft.sources.PostingsIndex.queries ++ graft.llm.DelongAuc.queries ++ graft.llm.WordPieceQuery.queries ++ graft.llm.SuffixArray.queries ++ graft.operators.Louvain.queries ++ graft.llm.Opq.queries ++ graft.operators.GraphServe.queries ++ graft.llm.BbitMinhash.queries ++ graft.llm.PmiFeatures.queries ++ graft.operators.IsolationTree.queries ++ graft.operators.Hnsw.queries ++ graft.operators.RecordLinkage.queries ++ graft.operators.Coreset.queries ++ graft.operators.SubmodularSelect.queries ++ BenfordAudit.queries ++ graft.operators.GraphInsert.queries
+    modules.iterator.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ WindowAggQueries.oracleSql ++
-      ScalarQueries.oracleSql ++ StreamShapeQueries.oracleSql ++
-      DedupQueries.oracleSql ++ EmbeddingDedup.oracleSql ++ TextAnalysis.oracleSql ++
-      VectorSearch.oracleSql ++ TextPipeline.oracleSql ++
-      CsvScan.oracleSql ++ CatalogOracle.oracleSql ++ K8sObjects.oracleSql ++
-      BucketedQueries.oracleSql ++ AnalyticalQueries.oracleSql ++
-      ReshapeStatsQueries.oracleSql ++ IncrementalQueries.oracleSql ++
-      TimeSeriesQueries.oracleSql ++
-      graft.relational.QualityAuditQueries.oracleSql ++
-      LayoutQueries.oracleSql ++ IntervalJoin.oracleSql ++
-      OrcSource.oracleSql ++ ZOrderQueries.oracleSql ++
-      TableStatsQueries.oracleSql ++ QuarantineIngest.oracleSql ++
-      CorpusOps.oracleSql ++ VectorStats.oracleSql ++ PageRank.oracleSql ++
-      BpeTrain.oracleSql ++ SchemaEvolution.oracleSql ++
-      TriangleCount.oracleSql ++ ProductQuantization.oracleSql ++
-      graft.plans.TopK.oracleSql ++ BinaryFiles.oracleSql ++ Federation.oracleSql ++ DynamicOverwrite.oracleSql ++
-      MultimodalOracle.oracleSql ++ graft.plans.SortedRuns.oracleSql ++
-      graft.sources.DeletionVectors.oracleSql ++ TpchShapeQueries.oracleSql ++
-      Skyline.oracleSql ++ XmlSource.oracleSql ++ TpchCompletionQueries.oracleSql ++ Contamination.oracleSql ++ PiiRedaction.oracleSql ++ NullSemantics.oracleSql ++ SketchAggregates.oracleSql ++
-      ImportanceWeights.oracleSql ++ PrivacyAudit.oracleSql ++ Matryoshka.oracleSql ++
-      PerceptualHash.oracleSql ++ BitemporalQueries.oracleSql ++ HilbertLayout.oracleSql ++
-      graft.plans.AsOfMergeJoin.oracleSql ++ JourneyQueries.oracleSql ++
-      StatInference.oracleSql ++ ShortestPaths.oracleSql ++ VariantQueries.oracleSql ++ Sql4Surfaces.oracleSql ++
-      BinaryQuantization.oracleSql ++ KMeans.oracleSql ++ FbcSource.oracleSql ++
-      LabelPropagation.oracleSql ++ Dbscan.oracleSql ++ graft.plans.PlanLineage.oracleSql ++
-      graft.plans.PlanMetrics.oracleSql ++ BitmapQueries.oracleSql ++ Pca.oracleSql ++ UnigramLm.oracleSql ++ CompressionSignal.oracleSql ++ Isotonic.oracleSql ++ KCore.oracleSql ++ FeaturePrepQueries.oracleSql ++ GeoGridJoin.oracleSql ++ AllocationQueries.oracleSql ++ FixedWidthScan.oracleSql ++ SurrogateKeys.oracleSql ++ SelectionMedian.oracleSql ++ Hits.oracleSql ++ Lsa.oracleSql ++ ReplicaReconcile.oracleSql ++ NaiveBayes.oracleSql ++ LogisticRegression.oracleSql ++ HierarchyRollup.oracleSql ++ CdcChunking.oracleSql ++ Als.oracleSql ++ SplitFinding.oracleSql ++ TreeGrow.oracleSql ++ BradleyTerry.oracleSql ++ ClusterEval.oracleSql ++ Calibration.oracleSql ++ DiversityStats.oracleSql ++ graft.llm.Winnowing.oracleSql ++ graft.sources.Sharding.oracleSql ++ graft.llm.FeatureHashing.oracleSql ++ graft.llm.RandomProjection.oracleSql ++ graft.llm.ClassifierAgreement.oracleSql ++ SlidingDistinct.oracleSql ++ graft.sources.PostingsIndex.oracleSql ++ graft.llm.DelongAuc.oracleSql ++ graft.llm.WordPieceQuery.oracleSql ++ graft.llm.SuffixArray.oracleSql ++ graft.operators.Louvain.oracleSql ++ graft.llm.Opq.oracleSql ++ graft.operators.GraphServe.oracleSql ++ graft.llm.BbitMinhash.oracleSql ++ graft.llm.PmiFeatures.oracleSql ++ graft.operators.IsolationTree.oracleSql ++ graft.operators.Hnsw.oracleSql ++ graft.operators.RecordLinkage.oracleSql ++ graft.operators.Coreset.oracleSql ++ graft.operators.SubmodularSelect.oracleSql ++ BenfordAudit.oracleSql ++ graft.operators.GraphInsert.oracleSql
+    modules.iterator.map(_._2).reduce(_ ++ _)
 }

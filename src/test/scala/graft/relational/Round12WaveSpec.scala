@@ -141,6 +141,21 @@ class Round12WaveSpec extends SparkSpec {
     }
   }
 
+  test("q479: FFD packing conserves tokens, respects capacity, and " +
+      "meets the theorem bound") {
+    val (nDocs, total, bins, maxFill, packed) =
+      graft.llm.BinPacking.packStats(spark, dir)
+    val cap = graft.llm.CorpusOps.SeqLen
+    val optLb = (total + cap - 1) / cap
+    info(s"docs=$nDocs tokens=$total bins=$bins maxFill=$maxFill " +
+      s"optLB=$optLb util=${100 * total / (bins * cap)}%")
+    assert(nDocs > 0 && packed == total, "every doc packed exactly once")
+    assert(maxFill <= cap, "no bin overflows")
+    assert(bins >= optLb)
+    assert(9L * bins <= 11L * (optLb + 32L) + 9L * 32L + 6L,
+      "FFD theorem bound (with partition slack) must hold")
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
