@@ -133,7 +133,8 @@ object SparkEntry {
     (graft.operators.SubmodularSelect.queries, graft.operators.SubmodularSelect.oracleSql),
     (BenfordAudit.queries, BenfordAudit.oracleSql),
     (graft.operators.GraphInsert.queries, graft.operators.GraphInsert.oracleSql),
-    (graft.llm.BinPacking.queries, graft.llm.BinPacking.oracleSql))
+    (graft.llm.BinPacking.queries, graft.llm.BinPacking.oracleSql),
+    (graft.operators.FilteredServe.queries, graft.operators.FilteredServe.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -156,6 +156,16 @@ class Round12WaveSpec extends SparkSpec {
       "FFD theorem bound (with partition slack) must hold")
   }
 
+  test("q480: post-filter walk answers predicate queries at the " +
+      "exact-filtered-truth floor") {
+    val (nq, hits, recall, converged) =
+      graft.operators.FilteredServe.filteredServeStats(spark, dir)
+    info(s"nq=$nq hits=$hits recall=${recall} permille")
+    assert(converged && nq > 0)
+    assert(recall >=
+      graft.operators.FilteredServe.FilteredRecallFloorPermille)
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
