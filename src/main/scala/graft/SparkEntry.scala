@@ -134,7 +134,9 @@ object SparkEntry {
     (BenfordAudit.queries, BenfordAudit.oracleSql),
     (graft.operators.GraphInsert.queries, graft.operators.GraphInsert.oracleSql),
     (graft.llm.BinPacking.queries, graft.llm.BinPacking.oracleSql),
-    (graft.operators.FilteredServe.queries, graft.operators.FilteredServe.oracleSql))
+    (graft.operators.FilteredServe.queries, graft.operators.FilteredServe.oracleSql),
+    (graft.llm.HybridRetrieval.queries, graft.llm.HybridRetrieval.oracleSql),
+    (graft.llm.RefinedServe.queries, graft.llm.RefinedServe.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -166,6 +166,37 @@ class Round12WaveSpec extends SparkSpec {
       graft.operators.FilteredServe.FilteredRecallFloorPermille)
   }
 
+  test("q481: RRF fusion output satisfies the rank invariants") {
+    import org.apache.spark.sql.functions._
+    val out = graft.llm.HybridRetrieval.q481HybridRrf(spark, dir)
+      .orderBy($"rank").collect()
+    assert(out.length == graft.llm.HybridRetrieval.FuseTop)
+    val legK = graft.llm.HybridRetrieval.LegK.toLong
+    out.foreach { r =>
+      val (rLex, rVec, rrf) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(rLex >= 0L && rLex <= legK && rVec >= 0L && rVec <= legK)
+      assert(rrf > 0L, "a fused doc must be retrieved by at least one leg")
+    }
+    // rrf scores non-increasing down the fused list
+    val scores = out.map(_.getLong(4))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // fusion is doing work: the fused head was retrieved by BOTH legs
+    info(s"head: doc=${out.head.getLong(1)} r_lex=${out.head.getLong(2)} " +
+      s"r_vec=${out.head.getLong(3)}")
+    assert(out.head.getLong(2) > 0L && out.head.getLong(3) > 0L)
+  }
+
+  test("q482: exact re-rank never loses to plain ADC and clears the floor") {
+    val (n, adcHits, refHits) =
+      graft.llm.RefinedServe.refineStats(spark, dir)
+    info(s"n=$n adc_hits=$adcHits refined_hits=$refHits")
+    assert(n > 0)
+    assert(refHits >= adcHits,
+      "refinement can only fix quantization mistakes, never add them")
+    assert(refHits >=
+      math.ceil(graft.llm.ProductQuantization.PqRecallFloor * n).toLong)
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
