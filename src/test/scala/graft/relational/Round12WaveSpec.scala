@@ -197,6 +197,27 @@ class Round12WaveSpec extends SparkSpec {
       math.ceil(graft.llm.ProductQuantization.PqRecallFloor * n).toLong)
   }
 
+  test("q483: rho-structure invariants hold on the doubled answer") {
+    import org.apache.spark.sql.functions._
+    val t = graft.operators.FunctionalScc.sccTable(spark, dir)
+      .localCheckpoint()
+    val (e, _) = graft.operators.FunctionalScc.edges(spark, dir)
+    // every cycle_id is itself an on-cycle node with itself as cycle_id
+    val reps = t.select($"cycle_id".as("node")).distinct()
+      .join(t, "node")
+    assert(reps.filter(!$"on_cycle" || $"cycle_id" =!= $"node").count() == 0)
+    // f preserves the component: cycle_id(v) == cycle_id(f(v))
+    val stepped = e.join(t, "node")
+      .join(t.select($"node".as("nxt"), $"cycle_id".as("next_cid")), "nxt")
+    assert(stepped.filter($"cycle_id" =!= $"next_cid").count() == 0)
+    // f restricted to the cycle stays on the cycle
+    assert(stepped.filter($"on_cycle").join(
+      t.filter(!$"on_cycle").select($"node".as("nxt")), "nxt").count() == 0)
+    val nCyc = t.filter($"on_cycle").count()
+    info(s"n=${t.count()} on_cycle=$nCyc components=${reps.count()}")
+    assert(nCyc > 0)
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
