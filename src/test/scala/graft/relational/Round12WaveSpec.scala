@@ -218,6 +218,28 @@ class Round12WaveSpec extends SparkSpec {
     assert(nCyc > 0)
   }
 
+  test("q484: MMR picks are distinct and their scores non-increasing") {
+    import org.apache.spark.sql.functions._
+    val out = graft.llm.MmrSelect.q484MmrSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == graft.llm.MmrSelect.MmrQueries)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.length == graft.llm.MmrSelect.MmrK)
+      assert(sorted.map(_._3).distinct.length == sorted.length,
+        s"qid=$q must select distinct docs")
+      // from step 2 on, score_t(d) = rel − max_{S_t} sim only shrinks as
+      // S grows ⟹ the picked sequence is non-increasing (step 1 is pure
+      // relevance and CAN be beaten when sims are negative)
+      val scores = sorted.map(_._4).drop(1)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"qid=$q MMR scores must be non-increasing from step 2: " +
+          scores.toList)
+    }
+    info(s"selected ${out.length} rows over ${byQ.size} queries")
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
