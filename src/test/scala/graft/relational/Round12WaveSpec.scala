@@ -240,6 +240,19 @@ class Round12WaveSpec extends SparkSpec {
     info(s"selected ${out.length} rows over ${byQ.size} queries")
   }
 
+  test("q485: conformal coverage lands in the finite-sample band " +
+      "around 1-alpha") {
+    val r = graft.relational.Conformal.q485Conformal(spark, dir).head()
+    val (nCal, qhat, nTest, nCov, covPm) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    info(s"n_cal=$nCal qhat=$qhat n_test=$nTest coverage=${covPm} permille")
+    assert(nCal > 0 && nTest > 0 && qhat > 0)
+    // marginal guarantee is 900 permille in expectation; allow the
+    // binomial noise of a few-hundred-row test split at sf0.001
+    assert(covPm >= 820L && covPm <= 980L,
+      s"coverage $covPm permille outside the plausible band")
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
