@@ -139,7 +139,8 @@ object SparkEntry {
     (graft.llm.RefinedServe.queries, graft.llm.RefinedServe.oracleSql),
     (graft.operators.FunctionalScc.queries, graft.operators.FunctionalScc.oracleSql),
     (graft.llm.MmrSelect.queries, graft.llm.MmrSelect.oracleSql),
-    (graft.relational.Conformal.queries, graft.relational.Conformal.oracleSql))
+    (graft.relational.Conformal.queries, graft.relational.Conformal.oracleSql),
+    (graft.relational.RankTests.queries, graft.relational.RankTests.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -253,6 +253,26 @@ class Round12WaveSpec extends SparkSpec {
       s"coverage $covPm permille outside the plausible band")
   }
 
+  test("q486: U statistic is null-calibrated and detects a planted shift") {
+    import org.apache.spark.sql.functions._
+    val base = graft.core.Tables.customer(spark, dir).select(
+      (col("c_custkey") % 2L).as("variant"),
+      expr("CAST(FLOOR(100 * c_acctbal) AS BIGINT)").as("y"))
+    val r0 = graft.relational.RankTests.mwStats(base).head()
+    val (n1, n2, u1x2, z0) =
+      (r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getDouble(4))
+    info(s"null: n1=$n1 n2=$n2 u1_x2=$u1x2 z=$z0")
+    assert(u1x2 >= 0L && u1x2 <= 2L * n1 * n2, "U must lie in [0, n1*n2]")
+    assert(math.abs(z0) < 3.5, "even/odd custkey split must look null")
+    // positive control: shift variant 0 far above the distribution
+    val shifted = base.withColumn("y",
+      when(col("variant") === 0L, col("y") + lit(100000000L))
+        .otherwise(col("y")))
+    val z1 = graft.relational.RankTests.mwStats(shifted).head().getDouble(4)
+    info(s"planted shift: z=$z1")
+    assert(z1 > 10.0, "a total separation must saturate the rank test")
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
