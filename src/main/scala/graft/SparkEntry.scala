@@ -140,7 +140,8 @@ object SparkEntry {
     (graft.operators.FunctionalScc.queries, graft.operators.FunctionalScc.oracleSql),
     (graft.llm.MmrSelect.queries, graft.llm.MmrSelect.oracleSql),
     (graft.relational.Conformal.queries, graft.relational.Conformal.oracleSql),
-    (graft.relational.RankTests.queries, graft.relational.RankTests.oracleSql))
+    (graft.relational.RankTests.queries, graft.relational.RankTests.oracleSql),
+    (graft.relational.QuantileNormalize.queries, graft.relational.QuantileNormalize.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,109 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** QUANTILE NORMALIZATION (Bolstad et al. Bioinformatics'03 — the
+  * feature-prep transform that forces every group's distribution onto
+  * the pooled reference: row at within-group rank r of n_g maps to the
+  * pooled order statistic at position ⌈r·N/n_g⌉). Batch-effect removal
+  * for features, score calibration across heterogeneous sources.
+  *
+  * Everything integer: values are cents, the index composition
+  * `⌈r·N/n_g⌉ = (r·N + n_g − 1) DIV n_g` is BIGINT, ties order by a
+  * unique row key so both engines rank identically.
+  *
+  * Scale shape: NO single-task global window anywhere — both the
+  * within-group rank and the pooled order-statistic index use the
+  * TWO-LEVEL SCAN (q451's discipline): range-partition on the sort
+  * key, per-partition `row_number`, broadcast the 32-row partition
+  * offsets. The rank→value mapping is one keyed equi-join on the
+  * computed index. Output = per-group exact aggregates of the fully
+  * materialized normalized column.
+  */
+object QuantileNormalize {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 1-based full rank of every row under `partCols` ⨯ lexicographic
+    * `ordCols` — two-level scan, no global window.
+    */
+  def fullRank(df: DataFrame, partCols: Seq[String], ordCols: Seq[String],
+      rankName: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val all: Seq[Column] = (partCols ++ ordCols).map(col)
+    val parts = df.repartitionByRange(32, all: _*)
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy(($"pid" +: partCols.map(col)): _*)
+      .orderBy(ordCols.map(col): _*)
+    val withRn = parts.withColumn("rn", row_number().over(wIn).cast("long"))
+    val wP = Window.partitionBy(partCols.map(col): _*).orderBy($"pid")
+    val offsets = withRn.groupBy(($"pid" +: partCols.map(col)): _*)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("poff", coalesce(sum($"c").over(
+        wP.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(($"pid" +: partCols.map(col)) :+ $"poff": _*)
+    withRn.join(broadcast(offsets), "pid" +: partCols)
+      .withColumn(rankName, $"poff" + $"rn")
+      .drop("pid", "rn", "poff")
+  }
+
+  val q487QuantileNorm: Q = (s, dir) => {
+    import s.implicits._
+    val rows = T.lineitem(s, dir).select(
+      $"l_returnflag".as("grp"),
+      expr("CAST(FLOOR(100 * l_extendedprice) AS BIGINT)").as("y"),
+      ($"l_orderkey" * 8L + $"l_linenumber").as("uid"))
+      .localCheckpoint()
+    val n = rows.count()
+    val ranked = fullRank(rows, Seq("grp"), Seq("y", "uid"), "r")
+    val ng = rows.groupBy($"grp").agg(count(lit(1)).as("n_g"))
+    val pooled = fullRank(rows.select($"y", $"uid"), Seq(),
+      Seq("y", "uid"), "idx")
+      .select($"idx", $"y".as("norm_y"))
+    val mapped = ranked.join(broadcast(ng), "grp")
+      .withColumn("idx",
+        expr(s"(r * ${n}L + n_g - 1) div n_g"))
+      .select($"grp", $"idx")
+    mapped.join(pooled, "idx")
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"norm_y").as("sum_norm"),
+        min($"norm_y").as("min_norm"),
+        max($"norm_y").as("max_norm"))
+      .orderBy($"grp")
+  }
+
+  val q487Sql: String =
+    """WITH rows0 AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(FLOOR(100 * l_extendedprice) AS BIGINT) AS y,
+      |    l_orderkey * 8 + l_linenumber AS uid
+      |  FROM lineitem),
+      |ranked AS (
+      |  SELECT grp, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY y, uid)
+      |    AS r FROM rows0),
+      |ng AS (SELECT grp, COUNT(*) AS n_g FROM rows0 GROUP BY 1),
+      |pooled AS (
+      |  SELECT y AS norm_y, ROW_NUMBER() OVER (ORDER BY y, uid) AS idx
+      |  FROM rows0),
+      |mapped AS (
+      |  SELECT ranked.grp,
+      |    (r * (SELECT COUNT(*) FROM rows0) + n_g - 1) // n_g AS idx
+      |  FROM ranked JOIN ng USING (grp))
+      |SELECT grp, COUNT(*) AS n_rows,
+      |  CAST(SUM(norm_y) AS BIGINT) AS sum_norm,
+      |  MIN(norm_y) AS min_norm, MAX(norm_y) AS max_norm
+      |FROM mapped JOIN pooled USING (idx)
+      |GROUP BY grp
+      |ORDER BY grp""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q487_quantile_norm" -> q487QuantileNorm)
+  val oracleSql: Map[String, String] = Map(
+    "q487_quantile_norm" -> q487Sql)
+}

@@ -273,6 +273,22 @@ class Round12WaveSpec extends SparkSpec {
     assert(z1 > 10.0, "a total separation must saturate the rank test")
   }
 
+  test("q487: normalized groups share the pooled tail and align means") {
+    val out = graft.relational.QuantileNormalize
+      .q487QuantileNorm(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.length >= 2)
+    // every group's rank-n_g row maps to pooled index N ⟹ identical max
+    assert(out.map(_._5).distinct.length == 1,
+      "all groups must share the pooled maximum after normalization")
+    // the normalization's point: group means collapse onto the pooled one
+    val means = out.map(t => t._3.toDouble / t._2.toDouble)
+    val spread = (means.max - means.min) / means.max
+    info(s"means=${means.toList} relative spread=$spread")
+    assert(spread < 0.01, "normalized group means must nearly coincide")
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
