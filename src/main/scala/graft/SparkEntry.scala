@@ -135,12 +135,9 @@ object SparkEntry {
     (graft.operators.GraphInsert.queries, graft.operators.GraphInsert.oracleSql),
     (graft.llm.BinPacking.queries, graft.llm.BinPacking.oracleSql),
     (graft.operators.FilteredServe.queries, graft.operators.FilteredServe.oracleSql),
-    (graft.llm.HybridRetrieval.queries, graft.llm.HybridRetrieval.oracleSql),
     (graft.llm.RefinedServe.queries, graft.llm.RefinedServe.oracleSql),
     (graft.operators.FunctionalScc.queries, graft.operators.FunctionalScc.oracleSql),
     (graft.llm.MmrSelect.queries, graft.llm.MmrSelect.oracleSql),
-    (graft.relational.Conformal.queries, graft.relational.Conformal.oracleSql),
-    (graft.relational.RankTests.queries, graft.relational.RankTests.oracleSql),
     (graft.relational.QuantileNormalize.queries, graft.relational.QuantileNormalize.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -166,26 +166,6 @@ class Round12WaveSpec extends SparkSpec {
       graft.operators.FilteredServe.FilteredRecallFloorPermille)
   }
 
-  test("q481: RRF fusion output satisfies the rank invariants") {
-    import org.apache.spark.sql.functions._
-    val out = graft.llm.HybridRetrieval.q481HybridRrf(spark, dir)
-      .orderBy($"rank").collect()
-    assert(out.length == graft.llm.HybridRetrieval.FuseTop)
-    val legK = graft.llm.HybridRetrieval.LegK.toLong
-    out.foreach { r =>
-      val (rLex, rVec, rrf) = (r.getLong(2), r.getLong(3), r.getLong(4))
-      assert(rLex >= 0L && rLex <= legK && rVec >= 0L && rVec <= legK)
-      assert(rrf > 0L, "a fused doc must be retrieved by at least one leg")
-    }
-    // rrf scores non-increasing down the fused list
-    val scores = out.map(_.getLong(4))
-    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
-    // fusion is doing work: the fused head was retrieved by BOTH legs
-    info(s"head: doc=${out.head.getLong(1)} r_lex=${out.head.getLong(2)} " +
-      s"r_vec=${out.head.getLong(3)}")
-    assert(out.head.getLong(2) > 0L && out.head.getLong(3) > 0L)
-  }
-
   test("q482: exact re-rank never loses to plain ADC and clears the floor") {
     val (n, adcHits, refHits) =
       graft.llm.RefinedServe.refineStats(spark, dir)
@@ -238,39 +218,6 @@ class Round12WaveSpec extends SparkSpec {
           scores.toList)
     }
     info(s"selected ${out.length} rows over ${byQ.size} queries")
-  }
-
-  test("q485: conformal coverage lands in the finite-sample band " +
-      "around 1-alpha") {
-    val r = graft.relational.Conformal.q485Conformal(spark, dir).head()
-    val (nCal, qhat, nTest, nCov, covPm) = (r.getLong(0), r.getLong(1),
-      r.getLong(2), r.getLong(3), r.getLong(4))
-    info(s"n_cal=$nCal qhat=$qhat n_test=$nTest coverage=${covPm} permille")
-    assert(nCal > 0 && nTest > 0 && qhat > 0)
-    // marginal guarantee is 900 permille in expectation; allow the
-    // binomial noise of a few-hundred-row test split at sf0.001
-    assert(covPm >= 820L && covPm <= 980L,
-      s"coverage $covPm permille outside the plausible band")
-  }
-
-  test("q486: U statistic is null-calibrated and detects a planted shift") {
-    import org.apache.spark.sql.functions._
-    val base = graft.core.Tables.customer(spark, dir).select(
-      (col("c_custkey") % 2L).as("variant"),
-      expr("CAST(FLOOR(100 * c_acctbal) AS BIGINT)").as("y"))
-    val r0 = graft.relational.RankTests.mwStats(base).head()
-    val (n1, n2, u1x2, z0) =
-      (r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getDouble(4))
-    info(s"null: n1=$n1 n2=$n2 u1_x2=$u1x2 z=$z0")
-    assert(u1x2 >= 0L && u1x2 <= 2L * n1 * n2, "U must lie in [0, n1*n2]")
-    assert(math.abs(z0) < 3.5, "even/odd custkey split must look null")
-    // positive control: shift variant 0 far above the distribution
-    val shifted = base.withColumn("y",
-      when(col("variant") === 0L, col("y") + lit(100000000L))
-        .otherwise(col("y")))
-    val z1 = graft.relational.RankTests.mwStats(shifted).head().getDouble(4)
-    info(s"planted shift: z=$z1")
-    assert(z1 > 10.0, "a total separation must saturate the rank test")
   }
 
   test("q487: normalized groups share the pooled tail and align means") {
