@@ -236,6 +236,39 @@ class Round12WaveSpec extends SparkSpec {
     assert(spread < 0.01, "normalized group means must nearly coincide")
   }
 
+  test("q488: skip-gram census is symmetric and dominates adjacency") {
+    import org.apache.spark.sql.functions._
+    val out = graft.llm.Word2vecPrep.q488SkipGrams(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    // the ±w window is symmetric: whenever both orientations made the
+    // reported head, their counts must be equal
+    val both = out.keys.filter(k => out.contains(k.swap))
+    assert(both.nonEmpty, "top pairs should include mirrored orientations")
+    both.foreach(k => assert(out(k) == out(k.swap),
+      s"skip-gram symmetry violated at $k"))
+  }
+
+  test("q489: the 3/4-power table flattens the unigram head") {
+    import org.apache.spark.sql.functions._
+    val t = graft.llm.Word2vecPrep.q489NegSampleTable(spark, dir).collect()
+    val cnts = t.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "w_micro order must agree with count order")
+    val cums = t.map(_.getLong(4))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b } &&
+      cums.last <= 1000000L, "cumulative ppm must increase and stay <= 1e6")
+    // flattening: the head term's sampling share sits below its raw share
+    val pos = graft.core.Tables.documents(spark, dir)
+      .select(posexplode(split(col("text"), " ")).as(Seq("i", "term")))
+      .filter(col("term") =!= "")
+    val n = pos.count()
+    val rawSharePpm = 1000000L * t.head.getLong(1) / n
+    info(s"head term raw=${rawSharePpm}ppm sampled=${t.head.getLong(3)}ppm")
+    assert(t.head.getLong(3) < rawSharePpm,
+      "3/4 power must shrink the most frequent term's share")
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
