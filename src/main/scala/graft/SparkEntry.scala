@@ -139,7 +139,8 @@ object SparkEntry {
     (graft.operators.FunctionalScc.queries, graft.operators.FunctionalScc.oracleSql),
     (graft.llm.MmrSelect.queries, graft.llm.MmrSelect.oracleSql),
     (graft.relational.QuantileNormalize.queries, graft.relational.QuantileNormalize.oracleSql),
-    (graft.llm.Word2vecPrep.queries, graft.llm.Word2vecPrep.oracleSql))
+    (graft.llm.Word2vecPrep.queries, graft.llm.Word2vecPrep.oracleSql),
+    (graft.relational.CausalStratification.queries, graft.relational.CausalStratification.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

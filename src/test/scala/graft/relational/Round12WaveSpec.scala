@@ -269,6 +269,25 @@ class Round12WaveSpec extends SparkSpec {
       "3/4 power must shrink the most frequent term's share")
   }
 
+  test("q490: stratification recovers the planted effect the naive " +
+      "estimator misses by 9x") {
+    val tau = graft.relational.CausalStratification.TauCents * 1000000L
+    val rows = graft.relational.CausalStratification.strata(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val n = rows.map(t => t._1 + t._2).sum
+    val strat = rows.map(t => (t._1 + t._2).toDouble * t._5).sum / n
+    val naive = rows.map(t => t._1.toDouble * t._3).sum /
+      rows.map(_._1).sum -
+      rows.map(t => t._2.toDouble * t._4).sum / rows.map(_._2).sum
+    info(s"tau=$tau stratified=$strat naive=$naive")
+    assert(math.abs(strat - tau) < 0.25 * tau,
+      "stratified ATE must recover the planted effect")
+    assert(naive - tau > 2.0 * tau,
+      "the size-confounded naive estimator must be visibly biased up")
+    assert(math.abs(strat - tau) < math.abs(naive - tau))
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
