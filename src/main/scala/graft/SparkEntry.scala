@@ -140,7 +140,8 @@ object SparkEntry {
     (graft.llm.MmrSelect.queries, graft.llm.MmrSelect.oracleSql),
     (graft.relational.QuantileNormalize.queries, graft.relational.QuantileNormalize.oracleSql),
     (graft.llm.Word2vecPrep.queries, graft.llm.Word2vecPrep.oracleSql),
-    (graft.relational.CausalStratification.queries, graft.relational.CausalStratification.oracleSql))
+    (graft.relational.CausalStratification.queries, graft.relational.CausalStratification.oracleSql),
+    (graft.relational.Raking.queries, graft.relational.Raking.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

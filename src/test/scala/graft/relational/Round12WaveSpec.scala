@@ -288,6 +288,28 @@ class Round12WaveSpec extends SparkSpec {
     assert(math.abs(strat - tau) < math.abs(naive - tau))
   }
 
+  test("q491: raked margins land within the floor-truncation budget " +
+      "of the targets") {
+    import org.apache.spark.sql.functions._
+    val out = graft.relational.Raking.q491Raking(spark, dir)
+      .localCheckpoint()
+    val nLang = out.select($"lang").distinct().count()
+    val nSrc = out.select($"source").distinct().count()
+    val nDocs = out.agg(sum($"n")).head().getLong(0)
+    val tRow = (nDocs / nLang) * graft.relational.Raking.WScale
+    val tCol = (nDocs / nSrc) * graft.relational.Raking.WScale
+    val rowGap = out.groupBy($"lang").agg(sum($"w").as("m"))
+      .agg(max(abs($"m" - tRow))).head().getLong(0)
+    val colGap = out.groupBy($"source").agg(sum($"w").as("m"))
+      .agg(max(abs($"m" - tCol))).head().getLong(0)
+    info(s"tRow=$tRow rowGap=$rowGap tCol=$tCol colGap=$colGap")
+    // columns were rescaled last ⟹ col margins near-exact (only floor
+    // dust); row margins carry one half-round of drift. Budget: 1% of
+    // target for rows, 0.1% for cols.
+    assert(colGap * 1000L <= tCol)
+    assert(rowGap * 100L <= tRow)
+  }
+
   test("qs21: streamed beam-serve answers equal the one-shot batch walk") {
     // the entry's internal require() IS the slicing-independence gate
     // (per-batch walks must reproduce the full-set walk answer for
