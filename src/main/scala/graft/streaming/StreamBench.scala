@@ -971,7 +971,127 @@ object StreamBench {
       .toDF("n_queries", "n_batches")
   }
 
+  /** qs22 — STREAMING INDEX MAINTENANCE: q477's HNSW-style insert run
+    * as a micro-batch pipeline — the index stays SERVABLE while new
+    * vectors land. The 10% delta split arrives as a MemoryStream in
+    * [[BloomBatches]] batches; each batch walks the CURRENT (evolving)
+    * graph via foreachBatch (so later inserts can link to earlier
+    * ones — the realism the one-shot q477 lacks), links both
+    * directions, and re-caps to M nearest; rounds are checkpointed
+    * with measured stats. Gate: full-corpus exact-truth recall of the
+    * q456 query set over the FINAL graph ≥ the q477 floor, and every
+    * streamed delta node must be wired into the final edge set.
+    */
+  val qs22GraphInsertStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.{Dbscan, GraphInsert, GraphServe}
+    val pts = graft.core.Tables.embeddings(s, dir)
+      .select($"vec_id",
+        expr(s"CAST(FLOOR(${Dbscan.DbScale} * embedding[0]) AS BIGINT)")
+          .as("x"),
+        expr(s"CAST(FLOOR(${Dbscan.DbScale} * embedding[1]) AS BIGINT)")
+          .as("y"))
+      .localCheckpoint()
+    val isDelta =
+      pmod(xxhash64(lit("gins"), $"vec_id"), lit(GraphInsert.DeltaMod)) === 0L
+    val base = pts.filter(!isDelta).localCheckpoint()
+    val delta = pts.filter(isDelta)
+    // base serving graph: the SAME build-once IndexStore table as q477
+    val bt = graft.core.IndexStore.ensure(s, "ginsb", dir) {
+      val (working, _, conv, _) = Dbscan.nndConvergeFromPts(base)
+      require(conv, "qs22 base graph build must converge")
+      val undirected = working.select($"a", $"b")
+        .unionByName(working.select($"b".as("a"), $"a".as("b"))).distinct()
+      graft.plans.TopK.perGroup(
+        undirected
+          .join(base.select($"vec_id".as("a"), $"x".as("ax"), $"y".as("ay")),
+            "a")
+          .join(base.select($"vec_id".as("b"), $"x".as("bx"), $"y".as("by")),
+            "b")
+          .select($"a", $"b",
+            (($"ax" - $"bx") * ($"ax" - $"bx") +
+              ($"ay" - $"by") * ($"ay" - $"by")).as("d2")),
+        Seq("a"), Seq("d2" -> true, "b" -> true), GraphServe.MaxDegree)
+        .select($"a", $"b")
+    }
+    var graph = org.apache.spark.sql.graftbridge.PlanBridge
+      .checkpointResetStats(s.table(bt))
+    val entries = base.select($"vec_id".as("node"))
+      .orderBy(xxhash64($"node"), $"node").limit(GraphServe.Entries)
+      .localCheckpoint()
+    def recap(edges: DataFrame): DataFrame =
+      graft.plans.TopK.perGroup(
+        edges
+          .join(pts.select($"vec_id".as("a"), $"x".as("ax"), $"y".as("ay")),
+            "a")
+          .join(pts.select($"vec_id".as("b"), $"x".as("bx"), $"y".as("by")),
+            "b")
+          .select($"a", $"b",
+            (($"ax" - $"bx") * ($"ax" - $"bx") +
+              ($"ay" - $"by") * ($"ay" - $"by")).as("d2")),
+        Seq("a"), Seq("d2" -> true, "b" -> true), GraphServe.MaxDegree)
+        .select($"a", $"b")
+    val dRows = delta.select($"vec_id".as("qid"), $"x".as("qx"),
+      $"y".as("qy")).as[BenchServeQuery].collect().toSeq.sortBy(_.qid)
+    require(dRows.nonEmpty, "qs22 needs a non-empty delta batch")
+    val stream = MemoryStream[BenchServeQuery]
+    val q = stream.toDF()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-gins-ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val dq = batch.localCheckpoint()
+          val beam0 = graft.plans.TopK.perGroup(
+            GraphServe.withDist(pts, dq)(
+              dq.select($"qid").crossJoin(broadcast(entries))),
+            Seq("qid"), Seq("d2" -> true, "node" -> true), GraphServe.Beam)
+          val beam = GraphServe.walk(pts, dq, graph, beam0,
+            GraphServe.Beam, GraphServe.Hops)
+          val newEdges = beam.select($"qid".as("a"), $"node".as("b"))
+          graph = org.apache.spark.sql.graftbridge.PlanBridge
+            .checkpointResetStats(recap(
+              graph.unionByName(newEdges)
+                .unionByName(newEdges.select($"b".as("a"), $"a".as("b")))
+                .distinct()))
+        }
+        ()
+      }
+      .start()
+    dRows.grouped(dRows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    // every streamed delta must be wired in
+    val wired = graph.select($"a".as("vec_id")).distinct()
+      .join(delta.select($"vec_id"), "vec_id").count()
+    require(wired == dRows.size.toLong,
+      s"qs22: only $wired of ${dRows.size} delta nodes entered the graph")
+    // final serving gate: full-corpus truth over the evolved graph
+    val queries = GraphServe.serveQueries(pts)
+    val nq = queries.count()
+    val truth = GraphServe.exactTruth(pts, queries)
+    val allEntries = pts.select($"vec_id".as("node"))
+      .orderBy(xxhash64($"node"), $"node").limit(GraphServe.Entries)
+    val qBeam0 = graft.plans.TopK.perGroup(
+      GraphServe.withDist(pts, queries)(
+        queries.select($"qid").crossJoin(broadcast(allEntries))),
+      Seq("qid"), Seq("d2" -> true, "node" -> true), GraphServe.Beam)
+    val qBeam = GraphServe.walk(pts, queries, graph, qBeam0,
+      GraphServe.Beam, GraphServe.Hops)
+    val hits = GraphServe.beamAnswer(qBeam).join(truth, "qid")
+      .filter($"a_node" === $"t_node").count()
+    val recall = if (nq == 0) 0L else 1000L * hits / nq
+    require(recall >= GraphInsert.InsertRecallFloorPermille,
+      s"qs22 recall $recall below ${GraphInsert.InsertRecallFloorPermille}")
+    Seq((nq, dRows.size.toLong, recall))
+      .toDF("n_queries", "n_inserted", "recall_permille")
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "qs22_graph_insert_stream" -> qs22GraphInsertStream,
     "qs21_beam_serve_stream" -> qs21BeamServeStream,
     "qs20_stream_static_join" -> qs20StreamStaticJoin,
     "qs19_sliding_hll_stream" -> qs19SlidingHllStream,

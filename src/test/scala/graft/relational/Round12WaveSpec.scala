@@ -321,6 +321,18 @@ class Round12WaveSpec extends SparkSpec {
       graft.streaming.StreamBench.BloomBatches.toLong)
   }
 
+  test("qs22: streamed index maintenance keeps the evolved graph " +
+      "servable at the insert floor") {
+    // internal require()s gate: every delta wired in + recall floor
+    val row = graft.streaming.StreamBench.qs22GraphInsertStream(
+      spark, dir).collect().head
+    info(s"inserted=${row.getAs[Long]("n_inserted")} " +
+      s"recall=${row.getAs[Long]("recall_permille")} permille")
+    assert(row.getAs[Long]("n_inserted") > 0)
+    assert(row.getAs[Long]("recall_permille") >=
+      graft.operators.GraphInsert.InsertRecallFloorPermille)
+  }
+
   test("q469: the ensemble average reduces variance vs single trees") {
     import org.apache.spark.sql.functions._
     // Two independent 4-tree half-forest means must disagree LESS on
