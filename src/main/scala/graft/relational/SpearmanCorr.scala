@@ -1,0 +1,124 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** SPEARMAN RANK CORRELATION, tie-aware and exact (the monotone-
+  * association reading next to the family's linear r (q89 `corr`),
+  * trend tests (q357 Mann–Kendall is S over TIME), and q329's use of
+  * Spearman as an internal recovery metric — here it IS the operator):
+  * ρ = Pearson on tie-averaged ranks. Association measured: customer
+  * account balance vs the customer's total order spend.
+  *
+  * Exactness discipline: tie-averaged ranks are kept as DOUBLED
+  * integers (`2·r̄(v) = 2·cum_before(v) + cnt(v) + 1`, the q285
+  * convention), computed per DISTINCT value (never a raw-row window)
+  * and joined back; all five moment sums accumulate in DECIMAL(38,0)
+  * (q259/q354 precedent — rank products pass 10¹⁸ past sf0.1); the
+  * single ρ double is evaluated from ONE SHARED FORMULA STRING over
+  * exact integer sums, so both engines emit bit-identical bytes.
+  * Doubling x-ranks and y-ranks scales numerator and denominator by
+  * the same 4, leaving ρ unchanged.
+  *
+  * Scale shape: one keyed outer join (balances ⋈ spend agg), two
+  * distinct-value rank maps (groupBy + a values-bounded window), two
+  * value-keyed joins back, one moment agg. No raw-row windows.
+  */
+object SpearmanCorr {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The ρ formula, shared verbatim by both engines. */
+  val RhoFormula: String =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) " +
+      "/ SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+      "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+
+  /** Doubled tie-averaged rank per distinct value of `c`, joined back
+    * onto `df` as column `rName`.
+    */
+  private[graft] def withDoubledRank(df: DataFrame, c: String, rName: String)
+      : DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val byVal = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+    val cumBefore = coalesce(sum($"cnt").over(
+      Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val ranks = byVal.withColumn(rName,
+      lit(2L) * cumBefore + $"cnt" + lit(1L)).drop("cnt")
+    df.join(ranks, c)
+  }
+
+  /** (grp-free) paired frame: (c_custkey, x = balance cents,
+    * y = total spend cents, 0 when orderless).
+    */
+  def pairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = T.orders(s, dir).groupBy($"o_custkey".as("c_custkey"))
+      .agg(sum(expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)")).as("y"))
+    T.customer(s, dir)
+      .select($"c_custkey",
+        expr("CAST(FLOOR(100 * c_acctbal) AS BIGINT)").as("x"))
+      .join(spend, Seq("c_custkey"), "left")
+      .select($"c_custkey", $"x", coalesce($"y", lit(0L)).as("y"))
+  }
+
+  val q492Spearman: Q = (s, dir) => {
+    import s.implicits._
+    val ranked = withDoubledRank(
+      withDoubledRank(pairs(s, dir), "x", "rx"), "y", "ry")
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum($"rx".cast("decimal(38,0)")).as("sx"),
+      sum($"ry".cast("decimal(38,0)")).as("sy"),
+      sum(($"rx".cast("decimal(38,0)") * $"rx")).as("sxx"),
+      sum(($"ry".cast("decimal(38,0)") * $"ry")).as("syy"),
+      sum(($"rx".cast("decimal(38,0)") * $"ry")).as("sxy"))
+      .select($"n", expr(RhoFormula).as("rho"))
+  }
+
+  val q492Sql: String =
+    s"""WITH spend AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CAST(SUM(CAST(FLOOR(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT c.c_custkey,
+      |    CAST(FLOOR(100 * c_acctbal) AS BIGINT) AS x,
+      |    COALESCE(y, 0) AS y
+      |  FROM customer c LEFT JOIN spend USING (c_custkey)),
+      |rxm AS (
+      |  SELECT x, 2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS rx
+      |  FROM (SELECT x, COUNT(*) AS cnt FROM p GROUP BY 1)),
+      |rym AS (
+      |  SELECT y, 2 * COALESCE(SUM(cnt) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS ry
+      |  FROM (SELECT y, COUNT(*) AS cnt FROM p GROUP BY 1)),
+      |ranked AS (
+      |  SELECT rx, ry FROM p JOIN rxm USING (x) JOIN rym USING (y)),
+      |m AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CAST(rx AS HUGEINT)) AS sx,
+      |    SUM(CAST(ry AS HUGEINT)) AS sy,
+      |    SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+      |    SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+      |    SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+      |  FROM ranked)
+      |SELECT n, $RhoFormula AS rho FROM m""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q492_spearman" -> q492Spearman)
+  val oracleSql: Map[String, String] = Map(
+    "q492_spearman" -> q492Sql)
+}

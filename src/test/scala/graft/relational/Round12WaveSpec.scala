@@ -333,6 +333,32 @@ class Round12WaveSpec extends SparkSpec {
       graft.operators.GraphInsert.InsertRecallFloorPermille)
   }
 
+  test("q492: rho is exactly 1 under a monotone map and bounded on data") {
+    import org.apache.spark.sql.functions._
+    val r = graft.relational.SpearmanCorr.q492Spearman(spark, dir).head()
+    val rho = r.getDouble(1)
+    info(s"n=${r.getLong(0)} rho=$rho")
+    assert(rho >= -1.0 && rho <= 1.0)
+    // monotone invariance: replacing y with a strictly increasing
+    // function of x must give exactly 1.0 (ranks coincide, the shared
+    // formula cancels exactly)
+    val p = graft.relational.SpearmanCorr.pairs(spark, dir)
+      .withColumn("y", col("x") * 2L + 7L)
+    val ranked = graft.relational.SpearmanCorr.withDoubledRank(
+      graft.relational.SpearmanCorr.withDoubledRank(p, "x", "rx"),
+      "y", "ry")
+    val one = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx").cast("decimal(38,0)")).as("sx"),
+      sum(col("ry").cast("decimal(38,0)")).as("sy"),
+      sum(col("rx").cast("decimal(38,0)") * col("rx")).as("sxx"),
+      sum(col("ry").cast("decimal(38,0)") * col("ry")).as("syy"),
+      sum(col("rx").cast("decimal(38,0)") * col("ry")).as("sxy"))
+      .select(expr(graft.relational.SpearmanCorr.RhoFormula).as("rho"))
+      .head().getDouble(0)
+    assert(one == 1.0, s"monotone map must give rho exactly 1, got $one")
+  }
+
   test("q469: the ensemble average reduces variance vs single trees") {
     import org.apache.spark.sql.functions._
     // Two independent 4-tree half-forest means must disagree LESS on
