@@ -142,7 +142,8 @@ object SparkEntry {
     (graft.llm.Word2vecPrep.queries, graft.llm.Word2vecPrep.oracleSql),
     (graft.relational.CausalStratification.queries, graft.relational.CausalStratification.oracleSql),
     (graft.relational.Raking.queries, graft.relational.Raking.oracleSql),
-    (graft.relational.SpearmanCorr.queries, graft.relational.SpearmanCorr.oracleSql))
+    (graft.relational.SpearmanCorr.queries, graft.relational.SpearmanCorr.oracleSql),
+    (graft.llm.HuffmanCost.queries, graft.llm.HuffmanCost.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -359,6 +359,24 @@ class Round12WaveSpec extends SparkSpec {
     assert(one == 1.0, s"monotone map must give rho exactly 1, got $one")
   }
 
+  test("q493: hand trees, Kraft equality and the Shannon band hold") {
+    import graft.llm.HuffmanCost
+    // skewed: a=5 b=2 c=1 d=1 -> lens 1/2/3/3 (15 bits total)
+    val skew = HuffmanCost.codeLengths(
+      Seq("a" -> 5L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+    assert(skew == Map("a" -> 1, "b" -> 2, "c" -> 3, "d" -> 3), skew)
+    // uniform 4 symbols -> perfect 2-bit tree
+    val uni = HuffmanCost.codeLengths(
+      Seq("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    assert(uni.values.forall(_ == 2), uni)
+    val (n, v, bits, kraft, entropy, beats) =
+      HuffmanCost.huffmanStats(spark, dir)
+    info(s"n=$n vocab=$v total_bits=$bits avg=${bits.toDouble / n}")
+    assert(kraft, "Huffman trees are full: Kraft must hold with equality")
+    assert(entropy, "avg length must sit in [H, H+1)")
+    assert(beats, "entropy coding must beat fixed-width")
+  }
+
   test("q469: the ensemble average reduces variance vs single trees") {
     import org.apache.spark.sql.functions._
     // Two independent 4-tree half-forest means must disagree LESS on
