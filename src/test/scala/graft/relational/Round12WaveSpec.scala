@@ -377,6 +377,27 @@ class Round12WaveSpec extends SparkSpec {
     assert(beats, "entropy coding must beat fixed-width")
   }
 
+  test("q494: RBO identities — self equals the truncated mass, " +
+      "disjoint equals zero") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.RankOverlap
+    val a = spark.range(1, RankOverlap.RboDepth + 1)
+      .select(col("id").as("doc_id"), col("id").as("rank"))
+    val self = RankOverlap.rbo(a, a).head()
+    assert(self.getLong(0) == RankOverlap.RboDepth.toLong)
+    assert(self.getLong(1) == RankOverlap.SelfRbo,
+      s"self-RBO must be exactly ${RankOverlap.SelfRbo}")
+    val b = spark.range(100, 100 + RankOverlap.RboDepth)
+      .select(col("id").as("doc_id"),
+        (col("id") - 99L).as("rank"))
+    val disj = RankOverlap.rbo(a, b).head()
+    assert(disj.getLong(0) == 0L && disj.getLong(1) == 0L)
+    val data = RankOverlap.q494RankOverlap(spark, dir).head()
+    info(s"n_common=${data.getLong(0)} rbo_pico=${data.getLong(1)} " +
+      s"of max ${RankOverlap.SelfRbo}")
+    assert(data.getLong(1) >= 0L && data.getLong(1) <= RankOverlap.SelfRbo)
+  }
+
   test("q469: the ensemble average reduces variance vs single trees") {
     import org.apache.spark.sql.functions._
     // Two independent 4-tree half-forest means must disagree LESS on
