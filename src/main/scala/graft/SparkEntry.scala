@@ -144,7 +144,8 @@ object SparkEntry {
     (graft.relational.Raking.queries, graft.relational.Raking.oracleSql),
     (graft.relational.SpearmanCorr.queries, graft.relational.SpearmanCorr.oracleSql),
     (graft.llm.HuffmanCost.queries, graft.llm.HuffmanCost.oracleSql),
-    (graft.llm.RankOverlap.queries, graft.llm.RankOverlap.oracleSql))
+    (graft.llm.RankOverlap.queries, graft.llm.RankOverlap.oracleSql),
+    (graft.operators.HyperBall.queries, graft.operators.HyperBall.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

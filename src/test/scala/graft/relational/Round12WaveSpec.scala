@@ -398,6 +398,21 @@ class Round12WaveSpec extends SparkSpec {
     assert(data.getLong(1) >= 0L && data.getLong(1) <= RankOverlap.SelfRbo)
   }
 
+  test("q495: HyperBall estimates track exact sampled ball sizes, " +
+      "which grow monotonically") {
+    val (n, rounds) = graft.operators.HyperBall.hyperballStats(spark, dir)
+    assert(n > 0 && rounds.size == graft.operators.HyperBall.HbRounds)
+    rounds.zipWithIndex.foreach { case ((est, exact), t) =>
+      info(f"t=${t + 1} est=$est%.1f exact=$exact")
+      assert(math.abs(est - exact.toDouble) * 1000.0 <=
+        graft.operators.HyperBall.HbTolPermille.toDouble * exact.toDouble,
+        s"round ${t + 1} estimate off by more than the tolerance")
+    }
+    val exacts = rounds.map(_._2)
+    assert(exacts.zip(exacts.tail).forall { case (a, b) => a <= b },
+      "self-loop edges make t-balls monotone")
+  }
+
   test("q469: the ensemble average reduces variance vs single trees") {
     import org.apache.spark.sql.functions._
     // Two independent 4-tree half-forest means must disagree LESS on
