@@ -88,6 +88,67 @@ object FilteredServe {
     (nq, hits, recall, converged)
   }
 
+  /** The PRE-FILTER strategy measured (the scaladoc'd alternative):
+    * one subgraph PER CATEGORY (c× index cost), each query walks only
+    * its category's graph with the UNWIDENED q456 beam — selectivity
+    * is handled by the index, not the beam. Returns (nq, hits,
+    * recall‰, all subgraph builds converged). Spec-gated head-to-head
+    * against the post-filter walk: equal-or-better recall at narrow
+    * beam is what the c× index cost buys.
+    */
+  def preFilterServeStats(s: SparkSession, dir: String)
+      : (Long, Long, Long, Boolean) = {
+    import s.implicits._
+    val (pts0, _, _) = GraphServe.servingGraph(s, dir)
+    val pts = withCat(pts0).localCheckpoint()
+    val queries = GraphServe.serveQueries(pts0)
+      .withColumn("qcat", pmod($"qid", lit(Categories)))
+      .localCheckpoint()
+    val nq = queries.count()
+    val truth = graft.plans.TopK.perGroup(
+      GraphServe.withDist(pts0, queries)(
+        pts.crossJoin(broadcast(queries.select($"qid", $"qcat")))
+          .filter($"cat" === $"qcat")
+          .select($"qid", $"vec_id".as("node"))),
+      Seq("qid"), Seq("d2" -> true, "node" -> true), 1)
+      .select($"qid", $"node".as("t_node"))
+    var allConverged = true
+    val answers = (0L until Categories).map { c =>
+      val sub = pts.filter($"cat" === c).drop("cat").localCheckpoint()
+      val qs = queries.filter($"qcat" === c)
+        .select($"qid", $"qx", $"qy").localCheckpoint()
+      val (working, _, conv, _) = Dbscan.nndConvergeFromPts(sub)
+      allConverged &&= conv
+      val undirected = working.select($"a", $"b")
+        .unionByName(working.select($"b".as("a"), $"a".as("b")))
+        .distinct()
+      val graph = graft.plans.TopK.perGroup(
+        undirected
+          .join(sub.select($"vec_id".as("a"), $"x".as("ax"), $"y".as("ay")),
+            "a")
+          .join(sub.select($"vec_id".as("b"), $"x".as("bx"), $"y".as("by")),
+            "b")
+          .select($"a", $"b",
+            (($"ax" - $"bx") * ($"ax" - $"bx") +
+              ($"ay" - $"by") * ($"ay" - $"by")).as("d2")),
+        Seq("a"), Seq("d2" -> true, "b" -> true), GraphServe.MaxDegree)
+        .select($"a", $"b")
+      val entries = sub.select($"vec_id".as("node"))
+        .orderBy(xxhash64($"node"), $"node").limit(GraphServe.Entries)
+      val beam0 = graft.plans.TopK.perGroup(
+        GraphServe.withDist(sub, qs)(
+          qs.select($"qid").crossJoin(broadcast(entries))),
+        Seq("qid"), Seq("d2" -> true, "node" -> true), GraphServe.Beam)
+      val beam = GraphServe.walk(sub, qs, graph, beam0,
+        GraphServe.Beam, GraphServe.Hops)
+      GraphServe.beamAnswer(beam)
+    }.reduce(_ unionByName _)
+    val hits = answers.join(truth, "qid")
+      .filter($"a_node" === $"t_node").count()
+    val recall = if (nq == 0) 0L else 1000L * hits / nq
+    (nq, hits, recall, allConverged)
+  }
+
   val q480FilteredServe: Q = (s, dir) => {
     import s.implicits._
     val (nq, _, recall, converged) = filteredServeStats(s, dir)

@@ -413,6 +413,21 @@ class Round12WaveSpec extends SparkSpec {
       "self-loop edges make t-balls monotone")
   }
 
+  test("q480b: pre-filter subgraphs reach the recall floor at the " +
+      "UNWIDENED beam — the c-times-index-cost tradeoff, measured") {
+    import graft.operators.{FilteredServe, GraphServe}
+    val (nqPost, _, postRecall, c1) =
+      FilteredServe.filteredServeStats(spark, dir)
+    val (nqPre, _, preRecall, c2) =
+      FilteredServe.preFilterServeStats(spark, dir)
+    info(s"post-filter (beam ${FilteredServe.FilterBeam}): $postRecall " +
+      s"permille; pre-filter (beam ${GraphServe.Beam}): $preRecall permille")
+    assert(c1 && c2 && nqPre == nqPost && nqPre > 0)
+    // the strategies' contract: pre-filter needs NO beam widening
+    assert(GraphServe.Beam < FilteredServe.FilterBeam)
+    assert(preRecall >= FilteredServe.FilteredRecallFloorPermille)
+  }
+
   test("q469: the ensemble average reduces variance vs single trees") {
     import org.apache.spark.sql.functions._
     // Two independent 4-tree half-forest means must disagree LESS on
