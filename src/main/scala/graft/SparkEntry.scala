@@ -145,7 +145,8 @@ object SparkEntry {
     (graft.relational.SpearmanCorr.queries, graft.relational.SpearmanCorr.oracleSql),
     (graft.llm.HuffmanCost.queries, graft.llm.HuffmanCost.oracleSql),
     (graft.llm.RankOverlap.queries, graft.llm.RankOverlap.oracleSql),
-    (graft.operators.HyperBall.queries, graft.operators.HyperBall.oracleSql))
+    (graft.operators.HyperBall.queries, graft.operators.HyperBall.oracleSql),
+    (graft.operators.RandomWalks.queries, graft.operators.RandomWalks.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -428,6 +428,26 @@ class Round12WaveSpec extends SparkSpec {
     assert(preRecall >= FilteredServe.FilteredRecallFloorPermille)
   }
 
+  test("q496: every walk is full-length and every hop is a real edge") {
+    import org.apache.spark.sql.functions._
+    val walks = graft.operators.RandomWalks.q496RandomWalks(spark, dir)
+      .localCheckpoint()
+    val n = walks.select($"wid").distinct().count()
+    // full length: every walk has WalkLen+1 rows, steps 0..WalkLen
+    val lens = walks.groupBy($"wid").agg(count(lit(1)).as("c"))
+      .filter($"c" =!= (graft.operators.RandomWalks.WalkLen + 1L)).count()
+    assert(lens == 0, "every walk must have WalkLen+1 positions")
+    // validity: each consecutive (node, next) pair is a graph edge
+    val hops = walks.as("a").join(walks.as("b"),
+        $"a.wid" === $"b.wid" && $"b.step" === $"a.step" + 1L)
+      .select($"a.node".as("src"), $"b.node".as("dst"))
+    val edges = graft.operators.HyperBall.hbEdges(spark, dir)
+      .filter($"src" =!= $"dst")
+    val bad = hops.join(edges, Seq("src", "dst"), "left_anti").count()
+    assert(bad == 0, s"$bad hops are not edges")
+    info(s"walks=$n hops=${hops.count()}")
+  }
+
   test("q469: the ensemble average reduces variance vs single trees") {
     import org.apache.spark.sql.functions._
     // Two independent 4-tree half-forest means must disagree LESS on
