@@ -146,7 +146,8 @@ object SparkEntry {
     (graft.llm.HuffmanCost.queries, graft.llm.HuffmanCost.oracleSql),
     (graft.llm.RankOverlap.queries, graft.llm.RankOverlap.oracleSql),
     (graft.operators.HyperBall.queries, graft.operators.HyperBall.oracleSql),
-    (graft.operators.RandomWalks.queries, graft.operators.RandomWalks.oracleSql))
+    (graft.operators.RandomWalks.queries, graft.operators.RandomWalks.oracleSql),
+    (graft.relational.VOptimalHistogram.queries, graft.relational.VOptimalHistogram.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -448,6 +448,33 @@ class Round12WaveSpec extends SparkSpec {
     info(s"walks=$n hops=${hops.count()}")
   }
 
+  test("q497: the DP matches brute force and beats equal width") {
+    import graft.relational.VOptimalHistogram
+    // skewed hand census: two flat plateaus + a spike
+    val freqs = Seq(10L, 10L, 10L, 100L, 9L, 9L, 9L, 9L)
+    def cost(ends: Seq[Int]): Double = {
+      val starts = 0 +: ends.dropRight(1).map(_ + 1)
+      starts.zip(ends).map { case (i, j) =>
+        val fs = freqs.slice(i, j + 1)
+        val m = fs.sum.toDouble / fs.size
+        fs.map(f => (f - m) * (f - m)).sum
+      }.sum
+    }
+    val dpEnds = VOptimalHistogram.vopt(freqs, 3)
+    val bruteBest = (for {
+      a <- 0 to 5; b <- (a + 1) to 6
+    } yield Seq(a, b, 7)).map(cost).min
+    info(s"dp=$dpEnds cost=${cost(dpEnds)} brute=$bruteBest")
+    assert(math.abs(cost(dpEnds) - bruteBest) < 1e-9,
+      "DP must reproduce the brute-force optimum")
+    // the spike must sit alone: equal-width cannot isolate it
+    val (nv, vScore, eScore) =
+      VOptimalHistogram.histStats(spark, dir)
+    info(s"n_values=$nv vopt_score=$vScore equiwidth_score=$eScore")
+    assert(vScore >= eScore - 2L * VOptimalHistogram.HistB,
+      "v-optimal must never lose to equal width beyond floor slack")
+  }
+
   test("q469: the ensemble average reduces variance vs single trees") {
     import org.apache.spark.sql.functions._
     // Two independent 4-tree half-forest means must disagree LESS on
