@@ -147,7 +147,8 @@ object SparkEntry {
     (graft.llm.RankOverlap.queries, graft.llm.RankOverlap.oracleSql),
     (graft.operators.HyperBall.queries, graft.operators.HyperBall.oracleSql),
     (graft.operators.RandomWalks.queries, graft.operators.RandomWalks.oracleSql),
-    (graft.relational.VOptimalHistogram.queries, graft.relational.VOptimalHistogram.oracleSql))
+    (graft.relational.VOptimalHistogram.queries, graft.relational.VOptimalHistogram.oracleSql),
+    (graft.relational.WaveletSynopsis.queries, graft.relational.WaveletSynopsis.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
