@@ -91,6 +91,79 @@ object HyperBall {
     (n, out.result())
   }
 
+  /** HARMONIC CENTRALITY from the same counters (Boldi–Vigna's
+    * headline application: `HC(v) = Σ_t (|B_t(v)| − |B_{t−1}(v)|)/t`
+    * weights each node by the reciprocal of its distance — the
+    * centrality that stays finite on disconnected graphs, unlike
+    * closeness): the per-round sketch estimates ARE the |B_t| terms,
+    * so centrality costs nothing beyond q495's propagation. Returns
+    * per sampled node (hc_estimate, hc_exact) — exact side from the
+    * same sample-bounded frontier expansion.
+    */
+  def harmonicStats(s: SparkSession, dir: String)
+      : Seq[(Long, Double, Double)] = {
+    import s.implicits._
+    val edges = PlanBridge.checkpointResetStats(hbEdges(s, dir))
+    val nodes = edges.select($"dst".as("node")).distinct()
+    val n = nodes.count()
+    val sample = nodes
+      .filter(pmod(xxhash64(lit("hbs"), $"node"), lit(1000L)) <
+        (lit(1000L) * HbSampleSrc / math.max(n, 1L)) + lit(1L))
+      .localCheckpoint()
+    var state = PlanBridge.checkpointResetStats(
+      nodes.groupBy($"node").agg(hll_sketch_agg($"node", lit(HbLgk))
+        .as("sk")))
+    var ball = PlanBridge.checkpointResetStats(
+      sample.select($"node".as("src"), $"node"))
+    val hcEst = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(0.0)
+    val hcExact = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(0.0)
+    var prevEst = sample.select($"node").as[Long].collect()
+      .map(_ -> 1.0).toMap
+    var prevExact = prevEst.keysIterator.map(_ -> 1L).toMap
+    for (t <- 1 to HbRounds) {
+      state = PlanBridge.checkpointResetStats(
+        edges.join(state.withColumnRenamed("node", "src"), "src")
+          .groupBy($"dst".as("node"))
+          .agg(hll_union_agg($"sk").as("sk")))
+      ball = PlanBridge.checkpointResetStats(
+        ball.join(edges.withColumnRenamed("src", "node"), "node")
+          .select($"src", $"dst".as("node")).distinct())
+      val est = state.join(sample, "node")
+        .select($"node", hll_sketch_estimate($"sk").as("e"))
+        .as[(Long, Double)].collect().toMap
+      val exact = ball.groupBy($"src").agg(count(lit(1)).as("c"))
+        .as[(Long, Long)].collect().toMap
+      prevEst.keysIterator.foreach { v =>
+        hcEst(v) += (est.getOrElse(v, prevEst(v)) - prevEst(v)) / t
+        hcExact(v) +=
+          (exact.getOrElse(v, prevExact(v)) - prevExact(v)).toDouble / t
+      }
+      prevEst = prevEst.keysIterator.map(v =>
+        v -> est.getOrElse(v, prevEst(v))).toMap
+      prevExact = prevExact.keysIterator.map(v =>
+        v -> exact.getOrElse(v, prevExact(v))).toMap
+    }
+    prevEst.keysIterator.map(v => (v, hcEst(v), hcExact(v))).toSeq
+      .sortBy(_._1)
+  }
+
+  val q499HarmonicCentrality: Q = (s, dir) => {
+    import s.implicits._
+    val stats = harmonicStats(s, dir)
+    val ok = stats.nonEmpty && stats.forall { case (_, est, exact) =>
+      exact == 0.0 || math.abs(est - exact) * 1000.0 <=
+        HbTolPermille.toDouble * exact
+    }
+    val n = T.customer(s, dir).count()
+    Seq((n, ok)).toDF("n_nodes", "ok")
+  }
+
+  val q499Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, TRUE AS ok
+      |FROM customer""".stripMargin
+
   val q495HyperBall: Q = (s, dir) => {
     import s.implicits._
     val (n, rounds) = hyperballStats(s, dir)
@@ -107,7 +180,9 @@ object HyperBall {
        |FROM customer""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "q495_hyperball" -> q495HyperBall)
+    "q495_hyperball" -> q495HyperBall,
+    "q499_harmonic_centrality" -> q499HarmonicCentrality)
   val oracleSql: Map[String, String] = Map(
-    "q495_hyperball" -> q495Sql)
+    "q495_hyperball" -> q495Sql,
+    "q499_harmonic_centrality" -> q499Sql)
 }

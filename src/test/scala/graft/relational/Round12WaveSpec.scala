@@ -523,6 +523,20 @@ class Round12WaveSpec extends SparkSpec {
     }
   }
 
+  test("q499: sketch-derived harmonic centrality tracks the exact one") {
+    val stats = graft.operators.HyperBall.harmonicStats(spark, dir)
+    assert(stats.nonEmpty)
+    val worst = stats.map { case (_, est, exact) =>
+      if (exact == 0.0) 0.0 else math.abs(est - exact) / exact
+    }.max
+    info(f"sampled=${stats.size} worst rel err=$worst%.4f " +
+      f"hc range=[${stats.map(_._3).min}%.2f, ${stats.map(_._3).max}%.2f]")
+    assert(worst * 1000.0 <=
+      graft.operators.HyperBall.HbTolPermille.toDouble)
+    // centrality is positive on a connected-enough graph
+    assert(stats.forall(_._3 > 0.0))
+  }
+
   test("q469: the ensemble average reduces variance vs single trees") {
     import org.apache.spark.sql.functions._
     // Two independent 4-tree half-forest means must disagree LESS on
