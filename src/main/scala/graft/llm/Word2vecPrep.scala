@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
@@ -26,13 +25,13 @@ import graft.core.{Tables => T}
   *     sum, and the emitted cumulative ppm column IS the inverse-CDF
   *     sampling table (bucket a uniform draw into [cum−p, cum)).
   *
-  * Scale shape: q488's pair generation is a per-document band
-  * self-join keyed on doc_id (per-group width bounded by document
-  * length — the flatMapGroups admission rule; an array-local HOF
-  * emitting the pairs inside one projection is the zero-shuffle
-  * spelling) followed by one (center, context) partial agg. q489 is
-  * one unigram agg + one vocabulary-bounded window (the cumulative
-  * runs over DISTINCT terms, never the corpus).
+  * Scale shape: q488's pair generation is ARRAY-LOCAL — each center's
+  * ±window context set is two slices of the same token array inside
+  * one projection (O(len·w) pairs, zero shuffle) feeding one
+  * (center, context) partial agg. q489 is one unigram agg + a
+  * TWO-LEVEL cumulative ([[graft.relational.QuantileNormalize.fullCumSum]]):
+  * the vocabulary is Heaps-law-bounded, so even the distinct-term
+  * frame must never pass through a one-task global window.
   */
 object Word2vecPrep {
 
@@ -55,11 +54,30 @@ object Word2vecPrep {
 
   val q488SkipGrams: Q = (s, dir) => {
     import s.implicits._
-    val pos = positions(s, dir)
-    val ctx = pos.select($"doc_id", $"i".as("j"), $"term".as("context"))
-    pos.join(ctx, "doc_id")
-      .filter($"i" =!= $"j" && abs($"i" - $"j") <= SgWindow)
-      .groupBy($"term".as("center"), $"context")
+    // ARRAY-LOCAL context generation (the 100 TB form): for the center
+    // at 0-based position i, the ±SgWindow context set is two slices of
+    // the SAME raw token array — O(len·w) pairs emitted inside one
+    // projection, ZERO shuffle before the (center, context) census agg.
+    // The r12 band self-join evaluated len×len candidates per doc_id
+    // group (~10¹⁰ comparisons for one 100k-token document); slices are
+    // position-identical to |i−j| ≤ SgWindow, j ≠ 0 on the raw array,
+    // with empties filtered after positioning on BOTH sides, exactly as
+    // before.
+    val toks = T.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+    // left neighbors: raw 0-based [max(0, i−w), i−1] → 1-based slice at
+    // max(1, i−w+1), length min(i, w); right: [i+1, i+w] → slice at
+    // i+2, length w (slice clamps at the array end)
+    val pairs = toks
+      .select(posexplode($"toks").as(Seq("i", "center")), $"toks")
+      .filter($"center" =!= "")
+      .select($"center", explode(concat(
+        slice($"toks",
+          greatest(lit(1), $"i" - lit(SgWindow) + lit(1)),
+          least($"i", lit(SgWindow))),
+        slice($"toks", $"i" + lit(2), lit(SgWindow)))).as("context"))
+      .filter($"context" =!= "")
+    pairs.groupBy($"center", $"context")
       .agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"center", $"context")
       .limit(SgTop)
@@ -91,11 +109,14 @@ object Word2vecPrep {
           sqrt($"cnt".cast("double") * sqrt($"cnt".cast("double"))))
           .cast("long"))
     val z = uni.agg(sum($"w_micro")).as[Long].head()
-    val w = Window.orderBy($"w_micro".desc, $"term")
-      .rowsBetween(Window.unboundedPreceding, 0)
     // ppm (not ppb): 10⁶·cum_micro ≤ 10⁶·Z stays inside int64 through
-    // sf1 (Z ≈ 10¹²); ppb would overflow where cum approaches Z
-    uni.withColumn("cum_micro", sum($"w_micro").over(w))
+    // sf1 (Z ≈ 10¹²); ppb would overflow where cum approaches Z.
+    // The cumulative runs on the TWO-LEVEL scan (fullCumSum — the
+    // q451 discipline): the vocabulary is Heaps-law-bounded, not
+    // constant-bounded — 10⁸-10⁹ distinct tokens at 100 TB would
+    // funnel through the old one-task global window.
+    graft.relational.QuantileNormalize.fullCumSum(
+      uni, Seq($"w_micro".desc, $"term"), "w_micro", "cum_micro")
       .select($"term", $"cnt", $"w_micro",
         expr(s"1000000 * w_micro div ${z}L").as("prob_ppm"),
         expr(s"1000000 * cum_micro div ${z}L").as("cum_ppm"))

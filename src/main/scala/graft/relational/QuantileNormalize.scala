@@ -52,6 +52,35 @@ object QuantileNormalize {
       .drop("pid", "rn", "poff")
   }
 
+  /** Exact inclusive running SUM of `valueCol` under lexicographic
+    * `ordCols` — the cumulative twin of [[fullRank]], same two-level
+    * scan: the per-partition cumulative runs inside each of 32 range
+    * partitions and only the 32 partition TOTALS pass through a global
+    * window (bounded by partition count, never by data), broadcast
+    * back as offsets. Replaces the one-task
+    * `Window.orderBy(...).rowsBetween(unboundedPreceding, 0)` shape
+    * that funnels the whole frame through a single task at scale.
+    */
+  def fullCumSum(df: DataFrame, ordCols: Seq[Column], valueCol: String,
+      outName: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val parts = df.repartitionByRange(32, ordCols: _*)
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy($"pid").orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCum = parts.withColumn("pcum", sum(col(valueCol)).over(wIn))
+    val offsets = withCum.groupBy($"pid")
+      .agg(sum(col(valueCol)).as("psum"))
+      .withColumn("poff", coalesce(sum($"psum").over(
+        Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"pid", $"poff")
+    withCum.join(broadcast(offsets), "pid")
+      .withColumn(outName, $"poff" + $"pcum")
+      .drop("pid", "pcum", "poff")
+  }
+
   val q487QuantileNorm: Q = (s, dir) => {
     import s.implicits._
     val rows = T.lineitem(s, dir).select(

@@ -1,7 +1,6 @@
 package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
@@ -24,8 +23,11 @@ import graft.core.{Tables => T}
   * the same 4, leaving ρ unchanged.
   *
   * Scale shape: one keyed outer join (balances ⋈ spend agg), two
-  * distinct-value rank maps (groupBy + a values-bounded window), two
-  * value-keyed joins back, one moment agg. No raw-row windows.
+  * distinct-value rank maps (groupBy + the TWO-LEVEL cumulative scan
+  * [[QuantileNormalize.fullCumSum]] — the y side has ~one distinct
+  * value per customer, so the rank map is corpus-sized and a global
+  * window would be one task), two value-keyed joins back, one moment
+  * agg. No single-task windows anywhere.
   */
 object SpearmanCorr {
 
@@ -48,11 +50,14 @@ object SpearmanCorr {
     val s = df.sparkSession
     import s.implicits._
     val byVal = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-    val cumBefore = coalesce(sum($"cnt").over(
-      Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, -1)),
-      lit(0L))
-    val ranks = byVal.withColumn(rName,
-      lit(2L) * cumBefore + $"cnt" + lit(1L)).drop("cnt")
+    // cumulative on the TWO-LEVEL scan (fullCumSum): "distinct values"
+    // is no bound at scale — the y side here has ~one distinct value
+    // per customer, i.e. the rank map IS corpus-sized, so the old
+    // one-task Window.orderBy would funnel the corpus through a single
+    // task. 2·cum_before + cnt + 1 = 2·(cum_incl − cnt) + cnt + 1.
+    val ranks = QuantileNormalize.fullCumSum(byVal, Seq(col(c)), "cnt", "cum")
+      .withColumn(rName, lit(2L) * ($"cum" - $"cnt") + $"cnt" + lit(1L))
+      .drop("cnt", "cum")
     df.join(ranks, c)
   }
 

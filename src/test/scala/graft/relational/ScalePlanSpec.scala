@@ -327,6 +327,63 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
+  test("round-13: q488/q489/q492 carry no single-task Window/Exchange " +
+    "(the rank-discipline sweep, enforced)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    atScaleRegime {
+      // q488: the len×len band self-join is gone — contexts are two
+      // array slices inside one projection. The plan must hold ZERO
+      // joins and ZERO windows: generators + one census aggregate only.
+      val p488 = graft.llm.Word2vecPrep.q488SkipGrams(spark, dir)
+        .queryExecution.executedPlan
+      assert(p488.collect { case w: WindowExec => w }.isEmpty,
+        s"q488: window in the zero-shuffle pair generator:\n${p488.treeString}")
+      assert(p488.collect {
+        case j: SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"q488: join in the array-local pair plan:\n${p488.treeString}")
+
+      // q489/q492: the cumulative runs on fullCumSum's two-level scan.
+      // Any surviving global (empty-partition-spec) window and any
+      // SinglePartition exchange must carry the PID-OFFSETS frame —
+      // grouped by spark_partition_id, so its cardinality is the range
+      // partition count (32), never corpus/vocabulary-scale rows. An
+      // aggregate grouped by a data column below the window is NOT
+      // enough (the pre-sweep plans had exactly that: a global window
+      // over the term/value census — Heaps-law-sized at 100 TB).
+      def pidBounded(p: SparkPlan): Boolean = p.collect {
+        case a: BaseAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("pid")) => a
+      }.nonEmpty
+      Seq(
+        "q489" -> graft.llm.Word2vecPrep.q489NegSampleTable(spark, dir),
+        "q492" -> SpearmanCorr.q492Spearman(spark, dir)
+      ).foreach { case (label, df) =>
+        val plan = df.queryExecution.executedPlan
+        plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.foreach { w =>
+          assert(pidBounded(w),
+            s"$label: global window over a frame not bounded by the " +
+              s"pid-offsets aggregate:\n${w.treeString}")
+        }
+        plan.collect {
+          case e: ShuffleExchangeExec
+              if e.outputPartitioning == SinglePartition => e
+        }.foreach { e =>
+          assert(pidBounded(e),
+            s"$label: single-partition exchange of a frame not bounded " +
+              s"by the pid-offsets aggregate:\n${e.treeString}")
+        }
+      }
+    }
+  }
+
   test("round-9c: q377 winnowing joins only on the fingerprint key " +
     "(no cartesian); q406's sketch side is one window over daily aggs") {
     atScaleRegime {
