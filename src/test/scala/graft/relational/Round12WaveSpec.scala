@@ -369,12 +369,43 @@ class Round12WaveSpec extends SparkSpec {
     val uni = HuffmanCost.codeLengths(
       Seq("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
     assert(uni.values.forall(_ == 2), uni)
-    val (n, v, bits, kraft, entropy, beats) =
+    val (n, v, bits, upper, kraft, entropy, beats) =
       HuffmanCost.huffmanStats(spark, dir)
     info(s"n=$n vocab=$v total_bits=$bits avg=${bits.toDouble / n}")
     assert(kraft, "Huffman trees are full: Kraft must hold with equality")
     assert(entropy, "avg length must sit in [H, H+1)")
     assert(beats, "entropy coding must beat fixed-width")
+    assert(v <= HuffmanCost.HuffCap && upper == bits,
+      "fixture vocab under the cap: no OOV leaf, upper bound = exact")
+  }
+
+  test("q493 capped: a census larger than the cap still gates, and the " +
+      "certified bound dominates the uncapped optimum") {
+    import graft.llm.HuffmanCost
+    // fixture vocab (31) exceeds cap=8, so the capped path engages:
+    // 8 leaves + 1 OOV leaf carrying 23 symbols' tail mass
+    val (n, v, bitsCapped, upperCapped, kraft, entropy, beats) =
+      HuffmanCost.huffmanStats(spark, dir, cap = 8)
+    assert(v > 8, s"fixture vocab $v must exceed the test cap")
+    assert(kraft, "Kraft equality must hold on the CAPPED tree")
+    assert(entropy, "collapsed-source Shannon band must hold")
+    // beats_fixed is honestly FALSE here: the fixture's ~uniform
+    // 31-symbol vocab codes at 5 fixed bits, and an 8-leaf cap pays a
+    // 5-bit escape id per tail token — the cap targets Zipfian corpora
+    // where the head carries the mass, and the gate reports rather
+    // than hides the flat-source case
+    assert(!beats, "flat source under an aggressive cap must report " +
+      "fixed-width as cheaper, not claim a win")
+    // the escape-extended capped code is a real code for the full
+    // source, so its cost must dominate the true Huffman optimum —
+    // and the collapsed cost alone may undercut it (fewer leaves)
+    val (_, _, bitsFull, _, _, _, _) = HuffmanCost.huffmanStats(spark, dir)
+    assert(upperCapped >= bitsFull,
+      s"certified upper bound $upperCapped below the uncapped optimum " +
+        s"$bitsFull")
+    assert(upperCapped > bitsCapped,
+      "a 23-symbol tail must carry a nonzero escape payload")
+    info(s"n=$n capped=$bitsCapped upper=$upperCapped full=$bitsFull")
   }
 
   test("q494: RBO identities — self equals the truncated mass, " +
