@@ -54,41 +54,82 @@ object HyperBall {
       .distinct()
   }
 
+  /** JVM-wide node-count memo keyed by the counters table name (the
+    * Dbscan.graphMeta discipline: the table exists in this JVM iff
+    * this JVM built it, so the entry is always present with it).
+    */
+  private val hbMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The per-round counters as a BUILD-ONCE [[graft.core.IndexStore]]
+    * table `hbcnt`: one row (t, node, est, exact) per propagation
+    * round t = 1..[[HbRounds]] and per sampled source node — a
+    * ~[[HbSampleSrc]]×[[HbRounds]]-row artifact. The O(t) keyed-shuffle
+    * sketch propagation AND the sample-bounded exact frontier expansion
+    * run ONCE per (JVM, dir); q495's round gates and q499's harmonic
+    * centrality both read the table (the r12 verdict: q499 re-ran the
+    * full propagation its scaladoc claimed came free — 5.1 s of
+    * duplicate distributed work per bench pass).
+    */
+  def countersTable(s: SparkSession, dir: String): (String, Long) = {
+    import s.implicits._
+    val t = graft.core.IndexStore.ensure(s, "hbcnt", dir) {
+      val edges = PlanBridge.checkpointResetStats(hbEdges(s, dir))
+      val nodes = edges.select($"dst".as("node")).distinct()
+      val n = nodes.count()
+      hbMeta.put(graft.core.IndexStore.tableFor("hbcnt", dir),
+        java.lang.Long.valueOf(n))
+      val sample = nodes
+        .filter(pmod(xxhash64(lit("hbs"), $"node"), lit(1000L)) <
+          (lit(1000L) * HbSampleSrc / math.max(n, 1L)) + lit(1L))
+        .localCheckpoint()
+      // HyperBall state: per-node sketch of {node}
+      var state = PlanBridge.checkpointResetStats(
+        nodes.groupBy($"node").agg(hll_sketch_agg($"node", lit(HbLgk))
+          .as("sk")))
+      // exact side: per-sample-source frontier (src, node)
+      var ball = PlanBridge.checkpointResetStats(
+        sample.select($"node".as("src"), $"node"))
+      val rows = Seq.newBuilder[(Int, Long, Double, Long)]
+      for (round <- 1 to HbRounds) {
+        state = PlanBridge.checkpointResetStats(
+          edges.join(state.withColumnRenamed("node", "src"), "src")
+            .groupBy($"dst".as("node"))
+            .agg(hll_union_agg($"sk").as("sk")))
+        ball = PlanBridge.checkpointResetStats(
+          ball.join(edges.withColumnRenamed("src", "node"), "node")
+            .select($"src", $"dst".as("node")).distinct())
+        // both reads are sample-bounded (≤ HbSampleSrc + slack rows)
+        val est = state.join(sample, "node")
+          .select($"node", hll_sketch_estimate($"sk").as("e"))
+          .as[(Long, Double)].collect().toMap
+        val exact = ball.groupBy($"src").agg(count(lit(1)).as("c"))
+          .as[(Long, Long)].collect().toMap
+        est.keysIterator.toSeq.sorted.foreach { v =>
+          rows += ((round, v, est(v), exact(v)))
+        }
+      }
+      rows.result().toDF("t", "node", "est", "exact")
+    }
+    val m = hbMeta.get(t)
+    require(m != null, s"counters table $t exists without build metadata")
+    (t, m.longValue())
+  }
+
   /** (n_nodes, per-round (estimate, exact) sums over the source
-    * sample) — public for the spec.
+    * sample) — public for the spec; derived from the persisted
+    * counters table, zero propagation re-run.
     */
   def hyperballStats(s: SparkSession, dir: String)
       : (Long, Seq[(Double, Long)]) = {
     import s.implicits._
-    val edges = PlanBridge.checkpointResetStats(hbEdges(s, dir))
-    val nodes = edges.select($"dst".as("node")).distinct()
-    val n = nodes.count()
-    val sample = nodes
-      .filter(pmod(xxhash64(lit("hbs"), $"node"), lit(1000L)) <
-        (lit(1000L) * HbSampleSrc / math.max(n, 1L)) + lit(1L))
-      .localCheckpoint()
-    // HyperBall state: per-node sketch of {node}
-    var state = PlanBridge.checkpointResetStats(
-      nodes.groupBy($"node").agg(hll_sketch_agg($"node", lit(HbLgk))
-        .as("sk")))
-    // exact side: per-sample-source frontier (src, node)
-    var ball = PlanBridge.checkpointResetStats(
-      sample.select($"node".as("src"), $"node"))
-    val out = Seq.newBuilder[(Double, Long)]
-    for (_ <- 1 to HbRounds) {
-      state = PlanBridge.checkpointResetStats(
-        edges.join(state.withColumnRenamed("node", "src"), "src")
-          .groupBy($"dst".as("node"))
-          .agg(hll_union_agg($"sk").as("sk")))
-      ball = PlanBridge.checkpointResetStats(
-        ball.join(edges.withColumnRenamed("src", "node"), "node")
-          .select($"src", $"dst".as("node")).distinct())
-      val est = state.join(sample, "node")
-        .agg(sum(hll_sketch_estimate($"sk"))).as[Double].head()
-      val exact = ball.count()
-      out += ((est, exact))
-    }
-    (n, out.result())
+    val (tbl, n) = countersTable(s, dir)
+    val rounds = s.table(tbl).groupBy($"t")
+      .agg(sum($"est").as("e"), sum($"exact").as("x"))
+      .orderBy($"t")
+      .as[(Int, Double, Long)].collect()
+      .map { case (_, e, x) => (e, x) }.toSeq
+    (n, rounds)
   }
 
   /** HARMONIC CENTRALITY from the same counters (Boldi–Vigna's
@@ -96,57 +137,33 @@ object HyperBall {
     * weights each node by the reciprocal of its distance — the
     * centrality that stays finite on disconnected graphs, unlike
     * closeness): the per-round sketch estimates ARE the |B_t| terms,
-    * so centrality costs nothing beyond q495's propagation. Returns
+    * so centrality is a driver fold over the PERSISTED counters table
+    * — zero propagation beyond the one q495 already paid. Returns
     * per sampled node (hc_estimate, hc_exact) — exact side from the
     * same sample-bounded frontier expansion.
     */
   def harmonicStats(s: SparkSession, dir: String)
       : Seq[(Long, Double, Double)] = {
     import s.implicits._
-    val edges = PlanBridge.checkpointResetStats(hbEdges(s, dir))
-    val nodes = edges.select($"dst".as("node")).distinct()
-    val n = nodes.count()
-    val sample = nodes
-      .filter(pmod(xxhash64(lit("hbs"), $"node"), lit(1000L)) <
-        (lit(1000L) * HbSampleSrc / math.max(n, 1L)) + lit(1L))
-      .localCheckpoint()
-    var state = PlanBridge.checkpointResetStats(
-      nodes.groupBy($"node").agg(hll_sketch_agg($"node", lit(HbLgk))
-        .as("sk")))
-    var ball = PlanBridge.checkpointResetStats(
-      sample.select($"node".as("src"), $"node"))
-    val hcEst = scala.collection.mutable.Map.empty[Long, Double]
-      .withDefaultValue(0.0)
-    val hcExact = scala.collection.mutable.Map.empty[Long, Double]
-      .withDefaultValue(0.0)
-    var prevEst = sample.select($"node").as[Long].collect()
-      .map(_ -> 1.0).toMap
-    var prevExact = prevEst.keysIterator.map(_ -> 1L).toMap
-    for (t <- 1 to HbRounds) {
-      state = PlanBridge.checkpointResetStats(
-        edges.join(state.withColumnRenamed("node", "src"), "src")
-          .groupBy($"dst".as("node"))
-          .agg(hll_union_agg($"sk").as("sk")))
-      ball = PlanBridge.checkpointResetStats(
-        ball.join(edges.withColumnRenamed("src", "node"), "node")
-          .select($"src", $"dst".as("node")).distinct())
-      val est = state.join(sample, "node")
-        .select($"node", hll_sketch_estimate($"sk").as("e"))
-        .as[(Long, Double)].collect().toMap
-      val exact = ball.groupBy($"src").agg(count(lit(1)).as("c"))
-        .as[(Long, Long)].collect().toMap
-      prevEst.keysIterator.foreach { v =>
-        hcEst(v) += (est.getOrElse(v, prevEst(v)) - prevEst(v)) / t
-        hcExact(v) +=
-          (exact.getOrElse(v, prevExact(v)) - prevExact(v)).toDouble / t
+    val (tbl, _) = countersTable(s, dir)
+    // sample×rounds rows — bounded collect by construction
+    val byNode = s.table(tbl)
+      .as[(Int, Long, Double, Long)].collect()
+      .groupBy(_._2)
+    byNode.keysIterator.toSeq.sorted.map { v =>
+      val rounds = byNode(v).sortBy(_._1)
+      var prevEst = 1.0
+      var prevExact = 1L
+      var hcEst = 0.0
+      var hcExact = 0.0
+      rounds.foreach { case (t, _, est, exact) =>
+        hcEst += (est - prevEst) / t
+        hcExact += (exact - prevExact).toDouble / t
+        prevEst = est
+        prevExact = exact
       }
-      prevEst = prevEst.keysIterator.map(v =>
-        v -> est.getOrElse(v, prevEst(v))).toMap
-      prevExact = prevExact.keysIterator.map(v =>
-        v -> exact.getOrElse(v, prevExact(v))).toMap
+      (v, hcEst, hcExact)
     }
-    prevEst.keysIterator.map(v => (v, hcEst(v), hcExact(v))).toSeq
-      .sortBy(_._1)
   }
 
   val q499HarmonicCentrality: Q = (s, dir) => {
