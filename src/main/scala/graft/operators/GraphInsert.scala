@@ -36,6 +36,55 @@ object GraphInsert {
   /** Pinned after measuring (1000‰ at sf0.001/0.01/0.1). */
   val InsertRecallFloorPermille = 900L
 
+  /** JVM-wide convergence memo keyed by the base-graph table name —
+    * the Dbscan.graphMeta discipline: the table exists in this JVM iff
+    * this JVM built it, so the entry is always present with it. The
+    * r12 shape (`var baseConverged = true` assigned only inside the
+    * build lambda) reported the DEFAULT when the table pre-existed
+    * (e.g. qs22 built it first); the gate now always reflects the real
+    * build outcome.
+    */
+  private val baseMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Convergence recorded at build time for this dir's base graph, if
+    * this JVM built it — test hook for the reuse-path spec. */
+  private[graft] def baseMetaFor(dir: String): Option[Boolean] =
+    Option(baseMeta.get(graft.core.IndexStore.tableFor("ginsb", dir)))
+      .map(_.booleanValue())
+
+  /** Build-or-reuse the capped base serving graph over `base` (the
+    * 90% hash-stable subset) as the build-once IndexStore table
+    * `ginsb`, shared by q477 and qs22; returns (table name,
+    * converged-at-build).
+    */
+  def ensureBaseGraph(s: SparkSession, dir: String,
+      base: org.apache.spark.sql.DataFrame): (String, Boolean) = {
+    import s.implicits._
+    val t = graft.core.IndexStore.ensure(s, "ginsb", dir) {
+      val (working, _, conv, _) = Dbscan.nndConvergeFromPts(base)
+      baseMeta.put(graft.core.IndexStore.tableFor("ginsb", dir),
+        java.lang.Boolean.valueOf(conv))
+      val undirected = working.select($"a", $"b")
+        .unionByName(working.select($"b".as("a"), $"a".as("b")))
+        .distinct()
+      graft.plans.TopK.perGroup(
+        undirected
+          .join(base.select($"vec_id".as("a"), $"x".as("ax"), $"y".as("ay")),
+            "a")
+          .join(base.select($"vec_id".as("b"), $"x".as("bx"), $"y".as("by")),
+            "b")
+          .select($"a", $"b",
+            (($"ax" - $"bx") * ($"ax" - $"bx") +
+              ($"ay" - $"by") * ($"ay" - $"by")).as("d2")),
+        Seq("a"), Seq("d2" -> true, "b" -> true), GraphServe.MaxDegree)
+        .select($"a", $"b")
+    }
+    val m = baseMeta.get(t)
+    require(m != null, s"base graph $t exists without build metadata")
+    (t, m.booleanValue())
+  }
+
   /** (n_total, n_delta, hits, recall‰, converged) — public for the
     * spec. */
   def insertStats(s: SparkSession, dir: String)
@@ -53,26 +102,9 @@ object GraphInsert {
     val delta = pts.filter(isDelta).localCheckpoint()
     val nDelta = delta.count()
     val n = pts.count()
-    // base serving graph, built once per (JVM, dir)
-    var baseConverged = true
-    val bt = graft.core.IndexStore.ensure(s, "ginsb", dir) {
-      val (working, _, conv, _) = Dbscan.nndConvergeFromPts(base)
-      baseConverged = conv
-      val undirected = working.select($"a", $"b")
-        .unionByName(working.select($"b".as("a"), $"a".as("b")))
-        .distinct()
-      graft.plans.TopK.perGroup(
-        undirected
-          .join(base.select($"vec_id".as("a"), $"x".as("ax"), $"y".as("ay")),
-            "a")
-          .join(base.select($"vec_id".as("b"), $"x".as("bx"), $"y".as("by")),
-            "b")
-          .select($"a", $"b",
-            (($"ax" - $"bx") * ($"ax" - $"bx") +
-              ($"ay" - $"by") * ($"ay" - $"by")).as("d2")),
-        Seq("a"), Seq("d2" -> true, "b" -> true), GraphServe.MaxDegree)
-        .select($"a", $"b")
-    }
+    // base serving graph, built once per (JVM, dir); convergence read
+    // from the build-time memo, never a default
+    val (bt, baseConverged) = ensureBaseGraph(s, dir, base)
     val baseGraph = s.table(bt)
     // INSERT: every delta point walks the base graph as a query and
     // links to its best visited nodes (both directions)

@@ -997,24 +997,10 @@ object StreamBench {
       pmod(xxhash64(lit("gins"), $"vec_id"), lit(GraphInsert.DeltaMod)) === 0L
     val base = pts.filter(!isDelta).localCheckpoint()
     val delta = pts.filter(isDelta)
-    // base serving graph: the SAME build-once IndexStore table as q477
-    val bt = graft.core.IndexStore.ensure(s, "ginsb", dir) {
-      val (working, _, conv, _) = Dbscan.nndConvergeFromPts(base)
-      require(conv, "qs22 base graph build must converge")
-      val undirected = working.select($"a", $"b")
-        .unionByName(working.select($"b".as("a"), $"a".as("b"))).distinct()
-      graft.plans.TopK.perGroup(
-        undirected
-          .join(base.select($"vec_id".as("a"), $"x".as("ax"), $"y".as("ay")),
-            "a")
-          .join(base.select($"vec_id".as("b"), $"x".as("bx"), $"y".as("by")),
-            "b")
-          .select($"a", $"b",
-            (($"ax" - $"bx") * ($"ax" - $"bx") +
-              ($"ay" - $"by") * ($"ay" - $"by")).as("d2")),
-        Seq("a"), Seq("d2" -> true, "b" -> true), GraphServe.MaxDegree)
-        .select($"a", $"b")
-    }
+    // base serving graph: the SAME build-once IndexStore table as q477,
+    // through the shared builder so convergence memoizes JVM-wide
+    val (bt, baseConverged) = GraphInsert.ensureBaseGraph(s, dir, base)
+    require(baseConverged, "qs22 base graph build must converge")
     var graph = org.apache.spark.sql.graftbridge.PlanBridge
       .checkpointResetStats(s.table(bt))
     val entries = base.select($"vec_id".as("node"))

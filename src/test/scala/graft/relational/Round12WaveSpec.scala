@@ -125,6 +125,37 @@ class Round12WaveSpec extends SparkSpec {
       s"merged-graph serve recall $recall under the floor")
   }
 
+  test("q477 reuse: the convergence gate reads the build-time memo, " +
+      "never a default (r12 verdict finding 6)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dbscan, GraphInsert}
+    val s = spark
+    import s.implicits._
+    // PRE-BUILD ginsb in this session, the qs22-first entry order that
+    // skipped q477's build lambda in r12 and left its gate on the
+    // `var baseConverged = true` initializer
+    val pts = graft.core.Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        expr(s"CAST(FLOOR(${Dbscan.DbScale} * embedding[0]) AS BIGINT)")
+          .as("x"),
+        expr(s"CAST(FLOOR(${Dbscan.DbScale} * embedding[1]) AS BIGINT)")
+          .as("y"))
+    val base = pts.filter(
+      pmod(xxhash64(lit("gins"), $"vec_id"), lit(GraphInsert.DeltaMod))
+        =!= 0L).localCheckpoint()
+    val (_, convAtBuild) = GraphInsert.ensureBaseGraph(spark, dir, base)
+    assert(GraphInsert.baseMetaFor(dir).contains(convAtBuild),
+      "build must leave its convergence outcome in the JVM-wide memo")
+    // re-enter q477 with the table pre-existing: the build lambda is
+    // skipped and the reported convergence must be the memoized real
+    // outcome (a missing memo now throws instead of defaulting)
+    val (_, _, _, _, convOnReuse) =
+      GraphInsert.insertStats(spark, dir)
+    assert(convOnReuse == convAtBuild,
+      s"reuse path reported $convOnReuse but the build recorded " +
+        s"$convAtBuild")
+  }
+
   test("q478: per-key LTTB keeps endpoints and increasing days per series") {
     import org.apache.spark.sql.functions._
     val rows = graft.relational.TimeSeriesQueries.q478LttbPerKey(spark, dir)
