@@ -1,0 +1,53 @@
+package graft.relational
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-13 operator gates. */
+class Round13WaveSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q500: inversion-counted D matches brute force on tie-heavy " +
+      "data (bucket straddles exercised), and tau hits ±1 on monotone " +
+      "maps") {
+    import spark.implicits._
+    // tie-heavy synthetic frame: x mod 7, y mod 5 over md5-scrambled
+    // ids — every x and y bucket boundary straddles a tie group, the
+    // exact case the decomposition's correction-freeness proves away
+    val rows = (0L until 500L).map { i =>
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"kx:$i".getBytes("UTF-8"))
+      val hy = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ky:$i".getBytes("UTF-8"))
+      (((hx(0) & 0xff).toLong % 7), ((hy(0) & 0xff).toLong % 5), i)
+    }
+    val df = rows.toDF("x", "y", "uid")
+    val (n, n0, nc, nd, n1, n2, n12) = KendallTau.tauStats(df)
+    assert(n == 500 && n0 == 500L * 499 / 2)
+    // brute force over the 125k pairs
+    var bd = 0L; var bc = 0L
+    for (i <- rows.indices; j <- (i + 1) until rows.size) {
+      val (xi, yi, _) = rows(i); val (xj, yj, _) = rows(j)
+      if ((xi < xj && yi > yj) || (xi > xj && yi < yj)) bd += 1
+      if ((xi < xj && yi < yj) || (xi > xj && yi > yj)) bc += 1
+    }
+    assert(nd == bd, s"distributed D $nd != brute-force $bd")
+    assert(nc == bc, s"identity-derived C $nc != brute-force $bc")
+    assert(n0 == nc + nd + n1 + n2 - n12,
+      "pair classes must partition n0")
+    // monotone map: tau exactly +1; anti-monotone: exactly -1
+    val mono = (0L until 300L).map(i => (i, 2 * i + 7, i)).toDF("x", "y", "uid")
+    val (mn, _, mc, md, _, _, _) = KendallTau.tauStats(mono)
+    assert(md == 0 && mc == mn * (mn - 1) / 2, "monotone: all concordant")
+    val anti = (0L until 300L).map(i => (i, -3 * i, i)).toDF("x", "y", "uid")
+    val (an, _, ac, ad, _, _, _) = KendallTau.tauStats(anti)
+    assert(ac == 0 && ad == an * (an - 1) / 2, "anti: all discordant")
+    // the data itself: q500 runs end-to-end and tau lands in [-1, 1]
+    val out = KendallTau.q500KendallTau(spark, dir).head()
+    val tau = out.getAs[Double]("tau_b")
+    assert(math.abs(tau) <= 1.0, s"tau_b out of range: $tau")
+    info(s"sf0.001 tau_b=$tau n_c=${out.getAs[Long]("n_c")} " +
+      s"n_d=${out.getAs[Long]("n_d")}")
+  }
+}
