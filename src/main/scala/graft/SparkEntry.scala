@@ -144,6 +144,7 @@ object SparkEntry {
     (graft.relational.Raking.queries, graft.relational.Raking.oracleSql),
     (graft.relational.SpearmanCorr.queries, graft.relational.SpearmanCorr.oracleSql),
     (graft.relational.KendallTau.queries, graft.relational.KendallTau.oracleSql),
+    (graft.relational.CountSketch.queries, graft.relational.CountSketch.oracleSql),
     (graft.llm.HuffmanCost.queries, graft.llm.HuffmanCost.oracleSql),
     (graft.llm.RankOverlap.queries, graft.llm.RankOverlap.oracleSql),
     (graft.operators.HyperBall.queries, graft.operators.HyperBall.oracleSql),

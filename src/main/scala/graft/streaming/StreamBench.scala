@@ -982,6 +982,45 @@ object StreamBench {
     * q456 query set over the FINAL graph ≥ the q477 floor, and every
     * streamed delta node must be wired into the final edge set.
     */
+  /** qs23 — streaming COUNT-SKETCH over [[BloomBatches]] micro-batches
+    * (the signed sibling of qs03): per-shard Depth×Width cell fold,
+    * final merged cells required BIT-IDENTICAL to the batch one-pass
+    * sketch over the same rows — the identity is gated in-entry.
+    */
+  val qs23CountSketchStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val stream = MemoryStream[Event]
+    val name = s"bench_csketch_${runId.incrementAndGet()}"
+    val q = CountSketchStream.sketches(stream.toDS())
+      .toDF("shard", "cells")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-csketch-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val emissions = s.table(name).select($"shard", $"cells")
+      .as[(Long, Array[Byte])].collect()
+    s.catalog.dropTempView(name)
+    val last = emissions.zipWithIndex
+      .groupBy(_._1._1).map { case (_, es) => es.maxBy(_._2)._1._2 }.toSeq
+    val merged = CountSketchStream.merge(last)
+    val batch = graft.relational.CountSketch.denseCells(
+      graft.relational.CountSketch.batchCells(
+        rows.map(_.user_id).toDF("k")).as[(Long, Long, Long)]
+        .collect().toSeq)
+    require(merged.sameElements(batch),
+      "qs23: streamed-merged cells differ from the batch sketch")
+    Seq((rows.size.toLong, merged.count(_ != 0L).toLong))
+      .toDF("n_in", "nonzero_cells")
+  }
+
   val qs22GraphInsertStream: Q = (s, dir) => withStreamConfs(s) {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -1077,6 +1116,7 @@ object StreamBench {
   }
 
   val benchOnly: Map[String, Q] = Map(
+    "qs23_count_sketch_stream" -> qs23CountSketchStream,
     "qs22_graph_insert_stream" -> qs22GraphInsertStream,
     "qs21_beam_serve_stream" -> qs21BeamServeStream,
     "qs20_stream_static_join" -> qs20StreamStaticJoin,
