@@ -146,6 +146,7 @@ object SparkEntry {
     (graft.relational.KendallTau.queries, graft.relational.KendallTau.oracleSql),
     (graft.relational.CountSketch.queries, graft.relational.CountSketch.oracleSql),
     (graft.operators.ButterflyCount.queries, graft.operators.ButterflyCount.oracleSql),
+    (graft.relational.DynamicPivot.queries, graft.relational.DynamicPivot.oracleSql),
     (graft.llm.HuffmanCost.queries, graft.llm.HuffmanCost.oracleSql),
     (graft.llm.RankOverlap.queries, graft.llm.RankOverlap.oracleSql),
     (graft.operators.HyperBall.queries, graft.operators.HyperBall.oracleSql),

@@ -88,4 +88,28 @@ class Round13WaveSpec extends SparkSpec {
       s"wedges=${out.getAs[Long]("n_wedges")} " +
       s"butterflies=${out.getAs[Long]("n_butterflies")}")
   }
+
+  test("q503: the pivot schema is data-derived and cells match the " +
+      "census") {
+    import spark.implicits._
+    val out = DynamicPivot.q503DynamicPivot(spark, dir)
+    val expectedVals = graft.core.Tables.orders(spark, dir)
+      .select($"o_orderpriority").distinct().as[String].collect()
+      .sorted.toSeq
+    assert(out.columns.toSeq == ("o_orderstatus" +: expectedVals),
+      s"schema not data-derived: ${out.columns.toSeq}")
+    // cells = the long-form census, cross-checked cell by cell
+    val census = graft.core.Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+      .map { case (st, pr, n) => (st, pr) -> n }.toMap
+    out.collect().foreach { r =>
+      val st = r.getString(0)
+      expectedVals.zipWithIndex.foreach { case (pr, i) =>
+        assert(r.getLong(i + 1) == census.getOrElse((st, pr), 0L),
+          s"cell ($st, $pr) mismatch")
+      }
+    }
+  }
 }
