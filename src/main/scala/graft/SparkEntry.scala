@@ -147,6 +147,9 @@ object SparkEntry {
     (graft.relational.CountSketch.queries, graft.relational.CountSketch.oracleSql),
     (graft.operators.ButterflyCount.queries, graft.operators.ButterflyCount.oracleSql),
     (graft.relational.DynamicPivot.queries, graft.relational.DynamicPivot.oracleSql),
+    (graft.operators.Hits.queries, graft.operators.Hits.oracleSql),
+    (graft.llm.BprTriplets.queries, graft.llm.BprTriplets.oracleSql),
+    (graft.relational.DictionaryEncode.queries, graft.relational.DictionaryEncode.oracleSql),
     (graft.llm.HuffmanCost.queries, graft.llm.HuffmanCost.oracleSql),
     (graft.llm.RankOverlap.queries, graft.llm.RankOverlap.oracleSql),
     (graft.operators.HyperBall.queries, graft.operators.HyperBall.oracleSql),

@@ -89,6 +89,69 @@ class Round13WaveSpec extends SparkSpec {
       s"butterflies=${out.getAs[Long]("n_butterflies")}")
   }
 
+  test("q504: HITS mutual recursion on a hand star graph — the hub " +
+      "that buys everything makes its parts the top authorities") {
+    import spark.implicits._
+    // customers 1..3; parts 10..12; customer 1 buys all three parts,
+    // 2 and 3 buy only part 10 → part 10 is the runaway authority and
+    // the round-2 scores follow the exact integer recursion
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (3L, 10L))
+      .toDF("c", "p")
+    var auth = e.groupBy($"p").agg(count(lit(1)).as("a"))
+    var hub = e.join(auth, "p").groupBy($"c").agg(sum($"a").as("h"))
+    auth = e.join(hub, "c").groupBy($"p").agg(sum($"h").as("a"))
+    val a2 = auth.as[(Long, Long)].collect().toMap
+    // auth1: p10=3, p11=1, p12=1; hub1: c1=5, c2=3, c3=3
+    // auth2: p10=5+3+3=11, p11=5, p12=5
+    assert(a2 == Map(10L -> 11L, 11L -> 5L, 12L -> 5L), a2)
+    val out = graft.operators.Hits.q504Hits(spark, dir).collect()
+    assert(out.length == graft.operators.Hits.HitsTop)
+    val scores = out.map(_.getAs[Long]("authority"))
+    assert(scores.sameElements(scores.sorted.reverse) && scores.forall(_ > 0),
+      "authorities must come back descending and positive")
+  }
+
+  test("q505: every BPR negative is unpurchased, candidates are " +
+      "deterministic, and the pick is the first survivor") {
+    import spark.implicits._
+    val out = graft.llm.BprTriplets.q505BprTriplets(spark, dir)
+    val rows = out.as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "sampled users must yield triplets")
+    val edges = graft.core.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey")
+      .join(graft.core.Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSet
+    rows.foreach { case (u, pos, neg) =>
+      assert(edges.contains((u, pos)), s"positive ($u, $pos) not an edge")
+      assert(!edges.contains((u, neg)),
+        s"negative ($u, $neg) was actually purchased")
+      assert(u % graft.llm.BprTriplets.BprUserMod == 0)
+    }
+    // one triplet per positive of the sampled users
+    val expected = edges.count { case (u, _) =>
+      u % graft.llm.BprTriplets.BprUserMod == 0 }
+    assert(rows.length == expected,
+      s"${rows.length} triplets for $expected sampled positives " +
+        "(a dropped pair would mean 8 candidate rejections — " +
+        "probability ~1e-7 even at sf0.001)")
+  }
+
+  test("q506: dictionary codes are dense, ordered, and range queries " +
+      "agree between strings and codes") {
+    import spark.implicits._
+    val out = graft.relational.DictionaryEncode.q506DictEncode(spark, dir)
+      .as[(Long, String, Long)].collect()
+    assert(out.length == graft.relational.DictionaryEncode.DictHead)
+    // dense head: codes 1..20, names strictly increasing with code
+    assert(out.map(_._1).sameElements(1L to 20L))
+    assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted,
+      "names must be sorted exactly as their codes")
+    assert(out.head._3 > 0L, "the inter-quartile range must be non-empty")
+  }
+
   test("q503: the pivot schema is data-derived and cells match the " +
       "census") {
     import spark.implicits._
