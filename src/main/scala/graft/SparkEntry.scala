@@ -150,6 +150,7 @@ object SparkEntry {
     (graft.operators.Hits.queries, graft.operators.Hits.oracleSql),
     (graft.llm.BprTriplets.queries, graft.llm.BprTriplets.oracleSql),
     (graft.relational.DictionaryEncode.queries, graft.relational.DictionaryEncode.oracleSql),
+    (graft.llm.BlocklistScan.queries, graft.llm.BlocklistScan.oracleSql),
     (graft.llm.HuffmanCost.queries, graft.llm.HuffmanCost.oracleSql),
     (graft.llm.RankOverlap.queries, graft.llm.RankOverlap.oracleSql),
     (graft.operators.HyperBall.queries, graft.operators.HyperBall.oracleSql),

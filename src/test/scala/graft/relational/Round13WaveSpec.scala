@@ -152,6 +152,42 @@ class Round13WaveSpec extends SparkSpec {
     assert(out.head._3 > 0L, "the inter-quartile range must be non-empty")
   }
 
+  test("q507: Aho-Corasick counts every occurrence (overlaps included), " +
+      "matches the replace-count on borderless patterns, and runs " +
+      "inside codegen") {
+    import spark.implicits._
+    import graft.functions.AcMatchCounts
+    // overlapping: "aa" occurs at positions 0 and 1 of "aaa"
+    val t = Seq("aaab", "aaa", "xyx", "").toDF("text")
+      .select($"text", AcMatchCounts($"text", Seq("aa", "ab", "xyx"))
+        .as("m"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(t("aaab") == Seq(2L, 1L, 0L), t("aaab"))
+    assert(t("aaa") == Seq(2L, 0L, 0L), t("aaa"))
+    assert(t("xyx") == Seq(0L, 0L, 1L), t("xyx"))
+    assert(t("") == Seq(0L, 0L, 0L), t(""))
+    // fixture: AC totals equal the per-pattern replace-count (the
+    // borderless-pattern equivalence the oracle relies on)
+    val docs = graft.core.Tables.documents(spark, dir)
+    graft.llm.BlocklistScan.Patterns.zipWithIndex.foreach { case (p, i) =>
+      val viaReplace = docs.select(
+        ((length($"text") - length(regexp_replace($"text",
+          java.util.regex.Pattern.quote(p), ""))) / p.length).cast("long")
+          .as("m"))
+        .agg(sum($"m")).as[Long].head()
+      val viaAc = docs.select(
+        element_at(AcMatchCounts($"text", graft.llm.BlocklistScan.Patterns), i + 1)
+          .as("m")).agg(sum($"m")).as[Long].head()
+      assert(viaAc == viaReplace, s"pattern '$p': AC $viaAc != $viaReplace")
+    }
+    // the expression must live inside a whole-stage-codegen projection
+    // (the `*(n)` stage marker on the Project node)
+    val plan = docs.select(AcMatchCounts($"text", Seq("an")).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("acmatchcounts"),
+      plan)
+  }
+
   test("q503: the pivot schema is data-derived and cells match the " +
       "census") {
     import spark.implicits._
