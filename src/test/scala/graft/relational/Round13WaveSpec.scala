@@ -188,6 +188,74 @@ class Round13WaveSpec extends SparkSpec {
       plan)
   }
 
+  test("q508: sequential pairs are directed, cross-order, and " +
+      "window-bounded") {
+    import spark.implicits._
+    val out = graft.relational.SequentialPairs
+      .q508SequentialPairs(spark, dir).collect()
+    assert(out.nonEmpty && out.length <=
+      graft.relational.SequentialPairs.SeqTop)
+    val counts = out.map(_.getAs[Long]("cnt"))
+    assert(counts.sameElements(counts.sorted.reverse))
+    // directionality: (p1→p2) and (p2→p1) are DIFFERENT keys — both
+    // may appear; spot-check one emitted pair against a hand count
+    val r = out.head
+    val (p1, p2) = (r.getAs[Long]("p1"), r.getAs[Long]("p2"))
+    val bought = graft.core.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey")
+      .join(graft.core.Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey",
+          to_date($"o_orderdate").as("d")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p"), $"d",
+        $"l_orderkey".as("ok"))
+      .distinct().as[(Long, Long, java.sql.Date, Long)].collect()
+    val hand = (for {
+      a <- bought if a._2 == p1
+      b <- bought if b._2 == p2 && b._1 == a._1 && b._4 != a._4 &&
+        b._3.toLocalDate.isAfter(a._3.toLocalDate) &&
+        java.time.temporal.ChronoUnit.DAYS.between(
+          a._3.toLocalDate, b._3.toLocalDate) <=
+          graft.relational.SequentialPairs.SeqWindowDays
+    } yield 1).size
+    assert(r.getAs[Long]("cnt") == hand.toLong,
+      s"($p1 -> $p2): engine ${r.getAs[Long]("cnt")} vs hand $hand")
+  }
+
+  test("q509: the 4-truss is a strict subgraph of the 3-core family " +
+      "discipline — every surviving edge has >= 2 triangles inside " +
+      "the survivor set, and a hand graph peels exactly") {
+    import spark.implicits._
+    // hand graph: K4 on {1,2,3,4} (every edge in 2 triangles inside
+    // K4 -> survives whole) + a pendant triangle {4,5,6} (each of its
+    // edges has exactly 1 supporting triangle -> peeled)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val e0 = (und ++ und.map(p => (p._2, p._1))).toDF("u", "v")
+    def peel(e: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val a = e.select($"u".as("au"), $"v".as("aw"))
+      val b = e.select($"u".as("bu"), $"v".as("bw"))
+      e.join(a, $"au" === $"u" && $"aw" =!= $"v")
+        .join(b, $"bu" === $"v" && $"bw" === $"aw")
+        .groupBy($"u", $"v").agg(count(lit(1)).as("sup"))
+        .filter($"sup" >= 2).select($"u", $"v")
+    }
+    val p1 = peel(e0).as[(Long, Long)].collect().toSet
+    assert(p1 == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).flatMap(p => Set(p, (p._2, p._1))),
+      s"K4 must survive, the pendant triangle must peel: $p1")
+    // fixture: the final truss is CLOSED — recompute support within
+    // the surviving set and require every edge >= k-2
+    val truss = graft.operators.KTruss.q509KTruss(spark, dir)
+    val half = truss.as[(Long, Long)].collect().toSet
+    assert(half.nonEmpty, "4-truss must be non-empty on the block graph")
+    val full = (half ++ half.map(p => (p._2, p._1))).toSeq.toDF("u", "v")
+    val reSup = peel(full).as[(Long, Long)].collect().toSet
+    assert(reSup == half ++ half.map(p => (p._2, p._1)),
+      "the emitted truss is not a fixpoint of its own peel")
+  }
+
   test("q503: the pivot schema is data-derived and cells match the " +
       "census") {
     import spark.implicits._
