@@ -256,6 +256,82 @@ class Round13WaveSpec extends SparkSpec {
       "the emitted truss is not a fixpoint of its own peel")
   }
 
+  test("q510: WL colors distinguish a path's endpoints from its " +
+      "middle but not the two endpoints of a symmetric graph") {
+    import spark.implicits._
+    // path 1-2-3: round-0 colors by degree {1:1, 2:2, 3:1}; after one
+    // refinement the endpoints STILL share a color (same degree, same
+    // neighbor multiset {2's color}) and the middle differs
+    def refine(e0: Seq[(Long, Long)], rounds: Int)
+        : Map[Long, String] = {
+      val e = (e0 ++ e0.map(p => (p._2, p._1))).toDF("u", "v")
+      var colors = e.groupBy($"u".as("node"))
+        .agg(count(lit(1)).cast("string").as("color"))
+      for (_ <- 1 to rounds) {
+        colors = e.join(colors.withColumnRenamed("node", "v"), "v")
+          .groupBy($"u".as("node"))
+          .agg(sort_array(collect_list($"color")).as("nc"))
+          .join(colors, "node")
+          .select($"node", md5(concat($"color", lit("|"),
+            array_join($"nc", "|"))).as("color"))
+      }
+      colors.as[(Long, String)].collect().toMap
+    }
+    val path = refine(Seq((1L, 2L), (2L, 3L)), 2)
+    assert(path(1L) == path(3L), "path endpoints are WL-equivalent")
+    assert(path(1L) != path(2L), "the middle node must refine apart")
+    // star 1-{2,3,4}: all leaves equivalent, center apart
+    val star = refine(Seq((1L, 2L), (1L, 3L), (1L, 4L)), 2)
+    assert(star(2L) == star(3L) && star(3L) == star(4L))
+    assert(star(1L) != star(2L))
+    val out = graft.operators.WlRefinement.q510WlRefinement(spark, dir)
+      .collect()
+    assert(out.nonEmpty &&
+      out.map(_.getAs[Long]("class_size")).sum > 0)
+  }
+
+  test("q511: symbols are quartile-ordered and the motif census " +
+      "counts hand-checkable words") {
+    import spark.implicits._
+    val out = graft.relational.SaxMotifs.q511SaxMotifs(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val w = r.getAs[String]("word")
+      assert(w.length == graft.relational.SaxMotifs.SaxWord &&
+        w.forall(c => c >= '0' && c <= '3'), s"malformed word $w")
+    }
+    val counts = out.map(_.getAs[Long]("cnt"))
+    assert(counts.sameElements(counts.sorted.reverse))
+  }
+
+  test("q512: AUC is exact on a hand ranking and the graph readout " +
+      "beats chance") {
+    import spark.implicits._
+    // hand: scores pos={5,4}, neg={3,1} -> perfect separation AUC=1;
+    // with a tie pos={3} neg={3} -> AUC=0.5 by tie-averaging
+    def auc(scored: Seq[(Long, Long)]): Double = {
+      val df = scored.toDF("lbl", "score")
+      val ranked = SpearmanCorr.withDoubledRank(df, "score", "rd")
+      val (p, n, sumRd) = ranked.agg(
+        sum(when($"lbl" === 1L, 1L).otherwise(0L)),
+        sum(when($"lbl" === 0L, 1L).otherwise(0L)),
+        sum(when($"lbl" === 1L, $"rd").otherwise(0L)))
+        .as[(Long, Long, Long)].head()
+      (sumRd - p * (p + 1)).toDouble / (2.0 * p * n)
+    }
+    assert(auc(Seq((1L, 5L), (1L, 4L), (0L, 3L), (0L, 1L))) == 1.0)
+    assert(auc(Seq((1L, 3L), (0L, 3L))) == 0.5)
+    assert(auc(Seq((1L, 1L), (0L, 2L))) == 0.0)
+    val out = graft.operators.LinkPrediction
+      .q512LinkPrediction(spark, dir).head()
+    val a = out.getAs[Double]("auc")
+    assert(out.getAs[Long]("n_pos") > 0 && out.getAs[Long]("n_neg") > 0)
+    assert(a > 0.5 && a <= 1.0,
+      s"RA on the block graph must beat chance, got $a")
+    info(s"sf0.001 link-prediction AUC=$a pos=${out.getAs[Long]("n_pos")}")
+  }
+
   test("q503: the pivot schema is data-derived and cells match the " +
       "census") {
     import spark.implicits._
