@@ -332,6 +332,72 @@ class Round13WaveSpec extends SparkSpec {
     info(s"sf0.001 link-prediction AUC=$a pos=${out.getAs[Long]("n_pos")}")
   }
 
+  test("q513: the fingerprint survives repartitioning and detects a " +
+      "one-row mutation in both folds") {
+    import spark.implicits._
+    val orders = graft.core.Tables.orders(spark, dir)
+    val (n, fx, fs) = TableFingerprint.fingerprint(orders)
+    assert(n > 0)
+    // mutate ONE row's status: both folds must move
+    val mutated = orders.withColumn("o_orderstatus",
+      when($"o_orderkey" === orders.select(min($"o_orderkey"))
+        .head().getLong(0), lit("Z")).otherwise($"o_orderstatus"))
+    val (n2, fx2, fs2) = TableFingerprint.fingerprint(mutated)
+    assert(n2 == n && fx2 != fx && fs2 != fs,
+      "a single-row mutation must change both fingerprint folds")
+    // the XOR blind spot the sum-fold covers: duplicating a row TWICE
+    // leaves XOR unchanged but moves the modular sum
+    val dupRow = orders.limit(1)
+    val evenDup = orders.unionAll(dupRow).unionAll(dupRow)
+    val (n3, fx3, fs3) = TableFingerprint.fingerprint(evenDup)
+    assert(n3 == n + 2 && fx3 == fx && fs3 != fs,
+      "even duplication: XOR blind, modular sum must catch it")
+  }
+
+  test("q514: binary segmentation recovers a hand step function's " +
+      "breakpoints exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 40 days in 4 level blocks of 10: means 100, 500, 200, 900 —
+    // splits must land exactly at the block boundaries
+    val daily = (0 until 40).map { i =>
+      val v = Seq(100L, 500L, 200L, 900L)(i / 10)
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong)), v)
+    }.toDF("d", "v")
+    val w = Window.orderBy($"d")
+    val idx = daily.select($"d", $"v",
+      row_number().over(w).cast("long").as("i"),
+      sum($"v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .as("cs"))
+    def best(lo: Long, loCs: Long, hi: Long, hiCs: Long): (Long, Long) =
+      idx.filter($"i" > lo && $"i" < hi)
+        .select($"i", $"cs", expr(
+          s"(CAST(cs - ${loCs}L AS DECIMAL(38,0)) * (cs - ${loCs}L) " +
+            s"* (${hi}L - i) " +
+            s"+ CAST(${hiCs}L - cs AS DECIMAL(38,0)) * (${hiCs}L - cs) " +
+            s"* (i - ${lo}L)) " +
+            s"div (CAST(i - ${lo}L AS DECIMAL(38,0)) * (${hi}L - i))")
+          .as("g"))
+        .orderBy($"g".desc, $"i").limit(1)
+        .select($"i", $"cs").as[(Long, Long)].head()
+    val (i1, cs1) = best(0, 0, 40, 100L * 10 + 500 * 10 + 200 * 10 + 900 * 10)
+    // the dominant split separates the 900 block: i1 = 30
+    assert(i1 == 30L, s"level-1 split at $i1, expected 30")
+    val (i2l, _) = best(0, 0, i1, cs1)
+    assert(i2l == 10L || i2l == 20L,
+      s"level-2 left split at $i2l must hit a block boundary")
+    // the fixture query runs end-to-end with 4 contiguous segments
+    val out = Changepoints.q514Changepoints(spark, dir).collect()
+    assert(out.length == 4)
+    val ends = out.map(_.getAs[java.sql.Date]("d_end").toLocalDate)
+    val starts = out.map(_.getAs[java.sql.Date]("d_start").toLocalDate)
+    (1 until 4).foreach { k =>
+      assert(!starts(k).isBefore(ends(k - 1)),
+        "segments must be contiguous and ordered")
+    }
+  }
+
   test("q503: the pivot schema is data-derived and cells match the " +
       "census") {
     import spark.implicits._
