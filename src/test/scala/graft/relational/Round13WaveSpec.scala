@@ -89,28 +89,6 @@ class Round13WaveSpec extends SparkSpec {
       s"butterflies=${out.getAs[Long]("n_butterflies")}")
   }
 
-  test("q504: HITS mutual recursion on a hand star graph — the hub " +
-      "that buys everything makes its parts the top authorities") {
-    import spark.implicits._
-    // customers 1..3; parts 10..12; customer 1 buys all three parts,
-    // 2 and 3 buy only part 10 → part 10 is the runaway authority and
-    // the round-2 scores follow the exact integer recursion
-    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (3L, 10L))
-      .toDF("c", "p")
-    var auth = e.groupBy($"p").agg(count(lit(1)).as("a"))
-    var hub = e.join(auth, "p").groupBy($"c").agg(sum($"a").as("h"))
-    auth = e.join(hub, "c").groupBy($"p").agg(sum($"h").as("a"))
-    val a2 = auth.as[(Long, Long)].collect().toMap
-    // auth1: p10=3, p11=1, p12=1; hub1: c1=5, c2=3, c3=3
-    // auth2: p10=5+3+3=11, p11=5, p12=5
-    assert(a2 == Map(10L -> 11L, 11L -> 5L, 12L -> 5L), a2)
-    val out = graft.operators.Hits.q504Hits(spark, dir).collect()
-    assert(out.length == graft.operators.Hits.HitsTop)
-    val scores = out.map(_.getAs[Long]("authority"))
-    assert(scores.sameElements(scores.sorted.reverse) && scores.forall(_ > 0),
-      "authorities must come back descending and positive")
-  }
-
   test("q505: every BPR negative is unpurchased, candidates are " +
       "deterministic, and the pick is the first survivor") {
     import spark.implicits._
