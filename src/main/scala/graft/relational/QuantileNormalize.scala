@@ -36,8 +36,16 @@ object QuantileNormalize {
     val s = df.sparkSession
     import s.implicits._
     val all: Seq[Column] = (partCols ++ ordCols).map(col)
-    val parts = df.repartitionByRange(32, all: _*)
-      .withColumn("pid", spark_partition_id())
+    // CHECKPOINT the pid-stamped frame: the per-partition ranks and the
+    // partition offsets are TWO plan branches over it, and an
+    // un-pinned repartitionByRange re-SAMPLES its boundaries per
+    // evaluation (AQE upstream can change input partitioning between
+    // the two), silently disagreeing on pid assignments — ranks then
+    // collide or exceed n (caught at sf0.1: max(rank)=14987 of 15000
+    // with duplicates; bucket ids overflowed downstream arrays).
+    val parts = org.apache.spark.sql.graftbridge.PlanBridge
+      .checkpointResetStats(df.repartitionByRange(32, all: _*)
+        .withColumn("pid", spark_partition_id()))
     val wIn = Window.partitionBy(($"pid" +: partCols.map(col)): _*)
       .orderBy(ordCols.map(col): _*)
     val withRn = parts.withColumn("rn", row_number().over(wIn).cast("long"))
@@ -65,8 +73,10 @@ object QuantileNormalize {
       outName: String): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val parts = df.repartitionByRange(32, ordCols: _*)
-      .withColumn("pid", spark_partition_id())
+    // pinned for the same two-branch consistency reason as [[fullRank]]
+    val parts = org.apache.spark.sql.graftbridge.PlanBridge
+      .checkpointResetStats(df.repartitionByRange(32, ordCols: _*)
+        .withColumn("pid", spark_partition_id()))
     val wIn = Window.partitionBy($"pid").orderBy(ordCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val withCum = parts.withColumn("pcum", sum(col(valueCol)).over(wIn))
