@@ -384,6 +384,37 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
+  test("round-14: q508's pair join carries the calendar-bin key " +
+    "(no bare-customer self-join survives)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec}
+    atScaleRegime {
+      // The r13 verdict's one weak flag: a self-join on the customer key
+      // alone materializes orders² candidates inside each SMJ group — a
+      // heavy account with 10⁶ orders is 10¹² pairs. The fix buckets the
+      // join on (c, 7-day bin); every equi-join in the executed plan
+      // (bought is checkpointed, so the only joins left ARE the pair
+      // join) must carry the _bin key alongside c.
+      val plan = SequentialPairs.q508SequentialPairs(spark, dir)
+        .queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: SortMergeJoinExec => (j.leftKeys, j.treeString)
+        case j: BroadcastHashJoinExec => (j.leftKeys, j.treeString)
+        case j: ShuffledHashJoinExec => (j.leftKeys, j.treeString)
+      }
+      assert(joins.nonEmpty, s"q508: pair join missing:\n${plan.treeString}")
+      joins.foreach { case (keys, tree) =>
+        assert(keys.exists(_.toString.contains("_bin")),
+          s"q508: equi-join without the calendar bin in its keys " +
+            s"(per-customer quadratic fan-out at scale):\n$tree")
+      }
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"q508: non-equi pair join:\n${plan.treeString}")
+    }
+  }
+
   test("round-9c: q377 winnowing joins only on the fingerprint key " +
     "(no cartesian); q406's sketch side is one window over daily aggs") {
     atScaleRegime {
