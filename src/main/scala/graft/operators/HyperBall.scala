@@ -106,6 +106,11 @@ object HyperBall {
         val exact = ball.groupBy($"src").agg(count(lit(1)).as("c"))
           .as[(Long, Long)].collect().toMap
         est.keysIterator.toSeq.sorted.foreach { v =>
+          // exact(v) is total only because hbEdges keeps a self-loop on
+          // every node, so a sampled source's ball can never go empty —
+          // fail loudly if a graph-builder change ever drops that
+          require(exact.contains(v),
+            s"sampled source $v lost its ball — hbEdges must keep self-loops")
           rows += ((round, v, est(v), exact(v)))
         }
       }

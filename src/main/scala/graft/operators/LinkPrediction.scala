@@ -59,9 +59,11 @@ object LinkPrediction {
       .select($"v", explode(array((1 to LpBand).map(lit): _*)).as("d"))
       .select($"v", ($"v" + $"d").as("w"))
       .filter($"w" < n)
+    // 8 hex chars (the q505/q513 width — 4 would cap targets at 65535
+    // for sf ≥ ~0.5) mapped into [1, n] (0 is not a customer key)
     val lr = cust.select($"v",
-      expr(s"CAST(conv(substring(md5(concat('lr:', CAST(v AS STRING))), " +
-        s"1, 4), 16, 10) AS BIGINT) % ${n}L").as("w"))
+      expr(s"1L + CAST(conv(substring(md5(concat('lr:', " +
+        s"CAST(v AS STRING))), 1, 8), 16, 10) AS BIGINT) % ${n}L").as("w"))
       .filter($"v" =!= $"w")
     val out = band.unionAll(lr)
     out.select($"v".as("u"), $"w".as("v"))
@@ -85,8 +87,8 @@ object LinkPrediction {
     // negatives: one GLOBAL md5 candidate per held edge, kept iff NOT
     // an edge of the full graph (q505 rejection discipline)
     val negRaw = pos.withColumn("w",
-      expr(s"CAST(conv(substring(md5(concat('neg:', CAST(u AS STRING), " +
-        s"':', CAST(v AS STRING))), 1, 4), 16, 10) AS BIGINT) % ${n}L"))
+      expr(s"1L + CAST(conv(substring(md5(concat('neg:', CAST(u AS STRING), " +
+        s"':', CAST(v AS STRING))), 1, 8), 16, 10) AS BIGINT) % ${n}L"))
       .filter($"w" =!= $"u")
       .select($"u", $"w".as("v"))
     val neg = negRaw.join(e, Seq("u", "v"), "left_anti").distinct()
@@ -123,8 +125,8 @@ object LinkPrediction {
       |  WHERE c_custkey + d < (SELECT n FROM nn)),
       |lr AS (
       |  SELECT c_custkey AS v,
-      |    CAST('0x' || substring(md5('lr:' || c_custkey), 1, 4) AS BIGINT)
-      |      % (SELECT n FROM nn) AS w
+      |    1 + CAST('0x' || substring(md5('lr:' || c_custkey), 1, 8)
+      |      AS BIGINT) % (SELECT n FROM nn) AS w
       |  FROM customer),
       |f AS (SELECT v, w FROM band
       |  UNION ALL SELECT v, w FROM lr WHERE v <> w),
@@ -144,7 +146,7 @@ object LinkPrediction {
       |deg AS (SELECT u, COUNT(*) AS d FROM train GROUP BY 1),
       |negraw AS (
       |  SELECT u,
-      |    CAST('0x' || substring(md5('neg:' || u || ':' || v), 1, 4)
+      |    1 + CAST('0x' || substring(md5('neg:' || u || ':' || v), 1, 8)
       |      AS BIGINT) % (SELECT n FROM nn) AS v
       |  FROM pos),
       |neg AS MATERIALIZED (

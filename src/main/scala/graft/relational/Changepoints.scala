@@ -32,12 +32,19 @@ object Changepoints {
 
   type Q = (SparkSession, String) => DataFrame
 
-  val q514Changepoints: Q = (s, dir) => {
+  /** Binary segmentation (depth 2) over a `(d, v)` daily frame.
+    * Boundary-degenerate level-2 splits — the level-1 argmax landing at
+    * i1 = 1 or i1 = n−1 leaves that side's candidate set EMPTY — fall
+    * back to the parent boundary as a no-op split (headOption, not
+    * head), so the affected segment is simply absent from the output;
+    * the oracle mirrors with COALESCE over the empty LIMIT-1 CTE. Both
+    * engines then agree on boundary-split data instead of diverging by
+    * crash vs empty result.
+    */
+  def segment(dailyIn: DataFrame): DataFrame = {
+    val s = dailyIn.sparkSession
     import s.implicits._
-    val daily = T.orders(s, dir)
-      .groupBy(to_date($"o_orderdate").as("d"))
-      .agg(sum(expr("CAST(FLOOR(o_totalprice) AS BIGINT)")).as("v"))
-      .localCheckpoint()
+    val daily = dailyIn.localCheckpoint()
     val w = Window.orderBy($"d") // calendar-bounded frame (q292 rule)
     val idx = daily.select($"d", $"v",
       row_number().over(w).cast("long").as("i"),
@@ -55,7 +62,8 @@ object Changepoints {
             s"div (CAST(i - ${lo}L AS DECIMAL(38,0)) * (${hi}L - i))")
           .as("g"))
         .orderBy($"g".desc, $"i")
-        .limit(1).select($"i", $"cs").as[(Long, Long)].head()
+        .limit(1).select($"i", $"cs").as[(Long, Long)]
+        .collect().headOption.getOrElse((lo, loCs))
     val (i1, cs1) = best(0, 0, n, sTot)
     val (i2l, _) = best(0, 0, i1, cs1)
     val (i2r, _) = best(i1, cs1, n, sTot)
@@ -66,6 +74,13 @@ object Changepoints {
       .agg(min($"d").as("d_start"), max($"d").as("d_end"),
         count(lit(1)).as("n_days"), sum($"v").as("sum_units"))
       .orderBy($"seg_id")
+  }
+
+  val q514Changepoints: Q = (s, dir) => {
+    import s.implicits._
+    segment(T.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(expr("CAST(FLOOR(o_totalprice) AS BIGINT)")).as("v")))
   }
 
   val q514Sql: String =
@@ -86,19 +101,21 @@ object Changepoints {
       |    // (CAST(i AS HUGEINT) * (n - i)) DESC, i
       |  LIMIT 1),
       |s2l AS MATERIALIZED (
-      |  SELECT i AS i2l FROM idx, s1
-      |  WHERE i > 0 AND i < i1
-      |  ORDER BY (CAST(cs AS HUGEINT) * cs * (i1 - i)
-      |      + CAST(cs1 - cs AS HUGEINT) * (cs1 - cs) * i)
-      |    // (CAST(i AS HUGEINT) * (i1 - i)) DESC, i
-      |  LIMIT 1),
+      |  SELECT COALESCE(MIN(i), 0) AS i2l FROM (
+      |    SELECT i FROM idx, s1
+      |    WHERE i > 0 AND i < i1
+      |    ORDER BY (CAST(cs AS HUGEINT) * cs * (i1 - i)
+      |        + CAST(cs1 - cs AS HUGEINT) * (cs1 - cs) * i)
+      |      // (CAST(i AS HUGEINT) * (i1 - i)) DESC, i
+      |    LIMIT 1)),
       |s2r AS MATERIALIZED (
-      |  SELECT i AS i2r FROM idx, s1, tot
-      |  WHERE i > i1 AND i < n
-      |  ORDER BY (CAST(cs - cs1 AS HUGEINT) * (cs - cs1) * (n - i)
-      |      + CAST(s - cs AS HUGEINT) * (s - cs) * (i - i1))
-      |    // (CAST(i - i1 AS HUGEINT) * (n - i)) DESC, i
-      |  LIMIT 1)
+      |  SELECT COALESCE(MIN(i), (SELECT i1 FROM s1)) AS i2r FROM (
+      |    SELECT i FROM idx, s1, tot
+      |    WHERE i > i1 AND i < n
+      |    ORDER BY (CAST(cs - cs1 AS HUGEINT) * (cs - cs1) * (n - i)
+      |        + CAST(s - cs AS HUGEINT) * (s - cs) * (i - i1))
+      |      // (CAST(i - i1 AS HUGEINT) * (n - i)) DESC, i
+      |    LIMIT 1))
       |SELECT CAST(seg_id AS BIGINT) AS seg_id, MIN(d) AS d_start,
       |  MAX(d) AS d_end, CAST(COUNT(*) AS BIGINT) AS n_days,
       |  CAST(SUM(v) AS BIGINT) AS sum_units

@@ -1,0 +1,34 @@
+package graft.relational
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-14 operator gates. */
+class Round14WaveSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q514: boundary-split series degenerate gracefully (empty level-2 " +
+      "candidate set collapses the segment instead of throwing)") {
+    import spark.implicits._
+    // spike on day 1: the level-1 argmax lands at i1 = 1, so the left
+    // level-2 call has an EMPTY candidate set (0 < i < 1) — pre-fix this
+    // threw NoSuchElementException while the oracle's LIMIT-1 CTE went
+    // empty; post-fix both engines collapse segment 1 identically
+    val daily = (0 until 5).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong)), if (i == 0) 1000L else 0L)
+    }.toDF("d", "v")
+    val out = Changepoints.segment(daily).collect()
+    assert(out.length == 3, s"expected 3 surviving segments, got " +
+      out.map(_.getAs[Long]("seg_id")).mkString(","))
+    assert(!out.map(_.getAs[Long]("seg_id")).contains(1L),
+      "segment 1 must be absent (no-op left split at the parent boundary)")
+    // the spike day is its own segment
+    val seg2 = out.find(_.getAs[Long]("seg_id") == 2L).get
+    assert(seg2.getAs[Long]("n_days") == 1L &&
+      seg2.getAs[Long]("sum_units") == 1000L)
+    // and the total day count survives
+    assert(out.map(_.getAs[Long]("n_days")).sum == 5L)
+  }
+}
