@@ -71,21 +71,35 @@ object KTruss {
       .groupBy($"u", $"v").agg(count(lit(1)).as("sup"))
   }
 
-  val q509KTruss: Q = (s, dir) => {
-    import s.implicits._
-    var e = PlanBridge.checkpointResetStats(ktEdges(s, dir))
-    var prev = e.count()
+  /** Peel `e` (symmetrized edge list, both directions) to the k-truss
+    * fixpoint; every round is checkpointed (the iterative-loop rule)
+    * and monotone shrinking makes count-equality the fixpoint test.
+    * Returns the surviving edges and their count.
+    */
+  private def peelFixpoint(e0: DataFrame, k: Int,
+      prev0: Long): (DataFrame, Long) = {
+    import e0.sparkSession.implicits._
+    var e = e0
+    var prev = prev0
     var rounds = 0
-    var stable = false
+    var stable = prev == 0L
     while (!stable) {
       rounds += 1
-      require(rounds <= KtMaxRounds, s"peel did not stabilize in $rounds")
+      require(rounds <= KtMaxRounds,
+        s"peel(k=$k) did not stabilize in $rounds rounds")
       e = PlanBridge.checkpointResetStats(
-        support(e).filter($"sup" >= TrussK - 2).select($"u", $"v"))
+        support(e).filter($"sup" >= k - 2).select($"u", $"v"))
       val n = e.count()
       stable = n == prev
       prev = n
     }
+    (e, prev)
+  }
+
+  val q509KTruss: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = PlanBridge.checkpointResetStats(ktEdges(s, dir))
+    val (e, _) = peelFixpoint(e0, TrussK, e0.count())
     e.filter($"u" < $"v").orderBy($"u", $"v")
   }
 
@@ -115,8 +129,114 @@ object KTruss {
       .stripMargin
   }
 
+  /** Levels the q515 oracle unrolls — one past the measured empty level
+    * at the oracle SFs, so the SQL-side trussness is complete and the
+    * margin level is a no-op by monotonicity. Measured (ProfTruss):
+    * max trussness 4 / 4 / 5 at sf0.001 / 0.01 / 0.1 (k=5 truss empty
+    * at both oracle SFs; 60 5-truss edges appear at sf0.1 — block-
+    * local density nudges up slowly); per-level fixpoint rounds ≤ 5 at
+    * the oracle SFs (≤ 7 at sf0.1), inside [[KtUnrolledRounds]]. The
+    * in-engine loop is data-driven and stops at the first empty truss.
+    */
+  val KtTrussOracleK = 6
+  /** Runaway guard for the level loop. */
+  val KtMaxK = 16
+
+  /** q515 — TRUSSNESS DECOMPOSITION (max k per edge; Wang–Cheng
+    * VLDB'12's truss decomposition, generalizing q509's fixed k=4):
+    * peel at k = 3, 4, 5, … — each level starting from the previous
+    * level's fixpoint (the k-truss is a subgraph of the (k−1)-truss,
+    * so no level ever re-touches edges a lower level discarded) —
+    * until the truss goes empty; an edge's trussness is the last k at
+    * which it survived (base 2: every edge is trivially a 2-truss).
+    * Computed as 2 + Σ_k [edge ∈ k-truss fixpoint] over the level
+    * finals — membership bumps, never per-edge removal bookkeeping.
+    *
+    * Oracle: per-k peel rounds UNROLLED as MATERIALIZED CTEs (q509's
+    * replay discipline) for k = 3…[[KtTrussOracleK]], each level
+    * [[KtUnrolledRounds]] rounds; the canonical edge set LEFT-joins
+    * the level-membership census. Monotone shrink ⟹ overshoot rounds
+    * and overshoot levels are no-ops, so the FULL (u, v, trussness)
+    * table is value-checked.
+    */
+  val q515Trussness: Q = (s, dir) =>
+    trussness(PlanBridge.checkpointResetStats(ktEdges(s, dir)))
+
+  /** Trussness of every canonical edge of `e0` (symmetrized edge list,
+    * both directions, checkpointed by the caller).
+    */
+  def trussness(e0: DataFrame): DataFrame = {
+    import e0.sparkSession.implicits._
+    val base = e0.filter($"u" < $"v").select($"u", $"v")
+    var cur = e0
+    var n = e0.count()
+    var k = 3
+    val levels = Seq.newBuilder[DataFrame]
+    while (n > 0L && k <= KtMaxK) {
+      val (ek, nk) = peelFixpoint(cur, k, n)
+      cur = ek
+      n = nk
+      if (nk > 0L) levels += ek.filter($"u" < $"v").select($"u", $"v")
+      k += 1
+    }
+    require(n == 0L, s"trussness exceeded the KtMaxK=$KtMaxK guard")
+    val finals = levels.result()
+    val bumped =
+      if (finals.isEmpty) base.select($"u", $"v", lit(2L).as("trussness"))
+      else {
+        val bumps = finals.reduce(_ unionAll _)
+          .groupBy($"u", $"v").agg(count(lit(1)).as("bump"))
+        base.join(bumps, Seq("u", "v"), "left")
+          .select($"u", $"v",
+            (lit(2L) + coalesce($"bump", lit(0L))).as("trussness"))
+      }
+    bumped.orderBy($"u", $"v")
+  }
+
+  val q515Sql: String = {
+    val base =
+      s"""WITH outs AS (
+        |  SELECT c_custkey AS v,
+        |    (c_custkey // $KtBlock) * $KtBlock +
+        |    CAST('0x' || substring(md5('kt' || k || ':' || c_custkey), 1, 4)
+        |      AS BIGINT) % $KtBlock AS w
+        |  FROM customer, (SELECT UNNEST(range(1, ${KtOutEdges + 1})) AS k)),
+        |f AS (SELECT v, w FROM outs WHERE v <> w),
+        |t2_$KtUnrolledRounds AS MATERIALIZED (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT v AS u, w AS v FROM f
+        |    UNION ALL SELECT w AS u, v AS v FROM f))""".stripMargin
+    val levels = (3 to KtTrussOracleK).flatMap { k =>
+      (1 to KtUnrolledRounds).map { r =>
+        val prev = if (r == 1) s"t${k - 1}_$KtUnrolledRounds"
+          else s"t${k}_${r - 1}"
+        s"""t${k}_$r AS MATERIALIZED (
+          |  SELECT e.u, e.v FROM $prev e
+          |  JOIN $prev a ON a.u = e.u AND a.v <> e.v
+          |  JOIN $prev b ON b.u = e.v AND b.v = a.v
+          |  GROUP BY e.u, e.v HAVING COUNT(*) >= ${k - 2})""".stripMargin
+      }
+    }.mkString(",\n")
+    val lvlUnion = (3 to KtTrussOracleK).map { k =>
+      s"SELECT u, v FROM t${k}_$KtUnrolledRounds WHERE u < v"
+    }.mkString("\n  UNION ALL ")
+    s"""$base,
+      |$levels,
+      |lvl AS (
+      |  $lvlUnion),
+      |bump AS MATERIALIZED (
+      |  SELECT u, v, COUNT(*) AS c FROM lvl GROUP BY 1, 2)
+      |SELECT e.u, e.v,
+      |  CAST(2 + COALESCE(bump.c, 0) AS BIGINT) AS trussness
+      |FROM (SELECT u, v FROM t2_$KtUnrolledRounds WHERE u < v) e
+      |LEFT JOIN bump ON bump.u = e.u AND bump.v = e.v
+      |ORDER BY e.u, e.v""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "q509_ktruss" -> q509KTruss)
+    "q509_ktruss" -> q509KTruss,
+    "q515_trussness" -> q515Trussness)
   val oracleSql: Map[String, String] = Map(
-    "q509_ktruss" -> q509Sql)
+    "q509_ktruss" -> q509Sql,
+    "q515_trussness" -> q515Sql)
 }

@@ -31,4 +31,25 @@ class Round14WaveSpec extends SparkSpec {
     // and the total day count survives
     assert(out.map(_.getAs[Long]("n_days")).sum == 5L)
   }
+
+  test("q515: trussness decomposes a hand graph exactly (K4 edges 4, " +
+      "attached-triangle edges 3, pendant edge 2)") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}; triangle {4,5,6} sharing vertex 4; pendant 6-7
+    val canon = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    val e = canon.toDF("u", "v")
+    val sym = e.unionAll(e.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint()
+    val got = graft.operators.KTruss.trussness(sym)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    val k4 = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tri = Set((4L, 5L), (4L, 6L), (5L, 6L))
+    canon.foreach { uv =>
+      val expected = if (k4(uv)) 4L else if (tri(uv)) 3L else 2L
+      assert(got(uv) == expected, s"edge $uv trussness ${got(uv)}, " +
+        s"expected $expected")
+    }
+  }
 }
