@@ -32,6 +32,32 @@ class Round14WaveSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_days")).sum == 5L)
   }
 
+  test("q516: the profile finds a planted repeated window (mp = 0, " +
+      "cross-pointing argmins) and respects the exclusion zone") {
+    import spark.implicits._
+    // 15-day series: windows at i=1 and i=8 are both (1,5,2,9); every
+    // other window differs. The trivial-match zone |i-j| <= 2 must not
+    // let a window claim its overlapping neighbor.
+    val vs = Seq(1L, 5L, 2L, 9L, 0L, 0L, 0L, 1L, 5L, 2L, 9L, 7L, 3L, 8L, 4L)
+    val daily = vs.zipWithIndex.map { case (v, i) =>
+      ("a", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1)
+        .plusDays(i.toLong)), v)
+    }.toDF("t", "d", "v")
+    val prof = MatrixProfile.profile(daily)
+      .collect().map(r => (r.getLong(1), (r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(prof.size == vs.length - MatrixProfile.MpLen + 1)
+    assert(prof(1L) == ((0L, 8L)), s"window 1 -> ${prof(1L)}")
+    assert(prof(8L) == ((0L, 1L)), s"window 8 -> ${prof(8L)}")
+    // no other window is a perfect match, and no argmin sits inside
+    // the exclusion zone
+    prof.foreach { case (i, (mp, j)) =>
+      assert(math.abs(i - j) > MatrixProfile.MpExcl,
+        s"window $i matched inside the exclusion zone: $j")
+      if (i != 1L && i != 8L) assert(mp > 0L, s"unexpected 0 at $i")
+    }
+  }
+
   test("q515: trussness decomposes a hand graph exactly (K4 edges 4, " +
       "attached-triangle edges 3, pendant edge 2)") {
     import spark.implicits._
