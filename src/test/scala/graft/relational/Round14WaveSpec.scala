@@ -58,6 +58,38 @@ class Round14WaveSpec extends SparkSpec {
     }
   }
 
+  test("q517: Luby MIS is independent and maximal on a hand graph and " +
+      "on the fixture graph") {
+    import spark.implicits._
+    def checkMisOn(sym: org.apache.spark.sql.DataFrame): Unit = {
+      val edges = sym.as[(Long, Long)].collect()
+      val mis = graft.operators.LubyMis.lubyMis(sym)
+        .collect().map(_.getLong(0)).toSet
+      // independence: no edge inside the MIS
+      edges.foreach { case (u, v) =>
+        assert(!(mis(u) && mis(v)), s"adjacent MIS members $u-$v")
+      }
+      // maximality: every non-member has a member neighbor
+      val nodes = edges.map(_._1).toSet
+      val nbrs = edges.groupBy(_._1).map { case (k, es) =>
+        (k, es.map(_._2).toSet)
+      }
+      (nodes -- mis).foreach { v =>
+        assert(nbrs(v).exists(mis),
+          s"non-member $v has no MIS neighbor — not maximal")
+      }
+      assert(mis.nonEmpty)
+    }
+    // hand graph: a 5-path 1-2-3-4-5 plus a triangle 6-7-8
+    val canon = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L))
+    val e = canon.toDF("u", "v")
+    val sym = e.unionAll(e.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint()
+    checkMisOn(sym)
+    checkMisOn(graft.operators.KTruss.ktEdges(spark, dir).localCheckpoint())
+  }
+
   test("q515: trussness decomposes a hand graph exactly (K4 edges 4, " +
       "attached-triangle edges 3, pendant edge 2)") {
     import spark.implicits._
