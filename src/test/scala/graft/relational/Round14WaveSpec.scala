@@ -90,6 +90,22 @@ class Round14WaveSpec extends SparkSpec {
     checkMisOn(graft.operators.KTruss.ktEdges(spark, dir).localCheckpoint())
   }
 
+  test("q518: the systematic sample takes exactly one row per " +
+      "consecutive block of K, at the fixed offset") {
+    val rs = SystematicSample.q518SystematicSample(spark, dir)
+      .collect().map(_.getLong(1))
+    val n = graft.core.Tables.orders(spark, dir).count()
+    assert(rs.nonEmpty && rs.forall(r =>
+      r % SystematicSample.SysK == SystematicSample.SysOffset))
+    assert(rs.sorted.sameElements(rs), "sample must come back rank-ordered")
+    rs.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(1) - w(0) == SystematicSample.SysK)
+    }
+    assert(rs.length ==
+      ((n - SystematicSample.SysOffset) / SystematicSample.SysK + 1),
+      "sample size must be the exact block count")
+  }
+
   test("q515: trussness decomposes a hand graph exactly (K4 edges 4, " +
       "attached-triangle edges 3, pendant edge 2)") {
     import spark.implicits._
