@@ -1115,7 +1115,73 @@ object StreamBench {
       .toDF("n_queries", "n_inserted", "recall_permille")
   }
 
+  /** qs24 — the BUILT-IN watermark-scoped dedup
+    * (`dropDuplicatesWithinWatermark`, [[EventStreams.dedupWithinWatermark]])
+    * over [[BloomBatches]] micro-batches: times the native dedup
+    * state-store path next to qs01's custom Bloom filter;
+    * WatermarkDedupSpec pins both eviction directions.
+    */
+  val qs24WatermarkDedupStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val stream = MemoryStream[Event]
+    val name = s"bench_wmdedup_${runId.incrementAndGet()}"
+    val q = EventStreams.dedupWithinWatermark(stream.toDS().toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-wmdedup-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val out = s.table(name).count()
+    s.catalog.dropTempView(name)
+    Seq((rows.size.toLong, out)).toDF("n_in", "n_out")
+  }
+
+  /** qs25 — cuckoo-filter DELETABLE membership ([[CuckooStream]]) over
+    * [[BloomBatches]] micro-batches: each event becomes an add (or,
+    * every third row, a delete of its own key), so the timing tracks
+    * the fingerprint insert/kick/delete path per shard;
+    * CuckooStreamSpec pins the no-false-negative and
+    * delete-then-readmit laws.
+    */
+  val qs25CuckooStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir).map { e =>
+      e.copy(event_type = if (e.event_id % 3 == 2) "del" else "add")
+    }
+    val stream = MemoryStream[Event]
+    val name = s"bench_cuckoo_${runId.incrementAndGet()}"
+    val q = CuckooStream.cuckooMembership(stream.toDS())
+      .toDF("event_id", "user_id", "op", "member", "applied")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-cuckoo-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val t = s.table(name)
+    val out = t.count()
+    val live = t.filter(col("op") === "add" && col("member")).count()
+    s.catalog.dropTempView(name)
+    require(out == rows.size.toLong && live > 0,
+      s"qs25: expected one emission per op, got $out of ${rows.size}")
+    Seq((rows.size.toLong, out, live)).toDF("n_in", "n_out", "n_live_adds")
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "qs25_cuckoo_stream" -> qs25CuckooStream,
+    "qs24_watermark_dedup_stream" -> qs24WatermarkDedupStream,
     "qs23_count_sketch_stream" -> qs23CountSketchStream,
     "qs22_graph_insert_stream" -> qs22GraphInsertStream,
     "qs21_beam_serve_stream" -> qs21BeamServeStream,
