@@ -106,6 +106,91 @@ class Round14WaveSpec extends SparkSpec {
       "sample size must be the exact block count")
   }
 
+  test("q519: Kruskal-Wallis H matches the textbook value on clean " +
+      "separation and the tie-corrected pieces are exact") {
+    import spark.implicits._
+    // two cleanly separated groups of 3: ranks 1-3 vs 4-6 -> H = 27/7
+    val rows = Seq(("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 40L), ("b", 50L), ("b", 60L)).toDF("grp", "v")
+    val out = KruskalWallis.kwTest(rows).collect().head
+    assert(out.getAs[Long]("n") == 6L && out.getAs[Long]("k") == 2L)
+    // S_a = 12, S_b = 30 (doubled ranks); qsum = 144/12 + 900/12 = 87
+    assert(out.getAs[Long]("q_sum") == 87L)
+    assert(out.getAs[Long]("tie_sum") == 0L)
+    assert(math.abs(out.getAs[Double]("h") - 27.0 / 7.0) < 1e-12)
+    // tied data: a 3-way tie contributes t^3 - t = 24 to the correction
+    val tied = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 6L))
+      .toDF("grp", "v")
+    val t = KruskalWallis.kwTest(tied).collect().head
+    assert(t.getAs[Long]("tie_sum") == 24L)
+    assert(!t.getAs[Double]("h").isNaN)
+  }
+
+  test("q521: Friedman Q = 6 on 3 blocks with a perfect treatment " +
+      "ordering, from exact integer pieces") {
+    import spark.implicits._
+    val d0 = java.time.LocalDate.of(2024, 5, 1)
+    val daily = (0 until 3).flatMap { b =>
+      Seq(("a", 10L + b), ("b", 20L + b), ("c", 30L + b)).map {
+        case (t, v) =>
+          (t, java.sql.Date.valueOf(d0.plusDays(b.toLong)), v)
+      }
+    }.toDF("t", "d", "v")
+    val out = FriedmanTest.friedman(daily).collect().head
+    assert(out.getAs[Long]("n_days") == 3L && out.getAs[Long]("k") == 3L)
+    assert(out.getAs[Long]("num") == 72L && out.getAs[Long]("den") == 24L)
+    assert(math.abs(out.getAs[Double]("q") - 6.0) < 1e-12)
+  }
+
+  test("q520: coreness matches the hand decomposition (K4 nodes 3, " +
+      "triangle nodes 2, pendant 1) and the H-index fixpoint is " +
+      "self-consistent on the fixture") {
+    import spark.implicits._
+    val canon = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    val e = canon.toDF("u", "v")
+    val sym = e.unionAll(e.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint()
+    val got = graft.operators.Coreness.coreness(sym)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 2L, 6L -> 2L, 7L -> 1L)
+    assert(got == expected, s"coreness $got != $expected")
+    // fixture self-consistency: within the induced subgraph of nodes
+    // with coreness >= c, every node keeps >= c neighbors (the k-core
+    // definition, re-checked from the output itself)
+    val fx = graft.operators.KTruss.ktEdges(spark, dir).localCheckpoint()
+    val cor = graft.operators.Coreness.coreness(fx).localCheckpoint()
+    val maxC = cor.agg(max($"coreness")).head().getLong(0)
+    (2L to maxC).foreach { c =>
+      val nodes = cor.filter($"coreness" >= c).select($"v")
+      val degIn = fx.join(nodes.select($"v".as("u")), Seq("u"), "left_semi")
+        .join(nodes, Seq("v"), "left_semi")
+        .groupBy($"u").agg(count(lit(1)).as("d"))
+      val short = degIn.filter($"d" < c).count()
+      assert(short == 0L, s"$short nodes under-degreed in the $c-core")
+    }
+  }
+
+  test("q522: the JP coloring is proper (no monochromatic edge), " +
+      "respects the greedy deg+1 bound, and rounds never co-color " +
+      "neighbors") {
+    import spark.implicits._
+    val fx = graft.operators.KTruss.ktEdges(spark, dir).localCheckpoint()
+    val col = graft.operators.JpColoring.jpColoring(fx).localCheckpoint()
+    // propriety + per-round independence in one edge join
+    val bad = fx
+      .join(col.select($"v".as("u"), $"color".as("cu"), $"r".as("ru")), "u")
+      .join(col.select($"v", $"color".as("cv"), $"r".as("rv")), "v")
+      .filter($"cu" === $"cv" || $"ru" === $"rv")
+      .count()
+    assert(bad == 0L, s"$bad monochromatic or same-round edges")
+    // greedy bound
+    val deg = fx.groupBy($"u".as("v")).agg(count(lit(1)).as("deg"))
+    val over = col.join(deg, "v").filter($"color" > $"deg" + 1L).count()
+    assert(over == 0L, "a color exceeded the greedy deg+1 bound")
+  }
+
   test("q515: trussness decomposes a hand graph exactly (K4 edges 4, " +
       "attached-triangle edges 3, pendant edge 2)") {
     import spark.implicits._
