@@ -191,6 +191,47 @@ class Round14WaveSpec extends SparkSpec {
     assert(over == 0L, "a color exceeded the greedy deg+1 bound")
   }
 
+  test("q523: the matview rewrite fires only for derivable shapes — " +
+      "a filter blocks it, AVG blocks it, and the rewritten result " +
+      "equals the rule-off result") {
+    import spark.implicits._
+    import graft.plans.MatviewRewrite
+    val base = MatviewRewrite.ensureMatview(spark, dir)
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MatviewRewrite
+    try {
+      val good = spark.table(base).groupBy($"l_returnflag")
+        .agg(sum($"qty_c").as("sq"), count(lit(1)).as("n"))
+      assert(scansOf(good).forall(_.contains("graft_mvli_")),
+        s"derivable shape not rewritten: ${scansOf(good)}")
+      val filtered = spark.table(base).filter($"qty_c" > 0L)
+        .groupBy($"l_returnflag").agg(sum($"qty_c").as("sq"))
+      assert(scansOf(filtered).forall(_.contains("graft_mvbase_")),
+        s"a FILTER must block the rewrite: ${scansOf(filtered)}")
+      val avged = spark.table(base).groupBy($"l_returnflag")
+        .agg(avg($"qty_c").as("aq"))
+      assert(scansOf(avged).forall(_.contains("graft_mvbase_")),
+        s"AVG is not derivable and must block: ${scansOf(avged)}")
+      val got = good.orderBy($"l_returnflag")
+        .as[(String, Long, Long)].collect().toSeq
+      spark.experimental.extraOptimizations = prev // rule OFF
+      val want = spark.table(base).groupBy($"l_returnflag")
+        .agg(sum($"qty_c").as("sq"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == want, s"rewritten $got != direct $want")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("q515: trussness decomposes a hand graph exactly (K4 edges 4, " +
       "attached-triangle edges 3, pendant edge 2)") {
     import spark.implicits._
