@@ -232,6 +232,26 @@ class Round14WaveSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("q524: DTW is zero on elastic matches, exact on a hand grid, " +
+      "symmetric, and never exceeds the Euclidean cost") {
+    import graft.relational.DtwDistance.dtw
+    // identical series
+    assert(dtw(Seq(3L, 1L, 4L), Seq(3L, 1L, 4L)) == BigInt(0))
+    // elastic: the plateau stretches to cover both 5s at zero cost —
+    // exactly what q516's lock-step SSD cannot do
+    assert(dtw(Seq(0L, 5L, 0L), Seq(0L, 5L, 5L, 0L)) == BigInt(0))
+    // hand-computed 3x3 grid
+    assert(dtw(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)) == BigInt(2))
+    // symmetry + Euclidean upper bound on equal-length series
+    val x = Seq(4L, 8L, 15L, 16L, 23L, 42L)
+    val y = Seq(8L, 4L, 16L, 15L, 42L, 23L)
+    assert(dtw(x, y) == dtw(y, x))
+    val euclid = x.zip(y).map { case (a, b) =>
+      BigInt(a - b) * BigInt(a - b)
+    }.sum
+    assert(dtw(x, y) <= euclid, "DTW must never exceed lock-step cost")
+  }
+
   test("q515: trussness decomposes a hand graph exactly (K4 edges 4, " +
       "attached-triangle edges 3, pendant edge 2)") {
     import spark.implicits._
