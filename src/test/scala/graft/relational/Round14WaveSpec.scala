@@ -252,6 +252,54 @@ class Round14WaveSpec extends SparkSpec {
     assert(dtw(x, y) <= euclid, "DTW must never exceed lock-step cost")
   }
 
+  test("q525: sweep concurrency is exact on hand intervals (nesting, " +
+      "chains, instant intervals)") {
+    import spark.implicits._
+    // three users on one day: A [10:00,12:00], B [10:30,11:00],
+    // C [11:30,11:30] (instant) -> peak 2, first reached at 10:30
+    def ts(hm: String) = java.sql.Timestamp.valueOf(s"2024-06-01 $hm:00")
+    val ev = Seq(
+      (1L, ts("10:00")), (1L, ts("12:00")),
+      (2L, ts("10:30")), (2L, ts("11:00")),
+      (3L, ts("11:30")))
+      .map { case (u, t) => graft.streaming.Event(u * 100 + t.getTime %
+        100000, u, "view", t, 0.0) }
+    // feed through the same shape the operator builds from events
+    val iv = ev.toDF().groupBy($"user_id".as("u"), to_date($"ts").as("d"))
+      .agg(min($"ts").as("st"), max($"ts").as("en"))
+    val pts = iv.select($"u", $"st".as("ts"), lit(1L).as("delta"))
+      .unionAll(iv.select($"u", $"en".as("ts"), lit(-1L).as("delta")))
+      .withColumn("dsort", -$"delta")
+    val cum = QuantileNormalize.fullCumSum(pts,
+      Seq(col("ts"), col("dsort"), col("u")), "delta", "cc")
+    val got = cum.orderBy($"ts", $"dsort", $"u")
+      .select($"cc").as[Long].collect().toSeq
+    // order: +A(10:00)=1, +B(10:30)=2, -B(11:00)=1, +C=2, -C=1,
+    // -A(12:00)=0
+    assert(got == Seq(1L, 2L, 1L, 2L, 1L, 0L), s"sweep $got")
+  }
+
+  test("q526: shrinkage pulls a 1-for-1 entity far below a " +
+      "950-for-1000 one, and high-volume rates barely move") {
+    import spark.implicits._
+    // population of mostly ~30% rates + the two cases of interest
+    val counts = ((1L to 50L).map(i => (i, 100L, 30L + (i % 7))) ++
+      Seq((98L, 1L, 1L), (99L, 1000L, 950L))).toDF("p", "n", "k")
+    val out = EmpiricalBayes.ebShrink(counts)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(3), r.getLong(4)))).toMap
+    val (raw1, post1) = out(98L)     // 1-for-1
+    val (rawBig, postBig) = out(99L) // 950-for-1000
+    assert(raw1 == 1000000L && rawBig == 950000L)
+    assert(post1 < postBig,
+      s"1-for-1 ($post1) must rank below 950/1000 ($postBig)")
+    // the high-volume entity keeps most of its own rate
+    assert(math.abs(postBig - rawBig) < 100000L,
+      s"high-volume rate moved too far: $rawBig -> $postBig")
+    // the 1-for-1 rate collapses most of the way toward the pool mean
+    assert(post1 < 700000L, s"1-for-1 barely shrunk: $post1")
+  }
+
   test("q515: trussness decomposes a hand graph exactly (K4 edges 4, " +
       "attached-triangle edges 3, pendant edge 2)") {
     import spark.implicits._
