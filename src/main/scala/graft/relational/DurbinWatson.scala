@@ -1,0 +1,118 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** DURBIN–WATSON STATISTIC (Durbin–Watson Biometrika'50 — "are the
+  * regression residuals serially correlated?": the diagnostic that
+  * says whether q228's per-group OLS standard errors can be trusted on
+  * a TIME-ordered series; dw ≈ 2 ⟹ independent, → 0 ⟹ positive
+  * autocorrelation (q291's ACF territory), → 4 ⟹ alternation —
+  * links the regression family to the time-series diagnostics next
+  * to the runs test q539): per event type, x_t = daily revenue
+  * (whole dollars) regressed on the day index t, dw =
+  * Σ(e_t − e_{t−1})² / Σe_t².
+  *
+  * Exactness: residuals are scaled to the EXACT integers
+  * E_t = n·D·e_t = n·D·x_t − A − n·B·t with D = n·Σt²−(Σt)²,
+  * B = n·Σtx−Σt·Σx, A = D·Σx−Σt·B — every piece an exact BIGINT off
+  * one calendar-bounded pass (the scale (n·D)² cancels in the ratio);
+  * the two quadratic sums ride DECIMAL(38,0)/HUGEINT (ΣE² ≤
+  * n·(n·D·x)² ≈ 10³⁵ at sf1 in dollars — the documented q516-style
+  * bound) and dw finishes as ONE shared formula double (a single
+  * correctly-rounded wide-int→double conversion per side, then one
+  * IEEE divide).
+  *
+  * Scale shape: corpus → (type, day) in one partial agg; index,
+  * residuals and lags all run on the CALENDAR-bounded grid (q275/q292
+  * admission).
+  */
+object DurbinWatson {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** dw from the exact wide-integer pieces — shared verbatim. */
+  val DwFormula: String =
+    "CAST(num AS DOUBLE) / NULLIF(CAST(den AS DOUBLE), 0.0)"
+
+  val q540DurbinWatson: Q = (s, dir) => {
+    import s.implicits._
+    durbinWatson(T.events(s, dir)
+      .groupBy($"event_type".as("t"), to_date($"ts").as("d"))
+      .agg(sum(expr("CAST(FLOOR(value) AS BIGINT)")).as("x")))
+  }
+
+  /** Per-series DW over a `(t, d, x)` daily frame. */
+  def durbinWatson(dailyIn: DataFrame): DataFrame = {
+    val s = dailyIn.sparkSession
+    import s.implicits._
+    val wDay = Window.partitionBy($"t").orderBy($"d")
+    val idx = dailyIn
+      .withColumn("i", row_number().over(wDay).cast("long"))
+      .localCheckpoint()
+    val moments = idx.groupBy($"t")
+      .agg(count(lit(1)).as("n"), sum($"i").as("st"),
+        sum($"i" * $"i").as("stt"), sum($"x").as("sx"),
+        sum($"i" * $"x").as("sxt"))
+      .withColumn("dd", $"n" * $"stt" - $"st" * $"st")
+      .withColumn("b", $"n" * $"sxt" - $"st" * $"sx")
+      .withColumn("a", $"dd" * $"sx" - $"st" * $"b")
+    val resid = idx.join(broadcast(moments), "t")
+      .withColumn("e", $"n" * $"dd" * $"x" - $"a" - $"n" * $"b" * $"i")
+      .withColumn("ep", lag($"e", 1).over(wDay))
+    resid.groupBy($"t")
+      .agg(first($"n").as("n"), first($"b").as("bnum"),
+        first($"dd").as("dden"),
+        sum(when($"ep".isNotNull,
+          expr("CAST(e - ep AS DECIMAL(38,0)) * (e - ep)"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("num"),
+        sum(expr("CAST(e AS DECIMAL(38,0)) * e")).as("den"))
+      .withColumn("dw", expr(DwFormula))
+      .select($"t", $"n", $"bnum", $"dden", $"dw")
+      .orderBy($"t")
+  }
+
+  val q540Sql: String =
+    s"""WITH daily AS (
+      |  SELECT event_type AS t, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS MATERIALIZED (
+      |  SELECT t, x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY t ORDER BY d) AS BIGINT)
+      |      AS i
+      |  FROM daily),
+      |mom AS (
+      |  SELECT t, COUNT(*) AS n, SUM(i) AS st, SUM(i * i) AS stt,
+      |    SUM(x) AS sx, SUM(i * x) AS sxt
+      |  FROM idx GROUP BY 1),
+      |mom2 AS (
+      |  SELECT t, n, n * stt - st * st AS dd,
+      |    n * sxt - st * sx AS b,
+      |    (n * stt - st * st) * sx - st * (n * sxt - st * sx) AS a
+      |  FROM mom),
+      |resid AS (
+      |  SELECT idx.t, n, b, dd,
+      |    n * dd * x - a - n * b * i AS e,
+      |    LAG(n * dd * x - a - n * b * i)
+      |      OVER (PARTITION BY idx.t ORDER BY i) AS ep
+      |  FROM idx JOIN mom2 ON mom2.t = idx.t),
+      |m AS (
+      |  SELECT t, MAX(n) AS n,
+      |    CAST(MAX(b) AS BIGINT) AS bnum, CAST(MAX(dd) AS BIGINT) AS dden,
+      |    SUM(CASE WHEN ep IS NOT NULL
+      |      THEN CAST(e - ep AS HUGEINT) * (e - ep)
+      |      ELSE CAST(0 AS HUGEINT) END) AS num,
+      |    SUM(CAST(e AS HUGEINT) * e) AS den
+      |  FROM resid GROUP BY 1)
+      |SELECT t, n, bnum, dden, $DwFormula AS dw
+      |FROM m ORDER BY t""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q540_durbin_watson" -> q540DurbinWatson)
+  val oracleSql: Map[String, String] = Map(
+    "q540_durbin_watson" -> q540Sql)
+}

@@ -46,10 +46,11 @@ object FriedmanTest {
       .agg(sum(expr("CAST(FLOOR(100 * value) AS BIGINT)")).as("v")))
   }
 
-  /** Tie-general Friedman over a `(t, d, v)` frame (densified to
-    * complete blocks internally).
+  /** Densified complete-block grid with within-day DOUBLED tie-averaged
+    * ranks: one row (d, t, rd) per (day × type) cell — shared by the
+    * Friedman statistic and Page's trend test (q529).
     */
-  def friedman(dailyIn: DataFrame): DataFrame = {
+  private[relational] def rankedCells(dailyIn: DataFrame): DataFrame = {
     val s = dailyIn.sparkSession
     import s.implicits._
     val daily = dailyIn.localCheckpoint()
@@ -66,8 +67,18 @@ object FriedmanTest {
       lit(2L) * coalesce(sum($"cnt")
         .over(wDay.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
         + $"cnt" + 1L)
-    val cells = grid.join(rk.select($"d", $"v", $"rd"), Seq("d", "v"))
-    val (nDays, k) = grid.agg(countDistinct($"d"), countDistinct($"t"))
+    grid.join(rk.select($"d", $"v", $"rd"), Seq("d", "v"))
+      .select($"d", $"t", $"rd")
+  }
+
+  /** Tie-general Friedman over a `(t, d, v)` frame (densified to
+    * complete blocks internally).
+    */
+  def friedman(dailyIn: DataFrame): DataFrame = {
+    val s = dailyIn.sparkSession
+    import s.implicits._
+    val cells = rankedCells(dailyIn).localCheckpoint()
+    val (nDays, k) = cells.agg(countDistinct($"d"), countDistinct($"t"))
       .as[(Long, Long)].head()
     val sums = cells.groupBy($"t").agg(sum($"rd").as("sj"))
     val num = sums
