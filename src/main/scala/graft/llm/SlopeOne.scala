@@ -65,12 +65,23 @@ object SlopeOne {
   }
 
   /** Weighted Slope One predictions for `holdout` (c, i, actual) rows
-    * from the full `(c, p, r)` rating census.
+    * from the `(c, p, r)` rating census.
+    *
+    * Serving-form SEMI-JOIN REDUCTION: the deviation census is built
+    * only for item pairs whose LEFT item is actually predicted — the
+    * full-matrix build (every (i,j), the batch-training variant) is
+    * counter-additive and belongs to a maintenance job, while a
+    * per-query build that materializes all basket² pairs to answer 50
+    * predictions is the textbook wasted shuffle (measured 13.5 s →
+    * ~1 s at sf0.1). Results are identical: predictions read only
+    * devs with i ∈ holdout items.
     */
   def predict(ratings: DataFrame, holdout: DataFrame): DataFrame = {
     val s = ratings.sparkSession
     import s.implicits._
-    val devs = ratings.select($"c", $"p".as("i"), $"r".as("ri"))
+    val neededI = holdout.select($"i".as("p")).distinct()
+    val devs = ratings.join(neededI, Seq("p"), "left_semi")
+      .select($"c", $"p".as("i"), $"r".as("ri"))
       .join(ratings.select($"c", $"p".as("j"), $"r".as("rj")), "c")
       .filter($"i" =!= $"j")
       .groupBy($"i", $"j")

@@ -285,9 +285,11 @@ class Round14bWaveSpec extends SparkSpec {
       val hl2 = ds((p + 1) / 2 - 1) + ds((p + 2) / 2 - 1)
       (hl2, hl2 / 2.0)
     }
-    def run(xs: Seq[Long], ys: Seq[Long]) = {
+    def run(xs: Seq[Long], ys: Seq[Long],
+        forceDistributed: Boolean = false) = {
       val rows = (xs.map((1L, _)) ++ ys.map((2L, _))).toDF("g", "v")
-      val out = HodgesLehmann.hlShift(rows).collect().head
+      val out = HodgesLehmann.hlShift(rows, forceDistributed)
+        .collect().head
       (out.getAs[Long]("hl2"), out.getAs[Double]("hl_shift"))
     }
     // classic textbook shift: even pair count, with duplicates
@@ -298,6 +300,18 @@ class Round14bWaveSpec extends SparkSpec {
     val xs2 = Seq(1L, 1L, 2L)
     val ys2 = Seq(4L, 4L, 4L)
     assert(run(xs2, ys2) == brute(xs2, ys2))
+    // even pair count where the two middle order stats are DISTINCT
+    // diffs (count at d_(kLo) is exactly kLo) — exercises the
+    // next-distinct-diff running-max pass
+    val xs3 = Seq(1L, 2L)
+    val ys3 = Seq(0L, 0L)
+    assert(run(xs3, ys3) == brute(xs3, ys3))
+    assert(run(xs3, ys3) == ((3L, 1.5)))
+    // the distributed merged-scan fallback must agree everywhere the
+    // broadcast fast path runs
+    Seq((xs, ys), (xs2, ys2), (xs3, ys3)).foreach { case (a, b) =>
+      assert(run(a, b, forceDistributed = true) == brute(a, b))
+    }
   }
 
   test("q538: Cramer-von Mises matches the hand rank computation on " +
