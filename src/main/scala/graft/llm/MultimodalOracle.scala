@@ -43,7 +43,8 @@ object MultimodalOracle {
   private def ppmDims(id: Long): (Int, Int) =
     (4 + (id % 5).toInt, 3 + (id % 4).toInt)
 
-  private def ppmByte(id: Long, i: Int): Int = ((id * 31 + i * 7) % 256).toInt
+  private[llm] def ppmByte(id: Long, i: Int): Int =
+    ((id * 31 + i * 7) % 256).toInt
 
   private[llm] def ppmBytes(id: Long): Array[Byte] = {
     val (w, h) = ppmDims(id)
@@ -156,7 +157,7 @@ object MultimodalOracle {
     * by the id/mime encoded in the file name (one definition — the two
     * gates must agree on the keying or their joins silently drop rows).
     */
-  private def mediaScan(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+  private[llm] def mediaScan(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     writeFixture(s, dir)
     s.read.format("binaryFile").load(fixtureDir(dir))

@@ -485,4 +485,59 @@ class Round14bWaveSpec extends SparkSpec {
     val f = IntraclassCorrelation.iccTest(flat).collect().head
     assert(f.getAs[Double]("icc") <= 0.0)
   }
+
+  test("q548: the CDF remap matches hand values, constant images map " +
+      "to 0, and the real decode seam matches the generator closed " +
+      "form on every fixture image") {
+    import graft.llm.ImageHistogram
+    // hist (2,0,2...) of n=4: cdf_min=2 -> eq = (0, 0, 255, 255, ...)
+    val hist = new Array[Long](ImageHistogram.HistBins)
+    hist(0) = 2; hist(2) = 2
+    val eq = ImageHistogram.equalize(4L, hist)
+    assert(eq(0) == 0L && eq(1) == 0L && eq(2) == 255L && eq(3) == 255L)
+    // constant image: everything in one bin -> all-zero remap, no 0/0
+    val const = new Array[Long](ImageHistogram.HistBins)
+    const(5) = 9
+    assert(ImageHistogram.equalize(9L, const).forall(_ == 0L))
+    val out = ImageHistogram.q548ImageHistogram(spark, dir).collect().head
+    assert(out.getAs[Long]("n_images") ==
+      graft.llm.MultimodalOracle.MediaDocBound)
+    assert(out.getAs[Boolean]("ok"))
+  }
+
+  test("q549: Cronbach's alpha is 1 on perfectly parallel items and " +
+      "degrades to NULL when the total has no variance") {
+    import spark.implicits._
+    val d0 = java.time.LocalDate.of(2024, 10, 1)
+    def d(i: Int) = java.sql.Date.valueOf(d0.plusDays(i.toLong))
+    val parallel = Seq(("a", d(0), 0L), ("a", d(1), 2L),
+      ("b", d(0), 0L), ("b", d(1), 2L)).toDF("t", "d", "v")
+    val out = CronbachAlpha.alpha(parallel).collect().head
+    assert(out.getAs[Long]("n_days") == 2L && out.getAs[Long]("k") == 2L)
+    assert(out.getAs[Long]("v_items") == 8L
+      && out.getAs[Long]("v_total") == 16L)
+    assert(math.abs(out.getAs[Double]("alpha") - 1.0) < 1e-12)
+    // perfectly anti-correlated items: constant totals -> NULL
+    val anti = Seq(("a", d(0), 0L), ("a", d(1), 2L),
+      ("b", d(0), 2L), ("b", d(1), 0L)).toDF("t", "d", "v")
+    val a2 = CronbachAlpha.alpha(anti).collect().head
+    assert(a2.isNullAt(a2.fieldIndex("alpha")))
+  }
+
+  test("q550: the rich-club curve matches the hand K4-plus-pendant " +
+      "graph, including a cutoff whose next present degree is absent") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + pendant 4-5: degrees 3,3,3,4,1 — cutoff k=1
+    // has NO edge with min degree exactly 2, so a sparse suffix join
+    // would misread 0 edges there
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = graft.operators.RichClub.richClub(edges)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      0L -> ((5L, 7L, 700000L)),
+      1L -> ((4L, 6L, 1000000L)),
+      2L -> ((4L, 6L, 1000000L))), s"got $got")
+  }
 }
