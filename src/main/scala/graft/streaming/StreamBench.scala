@@ -1179,7 +1179,38 @@ object StreamBench {
     Seq((rows.size.toLong, out, live)).toDF("n_in", "n_out", "n_live_adds")
   }
 
+  /** qs26 — streaming SLOPE ONE deviation-census maintenance
+    * ([[SlopeOneStream]]): per micro-batch the delta-per-group IVM
+    * update (touched baskets only), with the REQUIRE that the
+    * maintained census equals the from-scratch recompute of the final
+    * ratings table — maintained ≡ recomputed is the contract, and the
+    * timing tracks the per-batch delta joins.
+    */
+  val qs26SlopeOneStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val stream = MemoryStream[Event]
+    val state = new SlopeOneStream.DevState(s)
+    val updates = stream.toDS().toDF()
+      .select($"user_id".as("c"),
+        expr("1 + pmod(event_id, 37)").as("p"),
+        expr("CAST(1 + FLOOR(value) AS BIGINT)").as("r"))
+    val q = SlopeOneStream.start(state, updates,
+      Files.createTempDirectory("bench-so-ckpt").toString)
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val (nRatings, nPairs, ok) = SlopeOneStream.verifyAgainstRecompute(state)
+    require(ok, "qs26: maintained devs diverged from the recompute")
+    Seq((rows.size.toLong, nRatings, nPairs))
+      .toDF("n_in", "n_ratings", "n_pairs")
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "qs26_slope_one_stream" -> qs26SlopeOneStream,
     "qs25_cuckoo_stream" -> qs25CuckooStream,
     "qs24_watermark_dedup_stream" -> qs24WatermarkDedupStream,
     "qs23_count_sketch_stream" -> qs23CountSketchStream,

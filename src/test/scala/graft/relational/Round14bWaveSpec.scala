@@ -540,4 +540,39 @@ class Round14bWaveSpec extends SparkSpec {
       1L -> ((4L, 6L, 1000000L)),
       2L -> ((4L, 6L, 1000000L))), s"got $got")
   }
+
+  test("q551: Wilson intervals pin exactly to 0 and 1 at the " +
+      "all-failure / all-success boundaries where Wald collapses") {
+    import spark.implicits._
+    val rows = (Seq.fill(10)(("none", 0L)) ++ Seq.fill(10)(("all", 1L)) ++
+      Seq(("half", 0L), ("half", 1L))).toDF("grp", "y")
+    val out = WilsonInterval.wilson(rows)
+      .collect().map(r => (r.getString(0), r)).toMap
+    assert(math.abs(out("none").getAs[Double]("lo")) < 1e-12,
+      "k = 0 must pin lo to exactly 0")
+    assert(out("none").getAs[Double]("hi") > 0.0
+      && out("none").getAs[Double]("hi") < 0.35)
+    assert(math.abs(out("all").getAs[Double]("hi") - 1.0) < 1e-12,
+      "k = n must pin hi to exactly 1")
+    val h = out("half")
+    assert(math.abs(h.getAs[Double]("center") - 0.5) < 1e-12)
+    assert(h.getAs[Double]("lo") > 0.0 && h.getAs[Double]("hi") < 1.0)
+  }
+
+  test("q552: the funnel z matches the pooled closed form recomputed " +
+      "from its own exact pieces, on the fixture") {
+    val rows = FunnelProportionTest.q552FunnelProportion(spark, dir)
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val (n1, k1) = (r.getAs[Long]("n1"), r.getAs[Long]("k1"))
+      val (n2, k2) = (r.getAs[Long]("n2"), r.getAs[Long]("k2"))
+      assert(k1 <= n1 && k2 <= n2 && n1 > 0 && n2 > 0)
+      val p = (k1 + k2).toDouble / (n1 + n2)
+      val want = (k1.toDouble / n1 - k2.toDouble / n2) /
+        math.sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2))
+      assert(math.abs(r.getAs[Double]("z") - want) < 1e-9,
+        s"stage ${r.getAs[String]("stage")}")
+    }
+  }
 }
