@@ -434,4 +434,59 @@ class ScalePlanSpec extends SparkSpec {
         s"q377: non-equi join in the fingerprint pipeline:\n${p377.treeString}")
     }
   }
+
+  test("round-14b: rank-machinery consumers stay pid-bounded and the " +
+    "betweenness dependency join is pure equi") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    atScaleRegime {
+      // every new doubled-rank / fullRank / fullCumSum / multiCumSum
+      // consumer: any global window or single-partition exchange must
+      // carry the 32-row pid-offsets aggregate (the q489/q492 rule) —
+      // NOT a data-column census that grows with the corpus
+      def pidBounded(p: SparkPlan): Boolean = p.collect {
+        case a: BaseAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("pid")) => a
+      }.nonEmpty
+      Seq(
+        "q527" -> BrownForsythe.q527BrownForsythe(spark, dir),
+        "q528" -> JonckheereTerpstra.q528Jonckheere(spark, dir),
+        "q535" -> AnsariBradley.q535AnsariBradley(spark, dir),
+        "q538" -> CramerVonMises.q538CramerVonMises(spark, dir),
+        "q542" -> MoodMedian.q542MoodMedian(spark, dir),
+        "q545" -> PpsSample.q545PpsSample(spark, dir)
+      ).foreach { case (label, df) =>
+        val plan = df.queryExecution.executedPlan
+        plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.foreach { w =>
+          assert(pidBounded(w),
+            s"$label: global window not bounded by the pid-offsets " +
+              s"aggregate:\n${w.treeString}")
+        }
+        plan.collect {
+          case e: ShuffleExchangeExec
+              if e.outputPartitioning == SinglePartition => e
+        }.foreach { e =>
+          assert(pidBounded(e),
+            s"$label: single-partition exchange not bounded by the " +
+              s"pid-offsets aggregate:\n${e.treeString}")
+        }
+      }
+      // q531: the Brandes pair-dependency assembly must be equi-joins
+      // only — a nested-loop there is the n² betweenness no cluster
+      // survives
+      val p531 = graft.operators.Betweenness
+        .betweenness(graft.operators.KTruss.ktEdges(spark, dir))
+        .queryExecution.executedPlan
+      val nl531 = p531.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(nl531.isEmpty,
+        s"q531: non-equi join in the dependency assembly:\n${p531.treeString}")
+    }
+  }
 }
