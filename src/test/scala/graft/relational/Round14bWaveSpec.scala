@@ -575,4 +575,43 @@ class Round14bWaveSpec extends SparkSpec {
         s"stage ${r.getAs[String]("stage")}")
     }
   }
+
+  test("q553: truncated dyadic Katz matches the hand walk counts on " +
+      "the path graph") {
+    import spark.implicits._
+    // path 1-2-3, H=6, scale 4^(6-L). Walk counts per L:
+    //   node 2: L1=2 L2=2 L3=4 L4=4 L5=8 L6=8
+    //   node 1 (and 3): L1=1 L2=2 L3=2 L4=4 L5=4 L6=8
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val sym = e.unionAll(e.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint()
+    val got = graft.operators.KatzCentrality.katz(sym)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val s1 = 1L * 1024 + 2 * 256 + 2 * 64 + 4 * 16 + 4 * 4 + 8
+    val s2 = 2L * 1024 + 2 * 256 + 4 * 64 + 4 * 16 + 8 * 4 + 8
+    assert(got == Map(1L -> s1, 2L -> s2, 3L -> s1), s"got $got")
+  }
+
+  test("q554: the disparity filter keeps a weak node's dominant edge, " +
+      "prunes a hub's uniform fan-out, and keeps pendants") {
+    import spark.implicits._
+    // hub 0 spreads weight 1 over 10 spokes (uniform -> all pruned
+    // from 0's side); spoke 1 additionally carries a locally dominant
+    // heavy edge to 11 (pendant at 11 -> kept from 11's side);
+    // every spoke i>=2 has degree 1 at its far end -> kept as pendant
+    val wedges = ((1L to 10L).map(i => (0L, i, 1L)) :+ (1L, 11L, 50L))
+      .toDF("i", "j", "w")
+    val kept = graft.operators.DisparityFilter.backbone(wedges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1, 11): 11 is pendant -> kept; also dominant at node 1
+    assert(kept.contains((1L, 11L)))
+    // spokes (0, i) for i >= 2: node i has degree 1 -> kept by the
+    // pendant convention even though the hub side is uniform
+    (2L to 10L).foreach(i => assert(kept.contains((0L, i))))
+    // (0, 1): node 0 uniform (1/10 share, e=8 capped:
+    // 16*(9/10)^8 = 6.88 > 1 -> not significant); node 1 has degree
+    // 2 and the edge is 1/51 of its strength -> not significant, and
+    // neither endpoint is pendant -> pruned
+    assert(!kept.contains((0L, 1L)), s"kept = $kept")
+  }
 }
