@@ -47,12 +47,16 @@ object Betweenness {
   /** Pair-dependency fixed-point scale. */
   val BcScale = 1000000L
 
-  /** (v, ecc, bc6) over a symmetrized `(u, v)` edge list. */
-  def betweenness(edges0: DataFrame): DataFrame = {
+  /** All-sources path-counting BFS closure (s, v, d, σ) — shared by
+    * node betweenness (q531) and edge betweenness (q556). `sources`
+    * defaults to every node; q556 passes its pivot sample.
+    */
+  private[operators] def bfsClosure(edges0: DataFrame,
+      sources: Option[DataFrame] = None): DataFrame = {
     val s = edges0.sparkSession
     import s.implicits._
     val edges = PlanBridge.checkpointResetStats(edges0)
-    val nodes = edges.select($"u".as("v")).distinct()
+    val nodes = sources.getOrElse(edges.select($"u".as("v")).distinct())
     var frontier = PlanBridge.checkpointResetStats(
       nodes.select($"v".as("s"), $"v", lit(0L).as("d"), lit(1L).as("sig")))
     var settled = frontier
@@ -69,7 +73,14 @@ object Betweenness {
       settled = PlanBridge.checkpointResetStats(
         settled.unionAll(frontier))
     }
-    val d = settled
+    settled
+  }
+
+  /** (v, ecc, bc6) over a symmetrized `(u, v)` edge list. */
+  def betweenness(edges0: DataFrame): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val d = bfsClosure(edges0)
     // eccentricity, reach and distance-sum per source come free off the
     // same closure — max/count/sum are one partial agg; sum_d feeds the
     // CLOSENESS readout (harmonic's exact sibling: q499 estimates via

@@ -614,4 +614,61 @@ class Round14bWaveSpec extends SparkSpec {
     // neither endpoint is pendant -> pruned
     assert(!kept.contains((0L, 1L)), s"kept = $kept")
   }
+
+  test("q555: categorical assortativity is 1 on two same-attribute " +
+      "cliques, negative on a bipartite cross, NULL on one attribute") {
+    import spark.implicits._
+    def sym(es: Seq[(Long, Long)]) = {
+      val e = es.toDF("u", "v")
+      e.unionAll(e.select($"v".as("u"), $"u".as("v"))).localCheckpoint()
+    }
+    import graft.operators.AttributeAssortativity.attrAssortativity
+    // two triangles, each mono-attribute -> r = 1
+    val twoCliques = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)))
+    val lab = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("v", "attr")
+    val r1 = attrAssortativity(twoCliques, lab).collect().head
+    assert(r1.getAs[Long]("e_same") == 12L)
+    assert(math.abs(r1.getAs[Double]("r") - 1.0) < 1e-12)
+    // complete bipartite K2,2 across attributes -> heterophily, r < 0
+    val cross = sym(Seq((1L, 4L), (1L, 5L), (2L, 4L), (2L, 5L)))
+    val lab2 = Seq((1L, 0L), (2L, 0L), (4L, 1L), (5L, 1L))
+      .toDF("v", "attr")
+    val r2 = attrAssortativity(cross, lab2).collect().head
+    assert(r2.getAs[Long]("e_same") == 0L)
+    assert(r2.getAs[Double]("r") < 0.0)
+    // a single attribute: denominator degenerates -> NULL, not crash
+    val mono = attrAssortativity(cross,
+      Seq((1L, 7L), (2L, 7L), (4L, 7L), (5L, 7L)).toDF("v", "attr"))
+      .collect().head
+    assert(mono.isNullAt(mono.fieldIndex("r")))
+  }
+
+  test("q556: full-pivot edge betweenness matches the hand path and " +
+      "splits the square's pair flow across its two geodesics") {
+    import spark.implicits._
+    def sym(es: Seq[(Long, Long)]) = {
+      val e = es.toDF("u", "v")
+      e.unionAll(e.select($"v".as("u"), $"u".as("v"))).localCheckpoint()
+    }
+    import graft.operators.EdgeBetweenness.edgeBetweenness
+    // path 1-2-3, all pivots: each edge carries its incident pair
+    // (1e6) plus half... no — the (1,3) pair fully crosses both edges
+    val path = edgeBetweenness(sym(Seq((1L, 2L), (2L, 3L))), "~")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(path == Map((1L, 2L) -> 2000000L, (2L, 3L) -> 2000000L),
+      s"path gave $path")
+    // square 1-2-3-4-1: adjacent pairs ride their edge (1e6); the two
+    // diagonal pairs split over two geodesics -> each edge carries
+    // 1e6 + 2 * 500000 = 2e6
+    val sq = edgeBetweenness(
+      sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))), "~")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    sq.foreach { case (e, v) =>
+      assert(v == 2000000L, s"square edge $e carried $v")
+    }
+  }
 }
