@@ -671,4 +671,51 @@ class Round14bWaveSpec extends SparkSpec {
       assert(v == 2000000L, s"square edge $e carried $v")
     }
   }
+
+  test("q557: pass@k hits the closed-form textbook values, clamps to " +
+      "certainty when failures run out, and excludes n < k tasks") {
+    import spark.implicits._
+    import graft.llm.PassAtK
+    // k = 5. A: 2 of 6 correct -> only 4 failures exist -> pass = 1.
+    // B: 1 of 6 -> 1 - C(5,5)/C(6,5) = 5/6. C: 0 of 6 -> 0.
+    // D: n = 4 < k -> excluded.
+    val attempts =
+      (Seq.fill(2)(("A", 1L)) ++ Seq.fill(4)(("A", 0L)) ++
+        (("B", 1L) +: Seq.fill(5)(("B", 0L))) ++
+        Seq.fill(6)(("C", 0L)) ++ Seq.fill(4)(("D", 1L)))
+        .toDF("task", "correct")
+    val got = PassAtK.passAtK(attempts)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(got == Map("A" -> 1000000L, "B" -> 833334L, "C" -> 0L),
+      s"got $got")
+  }
+
+  test("q558: Viterbi segmentation beats greedy longest-match where " +
+      "they differ, falls back to chars, and loses no fixture word " +
+      "to the length filter") {
+    import spark.implicits._
+    import graft.llm.ViterbiSegment
+    // dictionary where greedy longest-match-first (the WordPiece
+    // discipline) takes abc|d|e = 3 pieces but ab|cde = 2 is optimal
+    val dict = Set("a", "b", "c", "d", "e", "ab", "abc", "cde")
+    assert(ViterbiSegment.minPieces("abcde", dict) == 2)
+    assert(ViterbiSegment.minPieces("abc", dict) == 1)
+    // chars-only coverage fallback
+    assert(ViterbiSegment.minPieces("edcba", dict) == 5)
+    // the fixture's word census is fully inside the DP length bound
+    val all = graft.core.Tables(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+    assert(all.filter(length($"word") >
+      ViterbiSegment.VsMaxWordLen).count() == 0L,
+      "a corpus word exceeds the oracle unroll bound")
+    // end-to-end: every emitted n_pieces is between 1 and word length
+    val out = ViterbiSegment.q558ViterbiSegment(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, np) = (r.getString(0), r.getLong(2))
+      assert(np >= 1L && np <= w.length.toLong, s"$w -> $np")
+    }
+  }
 }
