@@ -14,17 +14,19 @@ import graft.core.{Tables => T}
   *
   * Scale architecture (the whole point of this operator): the pair set
   * is NEVER materialized — n1·n2 is 9·10⁸ already at sf0.1 and 10¹³ at
-  * 100 TB. Selection runs as a BINARY SEARCH ON THE VALUE DOMAIN
-  * (q307's selection discipline lifted to the implicit pair set):
-  * count(d ≤ t) = Σₓ cₓ·(n2 − #{y < x − t}) folds over the two VALUE
-  * CENSUSES via one merged cumulative scan per probe (union the Y
-  * census with X probe rows at x−t−1, fullCumSum over the value order,
-  * read the Y-count prefix at each probe — two-level scan, no
-  * single-task window), so each of the O(log range) rounds costs one
-  * census-sized pass and the driver holds ONE count per round (the
-  * q477 bounded-collect rule). Doubled-median convention: hl2 =
-  * d₍(P+1)÷2₎ + d₍(P+2)÷2₎ (the q527/q90 order-statistic pairing), so
-  * ties and even counts are exact — no float quantile anywhere.
+  * 100 TB. Selection runs as a 127-WAY DOMAIN DESCENT (q307's
+  * selection discipline lifted to the implicit pair set): each pass
+  * computes the exact count(d ≤ t) = Σₓ cₓ·(n2 − #{y < x − t}) at 127
+  * thresholds simultaneously over the two VALUE CENSUSES —
+  * ⌈log₁₂₈(range)⌉ ≈ 4 passes total — and the driver holds only the
+  * per-pass counts (the q477 bounded-collect rule). A pass is
+  * MAP-ONLY while the Y census fits the broadcast budget (binary
+  * search against the broadcast cumulative — at most value-DOMAIN
+  * rows regardless of corpus size), with the distributed merged
+  * cumulative scan as the spec-pinned over-budget fallback.
+  * Doubled-median convention: hl2 = d₍(P+1)÷2₎ + d₍(P+2)÷2₎ (the
+  * q527/q90 order-statistic pairing), so ties and even counts are
+  * exact — no float quantile anywhere.
   *
   * Oracle: DuckDB BRUTE-FORCES the pair set (9·10⁶ pairs at sf0.01 —
   * fine single-node, impossible at scale) and reads the same two order
