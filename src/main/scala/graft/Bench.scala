@@ -63,13 +63,45 @@ object Bench {
       }
     }
 
+    // 0.1 ms resolution: full-precision doubles made the JSON line long
+    // enough that the driver's stdout tail truncated its front; 4 decimals
+    // keep every query visible in the captured tail.
+    def r4(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
     // optional local-iteration filter (driver runs with it unset = full)
+    val filterEnv = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
     val nameFilter: String => Boolean =
-      sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+      filterEnv match {
         case Some(pats) =>
           val ps = pats.split(',').toSeq; n => ps.exists(n.contains)
         case None => _ => true
       }
+
+    // ENVIRONMENT SENTINEL (r14 verdict ask #1): the bench adjudicates
+    // its own box state. The standing 4-query sentinel (BASELINE.md,
+    // round 11: one scan-bound, one shuffle-light, two shuffle/join-
+    // heavy entries, all untouched since r9) runs FIRST — before the
+    // full pass, matching the recorded-before-the-bench discipline —
+    // and its medians are emitted both as their own JSON line and as a
+    // "sentinel" key on the final compact line, so a cross-round
+    // reader can divide machine state out of the total without anyone
+    // re-measuring by hand (r14: driver read 671.8 s vs the builder's
+    // same-commit 502.2 s purely from box drift). Skipped under a
+    // local-iteration filter (the driver always runs unfiltered).
+    val SentinelQueries =
+      Seq("q01_pricing_summary", "q41_minhash_lsh",
+        "q312_recsys_holdout", "q361_deletion_join")
+    val sentinelJson =
+      if (filterEnv.isDefined) "{}"
+      else SentinelQueries.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          val (t, ok) = median(fn)
+          s"\"" + name + "\":" + (if (ok) r4(t) else "null")
+        }
+      }.mkString("{", ",", "}")
+    if (filterEnv.isEmpty)
+      println(s"""{"metric":"sentinel","unit":"sec","queries":$sentinelJson}""")
     val results =
       (SparkEntry.queries ++ graft.streaming.StreamBench.benchOnly)
         .filter(kv => nameFilter(kv._1))
@@ -78,18 +110,13 @@ object Bench {
         val (t, ok) = median(fn)
         (name, t, ok)
     }
-    // 0.1 ms resolution: full-precision doubles made the JSON line long
-    // enough that the driver's stdout tail truncated its front; 4 decimals
-    // keep every query visible in the captured tail.
-    def r4(v: Double): String = BigDecimal(v)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, ok) =>
       s"\"" + k + "\":" + (if (ok) r4(v) else "null")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failed,"ok":${failed == "[]"},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failed,"ok":${failed == "[]"},"sentinel":$sentinelJson,"sf":"$sfDir"}""")
     // The full per-query line above is ~5 KB at 155 entries; the driver
     // captures only a 2000-char stdout TAIL, which truncates that line's
     // HEAD (r5/r6 both recorded parsed:null). Repeat the headline numbers
@@ -110,7 +137,7 @@ object Bench {
       .map { case (k, v, _) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"top10_slowest","unit":"sec","queries":$top10}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n":${results.size},"n_failed":${failedNames.size},"failed":$failedCompact,"ok":${failedNames.isEmpty},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n":${results.size},"n_failed":${failedNames.size},"failed":$failedCompact,"ok":${failedNames.isEmpty},"sentinel":$sentinelJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

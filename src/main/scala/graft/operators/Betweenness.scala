@@ -56,7 +56,15 @@ object Betweenness {
     val s = edges0.sparkSession
     import s.implicits._
     val edges = PlanBridge.checkpointResetStats(edges0)
-    val nodes = sources.getOrElse(edges.select($"u".as("v")).distinct())
+    // Default node universe unions BOTH endpoint columns: `u` alone is
+    // complete only for symmetrized edge lists (KTruss.ktEdges is, by
+    // construction) — a directed caller would silently lose sink-only
+    // nodes as BFS sources (r14 advice note, same genre as the r13
+    // HyperBall self-loop fix). The union is one extra distinct input
+    // scan, trivial next to the BFS itself, and on a symmetrized list
+    // it yields the identical set.
+    val nodes = sources.getOrElse(
+      edges.select($"u".as("v")).unionAll(edges.select($"v")).distinct())
     var frontier = PlanBridge.checkpointResetStats(
       nodes.select($"v".as("s"), $"v", lit(0L).as("d"), lit(1L).as("sig")))
     var settled = frontier

@@ -67,8 +67,13 @@ object JoinElimination extends Rule[LogicalPlan] {
       case fs: HadoopFsRelation =>
         val paths = fs.location.rootPaths.map(_.toString)
         import scala.jdk.CollectionConverters._
+        // Anchor the suffix at a path-separator boundary: a bare
+        // endsWith would let a registration for "orders.parquet" also
+        // claim an unrelated "customer_orders.parquet" scan and apply
+        // the uniqueness/RI contract to the wrong table (r14 advice).
         registry.asScala.collectFirst {
-          case (suffix, pk) if paths.exists(_.endsWith(suffix)) =>
+          case (suffix, pk) if paths.exists(p =>
+              p == suffix || p.endsWith("/" + suffix)) =>
             lr.output.find(_.name == pk)
         }.flatten
       case _ => None
@@ -107,13 +112,29 @@ object JoinElimination extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** The rule fires only under a FULLY-PROJECTING parent (Project /
+    * Aggregate): those are the nodes whose `references` are exactly
+    * what flows upward, so "no dim attribute referenced" is decidable
+    * locally. A bare `Filter(_, Join)` is NOT such a parent — a Filter
+    * passes its child's whole output through, so attributes its OWN
+    * parent needs (Project(dim_col, Filter(fact_col > 0, f ⋈ d)) — the
+    * shape Spark's filter pushdown produces routinely) are invisible
+    * in `f.references`, and eliminating on them alone yields an
+    * unresolved-attribute plan (r14 advice, medium). Filters are
+    * instead matched WITH their projecting parent, the filter's own
+    * references added to the required set.
+    */
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, f @ Filter(_, j: Join)) =>
+      p.copy(child =
+        f.copy(child = eliminate(j, p.references ++ f.references)))
+    case a @ Aggregate(_, _, f @ Filter(_, j: Join), _) =>
+      a.copy(child =
+        f.copy(child = eliminate(j, a.references ++ f.references)))
     case p @ Project(_, j: Join) =>
       p.copy(child = eliminate(j, p.references))
     case a @ Aggregate(_, _, j: Join, _) =>
       a.copy(child = eliminate(j, a.references))
-    case f @ Filter(_, j: Join) =>
-      f.copy(child = eliminate(j, f.references))
   }
 
   // ---------------------------------------------------------------

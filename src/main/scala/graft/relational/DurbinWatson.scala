@@ -18,8 +18,12 @@ import graft.core.{Tables => T}
   *
   * Exactness: residuals are scaled to the EXACT integers
   * E_t = n·D·e_t = n·D·x_t − A − n·B·t with D = n·Σt²−(Σt)²,
-  * B = n·Σtx−Σt·Σx, A = D·Σx−Σt·B — every piece an exact BIGINT off
-  * one calendar-bounded pass (the scale (n·D)² cancels in the ratio);
+  * B = n·Σtx−Σt·Σx, A = D·Σx−Σt·B — the moment sums are exact BIGINTs
+  * off one calendar-bounded pass, and E_t itself is computed in
+  * 128-bit (DECIMAL(38,0) / HUGEINT) on BOTH sides: n·D alone is
+  * ~n⁵/12, past Long for long high-volume series, and a Long spelling
+  * would wrap silently Spark-side only (the scale (n·D)² cancels in
+  * the ratio);
   * the two quadratic sums ride DECIMAL(38,0)/HUGEINT (ΣE² ≤
   * n·(n·D·x)² ≈ 10³⁵ at sf1 in dollars — the documented q516-style
   * bound) and dw finishes as ONE shared formula double (a single
@@ -60,8 +64,15 @@ object DurbinWatson {
       .withColumn("dd", $"n" * $"stt" - $"st" * $"st")
       .withColumn("b", $"n" * $"sxt" - $"st" * $"sx")
       .withColumn("a", $"dd" * $"sx" - $"st" * $"b")
+    // e rides DECIMAL(38,0) from the FIRST product on: n·dd alone is
+    // ~n⁵/12, so a Long spelling wraps silently (ANSI off) at SFs
+    // beyond the fixtures while the DuckDB oracle's HUGEINT does not —
+    // the r14 advice note. 128-bit on BOTH sides keeps the engines
+    // bit-identical wherever either is run.
     val resid = idx.join(broadcast(moments), "t")
-      .withColumn("e", $"n" * $"dd" * $"x" - $"a" - $"n" * $"b" * $"i")
+      .withColumn("e", expr(
+        """CAST(n AS DECIMAL(38,0)) * dd * x - a
+          | - CAST(n AS DECIMAL(38,0)) * b * i""".stripMargin))
       .withColumn("ep", lag($"e", 1).over(wDay))
     resid.groupBy($"t")
       .agg(first($"n").as("n"), first($"b").as("bnum"),
@@ -96,8 +107,10 @@ object DurbinWatson {
       |  FROM mom),
       |resid AS (
       |  SELECT idx.t, n, b, dd,
-      |    n * dd * x - a - n * b * i AS e,
-      |    LAG(n * dd * x - a - n * b * i)
+      |    CAST(n AS HUGEINT) * dd * x - a
+      |      - CAST(n AS HUGEINT) * b * i AS e,
+      |    LAG(CAST(n AS HUGEINT) * dd * x - a
+      |      - CAST(n AS HUGEINT) * b * i)
       |      OVER (PARTITION BY idx.t ORDER BY i) AS ep
       |  FROM idx JOIN mom2 ON mom2.t = idx.t),
       |m AS (

@@ -40,10 +40,13 @@ object HodgesLehmann {
   val HlGroup1 = "1-URGENT"
   val HlGroup2 = "5-LOW"
 
-  /** Broadcast budget for the Y-census fast path (rows; ~16 B each —
-    * the default covers any cents-valued domain and stays well under
-    * executor broadcast limits). Larger censuses take the distributed
-    * merged-scan path.
+  /** Broadcast budget for the Y-census fast path, in rows. The census
+    * ships as two primitive `Array[Long]`s (values, inclusive cums), so
+    * the steady footprint is a TRUE 16 B/row — 64 MB per executor at
+    * this cap; the driver additionally pays a TRANSIENT boxed collect
+    * (~56-64 B/row, ~250 MB at the cap) while building the arrays,
+    * which is the number to budget driver heap against. Larger
+    * censuses take the distributed merged-scan path.
     */
   val HlBroadcastMaxCensus = 4000000L
 
@@ -210,30 +213,37 @@ object HodgesLehmann {
     val cyCount = cy.count()
     val useBroadcast = !forceDistributed &&
       cyCount <= HodgesLehmann.HlBroadcastMaxCensus
-    val cyBc =
-      if (useBroadcast)
-        s.sparkContext.broadcast(cy.orderBy($"v")
-          .select($"v", $"cum").as[(Long, Long)].collect())
-      else null
+    // Broadcast TWO PRIMITIVE Long arrays, not Array[(Long, Long)]:
+    // boxed Tuple2[Long, Long] rows cost ~56-64 B each on the JVM heap
+    // (r14 advice note — the documented per-row budget was 4× under),
+    // flat long[]s cost the true 16 B/row, and the binary search reads
+    // them with zero unboxing. The tuple form exists only transiently
+    // inside collect() on the driver.
+    val cyBc: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])] =
+      if (useBroadcast) {
+        val rows = cy.orderBy($"v").select($"v", $"cum")
+          .as[(Long, Long)].collect()
+        s.sparkContext.broadcast((rows.map(_._1), rows.map(_._2)))
+      } else null
 
     def countLEManyBc(ts: Seq[Long]): Map[Long, Long] = {
       val tsArr = ts.toArray
       val nn2 = n2
       val partials = cx.select($"v", $"c").as[(Long, Long)]
         .mapPartitions { it =>
-          val arr = cyBc.value
+          val (vs, cums) = cyBc.value
           val acc = new Array[Long](tsArr.length)
           it.foreach { case (x, xc) =>
             var i = 0
             while (i < tsArr.length) {
               val p = x - tsArr(i) - 1
               // rightmost y <= p
-              var lo = 0; var hi = arr.length
+              var lo = 0; var hi = vs.length
               while (lo < hi) {
                 val mid = (lo + hi) >>> 1
-                if (arr(mid)._1 <= p) lo = mid + 1 else hi = mid
+                if (vs(mid) <= p) lo = mid + 1 else hi = mid
               }
-              val cum = if (lo == 0) 0L else arr(lo - 1)._2
+              val cum = if (lo == 0) 0L else cums(lo - 1)
               acc(i) += xc * (nn2 - cum)
               i += 1
             }
@@ -253,17 +263,17 @@ object HodgesLehmann {
       */
     def nextDiffAfterBc(t0: Long): Long = {
       cx.select($"v").as[Long].mapPartitions { it =>
-        val arr = cyBc.value
+        val (vs, _) = cyBc.value
         var best = Long.MaxValue
         it.foreach { x =>
           val p = x - t0 - 1
-          var lo = 0; var hi = arr.length
+          var lo = 0; var hi = vs.length
           while (lo < hi) {
             val mid = (lo + hi) >>> 1
-            if (arr(mid)._1 <= p) lo = mid + 1 else hi = mid
+            if (vs(mid) <= p) lo = mid + 1 else hi = mid
           }
           if (lo > 0) {
-            val d = x - arr(lo - 1)._1
+            val d = x - vs(lo - 1)
             if (d < best) best = d
           }
         }

@@ -258,6 +258,27 @@ class Round14bWaveSpec extends SparkSpec {
         s"tmp dim not eliminated: ${scansOf(joined)}")
       assert(joined.as[String].collect().toSeq == Seq("a", "c"),
         "the null-key fact row must stay dropped")
+      // r14 advice (medium): Project(dim_col, Filter(fact_pred, f ⋈ d))
+      // — the filter passes the dim column through to its projecting
+      // parent; a bare Filter-case rule saw only the filter's own
+      // references and eliminated the join out from under the Project
+      // (unresolved attribute at execution). Must keep the dim AND
+      // return the right rows.
+      val projOverFilter = fact.join(dim, fact("fk") === dim("k"))
+        .filter($"tag" =!= "zz")
+        .select($"pay", $"tag").orderBy($"tag")
+      assert(scansOf(projOverFilter).exists(_.contains("dim_je")),
+        "elimination fired under a Filter whose parent reads dim cols")
+      assert(projOverFilter.as[(String, String)].collect().toSeq ==
+        Seq(("dim", "a"), ("dim", "c")))
+      // and the same shape with NO dim reference above still eliminates
+      val filterNoDim = fact.join(dim, fact("fk") === dim("k"))
+        .filter($"tag" =!= "zz")
+        .select($"tag").orderBy($"tag")
+      assert(scansOf(filterNoDim).forall(_.contains("fact_je")),
+        s"Project-Filter shape without dim refs kept the join: " +
+          s"${scansOf(filterNoDim)}")
+      assert(filterNoDim.as[String].collect().toSeq == Seq("a", "c"))
     } finally spark.experimental.extraOptimizations = prev
   }
 
