@@ -49,8 +49,10 @@ object DedupQueries {
         .as("tg"))
   }
 
-  /** Distinct word-3-grams per document (one dedup shuffle). */
-  private[llm] def triShingles(df: DataFrame)(implicit s: SparkSession): DataFrame =
+  /** Distinct word-3-grams per document (one dedup shuffle). Public:
+    * also the shingle universe for the q559 Borůvka MST edge build.
+    */
+  def triShingles(df: DataFrame)(implicit s: SparkSession): DataFrame =
     triShinglesRaw(df).distinct()
 
   /** Exact dedup: group by content hash, keep the earliest doc_id as the

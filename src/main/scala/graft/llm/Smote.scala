@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+
+/** SMOTE — synthetic minority oversampling (Chawla, Bowyer, Hall &
+  * Kegelmeyer JAIR'02: THE class-rebalancing data op — when the label
+  * a classifier trains on is rare, duplicating minority rows overfits
+  * and reweighting under-uses the region BETWEEN minority points;
+  * SMOTE synthesizes new examples on the segment joining each minority
+  * vector to a same-class nearest neighbor — the training-data
+  * pipeline's answer to imbalance, next to the stratified/temperature
+  * mixing ops q100/q158 which rebalance by SELECTION, not synthesis):
+  * for the corpus's minority label (fewest vectors; ties to the
+  * smaller label), each member's nearest same-label neighbor and the
+  * midpoint synthetic example.
+  *
+  * Determinism contract: vectors enter as the q44 Q20 quantization
+  * (component-wise ⌊x·2²⁰⌋ BIGINTs), the NN dot is an EXACT integer
+  * (cos only divides for ranking, the q44 precedent), ties break
+  * (cos DESC, nid ASC), and the λ = ½ synthetic is kept in DOUBLED
+  * form s2ᵢ = qaᵢ + qbᵢ — exact integer addition, NO division, so the
+  * floor-div-on-negatives trap (quantized components are signed) never
+  * arises (the q537 doubled-median convention applied to vectors). The
+  * emitted row carries the exact synthetic checksums Σs2ᵢ and Σs2ᵢ²
+  * (≤ 64·(2²¹)² ≈ 3·10¹⁴ — BIGINT with headroom).
+  *
+  * Scale shape: everything is MINORITY-bounded — which is the point of
+  * the operator (the minority class is small by definition): one
+  * count-per-label agg picks the class, the |M|² NN scoring broadcasts
+  * the minority set against itself (q176's bounded-broadcast exact
+  * path; at a minority too large to broadcast, candidate generation
+  * swaps to the IVF/LSH indexes exactly as documented there), and the
+  * synthesis is one zip_with per member.
+  */
+object Smote {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Component-wise Q20 quantization — the q44Sql list_transform
+    * spelling, shared shape with the oracle.
+    */
+  private val Q20 =
+    "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+
+  val q564Smote: Q = (s, dir) =>
+    smote(T.embeddings(s, dir).select("vec_id", "label", "embedding"))
+
+  /** The SMOTE pass over any `(vec_id, label, embedding)` frame —
+    * minority selection, same-label NN, doubled-midpoint synthesis.
+    */
+  def smote(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val e = emb.select($"vec_id", $"label", expr(Q20).as("qv"))
+    val minority = e.groupBy($"label").agg(count(lit(1)).as("n"))
+      .orderBy($"n".asc, $"label".asc).limit(1).select($"label")
+    val m = e.join(broadcast(minority), "label").localCheckpoint()
+    val a = m.select($"label", $"vec_id".as("qid"), $"qv".as("qa"))
+    val b = m.select($"vec_id".as("nid"), $"qv".as("qb"))
+    val scored = a.join(broadcast(b), $"qid" =!= $"nid")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("na", sqrt(expr(
+        "aggregate(zip_with(qa, qa, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        .cast("double")))
+      .withColumn("nb", sqrt(expr(
+        "aggregate(zip_with(qb, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        .cast("double")))
+      .withColumn("cos_sim", $"dot".cast("double") / ($"na" * $"nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos_sim".desc, $"nid".asc)
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .withColumn("s2", expr("zip_with(qa, qb, (x, y) -> x + y)"))
+      .select($"qid", $"nid".as("nn_id"), $"label", $"cos_sim",
+        expr("aggregate(s2, 0L, (acc, v) -> acc + v)").as("s2_sum"),
+        expr("aggregate(s2, 0L, (acc, v) -> acc + v * v)").as("s2_normsq"))
+      .orderBy($"qid")
+  }
+
+  val q564Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |mlab AS (SELECT label FROM q GROUP BY label
+      |         ORDER BY COUNT(*) ASC, label ASC LIMIT 1),
+      |m AS (SELECT vec_id, qv FROM q JOIN mlab USING (label)),
+      |norms AS (
+      |  SELECT vec_id, SQRT(CAST(SUM(qv[i] * qv[i]) AS DOUBLE)) AS nrm
+      |  FROM m, range(1, 65) t(i) GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    CAST(SUM(a.qv[i] * b.qv[i]) AS DOUBLE) AS dot
+      |  FROM m a JOIN m b ON a.vec_id <> b.vec_id, range(1, 65) t(i)
+      |  GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT qid, nid, dot / (na.nrm * nb.nrm) AS cos_sim
+      |  FROM dots JOIN norms na ON dots.qid = na.vec_id
+      |            JOIN norms nb ON dots.nid = nb.vec_id),
+      |nn AS (
+      |  SELECT qid, nid, cos_sim FROM (
+      |    SELECT qid, nid, cos_sim, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rn
+      |    FROM cos) x WHERE rn = 1)
+      |SELECT nn.qid, nn.nid AS nn_id,
+      |  (SELECT label FROM mlab) AS label, nn.cos_sim,
+      |  CAST(SUM(a.qv[i] + b.qv[i]) AS BIGINT) AS s2_sum,
+      |  CAST(SUM((a.qv[i] + b.qv[i]) * (a.qv[i] + b.qv[i])) AS BIGINT)
+      |    AS s2_normsq
+      |FROM nn JOIN m a ON nn.qid = a.vec_id JOIN m b ON nn.nid = b.vec_id,
+      |     range(1, 65) t(i)
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY nn.qid""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q564_smote" -> q564Smote)
+  val oracleSql: Map[String, String] = Map(
+    "q564_smote" -> q564Sql)
+}

@@ -1209,7 +1209,56 @@ object StreamBench {
       .toDF("n_in", "n_ratings", "n_pairs")
   }
 
+  /** qs27 — streaming RELATIVE-ERROR quantile census ([[ReqStream]],
+    * q561's streaming twin): per-shard decimal log-bucket fold over
+    * [[BloomBatches]] micro-batches; the merged shard censuses are
+    * required BIT-IDENTICAL (serialized-bytes equality — counter
+    * additivity, no tolerance band) to the one-pass census over the
+    * same rows, and the sketch's p999 estimate is required within the
+    * guaranteed 5% of the exact order statistic.
+    */
+  val qs27ReqStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val stream = MemoryStream[Event]
+    val name = s"bench_req_${runId.incrementAndGet()}"
+    val q = ReqStream.reqSketches(stream.toDS())
+      .toDF("shard", "census")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-req-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val emissions = s.table(name).select($"shard", $"census")
+      .as[(Long, Array[Byte])].collect()
+    s.catalog.dropTempView(name)
+    val last = emissions.zipWithIndex
+      .groupBy(_._1._1).map { case (_, es) => es.maxBy(_._2)._1._2 }.toSeq
+    val merged = ReqStream.merge(last)
+    val cents = rows.map(e => math.floor(100.0 * e.value).toLong)
+      .filter(_ >= 1L)
+    val batch = new ReqStream.ReqState
+    cents.foreach(batch.update)
+    require(java.util.Arrays.equals(merged.serialized, batch.serialized),
+      "qs27: streamed-merged census differs from the batch one-pass census")
+    val n = cents.length.toLong
+    val k = 999L * (n - 1L) / 1000L + 1L
+    val est = ReqStream.quantileEstimate(merged, k)
+    val exact = cents.sorted.apply((k - 1L).toInt)
+    require(math.abs(est - exact) * 20L <= exact,
+      s"qs27: p999 estimate $est outside 5% of exact $exact")
+    Seq((n, merged.counts.size.toLong, est))
+      .toDF("n_in", "n_buckets", "p999_est")
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "qs27_req_stream" -> qs27ReqStream,
     "qs26_slope_one_stream" -> qs26SlopeOneStream,
     "qs25_cuckoo_stream" -> qs25CuckooStream,
     "qs24_watermark_dedup_stream" -> qs24WatermarkDedupStream,
