@@ -64,21 +64,33 @@ object SimRank {
     // orders keeps each round to two plain equi-joins
     var state = PlanBridge.checkpointResetStats(diag)
     (1 to SrHops).foreach { _ =>
-      val num = state
-        .join(edges.select($"u".as("i"), $"v".as("a")), "i")
-        .join(edges.select($"u".as("j"), $"v".as("b")), "j")
-        .groupBy($"a", $"b").agg(sum($"sv").as("num"))
-      val off = num.filter($"a" =!= $"b")
-        .join(deg.select($"v".as("a"), $"d".as("da")), "a")
-        .join(deg.select($"v".as("b"), $"d".as("db")), "b")
-        .select($"a".as("i"), $"b".as("j"),
-          expr("num div (2 * da * db)").as("sv"))
-        .filter($"sv" >= 1L)
-      state = PlanBridge.checkpointResetStats(off.unionAll(diag))
+      state = PlanBridge.checkpointResetStats(
+        roundExpansion(state, edges, deg).unionAll(diag))
     }
     state.filter($"i" < $"j")
       .select($"i".as("a"), $"j".as("b"), $"sv".as("simrank_s"))
       .orderBy($"a", $"b")
+  }
+
+  /** One un-checkpointed off-diagonal expansion round over `state`
+    * (i, j, sv) — the loop body, exposed so ScalePlanSpec can pin its
+    * join shape (the loop checkpoints each round, so the final plan no
+    * longer carries the round joins).
+    */
+  private[graft] def roundExpansion(state: DataFrame, edges: DataFrame,
+      deg: DataFrame): DataFrame = {
+    val s = state.sparkSession
+    import s.implicits._
+    state
+      .join(edges.select($"u".as("i"), $"v".as("a")), "i")
+      .join(edges.select($"u".as("j"), $"v".as("b")), "j")
+      .groupBy($"a", $"b").agg(sum($"sv").as("num"))
+      .filter($"a" =!= $"b")
+      .join(deg.select($"v".as("a"), $"d".as("da")), "a")
+      .join(deg.select($"v".as("b"), $"d".as("db")), "b")
+      .select($"a".as("i"), $"b".as("j"),
+        expr("num div (2 * da * db)").as("sv"))
+      .filter($"sv" >= 1L)
   }
 
   val q562SimRank: Q = (s, dir) => simrank(KTruss.ktEdges(s, dir))

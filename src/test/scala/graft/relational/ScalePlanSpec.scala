@@ -489,4 +489,67 @@ class ScalePlanSpec extends SparkSpec {
         s"q531: non-equi join in the dependency assembly:\n${p531.treeString}")
     }
   }
+
+  test("round-15: q559's edge build anti-joins the stop-shingle set, " +
+      "q563 keeps the Apriori semi-join prune, q562's rounds are " +
+      "equi-joins only") {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    atScaleRegime {
+    // q559: the df-capped shingle universe must reach the plan as an
+    // anti-join against the (Zipf-bounded) hot set — without it one
+    // skewed shingle turns the in-group pairing quadratic at scale
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val p559 = graft.operators.BoruvkaMst
+      .jaccardDistEdges(graft.core.Tables.documents(spark, dir))
+      .queryExecution.executedPlan
+    val anti559 = p559.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+      case j: ShuffledHashJoinExec if j.joinType == LeftAnti => j
+      case j: SortMergeJoinExec if j.joinType == LeftAnti => j
+    }
+    assert(anti559.nonEmpty,
+      s"q559: stop-shingle anti-join missing:\n${p559.treeString}")
+    // q563: the sound level-1 Apriori prune must survive as a semi-join
+    // (it is what bounds the C(n,4) generation term at corpus scale)
+    val p563 = FrequentItemsets.q563Itemsets4(spark, dir)
+      .queryExecution.executedPlan
+    val semi563 = p563.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+      case j: ShuffledHashJoinExec if j.joinType == LeftSemi => j
+      case j: SortMergeJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(semi563.nonEmpty,
+      s"q563: Apriori semi-join prune missing:\n${p563.treeString}")
+    // q562: the SimRank ROUND expansion (the loop body — checkpointing
+    // erases it from the final plan) must stay pure equi-joins: a
+    // nested-loop anywhere in the round machinery is corpus²
+    import spark.implicits._
+    val edges562 = graft.operators.KTruss.ktEdges(spark, dir)
+      .localCheckpoint()
+    val deg562 = edges562.groupBy($"u".as("v"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("d"))
+    val diag562 = edges562.select($"u".as("i")).distinct()
+      .select($"i", $"i".as("j"),
+        org.apache.spark.sql.functions.lit(
+          graft.operators.SimRank.SrScale).as("sv"))
+    val p562 = graft.operators.SimRank
+      .roundExpansion(diag562, edges562, deg562)
+      .queryExecution.executedPlan
+    val nl562 = p562.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(nl562.isEmpty,
+      s"q562: non-equi join in the SimRank round:\n${p562.treeString}")
+    assert(p562.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }.size >= 4,
+      s"q562: round expansion lost its equi-join shape:\n${p562.treeString}")
+    }
+  }
 }
