@@ -1257,7 +1257,62 @@ object StreamBench {
       .toDF("n_in", "n_buckets", "p999_est")
   }
 
+  /** qs28 — DGIM sliding-window counting ([[DgimStream]]): per-shard
+    * exponential-bucket fold over [[BloomBatches]] micro-batches; each
+    * shard's estimate of "qualifying events in the last
+    * [[DgimStream.DgimWindow]] positions" is required inside the
+    * paper's bound (|est − exact| ≤ exact/2 + 1) against the exact
+    * count replayed from the fed rows in the same pinned order.
+    */
+  val qs28DgimStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = boundedEvents(s, dir)
+    val stream = MemoryStream[Event]
+    val name = s"bench_dgim_${runId.incrementAndGet()}"
+    val q = DgimStream.dgimCounts(stream.toDS())
+      .toDF("shard", "pos", "est")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-dgim-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val emissions = s.table(name).select($"shard", $"pos", $"est")
+      .as[(Long, Long, Long)].collect()
+    s.catalog.dropTempView(name)
+    val last = emissions.zipWithIndex
+      .groupBy(_._1._1).map { case (_, es) => es.maxBy(_._2)._1 }.toSeq
+    // exact replay: same shard hash, same (ts, event_id) fold order —
+    // NOTE the per-batch sort is batch-scoped, so the replay applies it
+    // batch by batch exactly as the processor saw the rows
+    val chunks = rows.grouped(rows.size / BloomBatches + 1).toSeq
+    val perShard = chunks.flatMap(_.sortBy(e => (e.ts.getTime, e.event_id)))
+      .groupBy(e => java.lang.Math.floorMod(scala.util.hashing.MurmurHash3
+        .stringHash(e.user_id.toString), 8).toLong)
+    var totalEst = 0L
+    var totalExact = 0L
+    last.foreach { case (shard, pos, est) =>
+      val sh = perShard(shard)
+      require(pos == sh.size.toLong,
+        s"qs28: shard $shard position $pos != fed ${sh.size}")
+      val window = sh.takeRight(math.min(DgimStream.DgimWindow, pos).toInt)
+      val exact = window.count(_.value >= DgimStream.DgimThreshold).toLong
+      require(math.abs(est - exact) <= exact / 2L + 1L,
+        s"qs28: shard $shard estimate $est outside the DGIM bound of " +
+          s"exact $exact")
+      totalEst += est; totalExact += exact
+    }
+    Seq((last.size.toLong, totalEst, totalExact))
+      .toDF("n_shards", "total_est", "total_exact")
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "qs28_dgim_stream" -> qs28DgimStream,
     "qs27_req_stream" -> qs27ReqStream,
     "qs26_slope_one_stream" -> qs26SlopeOneStream,
     "qs25_cuckoo_stream" -> qs25CuckooStream,

@@ -345,6 +345,70 @@ class Round15WaveSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // q568 Gorilla delta-of-delta cost
+  // ---------------------------------------------------------------
+
+  test("q568: constant and linear series hit the closed-form bit " +
+      "costs (64 + tail of 1-bit dods; ramp pays one 12-bit delta)") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00")
+    // constant series (n=5): 64 + (d=0 -> 1) + 3 x (dod=0 -> 1) = 68
+    val const5 = (1 to 5).map(i => ("c", day(i), 42L))
+      .toDF("event_type", "day", "x")
+    // ramp +100/day (n=5): 64 + (d=100 -> 12) + 3 x (dod=0 -> 1) = 79
+    val ramp5 = (1 to 5).map(i => ("r", day(i), 1000L + 100L * i))
+      .toDF("event_type", "day", "x")
+    val out = GorillaCost.gorillaBits(const5.unionAll(ramp5)).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("total_bits"),
+          r.getAs[Long]("raw_bits"))).toMap
+    assert(out("c") == ((5L, 68L, 320L)), s"constant: ${out("c")}")
+    assert(out("r") == ((5L, 79L, 320L)), s"ramp: ${out("r")}")
+    // a wild jump pays the 68-bit escape exactly once
+    val jump = (Seq(("j", day(1), 0L), ("j", day(2), 1000000L),
+      ("j", day(3), 1000000L))).toDF("event_type", "day", "x")
+    val j = GorillaCost.gorillaBits(jump).collect().head
+    // 64 + (d=10^6 -> 68) + (dod=-10^6 -> 68) = 200
+    assert(j.getAs[Long]("total_bits") == 200L)
+  }
+
+  // ---------------------------------------------------------------
+  // qs28 DGIM sliding-window counting
+  // ---------------------------------------------------------------
+
+  test("qs28 state: DGIM buckets follow the hand cascade on all-ones, " +
+      "the estimate stays inside the paper bound, serialization round-" +
+      "trips, and expiry drops out-of-window buckets") {
+    import graft.streaming.DgimStream
+    val st = new DgimStream.DgimState
+    (1 to 8).foreach(_ => st.update(true))
+    // hand cascade (≤2 buckets per size, oldest pair merges):
+    // [(8,1),(7,1),(6,2),(4,4)]
+    assert(st.buckets == List((8L, 1L), (7L, 1L), (6L, 2L), (4L, 4L)),
+      s"bucket cascade drifted: ${st.buckets}")
+    // est = (1+1+2+4) - 4 + ceil(4/2) = 6; exact = 8; bound 8/2+1
+    assert(st.estimate == 6L)
+    assert(math.abs(st.estimate - 8L) <= 8L / 2L + 1L)
+    // zeros advance the window without adding buckets
+    st.update(false)
+    assert(st.pos == 9L && st.buckets.size == 4)
+    // round-trip
+    val rt = DgimStream.deserialize(st.serialized)
+    assert(rt.pos == st.pos && rt.buckets == st.buckets)
+    // expiry with a tiny window: after 6 more zeros the size-4 bucket
+    // (end 4) leaves a 10-wide window at pos 15
+    val w10 = new DgimStream.DgimState(10L)
+    (1 to 8).foreach(_ => w10.update(true))
+    (1 to 7).foreach(_ => w10.update(false))
+    assert(w10.pos == 15L)
+    assert(!w10.buckets.exists(_._2 == 4L),
+      s"out-of-window bucket survived: ${w10.buckets}")
+    // estimate never exceeds the window's qualifying count bound:
+    // remaining buckets end at 8,7,6 (sizes 1,1,2) -> est = 4 - 2 + 1
+    assert(w10.estimate == 3L)
+  }
+
+  // ---------------------------------------------------------------
   // q567 Davies-Bouldin
   // ---------------------------------------------------------------
 
