@@ -134,8 +134,13 @@ object BoruvkaMst {
     var done = false
     while (!done) {
       r += 1
-      require(r <= MstMaxRounds,
-        s"Borůvka exceeded $MstMaxRounds rounds — re-measure the unroll")
+      // r counts the final convergence-DETECT pass too (the round where
+      // chosen.isEmpty flips done): an input needing exactly
+      // MstMaxRounds HOOKING rounds takes MstMaxRounds+1 engine rounds
+      // while the oracle's MstMaxRounds-deep unroll still replays it —
+      // budget at +1 so engine and oracle capacities match (r15 advice).
+      require(r <= MstMaxRounds + 1,
+        s"Borůvka exceeded $MstMaxRounds hooking rounds — re-measure the unroll")
       val tagged = edges
         .join(comp.select($"id".as("u"), $"c".as("cu")), "u")
         .join(comp.select($"id".as("v"), $"c".as("cv")), "v")
@@ -199,6 +204,35 @@ object BoruvkaMst {
     mst(jaccardDistEdges(T.documents(s, dir)))
   }
 
+  /** The q43-style exact-Jaccard edge list `(u, v, w)` as SQL CTEs
+    * ending at `pe` — shared verbatim by q559 and the q571/q572
+    * bridges/articulation oracles (operators/Bridges.scala).
+    */
+  val JaccardEdgesCtes: String =
+    s"""w0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |            FROM documents),
+      |tri0 AS (SELECT DISTINCT doc_id,
+      |           UNNEST(list_transform(range(1, len(ws) - 1),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+      |         FROM w0),
+      |keptsh AS (SELECT tg FROM tri0 GROUP BY tg
+      |           HAVING COUNT(*) <= $MstDfCap),
+      |tri AS (SELECT tri0.doc_id, tri0.tg FROM tri0
+      |        JOIN keptsh USING (tg)),
+      |szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM tri GROUP BY doc_id),
+      |intr AS (SELECT a.doc_id AS u, b.doc_id AS v,
+      |           CAST(COUNT(*) AS BIGINT) AS inter
+      |         FROM tri a JOIN tri b
+      |           ON a.tg = b.tg AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2),
+      |pe AS MATERIALIZED (
+      |  SELECT u, v,
+      |    1000000 - (1000000 * inter) // (n1.n + n2.n - inter) AS w
+      |  FROM intr JOIN szs n1 ON intr.u = n1.doc_id
+      |            JOIN szs n2 ON intr.v = n2.doc_id
+      |  WHERE 5 * inter >= n1.n + n2.n - inter)""".stripMargin
+
   val q559Sql: String = {
     def round(r: Int): String = {
       val prev = s"k${r - 1}"
@@ -238,29 +272,7 @@ object BoruvkaMst {
     val rounds = (1 to MstMaxRounds).map(round).mkString(",\n")
     val unions = (1 to MstMaxRounds)
       .map(r => s"SELECT * FROM m$r").mkString("\n  UNION ALL ")
-    s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws
-      |            FROM documents),
-      |tri0 AS (SELECT DISTINCT doc_id,
-      |           UNNEST(list_transform(range(1, len(ws) - 1),
-      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
-      |         FROM w0),
-      |keptsh AS (SELECT tg FROM tri0 GROUP BY tg
-      |           HAVING COUNT(*) <= $MstDfCap),
-      |tri AS (SELECT tri0.doc_id, tri0.tg FROM tri0
-      |        JOIN keptsh USING (tg)),
-      |szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-      |        FROM tri GROUP BY doc_id),
-      |intr AS (SELECT a.doc_id AS u, b.doc_id AS v,
-      |           CAST(COUNT(*) AS BIGINT) AS inter
-      |         FROM tri a JOIN tri b
-      |           ON a.tg = b.tg AND a.doc_id < b.doc_id
-      |         GROUP BY 1, 2),
-      |pe AS MATERIALIZED (
-      |  SELECT u, v,
-      |    1000000 - (1000000 * inter) // (n1.n + n2.n - inter) AS w
-      |  FROM intr JOIN szs n1 ON intr.u = n1.doc_id
-      |            JOIN szs n2 ON intr.v = n2.doc_id
-      |  WHERE 5 * inter >= n1.n + n2.n - inter),
+    s"""WITH $JaccardEdgesCtes,
       |nodes AS (SELECT u AS id FROM pe UNION SELECT v FROM pe),
       |k0 AS MATERIALIZED (SELECT id, id AS c FROM nodes),
       |$rounds,

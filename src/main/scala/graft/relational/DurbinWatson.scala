@@ -19,11 +19,13 @@ import graft.core.{Tables => T}
   * Exactness: residuals are scaled to the EXACT integers
   * E_t = n·D·e_t = n·D·x_t − A − n·B·t with D = n·Σt²−(Σt)²,
   * B = n·Σtx−Σt·Σx, A = D·Σx−Σt·B — the moment sums are exact BIGINTs
-  * off one calendar-bounded pass, and E_t itself is computed in
+  * off one calendar-bounded pass, and EVERYTHING derived from them
+  * (D, B, A, E_t, and the emitted bnum/dden columns) is computed in
   * 128-bit (DECIMAL(38,0) / HUGEINT) on BOTH sides: n·D alone is
-  * ~n⁵/12, past Long for long high-volume series, and a Long spelling
-  * would wrap silently Spark-side only (the scale (n·D)² cancels in
-  * the ratio);
+  * ~n⁵/12 and A ~ D·Σx is ~n⁵·x̄, past Long for long high-volume
+  * series, and a Long spelling of any of them would wrap silently
+  * Spark-side only while DuckDB's SUM(BIGINT)→HUGEINT promotion does
+  * not (the scale (n·D)² cancels in the ratio);
   * the two quadratic sums ride DECIMAL(38,0)/HUGEINT (ΣE² ≤
   * n·(n·D·x)² ≈ 10³⁵ at sf1 in dollars — the documented q516-style
   * bound) and dw finishes as ONE shared formula double (a single
@@ -61,9 +63,16 @@ object DurbinWatson {
       .agg(count(lit(1)).as("n"), sum($"i").as("st"),
         sum($"i" * $"i").as("stt"), sum($"x").as("sx"),
         sum($"i" * $"x").as("sxt"))
-      .withColumn("dd", $"n" * $"stt" - $"st" * $"st")
-      .withColumn("b", $"n" * $"sxt" - $"st" * $"sx")
-      .withColumn("a", $"dd" * $"sx" - $"st" * $"b")
+      // dd, b and especially a = dd·sx − st·b ride DECIMAL(38,0) from
+      // the FIRST product: a ~ D·Σx is the same ~n⁵ magnitude as the
+      // n·D·x residual term below, and DuckDB computes all three in
+      // HUGEINT (SUM(BIGINT) promotes), so a Long spelling here wraps
+      // Spark-side only past the fixtures (r15 advice note).
+      .withColumn("dd", expr(
+        "CAST(n AS DECIMAL(38,0)) * stt - CAST(st AS DECIMAL(38,0)) * st"))
+      .withColumn("b", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxt - CAST(st AS DECIMAL(38,0)) * sx"))
+      .withColumn("a", expr("dd * sx - CAST(st AS DECIMAL(38,0)) * b"))
     // e rides DECIMAL(38,0) from the FIRST product on: n·dd alone is
     // ~n⁵/12, so a Long spelling wraps silently (ANSI off) at SFs
     // beyond the fixtures while the DuckDB oracle's HUGEINT does not —
@@ -115,7 +124,8 @@ object DurbinWatson {
       |  FROM idx JOIN mom2 ON mom2.t = idx.t),
       |m AS (
       |  SELECT t, MAX(n) AS n,
-      |    CAST(MAX(b) AS BIGINT) AS bnum, CAST(MAX(dd) AS BIGINT) AS dden,
+      |    CAST(MAX(b) AS DECIMAL(38,0)) AS bnum,
+      |    CAST(MAX(dd) AS DECIMAL(38,0)) AS dden,
       |    SUM(CASE WHEN ep IS NOT NULL
       |      THEN CAST(e - ep AS HUGEINT) * (e - ep)
       |      ELSE CAST(0 AS HUGEINT) END) AS num,
