@@ -29,15 +29,42 @@ import graft.core.{Tables => T}
   *
   * Scale shape: everything is MINORITY-bounded — which is the point of
   * the operator (the minority class is small by definition): one
-  * count-per-label agg picks the class, the |M|² NN scoring broadcasts
-  * the minority set against itself (q176's bounded-broadcast exact
-  * path; at a minority too large to broadcast, candidate generation
-  * swaps to the IVF/LSH indexes exactly as documented there), and the
-  * synthesis is one zip_with per member.
+  * count-per-label agg picks the class, and the NN stage BRANCHES on
+  * the measured minority size (the q537 HodgesLehmann two-path
+  * discipline, r15 verdict note): at or under
+  * [[SmoteBroadcastMaxMinority]] rows the |M|² scoring broadcasts the
+  * minority set against itself (q176's bounded-broadcast exact path);
+  * PAST the cap — a "minority" of 10⁸ rows on a 100 TB corpus would
+  * OOM the broadcast with no actionable error — candidate generation
+  * swaps to the q112 SRP-banded equi-join (ids only through the
+  * band shuffle, vectors rejoined per deduped candidate pair, the
+  * deterministic per-bucket cap as the skew valve), with the same
+  * exact-integer dot + (cos DESC, nid ASC) ranking on the candidates.
+  * The spec pins both paths row-identical on a planted minority whose
+  * true NNs are band-certain. Synthesis is one zip_with per member
+  * either way.
   */
 object Smote {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Broadcast budget for the exact |M|² path, in minority rows. A Q20
+    * vector row ships ~64×8 B of longs plus array/row overhead ≈ 600 B,
+    * so the cap bounds the broadcast at ~60 MB per executor (the
+    * HlBroadcastMaxCensus byte-budget discipline at vector row width).
+    * Larger minorities take the SRP-banded candidate path.
+    */
+  val SmoteBroadcastMaxMinority = 100000L
+
+  /** SRP banding for the past-cap candidate path: few planes per band
+    * (SMOTE's same-class NN sits at moderate cosine, not the τ→1
+    * near-dup regime q112 tunes for) OR-amplified across many bands;
+    * per-(band, bucket) population capped deterministically.
+    */
+  val SmoteBands = 32
+  val SmotePlanesPerBand = 4
+  val SmoteBucketCap = 512
+  private val SmoteBandSeed = 1409
 
   /** Component-wise Q20 quantization — the q44Sql list_transform
     * spelling, shared shape with the oracle.
@@ -49,12 +76,15 @@ object Smote {
     smote(T.embeddings(s, dir).select("vec_id", "label", "embedding"))
 
   /** The SMOTE pass over any `(vec_id, label, embedding)` frame —
-    * minority selection, same-label NN, doubled-midpoint synthesis.
+    * minority selection, same-label NN (exact broadcast at or under
+    * [[SmoteBroadcastMaxMinority]] rows, SRP-banded candidates past
+    * it; `forceCandidates` pins the past-cap path for the spec),
+    * doubled-midpoint synthesis.
     */
-  def smote(emb: DataFrame): DataFrame = {
+  def smote(emb: DataFrame, forceCandidates: Boolean = false): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val e = emb.select($"vec_id", $"label", expr(Q20).as("qv"))
+    val e = emb.select($"vec_id", $"label", $"embedding", expr(Q20).as("qv"))
     val minority = e.groupBy($"label").agg(count(lit(1)).as("n"))
       .orderBy($"n".asc, $"label".asc).limit(1).select($"label")
     // norms once per VECTOR, never per pair (the q44 "norms are
@@ -66,16 +96,46 @@ object Smote {
         "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
         .cast("double")))
       .localCheckpoint()
-    val a = m.select($"label", $"vec_id".as("qid"), $"qv".as("qa"),
+    // one cheap count picks the path — the r15 verdict note: the
+    // unconditional broadcast had no size guard, so a huge "minority"
+    // OOMed the driver/executors instead of degrading gracefully
+    val useBroadcast = !forceCandidates &&
+      m.count() <= SmoteBroadcastMaxMinority
+    val qa = m.select($"label", $"vec_id".as("qid"), $"qv".as("qa"),
       $"nrm".as("na"))
-    val b = m.select($"vec_id".as("nid"), $"qv".as("qb"), $"nrm".as("nb"))
-    val scored = a.join(broadcast(b), $"qid" =!= $"nid")
+    val qb = m.select($"vec_id".as("nid"), $"qv".as("qb"), $"nrm".as("nb"))
+    val scored =
+      if (useBroadcast) qa.join(broadcast(qb), $"qid" =!= $"nid")
+      else {
+        // past-cap path: SRP band collisions bound the candidate set —
+        // ids ONLY through the band explode and pair join (the q112
+        // "never ship vectors through an exchange" rule), vectors
+        // rejoined once per deduped candidate pair
+        val bands = (0 until SmoteBands).map(bnd => graft.functions
+          .VectorFunctions.srp_bucket($"embedding", SmotePlanesPerBand,
+            SmoteBandSeed + bnd))
+        val banded = m.select($"vec_id",
+          posexplode(array(bands: _*)).as(Seq("band", "bucket")))
+        val wCap = org.apache.spark.sql.expressions.Window
+          .partitionBy($"band", $"bucket")
+          .orderBy(xxhash64($"vec_id"), $"vec_id")
+        val capped = banded.withColumn("slot", row_number().over(wCap))
+          .filter($"slot" <= SmoteBucketCap)
+          .select($"band", $"bucket", $"vec_id")
+        val cand = capped.select($"band", $"bucket", $"vec_id".as("qid"))
+          .join(capped.select($"band", $"bucket", $"vec_id".as("nid")),
+            Seq("band", "bucket"))
+          .filter($"qid" =!= $"nid")
+          .select($"qid", $"nid").distinct()
+        cand.join(qa, "qid").join(qb, "nid")
+      }
+    val ranked = scored
       .withColumn("dot", expr(
         "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
       .withColumn("cos_sim", $"dot".cast("double") / ($"na" * $"nb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"cos_sim".desc, $"nid".asc)
-    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    ranked.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
       .withColumn("s2", expr("zip_with(qa, qb, (x, y) -> x + y)"))
       .select($"qid", $"nid".as("nn_id"), $"label", $"cos_sim",
         expr("aggregate(s2, 0L, (acc, v) -> acc + v)").as("s2_sum"),

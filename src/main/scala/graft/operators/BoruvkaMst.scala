@@ -123,6 +123,25 @@ object BoruvkaMst {
   def mst(edges0: DataFrame): DataFrame = {
     val s = edges0.sparkSession
     import s.implicits._
+    val acc = mstForest(edges0)
+    // single-linkage merge order: ascending (w, u, v) rank over the
+    // forest — unique keys, so the inclusive two-level cumsum IS the
+    // rank (no single-partition window at any scale)
+    graft.relational.QuantileNormalize.fullCumSum(
+        acc.withColumn("one", lit(1L)),
+        Seq(col("w"), col("u"), col("v")), "one", "sl_rank")
+      .select($"u", $"v", $"w".as("dist_ppm"), $"merge_round", $"sl_rank")
+      .orderBy($"sl_rank")
+  }
+
+  /** The spanning forest `(u, v, w, merge_round)` WITHOUT the
+    * single-linkage rank finish — the form consumers that only need
+    * the edge set (the q571/q573 bridge census) read, skipping the
+    * cumsum scan and the global sort.
+    */
+  def mstForest(edges0: DataFrame): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
     lastRounds = 0; lastMaxHalve = 0
     val edges = PlanBridge.checkpointResetStats(edges0)
     var comp = PlanBridge.checkpointResetStats(
@@ -186,14 +205,7 @@ object BoruvkaMst {
       }
     }
     lastRounds = r
-    // single-linkage merge order: ascending (w, u, v) rank over the
-    // forest — unique keys, so the inclusive two-level cumsum IS the
-    // rank (no single-partition window at any scale)
-    graft.relational.QuantileNormalize.fullCumSum(
-        acc.withColumn("one", lit(1L)),
-        Seq(col("w"), col("u"), col("v")), "one", "sl_rank")
-      .select($"u", $"v", $"w".as("dist_ppm"), $"merge_round", $"sl_rank")
-      .orderBy($"sl_rank")
+    acc
   }
 
   /** q559 — Borůvka MST / single-linkage merge sequence of the

@@ -552,4 +552,63 @@ class ScalePlanSpec extends SparkSpec {
       s"q562: round expansion lost its equi-join shape:\n${p562.treeString}")
     }
   }
+
+  test("round-16: q569's scoring is equi-joins around one 1-row " +
+      "broadcast, q570's coloring round and q571's climb round are " +
+      "pure equi-joins") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    atScaleRegime {
+    import spark.implicits._
+    // q569: the only non-equi join allowed is the single-row vocab
+    // total broadcast (the documented bounded form); tokenize/count/
+    // weight/score all stay keyed equi-joins
+    val p569 = graft.llm.LmPerplexity.lmPerplexity(
+      graft.core.Tables.documents(spark, dir)
+        .select("doc_id", "lang", "text"))
+      .queryExecution.executedPlan
+    val nl569 = p569.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(nl569.size <= 1,
+      s"q569: more than the 1-row vRow broadcast:\n${p569.treeString}")
+    assert(p569.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }.size >= 4,
+      s"q569: scoring lost its equi-join shape:\n${p569.treeString}")
+    // q570: the coloring round body (the loop's join shape —
+    // checkpointing erases it from final plans) must stay keyed
+    // equi-joins: a nested loop here is corpus x corpus per round
+    val (e570, _) = graft.operators.SccColoring.edges(spark, dir)
+    val edges570 = e570.localCheckpoint()
+    val live570 = edges570.select($"u".as("node"))
+      .unionAll(edges570.select($"v")).distinct().localCheckpoint()
+    val col570 = live570.select($"node", $"node".as("col"))
+    val p570 = graft.operators.SccColoring
+      .colorStep(col570, edges570, live570)
+      .queryExecution.executedPlan
+    assert(p570.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty,
+      s"q570: non-equi join in the coloring round:\n${p570.treeString}")
+    // q571: the LCA-climb round body — two keyed parent lookups, no
+    // nested loop (the climb state is one row per non-tree edge)
+    val st571 = Seq((1L, 2L, 1L, 3L, 2L, 2L)).toDF(
+      "a", "b", "x", "dx", "y", "dy")
+    val pm571 = Seq((1L, 4L, 3L), (2L, 4L, 2L)).toDF(
+      "node", "parent", "depth")
+    val p571 = graft.operators.Bridges.climbJoined(st571, pm571)
+      .queryExecution.executedPlan
+    assert(p571.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty,
+      s"q571: non-equi join in the climb round:\n${p571.treeString}")
+    }
+  }
 }
