@@ -150,6 +150,40 @@ class Round16WaveSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // q575 per-group KL divergence
+  // ---------------------------------------------------------------
+
+  test("q575: hand 2-group KL — micro-floored log-ratio weights " +
+      "(incl. negative ones), exact integer group sums") {
+    import spark.implicits._
+    val docs = Seq(("a", "x x y"), ("b", "x y y y")).toDF("g", "text")
+    val out = graft.llm.KlDivergence.klByGroup(docs).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("vocab_g"), r.getAs[Long]("kl_q"),
+        r.getAs[Double]("kl_nats"))).toSeq
+    // c_a=(x:2,y:1) N_a=3; c_b=(x:1,y:3) N_b=4; c_all=(x:3,y:4) N=7
+    // w(a,x)=⌊1e6·ln(14/9)⌋=441832  w(a,y)=⌊1e6·ln(7/12)⌋=-538997
+    // w(b,x)=-538997                w(b,y)=⌊1e6·ln(21/16)⌋=271933
+    assert(out == Seq(
+      ("a", 3L, 2L, 344667L, 344667.0 / 3000000.0),
+      ("b", 4L, 2L, 276802L, 276802.0 / 4000000.0)), s"got $out")
+  }
+
+  test("q575: fixture weights sit clear of the floor boundary (the " +
+      "q569 libm-margin measurement)") {
+    import spark.implicits._
+    val wt = graft.llm.KlDivergence.klWeightTable(
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("lang").as("g"), col("text")))
+    val minDist = wt.select(
+      least(col("w_raw") - floor(col("w_raw")),
+        ceil(col("w_raw")) - col("w_raw")).as("d"))
+      .agg(min(col("d"))).as[Double].head()
+    info(f"min boundary distance at sf0.001: $minDist%.3e")
+    assert(minDist > 1e-6, f"weight too close to boundary: $minDist%.3e")
+  }
+
+  // ---------------------------------------------------------------
   // q571/q572 bridges + articulation points
   // ---------------------------------------------------------------
 
