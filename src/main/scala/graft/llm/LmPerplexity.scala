@@ -76,9 +76,7 @@ object LmPerplexity {
   def lmPerplexity(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val (sp, bigStream, types) = pipeline(docs)
-    val toks = sp.select($"doc_id", split($"text", " ").as("ts"))
-    val vocab = trainVocab(sp)
+    val (sp, toks, vocab, bigStream, types) = pipeline(docs)
     val scored = bigStream.join(
         types.select($"w1", $"w2", $"w_q"), Seq("w1", "w2"))
       .groupBy($"doc_id")
@@ -105,19 +103,17 @@ object LmPerplexity {
     * margin argued in the scaladoc).
     */
   def bigramWeightTable(docs: DataFrame): DataFrame = {
-    val (_, _, types) = pipeline(docs)
+    val (_, _, _, _, types) = pipeline(docs)
     types.select(col("w1"), col("w2"), col("w_raw"), col("w_q"))
   }
 
-  private def trainVocab(sp: DataFrame): DataFrame = {
-    val s = sp.sparkSession
-    import s.implicits._
-    sp.filter($"is_train")
-      .select(explode(split($"text", " ")).as("w")).distinct()
-  }
-
+  /** (sp, toks — checkpointed, train vocab, OOV-mapped bigram stream,
+    * weight table): the token frame materializes ONCE and feeds the
+    * training counts, the corpus bigrams AND the per-doc OOV census —
+    * no second tokenize pass over the corpus.
+    */
   private def pipeline(docs: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     val sp = docs.withColumn("bucket",
@@ -171,7 +167,7 @@ object LmPerplexity {
            |  CAST(coalesce(c1, 0L) + v AS DOUBLE)
            |  / CAST(coalesce(c2, 0L) + 1L AS DOUBLE))""".stripMargin))
       .withColumn("w_q", expr("CAST(FLOOR(w_raw) AS BIGINT)"))
-    (sp, bigStream, types)
+    (sp, toks, vocab, bigStream, types)
   }
 
   /** Cross-entropy, nats per bigram — shared verbatim; exact-int

@@ -41,8 +41,12 @@ import graft.core.{Tables => T}
   * deterministic per-bucket cap as the skew valve), with the same
   * exact-integer dot + (cos DESC, nid ASC) ranking on the candidates.
   * The spec pins both paths row-identical on a planted minority whose
-  * true NNs are band-certain. Synthesis is one zip_with per member
-  * either way.
+  * true NNs are band-certain. The candidate path carries the q112
+  * banding contract EXPLICITLY: a minority member colliding with no
+  * other member in any band emits NO synthetic row (miss probability
+  * (1−(1−θ/π)^P)^B per true neighbor — tune [[SmoteBands]]/
+  * [[SmotePlanesPerBand]] to the miss budget; the exact path has no
+  * such miss). Synthesis is one zip_with per member either way.
   */
 object Smote {
 

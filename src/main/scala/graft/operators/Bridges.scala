@@ -95,6 +95,10 @@ object Bridges {
 
   /** Both censuses off one pass: returns
     * (edges: (u, v, is_bridge), nodes: (node, deg, is_articulation)).
+    * Precondition: `wEdges` carries each undirected edge ONCE with
+    * u < v (what [[BoruvkaMst.jaccardDistEdges]] and
+    * [[treeChordEdges]] emit) — the tree/non-tree anti-join matches on
+    * that orientation.
     */
   def census(wEdges: DataFrame): (DataFrame, DataFrame) = {
     val s = wEdges.sparkSession
