@@ -131,8 +131,162 @@ object KlDivergence {
       |SELECT g, n_tokens, vocab_g, kl_q, $KlFormula AS kl_nats
       |FROM agg ORDER BY g""".stripMargin
 
+  /** q576 — pairwise JENSEN–SHANNON divergence matrix between
+    * language shards (Lin IEEE-IT'91: the SYMMETRIC, bounded-by-ln 2
+    * sibling of q575 — the shard-vs-shard distance data-mixing work
+    * plots as a heatmap; q575 measures each shard against the blend,
+    * this measures shards against EACH OTHER):
+    * JS(p, q) = ½·KL(p ‖ m) + ½·KL(q ‖ m) with m = ½(p + q).
+    *
+    * Exactness: with p_w = a/N_p, q_w = b/N_q, the two log arguments
+    * are the EXACT integer rationals 2·a·N_q / (a·N_q + b·N_p) and
+    * 2·b·N_p / (a·N_q + b·N_p) — zero-count terms contribute exactly
+    * nothing to their side's KL (x·ln x → 0), so the union vocabulary
+    * needs no smoothing and every ratio is finite; the q575/q569
+    * micro-floor discipline applies verbatim (one LN per (pair, w)
+    * type per side, BIGINT weights, order-free exact sums
+    * js2_q = Σ a·w_p + Σ b·w_q = 2·10⁶·N_p·N_q-scaled... the halves
+    * fold as one shared formula over the two exact integer sums).
+    *
+    * Scale shape: the (g, w) count table is vocab-bounded; the pair
+    * frame is a |langs|²-bounded self-join of PER-GROUP counts (never
+    * of the corpus), FULL-OUTER on the term key so one-sided terms
+    * survive with the correct zero weight.
+    */
+  val q576JsMatrix: Q = (s, dir) =>
+    jsMatrix(T.documents(s, dir).select(col("lang").as("g"), col("text")))
+
+  /** `(g1, g2, js_p_q, js_q_q, js_nats)` for every unordered group
+    * pair, ordered.
+    */
+  /** Pre-floor log-ratio of the p-side (p vs the mixture) — shared by
+    * the weight projection and the spec's boundary measurement.
+    */
+  private val RawP: String =
+    s"""$KlScale.0 * LN(
+       |  (2.0 * CAST(a AS DOUBLE) * CAST(nq AS DOUBLE))
+       |  / (CAST(a AS DOUBLE) * CAST(nq AS DOUBLE)
+       |     + CAST(b AS DOUBLE) * CAST(np AS DOUBLE)))""".stripMargin
+
+  private val RawQ: String =
+    s"""$KlScale.0 * LN(
+       |  (2.0 * CAST(b AS DOUBLE) * CAST(np AS DOUBLE))
+       |  / (CAST(a AS DOUBLE) * CAST(nq AS DOUBLE)
+       |     + CAST(b AS DOUBLE) * CAST(np AS DOUBLE)))""".stripMargin
+
+  /** The per-(pair, term) count frame `(g1, g2, w, a, b, np, nq)` over
+    * the union vocabulary of each pair.
+    */
+  private def jsTerms(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tok = docs.select($"g", explode(split($"text", " ")).as("w"))
+    val cg = tok.groupBy($"g", $"w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ng = cg.groupBy($"g").agg(sum($"c").as("n"))
+    val pairsG = ng.as("x").join(ng.as("y"), $"x.g" < $"y.g")
+      .select($"x.g".as("g1"), $"y.g".as("g2"),
+        $"x.n".as("np"), $"y.n".as("nq"))
+    // union vocabulary PER PAIR (two equi-joins + distinct — a term in
+    // only one side must still contribute its a·ln 2 / b·ln 2 term)
+    val vocabP = pairsG
+      .join(cg.select($"g".as("g1"), $"w"), Seq("g1"))
+      .select($"g1", $"g2", $"np", $"nq", $"w")
+      .unionAll(pairsG.join(cg.select($"g".as("g2"), $"w"), Seq("g2"))
+        .select($"g1", $"g2", $"np", $"nq", $"w"))
+      .distinct()
+    vocabP
+      .join(cg.select($"g".as("g1"), $"w", $"c".as("a")),
+        Seq("g1", "w"), "left")
+      .join(cg.select($"g".as("g2"), $"w", $"c".as("b")),
+        Seq("g2", "w"), "left")
+      .select($"g1", $"g2", $"w",
+        coalesce($"a", lit(0L)).as("a"), coalesce($"b", lit(0L)).as("b"),
+        $"np", $"nq")
+  }
+
+  /** Every pre-floor JS weight of the corpus, both sides — the spec's
+    * boundary-margin surface (q569 convention).
+    */
+  def jsWeightTable(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val t = jsTerms(docs)
+    t.filter($"a" > 0L).select(expr(RawP).as("w_raw"))
+      .unionAll(t.filter($"b" > 0L).select(expr(RawQ).as("w_raw")))
+  }
+
+  def jsMatrix(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val weighted = jsTerms(docs)
+      .withColumn("wp_q", expr(
+        s"CASE WHEN a = 0 THEN 0L ELSE CAST(FLOOR($RawP) AS BIGINT) END"))
+      .withColumn("wq_q", expr(
+        s"CASE WHEN b = 0 THEN 0L ELSE CAST(FLOOR($RawQ) AS BIGINT) END"))
+    weighted.groupBy($"g1", $"g2")
+      .agg(first($"np").as("np"), first($"nq").as("nq"),
+        sum($"a" * $"wp_q").as("js_p_q"),
+        sum($"b" * $"wq_q").as("js_q_q"))
+      .withColumn("js_nats", expr(JsFormula))
+      .select($"g1", $"g2", $"js_p_q", $"js_q_q", $"js_nats")
+      .orderBy($"g1", $"g2")
+  }
+
+  /** Shared finish: ½·KL(p‖m) + ½·KL(q‖m) from the two exact sums. */
+  val JsFormula: String =
+    s"""0.5 * CAST(js_p_q AS DOUBLE) / ($KlScale.0 * CAST(np AS DOUBLE))
+       | + 0.5 * CAST(js_q_q AS DOUBLE) / ($KlScale.0 * CAST(nq AS DOUBLE))"""
+      .stripMargin
+
+  val q576Sql: String =
+    s"""WITH tok AS (
+      |  SELECT lang AS g, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |cg AS (SELECT g, w, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM tok GROUP BY 1, 2),
+      |ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cg GROUP BY 1),
+      |pairsg AS (
+      |  SELECT ga.g AS g1, gb.g AS g2, ga.n AS np, gb.n AS nq
+      |  FROM ng ga JOIN ng gb ON ga.g < gb.g),
+      |vocabp AS (
+      |  SELECT DISTINCT g1, g2, np, nq, w FROM (
+      |    SELECT p.g1, p.g2, p.np, p.nq, cg.w
+      |    FROM pairsg p JOIN cg ON cg.g = p.g1
+      |    UNION ALL
+      |    SELECT p.g1, p.g2, p.np, p.nq, cg.w
+      |    FROM pairsg p JOIN cg ON cg.g = p.g2) z),
+      |terms AS (
+      |  SELECT v.g1, v.g2, v.np, v.nq, v.w,
+      |    COALESCE(ca.c, 0) AS a, COALESCE(cb.c, 0) AS b
+      |  FROM vocabp v
+      |  LEFT JOIN cg ca ON ca.g = v.g1 AND ca.w = v.w
+      |  LEFT JOIN cg cb ON cb.g = v.g2 AND cb.w = v.w),
+      |wt AS (
+      |  SELECT g1, g2, np, nq, a, b,
+      |    CASE WHEN a = 0 THEN 0 ELSE CAST(FLOOR($KlScale.0 * LN(
+      |      (2.0 * CAST(a AS DOUBLE) * CAST(nq AS DOUBLE))
+      |      / (CAST(a AS DOUBLE) * CAST(nq AS DOUBLE)
+      |         + CAST(b AS DOUBLE) * CAST(np AS DOUBLE))))
+      |      AS BIGINT) END AS wp_q,
+      |    CASE WHEN b = 0 THEN 0 ELSE CAST(FLOOR($KlScale.0 * LN(
+      |      (2.0 * CAST(b AS DOUBLE) * CAST(np AS DOUBLE))
+      |      / (CAST(a AS DOUBLE) * CAST(nq AS DOUBLE)
+      |         + CAST(b AS DOUBLE) * CAST(np AS DOUBLE))))
+      |      AS BIGINT) END AS wq_q
+      |  FROM terms),
+      |agg AS (
+      |  SELECT g1, g2, MAX(np) AS np, MAX(nq) AS nq,
+      |    CAST(SUM(a * wp_q) AS BIGINT) AS js_p_q,
+      |    CAST(SUM(b * wq_q) AS BIGINT) AS js_q_q
+      |  FROM wt GROUP BY 1, 2)
+      |SELECT g1, g2, js_p_q, js_q_q, $JsFormula AS js_nats
+      |FROM agg ORDER BY g1, g2""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q575_kl_divergence" -> q575KlDivergence)
+    "q575_kl_divergence" -> q575KlDivergence,
+    "q576_js_matrix" -> q576JsMatrix)
   val oracleSql: Map[String, String] = Map(
-    "q575_kl_divergence" -> q575Sql)
+    "q575_kl_divergence" -> q575Sql,
+    "q576_js_matrix" -> q576Sql)
 }

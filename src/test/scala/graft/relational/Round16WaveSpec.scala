@@ -183,6 +183,56 @@ class Round16WaveSpec extends SparkSpec {
     assert(minDist > 1e-6, f"weight too close to boundary: $minDist%.3e")
   }
 
+  test("q576: hand 2-group JS — union-vocabulary terms (incl. " +
+      "one-sided ones at exactly a·ln2 weight shape), symmetric halves") {
+    import spark.implicits._
+    val docs = Seq(("a", "x x y"), ("b", "x y y y")).toDF("g", "text")
+    val out = graft.llm.KlDivergence.jsMatrix(docs).collect()
+      .map(r => (r.getAs[String]("g1"), r.getAs[String]("g2"),
+        r.getAs[Long]("js_p_q"), r.getAs[Long]("js_q_q"),
+        r.getAs[Double]("js_nats"))).toSeq
+    // wp(x)=⌊1e6·ln(16/11)⌋=374693  wp(y)=⌊1e6·ln(8/13)⌋=-485508
+    // wq(x)=⌊1e6·ln(6/11)⌋=-606136  wq(y)=⌊1e6·ln(18/13)⌋=325422
+    assert(out == Seq(("a", "b", 263878L, 370130L,
+      0.5 * 263878.0 / 3000000.0 + 0.5 * 370130.0 / 4000000.0)),
+      s"got $out")
+    // one-sided term: a third group sharing nothing with 'a' — every
+    // term is one-sided, JS = ln 2 exactly (up to quantization)
+    val disjoint = Seq(("a", "x x"), ("c", "z z")).toDF("g", "text")
+    val d = graft.llm.KlDivergence.jsMatrix(disjoint).collect().head
+    assert(d.getAs[Long]("js_p_q") == 2L * 693147L &&
+      d.getAs[Long]("js_q_q") == 2L * 693147L, s"got $d")
+  }
+
+  test("q577: hand 10-doc Heaps curve — md5-order deciles, one new " +
+      "token per decile, exact beta quantization") {
+    import spark.implicits._
+    // texts: one shared token + one unique token per doc ⟹ per md5-
+    // order decile d: tokens_cum = 2d, vocab_cum = d+1, v1 = 2
+    val docs = (1L to 10L).map(i => (i, s"common tok$i"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.HeapsLaw.heapsGrowth(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    val betas = Seq(-1L, 584962L, 630929L, 660964L, 682606L, 699180L,
+      712414L, 723308L, 732486L, 740362L)
+    assert(out == (1 to 10).map(d => (d.toLong, d.toLong, 2L * d,
+      d + 1L, betas(d - 1))), s"got $out")
+  }
+
+  test("q576: fixture weights sit clear of the floor boundary") {
+    import spark.implicits._
+    val raws = graft.llm.KlDivergence.jsWeightTable(
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("lang").as("g"), col("text")))
+    val minDist = raws.select(
+      least(col("w_raw") - floor(col("w_raw")),
+        ceil(col("w_raw")) - col("w_raw")).as("d"))
+      .agg(min(col("d"))).as[Double].head()
+    info(f"q576 min boundary distance at sf0.001: $minDist%.3e")
+    assert(minDist > 1e-6)
+  }
+
   // ---------------------------------------------------------------
   // q571/q572 bridges + articulation points
   // ---------------------------------------------------------------
