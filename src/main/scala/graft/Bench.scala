@@ -103,16 +103,21 @@ object Bench {
     // A renamed/mistyped sentinel entry must FAIL the bench, not be
     // silently dropped from the box-state baseline (r15 advice note):
     // queries(name) throws NoSuchElementException on a missing key.
-    def runSentinel(reps: Int): String =
+    def runSentinel(reps: Int): Seq[(String, Double, Boolean)] =
       SentinelQueries.map { name =>
         val fn = SparkEntry.queries(name)
         val (t, ok) =
           if (reps >= Reps) median(fn)
           else once(fn) // single-rep diagnostic tick (already warm)
-        s"\"" + name + "\":" + (if (ok) r4(t) else "null")
+        (name, t, ok)
+      }
+    def sentinelToJson(s: Seq[(String, Double, Boolean)]): String =
+      s.map { case (name, t, ok) =>
+        "\"" + name + "\":" + (if (ok) r4(t) else "null")
       }.mkString("{", ",", "}")
-    val sentinelJson =
-      if (filterEnv.isDefined) "{}" else runSentinel(Reps)
+    val sentinelPre =
+      if (filterEnv.isDefined) Seq.empty else runSentinel(Reps)
+    val sentinelJson = sentinelToJson(sentinelPre)
     if (filterEnv.isEmpty)
       println(s"""{"metric":"sentinel","unit":"sec","queries":$sentinelJson}""")
     val entries =
@@ -126,11 +131,11 @@ object Bench {
     // self-evident in the artifact (sentinel_mid ≈ sentinel ⟹ the
     // pass's own readings are trustworthy end to end).
     val midAt = entries.size / 2
-    var sentinelMidJson = "{}"
+    var sentinelMid: Seq[(String, Double, Boolean)] = Seq.empty
     val results = entries.zipWithIndex.map {
       case ((name, fn), i) =>
         if (filterEnv.isEmpty && i == midAt)
-          sentinelMidJson = runSentinel(1)
+          sentinelMid = runSentinel(1)
         // Drive the ContextCleaner: without an explicit driver GC the
         // weak refs behind finished broadcasts are never processed on a
         // big mostly-idle heap, so block-manager occupancy only grows.
@@ -138,15 +143,33 @@ object Bench {
         val (t, ok) = median(fn)
         (name, t, ok)
     }
+    val sentinelMidJson = sentinelToJson(sentinelMid)
     if (filterEnv.isEmpty)
       println(s"""{"metric":"sentinel_mid","unit":"sec","queries":$sentinelMidJson}""")
+    // In-run drift GATE (r16 verdict ask #8 — the guard works, so make
+    // it binding): drift = Σ mid-tick / Σ pre-pass over the four
+    // sentinels (the SUM ratio — weighted toward the slow entries, so
+    // a single-rep wobble on the 0.5 s scan entry can't trip it the
+    // way a max-over-4 would), target tightened 1.3 → 1.15. A breach
+    // flips the headline ok to false: in-run distortion can never
+    // again hide inside a green artifact.
+    val DriftTarget = 1.15
+    val driftRatio: Option[Double] = {
+      val preOk = sentinelPre.filter(_._3).map(s => s._1 -> s._2).toMap
+      val midOk = sentinelMid.filter(_._3)
+        .filter(s => preOk.contains(s._1))
+      if (midOk.isEmpty) None
+      else Some(midOk.map(_._2).sum / midOk.map(s => preOk(s._1)).sum)
+    }
+    val driftOk = driftRatio.forall(_ <= DriftTarget)
+    val driftJson = driftRatio.map(r4).getOrElse("null")
     val qs = results.map { case (k, v, ok) =>
       s"\"" + k + "\":" + (if (ok) r4(v) else "null")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failed,"ok":${failed == "[]"},"sentinel":$sentinelJson,"sentinel_mid":$sentinelMidJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failed,"ok":${failed == "[]" && driftOk},"drift":$driftJson,"drift_ok":$driftOk,"sentinel":$sentinelJson,"sentinel_mid":$sentinelMidJson,"sf":"$sfDir"}""")
     // The full per-query line above is ~5 KB at 155 entries; the driver
     // captures only a 2000-char stdout TAIL, which truncates that line's
     // HEAD (r5/r6 both recorded parsed:null). Repeat the headline numbers
@@ -167,7 +190,7 @@ object Bench {
       .map { case (k, v, _) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"top10_slowest","unit":"sec","queries":$top10}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n":${results.size},"n_failed":${failedNames.size},"failed":$failedCompact,"ok":${failedNames.isEmpty},"sentinel":$sentinelJson,"sentinel_mid":$sentinelMidJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n":${results.size},"n_failed":${failedNames.size},"failed":$failedCompact,"ok":${failedNames.isEmpty && driftOk},"drift":$driftJson,"drift_ok":$driftOk,"sentinel":$sentinelJson,"sentinel_mid":$sentinelMidJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -382,15 +382,21 @@ object CorpusOps {
     * exact term frequencies → deterministic rank (freq desc, token
     * asc) → per-term floor(10⁶·ln rank)/floor(10⁶·ln freq) BIGINT
     * quantizations (the q314 LN-cross-engine precedent) → OLS slope
-    * from DECIMAL(38,0)/HUGEINT-exact moment sums, finished in one
-    * identically-spelled double division, re-quantized to micro. The
-    * slope is fully DATA-DERIVABLE, so the oracle compares the value
-    * itself — no ok-gate indirection.
+    * from DECIMAL(38,0)/HUGEINT-exact moment sums, finished as the
+    * EXACT integer ⌊10⁶·num/den⌋ via [[graft.core.ExactDiv]]'s
+    * digit-group long division (num = n·sxy−sx·sy, den = n·sxx−sx²).
+    * The r17 de-float: n·sxx reads ~10²³ already at sf0.01, so the
+    * previous CAST(... AS DOUBLE) finish converted >2⁶³ HUGEINTs —
+    * exactly the per-build two-rounding flake that turned q540 red in
+    * r16 — while the integer spelling is deterministic on every
+    * build. The slope is fully DATA-DERIVABLE, so the oracle compares
+    * the value itself — no ok-gate indirection.
     *
     * Scale shape: one corpus tokenize/count shuffle collapses to the
     * vocab-bounded frame; the rank window and moment sums run there.
     * Product sums go through DECIMAL(38,0) (q259: int64 dies once
-    * vocab·ln² passes ~10¹⁸ — spelled wide on BOTH engines).
+    * vocab·ln² passes ~10¹⁸ — spelled wide on BOTH engines); the
+    * digit-group division holds to den ≤ 10³⁵ ⟹ vocab ≤ ~10¹⁰ terms.
     */
   val q354ZipfSlope: Q = (s, dir) => {
     import s.implicits._
@@ -410,15 +416,21 @@ object CorpusOps {
         sum($"yq".cast("decimal(38,0)")).as("sy"),
         sum(($"xq" * $"yq").cast("decimal(38,0)")).as("sxy"),
         sum(($"xq" * $"xq").cast("decimal(38,0)")).as("sxx"))
-      .select($"n",
-        expr("""CAST(FLOOR(1000000.0 *
-               |  (CAST(n * sxy - sx * sy AS DOUBLE)
-               |   / CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT)
-               |""".stripMargin).as("slope_micro"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("NULLIF(n * sxx - sx * sx, " +
+        "CAST(0 AS DECIMAL(38,0)))"))
+      .select($"n", expr(ZipfSlopeMicro("div")).as("slope_micro"))
   }
 
+  /** Exact ⌊10⁶·num/den⌋ slope finish — shared modulo the
+    * integer-divide token. Expects num/den DECIMAL(38,0)/HUGEINT
+    * columns in scope, den NULLIF'd positive.
+    */
+  private def ZipfSlopeMicro(idiv: String): String =
+    s"CAST(${graft.core.ExactDiv.microFloor("num", "den", idiv)} AS BIGINT)"
+
   val q354Sql: String =
-    """WITH tf AS (
+    s"""WITH tf AS (
       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
       |  WHERE tok <> '' GROUP BY tok),
@@ -432,11 +444,13 @@ object CorpusOps {
       |    SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(yq AS HUGEINT)) AS sy,
       |    SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
       |    SUM(CAST(xq AS HUGEINT) * xq) AS sxx
-      |  FROM r)
-      |SELECT n, CAST(FLOOR(1000000.0 *
-      |    (CAST(n * sxy - sx * sy AS DOUBLE)
-      |     / CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS slope_micro
-      |FROM m""".stripMargin
+      |  FROM r),
+      |m2 AS (
+      |  SELECT n, n * sxy - sx * sy AS num,
+      |    NULLIF(n * sxx - sx * sx, 0) AS den
+      |  FROM m)
+      |SELECT n, ${ZipfSlopeMicro("//")} AS slope_micro
+      |FROM m2""".stripMargin
 
   /** q355 — HEAPS' LAW vocabulary-growth exponent (V ≈ K·T^β, the
     * second corpus-survey number next to q354's Zipf slope: β ≈ 0.5

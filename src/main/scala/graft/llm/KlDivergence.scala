@@ -22,10 +22,19 @@ import graft.core.{Tables => T}
   * division chain, LN'd once per (g, w) TYPE and micro-floored to a
   * BIGINT (⌊10⁶·ln r⌋ — FLOOR on a possibly-negative double is
   * floor-toward−∞ in BOTH engines, unlike integer div); the group sum
-  * Σ_w c_g(w)·w_q is then an order-free exact integer = 10⁶·N_g·D̂_g,
-  * and kl_nats finishes as ONE shared division. The spec measures the
-  * fixture weights' distance to the floor boundary (the q569 libm
-  * margin argument — measured 1.63·10⁻³ vs ~3·10⁻⁹ 1-ulp drift).
+  * Σ_w c_g(w)·w_q is then an order-free exact integer = 10⁶·N_g·D̂_g
+  * carried in DECIMAL(38,0)/HUGEINT on BOTH sides (r16 advice: at
+  * N_g ~ 10¹³ tokens and |w_q| ≤ ~3·10⁷ micro-nats the per-term
+  * product and the group sum pass int64, where a Long spelling wraps
+  * Spark-side only while DuckDB's SUM promotes — the q540 trap class;
+  * the DECIMAL bound N_g·|w_q| ≤ 10³⁸ holds to N_g ~ 3·10³⁰), and the
+  * statistic finishes as EXACT INTEGER MICRO-NATS kl_micronats =
+  * ⌊kl_q/N_g⌋ via [[graft.core.ExactDiv.floorDiv]] — no
+  * wide-int→double conversion survives to the output (the r16 q540
+  * per-build-rounding lesson, applied before it bites here). The spec
+  * measures the fixture weights' distance to the floor boundary (the
+  * q569 libm margin argument — measured 1.63·10⁻³ vs ~3·10⁻⁹ 1-ulp
+  * drift).
   * c_g(w) ≤ c_all(w) always (the group is part of the corpus), so the
   * ratio is finite and positive — no NULLIF needed; zero-count terms
   * never appear (the weight table is built from OBSERVED (g, w)
@@ -46,7 +55,10 @@ object KlDivergence {
   val q575KlDivergence: Q = (s, dir) =>
     klByGroup(T.documents(s, dir).select(col("lang").as("g"), col("text")))
 
-  /** `(g, n_tokens, vocab_g, kl_q, kl_nats)` over a `(g, text)` frame. */
+  /** `(g, n_tokens, vocab_g, kl_q, kl_micronats)` over a `(g, text)`
+    * frame — kl_q exact DECIMAL(38,0), kl_micronats = ⌊kl_q/N_g⌋
+    * exact BIGINT micro-nats.
+    */
   def klByGroup(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -68,9 +80,9 @@ object KlDivergence {
       .withColumn("w_q", expr("CAST(FLOOR(w_raw) AS BIGINT)"))
     weighted.groupBy($"g")
       .agg(first($"n_g").as("n_tokens"), first($"vocab_g").as("vocab_g"),
-        sum($"c_g" * $"w_q").as("kl_q"))
-      .withColumn("kl_nats", expr(KlFormula))
-      .select($"g", $"n_tokens", $"vocab_g", $"kl_q", $"kl_nats")
+        sum($"c_g".cast("decimal(38,0)") * $"w_q").as("kl_q"))
+      .withColumn("kl_micronats", expr(KlMicroFormula("div")))
+      .select($"g", $"n_tokens", $"vocab_g", $"kl_q", $"kl_micronats")
       .orderBy($"g")
   }
 
@@ -101,9 +113,20 @@ object KlDivergence {
       .select($"g", $"w", $"w_raw")
   }
 
-  /** Shared finish: nats = kl_q / (10⁶ · N_g). */
-  val KlFormula: String =
-    s"CAST(kl_q AS DOUBLE) / ($KlScale.0 * CAST(n_tokens AS DOUBLE))"
+  /** Shared finish: micro-nats = ⌊kl_q / N_g⌋ (kl_q = 10⁶·N_g·D̂_g, so
+    * the quotient is 10⁶·D̂_g) — exact integer floor division; kl_q
+    * may dip slightly negative from the per-term floors, so the
+    * true-floor spelling matters. Spark divides the DECIMAL(38,0)
+    * column; DuckDB divides the HUGEINT pre-cast (its `//` on DECIMAL
+    * returns DOUBLE — measured, the exact trap this avoids).
+    */
+  def KlMicroFormula(idiv: String): String =
+    "CAST(" + graft.core.ExactDiv.floorDiv(
+      "kl_q", "CAST(n_tokens AS DECIMAL(38,0))", idiv) + " AS BIGINT)"
+
+  val KlMicroFormulaDuck: String =
+    "CAST(" + graft.core.ExactDiv.floorDiv(
+      "kl_qh", "CAST(n_tokens AS HUGEINT)", "//") + " AS BIGINT)"
 
   val q575Sql: String =
     s"""WITH tok AS (
@@ -125,10 +148,13 @@ object KlDivergence {
       |          JOIN ng ON cg.g = ng.g
       |          CROSS JOIN nall),
       |agg AS (
+      |  -- divide in HUGEINT (DuckDB's // on DECIMAL returns DOUBLE —
+      |  -- measured); kl_q goes DECIMAL only at the output boundary
       |  SELECT g, MAX(n_g) AS n_tokens, MAX(vocab_g) AS vocab_g,
-      |    CAST(SUM(c_g * w_q) AS BIGINT) AS kl_q
+      |    SUM(CAST(c_g AS HUGEINT) * w_q) AS kl_qh
       |  FROM wt GROUP BY g)
-      |SELECT g, n_tokens, vocab_g, kl_q, $KlFormula AS kl_nats
+      |SELECT g, n_tokens, vocab_g, CAST(kl_qh AS DECIMAL(38,0)) AS kl_q,
+      |  ${KlMicroFormulaDuck} AS kl_micronats
       |FROM agg ORDER BY g""".stripMargin
 
   /** q576 — pairwise JENSEN–SHANNON divergence matrix between
@@ -226,18 +252,27 @@ object KlDivergence {
         s"CASE WHEN b = 0 THEN 0L ELSE CAST(FLOOR($RawQ) AS BIGINT) END"))
     weighted.groupBy($"g1", $"g2")
       .agg(first($"np").as("np"), first($"nq").as("nq"),
-        sum($"a" * $"wp_q").as("js_p_q"),
-        sum($"b" * $"wq_q").as("js_q_q"))
-      .withColumn("js_nats", expr(JsFormula))
-      .select($"g1", $"g2", $"js_p_q", $"js_q_q", $"js_nats")
+        sum($"a".cast("decimal(38,0)") * $"wp_q").as("js_p_q"),
+        sum($"b".cast("decimal(38,0)") * $"wq_q").as("js_q_q"))
+      .withColumn("js_micronats", expr(JsMicroFormula("div",
+        "js_p_q", "js_q_q",
+        "CAST(np AS DECIMAL(38,0))", "CAST(nq AS DECIMAL(38,0))")))
+      .select($"g1", $"g2", $"js_p_q", $"js_q_q", $"js_micronats")
       .orderBy($"g1", $"g2")
   }
 
-  /** Shared finish: ½·KL(p‖m) + ½·KL(q‖m) from the two exact sums. */
-  val JsFormula: String =
-    s"""0.5 * CAST(js_p_q AS DOUBLE) / ($KlScale.0 * CAST(np AS DOUBLE))
-       | + 0.5 * CAST(js_q_q AS DOUBLE) / ($KlScale.0 * CAST(nq AS DOUBLE))"""
-      .stripMargin
+  /** Shared finish: ½·KL(p‖m) + ½·KL(q‖m) in exact integer micro-nats
+    * — ⌊js_p_q/(2·N_p)⌋ + ⌊js_q_q/(2·N_q)⌋, each side's exact sum
+    * floor-divided by its own 2·N (per-side floor quantization, so the
+    * reported value is within 2 micro-nats below the unquantized ½/½
+    * blend — deterministic on every build, unlike the previous
+    * wide-int→double finish).
+    */
+  def JsMicroFormula(idiv: String, p: String, q: String,
+      np: String, nq: String): String =
+    "CAST(" + graft.core.ExactDiv.floorDiv(p, s"(2 * $np)", idiv) +
+      " + " + graft.core.ExactDiv.floorDiv(q, s"(2 * $nq)", idiv) +
+      " AS BIGINT)"
 
   val q576Sql: String =
     s"""WITH tok AS (
@@ -276,11 +311,17 @@ object KlDivergence {
       |      AS BIGINT) END AS wq_q
       |  FROM terms),
       |agg AS (
+      |  -- HUGEINT sums for the division (DuckDB // on DECIMAL is
+      |  -- DOUBLE); DECIMAL(38,0) only at the output boundary
       |  SELECT g1, g2, MAX(np) AS np, MAX(nq) AS nq,
-      |    CAST(SUM(a * wp_q) AS BIGINT) AS js_p_q,
-      |    CAST(SUM(b * wq_q) AS BIGINT) AS js_q_q
+      |    SUM(CAST(a AS HUGEINT) * wp_q) AS jsp,
+      |    SUM(CAST(b AS HUGEINT) * wq_q) AS jsq
       |  FROM wt GROUP BY 1, 2)
-      |SELECT g1, g2, js_p_q, js_q_q, $JsFormula AS js_nats
+      |SELECT g1, g2,
+      |  CAST(jsp AS DECIMAL(38,0)) AS js_p_q,
+      |  CAST(jsq AS DECIMAL(38,0)) AS js_q_q,
+      |  ${JsMicroFormula("//", "jsp", "jsq",
+          "CAST(np AS HUGEINT)", "CAST(nq AS HUGEINT)")} AS js_micronats
       |FROM agg ORDER BY g1, g2""".stripMargin
 
   val queries: Map[String, Q] = Map(

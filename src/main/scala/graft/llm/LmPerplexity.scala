@@ -18,7 +18,8 @@ import graft.core.{Tables => T}
   * document — train and held-out alike — gets its cross-entropy and
   * the keep/flag verdict (CCNet scores the full corpus with an LM
   * trained on the reference subset; unseen held-out tokens enter as
-  * `<unk>`).
+  * a reserved OOV class whose label contains the split delimiter, so
+  * it can never collide with a real token).
   *
   * Exactness (the q341/q108 discipline, extended to a transcendental):
   * all counts (c₂(w₁w₂), c₁(w₁·), V) are exact BIGINTs off one pass;
@@ -52,6 +53,17 @@ object LmPerplexity {
 
   /** Micro-nat quantization scale for the per-bigram weight. */
   val LmScale = 1000000L
+
+  /** The reserved OOV class label. It contains the tokenizer's split
+    * delimiter (a space), so NO corpus token can ever equal it —
+    * a train document that literally contains the string "<unk>"
+    * lands in vocab as an ordinary type and can never collide with
+    * (and silently absorb the smoothing of) the OOV class (r16 advice:
+    * the old bare "<unk>" sentinel conflated the two; both engines did
+    * it identically, so only the modeling was skewed, never the
+    * oracle compare).
+    */
+  val UnkSentinel = "< unk >"
 
   /** Keep/flag threshold, micro-nats per bigram: documents with
     * h_q > τ·n_bigrams (cross-entropy above τ nats/token) are flagged.
@@ -134,7 +146,7 @@ object LmPerplexity {
     val c1 = trainBig.groupBy($"w1").agg(count(lit(1)).as("c1"))
     val vocab = toks.filter($"is_train")
       .select(explode($"ts").as("w")).distinct()
-    // V = |train vocab| + 1: the +1 is the reserved <unk> class every
+    // V = |train vocab| + 1: the +1 is the reserved OOV class every
     // out-of-vocabulary held-out token maps to
     val vRow = vocab.agg((count(lit(1)) + 1L).as("v"))
     // corpus bigram stream with OOV mapping (train tokens map to
@@ -153,8 +165,8 @@ object LmPerplexity {
       .join(vocab.select($"w".as("rw2"), lit(true).as("k2")),
         Seq("rw2"), "left")
       .select($"doc_id",
-        when($"k1", $"rw1").otherwise(lit("<unk>")).as("w1"),
-        when($"k2", $"rw2").otherwise(lit("<unk>")).as("w2"))
+        when($"k1", $"rw1").otherwise(lit(UnkSentinel)).as("w1"),
+        when($"k2", $"rw2").otherwise(lit(UnkSentinel)).as("w2"))
     // weight table: once per distinct corpus bigram TYPE — the one LN
     // per type, immediately quantized (q434 discipline); w_raw (the
     // pre-floor value) is kept for the spec's boundary measurement
@@ -209,8 +221,8 @@ object LmPerplexity {
       |        FROM sp) x),
       |bigstream AS (
       |  SELECT doc_id,
-      |    CASE WHEN v1.w IS NOT NULL THEN rw1 ELSE '<unk>' END AS w1,
-      |    CASE WHEN v2.w IS NOT NULL THEN rw2 ELSE '<unk>' END AS w2
+      |    CASE WHEN v1.w IS NOT NULL THEN rw1 ELSE '$UnkSentinel' END AS w1,
+      |    CASE WHEN v2.w IS NOT NULL THEN rw2 ELSE '$UnkSentinel' END AS w2
       |  FROM rawbig LEFT JOIN vocab v1 ON v1.w = rawbig.rw1
       |              LEFT JOIN vocab v2 ON v2.w = rawbig.rw2),
       |types AS (

@@ -77,15 +77,26 @@ object Smote {
     "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
 
   val q564Smote: Q = (s, dir) =>
-    smote(T.embeddings(s, dir).select("vec_id", "label", "embedding"))
+    smote(T.embeddings(s, dir).select("vec_id", "label", "embedding"),
+      requireExact = true)
 
   /** The SMOTE pass over any `(vec_id, label, embedding)` frame —
     * minority selection, same-label NN (exact broadcast at or under
     * [[SmoteBroadcastMaxMinority]] rows, SRP-banded candidates past
     * it; `forceCandidates` pins the past-cap path for the spec),
     * doubled-midpoint synthesis.
+    *
+    * `requireExact` pins the EXACT path for oracle-compared callers
+    * (r16 advice): the q564 DuckDB oracle replays the exact |M|² NN,
+    * so a fixture whose minority ever outgrew the broadcast cap would
+    * silently compare the approximate banded engine path against an
+    * exact oracle and fail on band misses rather than a real bug —
+    * with the pin it fails LOUD here instead, naming the mismatch.
     */
-  def smote(emb: DataFrame, forceCandidates: Boolean = false): DataFrame = {
+  def smote(emb: DataFrame, forceCandidates: Boolean = false,
+      requireExact: Boolean = false): DataFrame = {
+    require(!(forceCandidates && requireExact),
+      "forceCandidates and requireExact are mutually exclusive")
     val s = emb.sparkSession
     import s.implicits._
     val e = emb.select($"vec_id", $"label", $"embedding", expr(Q20).as("qv"))
@@ -103,8 +114,15 @@ object Smote {
     // one cheap count picks the path — the r15 verdict note: the
     // unconditional broadcast had no size guard, so a huge "minority"
     // OOMed the driver/executors instead of degrading gracefully
+    val mCount = m.count()
+    if (requireExact) require(mCount <= SmoteBroadcastMaxMinority,
+      s"q564 oracle pin: minority has $mCount rows, past the " +
+        s"$SmoteBroadcastMaxMinority exact-path cap — the DuckDB " +
+        "oracle is exact |M|² NN, so the banded path may not be " +
+        "compared against it (raise the cap or re-derive the oracle " +
+        "from the banding)")
     val useBroadcast = !forceCandidates &&
-      m.count() <= SmoteBroadcastMaxMinority
+      mCount <= SmoteBroadcastMaxMinority
     val qa = m.select($"label", $"vec_id".as("qid"), $"qv".as("qa"),
       $"nrm".as("na"))
     val qb = m.select($"vec_id".as("nid"), $"qv".as("qb"), $"nrm".as("nb"))

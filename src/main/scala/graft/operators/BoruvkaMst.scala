@@ -115,6 +115,20 @@ object BoruvkaMst {
         (lit(1000000L) - expr("(1000000 * inter) div un")).as("w"))
   }
 
+  /** The near-dup edge list as a build-once PERSISTED table per
+    * (JVM, dir) — the r12 [[graft.core.IndexStore]] discipline applied
+    * to the round-16 graph family (r16 verdict perf ask: the edge
+    * build executed 3× per full pass — q559's MST, q571's census,
+    * q573's 2ECC — and the census twice more; each consumer now pays
+    * only its marginal cost). Deterministic build, so concurrent
+    * spec-suite sessions re-deriving it is a correctness no-op.
+    */
+  def jaccardEdgesTable(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    s.table(graft.core.IndexStore.ensure(s, "jedges", dir)(
+      jaccardDistEdges(T.documents(s, dir))))
+  }
+
   /** MST forest `(u, v, dist_ppm, merge_round, sl_rank)` of a weighted
     * `(u, v, w)` edge list (u < v, BIGINT weight). Deterministic under
     * the total edge order (w, u, v); disconnected inputs yield the
@@ -211,10 +225,8 @@ object BoruvkaMst {
   /** q559 — Borůvka MST / single-linkage merge sequence of the
     * document near-dup distance graph.
     */
-  val q559BoruvkaMst: Q = (s, dir) => {
-    implicit val sp: SparkSession = s
-    mst(jaccardDistEdges(T.documents(s, dir)))
-  }
+  val q559BoruvkaMst: Q = (s, dir) =>
+    mst(jaccardEdgesTable(s, dir))
 
   /** The q43-style exact-Jaccard edge list `(u, v, w)` as SQL CTEs
     * ending at `pe` — shared verbatim by q559 and the q571/q572

@@ -28,9 +28,20 @@ import graft.core.{Tables => T}
   * not (the scale (n·D)² cancels in the ratio);
   * the two quadratic sums ride DECIMAL(38,0)/HUGEINT (ΣE² ≤
   * n·(n·D·x)² ≈ 10³⁵ at sf1 in dollars — the documented q516-style
-  * bound) and dw finishes as ONE shared formula double (a single
-  * correctly-rounded wide-int→double conversion per side, then one
-  * IEEE divide).
+  * bound) and the statistic is emitted as EXACT INTEGER MICRO-UNITS
+  * dw_micro = ⌊10⁶·num/den⌋: NO wide-int→double conversion survives
+  * to the output. The r16 driver red proved why — HUGEINT→DOUBLE is
+  * not correctly rounded on every DuckDB build (upper·2⁶⁴ + lower in
+  * double arithmetic = two roundings) while Spark's
+  * DECIMAL(38,0)→DOUBLE via BigDecimal is, so the same bits diverge
+  * per build (the q177/BASELINE trap). The ⌊10⁶·num/den⌋ floor is
+  * computed by 128-bit LONG DIVISION in three 10³ digit groups
+  * (q·10⁶ + m1·10³ + m2 with r0 = num mod den, m1 = ⌊r0·10³/den⌋,
+  * r1 = r0·10³ mod den, m2 = ⌊r1·10³/den⌋) so every intermediate is
+  * < den·10³ ≤ 10³⁸ — inside DECIMAL(38,0)/HUGEINT at the documented
+  * ΣE² bound, where a naive num·10⁶ would overflow at 10⁴¹. All
+  * operands are non-negative (sums of squares), so Spark `div`/`%`
+  * ≡ DuckDB `//`/`%` with no floor-vs-truncate sign trap.
   *
   * Scale shape: corpus → (type, day) in one partial agg; index,
   * residuals and lags all run on the CALENDAR-bounded grid (q275/q292
@@ -40,9 +51,14 @@ object DurbinWatson {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** dw from the exact wide-integer pieces — shared verbatim. */
-  val DwFormula: String =
-    "CAST(num AS DOUBLE) / NULLIF(CAST(den AS DOUBLE), 0.0)"
+  /** ⌊10⁶·num/den⌋ off the exact wide-integer pieces — the shared
+    * [[graft.core.ExactDiv.microFloor]] digit-group long division,
+    * with only the integer-divide token differing (`div` Spark, `//`
+    * DuckDB). Expects `dnz = NULLIF(den, 0)` in scope; num ≥ 0 here
+    * (a sum of squares), so the floor is plain truncation.
+    */
+  def dwMicroFormula(idiv: String): String =
+    s"CAST(${graft.core.ExactDiv.microFloor("num", "dnz", idiv)} AS BIGINT)"
 
   val q540DurbinWatson: Q = (s, dir) => {
     import s.implicits._
@@ -90,8 +106,9 @@ object DurbinWatson {
           expr("CAST(e - ep AS DECIMAL(38,0)) * (e - ep)"))
           .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("num"),
         sum(expr("CAST(e AS DECIMAL(38,0)) * e")).as("den"))
-      .withColumn("dw", expr(DwFormula))
-      .select($"t", $"n", $"bnum", $"dden", $"dw")
+      .withColumn("dnz", expr("NULLIF(den, CAST(0 AS DECIMAL(38,0)))"))
+      .withColumn("dw_micro", expr(dwMicroFormula("div")))
+      .select($"t", $"n", $"bnum", $"dden", $"dw_micro")
       .orderBy($"t")
   }
 
@@ -130,9 +147,13 @@ object DurbinWatson {
       |      THEN CAST(e - ep AS HUGEINT) * (e - ep)
       |      ELSE CAST(0 AS HUGEINT) END) AS num,
       |    SUM(CAST(e AS HUGEINT) * e) AS den
-      |  FROM resid GROUP BY 1)
-      |SELECT t, n, bnum, dden, $DwFormula AS dw
-      |FROM m ORDER BY t""".stripMargin
+      |  FROM resid GROUP BY 1),
+      |m2 AS (
+      |  SELECT t, n, bnum, dden, num, NULLIF(den, 0) AS dnz
+      |  FROM m)
+      |SELECT t, n, bnum, dden,
+      |  ${dwMicroFormula("//")} AS dw_micro
+      |FROM m2 ORDER BY t""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q540_durbin_watson" -> q540DurbinWatson)

@@ -54,10 +54,15 @@ object EmpiricalBayes {
     val s = counts.sparkSession
     import s.implicits._
     val withR = counts.withColumn("r", expr("(1000000 * k) div n"))
+    // sum_r2 ≤ n_parts·10¹² — guarded back to BIGINT on BOTH sides so
+    // the VExpr int→double conversions stay single-rounding-correct
+    // (< 2⁶³ holds to n_parts ≈ 9·10⁶ entities; the guard cast fails
+    // loud past it — DuckDB throws, Spark nulls the column — instead
+    // of flaking in the last ulp per build, the r16 q540 lesson)
     val stats = withR.agg(
       count(lit(1)).as("n_parts"),
       sum($"r").as("sum_r"),
-      sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("sum_r2"))
+      sum(expr("CAST(r AS DECIMAL(38,0)) * r")).cast("long").as("sum_r2"))
     withR.crossJoin(broadcast(stats))
       .select($"p", $"n", $"k", $"r".as("raw_micro"),
         expr(PostExpr).as("post_micro"))
@@ -84,7 +89,7 @@ object EmpiricalBayes {
       |stats AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
       |    CAST(SUM(r) AS BIGINT) AS sum_r,
-      |    CAST(SUM(CAST(r AS HUGEINT) * r) AS HUGEINT) AS sum_r2
+      |    CAST(SUM(CAST(r AS HUGEINT) * r) AS BIGINT) AS sum_r2
       |  FROM withr)
       |SELECT p, n, k, r AS raw_micro, $PostExpr AS post_micro
       |FROM withr CROSS JOIN stats

@@ -33,14 +33,31 @@ object SpearmanCorr {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** The ρ formula, shared verbatim by both engines. */
+  /** Exact CENTERED moments off the raw rank sums (r17 sweep: the
+    * uncentered spelling's n·sxy/n·sxx terms read ~n⁴ — past 2⁶³ at
+    * sf1's 150k customers, where the HUGEINT→DOUBLE conversion is the
+    * per-build two-rounding flake that turned q540 red in r16. The
+    * recentring identity Σ(rx−m)(ry−m) = sxy − (m)(sx+sy) + n·m² with
+    * m = n+1 — the doubled-rank mean, exact by construction — is
+    * computed on the SAME exact integer sums and caps every operand
+    * at ~6n³: conversions stay single-rounding-correct to n ≈ 1.3·10⁶
+    * per series, vs 1.5·10⁵ before). `nw` is the 128-bit-widened n
+    * (DECIMAL(38,0) Spark / HUGEINT DuckDB — spelled per engine
+    * because DuckDB's `//`-family decimal arithmetic differs).
+    */
+  val CnumFormula: String =
+    "sxy - (nw + 1) * (sx + sy) + nw * (nw + 1) * (nw + 1)"
+  val DxxFormula: String =
+    "sxx - 2 * (nw + 1) * sx + nw * (nw + 1) * (nw + 1)"
+  val DyyFormula: String =
+    "syy - 2 * (nw + 1) * sy + nw * (nw + 1) * (nw + 1)"
+
+  /** The ρ formula over the centered exact moments, shared verbatim
+    * by both engines.
+    */
   val RhoFormula: String =
-    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
-      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) " +
-      "/ SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
-      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
-      "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
-      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    "CAST(cnum AS DOUBLE) " +
+      "/ SQRT(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))"
 
   /** Doubled tie-averaged rank per distinct value of `c`, joined back
     * onto `df` as column `rName`.
@@ -79,15 +96,26 @@ object SpearmanCorr {
     import s.implicits._
     val ranked = withDoubledRank(
       withDoubledRank(pairs(s, dir), "x", "rx"), "y", "ry")
-    ranked.agg(
+    centeredMoments(ranked.agg(
       count(lit(1)).as("n"),
       sum($"rx".cast("decimal(38,0)")).as("sx"),
       sum($"ry".cast("decimal(38,0)")).as("sy"),
       sum(($"rx".cast("decimal(38,0)") * $"rx")).as("sxx"),
       sum(($"ry".cast("decimal(38,0)") * $"ry")).as("syy"),
-      sum(($"rx".cast("decimal(38,0)") * $"ry")).as("sxy"))
-      .select($"n", expr(RhoFormula).as("rho"))
+      sum(($"rx".cast("decimal(38,0)") * $"ry")).as("sxy")))
   }
+
+  /** `(n, cnum, dxx, dyy, rho)` off a raw `(n, sx, sy, sxx, syy,
+    * sxy)` moment row — the centered exact integers anchor the oracle
+    * compare; rho finishes as one shared double formula over them.
+    */
+  def centeredMoments(m: DataFrame): DataFrame =
+    m.withColumn("nw", expr("CAST(n AS DECIMAL(38,0))"))
+      .withColumn("cnum", expr(CnumFormula))
+      .withColumn("dxx", expr(DxxFormula))
+      .withColumn("dyy", expr(DyyFormula))
+      .select(col("n"), col("cnum"), col("dxx"), col("dyy"),
+        expr(RhoFormula).as("rho"))
 
   val q492Sql: String =
     s"""WITH spend AS (
@@ -119,8 +147,17 @@ object SpearmanCorr {
       |    SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
       |    SUM(CAST(ry AS HUGEINT) * ry) AS syy,
       |    SUM(CAST(rx AS HUGEINT) * ry) AS sxy
-      |  FROM ranked)
-      |SELECT n, $RhoFormula AS rho FROM m""".stripMargin
+      |  FROM ranked),
+      |mw AS (SELECT m.*, CAST(n AS HUGEINT) AS nw FROM m),
+      |c AS (
+      |  SELECT n, $CnumFormula AS cnum, $DxxFormula AS dxx,
+      |    $DyyFormula AS dyy
+      |  FROM mw)
+      |SELECT n, CAST(cnum AS DECIMAL(38,0)) AS cnum,
+      |  CAST(dxx AS DECIMAL(38,0)) AS dxx,
+      |  CAST(dyy AS DECIMAL(38,0)) AS dyy,
+      |  $RhoFormula AS rho
+      |FROM c""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q492_spearman" -> q492Spearman)

@@ -367,26 +367,34 @@ class Round12WaveSpec extends SparkSpec {
   test("q492: rho is exactly 1 under a monotone map and bounded on data") {
     import org.apache.spark.sql.functions._
     val r = graft.relational.SpearmanCorr.q492Spearman(spark, dir).head()
-    val rho = r.getDouble(1)
+    val rho = r.getAs[Double]("rho")
     info(s"n=${r.getLong(0)} rho=$rho")
     assert(rho >= -1.0 && rho <= 1.0)
+    // centered-moment identities: dxx = Σ(rx − (n+1))² must be
+    // non-negative, and cnum bounded by the Cauchy–Schwarz box
+    val dxx = r.getAs[java.math.BigDecimal]("dxx")
+    val dyy = r.getAs[java.math.BigDecimal]("dyy")
+    assert(dxx.signum() >= 0 && dyy.signum() >= 0)
     // monotone invariance: replacing y with a strictly increasing
-    // function of x must give exactly 1.0 (ranks coincide, the shared
-    // formula cancels exactly)
+    // function of x must give exactly 1.0 (ranks coincide, so
+    // cnum = dxx = dyy exactly and the shared formula cancels)
     val p = graft.relational.SpearmanCorr.pairs(spark, dir)
       .withColumn("y", col("x") * 2L + 7L)
     val ranked = graft.relational.SpearmanCorr.withDoubledRank(
       graft.relational.SpearmanCorr.withDoubledRank(p, "x", "rx"),
       "y", "ry")
-    val one = ranked.agg(
+    val oneRow = graft.relational.SpearmanCorr.centeredMoments(ranked.agg(
       count(lit(1)).as("n"),
       sum(col("rx").cast("decimal(38,0)")).as("sx"),
       sum(col("ry").cast("decimal(38,0)")).as("sy"),
       sum(col("rx").cast("decimal(38,0)") * col("rx")).as("sxx"),
       sum(col("ry").cast("decimal(38,0)") * col("ry")).as("syy"),
-      sum(col("rx").cast("decimal(38,0)") * col("ry")).as("sxy"))
-      .select(expr(graft.relational.SpearmanCorr.RhoFormula).as("rho"))
-      .head().getDouble(0)
+      sum(col("rx").cast("decimal(38,0)") * col("ry")).as("sxy")))
+      .head()
+    assert(oneRow.getAs[java.math.BigDecimal]("cnum")
+      .compareTo(oneRow.getAs[java.math.BigDecimal]("dxx")) == 0,
+      "monotone map: cnum must equal dxx exactly")
+    val one = oneRow.getAs[Double]("rho")
     assert(one == 1.0, s"monotone map must give rho exactly 1, got $one")
   }
 

@@ -365,27 +365,31 @@ class Round14bWaveSpec extends SparkSpec {
       - (5.0 - 3.4) / math.sqrt(0.84)) < 1e-12)
   }
 
-  test("q540: Durbin-Watson is ~0 on a smooth ramp's residuals and " +
-      "high on alternation; a perfect linear fit degrades to NULL") {
+  test("q540: Durbin-Watson micro-units hit the hand long-division " +
+      "pin on alternation, stay low on a smooth ramp, and a perfect " +
+      "linear fit degrades to NULL") {
     import spark.implicits._
     val d0 = java.time.LocalDate.of(2024, 8, 1)
     def series(vs: Seq[Long]) = vs.zipWithIndex.map { case (v, i) =>
       ("a", java.sql.Date.valueOf(d0.plusDays(i.toLong)), v)
     }.toDF("t", "d", "x")
-    // alternating residuals around a flat line -> dw near 4
+    // alternating residuals around a flat line -> dw near 4. Hand
+    // pin: E = (-1800, 3960, -2880, 2880, -3960, 1800), num =
+    // 193_104_000, den = 54_432_000, digit groups q=3, m1=547,
+    // m2=619 -> dw_micro = 3_547_619 (= floor(1e6*num/den), exact).
     val alt = DurbinWatson.durbinWatson(
       series(Seq(10L, 20L, 10L, 20L, 10L, 20L))).collect().head
-    assert(alt.getAs[Double]("dw") > 3.0,
-      s"alternation gave dw = ${alt.getAs[Double]("dw")}")
+    assert(alt.getAs[Long]("dw_micro") == 3547619L,
+      s"alternation gave dw_micro = ${alt.getAs[Long]("dw_micro")}")
     // a smooth parabola's residuals hug the trend -> dw well below 2
     val ramp = DurbinWatson.durbinWatson(
       series(Seq(0L, 1L, 4L, 9L, 16L, 25L, 36L, 49L))).collect().head
-    assert(ramp.getAs[Double]("dw") < 1.0,
-      s"smooth curvature gave dw = ${ramp.getAs[Double]("dw")}")
+    assert(ramp.getAs[Long]("dw_micro") < 1000000L,
+      s"smooth curvature gave dw_micro = ${ramp.getAs[Long]("dw_micro")}")
     // exact line: zero residuals -> NULLIF degrades to NULL
     val line = DurbinWatson.durbinWatson(
       series(Seq(2L, 4L, 6L, 8L))).collect().head
-    assert(line.isNullAt(line.fieldIndex("dw")))
+    assert(line.isNullAt(line.fieldIndex("dw_micro")))
   }
 
   test("q541: Cochran-Armitage z = 2 on the clean dose-response hand " +

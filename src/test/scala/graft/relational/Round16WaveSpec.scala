@@ -159,14 +159,16 @@ class Round16WaveSpec extends SparkSpec {
     val docs = Seq(("a", "x x y"), ("b", "x y y y")).toDF("g", "text")
     val out = graft.llm.KlDivergence.klByGroup(docs).collect()
       .map(r => (r.getAs[String]("g"), r.getAs[Long]("n_tokens"),
-        r.getAs[Long]("vocab_g"), r.getAs[Long]("kl_q"),
-        r.getAs[Double]("kl_nats"))).toSeq
+        r.getAs[Long]("vocab_g"),
+        r.getAs[java.math.BigDecimal]("kl_q").longValueExact(),
+        r.getAs[Long]("kl_micronats"))).toSeq
     // c_a=(x:2,y:1) N_a=3; c_b=(x:1,y:3) N_b=4; c_all=(x:3,y:4) N=7
     // w(a,x)=⌊1e6·ln(14/9)⌋=441832  w(a,y)=⌊1e6·ln(7/12)⌋=-538997
     // w(b,x)=-538997                w(b,y)=⌊1e6·ln(21/16)⌋=271933
+    // micro-nats: ⌊344667/3⌋=114889, ⌊276802/4⌋=69200 (exact floors)
     assert(out == Seq(
-      ("a", 3L, 2L, 344667L, 344667.0 / 3000000.0),
-      ("b", 4L, 2L, 276802L, 276802.0 / 4000000.0)), s"got $out")
+      ("a", 3L, 2L, 344667L, 114889L),
+      ("b", 4L, 2L, 276802L, 69200L)), s"got $out")
   }
 
   test("q575: fixture weights sit clear of the floor boundary (the " +
@@ -189,19 +191,24 @@ class Round16WaveSpec extends SparkSpec {
     val docs = Seq(("a", "x x y"), ("b", "x y y y")).toDF("g", "text")
     val out = graft.llm.KlDivergence.jsMatrix(docs).collect()
       .map(r => (r.getAs[String]("g1"), r.getAs[String]("g2"),
-        r.getAs[Long]("js_p_q"), r.getAs[Long]("js_q_q"),
-        r.getAs[Double]("js_nats"))).toSeq
+        r.getAs[java.math.BigDecimal]("js_p_q").longValueExact(),
+        r.getAs[java.math.BigDecimal]("js_q_q").longValueExact(),
+        r.getAs[Long]("js_micronats"))).toSeq
     // wp(x)=⌊1e6·ln(16/11)⌋=374693  wp(y)=⌊1e6·ln(8/13)⌋=-485508
     // wq(x)=⌊1e6·ln(6/11)⌋=-606136  wq(y)=⌊1e6·ln(18/13)⌋=325422
-    assert(out == Seq(("a", "b", 263878L, 370130L,
-      0.5 * 263878.0 / 3000000.0 + 0.5 * 370130.0 / 4000000.0)),
+    // micro: ⌊263878/6⌋ + ⌊370130/8⌋ = 43979 + 46266 = 90245
+    assert(out == Seq(("a", "b", 263878L, 370130L, 90245L)),
       s"got $out")
     // one-sided term: a third group sharing nothing with 'a' — every
-    // term is one-sided, JS = ln 2 exactly (up to quantization)
+    // term is one-sided, JS = ln 2 exactly (up to quantization):
+    // ⌊2·693147/4⌋·2 = 346573 + 346573 = 693146 micro-nats
     val disjoint = Seq(("a", "x x"), ("c", "z z")).toDF("g", "text")
     val d = graft.llm.KlDivergence.jsMatrix(disjoint).collect().head
-    assert(d.getAs[Long]("js_p_q") == 2L * 693147L &&
-      d.getAs[Long]("js_q_q") == 2L * 693147L, s"got $d")
+    assert(d.getAs[java.math.BigDecimal]("js_p_q").longValueExact()
+      == 2L * 693147L &&
+      d.getAs[java.math.BigDecimal]("js_q_q").longValueExact()
+        == 2L * 693147L &&
+      d.getAs[Long]("js_micronats") == 693146L, s"got $d")
   }
 
   test("q577: hand 10-doc Heaps curve — md5-order deciles, one new " +
