@@ -611,4 +611,45 @@ class ScalePlanSpec extends SparkSpec {
       s"q571: non-equi join in the climb round:\n${p571.treeString}")
     }
   }
+
+  test("round-17: q578's rerank stays keyed equi/semi joins past the " +
+      "checkpointed token-dot stage, q579 composes two anti-joins " +
+      "with the key side broadcast") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec,
+      ShuffledHashJoinExec}
+    atScaleRegime {
+    // q578: the one intended non-equi join (bounded query tokens
+    // broadcast against the streaming corpus) is paid INSIDE the
+    // eager token-dot checkpoint; everything downstream — candidate
+    // top-K, semi join, argmax/sum aggregates, per-query rank — must
+    // be keyed. A nested loop HERE would be candidates × corpus.
+    val p578 = graft.llm.MaxSim
+      .maxSim(graft.core.Tables.embeddings(spark, dir),
+        graft.llm.MaxSim.MsTokK)
+      .queryExecution.executedPlan
+    assert(p578.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty,
+      s"q578: non-equi join in the rerank stage:\n${p578.treeString}")
+    // q579: both delete kinds in one scan — at least two LeftAnti
+    // joins, and the equality-key side rides a broadcast (the
+    // erase-set is entity-bounded; shuffling the 100 TB base against
+    // it would be the wrong side)
+    val p579 = graft.sources.EqualityDeletes
+      .q579EqualityDeletes(spark, dir)
+      .queryExecution.executedPlan
+    val antis = p579.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => ("b", j)
+      case j: ShuffledHashJoinExec if j.joinType == LeftAnti => ("s", j)
+      case j: SortMergeJoinExec if j.joinType == LeftAnti => ("s", j)
+    }
+    assert(antis.size >= 2,
+      s"q579: expected both delete anti-joins:\n${p579.treeString}")
+    assert(antis.exists(_._1 == "b"),
+      s"q579: equality-key anti-join lost its broadcast:\n${p579.treeString}")
+    }
+  }
 }
