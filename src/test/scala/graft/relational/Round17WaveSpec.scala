@@ -135,4 +135,224 @@ class Round17WaveSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == want, s"got $got want $want")
   }
+
+  // ---------------------------------------------------------------
+  // q580 higher moments
+  // ---------------------------------------------------------------
+
+  test("q580: hand-pinned skewness/kurtosis — symmetric, skewed, " +
+      "exact-rational and constant groups") {
+    import spark.implicits._
+    // a: symmetric [−15,−5,5,15] → β₂ = 1.64, β₁ = 0
+    // b: [−1,−1,−1,3] → m₂=3 m₃=6 m₄=21 → β₁ = 36/27, β₂ = 21/9
+    // c: [0,0,1] → β₁ = 0.5 EXACTLY (w=1 truncation loses nothing),
+    //    β₂ = 1.5
+    // d: constant → M2 = 0: var 0, skew/kurt NULL-degrade
+    val in = (Seq(-15L, -5L, 5L, 15L).map(("a", _)) ++
+      Seq(-1L, -1L, -1L, 3L).map(("b", _)) ++
+      Seq(0L, 0L, 1L).map(("c", _)) ++
+      Seq(5L, 5L).map(("d", _))).toDF("g", "y")
+    val out = HigherMoments.moments(in)
+      .select($"g", $"var_micro", $"skew_sign", $"skew_b1_micro",
+        $"kurt_b2_micro")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("a", 125000000L, 0, 0L, 1640000L),
+      ("b", 3000000L, 1, 1333333L, 2333333L),
+      ("c", 222222L, 1, 500000L, 1500000L),
+      ("d", 0L, 0, -1L, -1L)), s"got $out")
+  }
+
+  test("q580: the central-moment combinations are anchor-invariant " +
+      "exact integers (M2/M3/M4 match the recentered definition)") {
+    import spark.implicits._
+    // same values under two different anchors must give identical
+    // M2/M3/M4 (the combinations cancel the anchor exactly)
+    val base = Seq(3L, 9L, 27L, 41L, 50L)
+    val shifted = base.map(_ - 17L)
+    def m(of: Seq[Long]) = HigherMoments
+      .moments(of.map(("g", _)).toDF("g", "y"))
+      .select($"m2".cast("string"), $"m3".cast("string"),
+        $"m4".cast("string"))
+      .head()
+    assert(m(base) == m(shifted), "anchor leaked into the moments")
+  }
+
+  // ---------------------------------------------------------------
+  // q581 length-bucketed batching
+  // ---------------------------------------------------------------
+
+  test("q581: hand-pinned ledger on order-free fixtures (equal-length " +
+      "bucket splits 4+1; mixed single batch pads to its max)") {
+    import spark.implicits._
+    // width 16, budget 64, 1 shard:
+    // five len-10 docs → bucket 0, cap 4 → batches 4+1, zero waste
+    // two docs len 20/25 → bucket 1, cap 2 → ONE batch padded 2·25
+    val docs = ((1 to 5).map(i => (i.toLong, 10L)) ++
+      Seq((6L, 20L), (7L, 25L))).toDF("doc_id", "len")
+    val out = graft.llm.LengthBucketing.ledger(docs, 16, 64, 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(out == Seq(
+      (0L, 5L, 2L, 50L, 50L, 0L, 0L),
+      (1L, 2L, 1L, 45L, 50L, 5L, 100000L)), s"got $out")
+  }
+
+  test("q581: conservation on real docs, and bucketing strictly cuts " +
+      "padding waste vs a single mixed bucket") {
+    import spark.implicits._
+    val lens = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("len"))
+      .localCheckpoint()
+    val total = lens.agg(count(lit(1)), sum($"len")).head()
+    def ledgerTotals(width: Int) = graft.llm.LengthBucketing
+      .ledger(lens, width, graft.llm.LengthBucketing.TokBudget,
+        graft.llm.LengthBucketing.Shards)
+      .agg(sum($"n_docs"), sum($"real_tokens"), sum($"padded_tokens"),
+        sum($"waste_tokens")).head()
+    val bucketed = ledgerTotals(graft.llm.LengthBucketing.BucketWidth)
+    // every doc batched exactly once, real mass conserved
+    assert(bucketed.getLong(0) == total.getLong(0))
+    assert(bucketed.getLong(1) == total.getLong(1))
+    // a single 128-wide bucket mixes lengths 10..99 into shared
+    // batches: its waste fraction must strictly exceed the bucketed
+    // plan's (the op's reason to exist) — exact cross-multiplication
+    val mixed = ledgerTotals(128)
+    assert(mixed.getLong(3) * bucketed.getLong(2) >
+      bucketed.getLong(3) * mixed.getLong(2),
+      s"bucketed waste ${bucketed.getLong(3)}/${bucketed.getLong(2)} not" +
+        s" below mixed ${mixed.getLong(3)}/${mixed.getLong(2)}")
+  }
+
+  // ---------------------------------------------------------------
+  // q582 BLEU
+  // ---------------------------------------------------------------
+
+  test("q582: textbook pair — clipped n-gram precisions, micro-LN " +
+      "geometric mean and exact brevity penalty") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "the cat sat on mat")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc1", "doc2")
+    val r = graft.llm.BleuScore.bleu(pairs, docs).head()
+    val got = (r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+      r.getLong(8), r.getLong(9), r.getLong(10), r.getLong(11),
+      r.getLong(12), r.getLong(13))
+    // m/t: 5/5, 3/4, 2/3, 1/2; lnp floors −287683/−405466/−693148;
+    // ⌊−1386297/4⌋ = −346575; bp = ⌊10⁶·(5−6)/5⌋ = −200000
+    assert(got == (5L, 6L, 5L, 5L, 3L, 4L, 2L, 3L, 1L, 2L,
+      -200000L, -546575L), s"got $got")
+  }
+
+  test("q582: reference multiplicity CLIPS candidate repeats, and a " +
+      "zero four-gram match NULL-degrades the score") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a a a")).toDF("doc_id", "text")
+    val r = graft.llm.BleuScore
+      .bleu(Seq((1L, 2L)).toDF("doc1", "doc2"), docs).head()
+    // clipped m1 = min(3 candidate 'a', 1 reference 'a') = 1
+    assert(r.getLong(4) == 1L && r.getLong(5) == 3L, "clipping broken")
+    assert(r.getLong(6) == 0L, "m2 should be 0")
+    assert(r.isNullAt(13), "any m_n = 0 must NULL the score")
+  }
+
+  // ---------------------------------------------------------------
+  // q583 Wilcoxon signed-rank
+  // ---------------------------------------------------------------
+
+  test("q583: hand-pinned signed-rank tables — tie-free, all-tied, " +
+      "and a significant all-positive group; zeros dropped") {
+    import spark.implicits._
+    // x: d = [1,−2,3,−4,5] → 2r̄ = 2,4,6,8,10; W2⁺ = 2+6+10 = 18,
+    //    e2 = 15, var12 = 2·5·6·11 = 660 → none
+    // y: d = [2,−2,2,2] all |d| tied → r2 = 5 each; W2⁺ = 15,
+    //    e2 = 10, ties3 = 60, var12 = 360−60 = 300 → none
+    // z: d = 1..10 all positive → W2⁺ = 110, e2 = 55,
+    //    var12 = 4620; 120000·54² > 38416·4620 → greater
+    // plus two d = 0 rows in x that must NOT count
+    val diffs = (Seq(1L, -2L, 3L, -4L, 5L, 0L, 0L).map(("x", _)) ++
+      Seq(2L, -2L, 2L, 2L).map(("y", _)) ++
+      (1L to 10L).map(("z", _))).toDF("g", "d")
+    val out = WilcoxonSignedRank.wilcoxon(diffs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSeq
+    assert(out == Seq(
+      ("x", 5L, 18L, 15L, 660L, "none"),
+      ("y", 4L, 15L, 10L, 300L, "none"),
+      ("z", 10L, 110L, 55L, 4620L, "greater")), s"got $out")
+  }
+
+  test("q583: an all-negative group reads 'less' (two-sided symmetry)") {
+    import spark.implicits._
+    val out = WilcoxonSignedRank
+      .wilcoxon((1L to 10L).map(i => ("w", -i)).toDF("g", "d"))
+      .head()
+    assert(out.getLong(2) == 0L && out.getString(5) == "less",
+      s"got $out")
+  }
+
+  // ---------------------------------------------------------------
+  // q584 LAD regression
+  // ---------------------------------------------------------------
+
+  test("q584: hand fixture — exact LAD line through (1,10),(6,18) " +
+      "beats OLS in absolute loss, every output integer-exact") {
+    import spark.implicits._
+    val series = Seq((1L, 10L), (2L, 2L), (3L, 14L), (4L, 7L),
+      (5L, 26L), (6L, 18L)).map { case (t, x) => ("s", t, x) }
+      .toDF("g", "t", "x")
+    val r = LadRegression.lad(series).head()
+    val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getDecimal(6).longValueExact(), r.getLong(7),
+      r.getLong(8))
+    // brute-force (python, all 15 candidate lines): winner i=1 j=6,
+    // slope 8/5, intercept 42/5, loss 139/5 = 27.8 — the OLS line
+    // (slope 3) reads abs loss 32 on the same points
+    assert(got == (1L, 6L, 8L, 5L, 42L, 139L, 1600000L, 27L),
+      s"got $got")
+  }
+
+  test("q584: exact winner is unique per group and its cross-" +
+      "multiplied loss is minimal over the whole candidate set " +
+      "on the real series") {
+    import spark.implicits._
+    val series = graft.core.Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority".as("g"),
+        ((year($"o_orderdate") - 1992) * 12 + month($"o_orderdate"))
+          .cast("long").as("t"))
+      .agg(sum(expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)")).as("x"))
+      .localCheckpoint()
+    val won = LadRegression.lad(series).collect()
+    val nGroups = series.select($"g").distinct().count()
+    assert(won.length == nGroups.toInt, "one winner per group required")
+    // re-derive every candidate's exact loss and REQUIRE no candidate
+    // anywhere beats its group's winner (the shortlist margin check —
+    // the exact optimum must not hide past double-rank ShortK)
+    val pts = series.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    won.foreach { w =>
+      val g = w.getString(0)
+      val (den0, loss0) = (BigInt(w.getLong(4)),
+        BigInt(w.getDecimal(6).toBigInteger))
+      val ps = pts(g).map(p => (p._2, p._3))
+      for {
+        (ti, xi) <- ps; (tj, xj) <- ps if ti < tj
+      } {
+        val den = tj - ti; val snum = xj - xi
+        val inum = xi * den - snum * ti
+        val loss = ps.map { case (t, x) =>
+          (BigInt(x) * den - (BigInt(inum) + BigInt(snum) * t)).abs
+        }.sum
+        assert(loss * den0 >= loss0 * den,
+          s"candidate ($ti,$tj) in $g beats the winner: " +
+            s"$loss/$den < $loss0/$den0")
+      }
+    }
+  }
 }
