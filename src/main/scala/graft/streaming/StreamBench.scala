@@ -1311,7 +1311,75 @@ object StreamBench {
       .toDF("n_shards", "total_est", "total_exact")
   }
 
+  /** qs29 — STREAMING length-bucketed batching ([[BucketBatchStream]],
+    * q581's streaming twin): per-(shard, bucket) open-batch fold over
+    * a SEQUENCED doc stream in [[BloomBatches]] micro-batches; the
+    * merged tail-closed shard ledgers are required IDENTICAL — every
+    * column, waste_ppm included — to the q581 batch ledger over the
+    * same docs (bit-identity convention, no tolerance), and state
+    * stays |buckets|-bounded per shard.
+    */
+  val qs29BucketBatchStream: Q = (s, dir) => withStreamConfs(s) {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val W = graft.llm.LengthBucketing.BucketWidth
+    val B = graft.llm.LengthBucketing.TokBudget
+    val Sh = graft.llm.LengthBucketing.Shards
+    val lens = T.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("len"))
+      .filter($"doc_id" < 2000L)
+      .localCheckpoint()
+    // q581's exact shard + order: the sequenced feed IS the loader's
+    // consumption contract
+    val rows = lens
+      .withColumn("shard", expr(
+        s"CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4)," +
+          s" 16, 10) AS INT) % $Sh AS BIGINT)"))
+      .withColumn("ord", md5($"doc_id".cast("string")))
+      .orderBy($"ord", $"doc_id")
+      .select($"shard", $"len")
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getLong(0), i.toLong, r.getLong(1)) }
+      .toSeq
+    val stream = MemoryStream[(Long, Long, Long)]
+    val name = s"bench_loader_${runId.incrementAndGet()}"
+    val q = BucketBatchStream.loaderStates(stream.toDS(), W, B)
+      .toDF("shard", "state")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bench-loader-ckpt").toString)
+      .start()
+    rows.grouped(rows.size / BloomBatches + 1).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val emissions = s.table(name).select($"shard", $"state")
+      .as[(Long, Array[Byte])].collect()
+    s.catalog.dropTempView(name)
+    val last = emissions.zipWithIndex
+      .groupBy(_._1._1).map { case (_, es) => es.maxBy(_._2)._1._2 }.toSeq
+    val streamed = BucketBatchStream.mergedLedger(last)
+      .map { case (b, nd, nb, real, padded) =>
+        val waste = padded - real
+        (b, nd, nb, real, padded, waste,
+          (BigInt(waste) * 1000000 / BigInt(padded)).toLong)
+      }
+    val batch = graft.llm.LengthBucketing.ledger(lens, W, B, Sh)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    require(streamed == batch,
+      s"qs29: streamed ledger diverged from batch:\n$streamed\nvs\n$batch")
+    val stateBuckets = last.map(b =>
+      BucketBatchStream.deserialize(b).buckets.size.toLong).max
+    Seq((rows.size.toLong, batch.length.toLong, stateBuckets))
+      .toDF("n_docs", "n_buckets", "max_state_buckets")
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "qs29_bucket_batch_stream" -> qs29BucketBatchStream,
     "qs28_dgim_stream" -> qs28DgimStream,
     "qs27_req_stream" -> qs27ReqStream,
     "qs26_slope_one_stream" -> qs26SlopeOneStream,
