@@ -355,4 +355,42 @@ class Round17WaveSpec extends SparkSpec {
       }
     }
   }
+
+  // ---------------------------------------------------------------
+  // q585 conditional entropy
+  // ---------------------------------------------------------------
+
+  test("q585: textbook pins — perfectly predictable alternation reads " +
+      "CE exactly 0 with gain exactly ⌊10⁶·ln 2⌋; Shannon hand case " +
+      "(2/3)·ln 2 exact") {
+    import spark.implicits._
+    // a: "x y x y x" — every next token determined by the previous:
+    //    H(V|U) = 0, H(V) = ln 2 (two symbols, equal mass)
+    // b: "p p q q" — bigrams pp/pq/qq: H(V|U) = (2/3)·ln 2 = 462098µ,
+    //    H(V) = (1/3)ln3 + (2/3)ln(3/2) = 636514µ, gain 174416µ
+    val bg = (s: String) => s.split(' ').sliding(2).toSeq
+      .map(p => (p(0), p(1)))
+    val rows = bg("x y x y x").map { case (u, v) => ("a", u, v) } ++
+      bg("p p q q").map { case (u, v) => ("b", u, v) }
+    val out = graft.llm.ConditionalEntropy
+      .conditionalEntropy(rows.toDF("g", "u", "v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      ("a", 4L, 2L, 0L, 693147L, 693147L),
+      ("b", 3L, 3L, 462098L, 636514L, 174416L)), s"got $out")
+  }
+
+  test("q585: on real corpus text one token of context buys " +
+      "strictly positive information in every source") {
+    val out = graft.llm.ConditionalEntropy
+      .q585ConditionalEntropy(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(5) > 0L,
+        s"source ${r.getString(0)} reads info gain ${r.getLong(5)}")
+      assert(r.getLong(3) >= 0L && r.getLong(4) >= r.getLong(3))
+    }
+  }
 }
