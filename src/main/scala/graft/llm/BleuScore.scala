@@ -102,10 +102,7 @@ object BleuScore {
   val q582Bleu: Q = (s, dir) => {
     import s.implicits._
     val docs = T.documents(s, dir)
-    val pairs = DedupQueries
-      .nearDuplicates(s, docs, DedupQueries.NearDupThreshold)
-      .localCheckpoint()
-    bleu(pairs, docs)
+    bleu(DedupQueries.verifiedPairs(s, dir), docs)
   }
 
   /** The oracle replays q41's exact all-pairs set (lossless banding —
