@@ -45,7 +45,16 @@ object LadRegression {
   val ShortK = 8
 
   /** Exact per-group LAD line off a `(g, t, x)` integer series. */
-  def lad(series: DataFrame): DataFrame = {
+  def lad(series: DataFrame): DataFrame = fit(series, 1, 1)
+
+  /** Exact per-group pinball-loss (quantile-regression) line: loss =
+    * Σ wPos·r⁺ + wNeg·r⁻ over residuals r = x·den − ŷ·den, i.e.
+    * τ = wPos/(wPos+wNeg) — the basic-solutions theorem (Koenker–
+    * Bassett §2) covers EVERY τ, so the same candidate enumeration
+    * is exact at any integer weight pair. fit(1,1) is LAD; fit(9,1)
+    * is the τ=0.9 envelope.
+    */
+  def fit(series: DataFrame, wPos: Int, wNeg: Int): DataFrame = {
     val s = series.sparkSession
     import s.implicits._
     val pts = series.localCheckpoint()
@@ -58,7 +67,9 @@ object LadRegression {
           .as("inum"))
     val loss = lines.join(pts.withColumnRenamed("g", "pg"),
         $"g" === $"pg")
-      .withColumn("resid", abs($"x" * $"den" - ($"inum" + $"snum" * $"t")))
+      .withColumn("r", $"x" * $"den" - ($"inum" + $"snum" * $"t"))
+      .withColumn("resid", expr(
+        s"IF(r > 0, ${wPos}L * r, ${wNeg}L * -r)"))
       .groupBy($"g", $"i", $"j")
       .agg(first($"snum").as("snum"), first($"den").as("den"),
         first($"inum").as("inum"),
@@ -104,7 +115,9 @@ object LadRegression {
       .agg(sum(expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)")).as("x")))
   }
 
-  val q584Sql: String =
+  /** The shared oracle replay, parameterized by the pinball weights
+    * (1,1 = LAD; 9,1 = τ=0.9). */
+  def fitSql(wPos: Int, wNeg: Int): String =
     s"""WITH pts AS (
       |  SELECT o_orderpriority AS g,
       |    CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12
@@ -119,8 +132,10 @@ object LadRegression {
       |  FROM pts a JOIN pts b ON a.g = b.g AND a.t < b.t),
       |loss AS (
       |  SELECT l.g, i, j, snum, den, inum,
-      |    SUM(CAST(abs(p.x * den - (inum + snum * p.t)) AS HUGEINT))
-      |      AS lossnum
+      |    SUM(CAST(CASE WHEN p.x * den - (inum + snum * p.t) > 0
+      |      THEN $wPos * (p.x * den - (inum + snum * p.t))
+      |      ELSE $wNeg * ((inum + snum * p.t) - p.x * den) END
+      |      AS HUGEINT)) AS lossnum
       |  FROM lines l JOIN pts p ON l.g = p.g
       |  GROUP BY 1, 2, 3, 4, 5, 6),
       |short AS (
@@ -148,6 +163,26 @@ object LadRegression {
       |FROM win
       |ORDER BY g""".stripMargin
 
-  val queries: Map[String, Q] = Map("q584_lad_regression" -> q584LadRegression)
-  val oracleSql: Map[String, String] = Map("q584_lad_regression" -> q584Sql)
+  /** q586 — τ=0.9 QUANTILE REGRESSION (the P90 envelope trend a
+    * capacity plan fits: ~90% of months sit on/below the line): the
+    * identical exact machinery at pinball weights (9, 1); loss is in
+    * ×10 pinball units (integer weights — no float enters the
+    * decision at any τ = k/10).
+    */
+  val q586QuantileRegression: Q = (s, dir) => {
+    import s.implicits._
+    fit(T.orders(s, dir)
+      .groupBy($"o_orderpriority".as("g"),
+        ((year($"o_orderdate") - 1992) * 12 + month($"o_orderdate"))
+          .cast("long").as("t"))
+      .agg(sum(expr("CAST(FLOOR(100 * o_totalprice) AS BIGINT)")).as("x")),
+      9, 1)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q584_lad_regression" -> q584LadRegression,
+    "q586_quantile_regression" -> q586QuantileRegression)
+  val oracleSql: Map[String, String] = Map(
+    "q584_lad_regression" -> fitSql(1, 1),
+    "q586_quantile_regression" -> fitSql(9, 1))
 }

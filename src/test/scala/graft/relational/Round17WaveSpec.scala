@@ -356,6 +356,24 @@ class Round17WaveSpec extends SparkSpec {
     }
   }
 
+  test("q586: τ=0.9 pinball weights pick the P90 envelope line on " +
+      "the same fixture — every point on/below it, distinct from " +
+      "the LAD winner") {
+    import spark.implicits._
+    val pts = Seq((1L, 10L), (2L, 2L), (3L, 14L), (4L, 7L),
+      (5L, 26L), (6L, 18L))
+    val series = pts.map { case (t, x) => ("s", t, x) }.toDF("g", "t", "x")
+    val r = LadRegression.fit(series, 9, 1).head()
+    val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getDecimal(6).longValueExact(), r.getLong(7))
+    // brute-force: winner (1,5), slope 16/4 = 4, intercept 24/4,
+    // pinball×10 loss 172/4 = 43 — vs the LAD winner (1,6)
+    assert(got == (1L, 5L, 16L, 4L, 24L, 172L, 4000000L), s"got $got")
+    val (sn, dn, in) = (got._3, got._4, got._5)
+    assert(pts.forall { case (t, x) => x * dn <= in + sn * t },
+      "the τ=0.9 line must sit on/above every fixture point")
+  }
+
   // ---------------------------------------------------------------
   // q585 conditional entropy
   // ---------------------------------------------------------------
