@@ -400,6 +400,24 @@ class Round17WaveSpec extends SparkSpec {
       ("b", 3L, 3L, 462098L, 636514L, 174416L)), s"got $out")
   }
 
+  test("q587: hand-pinned dispersion — clumped token reads D > 1, " +
+      "evenly spread token D < 1, zeros counted in the variance") {
+    import spark.implicits._
+    // docs: "a a a a" / "b a" / "b c", N = 3:
+    // a: counts [4,1,0] → D = (3·17−25)/(3·5) = 26/15 → 1733333µ
+    // b: [0,1,1] → 2/6 → 333333µ;  c: [0,0,1] → 2/3 → 666666µ
+    val docs = Seq((1L, "a a a a"), (2L, "b a"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TokenDispersion.dispersion(docs, minMass = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("a", 2L, 5L, 17L, 1733333L),
+      ("c", 1L, 1L, 1L, 666666L),
+      ("b", 2L, 2L, 2L, 333333L)), s"got $out")
+  }
+
   test("q585: on real corpus text one token of context buys " +
       "strictly positive information in every source") {
     val out = graft.llm.ConditionalEntropy
