@@ -652,4 +652,49 @@ class ScalePlanSpec extends SparkSpec {
       s"q579: equality-key anti-join lost its broadcast:\n${p579.treeString}")
     }
   }
+  test("round-17b: q580 is one partial-agged shuffle; q581's windows " +
+      "stay (bucket, shard)-sliced; q585/q587 carry no data-sized " +
+      "non-equi joins") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{CartesianProductExec,
+      SortMergeJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    atScaleRegime {
+    // q580: the corpus touches exactly one aggregation shuffle (plus
+    // the 3-row final sort) — a join or second corpus pass here would
+    // break the one-pass moments contract
+    val p580 = graft.relational.HigherMoments
+      .q580HigherMoments(spark, dir).queryExecution.executedPlan
+    val ex580 = p580.collect { case e: ShuffleExchangeExec => e }
+    assert(ex580.size <= 2,
+      s"q580: more than agg+sort exchanges:\n${p580.treeString}")
+    assert(p580.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p580.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"q580: unexpected join:\n${p580.treeString}")
+    // q581: every window partitions on BOTH bucket and shard — the
+    // slice contract that keeps the rank off a corpus total order
+    val p581 = graft.llm.LengthBucketing
+      .q581LengthBucketing(spark, dir).queryExecution.executedPlan
+    val wins = p581.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"q581: window gone:\n${p581.treeString}")
+    wins.foreach { w =>
+      val parts = w.partitionSpec.map(_.toString).mkString(",")
+      assert(parts.contains("bucket") && parts.contains("shard"),
+        s"q581: window not (bucket, shard)-sliced: $parts")
+    }
+    // q585: censuses + equi-joins only — no window, no cartesian
+    val p585 = graft.llm.ConditionalEntropy
+      .q585ConditionalEntropy(spark, dir).queryExecution.executedPlan
+    assert(p585.collect { case w: WindowExec => w }.isEmpty,
+      s"q585: unexpected window:\n${p585.treeString}")
+    assert(p585.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"q585: cartesian join:\n${p585.treeString}")
+    // q587: the only join is the 1-row N broadcast — no data-sized
+    // merge join anywhere
+    val p587 = graft.llm.TokenDispersion
+      .q587TokenDispersion(spark, dir).queryExecution.executedPlan
+    assert(p587.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"q587: data-sized join appeared:\n${p587.treeString}")
+    }
+  }
 }
