@@ -400,6 +400,24 @@ class Round17WaveSpec extends SparkSpec {
       ("b", 3L, 3L, 462098L, 636514L, 174416L)), s"got $out")
   }
 
+  test("q588: hand Tukey–Kramer — the far group separates from both " +
+      "near groups, the equal pair does not; MSW exact") {
+    import spark.implicits._
+    // a = b = {1,2,3}, c = {10,11,12}: SSW = 6, ν = 6, Πn = 27,
+    // SSWP = 162 → msw_micro = 10⁶; means 2/2/11 → dm 0 and 9·10⁶.
+    // Rule: (9e6)²·2·9 = 1.458e15 > 10985910·1e6·6 = 6.59e13 → sig
+    val vals = (Seq(1L, 2L, 3L).map(("a", _)) ++
+      Seq(1L, 2L, 3L).map(("b", _)) ++
+      Seq(10L, 11L, 12L).map(("c", _))).toDF("g", "x")
+    val out = TukeyHsd.hsd(vals).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4),
+        r.getLong(5), r.getBoolean(6))).toSeq
+    assert(out == Seq(
+      ("a", "b", 0L, 1000000L, false),
+      ("a", "c", 9000000L, 1000000L, true),
+      ("b", "c", 9000000L, 1000000L, true)), s"got $out")
+  }
+
   test("q587: hand-pinned dispersion — clumped token reads D > 1, " +
       "evenly spread token D < 1, zeros counted in the variance") {
     import spark.implicits._
