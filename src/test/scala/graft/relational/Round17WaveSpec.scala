@@ -400,6 +400,34 @@ class Round17WaveSpec extends SparkSpec {
       ("b", 3L, 3L, 462098L, 636514L, 174416L)), s"got $out")
   }
 
+  test("q589: Spark soundex matches the classic pinned codes the " +
+      "DuckDB replay is built against — H/W transparency, vowel " +
+      "reset, first-letter suppression, single-char pad") {
+    import spark.implicits._
+    val pins = Seq(
+      "robert" -> "R163", "tymczak" -> "T522", "pfister" -> "P236",
+      "ashcraft" -> "A261", "honeyman" -> "H555", "hmm" -> "H500",
+      "xhx" -> "X000", "wright" -> "W623", "hwang" -> "H520",
+      "phlox" -> "P420", "aeiou" -> "A000", "a" -> "A000")
+    val got = pins.map(_._1).toDF("w")
+      .select($"w", soundex($"w").as("c")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    pins.foreach { case (w, c) =>
+      assert(got(w) == c, s"soundex($w) = ${got(w)}, pinned $c")
+    }
+  }
+
+  test("q589: the real dictionary's one phonetic collision pairs " +
+      "red/rod inside R300 — unreachable by q109's exact-token block") {
+    val out = graft.llm.PhoneticBlocking
+      .q589PhoneticBlocking(spark, dir).collect()
+    val matched = out.filter(!_.isNullAt(3))
+      .map(r => (r.getString(0), r.getString(1), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(matched.toSet == Set(("red", "R300", "rod", 1L),
+      ("rod", "R300", "red", 1L)), s"got $matched")
+  }
+
   test("q588: hand Tukey–Kramer — the far group separates from both " +
       "near groups, the equal pair does not; MSW exact") {
     import spark.implicits._
