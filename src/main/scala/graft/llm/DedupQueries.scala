@@ -647,8 +647,21 @@ object DedupQueries {
     */
   val q361DeletionJoin: Q = (s, dir) => {
     import s.implicits._
+    // r17 optimization (guide §2.3/§2.4 + §6): customer.parquet is one
+    // ~300 KB file → ONE scan task, and the original spelling ran the
+    // explode, the candidate join AND the levenshtein verify inside
+    // that single task (measured 9.4 s with 31 idle cores). Repartition
+    // the 15 k names across the session's cores before the explode
+    // (scale-adaptive: defaultParallelism, not a constant), and shuffle
+    // only the narrow (custkey, k) rows — the candidate distinct now
+    // dedupes 16-byte id pairs instead of pairs carrying both names;
+    // names re-attach via two broadcast joins before the verify.
+    // Result-identical: same candidate universe, same verify, same
+    // output columns and order. Measured 9.37 s → ~1.5 s isolated.
     val names = T.customer(s, dir).select($"c_custkey", $"c_name")
-    val keys = names.select($"c_custkey", $"c_name",
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint() // read 3× (two key sides + name re-attach)
+    val keys = names.select($"c_custkey",
       explode(expr(
         """array_distinct(concat(array(c_name),
           |  transform(sequence(1, length(c_name)),
@@ -657,10 +670,13 @@ object DedupQueries {
           .stripMargin)).as("k"))
     val cand = keys.as("a").join(keys.as("b"),
         $"a.k" === $"b.k" && $"a.c_custkey" < $"b.c_custkey")
-      .select($"a.c_custkey".as("cust1"), $"a.c_name".as("n1"),
-        $"b.c_custkey".as("cust2"), $"b.c_name".as("n2"))
+      .select($"a.c_custkey".as("cust1"), $"b.c_custkey".as("cust2"))
       .distinct()
     cand
+      .join(broadcast(names.select($"c_custkey".as("cust1"),
+        $"c_name".as("n1"))), "cust1")
+      .join(broadcast(names.select($"c_custkey".as("cust2"),
+        $"c_name".as("n2"))), "cust2")
       .withColumn("dist", levenshtein($"n1", $"n2").cast("long"))
       .filter($"dist" <= 1L)
       .select($"cust1", $"cust2", $"dist")
