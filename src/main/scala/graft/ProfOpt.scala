@@ -51,6 +51,160 @@ object ProfOpt {
         t("join + distinct")(cand.distinct())
         println("[profopt] cand rows distinct: " + cand.distinct().count())
         t("full q361")(SparkEntry.queries("q361_deletion_join")(s, dir))
+      case "q312b" =>
+        // warm the session, then time the CURRENT q312 three times
+        val fn = SparkEntry.queries("q312_recsys_holdout")
+        fn(s, dir).count()
+        for (i <- 1 to 3) t(s"full q312 run$i")(fn(s, dir))
+        // stage split of the current shape, warm
+        val T = graft.core.Tables
+        def tt(label: String)(body: => Unit): Unit = {
+          val t0 = System.nanoTime()
+          body
+          println(f"[profopt] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        }
+        var li: DataFrame = null
+        tt("li join+repart+checkpoint") {
+          li = T.lineitem(s, dir)
+            .join(T.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+            .select($"o_custkey".as("cust"), $"l_partkey".as("part"),
+              $"o_orderdate", $"l_orderkey", $"l_linenumber")
+            .repartition($"cust")
+            .localCheckpoint()
+        }
+        val wLast = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cust")
+          .orderBy($"o_orderdate".desc, $"l_orderkey".desc,
+            $"l_linenumber".desc, $"part".desc)
+        val test = li.withColumn("rn", row_number().over(wLast))
+          .filter($"rn" === 1).select($"cust", $"part".as("test_part"))
+        val cp = li.select($"cust", $"part").distinct()
+        var train: DataFrame = null
+        tt("train build+checkpoint") {
+          train = cp.join(test, "cust")
+            .filter($"part" =!= $"test_part")
+            .select($"cust", $"part")
+            .localCheckpoint()
+        }
+        var co: DataFrame = null
+        tt("co pairs+checkpoint") {
+          co = train.as("a").join(train.as("b"),
+              $"a.cust" === $"b.cust" && $"a.part" < $"b.part")
+            .groupBy($"a.part".as("p1"), $"b.part".as("p2"))
+            .agg(count(lit(1)).as("c"))
+            .filter($"c" >= graft.relational.TableStatsQueries.RhSupportMin)
+            .localCheckpoint()
+        }
+        val undFull = co.select($"p1".as("item"), $"p2".as("cand"), $"c")
+          .unionByName(co.select($"p2".as("item"), $"p1".as("cand"), $"c"))
+        tt("und+scores+topk+verdict") {
+          val und = graft.plans.TopK.perGroup(undFull, Seq("item"),
+            Seq("c" -> false, "cand" -> true),
+            graft.relational.TableStatsQueries.RhNeighbors)
+          val scores = train.join(broadcast(und), $"part" === $"item")
+            .groupBy($"cust", $"cand").agg(sum($"c").as("score"))
+            .join(broadcast(train.select($"cust", $"part".as("cand"))),
+              Seq("cust", "cand"), "left_anti")
+          val top = graft.plans.TopK.perGroup(scores, Seq("cust"),
+            Seq("score" -> false, "cand" -> true),
+            graft.relational.TableStatsQueries.RhTopK)
+          val evald = train.select($"cust").distinct()
+          val hits = top.join(test, "cust")
+            .filter($"cand" === $"test_part")
+            .select($"cust").distinct()
+          evald.agg(count(lit(1)).as("n_eval"))
+            .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+            .write.format("noop").mode("overwrite").save()
+        }
+      case "q312" =>
+        val T = graft.core.Tables
+        def tt(label: String)(body: => Unit): Unit = {
+          val t0 = System.nanoTime()
+          body
+          println(f"[profopt] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        }
+        var li: DataFrame = null
+        tt("li join+checkpoint") {
+          li = T.lineitem(s, dir)
+            .join(T.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+            .select($"o_custkey".as("cust"), $"l_partkey".as("part"),
+              $"o_orderdate", $"l_orderkey", $"l_linenumber")
+            .localCheckpoint()
+        }
+        val wLast = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cust")
+          .orderBy($"o_orderdate".desc, $"l_orderkey".desc,
+            $"l_linenumber".desc, $"part".desc)
+        val test = li.withColumn("rn", row_number().over(wLast))
+          .filter($"rn" === 1).select($"cust", $"part".as("test_part"))
+        val cp = li.select($"cust", $"part").distinct()
+        var train: DataFrame = null
+        tt("train build+checkpoint") {
+          train = cp.join(test, "cust")
+            .filter($"part" =!= $"test_part")
+            .select($"cust", $"part")
+            .localCheckpoint()
+        }
+        var co: DataFrame = null
+        tt("co pairs+checkpoint") {
+          co = train.as("a").join(train.as("b"),
+              $"a.cust" === $"b.cust" && $"a.part" < $"b.part")
+            .groupBy($"a.part".as("p1"), $"b.part".as("p2"))
+            .agg(count(lit(1)).as("c"))
+            .filter($"c" >= graft.relational.TableStatsQueries.RhSupportMin)
+            .localCheckpoint()
+        }
+        println("[profopt] co rows: " + co.count())
+        val undFull = co.select($"p1".as("item"), $"p2".as("cand"), $"c")
+          .unionByName(co.select($"p2".as("item"), $"p1".as("cand"), $"c"))
+        var und: DataFrame = null
+        tt("topk und") {
+          und = graft.plans.TopK.perGroup(undFull, Seq("item"),
+            Seq("c" -> false, "cand" -> true),
+            graft.relational.TableStatsQueries.RhNeighbors).localCheckpoint()
+        }
+        var scores: DataFrame = null
+        tt("scores+anti") {
+          scores = train.join(und, $"part" === $"item")
+            .groupBy($"cust", $"cand").agg(sum($"c").as("score"))
+            .join(train.select($"cust", $"part".as("cand")),
+              Seq("cust", "cand"), "left_anti").localCheckpoint()
+        }
+        println("[profopt] scores rows: " + scores.count())
+        tt("rest") {
+          val top = graft.plans.TopK.perGroup(scores, Seq("cust"),
+            Seq("score" -> false, "cand" -> true),
+            graft.relational.TableStatsQueries.RhTopK)
+          val evald = train.select($"cust").distinct()
+          val hits = top.join(test, "cust")
+            .filter($"cand" === $"test_part")
+            .select($"cust").distinct()
+          evald.agg(count(lit(1)).as("n_eval"))
+            .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+            .write.format("noop").mode("overwrite").save()
+        }
+        var scores2: DataFrame = null
+        tt("scores2 cust-partitioned+broadcast und") {
+          scores2 = train.repartition($"cust").join(broadcast(und),
+              $"part" === $"item")
+            .groupBy($"cust", $"cand").agg(sum($"c").as("score"))
+            .join(broadcast(train.select($"cust", $"part".as("cand"))),
+              Seq("cust", "cand"), "left_anti").localCheckpoint()
+        }
+        println("[profopt] scores2 rows: " + scores2.count())
+        tt("rest2") {
+          val top = graft.plans.TopK.perGroup(scores2, Seq("cust"),
+            Seq("score" -> false, "cand" -> true),
+            graft.relational.TableStatsQueries.RhTopK)
+          val evald = train.select($"cust").distinct()
+          val hits = top.join(test, "cust")
+            .filter($"cand" === $"test_part")
+            .select($"cust").distinct()
+          evald.agg(count(lit(1)).as("n_eval"))
+            .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+            .write.format("noop").mode("overwrite").save()
+        }
+        t("full q312")(SparkEntry.queries("q312_recsys_holdout")(s, dir))
       case _ => println(s"unknown probe $probe")
     }
     s.stop()

@@ -550,11 +550,27 @@ object TableStatsQueries {
     */
   val q312RecsysHoldout: Q = (s, dir) => {
     import s.implicits._
-    val li = T.lineitem(s, dir)
-      .join(T.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .select($"o_custkey".as("cust"), $"l_partkey".as("part"),
-        $"o_orderdate", $"l_orderkey", $"l_linenumber")
-      .localCheckpoint() // feeds the holdout window AND the basket set
+    // r17 optimization (guide §2.4 "two operations keyed the same way
+    // share one exchange"): everything downstream of the base join —
+    // the holdout window, the (cust, part) distinct, the train join,
+    // the co-occurrence self-join, the scoring groupBy(cust, cand),
+    // the ownership anti-join and the final top-k — is keyed by cust
+    // (or a key set containing it), so ONE repartition($"cust") here
+    // establishes the partitioning every stage reuses
+    // (HashPartitioning(cust) satisfies ClusteredDistribution of any
+    // superset key, and checkpointKeepHashPartitioning preserves it
+    // through the checkpoint — plain localCheckpoint drops it under
+    // AQE). The neighbor model (≤ RhNeighbors per item) and the train
+    // ownership set are broadcast, so no later operator ever
+    // re-shuffles the wide fan-out.
+    val nPart = s.sparkContext.defaultParallelism
+    val li = org.apache.spark.sql.graftbridge.PlanBridge
+      .checkpointKeepHashPartitioning(
+        T.lineitem(s, dir)
+          .join(T.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("cust"), $"l_partkey".as("part"),
+            $"o_orderdate", $"l_orderkey", $"l_linenumber"),
+        Seq("cust"), nPart) // feeds the holdout window AND the basket set
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy($"cust")
       .orderBy($"o_orderdate".desc, $"l_orderkey".desc, $"l_linenumber".desc,
@@ -562,10 +578,12 @@ object TableStatsQueries {
     val test = li.withColumn("rn", row_number().over(wLast))
       .filter($"rn" === 1).select($"cust", $"part".as("test_part"))
     val cp = li.select($"cust", $"part").distinct()
-    val train = cp.join(test, "cust")
-      .filter($"part" =!= $"test_part")
-      .select($"cust", $"part")
-      .localCheckpoint() // feeds the pair join (twice) and the scoring
+    val train = org.apache.spark.sql.graftbridge.PlanBridge
+      .checkpointKeepHashPartitioning(
+        cp.join(test, "cust")
+          .filter($"part" =!= $"test_part")
+          .select($"cust", $"part"),
+        Seq("cust"), nPart) // feeds the pair join (twice) and the scoring
     val co = train.as("a").join(train.as("b"),
         $"a.cust" === $"b.cust" && $"a.part" < $"b.part")
       .groupBy($"a.part".as("p1"), $"b.part".as("p2"))
@@ -577,12 +595,12 @@ object TableStatsQueries {
     // item-kNN truncation via the bounded-heap exec (no per-item sort)
     val und = graft.plans.TopK.perGroup(undFull, Seq("item"),
       Seq("c" -> false, "cand" -> true), RhNeighbors)
-    val scores = train.join(und, $"part" === $"item")
+    val scores = train.join(broadcast(und), $"part" === $"item")
       .groupBy($"cust", $"cand").agg(sum($"c").as("score"))
       // never recommend something already in the TRAIN history — the
       // held-out part must stay recommendable (filtering on full
       // ownership would exclude the answer and pin the hit rate to 0)
-      .join(train.select($"cust", $"part".as("cand")),
+      .join(broadcast(train.select($"cust", $"part".as("cand"))),
         Seq("cust", "cand"), "left_anti")
     val top = graft.plans.TopK.perGroup(scores, Seq("cust"),
       Seq("score" -> false, "cand" -> true), RhTopK)

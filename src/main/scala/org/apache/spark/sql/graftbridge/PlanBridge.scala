@@ -60,6 +60,48 @@ object PlanBridge {
     * frame reports 100 TB and is never broadcast), and if the storage
     * info is missing the stats fall back to None = round 11 behavior.
     */
+  /** localCheckpoint that KEEPS a hash clustering (r17 optimization,
+    * guide §2.4 "two operations keyed the same way can share one
+    * exchange").
+    *
+    * Under AQE (on by default) `Dataset.localCheckpoint` rebuilds the
+    * frame with UnknownPartitioning — AdaptiveSparkPlanExec cannot
+    * promise a partitioning before execution — so every consumer of a
+    * checkpointed frame re-shuffles even when the frame was JUST
+    * repartitioned by exactly the key the consumer needs (measured on
+    * q312: 28-exchange plan, the 8M-row scoring fan-out re-shuffled
+    * twice). This helper repartitions by `cols` into an EXPLICIT
+    * partition count (explicit so AQE cannot coalesce it — a coalesced
+    * exchange's bucket→partition map would falsify the claim below),
+    * materializes, and rebuilds the LogicalRDD declaring the TRUE
+    * HashPartitioning of the materialized blocks. Downstream
+    * groupBy/window/join/top-k keyed by any superset of `cols` then
+    * satisfies ClusteredDistribution with no exchange.
+    *
+    * Stats discipline: same measured-size reset as
+    * [[checkpointResetStats]] (originStats must not survive — see that
+    * method's scaladoc for the O(cᵏ) compounding).
+    */
+  def checkpointKeepHashPartitioning(df: Dataset[Row], cols: Seq[String],
+      numParts: Int): DataFrame = {
+    val cp = df.repartition(numParts, cols.map(df.col): _*)
+      .asInstanceOf[classic.Dataset[Row]].localCheckpoint()
+    val spark = cp.sparkSession
+    val qe = cp.queryExecution
+    val out = qe.analyzed.output
+    val exprs = cols.map(c => out.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"no column $c in ${out.map(_.name)}")))
+    val part = catalyst.plans.physical.HashPartitioning(exprs, numParts)
+    val blockSize = qe.analyzed.collectFirst {
+      case lr: execution.LogicalRDD => lr.rdd.id
+    }.flatMap(id => spark.sparkContext.getRDDStorageInfo.find(_.id == id))
+      .map(i => BigInt(i.memSize + i.diskSize)).filter(_ > 0)
+    val stats = blockSize.map(s =>
+      catalyst.plans.logical.Statistics(sizeInBytes = s))
+    ofRows(spark, execution.LogicalRDD(out, qe.toRdd, part, Nil, false)(
+      spark, stats, None))
+  }
+
   def checkpointResetStats(df: Dataset[Row]): DataFrame = {
     val cp = df.asInstanceOf[classic.Dataset[Row]].localCheckpoint()
     val spark = cp.sparkSession
