@@ -180,12 +180,22 @@ object CorpusOps {
   val q350SubstringSpans: Q = (s, dir) => {
     import s.implicits._
     val toks = split($"text", " ")
-    val grams = T.documents(s, dir)
-      .filter(size(toks) >= SubK)
-      .select($"doc_id",
-        posexplode(transform(sequence(lit(1), size(toks) - (SubK - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, lit(SubK))))))
-          .as(Seq("pos", "h")))
+    // r17 optimization: the gram explode (one md5 per position) ran
+    // inside the 1-task documents scan and was recomputed by BOTH
+    // consumers (census + semi-join). Spread the docs across the
+    // cores, materialize the grams ONCE clustered by digest — the
+    // census groupBy(h) and the positions semi-join on h then both
+    // run exchange-free off the same blocks. 4.49 s → ~1.6 s isolated.
+    val grams = org.apache.spark.sql.graftbridge.PlanBridge
+      .checkpointKeepHashPartitioning(
+        T.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(size(toks) >= SubK)
+          .select($"doc_id",
+            posexplode(transform(sequence(lit(1), size(toks) - (SubK - 1)),
+              i => md5(concat_ws(" ", slice(toks, i, lit(SubK))))))
+              .as(Seq("pos", "h"))),
+        Seq("h"), s.sparkContext.defaultParallelism)
     val dupH = grams.groupBy($"h").agg(count(lit(1)).as("m"))
       .filter($"m" >= 2).select($"h")
     val dupPos = grams.join(dupH, "h").select($"doc_id", $"pos")
