@@ -710,7 +710,13 @@ object DedupQueries {
   val q197JaroPairs: Q = (s, dir) => {
     import s.implicits._
     val p = T.part(s, dir).select($"p_partkey", $"p_brand", $"p_name")
-    p.as("a").join(p.as("b"),
+    // r17 optimization: part is a 1-task scan and the broadcast join
+    // ran every brand-block pair's Jaro-Winkler in that one task.
+    // Spreading the probe side across the cores parallelizes the
+    // codegen'd expression; the build side broadcasts as before.
+    // Same pairs, same doubles. Isolated 4.36 s → ~0.7 s.
+    p.repartition(s.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(p.as("b")),
         $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey")
       .withColumn("jw",
         graft.functions.TextFunctions.jaroWinkler($"a.p_name", $"b.p_name"))
