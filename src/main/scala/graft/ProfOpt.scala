@@ -51,6 +51,12 @@ object ProfOpt {
         t("join + distinct")(cand.distinct())
         println("[profopt] cand rows distinct: " + cand.distinct().count())
         t("full q361")(SparkEntry.queries("q361_deletion_join")(s, dir))
+      case "q434" =>
+        t("warm nb")(graft.llm.NaiveBayes.classScores(s, dir))
+        t("nb classScores")(graft.llm.NaiveBayes.classScores(s, dir))
+        t("lr fitEval.scored")(graft.llm.LogisticRegression.fitEval(s, dir).scored)
+        t("pairedScores")(graft.llm.DelongAuc.pairedScores(s, dir))
+        t("full q434")(SparkEntry.queries("q434_delong_paired_auc")(s, dir))
       case "q312b" =>
         // warm the session, then time the CURRENT q312 three times
         val fn = SparkEntry.queries("q312_recsys_holdout")

@@ -245,19 +245,36 @@ object NaiveBayes {
     val docs = plantedDocs(s, dir).localCheckpoint()
     // emit only folds PRESENT in the data (the oracle's GROUP BY
     // doc_id % 5 shape): an empty fold must neither emit a phantom
-    // row nor NPE on the null sum an empty frame aggregates to
-    val rows = (0 until 5).flatMap { k =>
-      val train = docs.filter($"doc_id" % 5 =!= k)
-      val test = docs.filter($"doc_id" % 5 === k)
-      val pred = predictFrom(train, test)
-      val agg = pred.agg(
-        count(lit(1)).as("n"),
-        sum(when($"pred_lang" === $"true_lang", 1L).otherwise(0L)).as("c"))
-        .head()
-      val n = agg.getLong(0)
-      val c = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-      if (n == 0) None
-      else Some((k.toLong, n, 1000L * c / n >= MinAccPermille))
+    // row nor NPE on the null sum an empty frame aggregates to.
+    // r17 optimization (guide §2.6 "overlap independent jobs"): the
+    // five fits are independent by construction and each one is a
+    // chain of small driver actions; running them from a thread pool
+    // back-fills the stage tails instead of serializing ~25 jobs.
+    // Fold results are reassembled in fold order, so the output is
+    // byte-identical to the sequential spelling.
+    val rows = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence((0 until 5).map { k =>
+        Future {
+          val train = docs.filter($"doc_id" % 5 =!= k)
+          val test = docs.filter($"doc_id" % 5 === k)
+          val pred = predictFrom(train, test)
+          val agg = pred.agg(
+            count(lit(1)).as("n"),
+            sum(when($"pred_lang" === $"true_lang", 1L).otherwise(0L))
+              .as("c"))
+            .head()
+          val n = agg.getLong(0)
+          val c = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+          if (n == 0) None
+          else Some((k.toLong, n, 1000L * c / n >= MinAccPermille))
+        }
+      }), Duration.Inf).flatten
+      finally pool.shutdown()
     }
     s.createDataFrame(rows).toDF("fold", "n_test", "ok")
       .orderBy("fold")
