@@ -51,6 +51,13 @@ object ProfOpt {
         t("join + distinct")(cand.distinct())
         println("[profopt] cand rows distinct: " + cand.distinct().count())
         t("full q361")(SparkEntry.queries("q361_deletion_join")(s, dir))
+      case "q329" =>
+        val fn = SparkEntry.queries("q329_bradley_terry")
+        fn(s, dir).count() // warm
+        for (i <- 1 to 2) t(s"q329 aqe-on run$i")(fn(s, dir))
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        for (i <- 1 to 2) t(s"q329 aqe-off run$i")(fn(s, dir))
+        s.conf.set("spark.sql.adaptive.enabled", "true")
       case "q434" =>
         t("warm nb")(graft.llm.NaiveBayes.classScores(s, dir))
         t("nb classScores")(graft.llm.NaiveBayes.classScores(s, dir))

@@ -141,11 +141,26 @@ object Louvain {
       .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
       .distinct()
       .localCheckpoint()
-    val lpa = LabelPropagation.propagate(edges)
+    // r17 optimization (guide §2.6 "overlap independent jobs"): the
+    // two initializations are independent local-search chains of
+    // small sequential driver actions; running them from two threads
+    // overlaps their stage tails. Winner selection is unchanged, so
+    // the output is identical to the sequential spelling.
     val single = edges.select($"u".as("node")).distinct()
       .withColumn("label", $"node")
-    val (la, lpaScore, ea, _) = refine(edges, lpa)
-    val (lb, _, eb, _) = refine(edges, single)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val fa = Future {
+      val lpa = LabelPropagation.propagate(edges)
+      refine(edges, lpa)
+    }
+    val fb = Future { refine(edges, single) }
+    val ((la, lpaScore, ea, _), (lb, _, eb, _)) =
+      try (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+      finally pool.shutdown()
     val (win, winScore) = if (ea >= eb) (la, ea) else (lb, eb)
     val ok = winScore > lpaScore
     LabelPropagation.modularityOf(edges, win).withColumn("ok", lit(ok))
