@@ -1319,7 +1319,17 @@ object DedupQueries {
     * (doc1, doc2, n_union_toks, wjaccard_micro) — q392's body, shared
     * with q438's lossless-at-τ gate.
     */
-  def weightedJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  def weightedJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    s.table(graft.core.IndexStore.ensure(s, "wjpairs", dir)(
+      weightedJaccardPairsBuild(s, dir)))
+
+  /** The uncached q392 body — r17: built once per (JVM, dir) and
+    * served from [[graft.core.IndexStore]]; q392 and q438 both
+    * consume the exact frame and each paid the full token-census
+    * full-outer join (~2 s apiece at sf0.1).
+    */
+  private def weightedJaccardPairsBuild(s: SparkSession, dir: String)
+      : DataFrame = {
     import s.implicits._
     val docs = T.documents(s, dir)
     val pairs = verifiedPairs(s, dir)
