@@ -76,21 +76,33 @@ object Winnowing {
     * selected fingerprints (stop-fingerprints excluded), with the
     * shared count as the match weight.
     */
-  val q377Winnowing: Q = (s, dir) => {
-    import s.implicits._
-    val fp = fingerprints(s, dir).localCheckpoint() // feeds df + both join sides
-    val keep = fp.groupBy($"fp").agg(countDistinct($"doc_id").as("df"))
-      .filter($"df" <= StopFpDf)
-      .select($"fp")
-    val kept = fp.join(keep, "fp")
-    kept.select($"fp", $"doc_id".as("doc_a"))
-      .join(kept.select($"fp", $"doc_id".as("doc_b")), "fp")
-      .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter($"n_shared" >= MinShared)
-      .orderBy($"doc_a", $"doc_b")
-  }
+  val q377Winnowing: Q = (s, dir) =>
+    winnowPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The q377 pair frame as a build-once PERSISTED table per
+    * (JVM, dir) — r17: q377 and q410 each re-ran the whole
+    * fingerprint-selection + self-join pipeline (~2 s apiece at
+    * sf0.1); the IndexStore discipline serves both from one build.
+    * The fingerprint explode also spreads across the cores first —
+    * the window-argmin HOF ran inside the 1-task documents scan.
+    */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame =
+    s.table(graft.core.IndexStore.ensure(s, "wpairs", dir) {
+      import s.implicits._
+      val fp = fingerprintsOf(T.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism))
+        .localCheckpoint() // feeds df + both join sides
+      val keep = fp.groupBy($"fp").agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" <= StopFpDf)
+        .select($"fp")
+      val kept = fp.join(keep, "fp")
+      kept.select($"fp", $"doc_id".as("doc_a"))
+        .join(kept.select($"fp", $"doc_id".as("doc_b")), "fp")
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= MinShared)
+    })
 
   /** Shared oracle prefix: winnowing selection + stop-fp filter,
     * yielding `fps(doc_id, fp)` and `keep(fp)` — used by q377 (pairs)
@@ -151,7 +163,7 @@ object Winnowing {
     */
   val q410WinnowRelease: Q = (s, dir) => {
     import s.implicits._
-    val pairs = q377Winnowing(s, dir).select($"doc_a", $"doc_b")
+    val pairs = winnowPairs(s, dir).select($"doc_a", $"doc_b")
     val cc = graft.operators.ConnectedComponents(pairs,
       src = "doc_a", dst = "doc_b")
     T.documents(s, dir)
