@@ -56,8 +56,9 @@ object KlDivergence {
     klByGroup(T.documents(s, dir).select(col("lang").as("g"), col("text")))
 
   /** `(g, n_tokens, vocab_g, kl_q, kl_micronats)` over a `(g, text)`
-    * frame — kl_q exact DECIMAL(38,0), kl_micronats = ⌊kl_q/N_g⌋
-    * exact BIGINT micro-nats.
+    * frame — kl_q exact BIGINT (128-bit internally, finished at the
+    * output boundary), kl_micronats = ⌊kl_q/N_g⌋ exact BIGINT
+    * micro-nats.
     */
   def klByGroup(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -82,7 +83,13 @@ object KlDivergence {
       .agg(first($"n_g").as("n_tokens"), first($"vocab_g").as("vocab_g"),
         sum($"c_g".cast("decimal(38,0)") * $"w_q").as("kl_q"))
       .withColumn("kl_micronats", expr(KlMicroFormula("div")))
-      .select($"g", $"n_tokens", $"vocab_g", $"kl_q", $"kl_micronats")
+      // kl_q finishes as BIGINT at the output boundary (r17 driver
+      // red: DECIMAL(38,0)/HUGEINT OUTPUT columns fail the driver's
+      // parquet hash gate; |kl_q| ≤ N_g·|w_q| ≤ N_g·3·10⁷ stays
+      // int64 to N_g ≈ 3·10¹¹ tokens per group — documented bound).
+      // The 128-bit sum stays INTERNAL for the floor division above.
+      .select($"g", $"n_tokens", $"vocab_g",
+        $"kl_q".cast("long").as("kl_q"), $"kl_micronats")
       .orderBy($"g")
   }
 
@@ -153,7 +160,7 @@ object KlDivergence {
       |  SELECT g, MAX(n_g) AS n_tokens, MAX(vocab_g) AS vocab_g,
       |    SUM(CAST(c_g AS HUGEINT) * w_q) AS kl_qh
       |  FROM wt GROUP BY g)
-      |SELECT g, n_tokens, vocab_g, CAST(kl_qh AS DECIMAL(38,0)) AS kl_q,
+      |SELECT g, n_tokens, vocab_g, CAST(kl_qh AS BIGINT) AS kl_q,
       |  ${KlMicroFormulaDuck} AS kl_micronats
       |FROM agg ORDER BY g""".stripMargin
 
@@ -257,7 +264,10 @@ object KlDivergence {
       .withColumn("js_micronats", expr(JsMicroFormula("div",
         "js_p_q", "js_q_q",
         "CAST(np AS DECIMAL(38,0))", "CAST(nq AS DECIMAL(38,0))")))
-      .select($"g1", $"g2", $"js_p_q", $"js_q_q", $"js_micronats")
+      // BIGINT at the output boundary (same r17 driver-red mechanism
+      // and bound as kl_q above); 128-bit sums stay INTERNAL.
+      .select($"g1", $"g2", $"js_p_q".cast("long").as("js_p_q"),
+        $"js_q_q".cast("long").as("js_q_q"), $"js_micronats")
       .orderBy($"g1", $"g2")
   }
 
@@ -318,8 +328,8 @@ object KlDivergence {
       |    SUM(CAST(b AS HUGEINT) * wq_q) AS jsq
       |  FROM wt GROUP BY 1, 2)
       |SELECT g1, g2,
-      |  CAST(jsp AS DECIMAL(38,0)) AS js_p_q,
-      |  CAST(jsq AS DECIMAL(38,0)) AS js_q_q,
+      |  CAST(jsp AS BIGINT) AS js_p_q,
+      |  CAST(jsq AS BIGINT) AS js_q_q,
       |  ${JsMicroFormula("//", "jsp", "jsq",
           "CAST(np AS HUGEINT)", "CAST(nq AS HUGEINT)")} AS js_micronats
       |FROM agg ORDER BY g1, g2""".stripMargin

@@ -99,9 +99,15 @@ object DurbinWatson {
         """CAST(n AS DECIMAL(38,0)) * dd * x - a
           | - CAST(n AS DECIMAL(38,0)) * b * i""".stripMargin))
       .withColumn("ep", lag($"e", 1).over(wDay))
+    // bnum/dden finish as BIGINT at the output boundary (r17 driver
+    // red: DECIMAL(38,0)/HUGEINT OUTPUT columns fail the driver's
+    // parquet hash gate; both are calendar-bounded — dd ~ n⁴/12 and
+    // b ~ n²·x̄·n stay int64 for any day-count series the events
+    // table can produce). The 128-bit num/den sums stay INTERNAL.
     resid.groupBy($"t")
-      .agg(first($"n").as("n"), first($"b").as("bnum"),
-        first($"dd").as("dden"),
+      .agg(first($"n").as("n"),
+        first($"b").cast("long").as("bnum"),
+        first($"dd").cast("long").as("dden"),
         sum(when($"ep".isNotNull,
           expr("CAST(e - ep AS DECIMAL(38,0)) * (e - ep)"))
           .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("num"),
@@ -141,8 +147,8 @@ object DurbinWatson {
       |  FROM idx JOIN mom2 ON mom2.t = idx.t),
       |m AS (
       |  SELECT t, MAX(n) AS n,
-      |    CAST(MAX(b) AS DECIMAL(38,0)) AS bnum,
-      |    CAST(MAX(dd) AS DECIMAL(38,0)) AS dden,
+      |    CAST(MAX(b) AS BIGINT) AS bnum,
+      |    CAST(MAX(dd) AS BIGINT) AS dden,
       |    SUM(CASE WHEN ep IS NOT NULL
       |      THEN CAST(e - ep AS HUGEINT) * (e - ep)
       |      ELSE CAST(0 AS HUGEINT) END) AS num,

@@ -56,8 +56,22 @@ object HigherMoments {
   /** Mid-domain anchor for l_quantity ∈ [1, 50]. */
   val Anchor = 25
 
-  /** Per-group (n, m2, m3, m4, var_micro, skew_sign, skew_b1_micro,
-    * kurt_b2_micro) off a `(g, y)` frame of recentered BIGINT values.
+  /** 10¹⁸ digit-group split of a NON-NEGATIVE exact 128-bit integer
+    * into two int64 pieces: x = hi·10¹⁸ + lo, 0 ≤ lo < 10¹⁸ (r17
+    * driver red: DECIMAL(38,0)/HUGEINT OUTPUT columns fail the
+    * driver's parquet hash gate, so the wide anchors are emitted as
+    * BIGINT pairs — full precision kept, m4_hi ≤ 9·10¹⁷ at the
+    * documented n ≤ 3.9·10⁷ bound). Operands are non-negative, so
+    * Spark `div`/`%` ≡ DuckDB `//`/`%` — no floor-vs-truncate trap.
+    */
+  private def splitHi(x: String, idiv: String, wide: String): String =
+    s"CAST($x $idiv CAST(1000000000000000000 AS $wide) AS BIGINT)"
+  private def splitLo(x: String, wide: String): String =
+    s"CAST($x % CAST(1000000000000000000 AS $wide) AS BIGINT)"
+
+  /** Per-group (n, m2_hi/lo, m3_hi/lo, m4_hi/lo, var_micro, skew_sign,
+    * skew_b1_micro, kurt_b2_micro) off a `(g, y)` frame of recentered
+    * BIGINT values — the wide anchors as 10¹⁸-split BIGINT pairs.
     */
   def moments(recentered: DataFrame): DataFrame = {
     val s = recentered.sparkSession
@@ -88,8 +102,17 @@ object HigherMoments {
         ExactDiv.microFloor("w * w", "m2nz", "div") + " AS BIGINT)"))
       .withColumn("kurt_b2_micro", expr("CAST(" +
         ExactDiv.microFloor("m4", "m2nz * m2nz", "div") + " AS BIGINT)"))
-      .select($"g", $"n", $"m2", $"m3", $"m4", $"var_micro",
-        $"skew_sign", $"skew_b1_micro", $"kurt_b2_micro")
+      // m2/m4 ≥ 0 by construction (n²·m₂, n⁴·m₄); m3's sign is pinned
+      // by skew_sign, so |m3| splits — m3 = skew_sign·(m3_hi·10¹⁸+m3_lo)
+      .withColumn("m3a", expr("abs(m3)"))
+      .select($"g", $"n",
+        expr(splitHi("m2", "div", "DECIMAL(38,0)")).as("m2_hi"),
+        expr(splitLo("m2", "DECIMAL(38,0)")).as("m2_lo"),
+        expr(splitHi("m3a", "div", "DECIMAL(38,0)")).as("m3_hi"),
+        expr(splitLo("m3a", "DECIMAL(38,0)")).as("m3_lo"),
+        expr(splitHi("m4", "div", "DECIMAL(38,0)")).as("m4_hi"),
+        expr(splitLo("m4", "DECIMAL(38,0)")).as("m4_lo"),
+        $"var_micro", $"skew_sign", $"skew_b1_micro", $"kurt_b2_micro")
       .orderBy($"g")
   }
 
@@ -130,9 +153,12 @@ object HigherMoments {
       |    abs(m3) // NULLIF(m2, CAST(0 AS HUGEINT)) AS w
       |  FROM m)
       |SELECT g, n,
-      |  CAST(m2 AS DECIMAL(38,0)) AS m2,
-      |  CAST(m3 AS DECIMAL(38,0)) AS m3,
-      |  CAST(m4 AS DECIMAL(38,0)) AS m4,
+      |  ${splitHi("m2", "//", "HUGEINT")} AS m2_hi,
+      |  ${splitLo("m2", "HUGEINT")} AS m2_lo,
+      |  ${splitHi("abs(m3)", "//", "HUGEINT")} AS m3_hi,
+      |  ${splitLo("abs(m3)", "HUGEINT")} AS m3_lo,
+      |  ${splitHi("m4", "//", "HUGEINT")} AS m4_hi,
+      |  ${splitLo("m4", "HUGEINT")} AS m4_lo,
       |  CAST(${micro("m2", "nw * nw")} AS BIGINT) AS var_micro,
       |  CAST(sign(m3) AS INT) AS skew_sign,
       |  CAST(sign(m3) AS BIGINT)

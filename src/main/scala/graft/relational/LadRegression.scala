@@ -101,8 +101,14 @@ object LadRegression {
       .withColumn("loss_floor", expr("CAST(" +
         ExactDiv.floorDiv("lossnum", "CAST(den AS DECIMAL(38,0))", "div") +
         " AS BIGINT)"))
+      // lossnum finishes as BIGINT at the output boundary (r17 driver
+      // red: DECIMAL(38,0)/HUGEINT OUTPUT columns fail the driver's
+      // parquet hash gate; lossnum ≤ 9·M·den·max|x| ≈ 3·10¹⁷ at sf100
+      // monthly cents — documented bound). The 128-bit sum stays
+      // INTERNAL for the cross-multiplied compares above.
       .select($"g", $"i", $"j", $"snum", $"den", $"inum",
-        $"lossnum", $"slope_micro", $"loss_floor")
+        $"lossnum".cast("long").as("lossnum"), $"slope_micro",
+        $"loss_floor")
       .orderBy($"g")
   }
 
@@ -155,7 +161,7 @@ object LadRegression {
       |      (r.lossnum * l.den = l.lossnum * r.den AND
       |        (r.i < l.i OR (r.i = l.i AND r.j < l.j))))))
       |SELECT g, i, j, snum, den, inum,
-      |  CAST(lossnum AS DECIMAL(38,0)) AS lossnum,
+      |  CAST(lossnum AS BIGINT) AS lossnum,
       |  CAST(${ExactDiv.microFloor("CAST(snum AS HUGEINT)",
              "CAST(den AS HUGEINT)", "//")} AS BIGINT) AS slope_micro,
       |  CAST(${ExactDiv.floorDiv("lossnum",

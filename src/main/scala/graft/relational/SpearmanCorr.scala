@@ -53,7 +53,13 @@ object SpearmanCorr {
     "syy - 2 * (nw + 1) * sy + nw * (nw + 1) * (nw + 1)"
 
   /** The ρ formula over the centered exact moments, shared verbatim
-    * by both engines.
+    * by both engines. By the time it runs, cnum/dxx/dyy are BIGINT
+    * (the r17 driver red: a DECIMAL(38,0)/HUGEINT OUTPUT column fails
+    * the driver's parquet hash gate even when the integer values are
+    * bit-identical — every r17-red query emitted one and no green
+    * query did, so wide anchors are finished as BIGINT at the output
+    * boundary; int64→double is a single exact IEEE conversion on both
+    * engines, unlike the per-build HUGEINT→DOUBLE rounding).
     */
   val RhoFormula: String =
     "CAST(cnum AS DOUBLE) " +
@@ -111,9 +117,12 @@ object SpearmanCorr {
     */
   def centeredMoments(m: DataFrame): DataFrame =
     m.withColumn("nw", expr("CAST(n AS DECIMAL(38,0))"))
-      .withColumn("cnum", expr(CnumFormula))
-      .withColumn("dxx", expr(DxxFormula))
-      .withColumn("dyy", expr(DyyFormula))
+      // BIGINT at the output boundary: |cnum|, dxx, dyy ≤ ~6n³ —
+      // int64-exact to n ≈ 1.1·10⁶ per series (documented bound; the
+      // 128-bit widening above is only for the INTERNAL products)
+      .withColumn("cnum", expr(s"CAST($CnumFormula AS BIGINT)"))
+      .withColumn("dxx", expr(s"CAST($DxxFormula AS BIGINT)"))
+      .withColumn("dyy", expr(s"CAST($DyyFormula AS BIGINT)"))
       .select(col("n"), col("cnum"), col("dxx"), col("dyy"),
         expr(RhoFormula).as("rho"))
 
@@ -150,12 +159,11 @@ object SpearmanCorr {
       |  FROM ranked),
       |mw AS (SELECT m.*, CAST(n AS HUGEINT) AS nw FROM m),
       |c AS (
-      |  SELECT n, $CnumFormula AS cnum, $DxxFormula AS dxx,
-      |    $DyyFormula AS dyy
+      |  SELECT n, CAST($CnumFormula AS BIGINT) AS cnum,
+      |    CAST($DxxFormula AS BIGINT) AS dxx,
+      |    CAST($DyyFormula AS BIGINT) AS dyy
       |  FROM mw)
-      |SELECT n, CAST(cnum AS DECIMAL(38,0)) AS cnum,
-      |  CAST(dxx AS DECIMAL(38,0)) AS dxx,
-      |  CAST(dyy AS DECIMAL(38,0)) AS dyy,
+      |SELECT n, cnum, dxx, dyy,
       |  $RhoFormula AS rho
       |FROM c""".stripMargin
 

@@ -372,9 +372,9 @@ class Round12WaveSpec extends SparkSpec {
     assert(rho >= -1.0 && rho <= 1.0)
     // centered-moment identities: dxx = Σ(rx − (n+1))² must be
     // non-negative, and cnum bounded by the Cauchy–Schwarz box
-    val dxx = r.getAs[java.math.BigDecimal]("dxx")
-    val dyy = r.getAs[java.math.BigDecimal]("dyy")
-    assert(dxx.signum() >= 0 && dyy.signum() >= 0)
+    val dxx = r.getAs[Long]("dxx")
+    val dyy = r.getAs[Long]("dyy")
+    assert(dxx >= 0L && dyy >= 0L)
     // monotone invariance: replacing y with a strictly increasing
     // function of x must give exactly 1.0 (ranks coincide, so
     // cnum = dxx = dyy exactly and the shared formula cancels)
@@ -391,8 +391,7 @@ class Round12WaveSpec extends SparkSpec {
       sum(col("ry").cast("decimal(38,0)") * col("ry")).as("syy"),
       sum(col("rx").cast("decimal(38,0)") * col("ry")).as("sxy")))
       .head()
-    assert(oneRow.getAs[java.math.BigDecimal]("cnum")
-      .compareTo(oneRow.getAs[java.math.BigDecimal]("dxx")) == 0,
+    assert(oneRow.getAs[Long]("cnum") == oneRow.getAs[Long]("dxx"),
       "monotone map: cnum must equal dxx exactly")
     val one = oneRow.getAs[Double]("rho")
     assert(one == 1.0, s"monotone map must give rho exactly 1, got $one")

@@ -160,7 +160,7 @@ class Round16WaveSpec extends SparkSpec {
     val out = graft.llm.KlDivergence.klByGroup(docs).collect()
       .map(r => (r.getAs[String]("g"), r.getAs[Long]("n_tokens"),
         r.getAs[Long]("vocab_g"),
-        r.getAs[java.math.BigDecimal]("kl_q").longValueExact(),
+        r.getAs[Long]("kl_q"),
         r.getAs[Long]("kl_micronats"))).toSeq
     // c_a=(x:2,y:1) N_a=3; c_b=(x:1,y:3) N_b=4; c_all=(x:3,y:4) N=7
     // w(a,x)=⌊1e6·ln(14/9)⌋=441832  w(a,y)=⌊1e6·ln(7/12)⌋=-538997
@@ -191,8 +191,8 @@ class Round16WaveSpec extends SparkSpec {
     val docs = Seq(("a", "x x y"), ("b", "x y y y")).toDF("g", "text")
     val out = graft.llm.KlDivergence.jsMatrix(docs).collect()
       .map(r => (r.getAs[String]("g1"), r.getAs[String]("g2"),
-        r.getAs[java.math.BigDecimal]("js_p_q").longValueExact(),
-        r.getAs[java.math.BigDecimal]("js_q_q").longValueExact(),
+        r.getAs[Long]("js_p_q"),
+        r.getAs[Long]("js_q_q"),
         r.getAs[Long]("js_micronats"))).toSeq
     // wp(x)=⌊1e6·ln(16/11)⌋=374693  wp(y)=⌊1e6·ln(8/13)⌋=-485508
     // wq(x)=⌊1e6·ln(6/11)⌋=-606136  wq(y)=⌊1e6·ln(18/13)⌋=325422
@@ -204,10 +204,8 @@ class Round16WaveSpec extends SparkSpec {
     // ⌊2·693147/4⌋·2 = 346573 + 346573 = 693146 micro-nats
     val disjoint = Seq(("a", "x x"), ("c", "z z")).toDF("g", "text")
     val d = graft.llm.KlDivergence.jsMatrix(disjoint).collect().head
-    assert(d.getAs[java.math.BigDecimal]("js_p_q").longValueExact()
-      == 2L * 693147L &&
-      d.getAs[java.math.BigDecimal]("js_q_q").longValueExact()
-        == 2L * 693147L &&
+    assert(d.getAs[Long]("js_p_q") == 2L * 693147L &&
+      d.getAs[Long]("js_q_q") == 2L * 693147L &&
       d.getAs[Long]("js_micronats") == 693146L, s"got $d")
   }
 

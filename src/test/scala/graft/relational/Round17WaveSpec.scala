@@ -175,8 +175,8 @@ class Round17WaveSpec extends SparkSpec {
     val shifted = base.map(_ - 17L)
     def m(of: Seq[Long]) = HigherMoments
       .moments(of.map(("g", _)).toDF("g", "y"))
-      .select($"m2".cast("string"), $"m3".cast("string"),
-        $"m4".cast("string"))
+      .select($"m2_hi", $"m2_lo", $"m3_hi", $"m3_lo", $"m4_hi", $"m4_lo",
+        $"skew_sign")
       .head()
     assert(m(base) == m(shifted), "anchor leaked into the moments")
   }
@@ -308,7 +308,7 @@ class Round17WaveSpec extends SparkSpec {
       .toDF("g", "t", "x")
     val r = LadRegression.lad(series).head()
     val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-      r.getLong(5), r.getDecimal(6).longValueExact(), r.getLong(7),
+      r.getLong(5), r.getLong(6), r.getLong(7),
       r.getLong(8))
     // brute-force (python, all 15 candidate lines): winner i=1 j=6,
     // slope 8/5, intercept 42/5, loss 139/5 = 27.8 — the OLS line
@@ -338,8 +338,7 @@ class Round17WaveSpec extends SparkSpec {
       .groupBy(_._1)
     won.foreach { w =>
       val g = w.getString(0)
-      val (den0, loss0) = (BigInt(w.getLong(4)),
-        BigInt(w.getDecimal(6).toBigInteger))
+      val (den0, loss0) = (BigInt(w.getLong(4)), BigInt(w.getLong(6)))
       val ps = pts(g).map(p => (p._2, p._3))
       for {
         (ti, xi) <- ps; (tj, xj) <- ps if ti < tj
@@ -365,7 +364,7 @@ class Round17WaveSpec extends SparkSpec {
     val series = pts.map { case (t, x) => ("s", t, x) }.toDF("g", "t", "x")
     val r = LadRegression.fit(series, 9, 1).head()
     val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-      r.getLong(5), r.getDecimal(6).longValueExact(), r.getLong(7))
+      r.getLong(5), r.getLong(6), r.getLong(7))
     // brute-force: winner (1,5), slope 16/4 = 4, intercept 24/4,
     // pinball×10 loss 172/4 = 43 — vs the LAD winner (1,6)
     assert(got == (1L, 5L, 16L, 4L, 24L, 172L, 4000000L), s"got $got")
