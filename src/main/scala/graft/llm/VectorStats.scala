@@ -124,28 +124,62 @@ object VectorStats {
     * numerators; the d×d eigen-solve on the RESULT is a driver-side
     * O(d³) on a constant-size matrix, never a cluster job).
     *
-    * Scale shape: the d(d+1)/2 products are built per row by nested
-    * array HOFs (codegen, no join — the posexplode-then-self-join
-    * spelling would shuffle the corpus on vec_id for a product the row
-    * already holds), then ONE explode feeds a partial-aggregated
-    * groupBy on (i, j): shuffled volume is ≤ tasks · d(d+1)/2
-    * partials, corpus-size independent — the q137 shape squared.
+    * Scale shape: ONE pass, per-partition Gramian accumulation into a
+    * flat d(d+1)/2 long array (16 KB at d=64 — constant per-task
+    * state), then a tasks·d(d+1)/2-row partial frame through one tiny
+    * groupBy: shuffled volume is corpus-size independent — the q137
+    * shape squared. r18 (guide §1.2 step 2 / §4.1): the previous
+    * nested-HOF struct explode (transform-in-transform building
+    * d(d+1)/2 structs per row, then explode + groupBy) is NOT
+    * whole-stage-codegen'd — higher-order lambdas evaluate interpreted
+    * with per-element allocation — and measured 6.5 s at sf0.1 for
+    * 2 000 rows; the tight-loop accumulator computes the identical
+    * exact integer sums (long addition is order-free) in one scan.
+    * Pair (i, j), i ≤ j, indexes d-independently at j(j+1)/2 + i, so
+    * ragged arrays accumulate correctly with a grow-and-copy.
     */
   val q151EmbeddingCovariance: Q = (s, dir) => {
     import s.implicits._
     val q = transform($"embedding",
       x => floor(x.cast("double") * lit(CovQuantScale)).cast("long"))
-    T.embeddings(s, dir)
-      .select(q.as("q"))
-      .select(explode(flatten(transform(
-        sequence(lit(0), size($"q") - 1),
-        i => transform(
-          sequence(i, size($"q") - 1),
-          j => struct(i.cast("long").as("i"), j.cast("long").as("j"),
-            (element_at($"q", i + 1) * element_at($"q", j + 1)).as("p"))))))
-        .as("e"))
-      .groupBy($"e.i".as("i"), $"e.j".as("j"))
-      .agg(count(lit(1)).as("n_vec"), sum($"e.p").as("sum_pq"))
+    val partials = T.embeddings(s, dir)
+      .select(q.as("q")).as[Array[Long]]
+      .mapPartitions { rows =>
+        var accP = new Array[Long](0) // Σ qᵢ·qⱼ per (i ≤ j)
+        var accN = new Array[Long](0) // row count per (i ≤ j)
+        var dMax = 0
+        while (rows.hasNext) {
+          val a = rows.next()
+          val d = a.length
+          if (d > dMax) {
+            dMax = d
+            val need = d * (d + 1) / 2
+            accP = java.util.Arrays.copyOf(accP, need)
+            accN = java.util.Arrays.copyOf(accN, need)
+          }
+          var j = 0
+          while (j < d) {
+            val base = j * (j + 1) / 2
+            val aj = a(j)
+            var i = 0
+            while (i <= j) {
+              accP(base + i) += a(i) * aj
+              accN(base + i) += 1L
+              i += 1
+            }
+            j += 1
+          }
+        }
+        (for {
+          j <- Iterator.range(0, dMax)
+          i <- Iterator.range(0, j + 1)
+        } yield (i.toLong, j.toLong,
+          accN(j * (j + 1) / 2 + i), accP(j * (j + 1) / 2 + i)))
+          .filter(_._3 > 0L)
+      }
+    partials.toDF("i", "j", "nv", "p")
+      .groupBy($"i", $"j")
+      .agg(sum($"nv").as("n_vec"), sum($"p").as("sum_pq"))
       .orderBy($"i", $"j")
   }
 
