@@ -29,6 +29,24 @@ object IndexStore {
 
   private val Pid = ProcessHandle.current().pid()
 
+  /** Seconds each ensure-build cost this JVM, keyed by table prefix
+    * (insertion-ordered). Surfaced by [[graft.Bench]] as the
+    * `index_build` metric line (r17 verdict: the build runs once per
+    * (JVM, dir) and lands in the bench's DISCARDED warm-up, so the
+    * timed medians of IndexStore-backed entries price a parquet scan
+    * while the real compute is amortized invisibly — this line keeps
+    * both the serve-path medians and the build-path cost visible in
+    * the artifact).
+    */
+  private val buildLog =
+    scala.collection.mutable.LinkedHashMap[String, Double]()
+
+  def recordBuild(prefix: String, sec: Double): Unit =
+    buildLog.synchronized { buildLog(prefix) = sec }
+
+  def buildSeconds: Seq[(String, Double)] =
+    buildLog.synchronized { buildLog.toSeq }
+
   /** Sanitized per-(prefix, dir, pid) table name. */
   def tableFor(prefix: String, dir: String): String =
     "graft_" + prefix + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_p" + Pid
@@ -71,7 +89,9 @@ object IndexStore {
           } finally ls.close()
         }
         deleteRec(Paths.get(warehouse, t)) // leftovers from a pid reuse
+        val t0 = System.nanoTime()
         build.write.saveAsTable(t)
+        recordBuild(prefix, (System.nanoTime() - t0) / 1e9)
       }
     }
     t

@@ -79,15 +79,37 @@ object NaiveBayes {
         $"text")
   }
 
+  /** The per-(doc, class) posterior score table on the STANDARD 80/20
+    * split, built once per (JVM, dir) and served from [[IndexStore]]
+    * (r18, verdict item 7 — the LR modelCache discipline applied to
+    * NB): q319's argmax gate, q387's agreement cells and q434's DeLong
+    * margins all consume exactly this frame, and each paid the full
+    * tokenize + fit before. The build is deterministic (md5-free
+    * integer split, driver-collected class constants), its cost is
+    * surfaced by Bench's `index_build` line, and fold-split fits
+    * (q323) do NOT route through here.
+    */
+  private def scoresTable(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    s.table(graft.core.IndexStore.ensure(s, "nbscores", dir) {
+      val docs = plantedDocs(s, dir)
+      scoreFrom(docs.filter($"doc_id" % 5 =!= 0),
+        docs.filter($"doc_id" % 5 === 0))
+        .select(col("doc_id"), col("true_lang"), col("lang"), col("score"))
+    })
+  }
+
   /** (doc_id, true_lang, pred_lang) over the held-out split — the
-    * classifier itself, shared by q319's gate and the spec.
+    * classifier itself, shared by q319's gate and the spec; the argmax
+    * over the shared [[scoresTable]].
     */
   def predictions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = plantedDocs(s, dir)
-    val train = docs.filter($"doc_id" % 5 =!= 0)
-    val test = docs.filter($"doc_id" % 5 === 0)
-    predictFrom(train, test)
+    scoresTable(s, dir)
+      .groupBy(col("doc_id"), col("true_lang"))
+      .agg(min(struct((-col("score")).as("ns"), col("lang").as("l")))
+        .getField("l").as("pred_lang"))
   }
 
   /** Per-(doc, class) POSTERIOR SCORES on the held-out split — the
@@ -96,13 +118,8 @@ object NaiveBayes {
     * posterior (prior + token likelihoods). The DeLong comparison
     * (q434) ranks on the two-class margin of this frame.
     */
-  def classScores(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = plantedDocs(s, dir)
-    scoreFrom(docs.filter($"doc_id" % 5 =!= 0),
-      docs.filter($"doc_id" % 5 === 0))
-      .select(col("doc_id"), col("true_lang"), col("lang"), col("score"))
-  }
+  def classScores(s: SparkSession, dir: String): DataFrame =
+    scoresTable(s, dir)
 
   /** Fit on `train`, classify `test`; both are (doc_id, lang, text). */
   def predictFrom(train: DataFrame, test: DataFrame): DataFrame = {

@@ -77,6 +77,7 @@ object PostingsIndex {
           } finally ls.close()
         }
         deleteRec(Paths.get(warehouse, t)) // leftovers from a pid reuse
+        val t0 = System.nanoTime()
         T.documents(s, dir)
           .select($"doc_id",
             posexplode(expr("filter(split(text, ' '), x -> x <> '')"))
@@ -84,6 +85,9 @@ object PostingsIndex {
           .write
           .bucketBy(Buckets, "tok").sortBy("tok", "doc_id", "pos")
           .saveAsTable(t)
+        // build cost into the bench's index_build line (IndexStore doc)
+        graft.core.IndexStore.recordBuild("postings",
+          (System.nanoTime() - t0) / 1e9)
       }
     }
     t
