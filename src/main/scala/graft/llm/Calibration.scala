@@ -465,12 +465,14 @@ object Calibration {
   val q398DecileLift: Q = (s, dir) => {
     import s.implicits._
     val f = LogisticRegression.fitEval(s, dir)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"p".desc, $"doc_id".asc)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-    val cells = f.scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("nn", count(lit(1)).over(wAll).cast("long"))
+    // r18 (verdict item 5): global rank + partition-free count both
+    // funneled the scored frame through one task — two-level rank and
+    // a broadcast 1-row count instead (f.scored is checkpointed, so
+    // the count is one cheap pass)
+    val nDf = f.scored.agg(count(lit(1)).as("nn"))
+    val cells = graft.relational.QuantileNormalize.fullRankGlobal(
+        f.scored, Seq($"p".desc, $"doc_id".asc), "rank")
+      .crossJoin(broadcast(nDf))
       .withColumn("decile", expr("(rank - 1) * 10 div nn"))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n"), sum($"y".cast("long")).as("n_pos"))

@@ -126,10 +126,12 @@ object ClusterEval {
         ($"user_id" % 2 === 0).cast("long").as("y"))
     val byScore = scored.groupBy($"score")
       .agg(sum($"y").as("np_s"), (count(lit(1)) - sum($"y")).as("nn_s"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"score")
-      .rowsBetween(Long.MinValue, -1)
-    val pre = byScore
-      .withColumn("nn_below", coalesce(sum($"nn_s").over(w), lit(0L)))
+    // r18 (verdict item 5): exclusive prefix over the distinct-score
+    // frame via the two-level scan (inclusive cum − own count), not a
+    // one-task global window
+    val pre = graft.relational.QuantileNormalize.fullCumSum(
+        byScore, Seq($"score".asc), "nn_s", "cumnn")
+      .withColumn("nn_below", $"cumnn" - $"nn_s")
     pre.agg(
         sum($"np_s").as("n_pos"), sum($"nn_s").as("n_neg"),
         sum($"np_s" * ($"nn_below" * 2 + $"nn_s")).as("auc2_num"))

@@ -414,9 +414,9 @@ object CorpusOps {
       .select(explode(split($"text", " ")).as("tok"))
       .filter($"tok" =!= "")
       .groupBy($"tok").agg(count(lit(1)).as("freq"))
-    val ranked = tf
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"freq".desc, $"tok".asc))) // vocab-bounded frame
+    // r18 (verdict item 5): vocab-census rank via the two-level scan
+    val ranked = graft.relational.QuantileNormalize.fullRankGlobal(
+      tf, Seq($"freq".desc, $"tok".asc), "rk")
       .select(
         floor(log($"rk") * 1000000.0).cast("long").as("xq"),
         floor(log($"freq") * 1000000.0).cast("long").as("yq"))

@@ -103,15 +103,16 @@ object DelongAuc {
       .withColumn("nn_below_in", coalesce(sum($"nn_s").over(wIn), lit(0L)))
       .withColumn("np_upto_in",
         coalesce(sum($"np_s").over(wIn), lit(0L)) + $"np_s")
-    val wP = W.orderBy($"pid")
-    val offs = withRun.groupBy($"pid")
+    // r18 (verdict item 5): the 32-row offsets frame ran through a
+    // partition-less window; the bounded triangular join computes the
+    // same exclusive prefixes, the total via one broadcast 1-row agg
+    val ptot = withRun.groupBy($"pid")
       .agg(sum($"nn_s").as("tnn"), sum($"np_s").as("tnp"))
-      .withColumn("nn_off",
-        coalesce(sum($"tnn").over(wP.rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .withColumn("np_off",
-        coalesce(sum($"tnp").over(wP.rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .withColumn("total_np",
-        sum($"tnp").over(wP.rowsBetween(Long.MinValue, Long.MaxValue)))
+    val offs = graft.relational.QuantileNormalize
+      .exclusivePrefix(ptot, Seq(), "pid", Seq("tnn", "tnp"))
+      .withColumnRenamed("tnn_off", "nn_off")
+      .withColumnRenamed("tnp_off", "np_off")
+      .crossJoin(broadcast(ptot.agg(sum($"tnp").as("total_np"))))
       .select($"pid", $"nn_off", $"np_off", $"total_np")
     val pre = withRun.join(broadcast(offs), "pid")
       .withColumn("nn_below", $"nn_off" + $"nn_below_in")

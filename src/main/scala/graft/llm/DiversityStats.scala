@@ -427,9 +427,10 @@ object DiversityStats {
     */
   val q415HillTail: Q = (s, dir) => {
     import s.implicits._
-    val w = Window.orderBy($"c".desc, $"g".asc)
-    val top = trigramCounts(s, dir)
-      .withColumn("rk", row_number().over(w))
+    // r18 (verdict item 5): census rank via the two-level scan, not a
+    // one-task global window (the census grows with vocabulary)
+    val top = graft.relational.QuantileNormalize.fullRankGlobal(
+        trigramCounts(s, dir), Seq($"c".desc, $"g".asc), "rk")
       .filter($"rk" <= HillK + 1)
     val xk1 = top.filter($"rk" === HillK + 1).select($"c".as("xk1"))
     top.filter($"rk" <= HillK).crossJoin(broadcast(xk1))
@@ -477,12 +478,13 @@ object DiversityStats {
     */
   val q416VocabCoverage: Q = (s, dir) => {
     import s.implicits._
-    val w = Window.orderBy($"c".desc, $"g".asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wr = Window.orderBy($"c".desc, $"g".asc)
-    val cum = trigramCounts(s, dir)
-      .withColumn("rk", row_number().over(wr).cast("long"))
-      .withColumn("cum", sum($"c").over(w))
+    // r18 (verdict item 5): rank + running mass via the two-level
+    // scans, not one-task global windows over the growing census
+    import graft.relational.QuantileNormalize.{fullCumSum, fullRankGlobal}
+    val cum = fullCumSum(
+      fullRankGlobal(trigramCounts(s, dir),
+        Seq($"c".desc, $"g".asc), "rk"),
+      Seq($"rk".asc), "c", "cum")
     val tot = cum.agg(max($"cum").as("total"), count(lit(1)).as("vocab"))
     cum.crossJoin(broadcast(tot))
       .agg(first($"vocab").as("vocab"), first($"total").as("total_mass"),

@@ -71,11 +71,12 @@ object SuffixArray {
       .withColumn("pid", spark_partition_id())
     val wIn = Window.partitionBy($"pid").orderBy(kcols: _*)
     val withRn = parts.withColumn("rn", row_number().over(wIn).cast("long"))
-    val wP = Window.orderBy($"pid")
-    val offsets = withRn.groupBy($"pid").agg(count(lit(1)).as("c"))
-      .withColumn("poff", coalesce(sum($"c").over(
-        wP.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"pid", $"poff")
+    // bounded triangular join, not a pid-ordered window (r18, verdict
+    // item 5 — see QuantileNormalize.exclusivePrefix)
+    val offsets = graft.relational.QuantileNormalize.exclusivePrefix(
+        withRn.groupBy($"pid").agg(count(lit(1)).as("c")),
+        Seq(), "pid", Seq("c"))
+      .withColumnRenamed("c_off", "poff")
     withRn.join(broadcast(offsets), "pid")
       .select(kcols :+ ($"poff" + $"rn").as("rank"): _*)
   }
@@ -170,11 +171,13 @@ object SuffixArray {
     val docs = T.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("toks"))
     val maxDocLen = docs.agg(max(size($"toks"))).head().getInt(0).toLong
-    val wDoc = Window.orderBy($"doc_id")
-    val offs = docs.select($"doc_id", (size($"toks") + 1).cast("long").as("ntok"))
-      .withColumn("off", coalesce(sum($"ntok").over(
-        wDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"doc_id", $"off")
+    // r18 (verdict item 5): the doc-offset cumulative ran one row per
+    // doc through a single global window task — two-level scan instead
+    // (exclusive prefix = inclusive − own count)
+    val offs = graft.relational.QuantileNormalize.fullCumSum(
+        docs.select($"doc_id", (size($"toks") + 1).cast("long").as("ntok")),
+        Seq($"doc_id"), "ntok", "cum")
+      .select($"doc_id", ($"cum" - $"ntok").as("off"))
     val stream = docs.join(offs, "doc_id")
       .select($"doc_id", $"off", posexplode(concat($"toks",
         array(concat(lit("\u0000"), $"doc_id".cast("string")))))

@@ -284,9 +284,9 @@ object TextAnalysis {
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
     val v = e.groupBy($"tok").agg(count(lit(1)).as("c"))
     val nv = v.agg(count(lit(1)).as("nv"))
-    val ranked = v.crossJoin(broadcast(nv))
-      .withColumn("rk",
-        row_number().over(Window.orderBy($"c".asc, $"tok".asc)))
+    // r18 (verdict item 5): vocab-census rank via the two-level scan
+    val ranked = graft.relational.QuantileNormalize.fullRankGlobal(
+      v.crossJoin(broadcast(nv)), Seq($"c".asc, $"tok".asc), "rk")
     val rare = ranked
       .filter($"rk" <= ceil($"nv" / 10.0).cast("long"))
       .select($"tok", lit(1L).as("is_rare"))
@@ -696,19 +696,22 @@ object TextAnalysis {
       .join(base.select($"doc_id", $"repetition"), "doc_id")
       .join(hapaxPerDoc, Seq("doc_id"), "left")
       .withColumn("n_hapax", coalesce($"n_hapax", lit(0L)))
-    import org.apache.spark.sql.expressions.Window
-    val rQ = Window.orderBy($"quality".desc, $"doc_id".asc)
-    val rRep = Window.orderBy($"repetition".asc, $"doc_id".asc)
-    val rRare = Window.orderBy($"n_hapax".asc, $"doc_id".asc)
-    val ranked = joined
-      .withColumn("r_quality", row_number().over(rQ).cast("long"))
-      .withColumn("r_repetition", row_number().over(rRep).cast("long"))
-      .withColumn("r_rarity", row_number().over(rRare).cast("long"))
+    // r18 (verdict item 5): the four GLOBAL rank windows ran the whole
+    // doc frame through one task each (WindowExec "No Partition
+    // Defined" — guide §2.5's one-task trap); fullRankGlobal's
+    // two-level scan computes the identical 1-based ranks (unique
+    // doc_id tie-break) with 32-way parallel sorts.
+    import graft.relational.QuantileNormalize.fullRankGlobal
+    val ranked = fullRankGlobal(
+      fullRankGlobal(
+        fullRankGlobal(joined,
+          Seq($"quality".desc, $"doc_id".asc), "r_quality"),
+        Seq($"repetition".asc, $"doc_id".asc), "r_repetition"),
+      Seq($"n_hapax".asc, $"doc_id".asc), "r_rarity")
       .withColumn("composite", $"r_quality" + $"r_repetition" + $"r_rarity")
     val n = docs.count()
-    val rC = Window.orderBy($"composite".asc, $"doc_id".asc)
-    ranked
-      .withColumn("keep", row_number().over(rC) <= lit(n / 2))
+    fullRankGlobal(ranked, Seq($"composite".asc, $"doc_id".asc), "r_comp")
+      .withColumn("keep", $"r_comp" <= lit(n / 2))
       .select($"doc_id", $"r_quality", $"r_repetition", $"r_rarity",
         $"composite", $"keep")
       .orderBy($"doc_id")

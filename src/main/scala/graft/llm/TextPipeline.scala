@@ -820,12 +820,12 @@ object TextPipeline {
       .repartitionByRange(parts, col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .withColumn("local_end", sum(col("n_tokens")).over(wIn))
-    val wPid = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("pid"))
-      .agg(max(col("local_end")).as("ptotal"))
-      .withColumn("poffset", coalesce(sum(col("ptotal")).over(wPid), lit(0L)))
-      .select(col("pid"), col("poffset"))
+    // bounded triangular join, not a pid-ordered window (r18, verdict
+    // item 5 — see QuantileNormalize.exclusivePrefix)
+    val offsets = graft.relational.QuantileNormalize.exclusivePrefix(
+        local.groupBy(col("pid")).agg(max(col("local_end")).as("ptotal")),
+        Seq(), "pid", Seq("ptotal"))
+      .withColumnRenamed("ptotal_off", "poffset")
     local.join(broadcast(offsets), "pid")
       .withColumn("start_tok", col("poffset") + col("local_end") - col("n_tokens"))
       .withColumn("pack_first", expr(s"start_tok div $budget"))

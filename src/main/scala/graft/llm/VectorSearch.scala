@@ -937,9 +937,11 @@ object VectorSearch {
     */
   val q365RrfFusion: Q = (s, dir) => {
     import s.implicits._
-    val lex = TextPipeline.bm25ScoresMicro(s, dir)
-      .withColumn("lex_rank", row_number().over(
-        Window.orderBy($"score_micro".desc, $"doc_id".asc)))
+    import graft.relational.QuantileNormalize.fullRankGlobal
+    // r18 (verdict item 5): the global rank windows over the scored
+    // doc frames were one-task at scale — two-level scan ranks instead
+    val lex = fullRankGlobal(TextPipeline.bm25ScoresMicro(s, dir),
+        Seq($"score_micro".desc, $"doc_id".asc), "lex_rank")
       .select($"doc_id", $"lex_rank")
     val ids = T.documents(s, dir).select($"doc_id")
     val e = T.embeddings(s, dir)
@@ -948,11 +950,12 @@ object VectorSearch {
       .localCheckpoint() // query row + corpus side share the pass
     val qv = e.filter($"vec_id" === 0L)
       .select($"embedding".as("ea"), $"norm".as("na"))
-    val vec = e.filter($"vec_id" =!= 0L).crossJoin(broadcast(qv))
-      .withColumn("cos_sim",
-        cosine(dot_q20($"ea", $"embedding").cast("double"), $"na", $"norm"))
-      .withColumn("vec_rank", row_number().over(
-        Window.orderBy($"cos_sim".desc, $"vec_id".asc)))
+    val vec = fullRankGlobal(
+        e.filter($"vec_id" =!= 0L).crossJoin(broadcast(qv))
+          .withColumn("cos_sim",
+            cosine(dot_q20($"ea", $"embedding").cast("double"),
+              $"na", $"norm")),
+        Seq($"cos_sim".desc, $"vec_id".asc), "vec_rank")
       .select($"vec_id".as("doc_id"), $"vec_rank")
     lex.join(vec, Seq("doc_id"), "full_outer")
       .withColumn("rrf_micro",
@@ -1042,13 +1045,13 @@ object VectorSearch {
     */
   val q375Rrf3: Q = (s, dir) => {
     import s.implicits._
-    val lex = TextPipeline.bm25ScoresMicro(s, dir)
-      .withColumn("lex_rank", row_number().over(
-        Window.orderBy($"score_micro".desc, $"doc_id".asc)))
+    import graft.relational.QuantileNormalize.fullRankGlobal
+    // r18 (verdict item 5): same one-task-window fix as q365
+    val lex = fullRankGlobal(TextPipeline.bm25ScoresMicro(s, dir),
+        Seq($"score_micro".desc, $"doc_id".asc), "lex_rank")
       .select($"doc_id", $"lex_rank")
-    val ql = TextPipeline.qlScoresMicro(s, dir)
-      .withColumn("ql_rank", row_number().over(
-        Window.orderBy($"ql_micro".desc, $"doc_id".asc)))
+    val ql = fullRankGlobal(TextPipeline.qlScoresMicro(s, dir),
+        Seq($"ql_micro".desc, $"doc_id".asc), "ql_rank")
       .select($"doc_id", $"ql_rank")
     val ids = T.documents(s, dir).select($"doc_id")
     val e = T.embeddings(s, dir)
@@ -1057,11 +1060,12 @@ object VectorSearch {
       .localCheckpoint() // query row + corpus side share the pass
     val qv = e.filter($"vec_id" === 0L)
       .select($"embedding".as("ea"), $"norm".as("na"))
-    val vec = e.filter($"vec_id" =!= 0L).crossJoin(broadcast(qv))
-      .withColumn("cos_sim",
-        cosine(dot_q20($"ea", $"embedding").cast("double"), $"na", $"norm"))
-      .withColumn("vec_rank", row_number().over(
-        Window.orderBy($"cos_sim".desc, $"vec_id".asc)))
+    val vec = fullRankGlobal(
+        e.filter($"vec_id" =!= 0L).crossJoin(broadcast(qv))
+          .withColumn("cos_sim",
+            cosine(dot_q20($"ea", $"embedding").cast("double"),
+              $"na", $"norm")),
+        Seq($"cos_sim".desc, $"vec_id".asc), "vec_rank")
       .select($"vec_id".as("doc_id"), $"vec_rank")
     lex.join(ql, Seq("doc_id"), "full_outer")
       .join(vec, Seq("doc_id"), "full_outer")

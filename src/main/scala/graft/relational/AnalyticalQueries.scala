@@ -748,17 +748,39 @@ object AnalyticalQueries {
     */
   val q248RfmSegments: Q = (s, dir) => {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val perCust = T.orders(s, dir)
       .groupBy($"o_custkey")
       .agg(max($"o_orderdate").as("last_order"),
         count(lit(1)).as("n_orders"),
         graft.core.dsl.dsum($"o_totalprice").as("spend"))
-    val r = ntile(4).over(Window.orderBy($"last_order".asc, $"o_custkey".asc))
-    val f = ntile(4).over(Window.orderBy($"n_orders".asc, $"o_custkey".asc))
-    val m = ntile(4).over(Window.orderBy($"spend".asc, $"o_custkey".asc))
-    perCust
-      .withColumn("r_q", r).withColumn("f_q", f).withColumn("m_q", m)
+      .localCheckpoint() // three rank passes + the count share it
+    // r18 (verdict item 5): NTILE(4) under a bare global order ran the
+    // whole customer frame through ONE task per metric (guide §2.5);
+    // each quartile now derives from fullRankGlobal's two-level rank
+    // via the front-loaded-remainder formula BOTH engines define for
+    // NTILE (first n mod k buckets one larger): with q = n div 4,
+    // rem = n mod 4, rank r maps to (r+q) div (q+1) within the first
+    // rem·(q+1) ranks and rem + (r − rem·(q+1) + q − 1) div q past
+    // them — equivalence proven against DuckDB's literal NTILE by the
+    // oracle compare (total order: metric + c_custkey, as before).
+    import graft.relational.QuantileNormalize.fullRankGlobal
+    def ntile4(rank: String): org.apache.spark.sql.Column = expr(
+      s"""CASE WHEN $rank <= nrem * (nq + 1)
+         |  THEN ($rank + nq) DIV (nq + 1)
+         |  ELSE nrem + ($rank - nrem * (nq + 1) + nq - 1) DIV nq
+         |END""".stripMargin)
+    val nDf = perCust.agg(count(lit(1)).as("ncust"))
+    fullRankGlobal(
+      fullRankGlobal(
+        fullRankGlobal(perCust,
+          Seq($"last_order".asc, $"o_custkey".asc), "rr"),
+        Seq($"n_orders".asc, $"o_custkey".asc), "rf"),
+      Seq($"spend".asc, $"o_custkey".asc), "rm")
+      .crossJoin(broadcast(nDf))
+      .withColumn("nq", expr("ncust DIV 4"))
+      .withColumn("nrem", expr("ncust % 4"))
+      .withColumn("r_q", ntile4("rr")).withColumn("f_q", ntile4("rf"))
+      .withColumn("m_q", ntile4("rm"))
       .select($"o_custkey", $"n_orders", $"spend", $"r_q", $"f_q", $"m_q",
         concat($"r_q", $"f_q", $"m_q").as("segment"))
       .orderBy($"o_custkey")

@@ -189,12 +189,14 @@ object HodgesLehmann {
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)
       val withMax = parts.withColumn("pmax", max($"ym").over(wIn))
-      val wOff = org.apache.spark.sql.expressions.Window.orderBy($"pid")
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, -1)
-      val offsets = withMax.groupBy($"pid").agg(max($"ym").as("pm"))
-        .select($"pid", coalesce(max($"pm").over(wOff),
-          lit(Long.MinValue)).as("poff"))
+      // bounded triangular join, not a pid-ordered window (r18,
+      // verdict item 5): exclusive prefix-MAX over ≤32 pid rows
+      val pmaxs = withMax.groupBy($"pid").agg(max($"ym").as("pm"))
+      val offsets = pmaxs.as("a").join(pmaxs.as("b"),
+          col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid"))
+        .agg(coalesce(max(col("b.pm")), lit(Long.MinValue)).as("poff"))
+        .select(col("pid"), col("poff"))
       withMax.join(broadcast(offsets), "pid")
         .filter($"flag" === 1L)
         .select(greatest($"pmax", $"poff").as("ybest"), $"x")

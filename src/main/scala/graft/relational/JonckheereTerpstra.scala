@@ -71,14 +71,16 @@ object JonckheereTerpstra {
     val withCum = valueCols.foldLeft(parts) { (d, c) =>
       d.withColumn(s"__pc_$c", sum(col(c)).over(wIn))
     }
-    val wOff = Window.orderBy($"pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withCum.groupBy($"pid")
+    // bounded triangular join, not a pid-ordered window (r18, verdict
+    // item 5 — see QuantileNormalize.exclusivePrefix)
+    val psums = withCum.groupBy($"pid")
       .agg(valueCols.map(c => sum(col(c)).as(s"__ps_$c")).head,
         valueCols.map(c => sum(col(c)).as(s"__ps_$c")).tail: _*)
-      .select(($"pid" +: valueCols.map(c =>
-        coalesce(sum(col(s"__ps_$c")).over(wOff), lit(0L))
-          .as(s"__po_$c"))): _*)
+    val offsets = valueCols.foldLeft(
+      QuantileNormalize.exclusivePrefix(psums, Seq(), "pid",
+        valueCols.map(c => s"__ps_$c"))) { (d, c) =>
+      d.withColumnRenamed(s"__ps_${c}_off", s"__po_$c")
+    }
     val joined = withCum.join(broadcast(offsets), "pid")
     valueCols.foldLeft(joined) { (d, c) =>
       d.withColumn(s"cum_$c", col(s"__po_$c") + col(s"__pc_$c"))

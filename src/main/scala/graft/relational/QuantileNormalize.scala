@@ -49,13 +49,71 @@ object QuantileNormalize {
     val wIn = Window.partitionBy(($"pid" +: partCols.map(col)): _*)
       .orderBy(ordCols.map(col): _*)
     val withRn = parts.withColumn("rn", row_number().over(wIn).cast("long"))
-    val wP = Window.partitionBy(partCols.map(col): _*).orderBy($"pid")
-    val offsets = withRn.groupBy(($"pid" +: partCols.map(col)): _*)
+    // offsets via the bounded triangular join (not a pid-ordered
+    // window): same exclusive prefix, no single-partition WindowExec
+    val cnt = withRn.groupBy(($"pid" +: partCols.map(col)): _*)
       .agg(count(lit(1)).as("c"))
-      .withColumn("poff", coalesce(sum($"c").over(
-        wP.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(($"pid" +: partCols.map(col)) :+ $"poff": _*)
+    val offsets = exclusivePrefix(cnt, partCols, "pid", Seq("c"))
+      .withColumnRenamed("c_off", "poff")
     withRn.join(broadcast(offsets), "pid" +: partCols)
+      .withColumn(rankName, $"poff" + $"rn")
+      .drop("pid", "rn", "poff")
+  }
+
+  /** Exclusive prefix sums of `valCols` under `keyCol` order within
+    * `grpCols`, over a BOUNDED frame (≤32 pid rows / |groups| rows),
+    * computed by a triangular left self-join + one agg instead of a
+    * partition-less window (r18, verdict item 5: the offsets step of
+    * every two-level scan was itself a `Window.orderBy(pid)` — a
+    * single-partition WindowExec on every consumer's plan; the join
+    * spelling is warning-free, shuffles nothing but the bounded frame,
+    * and sums identically). Output: grpCols ++ keyCol ++ one
+    * `<valCol>_off` per value column (0 for the first key).
+    */
+  private[graft] def exclusivePrefix(df: DataFrame, grpCols: Seq[String],
+      keyCol: String, valCols: Seq[String]): DataFrame = {
+    val keyAll = grpCols :+ keyCol
+    val left = df.select(keyAll.map(c => col(c).as("__l_" + c)): _*)
+    val right = df.select(
+      keyAll.map(c => col(c).as("__r_" + c)) ++
+        valCols.map(c => col(c).as("__rv_" + c)): _*)
+    val cond = grpCols.map(c => col("__l_" + c) === col("__r_" + c))
+      .foldLeft(col("__r_" + keyCol) < col("__l_" + keyCol))(_ && _)
+    val aggs = valCols.map(c =>
+      coalesce(sum(col("__rv_" + c)), lit(0L)).as(c + "_off"))
+    left.join(right, cond, "left")
+      .groupBy(keyAll.map(c => col("__l_" + c)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keyAll.map(c => col("__l_" + c).as(c)) ++
+        valCols.map(c => col(c + "_off")): _*)
+  }
+
+  /** GLOBAL (partition-free) 1-based rank under `ordCols`, which may
+    * carry sort directions (`$"x".desc`) — the Column variant of
+    * [[fullRank]] for the corpus-sized `Window.orderBy(...)` sites the
+    * r17 verdict flagged (a bare global window funnels the whole frame
+    * through ONE task at scale — guide §2.5); same two-level scan:
+    * range-partition on the exact sort order, per-partition
+    * `row_number`, 32-row broadcast offsets. Ties must be broken by a
+    * unique trailing column (every caller orders by a key suffix), so
+    * range-boundary placement of equal keys never matters.
+    */
+  def fullRankGlobal(df: DataFrame, ordCols: Seq[Column],
+      rankName: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    // checkpoint-pinned for the same two-branch pid-consistency reason
+    // as [[fullRank]]
+    val parts = org.apache.spark.sql.graftbridge.PlanBridge
+      .checkpointResetStats(df.repartitionByRange(32, ordCols: _*)
+        .withColumn("pid", spark_partition_id()))
+    val wIn = Window.partitionBy($"pid").orderBy(ordCols: _*)
+    val withRn = parts.withColumn("rn", row_number().over(wIn).cast("long"))
+    // bounded triangular join, not a pid-ordered window (see fullRank)
+    val cnt = withRn.groupBy($"pid").agg(count(lit(1)).as("c"))
+    val offsets = exclusivePrefix(cnt, Seq(), "pid", Seq("c"))
+      .withColumnRenamed("c_off", "poff")
+    withRn.join(broadcast(offsets), Seq("pid"))
       .withColumn(rankName, $"poff" + $"rn")
       .drop("pid", "rn", "poff")
   }
@@ -63,8 +121,8 @@ object QuantileNormalize {
   /** Exact inclusive running SUM of `valueCol` under lexicographic
     * `ordCols` — the cumulative twin of [[fullRank]], same two-level
     * scan: the per-partition cumulative runs inside each of 32 range
-    * partitions and only the 32 partition TOTALS pass through a global
-    * window (bounded by partition count, never by data), broadcast
+    * partitions and only the 32 partition TOTALS pass through the
+    * bounded [[exclusivePrefix]] join (never a window), broadcast
     * back as offsets. Replaces the one-task
     * `Window.orderBy(...).rowsBetween(unboundedPreceding, 0)` shape
     * that funnels the whole frame through a single task at scale.
@@ -80,12 +138,11 @@ object QuantileNormalize {
     val wIn = Window.partitionBy($"pid").orderBy(ordCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val withCum = parts.withColumn("pcum", sum(col(valueCol)).over(wIn))
-    val offsets = withCum.groupBy($"pid")
+    // bounded triangular join, not a pid-ordered window (see fullRank)
+    val psums = withCum.groupBy($"pid")
       .agg(sum(col(valueCol)).as("psum"))
-      .withColumn("poff", coalesce(sum($"psum").over(
-        Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select($"pid", $"poff")
+    val offsets = exclusivePrefix(psums, Seq(), "pid", Seq("psum"))
+      .withColumnRenamed("psum_off", "poff")
     withCum.join(broadcast(offsets), "pid")
       .withColumn(outName, $"poff" + $"pcum")
       .drop("pid", "pcum", "poff")

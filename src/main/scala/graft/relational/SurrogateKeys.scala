@@ -46,11 +46,12 @@ object SurrogateKeys {
       .sortWithinPartitions($"c_custkey")
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
-    val wPrev = Window.orderBy($"pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parted.groupBy($"pid").agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum($"n").over(wPrev), lit(0L)))
-      .select($"pid", $"off")
+    // bounded triangular join, not a pid-ordered window (r18, verdict
+    // item 5 — see QuantileNormalize.exclusivePrefix)
+    val offsets = QuantileNormalize.exclusivePrefix(
+        parted.groupBy($"pid").agg(count(lit(1)).as("n")),
+        Seq(), "pid", Seq("n"))
+      .withColumnRenamed("n_off", "off")
     val wIn = Window.partitionBy($"pid").orderBy($"c_custkey")
     parted
       .withColumn("rn", row_number().over(wIn))

@@ -54,11 +54,12 @@ object WilcoxonSignedRank {
     // of all PRIOR groups (a |groups|-row broadcast)
     val cum = QuantileNormalize.fullCumSum(byVal,
       Seq($"g", $"ad"), "cnt", "cum")
-    val goff = byVal.groupBy($"g").agg(sum($"cnt").as("gm"))
-      .withColumn("goff", coalesce(sum($"gm").over(
-        Window.orderBy($"g").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select($"g", $"goff")
+    // r18 (verdict item 5): |groups|-row frame — triangular join, not
+    // a partition-less window
+    val goff = QuantileNormalize.exclusivePrefix(
+        byVal.groupBy($"g").agg(sum($"cnt").as("gm")),
+        Seq(), "g", Seq("gm"))
+      .withColumnRenamed("gm_off", "goff")
     cum.join(broadcast(goff), "g")
       .withColumn("r2", lit(2L) * ($"cum" - $"cnt" - $"goff")
         + $"cnt" + lit(1L))
