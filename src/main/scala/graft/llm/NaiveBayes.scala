@@ -291,7 +291,10 @@ object NaiveBayes {
           else Some((k.toLong, n, 1000L * c / n >= MinAccPermille))
         }
       }), Duration.Inf).flatten
-      finally pool.shutdown()
+      // shutdownNow, not shutdown (r17 advice): if one fold's action
+      // throws, the siblings' queued work is cancelled instead of
+      // running every remaining job before the error propagates
+      finally pool.shutdownNow()
     }
     s.createDataFrame(rows).toDF("fold", "n_test", "ok")
       .orderBy("fold")

@@ -159,8 +159,10 @@ object Louvain {
     }
     val fb = Future { refine(edges, single) }
     val ((la, lpaScore, ea, _), (lb, _, eb, _)) =
+      // shutdownNow (r17 advice): a failed chain cancels the sibling's
+      // queued work instead of letting it run to completion first
       try (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
-      finally pool.shutdown()
+      finally pool.shutdownNow()
     val (win, winScore) = if (ea >= eb) (la, ea) else (lb, eb)
     val ok = winScore > lpaScore
     LabelPropagation.modularityOf(edges, win).withColumn("ok", lit(ok))

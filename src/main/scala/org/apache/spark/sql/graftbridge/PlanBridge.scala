@@ -60,6 +60,20 @@ object PlanBridge {
     * frame reports 100 TB and is never broadcast), and if the storage
     * info is missing the stats fall back to None = round 11 behavior.
     */
+  def checkpointResetStats(df: Dataset[Row]): DataFrame = {
+    val cp = df.asInstanceOf[classic.Dataset[Row]].localCheckpoint()
+    val spark = cp.sparkSession
+    val qe = cp.queryExecution
+    val blockSize = qe.analyzed.collectFirst {
+      case lr: execution.LogicalRDD => lr.rdd.id
+    }.flatMap(id => spark.sparkContext.getRDDStorageInfo.find(_.id == id))
+      .map(i => BigInt(i.memSize + i.diskSize)).filter(_ > 0)
+    val stats = blockSize.map(s =>
+      catalyst.plans.logical.Statistics(sizeInBytes = s))
+    ofRows(spark, execution.LogicalRDD(qe.analyzed.output, qe.toRdd)(
+      spark, stats, None))
+  }
+
   /** localCheckpoint that KEEPS a hash clustering (r17 optimization,
     * guide §2.4 "two operations keyed the same way can share one
     * exchange").
@@ -72,11 +86,21 @@ object PlanBridge {
     * q312: 28-exchange plan, the 8M-row scoring fan-out re-shuffled
     * twice). This helper repartitions by `cols` into an EXPLICIT
     * partition count (explicit so AQE cannot coalesce it — a coalesced
-    * exchange's bucket→partition map would falsify the claim below),
-    * materializes, and rebuilds the LogicalRDD declaring the TRUE
-    * HashPartitioning of the materialized blocks. Downstream
-    * groupBy/window/join/top-k keyed by any superset of `cols` then
-    * satisfies ClusteredDistribution with no exchange.
+    * exchange's bucket→partition map would falsify the claim below;
+    * REPARTITION_BY_NUM shuffles are likewise exempt from AQE's
+    * local-shuffle-read and skew-split rewrites, which only apply to
+    * ENSURE_REQUIREMENTS exchanges), materializes, and rebuilds the
+    * LogicalRDD declaring the TRUE HashPartitioning of the
+    * materialized blocks. Downstream groupBy/window/join/top-k keyed
+    * by any superset of `cols` then satisfies ClusteredDistribution
+    * with no exchange. The declared-partitioning ⟺ true-layout
+    * equivalence is pinned by PlanBridgeSpec on a skewed fixture (r17
+    * advice): a silent falsification would return wrong results, not
+    * a slow plan.
+    *
+    * `cols` must be non-empty and unambiguous in `df`'s output — an
+    * empty clustering or a duplicate name would silently bind the
+    * wrong attribute and declare a partitioning the blocks don't have.
     *
     * Stats discipline: same measured-size reset as
     * [[checkpointResetStats]] (originStats must not survive — see that
@@ -84,13 +108,26 @@ object PlanBridge {
     */
   def checkpointKeepHashPartitioning(df: Dataset[Row], cols: Seq[String],
       numParts: Int): DataFrame = {
+    require(cols.nonEmpty,
+      "checkpointKeepHashPartitioning needs a non-empty clustering")
+    cols.foreach { c =>
+      val n = df.schema.count(_.name == c)
+      require(n == 1, s"clustering column $c is " +
+        s"${if (n == 0) "missing" else "ambiguous"} in " +
+        df.schema.fieldNames.mkString("[", ", ", "]"))
+    }
     val cp = df.repartition(numParts, cols.map(df.col): _*)
       .asInstanceOf[classic.Dataset[Row]].localCheckpoint()
     val spark = cp.sparkSession
     val qe = cp.queryExecution
     val out = qe.analyzed.output
-    val exprs = cols.map(c => out.find(_.name == c).getOrElse(
-      throw new IllegalArgumentException(s"no column $c in ${out.map(_.name)}")))
+    val exprs = cols.map { c =>
+      val hits = out.filter(_.name == c)
+      require(hits.size == 1,
+        s"column $c is ${if (hits.isEmpty) "missing" else "ambiguous"} " +
+          s"in ${out.map(_.name)}")
+      hits.head
+    }
     val part = catalyst.plans.physical.HashPartitioning(exprs, numParts)
     val blockSize = qe.analyzed.collectFirst {
       case lr: execution.LogicalRDD => lr.rdd.id
@@ -99,20 +136,6 @@ object PlanBridge {
     val stats = blockSize.map(s =>
       catalyst.plans.logical.Statistics(sizeInBytes = s))
     ofRows(spark, execution.LogicalRDD(out, qe.toRdd, part, Nil, false)(
-      spark, stats, None))
-  }
-
-  def checkpointResetStats(df: Dataset[Row]): DataFrame = {
-    val cp = df.asInstanceOf[classic.Dataset[Row]].localCheckpoint()
-    val spark = cp.sparkSession
-    val qe = cp.queryExecution
-    val blockSize = qe.analyzed.collectFirst {
-      case lr: execution.LogicalRDD => lr.rdd.id
-    }.flatMap(id => spark.sparkContext.getRDDStorageInfo.find(_.id == id))
-      .map(i => BigInt(i.memSize + i.diskSize)).filter(_ > 0)
-    val stats = blockSize.map(s =>
-      catalyst.plans.logical.Statistics(sizeInBytes = s))
-    ofRows(spark, execution.LogicalRDD(qe.analyzed.output, qe.toRdd)(
       spark, stats, None))
   }
 }
