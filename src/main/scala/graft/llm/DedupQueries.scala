@@ -655,12 +655,18 @@ object DedupQueries {
     // (scale-adaptive: defaultParallelism, not a constant), and shuffle
     // only the narrow (custkey, k) rows — the candidate distinct now
     // dedupes 16-byte id pairs instead of pairs carrying both names;
-    // names re-attach via two broadcast joins before the verify.
+    // names re-attach via two joins before the verify.
     // Result-identical: same candidate universe, same verify, same
     // output columns and order. Measured 9.37 s → ~1.5 s isolated.
-    val names = T.customer(s, dir).select($"c_custkey", $"c_name")
-      .repartition(s.sparkContext.defaultParallelism)
-      .localCheckpoint() // read 3× (two key sides + name re-attach)
+    // r18 (advice): the name re-attach joins are no longer FORCED
+    // broadcasts — customer scales with SF, so the hint would explode
+    // at 100 TB; checkpointResetStats gives the planner the MEASURED
+    // size and it broadcasts exactly while the table truly fits.
+    val names = org.apache.spark.sql.graftbridge.PlanBridge
+      .checkpointResetStats(
+        T.customer(s, dir).select($"c_custkey", $"c_name")
+          .repartition(s.sparkContext.defaultParallelism))
+      // read 3× (two key sides + name re-attach)
     val keys = names.select($"c_custkey",
       explode(expr(
         """array_distinct(concat(array(c_name),
@@ -673,10 +679,10 @@ object DedupQueries {
       .select($"a.c_custkey".as("cust1"), $"b.c_custkey".as("cust2"))
       .distinct()
     cand
-      .join(broadcast(names.select($"c_custkey".as("cust1"),
-        $"c_name".as("n1"))), "cust1")
-      .join(broadcast(names.select($"c_custkey".as("cust2"),
-        $"c_name".as("n2"))), "cust2")
+      .join(names.select($"c_custkey".as("cust1"),
+        $"c_name".as("n1")), "cust1")
+      .join(names.select($"c_custkey".as("cust2"),
+        $"c_name".as("n2")), "cust2")
       .withColumn("dist", levenshtein($"n1", $"n2").cast("long"))
       .filter($"dist" <= 1L)
       .select($"cust1", $"cust2", $"dist")
@@ -709,14 +715,19 @@ object DedupQueries {
     */
   val q197JaroPairs: Q = (s, dir) => {
     import s.implicits._
-    val p = T.part(s, dir).select($"p_partkey", $"p_brand", $"p_name")
     // r17 optimization: part is a 1-task scan and the broadcast join
     // ran every brand-block pair's Jaro-Winkler in that one task.
     // Spreading the probe side across the cores parallelizes the
-    // codegen'd expression; the build side broadcasts as before.
-    // Same pairs, same doubles. Isolated 4.36 s → ~0.7 s.
+    // codegen'd expression. Same pairs, same doubles. Isolated
+    // 4.36 s → ~0.7 s. r18 (advice): the build side is no longer a
+    // FORCED broadcast — part scales with SF; checkpointResetStats
+    // hands the planner the measured size so it broadcasts only while
+    // the table truly fits and demotes to a shuffle join past that.
+    val p = org.apache.spark.sql.graftbridge.PlanBridge
+      .checkpointResetStats(
+        T.part(s, dir).select($"p_partkey", $"p_brand", $"p_name"))
     p.repartition(s.sparkContext.defaultParallelism).as("a")
-      .join(broadcast(p.as("b")),
+      .join(p.as("b"),
         $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey")
       .withColumn("jw",
         graft.functions.TextFunctions.jaroWinkler($"a.p_name", $"b.p_name"))
