@@ -135,7 +135,17 @@ object Bench {
     val results = entries.zipWithIndex.map {
       case ((name, fn), i) =>
         if (filterEnv.isEmpty && i == midAt)
-          sentinelMid = runSentinel(1)
+          // r18 measurement fix: the mid tick is a MEDIAN like the
+          // pre-pass sample it gates against — the old single rep made
+          // the 1.15 drift gate a coin flip on this box (q312's one-rep
+          // mid readings swung 8.3/9.9/12.2 against pre-pass medians of
+          // 7.5/6.4/8.0 across three otherwise-identical full runs —
+          // two of three tripped the gate on sampling noise alone; r18
+          // runs 1/2 recorded in OPTIMIZATION_r18.md §10 with the old
+          // single-rep numbers kept). Same queries, same JSON keys;
+          // mid-tick wall cost rises by two reps per sentinel entry,
+          // none of it counted in any per-query median or the total.
+          sentinelMid = runSentinel(Reps)
         // Drive the ContextCleaner: without an explicit driver GC the
         // weak refs behind finished broadcasts are never processed on a
         // big mostly-idle heap, so block-manager occupancy only grows.
